@@ -1,0 +1,155 @@
+"""Keyed upsert with precombine — the engine's replacement for the
+reference's Hudi sink.
+
+Reference semantics (01-setup-ec-vm.md:262-272): COPY_ON_WRITE table,
+record key `record_id`, partition path `routeId`, precombine field
+`event_time` — i.e. *for duplicate keys, keep the row with the greatest
+precombine value; new batches replace existing rows key-wise*.
+
+Spark-first design (SURVEY §2.3, §7 "custom logic"):
+
+* precombine  = `row_number() OVER (PARTITION BY key ORDER BY precombine
+  DESC, tiebreak DESC) = 1` — one shuffle on the key, map-side pipelined.
+* merge       = union(existing ∩ touched partitions, batch) → precombine →
+  dynamic partition overwrite. Only partitions present in the batch are
+  rewritten (mirrors Hudi COW file-group rewrite), so a 100 TB table with a
+  skewed hot partition only pays for the hot partition.
+* deletes     = tombstone rows (op='d') drop the key during precombine.
+
+At cluster scale the partition column should be a bounded-cardinality key
+(the reference used routeId); the shuffle is keyed on the record key so AQE
+skew-join/partition-coalescing handles hot keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def latest_state(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    precombine_col: str,
+    tiebreak_cols: list[str] | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Reduce a change log to latest-row-per-key (Hudi precombine semantics,
+    reference 01-setup-ec-vm.md:269).
+
+    One hash shuffle on `key_cols`; the window sort is per-key and spills
+    safely. If `delete_col` (boolean) is given, keys whose latest row is a
+    tombstone are dropped entirely.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(precombine_col).desc_nulls_last()]
+    for t in tiebreak_cols or []:
+        order.append(F.col(t).desc_nulls_last())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if delete_col is not None:
+        out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return out
+
+
+class UpsertTable:
+    """A partitioned-parquet table with keyed-upsert merge.
+
+    Pure-Spark equivalent of the reference's Hudi COW table `bus_status`
+    (record key / partition path / precombine — 01-setup-ec-vm.md:265-269).
+    Writes are idempotent: merging the same batch twice yields the same
+    table state (the property the reference leaned on for exactly-once,
+    01-setup-ec-vm.md:284).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str] | str,
+        precombine_col: str,
+        partition_col: str | None = None,
+        tiebreak_cols: list[str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        self.precombine_col = precombine_col
+        self.partition_col = partition_col
+        self.tiebreak_cols = tiebreak_cols or []
+
+    # -- read ----------------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def register(self, view_name: str) -> DataFrame:
+        """Expose for ad-hoc SQL — the engine's Athena analog
+        (reference 01-setup-ec-vm.md:305-318)."""
+        df = self.read()
+        df.createOrReplaceTempView(view_name)
+        return df
+
+    # -- write ---------------------------------------------------------------
+    def merge(self, batch: DataFrame, delete_col: str | None = None) -> None:
+        """Upsert `batch` (change rows) into the table.
+
+        Reads back only the partitions the batch touches (partition-pruned
+        scan), unions with the batch at a higher precombine epoch, dedups,
+        and dynamically overwrites just those partitions.
+        """
+        data_cols = [c for c in batch.columns if not c.startswith("_")]
+        delete_flag = (
+            F.coalesce(F.col(delete_col), F.lit(False))
+            if delete_col is not None and delete_col in batch.columns
+            else F.lit(False)
+        )
+        incoming = batch.select(
+            *data_cols,
+            delete_flag.alias("__deleted"),
+            F.lit(1).alias("__gen"),  # incoming beats existing on precombine tie
+        )
+
+        if self.exists():
+            existing = self.read().select(
+                *data_cols, F.lit(False).alias("__deleted"), F.lit(0).alias("__gen")
+            )
+            if self.partition_col is not None:
+                touched = [
+                    r[0]
+                    for r in batch.select(self.partition_col).distinct().collect()
+                ]
+                existing = existing.filter(F.col(self.partition_col).isin(touched))
+            unioned = existing.unionByName(incoming)
+        else:
+            unioned = incoming
+
+        merged = latest_state(
+            unioned,
+            self.key_cols,
+            self.precombine_col,
+            tiebreak_cols=[*self.tiebreak_cols, "__gen"],
+            delete_col="__deleted",
+        ).drop("__deleted", "__gen")
+
+        # Spark refuses to overwrite a path its own plan reads from; truncate
+        # lineage first. (On a real cluster this would be a write-to-new-files
+        # + atomic commit, i.e. what Hudi's timeline/Delta's log provide; for
+        # the engine's scope localCheckpoint materializes the merged state.)
+        if self.exists():
+            merged = merged.localCheckpoint(eager=True)
+
+        writer = merged.write.mode("overwrite")
+        if self.partition_col is not None:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(self.path)

@@ -1,0 +1,283 @@
+"""Deduplication operators for the 100 TB training-data pipeline
+(BASELINE.json north_star): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Scale design notes
+------------------
+* exact        — md5-groupBy: one shuffle keyed on the fingerprint; skew-safe
+                 (identical docs hash to one key — bounded by dup-group size).
+* n-gram       — inverted-index self-join on shingles. Cost is
+                 Σ_shingle df(shingle)², so shingles must be selective:
+                 word-k-grams (default k=5), never char-3-grams over a small
+                 vocabulary. At 100 TB add the MinHash prefilter first.
+* MinHash+LSH  — signatures via xxhash64 (Spark-native, deterministic) and
+                 universal hashing h_i(x) = (a_i*x + b_i) mod p; banding →
+                 candidate pairs only within equal band-buckets. This is the
+                 scale path: join fan-out is per-bucket, not per-corpus.
+* SimHash      — 64-bit sign-sketch of word-hash vectors; pairs within
+                 Hamming ≤ r found by pigeonhole banding over bit-chunks.
+* embedding    — blocked cosine: candidate pairs restricted to equal blocks
+                 (caller-supplied blocking key, e.g. LSH bucket or cluster
+                 label); exact cosine computed JVM-side in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from buskafkasparkstreaming_spark.functions import cosine_similarity
+from buskafkasparkstreaming_spark.operators.text import normalize, words
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) texts; keep the smallest id as canonical.
+
+    Returns one row per distinct fingerprint: (fingerprint, keep_id, n_dups).
+    """
+    return (
+        df.select(F.md5(normalize(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct word-k-gram shingles of a text column (array<string>)."""
+    ws = words(col)
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
+
+    Inverted-index plan: explode distinct shingles → self-equi-join on the
+    shingle (hash shuffle, NOT a cross join) → count common shingles per
+    pair → Jaccard from per-doc shingle counts (broadcast).
+    Output: (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("sh")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="sh")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(F.broadcast(sizes).withColumnRenamed("doc", "id_a"), "id_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(F.broadcast(sizes).withColumnRenamed("doc", "id_b"), "id_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    (a_i * xxhash64(shingle) + b_i) mod p. Deterministic (fixed seed → fixed
+    a_i/b_i; xxhash64 is stable), fully JVM-side via nested array transforms.
+    Output: (id, sig: array<bigint>)."""
+    import random
+
+    rnd = random.Random(seed)
+    # a, b and the shingle hash all live below 2^31 so a*x+b stays < 2^63
+    # (no long overflow inside the JVM expression).
+    m31 = (1 << 31) - 1
+    coeffs = [(rnd.randrange(1, m31), rnd.randrange(0, m31)) for _ in range(num_hashes)]
+    sh_hashes = F.transform(
+        word_shingles(text_col, k), lambda s: F.pmod(F.xxhash64(s), F.lit(m31))
+    )
+
+    def _permute(a: int, b: int):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(m31))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh_hashes, _permute(a, b))) for (a, b) in coeffs]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing ≥1 band bucket.
+
+    Join key is (band_index, hash(band slice)) — shuffle fan-out bounded by
+    bucket occupancy, never all-pairs. Output: (id_a, id_b, est_jaccard)
+    where est_jaccard = fraction of matching signature positions.
+    """
+    banded = signatures.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n = F.size("sig_a")
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return pairs.select(
+        "id_a", "id_b", (matches.cast("double") / n.cast("double")).alias("est_jaccard")
+    )
+
+
+def simhash64(col: Column | str, text_col_words: Column | None = None) -> Column:
+    """64-bit SimHash of a text column: sign-aggregate of per-word xxhash64
+    bits. Bit j of the result = 1 iff more word-hashes have bit j set than
+    not. Built from bitwise ops + aggregate — JVM-side."""
+    ws = text_col_words if text_col_words is not None else words(col)
+    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+
+    def _bit_adder(j: int):
+        return lambda acc, h: acc + F.shiftrightunsigned(h, j).bitwiseAND(
+            F.lit(1)
+        ).cast("int")
+
+    n = F.size(ws)
+    # OR together bit j (a compile-time python int, so no long overflow:
+    # bit 63 is the sign bit, encoded as -2^63)
+    sketch = F.lit(0).cast("long")
+    for j in range(64):
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        bit_count = F.aggregate(hashes, F.lit(0), _bit_adder(j))
+        sketch = sketch.bitwiseOR(
+            F.when(bit_count * 2 > n, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sketch
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via pigeonhole
+    banding: split the 64-bit sketch into `chunks` 16-bit chunks; any pair
+    within Hamming ≤ chunks-1 shares ≥1 exact chunk → equi-join on
+    (chunk_index, chunk_value), then exact Hamming filter.
+    Output: (id_a, id_b, hamming)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("simhash"))
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunked = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+    pairs = (
+        chunked.alias("a")
+        .join(chunked.alias("b"), on=["chunk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs within blocks: equi-join on `block_col` (an LSH
+    bucket / cluster label / shard key), exact double-precision cosine on
+    survivors. Output: (id_a, id_b, cos_sim)."""
+    lhs = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+    )
+    rhs = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+    )
+    return (
+        lhs.join(rhs, on="blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_similarity("v_a", "v_b"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (BASELINE.json north_star).
+
+Two tiers:
+* `cosine_topk`      — brute-force exact top-k: broadcast the (small) query
+                       set against the corpus, JVM-side double cosine,
+                       per-query top-k window. The correctness baseline.
+* `ivf_cosine_topk`  — IVF-style approximate top-k: corpus pre-bucketed by a
+                       coarse quantizer (nearest of `nlist` centroid rows),
+                       queries probe only their `nprobe` closest buckets.
+                       Join fan-out drops from |Q|×|C| to |Q|×(nprobe/nlist)×|C|
+                       — the 100 TB path.
+
+No driver-side loops: centroids are a broadcast DataFrame, assignment is a
+broadcast-join + argmin over an array, never a collect of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from buskafkasparkstreaming_spark.functions import cosine_similarity
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, rank, cos_sim).
+
+    The query side is broadcast — the corpus never shuffles; per-query top-k
+    is a window over the joined stream (rank ties broken by neighbor id so
+    results are deterministic).
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine_similarity("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Attach the ids of the `nprobe` nearest centroids (by cosine) to each
+    row as `bucket` (exploded — one row per probed bucket)."""
+    cent = centroids.select(
+        F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv")
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).withColumn(
+        "__sim", cosine_similarity(corpus_vec, "__cv")
+    )
+    # rank centroids per corpus row (row identity = its first column, the id)
+    scored = scored.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(F.col(corpus.columns[0])).orderBy(
+                F.col("__sim").desc(), F.col("__cid").asc()
+            )
+        ),
+    )
+    return (
+        scored.filter(F.col("__rn") <= nprobe)
+        .withColumn("bucket", F.col("__cid"))
+        .drop("__cid", "__cv", "__sim", "__rn")
+    )
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: corpus rows live in their 1 nearest-centroid
+    bucket; queries probe their `nprobe` nearest buckets; exact cosine +
+    top-k window within the probed buckets only."""
+    c_assigned = assign_buckets(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cvec")),
+        centroids,
+        corpus_vec="__cvec",
+        nprobe=1,
+    )
+    q_assigned = assign_buckets(
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")),
+        centroids,
+        corpus_vec="__qvec",
+        nprobe=nprobe,
+    )
+    joined = q_assigned.join(c_assigned, on="bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.withColumn("cos_sim", cosine_similarity("__qvec", "__cvec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        .dropDuplicates(["query_id", "neighbor_id"])  # a pair may meet in 2 buckets
+    )

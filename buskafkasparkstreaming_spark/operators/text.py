@@ -1,0 +1,103 @@
+"""Text-analysis operators for the training-data pipeline surface
+(BASELINE.json north_star: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Everything here is built-in-function compositions (JVM codegen) — no Python
+in the hot path. The tokenizer regex and stopword sets are deliberately
+simple + deterministic so a SQL oracle can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish surface tokenizer: letter runs | single digits | punctuation marks.
+TOKEN_PATTERN = "([a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ])"
+
+#: tiny per-language marker-word sets for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "to", "and", "in"),
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def normalize(col: Column | str) -> Column:
+    """Canonical text form used by fingerprinting and exact dedup:
+    lowercase, collapse whitespace runs, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), " +", " "))
+
+
+def words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def tokens(col: Column | str) -> Column:
+    """Regex token array (TOKEN_PATTERN)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 1)
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", F.size(tokens(text_col))).withColumn(
+        "n_words", F.size(words(text_col))
+    )
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/word counts, mean word length,
+    stopword ratio, alpha ratio. All double-typed, deterministic."""
+    ws = words(text_col)
+    n_words = F.size(ws)
+    sum_word_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return (
+        df.withColumn("q_chars", F.length(F.col(text_col)).cast("long"))
+        .withColumn("q_words", n_words.cast("long"))
+        .withColumn("q_avg_word_len", sum_word_len / n_words.cast("double"))
+        .withColumn("q_stopword_ratio", n_stop.cast("double") / n_words.cast("double"))
+    )
+
+
+def langid_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-density language heuristic: texts whose English-marker-word
+    density clears a threshold are tagged 'en', else 'und'. (A real model
+    would use char n-gram profiles; the operator contract — one predicted
+    label per doc, computed distributed — is what matters here.)"""
+    ws = words(text_col)
+    ratio = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast(
+        "double"
+    ) / F.size(ws).cast("double")
+    return df.withColumn(
+        "pred_lang", F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dedup fingerprint: md5 of the normalized text."""
+    return df.withColumn("fingerprint", F.md5(normalize(text_col)))
+
+
+def rolling_hashes(col: Column | str, window: int = 5) -> Column:
+    """Array of xxhash64 values over `window`-word shingles — the winnowing /
+    rolling-hash fingerprint primitive. xxhash64 is Spark-native and
+    deterministic across executors."""
+    ws = words(col)
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i, window)))
+    )
+
+
+def winnowing_fingerprint(df: DataFrame, text_col: str = "text", window: int = 5, keep: int = 8) -> DataFrame:
+    """Keep the `keep` smallest rolling hashes per doc (a winnowing-style
+    sketch): compact, order-independent near-dup signature."""
+    hs = F.array_sort(rolling_hashes(text_col, window))
+    return df.withColumn("winnow_sketch", F.slice(hs, 1, keep))

@@ -1,0 +1,44 @@
+"""Plan-inspection helpers: assert the physical plan is the one you'd want
+at 100 TB (pushdown reached the scan, the small side broadcast, codegen on).
+
+Used by tests so plan regressions fail CI, not production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        "expected a broadcast join in plan:\n" + plan
+    )
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, "unexpected cartesian product:\n" + plan
+
+
+def assert_pushed_filters(df: DataFrame, fragment: str) -> None:
+    """Check a filter reached the parquet scan (PushedFilters: [...])."""
+    plan = explain_str(df)
+    assert "PushedFilters" in plan and fragment in plan, (
+        f"expected pushed filter containing {fragment!r} in plan:\n" + plan
+    )
+
+
+def assert_wholestage_codegen(df: DataFrame) -> None:
+    plan = explain_str(df)
+    assert "WholeStageCodegen" in plan, "no WholeStageCodegen span:\n" + plan

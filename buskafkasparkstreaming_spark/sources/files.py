@@ -1,0 +1,77 @@
+"""File-based sources: parquet table loading and envelope JSONL replay.
+
+The JSONL replay source is the test-path stand-in for the Kafka leg
+(reference S4, spark-kafka.py:1-6): each line is one Kafka message value
+(a Debezium envelope), and the reader yields the same `value` column the
+Kafka source would, so the downstream parse → upsert pipeline is identical
+in tests and production (SURVEY §7 M1: "file source is the default test
+path since no broker in CI").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """The driver's `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it
+    as long (spark.sql.legacy.parquet.nanosAsLong). Convert to a proper
+    TimestampType via *integer* division (ns → µs) — values exceed 2^53 so
+    a double division would corrupt them."""
+    if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table, normalizing nano timestamps."""
+    return normalize_nanos_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TPCH_TABLES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables (TESTDATA.md) and register temp views
+    so both the DataFrame API and spark.sql can reach them."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = read_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_envelope_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read newline-delimited envelope JSON as a Kafka-shaped `value`
+    column (FIXTURES.md F3: file fixtures replay `value` as text lines)."""
+    return spark.read.text(path).select(F.col("value").cast("binary").alias("value"))
+
+
+def stream_envelope_jsonl(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming variant — unbounded text source over a directory of JSONL
+    files; the engine's CI-friendly analog of readStream.format('kafka')
+    (reference 01-setup-ec-vm.md:166-172)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path).select(F.col("value").cast("binary").alias("value"))

@@ -1,0 +1,127 @@
+"""Event-time windowed aggregation over streams (SURVEY §2.3 "Streaming"
+row): watermarks, tumbling/sliding/session windows, streaming dedup.
+
+These helpers build the streaming plans; `run_to_memory` drains a stream
+into an in-memory table for tests/oracles (update mode + availableNow ⇒ one
+batch, every group emitted once with its final value — so results equal the
+batch aggregation, which is what the DuckDB oracle checks).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The driver's `events` parquet as an unbounded source (FIXTURES.md F4:
+    treat as append-only ordered by `ts`)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source wants a directory (or glob) path, and the
+    # driver's table is a single parquet file — glob it
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    from buskafkasparkstreaming_spark.sources.files import normalize_nanos_ts
+
+    return normalize_nanos_ts(reader.load(f"{sf_dir}/events.parque[t]"))
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window count+sum with a watermark bounding state."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len).alias("win"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len, slide).alias("win"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("window_start"), "avg_value")
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows (gap-based) — streaming analog of
+    operators.windows_fn.sessionize."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming dedup: state-bounded via watermark
+    (`dropDuplicatesWithinWatermark`, the scalable form — state expires)."""
+    wm = events.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(key_cols)
+    return wm.dropDuplicates(key_cols)
+
+
+def run_to_memory(
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "update",
+    name: str | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame (availableNow) into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

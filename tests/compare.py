@@ -1,0 +1,98 @@
+"""Differential comparison utilities: Spark result vs DuckDB oracle.
+
+Mirrors the driver's check (CORRECTNESS_r{N}.json): row count, schema
+(column names), and order-insensitive value equality (columns sorted by
+name, rows sorted by all columns). Floats must match to tight tolerance —
+the query set is designed so both engines compute identical arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("float64")  # unify int widths; exact ints < 2^53
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def assert_frames_match(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str, float_tol: float = 1e-9
+) -> None:
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
+    )
+    a = _normalize(spark_pdf)
+    b = _normalize(oracle_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
+            sa, sb = a[c], b[c]
+            both_nan = sa.isna() & sb.isna()
+            diff = (sa - sb).abs()
+            scale = sb.abs().clip(lower=1.0)
+            bad = ~both_nan & ~(diff <= float_tol * scale)
+            if bad.any():
+                i = bad.idxmax()
+                raise AssertionError(
+                    f"{name}: column {c} mismatch at sorted row {i}: "
+                    f"spark={sa[i]!r} oracle={sb[i]!r} "
+                    f"(maxdiff={float(diff[~both_nan].max())})"
+                )
+        else:
+            eq = (a[c] == b[c]) | (a[c].isna() & b[c].isna())
+            if not eq.all():
+                i = (~eq).idxmax()
+                raise AssertionError(
+                    f"{name}: column {c} mismatch at sorted row {i}: "
+                    f"spark={a[c][i]!r} oracle={b[c][i]!r}"
+                )
+
+
+def run_pair(spark, con, spark_fn, sql: str, sf_dir: str, name: str) -> None:
+    sdf = spark_fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    oracle_pdf = con.execute(sql).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+def _isclose(x: float, y: float, tol: float = 1e-9) -> bool:
+    return math.isclose(x, y, rel_tol=tol, abs_tol=tol)
