@@ -398,14 +398,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=2, threshold=0.05)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.05)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (not SQL-expressible — rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "doc_id", k=2, num_hashes=32)
+    sigs = D.minhash_signatures(docs, "doc_id", k=3, num_hashes=32)
     return D.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
 
 
@@ -782,9 +782,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": f"""
             WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
             sh AS (
-                SELECT DISTINCT doc_id, array_to_string(ws[g:g+1], ' ') AS sh
+                SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS sh
                 FROM (SELECT doc_id, ws,
-                             unnest(range(1, greatest(len(ws) - 1, 1) + 1)) AS g
+                             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS g
                       FROM w)
             ),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
