@@ -23,6 +23,7 @@ skew-join/partition-coalescing handles hot keys.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -66,6 +67,12 @@ class UpsertTable:
     Writes are idempotent: merging the same batch twice yields the same
     table state (the property the reference leaned on for exactly-once,
     01-setup-ec-vm.md:284).
+
+    Key uniqueness is partition-local (Hudi SIMPLE-index semantics): a key
+    that changes its partition value would exist in both partitions. The
+    reference's keys are partition-stable (a record's routeId never
+    changes); tables that need global keys should either partition by a
+    function of the key or do a full-table merge.
     """
 
     def __init__(
@@ -90,7 +97,20 @@ class UpsertTable:
             not n.startswith(("_", ".")) for n in os.listdir(self.path)
         )
 
+    @property
+    def _schema_sidecar(self) -> str:
+        return os.path.join(self.path, "_bss_schema.json")
+
     def read(self) -> DataFrame:
+        """Read the table. Uses the schema sidecar written by merge() — this
+        both skips schema inference and keeps a fully-tombstoned (empty)
+        table readable."""
+        if os.path.exists(self._schema_sidecar):
+            from pyspark.sql.types import StructType
+
+            with open(self._schema_sidecar, encoding="utf-8") as fh:
+                schema = StructType.fromJson(json.load(fh))
+            return self.spark.read.schema(schema).parquet(self.path)
         return self.spark.read.parquet(self.path)
 
     def register(self, view_name: str) -> DataFrame:
@@ -146,10 +166,28 @@ class UpsertTable:
         # lineage first. (On a real cluster this would be a write-to-new-files
         # + atomic commit, i.e. what Hudi's timeline/Delta's log provide; for
         # the engine's scope localCheckpoint materializes the merged state.)
-        if self.exists():
+        existed = self.exists()
+        if existed:
             merged = merged.localCheckpoint(eager=True)
 
         writer = merged.write.mode("overwrite")
         if self.partition_col is not None:
             writer = writer.partitionBy(self.partition_col)
         writer.parquet(self.path)
+        with open(self._schema_sidecar, "w", encoding="utf-8") as fh:
+            json.dump(merged.schema.jsonValue(), fh)
+
+        # Dynamic partition overwrite only rewrites partitions PRESENT in the
+        # output — a touched partition whose rows were all tombstoned would
+        # silently keep its old files. Drop those partition dirs explicitly
+        # (metadata-only FS op, mirrors Hudi removing an emptied file group).
+        if existed and self.partition_col is not None:
+            surviving = {
+                r[0] for r in merged.select(self.partition_col).distinct().collect()
+            }
+            for val in set(touched) - surviving:
+                part_dir = os.path.join(self.path, f"{self.partition_col}={val}")
+                if os.path.isdir(part_dir):
+                    import shutil
+
+                    shutil.rmtree(part_dir, ignore_errors=True)

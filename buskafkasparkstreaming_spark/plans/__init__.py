@@ -2,6 +2,11 @@
 at 100 TB (pushdown reached the scan, the small side broadcast, codegen on).
 
 Used by tests so plan regressions fail CI, not production.
+
+Note on modes: `explain_str(df, "formatted")` is the human-readable numbered
+tree; the assert helpers use the raw executedPlan string instead because it
+prints operator arguments inline (`Exchange hashpartitioning(...)`) and
+whole-stage-codegen membership as a `*(n)` prefix.
 """
 
 from __future__ import annotations
@@ -20,15 +25,18 @@ def physical_plan(df: DataFrame) -> str:
 
 
 def assert_broadcast_join(df: DataFrame) -> None:
-    plan = explain_str(df)
+    plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
         "expected a broadcast join in plan:\n" + plan
     )
 
 
 def assert_no_cartesian(df: DataFrame) -> None:
-    plan = explain_str(df)
+    plan = physical_plan(df)
     assert "CartesianProduct" not in plan, "unexpected cartesian product:\n" + plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "unexpected nested-loop join:\n" + plan
+    )
 
 
 def assert_pushed_filters(df: DataFrame, fragment: str) -> None:
@@ -40,5 +48,14 @@ def assert_pushed_filters(df: DataFrame, fragment: str) -> None:
 
 
 def assert_wholestage_codegen(df: DataFrame) -> None:
-    plan = explain_str(df)
-    assert "WholeStageCodegen" in plan, "no WholeStageCodegen span:\n" + plan
+    plan = physical_plan(df)
+    if "*(" not in plan and "AdaptiveSparkPlan" in plan:
+        # AQE finalizes (and codegen-annotates) the plan only on execution —
+        # of THIS dataframe's own queryExecution (count() would plan afresh)
+        df.collect()
+        plan = physical_plan(df)
+    assert "*(" in plan, "no WholeStageCodegen span (*(n) prefix):\n" + plan
+
+
+def count_shuffles(df: DataFrame) -> int:
+    return physical_plan(df).count("Exchange hashpartitioning")

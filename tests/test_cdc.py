@@ -1,0 +1,165 @@
+"""CDC golden tests (SURVEY §5.2): insert, update, delete, duplicate-key
+precombine where the LOWER event_time arrives LAST, and a malformed line —
+through the real streaming pipeline (file replay → parse → upsert table)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from buskafkasparkstreaming_spark.cdc import UpsertTable, parse_envelopes, route_ops
+from buskafkasparkstreaming_spark.schemas import BUS_STATUS_SCHEMA
+from buskafkasparkstreaming_spark.sources.files import (
+    read_envelope_jsonl,
+    stream_envelope_jsonl,
+)
+from buskafkasparkstreaming_spark.streaming.pipeline import run_cdc_pipeline
+
+
+def env(op, rid, route, kph, et, before=False):
+    img = {
+        "record_id": rid,
+        "id": 1,
+        "routeId": route,
+        "directionId": "7_0_7",
+        "predictable": 1,
+        "secsSinceReport": 3,
+        "kph": kph,
+        "heading": 90,
+        "lat": 43.666602,
+        "lon": -79.4111855,
+        "leadingVehicleId": None,
+        "event_time": et,
+    }
+    return {
+        "payload": {
+            "before": img if before else None,
+            "after": None if op == "d" else img,
+            "op": op,
+            "ts_ms": et,
+        }
+    }
+
+
+FIXTURE = [
+    env("c", 1, 7, 10, 1000),
+    env("c", 2, 7, 20, 1000),
+    env("c", 3, 510, 30, 1000),
+    env("u", 1, 7, 99, 2000),  # update wins on later event_time
+    env("c", 2, 7, 55, 500),  # late duplicate: must lose precombine
+    env("d", 3, 510, 0, 3000, before=True),  # tombstone
+]
+
+
+def write_jsonl(path, rows, corrupt=False):
+    with open(path, "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+        if corrupt:
+            fh.write("NOT VALID JSON {{{\n")
+
+
+@pytest.fixture()
+def spool(tmp_path):
+    d = tmp_path / "spool"
+    d.mkdir()
+    write_jsonl(d / "batch1.jsonl", FIXTURE, corrupt=True)
+    return str(d)
+
+
+def test_parse_and_route(spark, spool):
+    raw = read_envelope_jsonl(spark, spool)
+    parsed = parse_envelopes(raw, row_schema=BUS_STATUS_SCHEMA)
+    upserts, deletes, corrupt = route_ops(parsed)
+    assert upserts.count() == 5
+    assert deletes.count() == 1
+    assert corrupt.count() == 1
+    # delete rows carry the key from the before-image
+    assert deletes.select("record_id").first()[0] == 3
+
+
+def test_golden_pipeline_state(spark, spool, tmp_path):
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="record_id",
+        precombine_col="event_time",
+        partition_col="routeId",
+    )
+    q = run_cdc_pipeline(
+        stream_envelope_jsonl(spark, spool),
+        table,
+        str(tmp_path / "ckpt"),
+        row_schema=BUS_STATUS_SCHEMA,
+        quarantine_path=str(tmp_path / "quar"),
+    )
+    q.awaitTermination()
+    state = {
+        r["record_id"]: (r["kph"], r["event_time"])
+        for r in table.read().collect()
+    }
+    assert state == {1: (99, 2000), 2: (20, 1000)}  # update applied, late dup lost
+    assert 3 not in state  # deleted
+    assert spark.read.parquet(str(tmp_path / "quar")).count() == 1
+
+    # idempotency: replaying the same envelopes must not change the state
+    write_jsonl(os.path.join(spool, "batch2.jsonl"), FIXTURE)
+    q2 = run_cdc_pipeline(
+        stream_envelope_jsonl(spark, spool),
+        table,
+        str(tmp_path / "ckpt"),
+        row_schema=BUS_STATUS_SCHEMA,
+    )
+    q2.awaitTermination()
+    state2 = {
+        r["record_id"]: (r["kph"], r["event_time"])
+        for r in table.read().collect()
+    }
+    assert state2 == state
+
+
+def test_partition_pruned_layout(spark, spool, tmp_path):
+    """Table is physically partitioned by routeId (the reference's Hudi
+    partition path) and a route filter prunes partitions."""
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="record_id",
+        precombine_col="event_time",
+        partition_col="routeId",
+    )
+    q = run_cdc_pipeline(
+        stream_envelope_jsonl(spark, spool),
+        table,
+        str(tmp_path / "ckpt"),
+        row_schema=BUS_STATUS_SCHEMA,
+    )
+    q.awaitTermination()
+    assert os.path.isdir(str(tmp_path / "tbl" / "routeId=7"))
+    plan = table.read().filter(F.col("routeId") == 7)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "routeId" in plan
+
+
+def test_sql_surface(spark, spool, tmp_path):
+    """Ad-hoc SQL over the upsert table — the Athena analog (reference
+    01-setup-ec-vm.md:305-318)."""
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="record_id",
+        precombine_col="event_time",
+        partition_col="routeId",
+    )
+    q = run_cdc_pipeline(
+        stream_envelope_jsonl(spark, spool),
+        table,
+        str(tmp_path / "ckpt"),
+        row_schema=BUS_STATUS_SCHEMA,
+    )
+    q.awaitTermination()
+    table.register("routes")
+    rows = spark.sql("SELECT * FROM routes LIMIT 100").collect()
+    assert len(rows) == 2

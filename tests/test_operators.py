@@ -1,0 +1,144 @@
+"""Operator unit tests on tiny in-memory frames: as-of join vs a naive
+oracle, range join, sessionize, haversine, text ops, multimodal plumbing,
+and the HTTP poller with an injected fake fetcher."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from buskafkasparkstreaming_spark.functions import cosine_similarity, haversine_km
+from buskafkasparkstreaming_spark.operators.joins import (
+    asof_join,
+    range_join_bucketed,
+)
+from buskafkasparkstreaming_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    with_binary_payload,
+)
+from buskafkasparkstreaming_spark.operators.text import winnowing_fingerprint
+from buskafkasparkstreaming_spark.operators.windows_fn import sessionize
+
+
+def test_asof_join_matches_naive(spark):
+    probe = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 1, 5), (4, 2, 15), (5, 3, 9)],
+        "pid int, k int, t int",
+    )
+    build = spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 15), (102, 2, 1), (103, 2, 15), (104, 9, 1)],
+        "bid int, k int, t int",
+    )
+    out = asof_join(
+        probe, build, key="k", probe_time="t", build_time="t",
+        build_cols=["bid"], tiebreak="bid", how="inner",
+    )
+    got = {r["pid"]: r["bid"] for r in out.collect()}
+    # pid1 t=10: build (100,t=10) at equal time wins (inclusive <=)
+    # pid2 t=20: latest build t=15 -> 101 ; pid3 t=5: none -> dropped (inner)
+    # pid4 k=2 t=15: equal-time build 103 ; pid5 k=3: no build -> dropped
+    assert got == {1: 100, 2: 101, 4: 103}
+
+
+def test_asof_join_left_keeps_unmatched(spark):
+    probe = spark.createDataFrame([(1, 1, 10), (2, 7, 10)], "pid int, k int, t int")
+    build = spark.createDataFrame([(100, 1, 1)], "bid int, k int, t int")
+    out = asof_join(
+        probe, build, key="k", probe_time="t", build_time="t",
+        build_cols=["bid"], how="left",
+    )
+    got = {r["pid"]: r["bid"] for r in out.collect()}
+    assert got == {1: 100, 2: None}
+
+
+def test_range_join_bucketed(spark):
+    left = spark.createDataFrame([(1, 5.0), (2, 25.0), (3, 55.0)], "lid int, v double")
+    right = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 20.0, 60.0)], "rid int, lo double, hi double"
+    )
+    out = range_join_bucketed(left, right, "v", "lo", "hi", bucket_width=10.0)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == [(1, 10), (2, 20), (3, 20)]
+
+
+def test_sessionize_gap(spark):
+    rows = [(1, 0), (1, 100), (1, 5000), (2, 0)]
+    df = spark.createDataFrame(rows, "user int, sec int").withColumn(
+        "ts", F.timestamp_seconds("sec")
+    )
+    out = sessionize(df, "user", "ts", gap_seconds=60)
+    got = sorted((r["user"], r["sec"], r["session_id"]) for r in out.collect())
+    assert got == [(1, 0, 1), (1, 100, 2), (1, 5000, 3), (2, 0, 1)]
+
+
+def test_haversine(spark):
+    # Toronto Union Station -> CN Tower is ~0.55 km
+    df = spark.createDataFrame([(43.6453, -79.3806, 43.6426, -79.3871)], "a double, b double, c double, d double")
+    km = df.select(haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")).first()["km"]
+    assert 0.4 < km < 0.8
+
+
+def test_cosine_similarity_identity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])], "a array<double>, b array<double>")
+    v = df.select(cosine_similarity("a", "b").alias("c")).first()["c"]
+    assert abs(v - 1.0) < 1e-12
+
+
+def test_winnowing_sketch_stable(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"), (3, "x y z w v u t s r q")],
+        "doc_id int, text string",
+    )
+    out = winnowing_fingerprint(df).collect()
+    sk = {r["doc_id"]: tuple(r["winnow_sketch"]) for r in out}
+    assert sk[1] == sk[2]  # identical docs -> identical sketch
+    assert sk[1] != sk[3]
+
+
+def test_multimodal_pipeline(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "foo")], "doc_id bigint, text string")
+    feats = extract_features(with_binary_payload(df))
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[1]["n_bytes"] == len(b"hello world")
+    assert 64 <= rows[1]["width"] < 256
+    assert len(rows[1]["feat"]) == 8
+    # determinism: same payload -> same features
+    again = {r["doc_id"]: r for r in extract_features(with_binary_payload(df)).collect()}
+    assert rows[1]["feat"] == again[1]["feat"]
+    sampled = frame_sample(feats, every_nth=2)
+    assert sampled.filter(F.col("frame_idx") % 2 != 0).count() == 0
+
+
+def test_http_poller_spool(spark, tmp_path):
+    from buskafkasparkstreaming_spark.sources.http_poller import poll_to_spool
+
+    body = {
+        "items": [
+            {"id": 8326, "routeId": 510, "directionId": "510_0", "kph": 20,
+             "secsSinceReport": 5, "heading": 90, "lat": 43.66, "lon": -79.41},
+            {"id": 8327, "routeId": 510, "directionId": "510_1", "kph": 30,
+             "secsSinceReport": 2, "heading": 270, "lat": 43.65, "lon": -79.40},
+        ]
+    }
+    clock = iter([1000, 2000])
+    paths = list(
+        poll_to_spool(
+            str(tmp_path / "spool"),
+            fetch=lambda url: body,
+            interval_s=0.0,
+            max_polls=2,
+            clock_ms=lambda: next(clock),
+        )
+    )
+    assert len(paths) == 2
+    lines = []
+    for p in paths:
+        with open(p) as fh:
+            lines += [json.loads(line) for line in fh]
+    assert len(lines) == 4
+    rids = [e["payload"]["after"]["record_id"] for e in lines]
+    assert rids == [1, 2, 3, 4]  # auto-increment across polls
+    assert all(e["payload"]["op"] == "c" for e in lines)

@@ -1,0 +1,83 @@
+"""Plan-quality gates: the physical plans the engine would need at 100 TB.
+A correct answer through a bad plan fails here."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from buskafkasparkstreaming_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_wholestage_codegen,
+    explain_str,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    assert_pushed_filters(df, "o_totalprice")
+
+
+def test_column_pruning(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    plan = explain_str(df)
+    assert "ReadSchema" in plan
+    # only the projected column reaches the scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    df = entrymod.q3_shipping_priority(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    assert_wholestage_codegen(df)
+
+
+def test_q5_star_join_no_cartesian(spark, sf_dir):
+    df = entrymod.q5_local_supplier_volume(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_ngram_join_is_hash_not_cartesian(spark, sf_dir):
+    df = entrymod.dedup_ngram_jaccard(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_asof_is_single_shuffle(spark, sf_dir):
+    """The as-of plan must be union+window (one Exchange on the key), not a
+    join with a range condition (BroadcastNestedLoop / cartesian)."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    df = entrymod.q_asof_purchase_before_error(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_shuffles(df) == 1
+
+
+def test_simhash_pairs_is_equi_join(spark, sf_dir):
+    df = entrymod.dedup_simhash(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_parse_is_narrow(spark, tmp_path):
+    """Envelope parse must be a shuffle-free codegen pipeline over the real
+    file source (a LocalRelation would constant-fold the whole plan away)."""
+    from buskafkasparkstreaming_spark.cdc.envelope import parse_envelopes
+    from buskafkasparkstreaming_spark.plans import physical_plan
+    from buskafkasparkstreaming_spark.sources.files import read_envelope_jsonl
+
+    p = tmp_path / "env.jsonl"
+    p.write_text('{"payload": {"op": "c"}}\n')
+    parsed = parse_envelopes(read_envelope_jsonl(spark, str(p)))
+    assert "Exchange" not in physical_plan(parsed)
+    assert_wholestage_codegen(parsed)

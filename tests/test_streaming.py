@@ -1,0 +1,189 @@
+"""Streaming-semantics tests (SURVEY §5.4): watermark late-data handling,
+streaming dedup, custom stateful operator, and checkpoint restart."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from buskafkasparkstreaming_spark.streaming.state import running_per_user
+from buskafkasparkstreaming_spark.streaming.windows import run_to_memory, stream_dedup
+
+
+def write_events_parquet(spark, path, rows):
+    """Write ONE flat parquet file at `path` — the file stream source lists
+    files non-recursively, so df.write's directory layout won't be seen."""
+    import glob
+    import os
+    import shutil
+
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    staging = path + ".staging"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.replace(part, path)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def read_stream(spark, path, schema, max_files=1):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files))
+        .parquet(path)
+    )
+
+
+@pytest.fixture()
+def event_rows():
+    ts = lambda s: pd.Timestamp(f"2024-01-01 {s}").to_pydatetime()  # noqa: E731
+    return [
+        (1, ts("10:00:00"), 1, 1.0),
+        (2, ts("10:10:00"), 1, 2.0),
+        (3, ts("10:05:00"), 2, 3.0),
+        (1, ts("10:00:00"), 1, 1.0),  # exact duplicate of event 1
+        (4, ts("11:30:00"), 1, 4.0),
+    ]
+
+
+def test_watermark_drops_late_across_restart(spark, tmp_path, event_rows):
+    """The watermark persists in the checkpoint: a row arriving behind it in
+    a later run must be dropped from aggregation state."""
+    ts = lambda s: pd.Timestamp(f"2024-01-01 {s}").to_pydatetime()  # noqa: E731
+    in_dir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    p1 = str(in_dir / "f1.parquet")
+    write_events_parquet(spark, p1, [(1, ts("10:00:00"), 1, 1.0), (2, ts("10:20:00"), 1, 1.0)])
+    schema = spark.read.parquet(p1).schema
+
+    def agg_of(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("ws"), "n")
+        )
+
+    def drain(name):
+        # foreachBatch (not memory sink): the memory sink cannot recover
+        # from a checkpoint, and this test restarts against one
+        rows = []
+
+        def sink(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        q = (
+            agg_of(read_stream(spark, str(in_dir), schema))
+            .writeStream.queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {str(r["ws"]): r["n"] for r in rows}
+
+    run1 = drain("wm_run1")
+    assert run1 == {"2024-01-01 10:00:00": 2}
+    # after run1 the checkpointed watermark is 10:20 - 10min = 10:10.
+    # run2 delivers one on-time row (15:00) and one late row (09:00, behind
+    # the watermark) — only the on-time row may create/extend a window.
+    write_events_parquet(
+        spark,
+        str(in_dir / "f2.parquet"),
+        [(5, ts("15:00:00"), 1, 1.0), (6, ts("09:00:00"), 1, 9.0)],
+    )
+    run2 = drain("wm_run2")
+    assert run2 == {"2024-01-01 15:00:00": 1}
+
+
+def test_stream_dedup_exact(spark, tmp_path, event_rows):
+    path = str(tmp_path / "in" / "f1.parquet")
+    write_events_parquet(spark, path, event_rows)
+    schema = spark.read.parquet(path).schema
+    stream = read_stream(spark, str(tmp_path / "in"), schema)
+    deduped = stream_dedup(stream, ["event_id"], within_watermark=False)
+    out = run_to_memory(deduped, spark, output_mode="append")
+    assert out.count() == 4  # 5 rows, one exact duplicate event_id
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path, event_rows):
+    path = str(tmp_path / "in" / "f1.parquet")
+    write_events_parquet(spark, path, event_rows)
+    schema = spark.read.parquet(path).schema
+    stream = read_stream(spark, str(tmp_path / "in"), schema)
+    deduped = stream_dedup(stream, ["event_id"], within_watermark=True)
+    out = run_to_memory(deduped, spark, output_mode="append")
+    assert out.count() == 4
+
+
+def test_stateful_running_per_user(spark, tmp_path, event_rows):
+    """applyInPandasWithState accumulator: per-user count/sum survive across
+    micro-batches."""
+    p1 = str(tmp_path / "in" / "f1.parquet")
+    p2 = str(tmp_path / "in" / "f2.parquet")
+    ts = lambda s: pd.Timestamp(f"2024-01-01 {s}").to_pydatetime()  # noqa: E731
+    write_events_parquet(spark, p1, [(1, ts("10:00:00"), 1, 1.0), (2, ts("10:01:00"), 1, 2.0)])
+    write_events_parquet(spark, p2, [(3, ts("10:02:00"), 1, 4.0), (4, ts("10:02:00"), 2, 8.0)])
+    schema = spark.read.parquet(p1).schema
+    stream = read_stream(spark, str(tmp_path / "in"), schema, max_files=1)
+    out = run_to_memory(running_per_user(stream), spark, output_mode="update")
+    # update mode emits per batch; take the final row per user
+    final = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    state = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final}
+    assert state[1] == (3, 7.0)
+    assert state[2] == (1, 8.0)
+
+
+def test_checkpoint_restart_no_reprocess(spark, tmp_path):
+    """Exactly-once w.r.t. the checkpoint: a restarted query must not
+    reprocess files already committed (SURVEY §5.4 kill/restart)."""
+    from buskafkasparkstreaming_spark.cdc import UpsertTable
+    from buskafkasparkstreaming_spark.schemas import BUS_STATUS_SCHEMA
+    from buskafkasparkstreaming_spark.sources.files import stream_envelope_jsonl
+    from buskafkasparkstreaming_spark.streaming.pipeline import run_cdc_pipeline
+    from tests.test_cdc import FIXTURE, write_jsonl
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    write_jsonl(spool / "b1.jsonl", FIXTURE)
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="record_id",
+        precombine_col="event_time",
+        partition_col="routeId",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = run_cdc_pipeline(
+        stream_envelope_jsonl(spark, str(spool)), table, ckpt,
+        row_schema=BUS_STATUS_SCHEMA,
+    )
+    q.awaitTermination()
+    first = sorted(
+        (r["record_id"], r["kph"], r["event_time"]) for r in table.read().collect()
+    )
+    # restart against the same checkpoint with no new files: no-op
+    q2 = run_cdc_pipeline(
+        stream_envelope_jsonl(spark, str(spool)), table, ckpt,
+        row_schema=BUS_STATUS_SCHEMA,
+    )
+    q2.awaitTermination()
+    second = sorted(
+        (r["record_id"], r["kph"], r["event_time"]) for r in table.read().collect()
+    )
+    assert first == second == [(1, 99, 2000), (2, 20, 1000)]
