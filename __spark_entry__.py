@@ -11,15 +11,17 @@ driver records a weaker rows-only check for those).
 Column-name + dtype parity rules used throughout (the driver hash-compares
 after sorting columns by name): every computed column is aliased identically
 on both sides; derived integers are cast to BIGINT on both sides; floating
-aggregates are rounded identically on both sides (the arithmetic is
-arranged to be order-identical so rounding is stable).
+aggregates are computed over exact integers (cents) or in identical
+sequential order, so both engines produce bit-identical doubles — no final
+round() anywhere (engine round() semantics differ on decimal boundaries).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import pandas as pd  # noqa: F401 — needed to resolve pandas_udf type hints
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from buskafkasparkstreaming_spark.cdc.envelope import parse_envelopes, synthesize_envelopes
@@ -40,6 +42,54 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from buskafkasparkstreaming_spark.sources.files import read_table
 
     return read_table(spark, sf_dir, name)
+
+
+# --- exact-money aggregation helpers -------------------------------------
+# Float sums are partial-aggregated in engine-specific order, so two engines
+# can disagree in the last ulp — and a rounded output sitting on a rounding
+# boundary then hash-mismatches. All money/value columns in the testdata are
+# exact 2-decimal doubles, so aggregate them as integer cents: the per-row
+# conversion is a deterministic function of the binary double (identical in
+# Spark and DuckDB) and integer sums are order-independent.
+# (Scale note: cents sums fit a long up to ~9e16 cents; a true 100 TB rollup
+# would switch the accumulator to decimal(38,0) — same technique.)
+
+
+def _cents(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")
+
+
+# No final round() on these outputs: both engines divide IDENTICAL exact
+# integers, so the doubles are bit-identical already — and a final round()
+# would *reintroduce* divergence (Spark rounds the decimal shortest-repr,
+# DuckDB the binary value; they disagree exactly when the true rational is a
+# finite decimal that isn't binary-representable, e.g. 39253/800).
+
+
+def _sum_money(col: Column | str, alias: str, scale: float = 100.0) -> Column:
+    return (F.sum(_cents(col)).cast("double") / scale).alias(alias)
+
+
+def _avg_money(col: Column | str, alias: str) -> Column:
+    return (F.sum(_cents(col)).cast("double") / 100.0 / F.count(F.lit(1))).alias(alias)
+
+
+def _revenue_e4() -> Column:
+    """Σ price_cents × (100 − disc_cents) — exact integer revenue in 1e-4
+    currency units."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+def _sum_revenue(alias: str = "revenue") -> Column:
+    return (F.sum(_revenue_e4()).cast("double") / 10000.0).alias(alias)
+
+
+SQL_CENTS = "CAST(round({x} * 100) AS BIGINT)"
+SQL_REVENUE_E4 = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -80,13 +130,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # quantities are integral doubles: their float sum is exact
+            F.sum("l_quantity").alias("sum_qty"),
+            _sum_money("l_extendedprice", "sum_base_price"),
+            _sum_revenue("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            _avg_money("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -105,11 +154,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_sum_revenue())
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -134,11 +179,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_sum_revenue())
     )
 
 
@@ -184,19 +225,21 @@ def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "__cents", _cents("o_totalprice")
+    )
     out = W.running_agg(
         orders,
         ["o_custkey"],
         [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
-        "o_totalprice",
-        out_col="running_spend",
+        "__cents",
+        out_col="__run_cents",
     )
     return out.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round("running_spend", 2).alias("running_spend"),
+        (F.col("__run_cents").cast("double") / 100.0).alias("running_spend"),
     )
 
 
@@ -219,7 +262,7 @@ def q_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        _sum_money("o_totalprice", "sum_price"),
     )
 
 
@@ -242,7 +285,7 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        _avg_money("c_acctbal", "avg_bal"),
     )
 
 
@@ -267,7 +310,7 @@ def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            _sum_money("o_totalprice", "sum_price"),
         )
     )
 
@@ -354,7 +397,7 @@ def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _sum_money("value", "sum_value"),
         )
     )
 
@@ -371,10 +414,123 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("purchase").alias("n_purchase"),
         cnt("error").alias("n_error"),
         cnt("signup").alias("n_signup"),
-        F.round(
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
-            2,
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", _cents("value")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).cast("double")
+            / 100.0
         ).alias("purchase_value"),
+    )
+
+
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _avg_money("o_totalprice", "avg_price"),
+    )
+
+
+def q_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return rich.intersect(building)
+
+
+def q_right_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join keeps order-less customers with null order columns."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    cust = _t(spark, sf_dir, "customer")
+    return orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "right_outer"
+    ).select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+def q_dense_rank_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.first("o_orderkey").over(w_full).cast("long").alias("best_order"),
+        F.last("o_orderkey").over(w_full).cast("long").alias("worst_order"),
+    )
+
+
+def q_array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from buskafkasparkstreaming_spark.functions import l2_norm_sq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.sqrt(l2_norm_sq("embedding")).alias("l2_norm"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+    )
+
+
+def q_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sliding window (2h window, 1h slide) via F.window."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _avg_money("value", "avg_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_name").alias("name"),
+    )
+    return cust.unionByName(supp)
+
+
+def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF (the sanctioned Python escape hatch —
+    never row-at-a-time)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def density(n_chars: pd.Series, n_words: pd.Series) -> pd.Series:
+        return n_chars.astype("float64") / (n_words.astype("float64") + 1.0)
+
+    docs = _t(spark, sf_dir, "documents")
+    with_words = docs.withColumn("n_words", F.size(F.split("text", " ")))
+    return with_words.select(
+        "doc_id",
+        density(F.col("n_chars"), F.col("n_words")).alias("char_density"),
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — engine-specific sketch, so rows-only:
+    the exact companion q_distinct_counts is the oracle-checked one."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
     )
 
 
@@ -399,7 +555,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.05)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select("id_a", "id_b", "jaccard")
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,7 +576,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     pairs = D.embedding_neardup_pairs(emb, "vec_id", "embedding", "label", threshold=0.8)
-    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    return pairs.select("id_a", "id_b", "cos_sim")
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,7 +587,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         F.col("rank").cast("long").alias("rank"),
-        F.round("cos_sim", 6).alias("cos_sim"),
+        "cos_sim",
     )
 
 
@@ -447,7 +603,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         F.col("rank").cast("long").alias("rank"),
-        F.round("cos_sim", 6).alias("cos_sim"),
+        "cos_sim",
     )
 
 
@@ -458,8 +614,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "q_chars",
         "q_words",
-        F.round("q_avg_word_len", 4).alias("q_avg_word_len"),
-        F.round("q_stopword_ratio", 4).alias("q_stopword_ratio"),
+        "q_avg_word_len",
+        "q_stopword_ratio",
     )
 
 
@@ -512,6 +668,12 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SW.run_to_memory(agg, spark, output_mode="update")
 
 
+def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = SW.read_events_stream(spark, sf_dir)
+    agg = SW.sliding_avg(stream, window_len="2 hours", slide="1 hour")
+    return SW.run_to_memory(agg, spark, output_mode="update")
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window aggregation. Complete output mode so the drained
     memory sink equals the batch aggregate (production would run
@@ -553,6 +715,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_events": q_sessionize_events,
         "q_hourly_events": q_hourly_events,
         "q_pivot_event_types": q_pivot_event_types,
+        "q_cube_status_priority": q_cube_status_priority,
+        "q_intersect_segments": q_intersect_segments,
+        "q_right_join_customers": q_right_join_customers,
+        "q_dense_rank_first_last": q_dense_rank_first_last,
+        "q_array_ops_embeddings": q_array_ops_embeddings,
+        "q_sliding_window_avg": q_sliding_window_avg,
+        "q_union_by_name": q_union_by_name,
+        "q_pandas_udf_score": q_pandas_udf_score,
+        "q_approx_distinct_users": q_approx_distinct_users,
         "cdc_latest_state": cdc_latest_state,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -568,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes_meta": multimodal_bytes_meta,
         "multimodal_features": multimodal_features,
         "streaming_tumbling_counts": streaming_tumbling_counts,
+        "streaming_sliding_avg": streaming_sliding_avg,
         "streaming_session_windows": streaming_session_windows,
         "streaming_dedup_keys": streaming_dedup_keys,
     }
@@ -579,21 +751,21 @@ WORDS = "string_split(text, ' ')"
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "q1_pricing_summary": """
+        "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum({SQL_CENTS.format(x='l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(sum({SQL_REVENUE_E4}) AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   CAST(sum({SQL_CENTS.format(x='l_discount')}) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-12-01'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "q3_shipping_priority": """
+        "q3_shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(sum({SQL_REVENUE_E4}) AS DOUBLE) / 10000.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -604,9 +776,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
         """,
-        "q5_local_supplier_volume": """
+        "q5_local_supplier_volume": f"""
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(sum({SQL_REVENUE_E4}) AS DOUBLE) / 10000.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -639,12 +811,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders)
             WHERE rn <= 3
         """,
-        "q_running_total": """
+        "q_running_total": f"""
             SELECT o_custkey, o_orderkey, o_orderdate,
-                   round(sum(o_totalprice) OVER (
+                   CAST(sum({SQL_CENTS.format(x='o_totalprice')}) OVER (
                        PARTITION BY o_custkey
                        ORDER BY o_orderdate ASC, o_orderkey ASC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
                        AS running_spend
             FROM orders
         """,
@@ -655,10 +827,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
-        "q_rollup_status_priority": """
+        "q_rollup_status_priority": f"""
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
-                   round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+                   CAST(sum({SQL_CENTS.format(x='o_totalprice')}) AS DOUBLE) / 100.0 AS sum_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
@@ -669,11 +841,11 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         """,
-        "q_distinct_counts": """
+        "q_distinct_counts": f"""
             SELECT c_mktsegment,
                    count(DISTINCT c_nationkey) AS n_nations,
                    count(*) AS n_customers,
-                   round(avg(c_acctbal), 4) AS avg_bal
+                   CAST(sum({SQL_CENTS.format(x='c_acctbal')}) AS DOUBLE) / 100.0 / count(*) AS avg_bal
             FROM customer GROUP BY c_mktsegment
         """,
         "q_string_funcs": """
@@ -685,10 +857,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(p_name) AS BIGINT) AS name_len
             FROM part
         """,
-        "q_monthly_orders": """
+        "q_monthly_orders": f"""
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS sum_price
+                   CAST(sum({SQL_CENTS.format(x='o_totalprice')}) AS DOUBLE) / 100.0 AS sum_price
             FROM orders GROUP BY 1
         """,
         "q_json_extract": """
@@ -747,11 +919,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
         """,
-        "q_hourly_events": """
+        "q_hourly_events": f"""
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   CAST(sum({SQL_CENTS.format(x='value')}) AS DOUBLE) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "q_pivot_event_types": """
@@ -761,8 +933,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
                    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-                   round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS DOUBLE) / 100.0 AS purchase_value
             FROM events GROUP BY user_id
+        """,
+        "q_cube_status_priority": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum({SQL_CENTS.format(x='o_totalprice')}) AS DOUBLE) / 100.0 / count(*) AS avg_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_intersect_segments": """
+            SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+            INTERSECT
+            SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "q_right_join_customers": """
+            SELECT c_custkey, o_orderkey, o_totalprice
+            FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+            RIGHT OUTER JOIN customer ON o.o_custkey = c_custkey
+        """,
+        "q_dense_rank_first_last": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drank,
+                   CAST(first_value(o_orderkey) OVER wf AS BIGINT) AS best_order,
+                   CAST(last_value(o_orderkey) OVER wf AS BIGINT) AS worst_order
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC),
+                   wf AS (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "q_array_ops_embeddings": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS l2_norm,
+                   CAST(list_max(embedding) AS DOUBLE) AS max_val,
+                   CAST(list_min(embedding) AS DOUBLE) AS min_val
+            FROM embeddings
+        """,
+        "q_sliding_window_avg": """
+            WITH assigned AS (
+                SELECT unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                               CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP)])
+                           AS window_start,
+                       value
+                FROM events)
+            SELECT window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_value
+            FROM assigned GROUP BY window_start
+        """,
+        "q_union_by_name": """
+            SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+        """,
+        "q_pandas_udf_score": f"""
+            SELECT doc_id,
+                   CAST(n_chars AS DOUBLE)
+                       / (CAST(len({WORDS}) AS DOUBLE) + 1.0) AS char_density
+            FROM documents
+        """,
+        "streaming_sliding_avg": """
+            WITH assigned AS (
+                SELECT unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                               CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP)])
+                           AS window_start,
+                       value
+                FROM events)
+            SELECT window_start,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_value
+            FROM assigned GROUP BY window_start
         """,
         "cdc_latest_state": """
             SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
@@ -794,8 +1040,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT id_a, id_b,
-                   round(CAST(n_common AS DOUBLE)
-                         / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+                   CAST(n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - n_common) AS jaccard
             FROM common
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
@@ -803,12 +1049,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding_blocked": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[]))
-                         / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                                 CAST(a.embedding AS DOUBLE[]))
-                                * list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                                   CAST(b.embedding AS DOUBLE[]))), 6)
+                   list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))
+                       / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(a.embedding AS DOUBLE[]))
+                              * list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])))
                        AS cos_sim
             FROM embeddings a
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -820,7 +1066,7 @@ def oracle_sql() -> dict[str, str]:
                                             CAST(b.embedding AS DOUBLE[]))) >= 0.8
         """,
         "ann_cosine_topk": """
-            SELECT query_id, neighbor_id, rn AS rank, round(cos_sim, 6) AS cos_sim
+            SELECT query_id, neighbor_id, rn AS rank, cos_sim
             FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        list_dot_product(CAST(q.embedding AS DOUBLE[]),
@@ -846,10 +1092,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS q_chars,
                    CAST(len({WORDS}) AS BIGINT) AS q_words,
-                   round(list_sum(list_transform({WORDS}, w -> CAST(length(w) AS DOUBLE)))
-                         / CAST(len({WORDS}) AS DOUBLE), 4) AS q_avg_word_len,
-                   round(CAST(len(list_filter({WORDS}, w -> w IN {STOP_SQL})) AS DOUBLE)
-                         / CAST(len({WORDS}) AS DOUBLE), 4) AS q_stopword_ratio
+                   list_sum(list_transform({WORDS}, w -> CAST(length(w) AS DOUBLE)))
+                       / CAST(len({WORDS}) AS DOUBLE) AS q_avg_word_len,
+                   CAST(len(list_filter({WORDS}, w -> w IN {STOP_SQL})) AS DOUBLE)
+                       / CAST(len({WORDS}) AS DOUBLE) AS q_stopword_ratio
             FROM documents
         """,
         "text_token_count": """
@@ -880,7 +1126,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "streaming_session_windows": """

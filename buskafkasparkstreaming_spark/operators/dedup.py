@@ -72,8 +72,8 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard).
     """
     sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("sh")
-    )
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("__s")
+    ).select("doc", F.xxhash64("__s").alias("sh"))  # 8-byte join key, not the string
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         sh.alias("a")

@@ -100,6 +100,31 @@ def asof_join(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    skewed_dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-safe equi-join: spread each hot key of `big` across
+    `salt_buckets` sub-keys and replicate the (small) `skewed_dim` side per
+    bucket. Turns one straggler partition into `salt_buckets` even ones.
+
+    AQE's skew-join handles sort-merge skew automatically; salting is the
+    explicit fallback for aggregations-after-join and for pre-AQE plans.
+    Result is exactly the plain join (salt is internal).
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed) * salt_buckets).cast("int")
+    )
+    salted_dim = skewed_dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_big.join(salted_dim, [on, "__salt"], how).drop("__salt")
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -57,6 +57,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
+        # managed-table warehouse (bucketed tables) outside the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("BSS_WAREHOUSE_DIR", "/tmp/bss-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -39,12 +39,15 @@ def tumbling_counts(
     group_cols: tuple[str, ...] = ("event_type",),
 ) -> DataFrame:
     """Tumbling-window count+sum with a watermark bounding state."""
+    # value is a 2-decimal money column: sum exact integer cents so the
+    # result is independent of partial-aggregation order (oracle-stable)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_len).alias("win"), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(cents).cast("double") / 100.0).alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -62,10 +65,15 @@ def sliding_avg(
     slide: str = "1 hour",
     watermark: str = "4 hours",
 ) -> DataFrame:
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_len, slide).alias("win"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            (F.sum(cents).cast("double") / 100.0 / F.count(F.lit(1))).alias(
+                "avg_value"
+            )
+        )
         .select(F.col("win.start").alias("window_start"), "avg_value")
     )
 

@@ -53,8 +53,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_frames_match(
-    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str, float_tol: float = 1e-9
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str, float_tol: float = 0.0
 ) -> None:
+    """float_tol defaults to 0: the query set arranges all float arithmetic
+    to be bit-identical between engines (exact integer aggregation +
+    identical sequential expression order), so any drift is a real bug."""
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
     )
