@@ -692,6 +692,45 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_types"))
 
 
+def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-event-type z-score (exact integer
+    group sums; double formula mirrored in the oracle op-for-op)."""
+    from buskafkasparkstreaming_spark.operators.stats import zscore_by_group
+
+    events = _t(spark, sf_dir, "events").withColumn("cents", _cents("value"))
+    return zscore_by_group(events)
+
+
+def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds; inner joins emit
+    matches within the batch, so an availableNow drain equals the batch
+    join."""
+    from buskafkasparkstreaming_spark.streaming.joins import purchases_then_errors
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    joined = purchases_then_errors(stream, max_gap="1 hour")
+    return SW.run_to_memory(joined, spark, output_mode="append")
+
+
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface — rows-only check."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield w, i
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    spark.udtf.register("bss_split_words", SplitWords)
+    docs.createOrReplaceTempView("bss_udtf_docs")
+    return spark.sql(
+        "SELECT t.word, t.pos FROM bss_udtf_docs, "
+        "LATERAL bss_split_words(text) t"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -724,6 +763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_by_name": q_union_by_name,
         "q_pandas_udf_score": q_pandas_udf_score,
         "q_approx_distinct_users": q_approx_distinct_users,
+        "q_zscore_by_type": q_zscore_by_type,
+        "udtf_split_words": udtf_split_words,
+        "streaming_purchase_error_join": streaming_purchase_error_join,
         "cdc_latest_state": cdc_latest_state,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1148,6 +1190,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "q_zscore_by_type": """
+            WITH g AS (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)
+                                * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS ss
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   (CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE) - g.s / g.n)
+                       / sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1.0)) AS zscore
+            FROM events e JOIN g USING (event_type)
+        """,
+        "streaming_purchase_error_join": """
+            SELECT p.event_id AS purchase_event_id,
+                   e.event_id AS error_event_id,
+                   p.user_id,
+                   CAST(epoch_ms(e.ts) - epoch_ms(p.ts) AS BIGINT) AS gap_ms
+            FROM events p
+            JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_type = 'error'
+             AND e.ts >= p.ts
+             AND e.ts <= p.ts + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase'
         """,
         "streaming_dedup_keys": """
             SELECT user_id, count(*) AS n_types FROM (

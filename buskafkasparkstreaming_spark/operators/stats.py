@@ -1,0 +1,52 @@
+"""Grouped statistical operators via applyInPandas (Arrow grouped-map).
+
+The z-score operator demonstrates the pattern for per-group Python compute
+at scale: one shuffle on the group key, each group processed as a pandas
+frame, output schema declared so downstream stays Catalyst-planned.
+
+Numeric contract: the value column arrives as pre-computed integer cents
+(JVM-side `round(x*100)`), the group sums are exact int64, and the final
+z-score formula is evaluated in doubles in the exact same operation order
+as the SQL oracle — bit-identical results.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ZSCORE_SCHEMA = "event_id bigint, event_type string, zscore double"
+
+
+def zscore_by_group(
+    df: DataFrame,
+    group_col: str = "event_type",
+    cents_col: str = "cents",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group z-score of a cents-valued column:
+    z = (c - s/n) / sqrt((ss - s*s/n)/(n-1))."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf[cents_col].to_numpy(dtype=np.int64)
+        n = float(len(c))
+        s = float(c.sum())
+        ss = float((c * c).sum())
+        cd = c.astype(np.float64)
+        denom = np.sqrt((ss - s * s / n) / (n - 1.0)) if n > 1 else np.nan
+        z = (cd - s / n) / denom
+        return pd.DataFrame(
+            {
+                "event_id": pdf[id_col].to_numpy(dtype=np.int64),
+                "event_type": pdf[group_col].to_numpy(),
+                "zscore": z,
+            }
+        )
+
+    return df.select(id_col, group_col, cents_col).groupBy(group_col).applyInPandas(
+        fn, ZSCORE_SCHEMA
+    )

@@ -54,6 +54,29 @@ def run_cdc_pipeline(
     return writer.start()
 
 
+def run_append_sink(
+    value_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    row_schema: T.StructType | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Append-only lake sink — the working version of the reference's
+    Iceberg variant (S8, 01-setup-ec-vm.md:427-430, which passed the literal
+    string 's3_path' as the path and never ran). Parsed change rows append
+    to partitioned parquet; no merge, full history retained."""
+    parsed = parse_envelopes(value_stream, row_schema=row_schema)
+    writer = (
+        parsed.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_console_debug(
     value_stream: DataFrame,
     checkpoint_dir: str,

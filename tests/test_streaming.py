@@ -149,6 +149,29 @@ def test_stateful_running_per_user(spark, tmp_path, event_rows):
     assert state[2] == (1, 8.0)
 
 
+def test_append_sink_keeps_history(spark, tmp_path):
+    """The append lake sink (reference S8, fixed) retains every change row
+    rather than merging — history replay stays possible."""
+    from buskafkasparkstreaming_spark.schemas import BUS_STATUS_SCHEMA
+    from buskafkasparkstreaming_spark.sources.files import stream_envelope_jsonl
+    from buskafkasparkstreaming_spark.streaming.pipeline import run_append_sink
+    from tests.test_cdc import FIXTURE, write_jsonl
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    write_jsonl(spool / "b1.jsonl", FIXTURE)
+    q = run_append_sink(
+        stream_envelope_jsonl(spark, str(spool)),
+        str(tmp_path / "lake"),
+        str(tmp_path / "ckpt"),
+        row_schema=BUS_STATUS_SCHEMA,
+    )
+    q.awaitTermination()
+    lake = spark.read.parquet(str(tmp_path / "lake"))
+    assert lake.count() == len(FIXTURE)  # all 6 change rows, incl. the delete
+    assert lake.filter("_op = 'd'").count() == 1
+
+
 def test_checkpoint_restart_no_reprocess(spark, tmp_path):
     """Exactly-once w.r.t. the checkpoint: a restarted query must not
     reprocess files already committed (SURVEY §5.4 kill/restart)."""
