@@ -37,8 +37,24 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime SQL confs our queries depend on, defensively.
+
+    The grading driver (and any host app) builds its own SparkSession; these
+    two confs are runtime-settable, so the engine pins them at every table
+    read rather than hoping the session was built by get_spark():
+    * nanosAsLong — events.parquet is TIMESTAMP(NANOS), unreadable otherwise;
+    * UTC session time — timestamp literals and LTZ collection must not
+      depend on the host machine's zone (the reference's schema-drift bug
+      class, SURVEY §1.2).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table, normalizing nano timestamps."""
+    ensure_session_confs(spark)
     return normalize_nanos_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 

@@ -20,14 +20,18 @@ def read_events_stream(
 ) -> DataFrame:
     """The driver's `events` parquet as an unbounded source (FIXTURES.md F4:
     treat as append-only ordered by `ts`)."""
+    from buskafkasparkstreaming_spark.sources.files import (
+        ensure_session_confs,
+        normalize_nanos_ts,
+    )
+
+    ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source wants a directory (or glob) path, and the
     # driver's table is a single parquet file — glob it
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    from buskafkasparkstreaming_spark.sources.files import normalize_nanos_ts
-
     return normalize_nanos_ts(reader.load(f"{sf_dir}/events.parque[t]"))
 
 
