@@ -574,8 +574,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.35: the synthetic embeddings are near-random (within-label
+    # max cosine ≈ 0.47), so this is the similarity tail that exists
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = D.embedding_neardup_pairs(emb, "vec_id", "embedding", "label", threshold=0.8)
+    pairs = D.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.35
+    )
     return pairs.select("id_a", "id_b", "cos_sim")
 
 
@@ -692,6 +696,32 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_types"))
 
 
+def q_median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via the dual-row_number formulation (no engine
+    percentile function — their interpolation rules differ; this is
+    identical integer/window logic on both sides)."""
+    orders = _t(spark, sf_dir, "orders").withColumn("cents", _cents("o_totalprice"))
+    w_asc = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    w_cnt = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w_asc).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("n"),
+    )
+    # middle position(s): floor((n+1)/2) and floor(n/2)+1 — equal when n odd
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("n div 2 + 1"))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias(
+            "median_price"
+        )
+    )
+
+
 def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-event-type z-score (exact integer
     group sums; double formula mirrored in the oracle op-for-op)."""
@@ -710,6 +740,26 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = SW.read_events_stream(spark, sf_dir)
     joined = purchases_then_errors(stream, max_gap="1 hour")
     return SW.run_to_memory(joined, spark, output_mode="append")
+
+
+def dedup_rp_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH blocking + exact cosine near-dup (rows-only:
+    the seeded hyperplanes aren't SQL-expressible)."""
+    from buskafkasparkstreaming_spark.operators.similarity import rp_lsh_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = rp_lsh_buckets(emb, num_planes=4, num_tables=8)
+    pairs = D.embedding_neardup_pairs(
+        bucketed, "vec_id", "embedding", "rp_bucket", threshold=0.35
+    )
+    return pairs.select("id_a", "id_b", "cos_sim")
+
+
+def doc_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash sketch (rows-only: xxhash64-based)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.winnowing_fingerprint(docs)
+    return out.select("doc_id", F.to_json("winnow_sketch").alias("sketch"))
 
 
 def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,6 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pandas_udf_score": q_pandas_udf_score,
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_zscore_by_type": q_zscore_by_type,
+        "q_median_price_by_priority": q_median_price_by_priority,
+        "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
+        "doc_winnow_sketch": doc_winnow_sketch,
         "udtf_split_words": udtf_split_words,
         "streaming_purchase_error_join": streaming_purchase_error_join,
         "cdc_latest_state": cdc_latest_state,
@@ -1105,7 +1158,7 @@ def oracle_sql() -> dict[str, str]:
                   / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                           CAST(a.embedding AS DOUBLE[]))
                          * list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[]))) >= 0.8
+                                            CAST(b.embedding AS DOUBLE[]))) >= 0.35
         """,
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, rn AS rank, cos_sim
@@ -1190,6 +1243,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "q_median_price_by_priority": """
+            WITH ranked AS (
+                SELECT o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC,
+                                                   o_orderkey ASC) AS rn,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM orders)
+            SELECT o_orderpriority,
+                   CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS median_price
+            FROM ranked
+            WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+            GROUP BY o_orderpriority
         """,
         "q_zscore_by_type": """
             WITH g AS (

@@ -285,6 +285,9 @@ def embedding_neardup_pairs(
     return (
         lhs.join(rhs, on="blk")
         .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can collide in several blocks (multi-table LSH): dedup
+        # BEFORE the cosine so the expensive part runs once per pair
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos_sim", cosine_similarity("v_a", "v_b"))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")

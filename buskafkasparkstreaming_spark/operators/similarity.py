@@ -90,6 +90,53 @@ def assign_buckets(
     )
 
 
+def rp_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    num_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    out_col: str = "rp_bucket",
+) -> DataFrame:
+    """Signed-random-projection LSH with multiple hash tables: per table,
+    bucket = sign-bit pattern of the vector against `num_planes` random
+    hyperplanes; a row is emitted once per table (explode), so candidate
+    pairs are those colliding in ANY table. Cosine-similar vectors agree
+    per plane with probability 1 − θ/π; multiple small tables trade a
+    slightly larger candidate set for the recall a single wide pattern
+    throws away. Planes are seeded-deterministic, evaluated JVM-side; the
+    blocking key for embedding_neardup_pairs at corpus scale."""
+    import random
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rnd = random.Random(seed)
+
+    def bucket_for(table: int):
+        bucket = F.lit(0).cast("long")
+        for j in range(num_planes):
+            plane = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket.bitwiseOR(
+                F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return bucket + F.lit(table << 32).cast("long")  # disjoint per table
+
+    buckets = F.array(*[bucket_for(t) for t in range(num_tables)])
+    return df.withColumn(out_col, F.explode(buckets))
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
