@@ -534,6 +534,49 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("bss_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders
+        FROM bss_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi interval join via the bucketized range-join operator (hash
+    join on buckets, not a nested loop)."""
+    events = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 100.0), ("high", 100.0, 200.0),
+         ("whale", 200.0, 100000.0)],
+        "tier string, lo double, hi double",
+    )
+    out = J.range_join_bucketed(
+        events.select("event_id", F.col("value").alias("v")),
+        tiers,
+        left_val="v",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=50.0,
+    )
+    return out.select("event_id", "tier")
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction + frame sampling over binary payloads (rows-only:
+    fake decoder)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.with_binary_payload(docs))
+    frames = MM.frame_sample(feats, every_nth=2)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+
+
 def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's canonical query (SURVEY §2.4): latest row per key,
     precombine on event time — here keyed on user_id over the events table."""
@@ -815,6 +858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_zscore_by_type": q_zscore_by_type,
         "q_median_price_by_priority": q_median_price_by_priority,
+        "q_grouping_sets": q_grouping_sets,
+        "q_range_join_value_tiers": q_range_join_value_tiers,
+        "multimodal_frames": multimodal_frames,
         "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
         "doc_winnow_sketch": doc_winnow_sketch,
         "udtf_split_words": udtf_split_words,
@@ -1243,6 +1289,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "q_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "q_range_join_value_tiers": """
+            SELECT event_id,
+                   CASE WHEN value >= 0 AND value < 50 THEN 'low'
+                        WHEN value >= 50 AND value < 100 THEN 'mid'
+                        WHEN value >= 100 AND value < 200 THEN 'high'
+                        WHEN value >= 200 AND value < 100000 THEN 'whale'
+                   END AS tier
+            FROM events
+            WHERE value >= 0 AND value < 100000
         """,
         "q_median_price_by_priority": """
             WITH ranked AS (

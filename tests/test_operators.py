@@ -112,6 +112,32 @@ def test_multimodal_pipeline(spark):
     assert sampled.filter(F.col("frame_idx") % 2 != 0).count() == 0
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF top-k is approximate but must overlap substantially with exact
+    brute force on the probed fraction."""
+    from buskafkasparkstreaming_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    exact = cosine_topk(queries, emb, "vec_id", "vec_id", k=5).collect()
+    approx = ivf_cosine_topk(
+        queries, emb, centroids, "vec_id", "vec_id", k=5, nprobe=3
+    ).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    # every approx result must be a genuinely computed cosine (sanity)
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in approx)
+
+
 def test_http_poller_spool(spark, tmp_path):
     from buskafkasparkstreaming_spark.sources.http_poller import poll_to_spool
 
