@@ -32,13 +32,27 @@ from buskafkasparkstreaming_spark.operators.text import normalize, words
 MERSENNE_P = (1 << 61) - 1
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition on the doc id before per-row-heavy expressions.
+
+    A small corpus often arrives as ONE file split (a single task would do
+    all the shingling/hashing); on a real cluster the input has many splits
+    but may still be skewed. One cheap row-shuffle buys full parallelism
+    for the expensive expression stage that follows. The partition count is
+    explicit — AQE coalesces un-numbered repartitions of small inputs right
+    back to one partition, defeating the point."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Group identical (normalized) texts; keep the smallest id as canonical.
 
     Returns one row per distinct fingerprint: (fingerprint, keep_id, n_dups).
     """
     return (
-        df.select(F.md5(normalize(text_col)).alias("fingerprint"), F.col(id_col))
+        _spread(df, id_col)
+        .select(F.md5(normalize(text_col)).alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -71,7 +85,7 @@ def ngram_jaccard_pairs(
     pair → Jaccard from per-doc shingle counts (broadcast).
     Output: (id_a, id_b, jaccard).
     """
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("__s")
     ).select("doc", F.xxhash64("__s").alias("sh"))  # 8-byte join key, not the string
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -124,7 +138,7 @@ def minhash_signatures(
     # (id, 32 longs) per doc. (A nested array-expression formulation gets
     # re-inlined by Catalyst's project collapse and recomputes the shingle
     # hashes num_hashes times — measured 100+ s vs ~2 s at 5k docs.)
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s")
     ).select("id", F.pmod(F.xxhash64("s"), F.lit(m31)).alias("x"))
     aggs = [
@@ -224,7 +238,9 @@ def simhash_pairs(
     within Hamming ≤ chunks-1 shares ≥1 exact chunk → equi-join on
     (chunk_index, chunk_value), then exact Hamming filter.
     Output: (id_a, id_b, hamming)."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("simhash"))
+    sh = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("simhash")
+    )
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = sh.select(

@@ -99,7 +99,15 @@ def extract_features(
                 )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col, "mime").mapInPandas(run, FEATURE_SCHEMA)
+    # spread before the Python stage: a single-split input would otherwise
+    # serialize all decode work into one task (explicit count — AQE
+    # coalesces un-numbered repartitions of small inputs back to 1)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, payload_col, "mime")
+        .repartition(n, F.col(id_col))
+        .mapInPandas(run, FEATURE_SCHEMA)
+    )
 
 
 def frame_sample(df: DataFrame, every_nth: int = 2) -> DataFrame:

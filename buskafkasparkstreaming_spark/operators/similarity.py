@@ -40,7 +40,11 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
-    c = corpus.select(
+    # spread the corpus so the cosine stage parallelizes even when the
+    # input arrives as a single file split (explicit count: AQE would
+    # coalesce an un-numbered repartition of a small input back to 1)
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(n, F.col(corpus_id)).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
     )
     scored = (
