@@ -534,6 +534,23 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: events by the same user within the preceding
+    hour (value-based frame, not row-based)."""
+    events = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(-3_600_000, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the SQL surface."""
     orders = _t(spark, sf_dir, "orders")
@@ -858,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_zscore_by_type": q_zscore_by_type,
         "q_median_price_by_priority": q_median_price_by_priority,
+        "q_range_frame_events": q_range_frame_events,
         "q_grouping_sets": q_grouping_sets,
         "q_range_join_value_tiers": q_range_join_value_tiers,
         "multimodal_frames": multimodal_frames,
@@ -1289,6 +1307,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "q_range_frame_events": """
+            SELECT event_id, user_id,
+                   count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+                       AS n_last_hour
+            FROM events
         """,
         "q_grouping_sets": """
             SELECT o_orderstatus, o_orderpriority,

@@ -1,0 +1,49 @@
+"""Regenerate EXPLAIN.md: formatted physical plans for the queries whose
+plan shape IS the scale story. Run: python scripts/gen_explain.py"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as mod
+from buskafkasparkstreaming_spark import get_spark
+from buskafkasparkstreaming_spark.plans import explain_str
+
+SHOWN = {
+    "q3_shipping_priority": "dims broadcast, filters pushed to every scan, one agg shuffle",
+    "q_asof_purchase_before_error": "as-of join = union + window: ONE hash exchange, no range probe",
+    "dedup_ngram_jaccard": "inverted-index equi-join on hashed shingles (no cartesian)",
+    "ann_cosine_topk": "queries broadcast; corpus never shuffles for scoring",
+    "q1_pricing_summary": "partial+final hash agg, date filter pushed to parquet",
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="gen-explain", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.001"
+    out = [
+        "# EXPLAIN — physical plans of the headline operators",
+        "",
+        "Regenerate with `python scripts/gen_explain.py`. These are the plan",
+        "shapes the engine commits to (enforced by tests/test_plans.py); at",
+        "cluster scale the same shapes hold — only partition counts change.",
+        "",
+    ]
+    for name, why in SHOWN.items():
+        df = mod.queries()[name](spark, sf)
+        plan = explain_str(df, "formatted")
+        # keep the numbered tree, drop the verbose per-node detail section
+        tree = plan.split("\n\n")[0]
+        out += [f"## {name}", "", f"*{why}*", "", "```", tree, "```", ""]
+    with open(os.path.join(os.path.dirname(__file__), "..", "EXPLAIN.md"), "w") as fh:
+        fh.write("\n".join(out))
+    print("wrote EXPLAIN.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
