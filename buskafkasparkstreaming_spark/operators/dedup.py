@@ -50,9 +50,9 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
     Returns one row per distinct fingerprint: (fingerprint, keep_id, n_dups).
     """
+    # no _spread here: md5 is cheap and the groupBy shuffles anyway
     return (
-        _spread(df, id_col)
-        .select(F.md5(normalize(text_col)).alias("fingerprint"), F.col(id_col))
+        df.select(F.md5(normalize(text_col)).alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keep_id"),

@@ -75,8 +75,13 @@ def assign_buckets(
     cent = centroids.select(
         F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv")
     )
-    scored = corpus.crossJoin(F.broadcast(cent)).withColumn(
-        "__sim", cosine_similarity(corpus_vec, "__cv")
+    # spread the rows being assigned — single-split inputs would score all
+    # centroid distances in one task (explicit count: AQE would coalesce)
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        corpus.repartition(n, F.col(corpus.columns[0]))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__sim", cosine_similarity(corpus_vec, "__cv"))
     )
     # rank centroids per corpus row (row identity = its first column, the id)
     scored = scored.withColumn(

@@ -70,6 +70,28 @@ def spool(tmp_path):
     return str(d)
 
 
+def test_schema_leniency(spark, tmp_path):
+    """NiFi-style lenient projection (reference nifi-project.xml:612-621):
+    unknown fields in the payload are ignored, missing nullable fields come
+    back null — neither corrupts the record."""
+    import json as _json
+
+    extra = env("c", 10, 7, 42, 7000)
+    extra["payload"]["after"]["unknown_field"] = "surprise"
+    extra["payload"]["completely_new_branch"] = {"x": 1}
+    missing = {"payload": {"after": {"record_id": 11, "routeId": 7}, "op": "c"}}
+    p = tmp_path / "lenient.jsonl"
+    with open(p, "w") as fh:
+        fh.write(_json.dumps(extra) + "\n")
+        fh.write(_json.dumps(missing) + "\n")
+    raw = read_envelope_jsonl(spark, str(p))
+    parsed = parse_envelopes(raw, row_schema=BUS_STATUS_SCHEMA)
+    rows = {r["record_id"]: r for r in parsed.collect()}
+    assert rows[10]["kph"] == 42 and rows[10]["_corrupt"] is None
+    assert rows[11]["kph"] is None and rows[11]["routeId"] == 7
+    assert rows[11]["_corrupt"] is None
+
+
 def test_parse_and_route(spark, spool):
     raw = read_envelope_jsonl(spark, spool)
     parsed = parse_envelopes(raw, row_schema=BUS_STATUS_SCHEMA)
