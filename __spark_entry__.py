@@ -534,6 +534,24 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_agg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): sorted collect_list so the
+    result is deterministic (bare collect_list order is not)."""
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("supplier_names"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+
+
+def q_map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON props → map<string,bigint> → explode to
+    key/value rows."""
+    events = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return events.select("event_id", F.explode(m).alias("key", "val"))
+
+
 def q_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame: events by the same user within the preceding
     hour (value-based frame, not row-based)."""
@@ -875,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_zscore_by_type": q_zscore_by_type,
         "q_median_price_by_priority": q_median_price_by_priority,
+        "q_string_agg_suppliers": q_string_agg_suppliers,
+        "q_map_explode_props": q_map_explode_props,
         "q_range_frame_events": q_range_frame_events,
         "q_grouping_sets": q_grouping_sets,
         "q_range_join_value_tiers": q_range_join_value_tiers,
@@ -1307,6 +1327,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "q_string_agg_suppliers": """
+            SELECT s_nationkey AS nationkey,
+                   string_agg(s_name, ',' ORDER BY s_name) AS supplier_names,
+                   count(*) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey
+        """,
+        "q_map_explode_props": """
+            -- the driver's props JSON carries a single key 'k'; the Spark
+            -- side is the general map-explode, the oracle uses the known key
+            SELECT event_id, 'k' AS key,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
         """,
         "q_range_frame_events": """
             SELECT event_id, user_id,
