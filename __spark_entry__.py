@@ -534,6 +534,19 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations: EXCEPT ALL keeps duplicate multiplicity
+    (one order's custkey survives per unmatched occurrence)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust_keys = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return cust_keys.exceptAll(rich)
+
+
 def q_string_agg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (listagg): sorted collect_list so the
     result is deterministic (bare collect_list order is not)."""
@@ -893,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_zscore_by_type": q_zscore_by_type,
         "q_median_price_by_priority": q_median_price_by_priority,
+        "q_multiset_setops": q_multiset_setops,
         "q_string_agg_suppliers": q_string_agg_suppliers,
         "q_map_explode_props": q_map_explode_props,
         "q_range_frame_events": q_range_frame_events,
@@ -1327,6 +1341,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "q_multiset_setops": """
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+            EXCEPT ALL
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
         """,
         "q_string_agg_suppliers": """
             SELECT s_nationkey AS nationkey,
