@@ -534,6 +534,52 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + day arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+
+
+def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame pivot API (vs q_pivot_event_types' CASE formulation)."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    out = events.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
+    return out.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an extra predicate: customers having at least
+    one order above 400k."""
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return J.semi_join(cust, big_orders, "c_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — state-expiring streaming dedup
+    (rows-only: expiry behavior isn't batch-SQL-expressible)."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    deduped = SW.stream_dedup(stream, ["user_id", "event_type"], within_watermark=True)
+    out = SW.run_to_memory(deduped, spark, output_mode="append")
+    return out.select("event_id", "user_id", "event_type")
+
+
 def q_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset set operations: EXCEPT ALL keeps duplicate multiplicity
     (one order's custkey survives per unmatched occurrence)."""
@@ -906,6 +952,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_zscore_by_type": q_zscore_by_type,
         "q_median_price_by_priority": q_median_price_by_priority,
+        "q_date_parts": q_date_parts,
+        "q_pivot_native": q_pivot_native,
+        "q_exists_correlated": q_exists_correlated,
+        "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
         "q_multiset_setops": q_multiset_setops,
         "q_string_agg_suppliers": q_string_agg_suppliers,
         "q_map_explode_props": q_map_explode_props,
@@ -1341,6 +1391,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "q_date_parts": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+                   CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+                       AS days_since_95
+            FROM orders
+        """,
+        "q_pivot_native": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
+            FROM events GROUP BY user_id
+        """,
+        "q_exists_correlated": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         """,
         "q_multiset_setops": """
             SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000

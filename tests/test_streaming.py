@@ -149,6 +149,25 @@ def test_stateful_running_per_user(spark, tmp_path, event_rows):
     assert state[2] == (1, 8.0)
 
 
+def test_console_debug_sink_runs(spark, tmp_path, capfd):
+    """The untruncated console sink (reference S6, 01-setup-ec-vm.md:183)."""
+    from buskafkasparkstreaming_spark.schemas import BUS_STATUS_SCHEMA
+    from buskafkasparkstreaming_spark.sources.files import stream_envelope_jsonl
+    from buskafkasparkstreaming_spark.streaming.pipeline import run_console_debug
+    from tests.test_cdc import FIXTURE, write_jsonl
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    write_jsonl(spool / "b1.jsonl", FIXTURE[:2])
+    q = run_console_debug(
+        stream_envelope_jsonl(spark, str(spool)),
+        str(tmp_path / "ckpt"),
+        row_schema=BUS_STATUS_SCHEMA,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def test_append_sink_keeps_history(spark, tmp_path):
     """The append lake sink (reference S8, fixed) retains every change row
     rather than merging — history replay stays possible."""
