@@ -77,10 +77,33 @@ def extract_features(
 ) -> DataFrame:
     """mapInPandas feature-extraction stage: binary payload → (dims, frames,
     feature vector). One Arrow batch in, one out; schema fixed by
-    FEATURE_SCHEMA so Catalyst can plan downstream joins/aggregations."""
-    decode = _fake_decode if use_fake_decoder else _real_decode
+    FEATURE_SCHEMA so Catalyst can plan downstream joins/aggregations.
+
+    The worker function is deliberately self-contained (stdlib/pandas only,
+    no references to this module): executor Python workers unpickle it
+    without needing the package importable on their own path — the host
+    application controls neither our deployment nor PYTHONPATH.
+    """
+    use_fake = use_fake_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        def decode(payload: bytes) -> dict:
+            if not use_fake:
+                raise NotImplementedError(
+                    "media decode requires Pillow/ffmpeg; install on the cluster image"
+                )
+            h = hashlib.sha256(payload).digest()
+            return {
+                "width": 64 + h[0] % 192,
+                "height": 64 + h[1] % 192,
+                "n_frames": 1 + h[2] % 4,
+                "feat": [round(b / 255.0, 6) for b in h[3:11]],
+            }
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
@@ -97,7 +120,7 @@ def extract_features(
                         "feat": d["feat"],
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield _pd.DataFrame(rows)
 
     # spread before the Python stage: a single-split input would otherwise
     # serialize all decode work into one task (explicit count — AQE
