@@ -534,6 +534,22 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decimal_and_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType + DateType surface: exact decimal money sum (2-decimal
+    doubles cast losslessly to DECIMAL(12,2)) and a DATE-typed group key."""
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        orders.groupBy(
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month_date")
+        )
+        .agg(
+            F.sum(dec).cast("double").alias("sum_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-part extraction + day arithmetic."""
     orders = _t(spark, sf_dir, "orders")
@@ -952,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_zscore_by_type": q_zscore_by_type,
         "q_median_price_by_priority": q_median_price_by_priority,
+        "q_decimal_and_date": q_decimal_and_date,
         "q_date_parts": q_date_parts,
         "q_pivot_native": q_pivot_native,
         "q_exists_correlated": q_exists_correlated,
@@ -1391,6 +1408,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "q_decimal_and_date": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_date,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_dec,
+                   count(*) AS n
+            FROM orders GROUP BY 1
         """,
         "q_date_parts": """
             SELECT o_orderkey,
