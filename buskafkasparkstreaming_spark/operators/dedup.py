@@ -231,13 +231,29 @@ def simhash64(col: Column | str, text_col_words: Column | None = None) -> Column
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3, chunks: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via pigeonhole
-    banding: split the 64-bit sketch into `chunks` 16-bit chunks; any pair
+    banding: split the 64-bit sketch into `chunks` equal chunks; any pair
     within Hamming ≤ chunks-1 shares ≥1 exact chunk → equi-join on
     (chunk_index, chunk_value), then exact Hamming filter.
-    Output: (id_a, id_b, hamming)."""
+    Output: (id_a, id_b, hamming).
+
+    Recall guarantee: FULL only for max_hamming ≤ chunks − 1 (pigeonhole);
+    beyond that, pairs are found only if they happen to share a chunk.
+    Raises unless the threshold is inside the guarantee or the caller
+    explicitly opts into partial recall."""
+    if max_hamming > chunks - 1 and not allow_partial_recall:
+        raise ValueError(
+            f"banding with chunks={chunks} guarantees recall only for "
+            f"Hamming <= {chunks - 1}, but max_hamming={max_hamming}; raise "
+            "chunks, lower max_hamming, or pass allow_partial_recall=True"
+        )
     sh = _spread(df, id_col).select(
         F.col(id_col).alias("id"), simhash64(text_col).alias("simhash")
     )

@@ -114,8 +114,19 @@ def salted_join(
 
     AQE's skew-join handles sort-merge skew automatically; salting is the
     explicit fallback for aggregations-after-join and for pre-AQE plans.
-    Result is exactly the plain join (salt is internal).
+
+    `how` is restricted to inner/left: the result then equals the plain
+    join (the salt is internal). For right/full outer, an unmatched dim row
+    would surface once PER SALT REPLICA (salt_buckets duplicate
+    null-extended rows) — so those modes are rejected rather than silently
+    wrong.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "outer-dim modes would emit one row per salt replica for "
+            "unmatched dim keys"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed) * salt_buckets).cast("int")
     )

@@ -82,10 +82,10 @@ def main() -> None:
     t_10x["minhash"] = timed("minhash_lsh 10x", lambda: mh(docs10), results)
 
     t_1x["simhash"] = timed(
-        "simhash 1x", lambda: simhash_pairs(docs1, "doc_id", max_hamming=16).count(), results
+        "simhash 1x", lambda: simhash_pairs(docs1, "doc_id", max_hamming=3).count(), results
     )
     t_10x["simhash"] = timed(
-        "simhash 10x", lambda: simhash_pairs(docs10, "doc_id", max_hamming=16).count(), results
+        "simhash 10x", lambda: simhash_pairs(docs10, "doc_id", max_hamming=3).count(), results
     )
 
     q = emb1.filter(F.col("vec_id") < 10)

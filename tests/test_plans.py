@@ -69,6 +69,38 @@ def test_simhash_pairs_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_rp_lsh_build_runs_zero_jobs(spark, sf_dir):
+    """Operator construction must be action-free: building the bucketed
+    DataFrame may not trigger any Spark job (the old dim-inference ran a
+    `first()` on the driver — VERDICT r1)."""
+    from buskafkasparkstreaming_spark.operators.similarity import rp_lsh_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = rp_lsh_buckets(emb, num_planes=4, num_tables=2, dim=64)
+    assert df.columns  # plan built
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "rp_lsh_buckets ran a job during build"
+    with pytest.raises(ValueError, match="dim"):
+        rp_lsh_buckets(emb, num_planes=4, num_tables=2)
+
+
+def test_simhash_recall_guard():
+    from buskafkasparkstreaming_spark.operators.dedup import simhash_pairs
+
+    with pytest.raises(ValueError, match="pigeonhole|recall|chunks"):
+        simhash_pairs(None, "doc_id", max_hamming=16, chunks=4)
+
+
+def test_salted_join_rejects_outer(spark):
+    from buskafkasparkstreaming_spark.operators.joins import salted_join
+
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(df, df, "id", how="full_outer")
+
+
 def test_cdc_parse_is_narrow(spark, tmp_path):
     """Envelope parse must be a shuffle-free codegen pipeline over the real
     file source (a LocalRelation would constant-fold the whole plan away)."""
