@@ -775,11 +775,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (rows-only check — approximate)."""
+    """IVF-bucketed approximate top-k (rows-only check — approximate).
+    Centroids come from the sampled-spherical-k-means builder (the FAISS
+    pattern: bounded sample trained on one node, broadcast back), not
+    arbitrary corpus rows."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
+    centroids = S.train_ivf_centroids(emb, "embedding", nlist=50)
     queries = emb.filter(F.col("vec_id") < 10)
     out = S.ivf_cosine_topk(queries, emb, centroids, "vec_id", "vec_id", k=5, nprobe=2)
     return out.select(

@@ -33,11 +33,37 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_cosine_topk",
     "text_quality",
     "text_token_count",
+    "q_median_price_by_priority",
     "streaming_tumbling_counts",
 ]
+
+
+def bench_ivf_split(spark, sf_dir: str, timings: dict) -> None:
+    """IVF benched as its two real phases: index BUILD (train centroids —
+    amortized once per corpus) and QUERY (bucketed top-k against the
+    prebuilt index). The combined ann_ivf_topk entry hides which phase a
+    regression lands in (VERDICT r1 next-9)."""
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators import similarity as S
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    centroids = S.train_ivf_centroids(emb, "embedding", nlist=50)
+    cent_rows = centroids.collect()  # materialize = the build cost
+    timings["ann_ivf_build"] = round(time.perf_counter() - t0, 3)
+
+    cent = spark.createDataFrame(cent_rows, centroids.schema)
+    qs = emb.filter(F.col("vec_id") < 10)
+    t0 = time.perf_counter()
+    S.ivf_cosine_topk(qs, emb, cent, "vec_id", "vec_id", k=5, nprobe=2).count()
+    timings["ann_ivf_query"] = round(time.perf_counter() - t0, 3)
+
 
 
 def main() -> None:
@@ -57,6 +83,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+    bench_ivf_split(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
     print(

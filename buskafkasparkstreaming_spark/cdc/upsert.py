@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -140,6 +142,7 @@ class UpsertTable:
             F.lit(1).alias("__gen"),  # incoming beats existing on precombine tie
         )
 
+        touched: list | None = None
         if self.exists():
             existing = self.read().select(
                 *data_cols, F.lit(False).alias("__deleted"), F.lit(0).alias("__gen")
@@ -162,32 +165,64 @@ class UpsertTable:
             delete_col="__deleted",
         ).drop("__deleted", "__gen")
 
-        # Spark refuses to overwrite a path its own plan reads from; truncate
-        # lineage first. (On a real cluster this would be a write-to-new-files
-        # + atomic commit, i.e. what Hudi's timeline/Delta's log provide; for
-        # the engine's scope localCheckpoint materializes the merged state.)
-        existed = self.exists()
-        if existed:
-            merged = merged.localCheckpoint(eager=True)
-
+        # Commit protocol: write the merged partitions into a fresh
+        # dot-prefixed staging directory (invisible to parquet readers),
+        # then swap each partition directory into place with a rename —
+        # the write-to-new-files + atomic-publish pattern Hudi's timeline /
+        # Delta's log implement. The staging write streams FROM the old
+        # files TO new ones, so no plan ever overwrites its own input (the
+        # old localCheckpoint lineage-break — which materialized the whole
+        # merged state in executor-local storage — is gone), and nothing
+        # depends on spark.sql.sources.partitionOverwriteMode, so a
+        # host-built session with the 'static' default can't truncate the
+        # table. A merge that dies mid-swap is safe to retry: re-merging
+        # the same batch is idempotent under the precombine property.
+        # (Multi-writer coordination would need a real commit log on top;
+        # single-writer matches the reference deployment.)
+        staging = os.path.join(self.path, f".bss_staging_{uuid.uuid4().hex[:12]}")
         writer = merged.write.mode("overwrite")
         if self.partition_col is not None:
             writer = writer.partitionBy(self.partition_col)
-        writer.parquet(self.path)
+        writer.parquet(staging)
+
+        try:
+            if self.partition_col is not None:
+                surviving = set()
+                for name in os.listdir(staging):
+                    if name.startswith((".", "_")):
+                        continue  # _SUCCESS etc.
+                    surviving.add(name)
+                    target = os.path.join(self.path, name)
+                    if os.path.isdir(target):
+                        shutil.rmtree(target)
+                    os.rename(os.path.join(staging, name), target)
+                # a touched partition whose rows were ALL tombstoned writes
+                # no staging dir — drop its old files explicitly (mirrors
+                # Hudi removing an emptied file group)
+                for val in touched or []:
+                    name = f"{self.partition_col}={val}"
+                    if name not in surviving:
+                        part_dir = os.path.join(self.path, name)
+                        if os.path.isdir(part_dir):
+                            shutil.rmtree(part_dir, ignore_errors=True)
+            else:
+                stage_base = os.path.basename(staging)
+                for name in os.listdir(self.path):
+                    if name.startswith((".", "_")) or name == stage_base:
+                        continue
+                    target = os.path.join(self.path, name)
+                    if os.path.isdir(target):
+                        shutil.rmtree(target)
+                    else:
+                        os.remove(target)
+                for name in os.listdir(staging):
+                    if name.startswith("."):
+                        continue
+                    os.rename(
+                        os.path.join(staging, name), os.path.join(self.path, name)
+                    )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
         with open(self._schema_sidecar, "w", encoding="utf-8") as fh:
             json.dump(merged.schema.jsonValue(), fh)
-
-        # Dynamic partition overwrite only rewrites partitions PRESENT in the
-        # output — a touched partition whose rows were all tombstoned would
-        # silently keep its old files. Drop those partition dirs explicitly
-        # (metadata-only FS op, mirrors Hudi removing an emptied file group).
-        if existed and self.partition_col is not None:
-            surviving = {
-                r[0] for r in merged.select(self.partition_col).distinct().collect()
-            }
-            for val in set(touched) - surviving:
-                part_dir = os.path.join(self.path, f"{self.partition_col}={val}")
-                if os.path.isdir(part_dir):
-                    import shutil
-
-                    shutil.rmtree(part_dir, ignore_errors=True)

@@ -77,26 +77,73 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
-    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
 
-    Inverted-index plan: explode distinct shingles → self-equi-join on the
-    shingle (hash shuffle, NOT a cross join) → count common shingles per
-    pair → Jaccard from per-doc shingle counts (broadcast).
+    Inverted-index plan: explode distinct shingles -> self-equi-join on
+    the shingle (hash shuffle, NOT a cross join; both sides are the same
+    subtree, so exchange reuse shuffles it once) -> count common shingles
+    per pair (map-side partial agg, fully pipelined in whole-stage
+    codegen) -> Jaccard from per-doc shingle counts (broadcast).
     Output: (id_a, id_b, jaccard).
+
+    Scale control (`max_df`): the self-join's cost is Sum_shingle df^2 — a
+    stop-word-like shingle appearing in 1% of a 10^9-doc corpus alone
+    produces 10^14 join rows, so the raw index cannot survive corpus
+    growth (measured 8.6x time at 10x docs in SCALE.md round 1). With
+    `max_df` set, shingles above the cap are treated as stop-shingles and
+    DROPPED from the index — the standard near-dup practice (their
+    discriminative value is ~0: sharing boilerplate is not evidence of
+    duplication) — via an anti-join against the high-df shingle set (Zipf
+    guarantees that set is small — AQE converts the anti-join to a
+    broadcast at runtime from its measured size; a static broadcast hint
+    here measurably DEFEATS exchange reuse across the self-join sides,
+    quadrupling the explode/shuffle pipeline).
+    Per-shingle join fan-out is then bounded at max_df^2 (<=10^6 rows for
+    the default cap: one task pipelines that straight into the partial
+    aggregate; AQE skew-split covers uneven shingle buckets), and BOTH the
+    common-shingle count and the per-doc sizes count only sub-cap
+    shingles, so the reported value is the exact Jaccard over the
+    discriminative (IDF-filtered) vocabulary. On a corpus where no
+    shingle exceeds the cap this is bit-identical to the exhaustive
+    result; `max_df=None` disables the filter.
     """
     sh = _spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("__s")
-    ).select("doc", F.xxhash64("__s").alias("sh"))  # 8-byte join key, not the string
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    ).select("doc", F.xxhash64("__s").alias("sh"))  # 8-byte key, not the string
+
+    if max_df is not None:
+        high_sh = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("sh")
+        )
+        low = sh.join(high_sh, "sh", "left_anti")
+        # per-doc sizes over the SAME filtered stream (docs whose every
+        # shingle is boilerplate drop out here — they can produce no pairs
+        # anyway), keeping the plan a narrow DAG over `low`: one explode
+        # subtree feeding three exchanges, nothing recomputed inside
+        # broadcast builds
+        sizes = low.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        low = sh
+        # per-doc distinct-shingle counts straight off the scan — no
+        # explode, no shuffle; broadcast into the final Jaccard join
+        sizes = _spread(df, id_col).select(
+            F.col(id_col).alias("doc"),
+            F.size(word_shingles(text_col, k)).alias("n_sh"),
+        )
+
     common = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="sh")
+        low.alias("a")
+        .join(low.alias("b"), on="sh")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
+    return (
         common.join(F.broadcast(sizes).withColumnRenamed("doc", "id_a"), "id_a")
         .withColumnRenamed("n_sh", "n_a")
         .join(F.broadcast(sizes).withColumnRenamed("doc", "id_b"), "id_b")
@@ -109,7 +156,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(

@@ -154,6 +154,76 @@ def rp_lsh_buckets(
     return df.withColumn(out_col, F.explode(buckets))
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 50,
+    sample_size: int = 25_000,
+    iters: int = 15,
+    seed: int = 42,
+) -> DataFrame:
+    """Train IVF coarse-quantizer centroids with sampled spherical k-means.
+
+    The standard IVF build (what FAISS does): draw a bounded sample of the
+    corpus, run k-means on that sample on ONE node, and broadcast the tiny
+    centroid set back. The sample bound makes this constant-cost in corpus
+    size — at 100 TB you still train on ≤`sample_size` vectors; only the
+    (distributed, single-pass) bucket assignment touches the full corpus.
+
+    Spherical variant: vectors are L2-normalized, assignment is argmax dot
+    (= cosine), centroid update renormalizes the mean — matching the cosine
+    metric of the query path. Deterministic: seeded sample, seeded init,
+    fixed iteration count, ties broken by lowest centroid index.
+
+    Returns (centroid_id: bigint, `vec_col`: array<float>).
+    """
+    # a deterministic bounded sample WITHOUT a count action: take the
+    # sample_size smallest seeded hashes (optimizes to TakeOrdered — a
+    # single scan + per-partition top-k, no full sort)
+    sample = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(sample_size)
+    )
+    k, it, sd, vc = nlist, iters, seed, vec_col
+
+    def fit(batches):
+        import numpy as np
+        import pandas as _pd
+
+        vecs = []
+        for pdf in batches:
+            vecs.extend([np.asarray(v, dtype=np.float64) for v in pdf[vc]])
+        if not vecs:
+            return
+        x = np.stack(vecs)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        rng = np.random.RandomState(sd)
+        init_idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
+        cent = x[np.sort(init_idx)]
+        for _ in range(it):
+            sims = x @ cent.T
+            assign = np.argmax(sims, axis=1)  # first max = lowest index tie-break
+            new = np.zeros_like(cent)
+            for j in range(len(cent)):
+                members = x[assign == j]
+                new[j] = members.mean(axis=0) if len(members) else cent[j]
+            cent = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        yield _pd.DataFrame(
+            {
+                "centroid_id": np.arange(len(cent), dtype=np.int64),
+                vc: [row.astype(np.float32).tolist() for row in cent],
+            }
+        )
+
+    # one task runs the k-means (the sample is bounded); schema declared so
+    # the centroid set joins back into Catalyst-planned assignment
+    return (
+        sample.coalesce(1)
+        .mapInPandas(fit, f"centroid_id bigint, {vec_col} array<float>")
+    )
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -75,6 +75,37 @@ def main() -> None:
         "ngram_jaccard 10x", lambda: ngram_jaccard_pairs(docs10, "doc_id", k=3, threshold=0.05).count(), results
     )
 
+    # The replication probe is OUTPUT-quadratic for ngram (every 1x pair
+    # becomes 10×10 pairs + 45 within-copy-group pairs), so wall-clock ratio
+    # overstates index cost; record pairs/sec too. The df-cap's actual
+    # target is the boilerplate regime: shingles with df ≈ corpus size make
+    # the uncapped index Σdf²-quadratic AND the threshold output
+    # all-pairs-quadratic. Probe it by appending a fixed sentence to every
+    # doc and comparing capped vs uncapped.
+    boiler = (
+        "standard legal disclaimer text appears at the bottom of every "
+        "single document in this corpus"
+    )
+    docs_b = docs1.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit(boiler))
+    ).persist()
+    docs_b.count()
+    t_bcap = timed(
+        "ngram boilerplate capped (max_df=1000)",
+        lambda: ngram_jaccard_pairs(docs_b, "doc_id", k=3, threshold=0.05).count(),
+        results,
+    )
+    t_bun = timed(
+        "ngram boilerplate UNCAPPED",
+        lambda: ngram_jaccard_pairs(
+            docs_b, "doc_id", k=3, threshold=0.05, max_df=None
+        ).count(),
+        results,
+    )
+    n_bcap = results[-2][1]
+    n_bun = results[-1][1]
+    docs_b.unpersist()
+
     def mh(d):
         return lsh_candidate_pairs(minhash_signatures(d, "doc_id", k=3, num_hashes=32)).count()
 
@@ -163,7 +194,7 @@ def main() -> None:
     ]
     notes = {
         "exact": "hash-groupBy: ~linear",
-        "ngram": "inverted index: grows with Σdf² — duplicated corpus multiplies df by 10",
+        "ngram": "output-quadratic workload (each 1x pair → 100 pairs + within-group); see pairs/sec + boilerplate probe below",
         "minhash": "sketch linear; candidate pairs grow with true-dup count (10 copies/doc)",
         "simhash": "banding: same",
         "ann": "brute force is O(|Q|×|C|): 100× work at 10×/10× — the IVF path exists for this",
@@ -174,7 +205,30 @@ def main() -> None:
         lines.append(
             f"| {k} | {t_1x[k]:.2f} | {t_10x[k]:.2f} | {ratio}× | {notes[k]} |"
         )
+    ngram_rows_1x = next(r[1] for r in results if r[0] == "ngram_jaccard 1x")
+    ngram_rows_10x = next(r[1] for r in results if r[0] == "ngram_jaccard 10x")
     lines += [
+        "",
+        "## ngram_jaccard: output-normalized + boilerplate probe",
+        "",
+        "The 10× replication makes ngram's OUTPUT grow ~480× (every 1x pair",
+        "expands to 10×10 copy-pairs plus 45 within-group pairs per doc), so",
+        "its wall-clock ratio above is output-bound, not index-bound:",
+        f"throughput is {ngram_rows_1x / max(t_1x['ngram'], 0.01):,.0f} pairs/s at 1× vs",
+        f"{ngram_rows_10x / max(t_10x['ngram'], 0.01):,.0f} pairs/s at 10× — per-pair cost FALLS at scale.",
+        "",
+        "The genuine 100 TB hazard is boilerplate: shingles with df ≈ corpus",
+        "size make the uncapped index join Σdf²-quadratic and push EVERY doc",
+        "pair over the Jaccard threshold (all-pairs output). With a fixed",
+        "sentence appended to every sf0.1 doc:",
+        "",
+        f"* capped (max_df=1000, default): {n_bcap:,} pairs in {t_bcap:.1f}s —",
+        "  boilerplate shingles are dropped as stop-shingles (standard",
+        "  near-dup practice), so only pairs sharing discriminative content",
+        "  surface, with exact Jaccard over the filtered vocabulary;",
+        f"* uncapped (max_df=None): {n_bun:,} pairs in {t_bun:.1f}s — the",
+        "  degenerate all-pairs result (quadratic in corpus size: dead at",
+        "  1000× regardless of engine speed).",
         "",
         f"Skew probe (50% of 600k rows on one key): plain join {t_plain:.2f}s,",
         f"salted (16 buckets) {t_salt:.2f}s — with AQE skew handling both stay",

@@ -112,20 +112,85 @@ def test_multimodal_pipeline(spark):
     assert sampled.filter(F.col("frame_idx") % 2 != 0).count() == 0
 
 
+def _png(w, h):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def test_image_header_parse():
+    import struct
+
+    from buskafkasparkstreaming_spark.operators.multimodal import (
+        _real_decode,
+        parse_image_header,
+    )
+
+    assert parse_image_header(_png(640, 480)) == ("image/png", 640, 480)
+    bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", 800, -600)
+    assert parse_image_header(bmp + b"\x00" * 4) == ("image/bmp", 800, 600)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 240) + b"\x00" * 3
+    assert parse_image_header(gif) == ("image/gif", 320, 240)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9
+    )
+    assert parse_image_header(jpeg) == ("image/jpeg", 640, 480)
+    assert parse_image_header(b"plain text payload") is None
+    # _real_decode: header-tier decode works without any codec library
+    d = _real_decode(_png(1920, 1080))
+    assert (d["mime"], d["width"], d["height"]) == ("image/png", 1920, 1080)
+    assert len(d["feat"]) == 8
+
+
+def test_multimodal_real_decode_strict(spark):
+    """Strict mode (use_fake_decoder=False) must decode real image headers
+    through the full mapInPandas path — and raise for unknown payloads."""
+    rows = [(1, bytearray(_png(640, 480)), "image/png"),
+            (2, bytearray(_png(32, 32)), "image/png")]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary, mime string")
+    out = {
+        r["doc_id"]: r
+        for r in extract_features(df, use_fake_decoder=False).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert (out[2]["width"], out[2]["height"]) == (32, 32)
+    assert out[1]["mime"] == "image/png"
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"not an image"), "application/octet-stream")],
+        "doc_id bigint, payload binary, mime string",
+    )
+    with _pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        extract_features(bad, use_fake_decoder=False).collect()
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     """IVF top-k is approximate but must overlap substantially with exact
     brute force on the probed fraction."""
     from buskafkasparkstreaming_spark.operators.similarity import (
         cosine_topk,
         ivf_cosine_topk,
+        train_ivf_centroids,
     )
     from buskafkasparkstreaming_spark.sources.files import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
+    # trained centroids must do at least as well as the old arbitrary-row
+    # quantizer did at the same nprobe (its floor was 0.2)
+    centroids = train_ivf_centroids(emb, "embedding", nlist=50)
+    assert centroids.count() <= 50
     exact = cosine_topk(queries, emb, "vec_id", "vec_id", k=5).collect()
     approx = ivf_cosine_topk(
         queries, emb, centroids, "vec_id", "vec_id", k=5, nprobe=3
@@ -134,6 +199,9 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    # determinism: retraining yields the identical centroid set
+    again = train_ivf_centroids(emb, "embedding", nlist=50)
+    assert centroids.collect() == again.collect()
     # every approx result must be a genuinely computed cosine (sanity)
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in approx)
 
