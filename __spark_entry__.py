@@ -29,6 +29,7 @@ from buskafkasparkstreaming_spark.cdc.upsert import latest_state
 from buskafkasparkstreaming_spark.operators import dedup as D
 from buskafkasparkstreaming_spark.operators import joins as J
 from buskafkasparkstreaming_spark.operators import multimodal as MM
+from buskafkasparkstreaming_spark.operators import sampling as SP
 from buskafkasparkstreaming_spark.operators import similarity as S
 from buskafkasparkstreaming_spark.operators import text as TX
 from buskafkasparkstreaming_spark.operators import windows_fn as W
@@ -963,6 +964,65 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters via distributed union-find
+    (operators/dedup.py:connected_components): (doc_id, cluster_id) where
+    cluster_id = min doc id in the component. Oracle = recursive-CTE
+    reachability over the same edge set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.05)
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("cluster_id"),
+    )
+
+
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination gate: corpus docs containing ≥4% of an
+    eval doc's trigram shingles (containment, not Jaccard — a short eval
+    prompt inside a long doc still scores high). Benchmark set = every
+    100th doc, corpus = the rest."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    out = D.contamination_pairs(
+        corpus, bench, corpus_id="doc_id", bench_id="bench_id", k=3,
+        min_containment=0.04,
+    )
+    return out.select(
+        "doc_id",
+        "bench_id",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        "containment",
+    )
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·(N/df) weight
+    (operators/text.py:tfidf_top_terms — linear-idf for cross-engine
+    bit-reproducibility)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.tfidf_top_terms(docs, "doc_id", "text", top_k=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "word",
+        F.col("tf").cast("long").alias("tf"),
+        "weight",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def sample_split_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment per doc: md5(id:salt) hex
+    prefix vs cumulative thresholds (operators/sampling.py) — stable
+    across reruns, partitionings, and engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return SP.deterministic_split(docs, "doc_id").select("doc_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (observed in CORRECTNESS_r01 — an exact prefix of this dict).
@@ -985,6 +1045,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_blocked": dedup_embedding_blocked,
         "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
+        "dedup_clusters": dedup_clusters,
+        "dedup_contamination": dedup_contamination,
+        # sampling / dataset-split
+        "sample_split_labels": sample_split_labels,
         # similarity search
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -992,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_token_count": text_token_count,
         "text_langid": text_langid,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
         "doc_fingerprint": doc_fingerprint,
         "doc_winnow_sketch": doc_winnow_sketch,
         # multimodal columns
@@ -1416,6 +1481,86 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS sh
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS g
+                      FROM w)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM common
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+            )
+            SELECT node AS doc_id, min(comp) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "dedup_contamination": f"""
+            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS sh
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS g
+                      FROM w)
+            ),
+            bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 100 = 0),
+            bsizes AS (SELECT bench_id, count(*) AS bn FROM bench GROUP BY 1),
+            corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 100 <> 0),
+            ov AS (
+                SELECT c.doc_id, b.bench_id, count(*) AS n_overlap
+                FROM corp c JOIN bench b ON c.sh = b.sh
+                GROUP BY 1, 2
+            )
+            SELECT doc_id, bench_id, n_overlap,
+                   CAST(n_overlap AS DOUBLE) / bn AS containment
+            FROM ov JOIN bsizes USING (bench_id)
+            WHERE CAST(n_overlap AS DOUBLE) / bn >= 0.04
+        """,
+        "text_tfidf_top_terms": f"""
+            WITH wrd AS (SELECT doc_id AS id, unnest({WORDS}) AS word FROM documents),
+            tf AS (SELECT id, word, count(*) AS tf FROM wrd GROUP BY 1, 2),
+            dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT id AS doc_id, word, tf,
+                   CAST(tf * n_docs AS DOUBLE) / df AS weight, rank
+            FROM (
+                SELECT tf.id, tf.word, tf.tf, dfq.df, n.n_docs,
+                       row_number() OVER (
+                           PARTITION BY tf.id
+                           ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df DESC,
+                                    tf.word ASC) AS rank
+                FROM tf JOIN dfq ON tf.word = dfq.word CROSS JOIN n)
+            WHERE rank <= 3
+        """,
+        "sample_split_labels": """
+            SELECT doc_id,
+                   CASE WHEN h < 'cccccccc' THEN 'train'
+                        WHEN h < 'e6666666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS h
+                  FROM documents)
         """,
         "dedup_embedding_blocked": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -370,3 +370,127 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: (node, comp) where `comp` is the
+    minimum node id reachable from `node` — the union-find step every
+    dedup pipeline needs between "found similar pairs" and "kept one
+    canonical doc per group".
+
+    Distributed min-label propagation with pointer jumping (path halving):
+    each round, a node adopts the smallest label in its closed
+    neighborhood, then labels chase their own label's label — so label
+    paths halve every round and convergence is O(log diameter) rounds,
+    not O(diameter). Iteration is inherent to the algorithm, so this runs
+    a driver-side loop (the MLlib/GraphX pattern) with persist/unpersist
+    between rounds to keep lineage flat, early-stopping at the fixpoint.
+    The fixpoint is unique (component-wide min), so the result is
+    deterministic and oracle-checkable. Nodes that appear in no pair are
+    absent — callers left-join and coalesce to the node's own id.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("comp").alias("__nc"))
+                .withColumnRenamed("src", "node")
+            )
+            prop = labels.join(nbr_min, "node", "left").select(
+                "node", F.least("comp", F.coalesce("__nc", "comp")).alias("comp")
+            )
+            hop = prop.select(F.col("node").alias("__cn"), F.col("comp").alias("__cc"))
+            jumped = (
+                prop.join(hop, prop["comp"] == hop["__cn"], "left")
+                .select("node", F.coalesce("__cc", "comp").alias("comp"))
+                .persist()
+            )
+            changed = (
+                jumped.withColumnRenamed("comp", "__new")
+                .join(labels, "node")
+                .filter(F.col("__new") != F.col("comp"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = jumped
+            if changed == 0:
+                break
+        # result stays cached: one (node, comp) row per node, bounded
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 5,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: corpus docs that CONTAIN a large
+    fraction of some benchmark/eval doc's shingles. The leakage gate an
+    LLM training pipeline runs before training: containment(A, B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(B)| with B the benchmark doc,
+    so a short eval prompt embedded verbatim in a long crawl doc still
+    scores 1.0 (plain Jaccard would dilute it to ~0).
+
+    Plan shape for a 100 TB corpus vs a ~MB benchmark set: the benchmark
+    side (exploded shingles + per-doc sizes) is BROADCAST; the corpus is
+    scanned once, shingled in place, hash-joined map-side, and only the
+    (tiny) matching pair stream shuffles for the per-pair overlap count.
+    Output: (corpus_id, bench_id, n_overlap, containment).
+    """
+    c_sh = _spread(corpus, corpus_id).select(
+        F.col(corpus_id).alias("__cid"),
+        F.explode(word_shingles(text_col, k)).alias("__s"),
+    )
+    b_sh = benchmark.select(
+        F.col(bench_id).alias("__bid"),
+        F.explode(word_shingles(bench_text_col, k)).alias("__s"),
+    )
+    b_sizes = benchmark.select(
+        F.col(bench_id).alias("__bid"),
+        F.size(word_shingles(bench_text_col, k)).alias("__bn"),
+    )
+    overlap = (
+        c_sh.join(F.broadcast(b_sh), "__s")
+        .groupBy("__cid", "__bid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(F.broadcast(b_sizes), "__bid")
+        .withColumn(
+            "containment",
+            F.col("n_overlap").cast("double") / F.col("__bn").cast("double"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            F.col("__cid").alias(corpus_id),
+            F.col("__bid").alias(bench_id),
+            "n_overlap",
+            "containment",
+        )
+    )

@@ -1,0 +1,68 @@
+"""Deterministic sampling / dataset-split operators for the training-data
+pipeline surface (BASELINE.json north_star).
+
+A training pipeline needs splits that are (a) stable across reruns and
+engines, (b) a pure function of the row key — never of partitioning,
+ordering, or RNG state — so that re-ingesting a doc lands it in the same
+split forever and no eval example drifts into train. Both operators below
+key off md5(id:salt): the hash is available and bit-identical in Spark and
+every SQL engine, unlike per-partition RNG (`rand()`), which changes with
+task layout.
+
+The split decision compares the first 8 hex chars of the md5
+LEXICOGRAPHICALLY against precomputed hex thresholds — string compare on
+lowercase hex == numeric compare on the 32-bit prefix, and it avoids
+hex→int conversion functions that differ across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(fraction: float) -> str:
+    """fraction in [0,1] → 8-hex-digit lexicographic cutoff."""
+    return format(min(int(fraction * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def _bucket_hex(id_col: str, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic `fraction` of rows, keyed on md5(id:salt).
+    Unlike df.sample(), membership is a pure function of the id — stable
+    under reruns, repartitioning, and engine changes."""
+    return df.filter(_bucket_hex(id_col, salt) < F.lit(_hex_threshold(fraction)))
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Tag every row with a split label ('train'/'val'/'test' by default)
+    from cumulative md5-prefix thresholds. Row-local (no shuffle, no
+    action); the label column is a deterministic function of the id, so
+    downstream filters prune at the scan."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    h = _bucket_hex(id_col, salt)
+    cum = 0.0
+    expr = None
+    items = list(weights.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = h < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)

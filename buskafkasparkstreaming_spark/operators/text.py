@@ -101,3 +101,49 @@ def winnowing_fingerprint(df: DataFrame, text_col: str = "text", window: int = 5
     sketch): compact, order-independent near-dup signature."""
     hs = F.array_sort(rolling_hashes(text_col, window))
     return df.withColumn("winnow_sketch", F.slice(hs, 1, keep))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per doc by tf·idf weight.
+
+    Weight uses the LINEAR idf variant tf · (N / df) rather than
+    tf · ln(N / df): the ratio of exact integers divides identically in
+    every IEEE-754 engine, so the result is bit-reproducible across Spark
+    and the SQL oracle (ln differs in the last ulp between libm
+    implementations). Ranking order is identical to log-idf within a doc
+    whenever tf·N/df ordering is (monotone transform per fixed tf);
+    swap in F.log for presentation weights.
+
+    Plan: one explode → (doc, word) tf aggregation (one shuffle),
+    word-level df aggregation derived from the same exchange, corpus size
+    N as a broadcast 1-row aggregate (no driver action), top-k via a
+    per-doc window — WindowGroupLimit prunes before the final sort.
+    Output: (id, word, tf, weight, rank).
+    """
+    w = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("word"))
+    tf = w.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "weight",
+            (F.col("tf") * F.col("__n")).cast("double") / F.col("df").cast("double"),
+        )
+    )
+    rk = Window.partitionBy("id").orderBy(
+        F.col("weight").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "word", "tf", "weight", "rank")
+    )
