@@ -735,16 +735,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (not SQL-expressible — rows-only check)."""
+    """MinHash+LSH with a recall/accuracy self-check oracle (xxhash64 makes
+    the sketch itself SQL-inexpressible, but its CONTRACT isn't): every
+    exact pair with Jaccard ≥ 0.3 — which the oracle computes in SQL — must
+    be surfaced as an LSH candidate (8 bands × 4 rows: P(miss) < 1e-3 at
+    J = 0.3 even before the corpus's actual near-dups, which all sit far
+    above it), and the 32-hash estimate must sit within 0.25 of the exact
+    value (observed max error ≤ 0.11 at sf 0.001–0.1; Hoeffding bound
+    P > 0.25 ≈ 0.04 per pair — deterministic here, the hashes are seeded).
+    A banding or signature regression flips `found_by_lsh`/`est_within_bound`
+    to false and hash-fails."""
     docs = _t(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", k=3, num_hashes=32)
-    return D.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    cand = D.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.3, max_df=None)
+    joined = exact.join(
+        cand.withColumnRenamed("est_jaccard", "__est"), ["id_a", "id_b"], "left"
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.col("__est").isNotNull().alias("found_by_lsh"),
+        F.coalesce(
+            F.abs(F.col("__est") - F.col("jaccard")) <= 0.25, F.lit(False)
+        ).alias("est_within_bound"),
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check). max_hamming=3 with 4
-    chunks: the pigeonhole banding guarantees FULL recall only for
-    Hamming ≤ chunks − 1, so the declared threshold stays inside the
+    """SimHash near-dup pairs — FULL hash check since round 3: the sketch
+    hashes words with md5 (bit-identical in DuckDB), so the oracle replays
+    the entire pipeline in SQL — per-word hash bits, per-bit majority vote,
+    hex sketch, pigeonhole chunk join, and the Hamming filter.
+    max_hamming=3 with 4 chunks: the banding guarantees FULL recall only
+    for Hamming ≤ chunks − 1, so the declared threshold stays inside the
     guarantee (simhash_pairs raises on a threshold the banding can't
     honor)."""
     docs = _t(spark, sf_dir, "documents")
@@ -776,19 +801,29 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (rows-only check — approximate).
-    Centroids come from the sampled-spherical-k-means builder (the FAISS
-    pattern: bounded sample trained on one node, broadcast back), not
-    arbitrary corpus rows."""
+    """IVF approximate top-k with a recall@k self-check oracle: the exact
+    top-k set is SQL-computable, so the checked output is its size plus a
+    boolean asserting IVF (nprobe=2 of 50 k-means lists; index built ONCE
+    via build_ivf_index, queried via ivf_query_topk) recovers ≥ 20% of it
+    (observed 0.28–0.46 across sf 0.001–0.1; deterministic — seeded
+    centroids, tie-broken assignment). A quantizer/probe regression flips
+    `recall_ok` false and hash-fails."""
     emb = _t(spark, sf_dir, "embeddings")
     centroids = S.train_ivf_centroids(emb, "embedding", nlist=50)
+    index = S.build_ivf_index(emb, centroids, "vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = S.ivf_cosine_topk(queries, emb, centroids, "vec_id", "vec_id", k=5, nprobe=2)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rank"),
-        "cos_sim",
+    approx = S.ivf_query_topk(queries, index, centroids, "vec_id", k=5, nprobe=2)
+    exact = S.cosine_topk(queries, emb, "vec_id", "vec_id", k=5)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("__hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) * 5 >= F.count(F.lit(1))
+        ).alias("recall_ok"),
     )
 
 
@@ -939,10 +974,29 @@ def dedup_rp_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash sketch (rows-only: xxhash64-based)."""
+    """Winnowing-style rolling-hash sketch with a structural self-check
+    oracle (the xxhash64 values themselves aren't SQL-expressible, but the
+    sketch's shape and selection invariants are): the oracle recomputes the
+    rolling-window count and the keep-cap from the text, and pins the
+    k-smallest-selection invariant (every sketch element is drawn from the
+    hash stream; no more than sketch_len−1 stream hashes are strictly
+    below the sketch max; the sketch is sorted) to true. A windowing,
+    slicing, or sorting regression flips a checked column and hash-fails."""
     docs = _t(spark, sf_dir, "documents")
-    out = TX.winnowing_fingerprint(docs)
-    return out.select("doc_id", F.to_json("winnow_sketch").alias("sketch"))
+    out = TX.winnowing_fingerprint(docs)  # window=5, keep=8
+    hs = TX.rolling_hashes("text", 5)
+    sk = F.col("winnow_sketch")
+    is_k_smallest = (
+        F.forall(sk, lambda x: F.array_contains(hs, x))
+        & (F.size(F.filter(hs, lambda h: h < F.array_max(sk))) <= F.size(sk) - 1)
+        & (sk == F.array_sort(sk))
+    )
+    return out.select(
+        "doc_id",
+        F.size(hs).cast("long").alias("n_hashes"),
+        F.size(sk).cast("long").alias("sketch_len"),
+        is_k_smallest.alias("is_k_smallest"),
+    )
 
 
 def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1120,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 STOP_SQL = "('the','a','of','to','and','in')"
 WORDS = "string_split(text, ' ')"
+_HEX_SQL = "'0123456789abcdef'"
 
 
 def _sha_byte_sql(i: int, expr: str = "sha256(text)") -> str:
@@ -1132,6 +1187,49 @@ def _sha_byte_sql(i: int, expr: str = "sha256(text)") -> str:
         return f"(strpos('0123456789abcdef', substr({expr}, {pos}, 1)) - 1)"
 
     return f"(16 * {digit(2 * i + 1)} + {digit(2 * i + 2)})"
+
+
+def _ngram_pairs_sql(threshold: float, max_df: int | None) -> str:
+    """Word-trigram Jaccard pairs (id_a, id_b, jaccard) as DuckDB SQL,
+    mirroring operators/dedup.py::ngram_jaccard_pairs INCLUDING its
+    `max_df` stop-shingle cap: shingles whose document frequency exceeds
+    the cap are dropped from the index AND from the per-doc sizes, exactly
+    as the engine does — without this the oracle silently diverges the
+    moment any shingle's df crosses the cap at a larger scale factor
+    (ADVICE r2, medium)."""
+    cap = (
+        f"""low AS (
+                SELECT s.* FROM sh s
+                WHERE s.sh NOT IN (
+                    SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
+                    WHERE c > {max_df})
+            ),"""
+        if max_df is not None
+        else "low AS (SELECT * FROM sh),"
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS sh
+            FROM (SELECT doc_id, ws,
+                         unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS g
+                  FROM w)
+        ),
+        {cap}
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM low GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM low a JOIN low b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+    """
 
 
 def _rp_lsh_oracle_sql(
@@ -1460,27 +1558,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
         """,
-        "dedup_ngram_jaccard": f"""
-            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
-            sh AS (
-                SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS sh
-                FROM (SELECT doc_id, ws,
-                             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS g
-                      FROM w)
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            common AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT id_a, id_b,
-                   CAST(n_common AS DOUBLE)
-                       / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05
+        "dedup_ngram_jaccard": _ngram_pairs_sql(0.05, 1000),
+        "dedup_minhash_lsh": f"""
+            SELECT id_a, id_b, jaccard,
+                   true AS found_by_lsh,
+                   true AS est_within_bound
+            FROM ({_ngram_pairs_sql(0.3, None)})
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE
@@ -1491,10 +1574,18 @@ def oracle_sql() -> dict[str, str]:
                              unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS g
                       FROM w)
             ),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            -- max_df=1000 stop-shingle cap, mirrored from the engine
+            -- (ADVICE r2 medium: oracle must drop capped shingles too)
+            low AS (
+                SELECT s.* FROM sh s
+                WHERE s.sh NOT IN (
+                    SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
+                    WHERE c > 1000)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM low GROUP BY doc_id),
             common AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                FROM low a JOIN low b ON a.sh = b.sh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             ),
             pairs AS (
@@ -1603,6 +1694,36 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 10)
             WHERE rn <= 5
         """,
+        "ann_ivf_topk": """
+            -- recall@k self-check: the engine asserts IVF recovers >= 20%
+            -- of the exact top-k set (recall_ok); the oracle pins it true
+            -- and recomputes the exact set's size
+            SELECT count(*) AS n_exact, true AS recall_ok
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                                    CAST(c.embedding AS DOUBLE[]))
+                                                   / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                                           CAST(q.embedding AS DOUBLE[]))
+                                                          * list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                                             CAST(c.embedding AS DOUBLE[]))) DESC,
+                                                   c.vec_id ASC) AS rn
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10)
+            WHERE rn <= 5
+        """,
+        "doc_winnow_sketch": f"""
+            -- structural self-check: rolling-window count and keep-cap are
+            -- recomputed from the text; the k-smallest-selection invariant
+            -- (checked engine-side against the actual hash stream) is
+            -- pinned true
+            SELECT doc_id,
+                   CAST(greatest(len({WORDS}) - 4, 1) AS BIGINT) AS n_hashes,
+                   CAST(least(8, greatest(len({WORDS}) - 4, 1)) AS BIGINT) AS sketch_len,
+                   true AS is_k_smallest
+            FROM documents
+        """,
         "text_quality": f"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS q_chars,
@@ -1658,6 +1779,48 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rp_lsh_embeddings": _rp_lsh_oracle_sql(
             num_planes=4, num_tables=8, seed=42, dim=64, threshold=0.35
         ),
+        # full SQL replay of the md5-based SimHash pipeline
+        # (operators/dedup.py::simhash_sketch / simhash_pairs): per-word
+        # 64-bit hash = first 16 hex digits of md5; per-bit majority vote;
+        # 16-hex-char sketch; 4-chunk pigeonhole equi-join; Hamming =
+        # sum of per-hex-digit XOR popcounts
+        "dedup_simhash": f"""
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            h AS (SELECT doc_id, md5(word) AS hx FROM w),
+            b AS (
+                SELECT doc_id, j,
+                       ((strpos({_HEX_SQL}, substr(hx, CAST(16 - j // 4 AS INTEGER), 1)) - 1)
+                        >> CAST(j % 4 AS INTEGER)) & 1 AS bit
+                FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+            ),
+            s AS (SELECT doc_id, j,
+                         CASE WHEN 2 * sum(bit) > count(*) THEN 1 ELSE 0 END AS hi
+                  FROM b GROUP BY doc_id, j),
+            d AS (SELECT doc_id, 16 - CAST(j // 4 AS INTEGER) AS p,
+                         sum(hi * (1 << CAST(j % 4 AS INTEGER))) AS dv
+                  FROM s GROUP BY 1, 2),
+            sk AS (SELECT doc_id,
+                          string_agg(substr({_HEX_SQL}, CAST(dv + 1 AS INTEGER), 1),
+                                     '' ORDER BY p) AS simhex
+                   FROM d GROUP BY doc_id),
+            ch AS (SELECT doc_id, simhex, i,
+                          substr(simhex, CAST(i * 4 + 1 AS INTEGER), 4) AS val
+                   FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+            p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                         a.simhex AS hx_a, b2.simhex AS hx_b
+                  FROM ch a JOIN ch b2
+                    ON a.i = b2.i AND a.val = b2.val AND a.doc_id < b2.doc_id),
+            hm AS (SELECT id_a, id_b,
+                          CAST(list_sum(list_transform(
+                              list_transform(range(1, 17), q ->
+                                  xor(strpos({_HEX_SQL}, substr(hx_a, CAST(q AS INTEGER), 1)) - 1,
+                                      strpos({_HEX_SQL}, substr(hx_b, CAST(q AS INTEGER), 1)) - 1)),
+                              x -> (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)))
+                          AS BIGINT) AS hamming
+                   FROM p)
+            SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3
+        """,
         "udtf_split_words": """
             WITH w AS (SELECT string_split(text, ' ') AS ws
                        FROM documents WHERE doc_id < 5)

@@ -43,10 +43,10 @@ HEADLINE = [
 
 
 def bench_ivf_split(spark, sf_dir: str, timings: dict) -> None:
-    """IVF benched as its two real phases: index BUILD (train centroids —
-    amortized once per corpus) and QUERY (bucketed top-k against the
-    prebuilt index). The combined ann_ivf_topk entry hides which phase a
-    regression lands in (VERDICT r1 next-9)."""
+    """IVF benched as its two real phases: index BUILD (train centroids +
+    assign every corpus row to its bucket — amortized once per corpus) and
+    QUERY (probed-bucket top-k against the prebuilt index; the corpus is
+    never rescanned per query batch — VERDICT r2 §wrong 1)."""
     from pyspark.sql import functions as F
 
     from buskafkasparkstreaming_spark.operators import similarity as S
@@ -55,14 +55,17 @@ def bench_ivf_split(spark, sf_dir: str, timings: dict) -> None:
     emb = read_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
     centroids = S.train_ivf_centroids(emb, "embedding", nlist=50)
-    cent_rows = centroids.collect()  # materialize = the build cost
+    cent_rows = centroids.collect()
+    cent = spark.createDataFrame(cent_rows, centroids.schema)
+    index = S.build_ivf_index(emb, cent, "vec_id", "embedding").persist()
+    index.count()  # materialize centroids + corpus assignment = build cost
     timings["ann_ivf_build"] = round(time.perf_counter() - t0, 3)
 
-    cent = spark.createDataFrame(cent_rows, centroids.schema)
     qs = emb.filter(F.col("vec_id") < 10)
     t0 = time.perf_counter()
-    S.ivf_cosine_topk(qs, emb, cent, "vec_id", "vec_id", k=5, nprobe=2).count()
+    S.ivf_query_topk(qs, index, cent, "vec_id", k=5, nprobe=2).count()
     timings["ann_ivf_query"] = round(time.perf_counter() - t0, 3)
+    index.unpersist()
 
 
 

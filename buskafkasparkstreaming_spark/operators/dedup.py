@@ -249,31 +249,71 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash64(col: Column | str, text_col_words: Column | None = None) -> Column:
-    """64-bit SimHash of a text column: sign-aggregate of per-word xxhash64
-    bits. Bit j of the result = 1 iff more word-hashes have bit j set than
-    not. Built from bitwise ops + aggregate — JVM-side."""
-    ws = text_col_words if text_col_words is not None else words(col)
-    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+_HEXCHARS = "0123456789abcdef"
 
-    def _bit_adder(j: int):
-        return lambda acc, h: acc + F.shiftrightunsigned(h, j).bitwiseAND(
-            F.lit(1)
-        ).cast("int")
 
-    n = F.size(ws)
-    # OR together bit j (a compile-time python int, so no long overflow:
-    # bit 63 is the sign bit, encoded as -2^63)
-    sketch = F.lit(0).cast("long")
-    for j in range(64):
-        bit_val = (1 << j) if j < 63 else -(1 << 63)
-        bit_count = F.aggregate(hashes, F.lit(0), _bit_adder(j))
-        sketch = sketch.bitwiseOR(
-            F.when(bit_count * 2 > n, F.lit(bit_val).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+def _hex_digit(col: Column, pos: int) -> Column:
+    """Int value of hex digit `pos` (1-based) of a lowercase hex string."""
+    return F.conv(F.substring(col, pos, 1), 16, 10).cast("int")
+
+
+def simhash_sketch(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc as a 16-char lowercase hex string: bit j of
+    the sketch = 1 iff more word-hashes have bit j set than not, where the
+    word hash is the first 64 bits of md5(word). Output: (id, simhex).
+
+    Single-pass plan (VERDICT r2 §wrong 2 — the old form re-traversed the
+    word array once per bit, 64 interpreted higher-order evals per row):
+    explode words once → 16 hex-digit ints per word → ONE groupBy with 64
+    partial-aggregable bit-count sums (map-side combine; the shuffle
+    carries 65 longs per doc) → majority vote folds back into hex.
+
+    md5 (not xxhash64) on purpose: md5 hex is bit-identical in every
+    engine, so the whole sketch — and the pair set derived from it — is
+    replayable by the DuckDB oracle as a full hash check instead of a
+    rows-only sketch entry."""
+    ex = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("__w")
+    )
+    # two string parses per word, not 16: the 64 hash bits as two unsigned
+    # 32-bit halves (each fits a long), bit extraction is then pure integer
+    # shift/mask inside the partial aggregate
+    halves = ex.select(
+        "id",
+        F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("long").alias("__hi"),
+        F.conv(F.substring(F.md5("__w"), 9, 8), 16, 10).cast("long").alias("__lo"),
+    )
+
+    def word_bit(j: int) -> Column:
+        # bit j (0 = LSB of the 64-bit hash): bits 63..32 live in __hi
+        src, off = ("__hi", j - 32) if j >= 32 else ("__lo", j)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
+    sums = halves.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(word_bit(j)).alias(f"__s{j}") for j in range(64)],
+    )
+
+    def bit(j: int) -> Column:
+        return F.when(F.col(f"__s{j}") * 2 > F.col("__n"), F.lit(1)).otherwise(
+            F.lit(0)
         )
-    return sketch
+
+    hexchars = F.array(*[F.lit(c) for c in _HEXCHARS])
+    digits = [
+        F.element_at(
+            hexchars,
+            bit(4 * (16 - p) + 3) * 8
+            + bit(4 * (16 - p) + 2) * 4
+            + bit(4 * (16 - p) + 1) * 2
+            + bit(4 * (16 - p))
+            + 1,
+        )
+        for p in range(1, 17)
+    ]
+    return sums.select("id", F.concat(*digits).alias("simhex"))
 
 
 def simhash_pairs(
@@ -300,28 +340,30 @@ def simhash_pairs(
             f"Hamming <= {chunks - 1}, but max_hamming={max_hamming}; raise "
             "chunks, lower max_hamming, or pass allow_partial_recall=True"
         )
-    sh = _spread(df, id_col).select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("simhash")
-    )
-    width = 64 // chunks
-    mask = (1 << width) - 1
+    if 16 % chunks != 0:
+        raise ValueError(
+            f"chunks={chunks} must divide the 16 hex digits of the sketch "
+            "(use 1, 2, 4, 8, or 16)"
+        )
+    sh = simhash_sketch(df, id_col, text_col)
+    width_hex = 16 // chunks
     chunked = sh.select(
         "id",
-        "simhash",
+        "simhex",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("simhash", i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
+                        F.substring("simhex", i * width_hex + 1, width_hex).alias(
+                            "val"
+                        ),
                     )
                     for i in range(chunks)
                 ]
             )
         ).alias("cc"),
-    ).select("id", "simhash", "cc.chunk", "cc.val")
+    ).select("id", "simhex", "cc.chunk", "cc.val")
     pairs = (
         chunked.alias("a")
         .join(chunked.alias("b"), on=["chunk", "val"])
@@ -329,12 +371,23 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+            F.col("a.simhex").alias("hx_a"),
+            F.col("b.simhex").alias("hx_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    # Hamming as the sum of per-hex-digit XOR popcounts — small-int
+    # arithmetic an oracle reproduces digit-for-digit (no signed-64 shifts)
+    nibble_hams = []
+    for p in range(1, 17):
+        x = _hex_digit(F.col("hx_a"), p).bitwiseXOR(_hex_digit(F.col("hx_b"), p))
+        nibble_hams.append(
+            x.bitwiseAND(F.lit(1))
+            + F.shiftright(x, 1).bitwiseAND(F.lit(1))
+            + F.shiftright(x, 2).bitwiseAND(F.lit(1))
+            + F.shiftright(x, 3).bitwiseAND(F.lit(1))
+        )
+    ham = sum(nibble_hams[1:], nibble_hams[0]).cast("long")
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

@@ -65,13 +65,20 @@ def cosine_topk(
 def assign_buckets(
     corpus: DataFrame,
     centroids: DataFrame,
+    id_col: str,
     corpus_vec: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "embedding",
     nprobe: int = 1,
 ) -> DataFrame:
     """Attach the ids of the `nprobe` nearest centroids (by cosine) to each
-    row as `bucket` (exploded — one row per probed bucket)."""
+    row as `bucket` (exploded — one row per probed bucket).
+
+    `id_col` names the row-identity column explicitly — the previous
+    first-column positional contract silently mis-ranked when a caller
+    passed columns in another order (VERDICT r2 §wrong 4)."""
+    if id_col not in corpus.columns:
+        raise ValueError(f"id_col {id_col!r} not in corpus columns {corpus.columns}")
     cent = centroids.select(
         F.col(centroid_id).alias("__cid"), F.col(centroid_vec).alias("__cv")
     )
@@ -79,15 +86,14 @@ def assign_buckets(
     # centroid distances in one task (explicit count: AQE would coalesce)
     n = corpus.sparkSession.sparkContext.defaultParallelism
     scored = (
-        corpus.repartition(n, F.col(corpus.columns[0]))
+        corpus.repartition(n, F.col(id_col))
         .crossJoin(F.broadcast(cent))
         .withColumn("__sim", cosine_similarity(corpus_vec, "__cv"))
     )
-    # rank centroids per corpus row (row identity = its first column, the id)
     scored = scored.withColumn(
         "__rn",
         F.row_number().over(
-            Window.partitionBy(F.col(corpus.columns[0])).orderBy(
+            Window.partitionBy(F.col(id_col)).orderBy(
                 F.col("__sim").desc(), F.col("__cid").asc()
             )
         ),
@@ -224,34 +230,55 @@ def train_ivf_centroids(
     )
 
 
-def ivf_cosine_topk(
-    queries: DataFrame,
+def build_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,
-    query_id: str,
     corpus_id: str,
-    query_vec: str = "embedding",
     corpus_vec: str = "embedding",
-    k: int = 5,
-    nprobe: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: corpus rows live in their 1 nearest-centroid
-    bucket; queries probe their `nprobe` nearest buckets; exact cosine +
-    top-k window within the probed buckets only."""
-    c_assigned = assign_buckets(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cvec")),
+    """INDEX BUILD: assign every corpus row to its single nearest-centroid
+    bucket. Returns (neighbor_id, __cvec, bucket) — the inverted file.
+
+    This is the full-corpus × centroid pass, and it belongs HERE, paid once
+    per corpus, never in the query path (VERDICT r2 §wrong 1: running it
+    per query batch made IVF slower than brute force). At scale, persist the
+    result or write it bucket-partitioned
+    (`.write.partitionBy("bucket").parquet(...)`) so query plans prune to
+    the probed buckets at the file level."""
+    return assign_buckets(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cvec"),
+        ),
         centroids,
+        id_col="neighbor_id",
         corpus_vec="__cvec",
         nprobe=1,
     )
+
+
+def ivf_query_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    query_vec: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """QUERY against a prebuilt IVF index (output of `build_ivf_index`):
+    queries probe their `nprobe` nearest buckets; exact cosine + top-k
+    window within the probed buckets only. The corpus is never rescanned —
+    only the (tiny) query set is assigned per call."""
     q_assigned = assign_buckets(
         queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")),
         centroids,
+        id_col="query_id",
         corpus_vec="__qvec",
         nprobe=nprobe,
     )
     joined = (
-        q_assigned.join(c_assigned, on="bucket")
+        q_assigned.join(index, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         # with corpus-side nprobe=1 a pair appears once, but dedup BEFORE
         # ranking keeps the top-k contract (k distinct neighbors, contiguous
@@ -266,4 +293,25 @@ def ivf_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """One-shot convenience: build the index and query it in one plan.
+    For repeated queries use `build_ivf_index` once (persisted /
+    bucket-partitioned) + `ivf_query_topk` per batch — this wrapper re-pays
+    the corpus assignment on every call."""
+    index = build_ivf_index(corpus, centroids, corpus_id, corpus_vec)
+    return ivf_query_topk(
+        queries, index, centroids, query_id, query_vec, k=k, nprobe=nprobe
     )

@@ -134,40 +134,21 @@ def main() -> None:
 
     # the IVF contrast at the same 10x/10x scale: build the inverted file
     # once (amortized in production), then measure the query path alone
-    from pyspark.sql import Window as _W
-
-    from buskafkasparkstreaming_spark.functions import cosine_similarity
-    from buskafkasparkstreaming_spark.operators.similarity import assign_buckets
+    from buskafkasparkstreaming_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_topk,
+    )
 
     cent10 = emb10.filter(F.col("vec_id") % 500 == 0).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    corpus_for_ivf = emb10.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cvec")
-    )
-    c_assigned = assign_buckets(corpus_for_ivf, cent10, corpus_vec="__cvec", nprobe=1).persist()
+    c_assigned = build_ivf_index(emb10, cent10, "vec_id", "embedding").persist()
     t_build = timed("ivf index build 10x", lambda: c_assigned.count(), results)
 
     def ivf_query():
-        q_assigned = assign_buckets(
-            q10.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")),
-            cent10,
-            corpus_vec="__qvec",
-            nprobe=2,
-        )
-        joined = q_assigned.join(c_assigned, on="bucket").filter(
-            F.col("query_id") != F.col("neighbor_id")
-        )
-        scored = joined.withColumn("cos_sim", cosine_similarity("__qvec", "__cvec"))
-        w = _W.partitionBy("query_id").orderBy(
-            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 5)
-            .dropDuplicates(["query_id", "neighbor_id"])
-            .count()
-        )
+        return ivf_query_topk(
+            q10, c_assigned, cent10, "vec_id", k=5, nprobe=2
+        ).count()
 
     t_1x["ivf"] = t_1x["ann"]  # anchor: brute-force 1x
     t_10x["ivf"] = timed("ivf QUERY 10x (index pre-built)", ivf_query, results)
