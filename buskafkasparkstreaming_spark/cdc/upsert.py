@@ -31,6 +31,130 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+#: characters Spark/Hive percent-escape in partition directory names
+#: (ExternalCatalogUtils.escapePathName / Hive FileUtils.charToEscape)
+_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def partition_dirname(col: str, val) -> str:
+    """The directory name Spark writes for partition value `val` — including
+    percent-escaping of special characters and the null sentinel. Comparing
+    raw f'{col}={val}' against listdir output silently misses escaped values
+    and nulls, so emptied partitions were never cleaned (ADVICE r2, low)."""
+    if val is None:
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    s = str(val)
+    escaped = "".join(
+        f"%{ord(c):02X}" if c in _ESCAPED_CHARS else c for c in s
+    )
+    return f"{col}={escaped}"
+
+
+class LocalFSCommitter:
+    """Atomic-publish commit for a local-filesystem table directory.
+
+    Protocol (single-writer; the reference deployment is a single streaming
+    driver, 01-setup-ec-vm.md:284): the caller stages a complete new
+    file/partition set, then `commit()`:
+
+      0. write a WRITE-AHEAD MANIFEST (`.bss_commit_<txn>.json`) listing
+         every planned move — published only after staging is complete;
+      1. move each to-be-replaced live entry ASIDE into a trash dir
+         (rename, not delete);
+      2. rename staged entries into place;
+      3. remove the manifest, then delete the trash.
+
+    Rename is the ONLY step that touches live data; nothing is deleted
+    until its replacement is in place (round 2 deleted old partitions
+    before renaming staged ones in — a crash in that window emptied the
+    table and a retry could then lose all prior rows; ADVICE r2, medium).
+    A crash at any point is recovered by `recover()` (called before every
+    read/merge): a manifest on disk means staging was complete, so the
+    commit ROLLS FORWARD idempotently; staging/trash leftovers without a
+    manifest are pre-publish garbage and are dropped.
+
+    Object stores have no atomic rename — an S3 committer implements the
+    same interface with write-to-unique-keys + a last-wins manifest object
+    (readers resolve the manifest, never list) and deferred GC of
+    superseded keys; see SCALE.md. The manifest also closes the
+    reader-visible mixed-state window: readers that resolve file sets via
+    the manifest see either the old or the new set, never a mix.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def _manifests(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(self.path)
+            if n.startswith(".bss_commit_") and n.endswith(".json")
+        )
+
+    def commit(
+        self, staging: str, staged: list[str], emptied: list[str]
+    ) -> None:
+        """Publish `staged` entry names from `staging` into the table dir,
+        removing `emptied` live entries (replaced or fully tombstoned)."""
+        txn = os.path.basename(staging).rsplit("_", 1)[-1]
+        manifest = os.path.join(self.path, f".bss_commit_{txn}.json")
+        plan = {
+            "staging": os.path.basename(staging),
+            "trash": f".bss_trash_{txn}",
+            "staged": sorted(staged),
+            "emptied": sorted(emptied),
+        }
+        tmp = manifest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(plan, fh)
+        os.rename(tmp, manifest)  # the commit point
+        self._roll_forward(manifest, plan)
+
+    def recover(self) -> None:
+        """Roll forward any interrupted commit; drop pre-publish garbage."""
+        manifests = self._manifests()
+        for name in manifests:
+            manifest = os.path.join(self.path, name)
+            with open(manifest, encoding="utf-8") as fh:
+                plan = json.load(fh)
+            self._roll_forward(manifest, plan)
+        if os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                # staging/trash without a manifest: never-published leftovers
+                if name.startswith((".bss_staging_", ".bss_trash_")):
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+    def _roll_forward(self, manifest: str, plan: dict) -> None:
+        staging = os.path.join(self.path, plan["staging"])
+        trash = os.path.join(self.path, plan["trash"])
+        os.makedirs(trash, exist_ok=True)
+        # phase A: move every to-be-replaced live entry aside (rename only)
+        for name in plan["staged"] + plan["emptied"]:
+            live = os.path.join(self.path, name)
+            in_staging = os.path.join(staging, name)
+            # a staged entry already placed (crash mid-phase-B) must not be
+            # re-moved to trash on recovery — only move live aside while its
+            # replacement still waits in staging (or it is being emptied)
+            if os.path.exists(live) and (
+                name in plan["emptied"] or os.path.exists(in_staging)
+            ):
+                dst = os.path.join(trash, name)
+                if os.path.exists(dst):  # rerun after crash mid-rename loop
+                    shutil.rmtree(live, ignore_errors=True)
+                else:
+                    os.rename(live, dst)
+        # phase B: publish staged entries
+        for name in plan["staged"]:
+            in_staging = os.path.join(staging, name)
+            if os.path.exists(in_staging):
+                os.rename(in_staging, os.path.join(self.path, name))
+        # phase C: retire the manifest, then the trash + staging remains
+        os.remove(manifest)
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+
 
 def latest_state(
     df: DataFrame,
@@ -92,9 +216,11 @@ class UpsertTable:
         self.precombine_col = precombine_col
         self.partition_col = partition_col
         self.tiebreak_cols = tiebreak_cols or []
+        self.committer = LocalFSCommitter(path)
 
     # -- read ----------------------------------------------------------------
     def exists(self) -> bool:
+        self.committer.recover()
         return os.path.exists(self.path) and any(
             not n.startswith(("_", ".")) for n in os.listdir(self.path)
         )
@@ -165,64 +291,48 @@ class UpsertTable:
             delete_col="__deleted",
         ).drop("__deleted", "__gen")
 
-        # Commit protocol: write the merged partitions into a fresh
-        # dot-prefixed staging directory (invisible to parquet readers),
-        # then swap each partition directory into place with a rename —
-        # the write-to-new-files + atomic-publish pattern Hudi's timeline /
-        # Delta's log implement. The staging write streams FROM the old
-        # files TO new ones, so no plan ever overwrites its own input (the
-        # old localCheckpoint lineage-break — which materialized the whole
-        # merged state in executor-local storage — is gone), and nothing
-        # depends on spark.sql.sources.partitionOverwriteMode, so a
-        # host-built session with the 'static' default can't truncate the
-        # table. A merge that dies mid-swap is safe to retry: re-merging
-        # the same batch is idempotent under the precombine property.
-        # (Multi-writer coordination would need a real commit log on top;
-        # single-writer matches the reference deployment.)
+        # Commit: write the merged partitions into a fresh dot-prefixed
+        # staging directory (invisible to parquet readers — the write
+        # streams FROM the old files TO new ones, so no plan overwrites its
+        # own input, and nothing depends on
+        # spark.sql.sources.partitionOverwriteMode), then publish through
+        # the write-ahead-manifest committer: old entries are renamed aside
+        # to a trash dir, staged entries renamed in, trash deleted LAST —
+        # a crash anywhere is rolled forward from the manifest on the next
+        # read/merge, so no window exists in which prior rows are deleted
+        # but their replacement is not yet in place (ADVICE r2, medium).
         staging = os.path.join(self.path, f".bss_staging_{uuid.uuid4().hex[:12]}")
         writer = merged.write.mode("overwrite")
         if self.partition_col is not None:
             writer = writer.partitionBy(self.partition_col)
         writer.parquet(staging)
 
-        try:
-            if self.partition_col is not None:
-                surviving = set()
-                for name in os.listdir(staging):
-                    if name.startswith((".", "_")):
-                        continue  # _SUCCESS etc.
-                    surviving.add(name)
-                    target = os.path.join(self.path, name)
-                    if os.path.isdir(target):
-                        shutil.rmtree(target)
-                    os.rename(os.path.join(staging, name), target)
-                # a touched partition whose rows were ALL tombstoned writes
-                # no staging dir — drop its old files explicitly (mirrors
-                # Hudi removing an emptied file group)
-                for val in touched or []:
-                    name = f"{self.partition_col}={val}"
-                    if name not in surviving:
-                        part_dir = os.path.join(self.path, name)
-                        if os.path.isdir(part_dir):
-                            shutil.rmtree(part_dir, ignore_errors=True)
-            else:
-                stage_base = os.path.basename(staging)
-                for name in os.listdir(self.path):
-                    if name.startswith((".", "_")) or name == stage_base:
-                        continue
-                    target = os.path.join(self.path, name)
-                    if os.path.isdir(target):
-                        shutil.rmtree(target)
-                    else:
-                        os.remove(target)
-                for name in os.listdir(staging):
-                    if name.startswith("."):
-                        continue
-                    os.rename(
-                        os.path.join(staging, name), os.path.join(self.path, name)
-                    )
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        if self.partition_col is not None:
+            staged = [
+                n for n in os.listdir(staging) if not n.startswith((".", "_"))
+            ]
+            # a touched partition whose rows were ALL tombstoned writes no
+            # staging dir — remove its old files (mirrors Hudi removing an
+            # emptied file group); dir names use Spark's percent-escaping
+            # so special characters and nulls match what is on disk
+            staged_set = set(staged)
+            emptied = [
+                name
+                for name in (
+                    partition_dirname(self.partition_col, v) for v in touched or []
+                )
+                if name not in staged_set
+                and os.path.exists(os.path.join(self.path, name))
+            ]
+        else:
+            staged = [n for n in os.listdir(staging) if not n.startswith(".")]
+            staged_set = set(staged)
+            emptied = [
+                n
+                for n in os.listdir(self.path)
+                if not n.startswith((".", "_")) and n not in staged_set
+            ]
+        self.committer.commit(staging, staged, emptied)
 
         with open(self._schema_sidecar, "w", encoding="utf-8") as fh:
             json.dump(merged.schema.jsonValue(), fh)

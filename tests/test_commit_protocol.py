@@ -1,0 +1,187 @@
+"""Commit-protocol safety: a crash at ANY point inside the staged-swap
+must never lose rows that were not replaced — the manifest rolls the
+commit forward on the next open (ADVICE r2: the old protocol deleted old
+partitions before renaming staged ones in, so a crash in that window
+emptied the table and a retried merge then lost all prior rows)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from buskafkasparkstreaming_spark.cdc.upsert import (
+    LocalFSCommitter,
+    UpsertTable,
+    partition_dirname,
+)
+
+
+def _write(path: str, content: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(content)
+
+
+def _read(path: str) -> str:
+    with open(path, encoding="utf-8") as fh:
+        return fh.read()
+
+
+def _manifest(table: str, txn: str, staged, emptied) -> str:
+    plan = {
+        "staging": f".bss_staging_{txn}",
+        "trash": f".bss_trash_{txn}",
+        "staged": sorted(staged),
+        "emptied": sorted(emptied),
+    }
+    p = os.path.join(table, f".bss_commit_{txn}.json")
+    _write(p, json.dumps(plan))
+    return p
+
+
+def test_recover_rolls_forward_from_manifest(tmp_path):
+    """Crash right after the manifest was published (nothing moved yet):
+    recovery must finish the swap — replaced entry updated, emptied entry
+    removed, untouched entry intact, no staging/trash/manifest left."""
+    table = str(tmp_path / "tbl")
+    _write(os.path.join(table, "k=1", "part-0.parquet"), "old-1")
+    _write(os.path.join(table, "k=2", "part-0.parquet"), "old-2")
+    _write(os.path.join(table, "k=3", "part-0.parquet"), "old-3")
+    _write(os.path.join(table, ".bss_staging_t1", "k=1", "part-1.parquet"), "new-1")
+    _manifest(table, "t1", staged=["k=1"], emptied=["k=2"])
+
+    LocalFSCommitter(table).recover()
+
+    assert _read(os.path.join(table, "k=1", "part-1.parquet")) == "new-1"
+    assert not os.path.exists(os.path.join(table, "k=1", "part-0.parquet"))
+    assert not os.path.exists(os.path.join(table, "k=2"))
+    assert _read(os.path.join(table, "k=3", "part-0.parquet")) == "old-3"
+    leftovers = [n for n in os.listdir(table) if n.startswith(".bss_")]
+    assert leftovers == []
+
+
+def test_recover_after_crash_mid_phases(tmp_path):
+    """Crash after the old entry was moved to trash but before the staged
+    entry was renamed in (the exact window that used to empty the table):
+    the staged data still exists, so recovery publishes it."""
+    table = str(tmp_path / "tbl")
+    _write(os.path.join(table, "k=3", "part-0.parquet"), "old-3")
+    # k=1's old dir already moved to trash; staged replacement not yet in
+    _write(os.path.join(table, ".bss_trash_t2", "k=1", "part-0.parquet"), "old-1")
+    _write(os.path.join(table, ".bss_staging_t2", "k=1", "part-1.parquet"), "new-1")
+    _manifest(table, "t2", staged=["k=1"], emptied=[])
+
+    LocalFSCommitter(table).recover()
+
+    assert _read(os.path.join(table, "k=1", "part-1.parquet")) == "new-1"
+    assert _read(os.path.join(table, "k=3", "part-0.parquet")) == "old-3"
+    assert [n for n in os.listdir(table) if n.startswith(".bss_")] == []
+
+
+def test_recover_is_idempotent_after_completion(tmp_path):
+    """Crash after the staged entry was placed but before the manifest was
+    retired: recovery must NOT move the freshly published entry to trash."""
+    table = str(tmp_path / "tbl")
+    _write(os.path.join(table, "k=1", "part-1.parquet"), "new-1")  # already in
+    os.makedirs(os.path.join(table, ".bss_staging_t3"))  # staged already moved out
+    _manifest(table, "t3", staged=["k=1"], emptied=[])
+
+    LocalFSCommitter(table).recover()
+    assert _read(os.path.join(table, "k=1", "part-1.parquet")) == "new-1"
+    assert [n for n in os.listdir(table) if n.startswith(".bss_")] == []
+
+
+def test_pre_publish_garbage_is_dropped(tmp_path):
+    """Staging without a manifest = writer died before the commit point:
+    the table must be left exactly as it was."""
+    table = str(tmp_path / "tbl")
+    _write(os.path.join(table, "k=1", "part-0.parquet"), "old-1")
+    _write(os.path.join(table, ".bss_staging_dead", "k=1", "part-9.parquet"), "x")
+
+    LocalFSCommitter(table).recover()
+    assert _read(os.path.join(table, "k=1", "part-0.parquet")) == "old-1"
+    assert [n for n in os.listdir(table) if n.startswith(".bss_")] == []
+
+
+def test_partition_dirname_escaping():
+    assert partition_dirname("k", 7) == "k=7"
+    assert partition_dirname("k", "a:b") == "k=a%3Ab"
+    assert partition_dirname("k", "x=y") == "k=x%3Dy"
+    assert partition_dirname("k", None) == "k=__HIVE_DEFAULT_PARTITION__"
+
+
+def test_tombstoned_escaped_partition_is_cleaned(spark, tmp_path):
+    """A partition whose value needs percent-escaping must still have its
+    directory removed when every row in it is tombstoned — the old raw
+    f'{col}={val}' comparison never matched the escaped on-disk name, so
+    deleted keys resurrected on read (ADVICE r2, low)."""
+    path = str(tmp_path / "tbl")
+    table = UpsertTable(
+        spark, path, key_cols="rid", precombine_col="et", partition_col="route"
+    )
+    df = spark.createDataFrame(
+        [(1, "a:b", 10, False), (2, "plain", 10, False)],
+        "rid int, route string, et int, _del boolean",
+    )
+    table.merge(df, delete_col="_del")
+    assert os.path.isdir(os.path.join(path, "route=a%3Ab"))
+
+    tomb = spark.createDataFrame(
+        [(1, "a:b", 20, True)], "rid int, route string, et int, _del boolean"
+    )
+    table.merge(tomb, delete_col="_del")
+    assert not os.path.exists(os.path.join(path, "route=a%3Ab"))
+    got = {r["rid"] for r in table.read().collect()}
+    assert got == {2}
+
+
+def test_merge_crash_then_retry_loses_nothing(spark, tmp_path, monkeypatch):
+    """Kill the writer inside the publish phase (os.rename raises after the
+    first call), then re-open and re-merge the same batch: every pre-crash
+    row not replaced by the batch must survive."""
+    import buskafkasparkstreaming_spark.cdc.upsert as U
+
+    path = str(tmp_path / "tbl")
+    table = UpsertTable(
+        spark, path, key_cols="rid", precombine_col="et", partition_col="route"
+    )
+    base = spark.createDataFrame(
+        [(1, 1, 10, 100, False), (2, 2, 20, 100, False), (3, 3, 30, 100, False)],
+        "rid int, route int, kph int, et int, _del boolean",
+    )
+    table.merge(base, delete_col="_del")
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        # let the manifest publish (the .tmp -> .json rename), then die on
+        # the first live-data rename
+        if ".bss_commit_" not in dst:
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise OSError("simulated crash mid-commit")
+        return real_rename(src, dst)
+
+    batch = spark.createDataFrame(
+        [(1, 1, 11, 200, False), (2, 2, 21, 200, False)],
+        "rid int, route int, kph int, et int, _del boolean",
+    )
+    monkeypatch.setattr(U.os, "rename", flaky_rename)
+    try:
+        table.merge(batch, delete_col="_del")
+        crashed = False
+    except OSError:
+        crashed = True
+    monkeypatch.setattr(U.os, "rename", real_rename)
+    assert crashed, "simulated crash did not fire"
+
+    # fresh writer (simulates restart) retries the same batch
+    table2 = UpsertTable(
+        spark, path, key_cols="rid", precombine_col="et", partition_col="route"
+    )
+    table2.merge(batch, delete_col="_del")
+    got = {r["rid"]: (r["kph"], r["et"]) for r in table2.read().collect()}
+    assert got == {1: (11, 200), 2: (21, 200), 3: (30, 100)}
