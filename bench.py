@@ -76,9 +76,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    # warm the JVM/codegen paths once on the smallest SF so per-query times
-    # measure the plan, not first-call JIT
-    queries["q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+    # warm EVERY headline query (and the IVF split) once AT THE TARGET SF:
+    # each distinct physical plan pays whole-stage-codegen compile on first
+    # run (measured up to ~9 s for the widest aggregate pipelines), and AQE
+    # picks different join strategies per scale factor, so a smaller-SF
+    # warm-up does not compile the shapes the timed run executes. The
+    # reported numbers are therefore steady-state plan executions — the
+    # quantity that tracks regressions across rounds (VERDICT r2 next-7);
+    # compile is a one-time cost amortized over a production session.
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).count()
+    bench_ivf_split(spark, sf_dir, {})
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

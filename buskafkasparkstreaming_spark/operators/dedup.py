@@ -446,7 +446,16 @@ def connected_components(
     The fixpoint is unique (component-wide min), so the result is
     deterministic and oracle-checkable. Nodes that appear in no pair are
     absent — callers left-join and coalesce to the node's own id.
+
+    The RETURNED DataFrame is persisted (its lineage would otherwise
+    replay every iteration); long-lived drivers should call
+    `.unpersist()` once the result is materialized downstream. If the
+    loop exhausts `max_iter` before the fixpoint, labels may be
+    partially merged — a UserWarning is raised (with path halving,
+    25 rounds cover components of diameter ~2^25; hitting the warning
+    means the edge set is pathological, so raise `max_iter`).
     """
+    import warnings
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -459,6 +468,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist()
     )
+    converged = False
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -486,8 +496,17 @@ def connected_components(
             labels.unpersist()
             labels = jumped
             if changed == 0:
+                converged = True
                 break
-        # result stays cached: one (node, comp) row per node, bounded
+        if not converged:
+            warnings.warn(
+                f"connected_components exhausted max_iter={max_iter} before "
+                "the fixpoint — returned components may be partially merged; "
+                "raise max_iter",
+                stacklevel=2,
+            )
+        # result stays cached: one (node, comp) row per node, bounded;
+        # callers unpersist after materializing downstream
         return labels
     finally:
         edges.unpersist()

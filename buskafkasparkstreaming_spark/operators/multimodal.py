@@ -72,8 +72,20 @@ def _make_header_parser():
             w, h = struct.unpack(">II", payload[16:24])
             return ("image/png", w, h)
         if len(payload) >= 26 and payload[:2] == b"BM":
-            w, h = struct.unpack("<ii", payload[18:26])
-            return ("image/bmp", w, abs(h))  # negative height = top-down DIB
+            # validate the DIB header before trusting the 2-byte magic —
+            # arbitrary (e.g. text) payloads starting with 'BM' must not
+            # parse as images with garbage dimensions. Header size at
+            # offset 14 must be a known DIB variant and dims plausible.
+            (dib,) = struct.unpack("<I", payload[14:18])
+            if dib == 12:  # BITMAPCOREHEADER: 16-bit unsigned dims
+                w, h = struct.unpack("<HH", payload[18:22])
+                if w > 0 and h > 0:
+                    return ("image/bmp", w, h)
+            elif dib in (40, 52, 56, 64, 108, 124):
+                w, h = struct.unpack("<ii", payload[18:26])
+                # negative height = top-down DIB
+                if 0 < w <= 1_000_000 and h != 0 and abs(h) <= 1_000_000:
+                    return ("image/bmp", w, abs(h))
         if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", payload[6:10])
             return ("image/gif", w, h)

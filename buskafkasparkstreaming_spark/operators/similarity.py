@@ -265,11 +265,18 @@ def ivf_query_topk(
     query_vec: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    index_nprobe: int = 1,
 ) -> DataFrame:
     """QUERY against a prebuilt IVF index (output of `build_ivf_index`):
     queries probe their `nprobe` nearest buckets; exact cosine + top-k
     window within the probed buckets only. The corpus is never rescanned —
-    only the (tiny) query set is assigned per call."""
+    only the (tiny) query set is assigned per call.
+
+    `index_nprobe` is the nprobe the index was BUILT with: with the
+    standard single-bucket assignment (1, what build_ivf_index does) a
+    (query, neighbor) pair can only meet in one bucket, so the pair-dedup
+    exchange is skipped; a multi-probed index needs it to keep the top-k
+    contract (k distinct neighbors, contiguous ranks)."""
     q_assigned = assign_buckets(
         queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")),
         centroids,
@@ -277,14 +284,11 @@ def ivf_query_topk(
         corpus_vec="__qvec",
         nprobe=nprobe,
     )
-    joined = (
-        q_assigned.join(index, on="bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        # with corpus-side nprobe=1 a pair appears once, but dedup BEFORE
-        # ranking keeps the top-k contract (k distinct neighbors, contiguous
-        # ranks) correct if the corpus assignment ever probes >1 bucket
-        .dropDuplicates(["query_id", "neighbor_id"])
+    joined = q_assigned.join(index, on="bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
+    if index_nprobe > 1:
+        joined = joined.dropDuplicates(["query_id", "neighbor_id"])
     scored = joined.withColumn("cos_sim", cosine_similarity("__qvec", "__cvec"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -146,6 +146,11 @@ def test_image_header_parse():
     )
     assert parse_image_header(jpeg) == ("image/jpeg", 640, 480)
     assert parse_image_header(b"plain text payload") is None
+    # 2-byte 'BM' magic alone must not be trusted: a text payload starting
+    # with BM has no valid DIB header size at offset 14
+    assert parse_image_header(b"BMW dealerships reported record sales") is None
+    core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 100, 50)
+    assert parse_image_header(core + b"\x00" * 8) == ("image/bmp", 100, 50)
     # _real_decode: header-tier decode works without any codec library
     d = _real_decode(_png(1920, 1080))
     assert (d["mime"], d["width"], d["height"]) == ("image/png", 1920, 1080)
@@ -204,6 +209,26 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert centroids.collect() == again.collect()
     # every approx result must be a genuinely computed cosine (sanity)
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in approx)
+
+
+def test_connected_components_chain_and_warning(spark):
+    import warnings
+
+    from buskafkasparkstreaming_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a int, id_b int"
+    )
+    out = connected_components(pairs)
+    got = {r["node"]: r["comp"] for r in out.collect()}
+    out.unpersist()
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # exhausting max_iter before the fixpoint must warn, not return silently
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out2 = connected_components(pairs, max_iter=0)
+        out2.unpersist()
+    assert any("max_iter" in str(w.message) for w in caught)
 
 
 def test_http_poller_spool(spark, tmp_path):
