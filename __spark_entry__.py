@@ -4,9 +4,11 @@
 relational (joins/aggs/windows/set-ops/scalar fns), the reference's CDC
 latest-state semantics, streaming window ops, and the north-star
 training-data operators (dedup family, similarity search, text analysis,
-multimodal columns). Each entry has a DuckDB `oracle_sql()` twin unless the
-op is not SQL-expressible (minhash/simhash/IVF/multimodal-decode — the
-driver records a weaker rows-only check for those).
+sampling/packing, multimodal columns). EVERY entry has a DuckDB
+`oracle_sql()` twin: operators whose sketches aren't SQL-expressible
+(minhash/IVF/winnowing) emit self-check formulations — the SQL-computable
+part of their contract plus pinned invariant booleans — and simhash's md5
+sketch is replayed in full.
 
 Column-name + dtype parity rules used throughout (the driver hash-compares
 after sorting columns by name): every computed column is aliased identically
@@ -29,6 +31,7 @@ from buskafkasparkstreaming_spark.cdc.upsert import latest_state
 from buskafkasparkstreaming_spark.operators import dedup as D
 from buskafkasparkstreaming_spark.operators import joins as J
 from buskafkasparkstreaming_spark.operators import multimodal as MM
+from buskafkasparkstreaming_spark.operators import packing as PK
 from buskafkasparkstreaming_spark.operators import sampling as SP
 from buskafkasparkstreaming_spark.operators import similarity as S
 from buskafkasparkstreaming_spark.operators import text as TX
@@ -961,6 +964,76 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.run_to_memory(joined, spark, output_mode="append")
 
 
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py): keep 30%
+    of 'en' docs, all 'fr'/'de', and 50% of every other language — the
+    corpus-rebalancing op of a training pipeline. Membership is a pure
+    md5(id:salt)-threshold function per stratum, so the oracle replays the
+    exact keep set in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SP.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.3, "fr": 1.0, "de": 1.0},
+        default_fraction=0.5,
+    )
+    return out.select("doc_id", "lang")
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py::redact_pii): sequential
+    email→phone→SSN regexp_replace chain; checked output is the redaction
+    count plus md5 of the cleaned text, so the oracle verifies the exact
+    byte-level result of the whole chain in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.redact_pii(docs)
+    return out.select(
+        "doc_id", "n_redactions", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches (operators/packing.py):
+    fixed-boundary bin assignment inside deterministic pack groups — one
+    window cumsum, parallel across groups, no global sort. The oracle
+    replays the identical cumsum in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = TX.with_token_count(docs)
+    out = PK.pack_token_budget(
+        with_tok, "doc_id", "n_words", budget=512, num_groups=32
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_tokens_used"),
+        "pack_group",
+        "bin_in_group",
+    )
+
+
+def streaming_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) as a FULL hash
+    check: the per-user running accumulator drained over one availableNow
+    micro-batch equals the batch GROUP BY — count, exact cents-summed
+    value, max event time. The value is pre-scaled to integer cents so the
+    Python-side float accumulation is order-independent (integer-valued
+    doubles < 2^53 add exactly), making the state output engine-equal.
+    This upgrades the stateful surface (streaming/state.py) from
+    pytest-only to driver-verified."""
+    from buskafkasparkstreaming_spark.streaming.state import running_per_user
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    cents = stream.withColumn("value", F.round(F.col("value") * 100))
+    out = running_per_user(cents)
+    res = SW.run_to_memory(out, spark, output_mode="update")
+    # the drain contains the accumulator's update emission AND (when the
+    # availableNow run triggers a trailing empty batch) the identical
+    # timeout flush — the checked projection is the distinct final state
+    return res.select(
+        "user_id",
+        "n_events",
+        (F.col("total_value") / 100.0).alias("total_value"),
+        F.col("last_ts").alias("last_ts"),
+    ).distinct()
+
+
 def dedup_rp_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection LSH blocking + exact cosine near-dup. The seeded
     hyperplanes are deterministic (random.Random(42)), so the oracle
@@ -1119,6 +1192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "ann_ivf_topk": ann_ivf_topk,
         "doc_winnow_sketch": doc_winnow_sketch,
+        # --- new in round 3 -----------------------------------------------
+        "streaming_stateful_running": streaming_stateful_running,
+        "sample_stratified_lang": sample_stratified_lang,
+        "text_pii_redact": text_pii_redact,
+        "pack_token_budget": pack_token_budget,
         # --- r02-verified, re-swept this round ----------------------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1640,6 +1718,53 @@ def oracle_sql() -> dict[str, str]:
                 FROM tf JOIN dfq ON tf.word = dfq.word CROSS JOIN n)
             WHERE rank <= 3
         """,
+        "sample_stratified_lang": """
+            -- thresholds: format(int(f * 2^32), '08x') for f in
+            -- {en: 0.3 -> 4ccccccc, fr/de: 1.0 -> ffffffff, other: 0.5 ->
+            -- 80000000}, mirroring operators/sampling.py::_hex_threshold
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8) AS h
+                FROM documents)
+            WHERE (lang = 'en' AND h < '4ccccccc')
+               OR (lang = 'fr' AND h < 'ffffffff')
+               OR (lang = 'de' AND h < 'ffffffff')
+               OR (lang NOT IN ('en', 'fr', 'de') AND h < '80000000')
+        """,
+        "text_pii_redact": f"""
+            -- sequential email -> phone -> ssn chain, counts taken on the
+            -- progressively cleaned text, mirroring redact_pii exactly
+            WITH s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{TX.PII_PATTERNS["email"]}')) AS c1,
+                       regexp_replace(text, '{TX.PII_PATTERNS["email"]}', '<email>', 'g') AS t1
+                FROM documents),
+            s2 AS (
+                SELECT doc_id, c1,
+                       len(regexp_extract_all(t1, '{TX.PII_PATTERNS["phone"]}')) AS c2,
+                       regexp_replace(t1, '{TX.PII_PATTERNS["phone"]}', '<phone>', 'g') AS t2
+                FROM s1),
+            s3 AS (
+                SELECT doc_id,
+                       c1 + c2 + len(regexp_extract_all(t2, '{TX.PII_PATTERNS["ssn"]}')) AS n_red,
+                       regexp_replace(t2, '{TX.PII_PATTERNS["ssn"]}', '<ssn>', 'g') AS t3
+                FROM s2)
+            SELECT doc_id, CAST(n_red AS BIGINT) AS n_redactions,
+                   md5(t3) AS clean_md5
+            FROM s3
+        """,
+        "pack_token_budget": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({WORDS}) AS BIGINT) AS n,
+                       CAST(doc_id % 32 AS BIGINT) AS g
+                FROM documents)
+            SELECT doc_id, n AS n_tokens_used, g AS pack_group,
+                   CAST((sum(n) OVER (PARTITION BY g ORDER BY doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n) // 512 AS BIGINT) AS bin_in_group
+            FROM t
+        """,
         "sample_split_labels": """
             SELECT doc_id,
                    CASE WHEN h < 'cccccccc' THEN 'train'
@@ -1833,6 +1958,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup_within_watermark": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_stateful_running": """
+            -- one availableNow micro-batch: the stateful accumulator's
+            -- update-mode drain equals the batch aggregate
+            SELECT user_id,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                       AS total_value,
+                   CAST(max(ts) AS TIMESTAMP) AS last_ts
+            FROM events GROUP BY user_id
         """,
         "streaming_tumbling_counts": """
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

@@ -41,6 +41,35 @@ def hash_sample(
     return df.filter(_bucket_hex(id_col, salt) < F.lit(_hex_threshold(fraction)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5(id:salt)
+    prefix clears the THRESHOLD OF ITS STRATUM — the standard rebalancing
+    op of a training-data pipeline (e.g. downsample boilerplate-heavy
+    languages, keep all rare ones). Row-local like hash_sample: no
+    shuffle, no RNG, membership a pure function of (id, stratum), so the
+    sample is reproducible at any scale and partitioning. Strata absent
+    from `fractions` use `default_fraction`."""
+    h = _bucket_hex(id_col, salt)
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = (F.col(strata_col) == F.lit(stratum)) & (
+            h < F.lit(_hex_threshold(frac))
+        )
+        expr = cond if expr is None else expr | cond
+    in_default = ~F.col(strata_col).isin(*fractions.keys()) & (
+        h < F.lit(_hex_threshold(default_fraction))
+    )
+    expr = in_default if expr is None else expr | in_default
+    return df.filter(expr)
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str,

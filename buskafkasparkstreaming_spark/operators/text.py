@@ -103,6 +103,32 @@ def winnowing_fingerprint(df: DataFrame, text_col: str = "text", window: int = 5
     return df.withColumn("winnow_sketch", F.slice(hs, 1, keep))
 
 
+#: PII patterns deliberately restricted to constructs with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+#: bounded repetition, alternation — no lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+",
+    "phone": "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """Scrub PII-shaped substrings (emails, phone numbers, SSNs) before a
+    corpus enters training — the compliance gate every LLM data pipeline
+    runs. Pure regexp_replace chains (JVM codegen, no Python); each match
+    is replaced with a typed sentinel so downstream can count/audit
+    redactions. Adds `out_col` plus `n_redactions`."""
+    cleaned = F.col(text_col)
+    n_red = F.lit(0)
+    for kind, pat in sorted(PII_PATTERNS.items()):
+        n_red = n_red + F.size(F.regexp_extract_all(cleaned, F.lit(pat), 0))
+        cleaned = F.regexp_replace(cleaned, pat, f"<{kind}>")
+    return df.withColumn("n_redactions", n_red.cast("long")).withColumn(
+        out_col, cleaned
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -15,9 +15,10 @@ from buskafkasparkstreaming_spark.plans import explain_str
 SHOWN = {
     "q3_shipping_priority": "dims broadcast, filters pushed to every scan, one agg shuffle",
     "q_asof_purchase_before_error": "as-of join = union + window: ONE hash exchange, no range probe",
-    "dedup_ngram_jaccard": "inverted-index equi-join on hashed shingles (no cartesian)",
+    "dedup_ngram_jaccard": "inverted-index equi-join on hashed shingles (no cartesian), df-capped via anti-join",
     "ann_cosine_topk": "queries broadcast; corpus never shuffles for scoring",
     "q1_pricing_summary": "partial+final hash agg, date filter pushed to parquet",
+    "dedup_simhash": "single-pass sketch: one explode + 64 partial-aggregable bit sums, pigeonhole chunk equi-join",
 }
 
 

@@ -216,6 +216,34 @@ def main() -> None:
         "flat at this scale; salting is the belt-and-suspenders for the",
         "aggregation-after-join case AQE can't split.",
         "",
+        "## Upsert commit at object-store scale",
+        "",
+        "`UpsertTable` publishes staged partition swaps through a committer",
+        "interface (`cdc/upsert.py::LocalFSCommitter`): a write-ahead manifest",
+        "is the commit point, old entries are renamed aside to trash, staged",
+        "entries renamed in, trash deleted LAST; an interrupted commit rolls",
+        "forward from the manifest on the next open. Rename is the only step",
+        "that touches live data, so no crash window can empty the table.",
+        "",
+        "The local committer's primitives (atomic dir rename, listdir) do not",
+        "exist on S3. The same interface maps to an object store as:",
+        "",
+        "* **stage**: write all new parquet objects under unique keys",
+        "  (`data/<txn>/part-...`), never overwriting;",
+        "* **commit point**: PUT a manifest object (`_manifests/<n>.json`)",
+        "  listing the complete live file set (last-wins; conditional-PUT /",
+        "  If-None-Match where available). Readers resolve the CURRENT",
+        "  manifest and read exactly the keys it lists — never ListObjects —",
+        "  so they see the old or the new file set, never a mix;",
+        "* **retire**: superseded data keys are garbage-collected later by",
+        "  manifest diff (deferred GC replaces the trash delete) — a crashed",
+        "  writer leaves only unreferenced keys.",
+        "",
+        "This is the Hudi-timeline / Delta-log / Iceberg-snapshot pattern the",
+        "reference delegated to Hudi (01-setup-ec-vm.md:273); swapping",
+        "`LocalFSCommitter` for an S3 manifest committer changes no merge",
+        "logic.",
+        "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALE.md"), "w") as fh:
         fh.write("\n".join(lines))
