@@ -252,11 +252,6 @@ def lsh_candidate_pairs(
 _HEXCHARS = "0123456789abcdef"
 
 
-def _hex_digit(col: Column, pos: int) -> Column:
-    """Int value of hex digit `pos` (1-based) of a lowercase hex string."""
-    return F.conv(F.substring(col, pos, 1), 16, 10).cast("int")
-
-
 def simhash_sketch(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -347,9 +342,15 @@ def simhash_pairs(
         )
     sh = simhash_sketch(df, id_col, text_col)
     width_hex = 16 // chunks
+    # parse the hex sketch back to two 32-bit halves ONCE PER DOC: the
+    # candidate join can fan out quadratically inside dup clusters, and
+    # per-PAIR hex parsing (32 string convs) would dominate there — with
+    # halves carried through the join, Hamming is two bit_count(xor) long
+    # ops per pair
     chunked = sh.select(
         "id",
-        "simhex",
+        F.conv(F.substring("simhex", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("simhex", 9, 8), 16, 10).cast("long").alias("lo"),
         F.explode(
             F.array(
                 *[
@@ -363,33 +364,28 @@ def simhash_pairs(
                 ]
             )
         ).alias("cc"),
-    ).select("id", "simhex", "cc.chunk", "cc.val")
-    pairs = (
+    ).select("id", "hi", "lo", "cc.chunk", "cc.val")
+    ham = (
+        F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+        + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    ).cast("long")
+    # the Hamming filter runs BEFORE the pair-dedup exchange: it is
+    # map-side-pipelined off the join, so only actual near-dup pairs
+    # shuffle for dedup (a pair colliding in several chunks has the same
+    # Hamming everywhere — dropping duplicates after filtering is
+    # equivalent, and the candidate fan-out inside dup clusters never
+    # reaches the wire)
+    return (
         chunked.alias("a")
         .join(chunked.alias("b"), on=["chunk", "val"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhex").alias("hx_a"),
-            F.col("b.simhex").alias("hx_b"),
+            ham.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    # Hamming as the sum of per-hex-digit XOR popcounts — small-int
-    # arithmetic an oracle reproduces digit-for-digit (no signed-64 shifts)
-    nibble_hams = []
-    for p in range(1, 17):
-        x = _hex_digit(F.col("hx_a"), p).bitwiseXOR(_hex_digit(F.col("hx_b"), p))
-        nibble_hams.append(
-            x.bitwiseAND(F.lit(1))
-            + F.shiftright(x, 1).bitwiseAND(F.lit(1))
-            + F.shiftright(x, 2).bitwiseAND(F.lit(1))
-            + F.shiftright(x, 3).bitwiseAND(F.lit(1))
-        )
-    ham = sum(nibble_hams[1:], nibble_hams[0]).cast("long")
-    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
 
 

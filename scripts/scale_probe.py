@@ -43,11 +43,17 @@ def replicate(df, id_col, copies):
 
 
 def timed(label, fn, results):
+    """Run once untimed (whole-stage-codegen compile for this plan shape —
+    AQE picks different strategies at 10×, so the 1× run doesn't compile
+    the 10× shapes), then time the steady-state second run. Same
+    methodology as bench.py: ratios compare plans, not first-call JIT
+    (cold-vs-steady drift measured up to 2× on the output-heavy probes)."""
+    fn()
     t0 = time.perf_counter()
     n = fn()
     dt = time.perf_counter() - t0
     results.append((label, n, round(dt, 2)))
-    print(f"{label}: {n} rows in {dt:.2f}s", flush=True)
+    print(f"{label}: {n} rows in {dt:.2f}s (steady)", flush=True)
     return dt
 
 
