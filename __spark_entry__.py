@@ -1008,6 +1008,39 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed nightly query of an LLM data pipeline: quality metrics
+    → language gate → exact-dedup canonical winners → deterministic split
+    assignment, in ONE Catalyst plan (each stage is a column expression or
+    one aggregation — filters/projections pipeline into the scans). The
+    oracle replays the full composition in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = TX.fingerprint_md5(TX.langid_heuristic(TX.quality_metrics(docs)))
+    keep = staged.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    cur = (
+        staged.join(keep, "fingerprint")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .filter((F.col("q_words") >= 5) & (F.col("pred_lang") == "en"))
+    )
+    out = SP.deterministic_split(cur, "doc_id")
+    return out.select("doc_id", "q_words", "q_stopword_ratio", "split")
+
+
+def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators/similarity.py): per-vector
+    symmetric scale + half-up integer mapping, serialized as CSV so the
+    oracle compares the exact quantized codes byte-for-byte."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.quantize_embeddings_int8(emb)
+    return out.select(
+        "vec_id",
+        "max_abs",
+        F.concat_ws(
+            ",", F.transform(F.col("q_embedding"), lambda x: x.cast("string"))
+        ).alias("q_csv"),
+    )
+
+
 def streaming_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) as a FULL hash
     check: the per-user running accumulator drained over one availableNow
@@ -1197,6 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_lang": sample_stratified_lang,
         "text_pii_redact": text_pii_redact,
         "pack_token_budget": pack_token_budget,
+        "corpus_curation": corpus_curation,
+        "ann_quantize_int8": ann_quantize_int8,
         # --- r02-verified, re-swept this round ----------------------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1764,6 +1799,35 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                          - n) // 512 AS BIGINT) AS bin_in_group
             FROM t
+        """,
+        "corpus_curation": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(len({WORDS}) AS BIGINT) AS q_words,
+                       CAST(len(list_filter({WORDS}, w -> w IN {STOP_SQL})) AS DOUBLE)
+                           / CAST(len({WORDS}) AS DOUBLE) AS q_stopword_ratio,
+                       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+                FROM documents),
+            k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp)
+            SELECT doc_id, q_words, q_stopword_ratio,
+                   CASE WHEN h < 'cccccccc' THEN 'train'
+                        WHEN h < 'e6666666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT f.*,
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS h
+                FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.keep_id)
+            WHERE q_words >= 5 AND q_stopword_ratio >= 0.08
+        """,
+        "ann_quantize_int8": """
+            SELECT vec_id,
+                   greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> abs(x))), 1e-12) AS max_abs,
+                   array_to_string(
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(CAST(floor(x / greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))), 1e-12) * 127 + 0.5) AS BIGINT) AS VARCHAR)),
+                       ',') AS q_csv
+            FROM embeddings
         """,
         "sample_split_labels": """
             SELECT doc_id,

@@ -160,6 +160,33 @@ def rp_lsh_buckets(
     return df.withColumn(out_col, F.explode(buckets))
 
 
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_embedding",
+    scale_col: str = "max_abs",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i / max|x| *
+    127 + 0.5) — the storage op that shrinks an ANN corpus 4× (float32 →
+    int8) before indexing; dequantize as q_i * max_abs / 127. Pure array
+    expressions (JVM codegen, no Python). floor(x + 0.5) half-up rounding
+    on purpose: both engines evaluate it identically on the same doubles,
+    where round() half-even/half-up semantics differ across engines.
+    Zero vectors quantize to zeros (scale floored at 1e-12)."""
+    c = F.col(vec_col)
+    mx = F.greatest(
+        F.array_max(F.transform(c, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-12),
+    )
+    q = F.transform(
+        c,
+        lambda x: F.floor(x.cast("double") / F.col(scale_col) * 127.0 + 0.5).cast(
+            "int"
+        ),
+    )
+    return df.withColumn(scale_col, mx).withColumn(out_col, q)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
