@@ -2,14 +2,38 @@
 snapshot half of S3 (Debezium initial snapshot).
 
 Parity: nifi-project.xml:1131 (PutSQL), :1098-1099 (batch 100),
-:312-317 (jdbc:mysql pool); 01-setup-ec-vm.md:320-333 (DDL). No database
-exists in the CI container, so these are thin wrappers; the engine's tested
-ingest path replays envelopes from files instead.
+:312-317 (jdbc:mysql pool); 01-setup-ec-vm.md:320-333 (DDL). The wrappers
+are LIVE-tested against a DuckDB database file through the real JVM JDBC
+path (tests/test_jdbc_live.py) — batched INSERT sink, plain scan, and the
+partitioned parallel scan; no MySQL exists in the container, but the code
+path is identical up to the driver class.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def execute_statement(
+    spark: SparkSession, url: str, sql: str, driver: str | None = None
+) -> None:
+    """Run one DDL/DML statement through the JVM's JDBC DriverManager —
+    the engine-side analog of the reference's MySQL DDL step
+    (01-setup-ec-vm.md:320-333). Needed before an append into engines
+    whose CREATE-TABLE-on-append doesn't become visible across the
+    writer's separate insert connections (observed with DuckDB JDBC)."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.execute(sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
 
 
 def read_table(
