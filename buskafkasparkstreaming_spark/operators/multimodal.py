@@ -9,14 +9,16 @@ sane shape for Python-side media work at 100 TB:
 * each task decodes its partition independently — embarrassingly parallel;
 * output schemas are declared up front so downstream stays Catalyst-planned.
 
-Decode has two tiers. HEADER decode — container-format dimension/mime
-sniffing for PNG/BMP/GIF/JPEG — is implemented in pure Python from the
-published file-format specs (magic bytes + fixed header offsets; no
-codec library needed) and runs for any payload whose magic matches.
-PIXEL decode (resampling, frame extraction) genuinely requires
-PIL/ffmpeg, absent in this container, so it raises NotImplementedError
-behind an import-try; a deterministic fake decoder (seeded by sha2 of
-the payload) stands in for non-image payloads and exercises the
+Decode has two REAL tiers plus a test stand-in. PIXEL decode — PNG
+(stdlib zlib inflate + scanline unfilter) and uncompressed BMP — reads
+the actual pixel array and emits real color/luma features; no codec
+library needed. HEADER decode — dimension/mime sniffing for GIF/JPEG —
+parses the container header (magic bytes + fixed offsets from the
+published specs); JPEG entropy decode genuinely requires libjpeg, so
+its features fall back to the payload-hash embedding. Formats with
+neither tier (video/audio) raise NotImplementedError behind an
+import-try on PIL/ffmpeg; a deterministic fake decoder (seeded by sha2
+of the payload) stands in for non-image payloads and exercises the
 identical Spark plumbing — schema, batching, partitioning — in tests.
 """
 
@@ -111,12 +113,165 @@ def _make_header_parser():
 parse_image_header = _make_header_parser()
 
 
+def _make_pixel_decoder():
+    """Pure-stdlib PIXEL decoder for the formats that need no codec
+    library: PNG (zlib IDAT + per-scanline unfilter, 8-bit gray/RGB ±
+    alpha, non-interlaced) and uncompressed 24/32-bit BMP. Built as a
+    nested function so worker closures pickle it by value. Returns
+    (width, height, feat8) — feat8 = [mean_r, mean_g, mean_b, mean_luma,
+    quadrant lumas] in [0,1] — or None for formats that genuinely need
+    PIL/ffmpeg (JPEG entropy decode, video)."""
+
+    def _features(px_rows):
+        # px_rows: list of rows, each a list of (r, g, b) tuples
+        h = len(px_rows)
+        w = len(px_rows[0]) if h else 0
+        if not h or not w:
+            return None
+        sr = sg = sb = 0
+        quads = [0.0, 0.0, 0.0, 0.0]
+        qn = [0, 0, 0, 0]
+        for y, row in enumerate(px_rows):
+            for x, (r, g, b) in enumerate(row):
+                sr += r
+                sg += g
+                sb += b
+                luma = 0.299 * r + 0.587 * g + 0.114 * b
+                qi = (2 if y >= h / 2 else 0) + (1 if x >= w / 2 else 0)
+                quads[qi] += luma
+                qn[qi] += 1
+        n = w * h
+        mr, mg, mb = sr / n / 255.0, sg / n / 255.0, sb / n / 255.0
+        ml = 0.299 * mr + 0.587 * mg + 0.114 * mb
+        qs = [quads[i] / qn[i] / 255.0 if qn[i] else 0.0 for i in range(4)]
+        return [round(v, 6) for v in (mr, mg, mb, ml, *qs)]
+
+    def _decode_png(payload):
+        import struct
+        import zlib
+
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, idat, ihdr = 8, b"", None
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data[:13])
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # len + type + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color, _comp, _filt, interlace = ihdr
+        # 8-bit, non-interlaced; color 0=gray, 2=RGB, 4=gray+A, 6=RGBA
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        if depth != 8 or interlace != 0 or channels is None:
+            return None
+        raw = zlib.decompress(idat)
+        stride = w * channels
+        rows, prev = [], bytearray(stride)
+        off = 0
+        for _y in range(h):
+            ftype = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            off += 1 + stride
+            if ftype == 1:  # Sub
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    b = prev[i]
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pr) & 0xFF
+            elif ftype != 0:
+                return None
+            prev = line
+            if channels == 1:
+                rows.append([(v, v, v) for v in line])
+            elif channels == 2:
+                rows.append([(line[i], line[i], line[i]) for i in range(0, stride, 2)])
+            elif channels == 3:
+                rows.append(
+                    [tuple(line[i : i + 3]) for i in range(0, stride, 3)]
+                )
+            else:
+                rows.append(
+                    [tuple(line[i : i + 3]) for i in range(0, stride, 4)]
+                )
+        return (w, h, _features(rows))
+
+    def _decode_bmp(payload):
+        import struct
+
+        if len(payload) < 54 or payload[:2] != b"BM":
+            return None
+        (data_off,) = struct.unpack("<I", payload[10:14])
+        (dib,) = struct.unpack("<I", payload[14:18])
+        if dib < 40:
+            return None
+        w, h_signed = struct.unpack("<ii", payload[18:26])
+        (bpp,) = struct.unpack("<H", payload[28:30])
+        (compression,) = struct.unpack("<I", payload[30:34])
+        if compression != 0 or bpp not in (24, 32) or w <= 0 or h_signed == 0:
+            return None
+        h = abs(h_signed)
+        bytes_pp = bpp // 8
+        stride = (w * bytes_pp + 3) & ~3
+        if data_off + stride * h > len(payload):
+            return None
+        rows = []
+        for yy in range(h):
+            # positive height = bottom-up row order
+            src_y = (h - 1 - yy) if h_signed > 0 else yy
+            base = data_off + src_y * stride
+            row = []
+            for x in range(w):
+                i = base + x * bytes_pp
+                b, g, r = payload[i], payload[i + 1], payload[i + 2]
+                row.append((r, g, b))
+            rows.append(row)
+        return (w, h, _features(rows))
+
+    def decode_pixels(payload: bytes):
+        try:
+            return _decode_png(payload) or _decode_bmp(payload)
+        except Exception:
+            return None
+
+    return decode_pixels
+
+
+decode_pixels = _make_pixel_decoder()
+
+
 def _real_decode(payload: bytes) -> dict:
-    """Header-tier media decode: dimensions + mime from the container header
-    (pure Python, no codec). The feature vector is the deterministic
-    payload-hash embedding — replacing it with a real CNN/CLIP embedding is
-    a pixel-tier concern. Raises only for formats whose header we can't
-    read, where full pixel decode (PIL/ffmpeg) would be required."""
+    """Real media decode in two tiers, no codec library needed for either:
+
+    * PIXEL tier (PNG, uncompressed BMP — stdlib zlib/struct suffice):
+      dimensions from the actual pixel array plus a real 8-dim color/luma
+      feature vector (mean RGB, mean luma, quadrant lumas) — the shape a
+      CNN/CLIP embedding would take at cluster scale.
+    * HEADER tier (GIF/JPEG): dimensions + mime from the container header;
+      the feature vector falls back to the deterministic payload-hash
+      embedding (JPEG entropy decode genuinely requires libjpeg).
+
+    Raises only for formats with neither tier (video/audio), where
+    PIL/ffmpeg on the cluster image is the real dependency."""
     hdr = parse_image_header(payload)
     if hdr is None:
         try:
@@ -130,13 +285,18 @@ def _real_decode(payload: bytes) -> dict:
     import hashlib
 
     mime, width, height = hdr
-    digest = hashlib.sha256(payload).digest()
+    px = decode_pixels(payload)
+    if px is not None and px[2] is not None:
+        width, height, feat = px[0], px[1], px[2]
+    else:
+        digest = hashlib.sha256(payload).digest()
+        feat = [round(b / 255.0, 6) for b in digest[3:11]]
     return {
         "mime": mime,
         "width": width,
         "height": height,
         "n_frames": 1,
-        "feat": [round(b / 255.0, 6) for b in digest[3:11]],
+        "feat": feat,
     }
 
 
@@ -176,6 +336,7 @@ def extract_features(
     """
     use_fake = use_fake_decoder
     parse_header = _make_header_parser()
+    pixel_decode = _make_pixel_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -188,6 +349,10 @@ def extract_features(
             hdr = parse_header(payload)
             if hdr is not None:
                 mime, width, height = hdr
+                px = pixel_decode(payload)
+                if px is not None and px[2] is not None:
+                    # pixel tier: real dims + real color/luma features
+                    return (mime, px[0], px[1], 1, px[2])
                 return (mime, width, height, 1, feat)
             if not use_fake:
                 raise NotImplementedError(
