@@ -39,6 +39,13 @@ HEADLINE = [
     "text_token_count",
     "q_median_price_by_priority",
     "streaming_tumbling_counts",
+    # round-3 additions: training-pipeline ops added to the suite the
+    # round they land, so regressions are visible from their first round
+    "sample_stratified_lang",
+    "text_pii_redact",
+    "pack_token_budget",
+    "corpus_curation",
+    "ann_quantize_int8",
 ]
 
 
