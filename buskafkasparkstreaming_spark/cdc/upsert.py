@@ -257,6 +257,15 @@ class UpsertTable:
         and dynamically overwrites just those partitions.
         """
         data_cols = [c for c in batch.columns if not c.startswith("_")]
+        required = {*self.key_cols, self.precombine_col} | (
+            {self.partition_col} if self.partition_col else set()
+        )
+        missing = sorted(required - set(data_cols))
+        if missing:
+            raise ValueError(
+                f"batch is missing required merge columns {missing} "
+                f"(batch columns: {sorted(data_cols)})"
+            )
         delete_flag = (
             F.coalesce(F.col(delete_col), F.lit(False))
             if delete_col is not None and delete_col in batch.columns
@@ -270,8 +279,20 @@ class UpsertTable:
 
         touched: list | None = None
         if self.exists():
-            existing = self.read().select(
-                *data_cols, F.lit(False).alias("__deleted"), F.lit(0).alias("__gen")
+            # Schema evolution (Hudi-style): the merged schema is the UNION
+            # of the table's and the batch's columns. A batch introducing a
+            # new column null-fills it on stored rows (untouched partitions
+            # read it as null through the sidecar schema — parquet
+            # schema-on-read); a batch missing a table column carries null
+            # for it, and a winning incoming row therefore nulls that field
+            # — the honest after-image semantics for a source that dropped
+            # the column. Keys/precombine/partition must always be present
+            # (validated above), so merge semantics never degrade silently.
+            table_df = self.read()
+            existing = table_df.select(
+                *table_df.columns,
+                F.lit(False).alias("__deleted"),
+                F.lit(0).alias("__gen"),
             )
             if self.partition_col is not None:
                 touched = [
@@ -279,7 +300,7 @@ class UpsertTable:
                     for r in batch.select(self.partition_col).distinct().collect()
                 ]
                 existing = existing.filter(F.col(self.partition_col).isin(touched))
-            unioned = existing.unionByName(incoming)
+            unioned = existing.unionByName(incoming, allowMissingColumns=True)
         else:
             unioned = incoming
 

@@ -137,6 +137,45 @@ def test_tombstoned_escaped_partition_is_cleaned(spark, tmp_path):
     assert got == {2}
 
 
+def test_schema_evolution_add_and_drop_column(spark, tmp_path):
+    """A batch may add columns (null-filled on stored rows, including rows
+    in untouched partitions) or omit non-key columns (winning rows carry
+    null); key/precombine/partition columns must always be present."""
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    table = UpsertTable(
+        spark, path, key_cols="rid", precombine_col="et", partition_col="route"
+    )
+    v1 = spark.createDataFrame(
+        [(1, 1, 10, 100), (2, 2, 20, 100)], "rid int, route int, et int, kph int"
+    )
+    table.merge(v1)
+
+    # batch ADDS `heading`: row 1 updated with it, row 2 (untouched
+    # partition) reads it as null
+    v2 = spark.createDataFrame(
+        [(1, 1, 11, 200, 90)], "rid int, route int, et int, kph int, heading int"
+    )
+    table.merge(v2)
+    got = {r["rid"]: (r["kph"], r["heading"]) for r in table.read().collect()}
+    assert got == {1: (200, 90), 2: (100, None)}
+
+    # batch OMITS `kph`: the winning row for rid=2 nulls it, rid=1 keeps its
+    # stored value
+    v3 = spark.createDataFrame(
+        [(2, 2, 300, 180)], "rid int, route int, et int, heading int"
+    )
+    table.merge(v3)
+    got = {r["rid"]: (r["kph"], r["heading"]) for r in table.read().collect()}
+    assert got == {1: (200, 90), 2: (None, 180)}
+
+    # merge-critical columns can never be omitted
+    bad = spark.createDataFrame([(3, 400)], "rid int, et int")
+    with pytest.raises(ValueError, match="required merge columns"):
+        table.merge(bad)
+
+
 def test_merge_crash_then_retry_loses_nothing(spark, tmp_path, monkeypatch):
     """Kill the writer inside the publish phase (os.rename raises after the
     first call), then re-open and re-merge the same batch: every pre-crash
