@@ -365,6 +365,12 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("id", "hi", "lo", "cc.chunk", "cc.val")
+    # explicit shuffle on the join key BEFORE the self-join: both join
+    # sides become the identical exchange, which ReuseExchange dedupes —
+    # without it the (expensive) sketch subtree is computed once per side
+    # (measured ~30% of the query; AQE's broadcast choice defeats reuse)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    chunked = chunked.repartition(n, F.col("chunk"), F.col("val"))
     ham = (
         F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
         + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
