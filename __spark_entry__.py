@@ -554,6 +554,61 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna-style quantile sketch) with a
+    rank-error self-check: the sketch value is engine-specific, so the
+    checked output is the exact cents median (SQL-replayable) plus a
+    boolean asserting the approx value's RANK sits within the sketch's
+    guarantee — accuracy=100 bounds the rank error by n/100 (+1 for
+    discreteness). A sketch regression flips `rank_ok` false and
+    hash-fails. Completes the sketch family: HLL (q_approx_distinct),
+    minhash, simhash, IVF, winnowing, quantiles."""
+    events = _t(spark, sf_dir, "events").withColumn("cents", _cents("value"))
+    appx = events.groupBy("event_type").agg(
+        F.expr("approx_percentile(cents, 0.5, 100)").alias("__apx"),
+    )
+    ranks = (
+        events.join(appx, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("cents") <= F.col("__apx")).cast("long")).alias("__le"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("__le") - F.col("__n") / 2.0)
+                <= F.col("__n") / 100.0 + 1
+            ).alias("rank_ok"),
+        )
+    )
+    w_asc = Window.partitionBy("event_type").orderBy(
+        F.col("cents").asc(), F.col("event_id").asc()
+    )
+    w_cnt = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w_asc).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("n"),
+    )
+    exact = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("n div 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias(
+                "exact_median"
+            )
+        )
+    )
+    return exact.join(ranks, "event_type").select(
+        "event_type", "exact_median", "rank_ok"
+    )
+
+
 def q_decimal_and_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DecimalType + DateType surface: exact decimal money sum (2-decimal
     doubles cast losslessly to DECIMAL(12,2)) and a DATE-typed group key."""
@@ -1232,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_budget": pack_token_budget,
         "corpus_curation": corpus_curation,
         "ann_quantize_int8": ann_quantize_int8,
+        "q_approx_quantile_bound": q_approx_quantile_bound,
         # --- r02-verified, re-swept this round ----------------------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2059,6 +2115,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "q_approx_quantile_bound": """
+            -- exact cents median per group; the engine-side rank check on
+            -- the quantile sketch is pinned true
+            WITH ranked AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY CAST(round(value * 100) AS BIGINT) ASC,
+                                                   event_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events)
+            SELECT event_type,
+                   CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS exact_median,
+                   true AS rank_ok
+            FROM ranked
+            WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+            GROUP BY event_type
         """,
         "q_decimal_and_date": """
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_date,
