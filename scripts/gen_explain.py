@@ -18,7 +18,9 @@ SHOWN = {
     "dedup_ngram_jaccard": "inverted-index equi-join on hashed shingles (no cartesian), df-capped via anti-join",
     "ann_cosine_topk": "queries broadcast; corpus never shuffles for scoring",
     "q1_pricing_summary": "partial+final hash agg, date filter pushed to parquet",
-    "dedup_simhash": "single-pass sketch: one explode + 64 partial-aggregable bit sums, pigeonhole chunk equi-join",
+    "dedup_simhash": "single-pass sketch: one explode + 64 partial-aggregable bit sums, pigeonhole chunk equi-join (exchange reused across the self-join)",
+    "corpus_curation": "quality/lang/fingerprint as column exprs, ONE dedup aggregation, split as a row-local hash — the whole nightly pipeline in one plan",
+    "pack_token_budget": "token-budget packing: one window cumsum partitioned by pack group — parallel, no global sort",
 }
 
 
