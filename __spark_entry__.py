@@ -554,6 +554,34 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile, percent_rank, cume_dist —
+    deterministic under a total order (acctbal cents, custkey tiebreak)."""
+    cust = _t(spark, sf_dir, "customer").withColumn("cents", _cents("c_acctbal"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def q_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination under a total order — page 3 of the order
+    book (rows 40..59 by totalprice cents desc, orderkey tiebreak)."""
+    orders = _t(spark, sf_dir, "orders").withColumn("cents", _cents("o_totalprice"))
+    return (
+        orders.orderBy(F.col("cents").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", (F.col("cents") / 100.0).alias("price"))
+        .offset(40)
+        .limit(20)
+    )
+
+
 def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna-style quantile sketch) with a
     rank-error self-check: the sketch value is engine-specific, so the
@@ -1288,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": corpus_curation,
         "ann_quantize_int8": ann_quantize_int8,
         "q_approx_quantile_bound": q_approx_quantile_bound,
+        "q_ntile_percent_rank": q_ntile_percent_rank,
+        "q_offset_pagination": q_offset_pagination,
         # --- r02-verified, re-swept this round ----------------------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2115,6 +2145,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "q_ntile_percent_rank": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) ASC,
+                                  c_custkey ASC)
+        """,
+        "q_offset_pagination": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0
+                       AS price
+            FROM orders
+            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey ASC
+            LIMIT 20 OFFSET 40
         """,
         "q_approx_quantile_bound": """
             -- exact cents median per group; the engine-side rank check on
