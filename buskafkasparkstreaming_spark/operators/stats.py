@@ -12,12 +12,9 @@ as the SQL oracle — bit-identical results.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 ZSCORE_SCHEMA = "event_id bigint, event_type string, zscore double"
 

@@ -9,8 +9,6 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import functions as F
-
 from buskafkasparkstreaming_spark.cdc.upsert import (
     LocalFSCommitter,
     UpsertTable,
