@@ -125,6 +125,9 @@ class LocalFSCommitter:
                 # staging/trash without a manifest: never-published leftovers
                 if name.startswith((".bss_staging_", ".bss_trash_")):
                     shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                elif name.startswith(".bss_commit_") and name.endswith(".tmp"):
+                    # manifest that never reached its commit-point rename
+                    os.remove(os.path.join(self.path, name))
 
     def _roll_forward(self, manifest: str, plan: dict) -> None:
         staging = os.path.join(self.path, plan["staging"])

@@ -174,6 +174,84 @@ def test_schema_evolution_add_and_drop_column(spark, tmp_path):
         table.merge(bad)
 
 
+def test_commit_crash_at_every_rename(tmp_path):
+    """Exhaustive crash-point sweep: kill the commit at the 1st, 2nd, ...
+    Nth rename (covering every phase transition), then recover — the final
+    state must be the fully published table at EVERY crash point."""
+    import os as _os
+
+    real_rename = os.rename
+    # discover how many renames a clean commit performs
+    def build(tag):
+        table = str(tmp_path / f"tbl_{tag}")
+        _write(os.path.join(table, "k=1", "part-0.parquet"), "old-1")
+        _write(os.path.join(table, "k=2", "part-0.parquet"), "old-2")
+        _write(os.path.join(table, "k=3", "part-0.parquet"), "old-3")
+        staging = os.path.join(table, ".bss_staging_tx")
+        _write(os.path.join(staging, "k=1", "part-1.parquet"), "new-1")
+        _write(os.path.join(staging, "k=4", "part-1.parquet"), "new-4")
+        return table, staging
+
+    table, staging = build("count")
+    calls = {"n": 0}
+
+    def counting_rename(src, dst):
+        calls["n"] += 1
+        return real_rename(src, dst)
+
+    _os.rename = counting_rename
+    try:
+        LocalFSCommitter(table).commit(
+            staging, staged=["k=1", "k=4"], emptied=["k=2"]
+        )
+    finally:
+        _os.rename = real_rename
+    total_renames = calls["n"]
+    assert total_renames >= 4  # manifest publish + 2 trash moves + 2 placements
+
+    def assert_final(table):
+        assert _read(os.path.join(table, "k=1", "part-1.parquet")) == "new-1"
+        assert _read(os.path.join(table, "k=4", "part-1.parquet")) == "new-4"
+        assert not os.path.exists(os.path.join(table, "k=2"))
+        assert _read(os.path.join(table, "k=3", "part-0.parquet")) == "old-3"
+        assert [n for n in os.listdir(table) if n.startswith(".bss_")] == []
+
+    assert_final(table)
+
+    for crash_at in range(1, total_renames + 1):
+        table, staging = build(f"c{crash_at}")
+        state = {"n": 0}
+
+        def flaky(src, dst, _state=state, _k=crash_at):
+            _state["n"] += 1
+            if _state["n"] == _k:
+                raise OSError(f"crash at rename #{_k}")
+            return real_rename(src, dst)
+
+        _os.rename = flaky
+        crashed = False
+        try:
+            LocalFSCommitter(table).commit(
+                staging, staged=["k=1", "k=4"], emptied=["k=2"]
+            )
+        except OSError:
+            crashed = True
+        finally:
+            _os.rename = real_rename
+        if crash_at == 1:
+            # crash publishing the manifest itself: nothing committed; the
+            # table must be untouched and staging dropped as garbage
+            assert crashed
+            LocalFSCommitter(table).recover()
+            assert _read(os.path.join(table, "k=1", "part-0.parquet")) == "old-1"
+            assert _read(os.path.join(table, "k=2", "part-0.parquet")) == "old-2"
+            assert [n for n in os.listdir(table) if n.startswith(".bss_")] == []
+            continue
+        assert crashed, f"crash point {crash_at} did not fire"
+        LocalFSCommitter(table).recover()
+        assert_final(table)
+
+
 def test_merge_crash_then_retry_loses_nothing(spark, tmp_path, monkeypatch):
     """Kill the writer inside the publish phase (os.rename raises after the
     first call), then re-open and re-merge the same batch: every pre-crash

@@ -1,0 +1,74 @@
+"""Property-based invariants for the round-3 pipeline operators:
+
+* pack_token_budget — the Spark bin assignment equals a sequential
+  reference pack for ANY token distribution, and bins partition the corpus.
+* stratified_sample — membership is a pure function of (id, stratum):
+  invariant under repartitioning, and monotone in the fraction.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from buskafkasparkstreaming_spark.operators.packing import pack_token_budget
+from buskafkasparkstreaming_spark.operators.sampling import stratified_sample
+
+token_lists = st.lists(
+    st.integers(min_value=0, max_value=900), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tokens=token_lists, budget=st.integers(min_value=1, max_value=600))
+def test_packing_matches_sequential_reference(spark, tokens, budget):
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_token_budget(df, "doc_id", "n", budget=budget, num_groups=4)
+    got = {
+        r["doc_id"]: (r["pack_group"], r["bin_in_group"]) for r in out.collect()
+    }
+    # driver-side reference: per group in id order, bin = cum_before // budget
+    cums: dict[int, int] = {}
+    for i, t in sorted(rows):
+        g = i % 4
+        before = cums.get(g, 0)
+        assert got[i] == (g, before // budget), (i, t, budget)
+        cums[g] = before + t
+    assert len(got) == len(rows)  # bins partition the corpus (no row lost)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=50,
+        unique=True,
+    ),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_stratified_sample_is_partitioning_invariant(spark, ids, frac):
+    rows = [(i, "a" if i % 2 else "b") for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept1 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "doc_id", "lang", {"a": frac}, default_fraction=0.5
+        ).collect()
+    }
+    kept2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(7), "doc_id", "lang", {"a": frac}, default_fraction=0.5
+        ).collect()
+    }
+    assert kept1 == kept2  # pure function of (id, stratum) — layout-free
+    # monotone: a larger fraction keeps a superset of stratum-a rows
+    kept_more = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "doc_id", "lang", {"a": min(1.0, frac + 0.3)},
+            default_fraction=0.5,
+        ).collect()
+        if r["lang"] == "a"
+    }
+    assert {i for i in kept1 if i % 2} <= kept_more
