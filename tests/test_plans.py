@@ -52,6 +52,45 @@ def test_ngram_join_is_hash_not_cartesian(spark, sf_dir):
     assert_no_cartesian(df)
 
 
+def test_row_local_ops_have_no_shuffle(spark, sf_dir):
+    """Stratified sampling, PII redaction, and int8 quantization are pure
+    row-local column expressions — their plans must contain ZERO exchanges
+    (at 100 TB these run as a single map stage over the scan)."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    for fn in (
+        entrymod.sample_stratified_lang,
+        entrymod.text_pii_redact,
+        entrymod.ann_quantize_int8,
+    ):
+        df = fn(spark, sf_dir)
+        assert count_shuffles(df) == 0, fn.__name__
+        assert_wholestage_codegen(df)
+
+
+def test_packing_shuffles_once_no_global_sort(spark, sf_dir):
+    """Sequence packing must be ONE exchange on pack_group (the window) —
+    never a global sort/single-partition cumsum."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    df = entrymod.pack_token_budget(spark, sf_dir)
+    assert count_shuffles(df) == 1
+    plan = explain_str(df)
+    assert "pack_group" in plan
+    # a global window would show an empty partition spec / SinglePartition
+    assert "SinglePartition" not in plan
+
+
+def test_curation_plan_shape(spark, sf_dir):
+    """The composed curation pipeline stays a narrow DAG: no cartesian, and
+    only the fingerprint dedup aggregation + its join shuffle."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    df = entrymod.corpus_curation(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_shuffles(df) <= 3
+
+
 def test_asof_is_single_shuffle(spark, sf_dir):
     """The as-of plan must be union+window (one Exchange on the key), not a
     join with a range condition (BroadcastNestedLoop / cartesian)."""
