@@ -32,6 +32,7 @@ from buskafkasparkstreaming_spark.operators import dedup as D
 from buskafkasparkstreaming_spark.operators import joins as J
 from buskafkasparkstreaming_spark.operators import multimodal as MM
 from buskafkasparkstreaming_spark.operators import packing as PK
+from buskafkasparkstreaming_spark.operators import rollup as RU
 from buskafkasparkstreaming_spark.operators import sampling as SP
 from buskafkasparkstreaming_spark.operators import similarity as S
 from buskafkasparkstreaming_spark.operators import text as TX
@@ -1269,6 +1270,79 @@ def sample_split_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.deterministic_split(docs, "doc_id").select("doc_id", "split")
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/text.py:
+    repetition_metrics): duplicate-bigram fraction and top-bigram share per
+    doc, computed ROW-LOCALLY (sorted-array fold, zero shuffles at any
+    scale). Fractions are exact integer ratios, so the oracle's grouped
+    recount divides bit-identically."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.repetition_metrics(docs, n=2)
+    return out.select(
+        "doc_id", "n_grams", "n_distinct_grams", "dup_gram_frac",
+        "top_gram_frac",
+    )
+
+
+def dedup_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination gate with a Bloom pre-filter (operators/dedup.py:
+    contamination_pairs_bloom): the benchmark shingle set is folded into an
+    8 KiB bitmap embedded in the plan as a literal, rejecting ~99% of
+    corpus shingles row-locally BEFORE the broadcast join. No false
+    negatives + exact confirm join ⇒ output provably identical to
+    dedup_contamination — the oracle is the SAME exact-containment SQL,
+    which is precisely the claim being checked."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    out = D.contamination_pairs_bloom(
+        corpus, bench, corpus_id="doc_id", bench_id="bench_id", k=3,
+        min_containment=0.04,
+    )
+    return out.select(
+        "doc_id",
+        "bench_id",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        "containment",
+    )
+
+
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (operators/rollup.py): events
+    arrive in 3 deterministic batches (hash-split on event_id); each batch
+    is aggregated to mergeable partials and merged into the rollup state —
+    refresh cost O(batch), never a base-table rescan. The oracle recomputes
+    the rollup from scratch in one GROUP BY; hash equality IS the
+    merge-algebra proof (exact integer cents make merge order
+    irrelevant; avg/sum derive at read time in fixed order)."""
+    events = _t(spark, sf_dir, "events")
+    cents = events.withColumn("__cents", _cents("value"))
+    batches = [
+        cents.filter(F.pmod(F.xxhash64(F.col("event_id")), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    partials = [
+        RU.rollup_partial(b, "ts", ["event_type"], "__cents") for b in batches
+    ]
+    state = RU.merge_rollups(partials)
+    return RU.rollup_read(state).select(
+        "bucket_ts", "event_type", "n_rows", "sum_value", "avg_value",
+        "min_value", "max_value",
+    )
+
+
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (operators/sampling.py:domain_cap): keep
+    at most 40 docs per source, selected by deterministic md5 rank within
+    the domain — the anti-spam quota step of a web-corpus pipeline. The
+    oracle replays the identical window rank in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SP.domain_cap(docs, "doc_id", "source", cap=40)
+    return out.select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict in CORRECTNESS_r01/r02). The
@@ -1318,6 +1392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_quantile_bound": q_approx_quantile_bound,
         "q_ntile_percent_rank": q_ntile_percent_rank,
         "q_offset_pagination": q_offset_pagination,
+        "text_repetition": text_repetition,
+        "dedup_contamination_bloom": dedup_contamination_bloom,
+        "rollup_incremental": rollup_incremental,
+        "sample_domain_cap": sample_domain_cap,
         # --- r02-verified, re-swept this round ----------------------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,

@@ -568,3 +568,135 @@ def contamination_pairs(
             "containment",
         )
     )
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k_hashes: int = 5
+) -> list[int]:
+    """Distributed Bloom-filter BUILD over a key column: each key sets
+    `k_hashes` bit positions `pmod(xxhash64(key, j), m_bits)`; the bitmap
+    is assembled as int64 words with a `bit_or` aggregate (map-side
+    combinable — the shuffle carries at most `m_bits/64` partial words per
+    input partition, independent of key count). The finished bitmap —
+    `m_bits/64` longs, e.g. 8 KiB for m=2^16 — is collected to the driver
+    for literal embedding into probe plans; its size is a CONSTANT of the
+    filter, not of the data, so this is a bounded driver transfer like a
+    centroid set, not a `.collect()` of data rows.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m_bits))
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("__p")
+    )
+    words_df = pos.select(
+        (F.col("__p") / 64).cast("long").alias("__w"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("__p") % 64).cast("int")
+        ).alias("__m"),
+    ).groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
+    bitmap = [0] * (m_bits // 64)
+    for row in words_df.collect():
+        bitmap[row["__w"]] = row["__bits"]
+    return bitmap
+
+
+def bloom_probe(
+    col: Column | str,
+    bitmap: list[int],
+    m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+) -> Column:
+    """Row-local Bloom membership test (maybe-present ⇒ true; definitely
+    absent ⇒ false — NO false negatives). The bitmap rides into the plan as
+    a literal array, so the probe is a pure JVM bit test per row: no join,
+    no shuffle, no Python. This is the 100 TB pattern for `big stream ∩
+    small-ish set`: the stream is filtered in place at scan parallelism and
+    only survivors reach any downstream join."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.array(*[F.lit(w) for w in bitmap])
+    checks = []
+    for j in range(k_hashes):
+        p = F.pmod(F.xxhash64(c, F.lit(j)), F.lit(m_bits))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        checks.append(word.bitwiseAND(mask) != 0)
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out & chk
+    return out
+
+
+def contamination_pairs_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 5,
+    min_containment: float = 0.5,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """`contamination_pairs` with a Bloom pre-filter on the corpus shingle
+    stream. Semantically IDENTICAL output (same oracle SQL): the Bloom
+    filter has no false negatives, so every truly-overlapping shingle
+    survives the pre-filter, and false positives are removed by the exact
+    equi-join that follows — the filter only prunes join INPUT, never
+    changes join OUTPUT.
+
+    Why this matters at 100 TB: in `contamination_pairs` every corpus
+    shingle is hashed against the broadcast benchmark table; with the Bloom
+    gate, the overwhelmingly-common case (shingle not in any benchmark doc)
+    is rejected by a few bit tests inside the scan stage — the hash join
+    only sees the ~0.01% of shingles that might match. The bitmap is ~8 KiB
+    vs a broadcast hash table of every benchmark shingle string.
+    """
+    bitmap = bloom_bitmap(
+        benchmark.select(
+            F.explode(word_shingles(bench_text_col, k)).alias("__s")
+        ).distinct(),
+        "__s",
+        m_bits,
+        k_hashes,
+    )
+    c_sh = _spread(corpus, corpus_id).select(
+        F.col(corpus_id).alias("__cid"),
+        F.explode(word_shingles(text_col, k)).alias("__s"),
+    ).filter(bloom_probe("__s", bitmap, m_bits, k_hashes))
+    b_sh = benchmark.select(
+        F.col(bench_id).alias("__bid"),
+        F.explode(word_shingles(bench_text_col, k)).alias("__s"),
+    )
+    b_sizes = benchmark.select(
+        F.col(bench_id).alias("__bid"),
+        F.size(word_shingles(bench_text_col, k)).alias("__bn"),
+    )
+    overlap = (
+        c_sh.join(F.broadcast(b_sh), "__s")
+        .groupBy("__cid", "__bid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(F.broadcast(b_sizes), "__bid")
+        .withColumn(
+            "containment",
+            F.col("n_overlap").cast("double") / F.col("__bn").cast("double"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            F.col("__cid").alias(corpus_id),
+            F.col("__bid").alias(bench_id),
+            "n_overlap",
+            "containment",
+        )
+    )

@@ -70,6 +70,39 @@ def stratified_sample(
     return df.filter(expr)
 
 
+def domain_cap(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Cap the number of rows kept per domain/source — the anti-spam quota
+    step of a web-corpus pipeline (one crawl-happy domain must not dominate
+    the training mix). Within each domain, rows are ranked by md5(id:salt)
+    — a deterministic, engine-reproducible shuffle-within-domain, so the
+    kept subset is unbiased w.r.t. document order and stable across reruns
+    — and only the first `cap` survive.
+
+    Plan: one hash exchange on the domain key + a per-domain window
+    row_number; Spark inserts WindowGroupLimit, so each task retains only
+    `cap` rows per domain while scanning — state is O(cap), not O(domain
+    size), which is what makes the op safe on a 100 TB crawl with
+    million-doc domains. Ties on the 8-hex prefix break by id for total
+    determinism."""
+    from pyspark.sql import Window
+
+    h = _bucket_hex(id_col, salt)
+    w = Window.partitionBy(domain_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str,

@@ -129,6 +129,74 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document — the filters a
+    training pipeline runs to drop boilerplate/spam before a corpus enters
+    pretraining: fraction of word n-grams that are repeats, and the share
+    taken by the single most frequent n-gram.
+
+    Plan shape: ZERO shuffles. A document's n-grams all live inside its own
+    row, so gram frequencies are computable row-locally: build the gram
+    array, `array_sort` it, and one `aggregate` pass over the sorted array
+    counts distinct grams and the longest equal-run (= max frequency,
+    because equal grams are adjacent after sorting). Every expression is a
+    JVM higher-order function — no Python, no explode, no groupBy; the
+    operator scales linearly with corpus size with no exchange at any SF
+    (gate: tests/test_plans.py::test_repetition_is_zero_shuffle).
+
+    Short docs (< n words) degrade to one gram = the whole text, mirroring
+    `word_shingles`. Adds: `n_grams`, `n_distinct_grams` (long),
+    `dup_gram_frac`, `top_gram_frac` (double, exact integer ratios so the
+    SQL oracle divides bit-identically).
+    """
+    ws = words(text_col)
+    cnt = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    grams = F.array_sort(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    )
+    # one fold over the sorted grams: (prev, run, maxrun, distinct)
+    state = F.aggregate(
+        grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("maxrun"),
+            F.lit(0).alias("distinct"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["maxrun"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("maxrun"),
+            (
+                acc["distinct"]
+                + F.when(g == acc["prev"], F.lit(0)).otherwise(F.lit(1))
+            ).alias("distinct"),
+        ),
+    )
+    total = F.size(grams)
+    return (
+        df.withColumn("__rep", state)
+        .withColumn("n_grams", total.cast("long"))
+        .withColumn("n_distinct_grams", F.col("__rep")["distinct"].cast("long"))
+        .withColumn(
+            "dup_gram_frac",
+            (total - F.col("__rep")["distinct"]).cast("double")
+            / total.cast("double"),
+        )
+        .withColumn(
+            "top_gram_frac",
+            F.col("__rep")["maxrun"].cast("double") / total.cast("double"),
+        )
+        .drop("__rep")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",
