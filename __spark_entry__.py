@@ -39,6 +39,7 @@ from buskafkasparkstreaming_spark.operators import text as TX
 from buskafkasparkstreaming_spark.operators import windows_fn as W
 from buskafkasparkstreaming_spark.operators.windows_fn import sessionize
 from buskafkasparkstreaming_spark.streaming import windows as SW
+from buskafkasparkstreaming_spark import functions as bssf
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -109,10 +110,10 @@ def entry(spark: SparkSession) -> DataFrame:
     (01-setup-ec-vm.md:180,262-284) minus Kafka transport."""
     events = _t(spark, SF001, "events")
     envelopes = synthesize_envelopes(
-        events.withColumn("__ms", F.unix_millis("ts").cast("long")), ts_ms_col="__ms"
+        events.withColumn("__ms", bssf.ts_millis("ts")), ts_ms_col="__ms"
     )
     parsed = parse_envelopes(envelopes, row_schema=events.withColumn(
-        "__ms", F.unix_millis("ts").cast("long")).schema)
+        "__ms", bssf.ts_millis("ts")).schema)
     state = latest_state(
         parsed.filter(F.col("_corrupt").isNull()),
         key_cols="user_id",
@@ -252,7 +253,7 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead over event time."""
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    ms = bssf.ts_millis("ts")
     prev_ms = F.lag(ms).over(w)
     nxt = F.lead("event_id").over(w)
     return events.select(
@@ -741,7 +742,7 @@ def q_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame: events by the same user within the preceding
     hour (value-based frame, not row-based)."""
     events = _t(spark, sf_dir, "events")
-    ms = F.unix_millis(F.col("ts"))
+    ms = bssf.ts_millis("ts")
     w = (
         Window.partitionBy("user_id")
         .orderBy(ms)
@@ -1345,16 +1346,84 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
-    # entries (an exact prefix of this dict in CORRECTNESS_r01/r02). The
+    # entries (an exact prefix of this dict, verified r01–r04). The
     # ordering ROTATES each round so every entry gets a driver-verified row
-    # at least every other round (VERDICT r2 missing-2): this round the 20
-    # entries the r02 sweep didn't reach lead, followed by the 6 entries
-    # whose code or oracle changed in round 3, then r02-verified entries;
-    # the 20 pushed past the window are r02-hash-green and unchanged since.
+    # at least every other round. Round 5: the 9 entries broken by the
+    # TIMESTAMP_NTZ testdata drift lead (they are exactly what the r5 fix
+    # must prove out — VERDICT r4 next-6), then the 4 entries that gained
+    # oracle twins this round, then everything the r4 sweep window did not
+    # reach; the r4-green entries (all unchanged) fill the remainder.
     # tests/test_oracle_parity.py checks ALL oracle entries every run
     # regardless of order.
     return {
-        # --- unchecked in the r02 sweep window (verified r01, unchanged) --
+        # --- NTZ-affected: fixed this round, must re-verify ---------------
+        "streaming_stateful_running": streaming_stateful_running,
+        "streaming_tumbling_counts": streaming_tumbling_counts,
+        "streaming_sliding_avg": streaming_sliding_avg,
+        "streaming_session_windows": streaming_session_windows,
+        "streaming_dedup_keys": streaming_dedup_keys,
+        "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
+        "streaming_purchase_error_join": streaming_purchase_error_join,
+        "q_sessionize_events": q_sessionize_events,
+        "q_range_frame_events": q_range_frame_events,
+        # --- gained oracle twins in round 5 (were no_oracle r3–r4) --------
+        "text_repetition": text_repetition,
+        "dedup_contamination_bloom": dedup_contamination_bloom,
+        "rollup_incremental": rollup_incremental,
+        "sample_domain_cap": sample_domain_cap,
+        # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
+        "text_token_count": text_token_count,
+        "text_langid": text_langid,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
+        "doc_fingerprint": doc_fingerprint,
+        "multimodal_bytes_meta": multimodal_bytes_meta,
+        "multimodal_features": multimodal_features,
+        "multimodal_frames": multimodal_frames,
+        "q_approx_distinct_users": q_approx_distinct_users,
+        "q_median_price_by_priority": q_median_price_by_priority,
+        "q_asof_purchase_before_error": q_asof_purchase_before_error,
+        "q_range_join_value_tiers": q_range_join_value_tiers,
+        "udtf_split_words": udtf_split_words,
+        "q_zscore_by_type": q_zscore_by_type,
+        "q_pandas_udf_score": q_pandas_udf_score,
+        "q_grouping_sets": q_grouping_sets,
+        "q_rollup_status_priority": q_rollup_status_priority,
+        "q_cube_status_priority": q_cube_status_priority,
+        "q_pivot_native": q_pivot_native,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_hourly_events": q_hourly_events,
+        "q_sliding_window_avg": q_sliding_window_avg,
+        "q_decimal_and_date": q_decimal_and_date,
+        "q_array_ops_embeddings": q_array_ops_embeddings,
+        "q_map_explode_props": q_map_explode_props,
+        "q_string_agg_suppliers": q_string_agg_suppliers,
+        # --- r04-green, re-swept as window room allows --------------------
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "cdc_latest_state": cdc_latest_state,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_clusters": dedup_clusters,
+        "dedup_embedding_blocked": dedup_embedding_blocked,
+        "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
+        "dedup_contamination": dedup_contamination,
+        "ann_ivf_topk": ann_ivf_topk,
+        # --- r04-green tail (unchanged since CORRECTNESS_r04) -------------
+        "doc_winnow_sketch": doc_winnow_sketch,
+        "sample_stratified_lang": sample_stratified_lang,
+        "text_pii_redact": text_pii_redact,
+        "pack_token_budget": pack_token_budget,
+        "corpus_curation": corpus_curation,
+        "ann_quantize_int8": ann_quantize_int8,
+        "q_approx_quantile_bound": q_approx_quantile_bound,
+        "q_ntile_percent_rank": q_ntile_percent_rank,
+        "q_offset_pagination": q_offset_pagination,
+        "sample_split_labels": sample_split_labels,
+        "ann_cosine_topk": ann_cosine_topk,
+        "text_quality": text_quality,
         "q_full_outer_counts": q_full_outer_counts,
         "q_parts_above_avg_price": q_parts_above_avg_price,
         "q_topk_orders_per_customer": q_topk_orders_per_customer,
@@ -1375,73 +1444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_by_name": q_union_by_name,
         "q_multiset_setops": q_multiset_setops,
         "q_date_parts": q_date_parts,
-        # --- changed in round 3 (new code and/or new oracle) --------------
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_clusters": dedup_clusters,
-        "ann_ivf_topk": ann_ivf_topk,
-        "doc_winnow_sketch": doc_winnow_sketch,
-        # --- new in round 3 -----------------------------------------------
-        "streaming_stateful_running": streaming_stateful_running,
-        "sample_stratified_lang": sample_stratified_lang,
-        "text_pii_redact": text_pii_redact,
-        "pack_token_budget": pack_token_budget,
-        "corpus_curation": corpus_curation,
-        "ann_quantize_int8": ann_quantize_int8,
-        "q_approx_quantile_bound": q_approx_quantile_bound,
-        "q_ntile_percent_rank": q_ntile_percent_rank,
-        "q_offset_pagination": q_offset_pagination,
-        "text_repetition": text_repetition,
-        "dedup_contamination_bloom": dedup_contamination_bloom,
-        "rollup_incremental": rollup_incremental,
-        "sample_domain_cap": sample_domain_cap,
-        # --- r02-verified, re-swept this round ----------------------------
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "cdc_latest_state": cdc_latest_state,
-        "dedup_exact": dedup_exact,
-        "dedup_embedding_blocked": dedup_embedding_blocked,
-        "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
-        "dedup_contamination": dedup_contamination,
-        "sample_split_labels": sample_split_labels,
-        "ann_cosine_topk": ann_cosine_topk,
-        "text_quality": text_quality,
-        "text_token_count": text_token_count,
-        "text_langid": text_langid,
-        "text_tfidf_top_terms": text_tfidf_top_terms,
-        "doc_fingerprint": doc_fingerprint,
-        "multimodal_bytes_meta": multimodal_bytes_meta,
-        "multimodal_features": multimodal_features,
-        "multimodal_frames": multimodal_frames,
-        "q_approx_distinct_users": q_approx_distinct_users,
-        "q_median_price_by_priority": q_median_price_by_priority,
-        "q_asof_purchase_before_error": q_asof_purchase_before_error,
-        "q_range_join_value_tiers": q_range_join_value_tiers,
-        "udtf_split_words": udtf_split_words,
-        "q_zscore_by_type": q_zscore_by_type,
-        # --- r02-hash-green tail (unchanged since CORRECTNESS_r02) --------
-        "streaming_tumbling_counts": streaming_tumbling_counts,
-        "streaming_sliding_avg": streaming_sliding_avg,
-        "streaming_session_windows": streaming_session_windows,
-        "streaming_dedup_keys": streaming_dedup_keys,
-        "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
-        "streaming_purchase_error_join": streaming_purchase_error_join,
-        "q_pandas_udf_score": q_pandas_udf_score,
-        "q_sessionize_events": q_sessionize_events,
-        "q_range_frame_events": q_range_frame_events,
-        "q_grouping_sets": q_grouping_sets,
-        "q_rollup_status_priority": q_rollup_status_priority,
-        "q_cube_status_priority": q_cube_status_priority,
-        "q_pivot_native": q_pivot_native,
-        "q_pivot_event_types": q_pivot_event_types,
-        "q_hourly_events": q_hourly_events,
-        "q_sliding_window_avg": q_sliding_window_avg,
-        "q_decimal_and_date": q_decimal_and_date,
-        "q_array_ops_embeddings": q_array_ops_embeddings,
-        "q_map_explode_props": q_map_explode_props,
-        "q_string_agg_suppliers": q_string_agg_suppliers,
     }
 
 
@@ -1553,6 +1555,34 @@ def _rp_lsh_oracle_sql(
         JOIN embeddings eb ON eb.vec_id = id_b
         WHERE {cos} >= {threshold}
     """
+
+
+# Exact-containment contamination gate, shared VERBATIM by two entries:
+# `dedup_contamination` (the plain broadcast-join gate) and
+# `dedup_contamination_bloom` (Bloom-prefiltered variant) — the Bloom
+# filter's whole claim is zero false negatives + exact confirm join, i.e.
+# output identity with the plain gate, so the identical oracle IS the check.
+_CONTAMINATION_SQL = f"""
+    WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS sh
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS g
+              FROM w)
+    ),
+    bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 100 = 0),
+    bsizes AS (SELECT bench_id, count(*) AS bn FROM bench GROUP BY 1),
+    corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 100 <> 0),
+    ov AS (
+        SELECT c.doc_id, b.bench_id, count(*) AS n_overlap
+        FROM corp c JOIN bench b ON c.sh = b.sh
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, bench_id, n_overlap,
+           CAST(n_overlap AS DOUBLE) / bn AS containment
+    FROM ov JOIN bsizes USING (bench_id)
+    WHERE CAST(n_overlap AS DOUBLE) / bn >= 0.04
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1880,26 +1910,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(comp) AS cluster_id
             FROM reach GROUP BY node
         """,
-        "dedup_contamination": f"""
+        "dedup_contamination": _CONTAMINATION_SQL,
+        "dedup_contamination_bloom": _CONTAMINATION_SQL,
+        "text_repetition": f"""
+            -- replay of operators/text.py::repetition_metrics (n=2): the
+            -- engine counts gram runs row-locally over a sorted array; a
+            -- grouped recount over exploded grams is the same multiset.
+            -- Fractions are exact integer ratios -> bit-identical doubles.
             WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
-            sh AS (
-                SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS sh
+            g AS (
+                SELECT doc_id, array_to_string(ws[g:g+1], ' ') AS gram
                 FROM (SELECT doc_id, ws,
-                             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS g
+                             unnest(range(1, greatest(len(ws) - 1, 1) + 1)) AS g
                       FROM w)
             ),
-            bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 100 = 0),
-            bsizes AS (SELECT bench_id, count(*) AS bn FROM bench GROUP BY 1),
-            corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 100 <> 0),
-            ov AS (
-                SELECT c.doc_id, b.bench_id, count(*) AS n_overlap
-                FROM corp c JOIN bench b ON c.sh = b.sh
-                GROUP BY 1, 2
-            )
-            SELECT doc_id, bench_id, n_overlap,
-                   CAST(n_overlap AS DOUBLE) / bn AS containment
-            FROM ov JOIN bsizes USING (bench_id)
-            WHERE CAST(n_overlap AS DOUBLE) / bn >= 0.04
+            c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                   CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_gram_frac,
+                   CAST(max(c) AS DOUBLE) / sum(c) AS top_gram_frac
+            FROM c GROUP BY doc_id
+        """,
+        "rollup_incremental": """
+            -- from-scratch recompute of the incrementally-maintained
+            -- rollup (operators/rollup.py): hash equality IS the
+            -- merge-algebra proof. avg derives in the engine's fixed
+            -- order: sum_cents -> double, / 100.0, / n_rows.
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 / count(*) AS avg_value,
+                   CAST(min(cents) AS DOUBLE) / 100.0 AS min_value,
+                   CAST(max(cents) AS DOUBLE) / 100.0 AS max_value
+            FROM (SELECT ts, event_type,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY 1, 2
+        """,
+        "sample_domain_cap": """
+            -- identical window rank as operators/sampling.py::domain_cap
+            -- (salt 'cap', 8-hex md5 prefix, id tiebreak)
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8) ASC,
+                                    doc_id ASC) AS rk
+                FROM documents)
+            WHERE rk <= 40
         """,
         "text_tfidf_top_terms": f"""
             WITH wrd AS (SELECT doc_id AS id, unnest({WORDS}) AS word FROM documents),

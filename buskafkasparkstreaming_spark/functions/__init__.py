@@ -10,6 +10,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def ts_millis(col: Column | str) -> Column:
+    """Epoch milliseconds (long) from any timestamp-like column.
+
+    Casts to TIMESTAMP first so the expression is total over every encoding
+    the engine's tables have shipped with — TIMESTAMP, TIMESTAMP_NTZ (cast is
+    value-preserving under the pinned UTC session), or a string. The ONE
+    idiom for timestamp→millis; bare F.unix_millis on an un-cast column is
+    the schema-drift bug class this engine exists to prevent (SURVEY §1.2).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp")).cast("long")
+
+
 def epoch_millis_to_ts(col: Column | str) -> Column:
     """Normalize io.debezium.time.Timestamp (epoch millis, reference
     bus_status_schema.json:1) to a TimestampType column.

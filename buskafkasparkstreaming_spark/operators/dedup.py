@@ -488,13 +488,19 @@ def connected_components(
                 .select("node", F.coalesce("__cc", "comp").alias("comp"))
                 .persist()
             )
-            changed = (
-                jumped.withColumnRenamed("comp", "__new")
-                .join(labels, "node")
-                .filter(F.col("__new") != F.col("comp"))
-                .limit(1)
-                .count()
-            )
+            try:
+                changed = (
+                    jumped.withColumnRenamed("comp", "__new")
+                    .join(labels, "node")
+                    .filter(F.col("__new") != F.col("comp"))
+                    .limit(1)
+                    .count()
+                )
+            except BaseException:
+                # a failed round must not strand this round's cache on the
+                # executors (ADVICE r3, low: persist leak on mid-loop error)
+                jumped.unpersist()
+                raise
             labels.unpersist()
             labels = jumped
             if changed == 0:

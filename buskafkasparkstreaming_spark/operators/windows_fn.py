@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from buskafkasparkstreaming_spark.functions import ts_millis
+
 
 def topk_per_group(
     df: DataFrame,
@@ -63,7 +65,7 @@ def sessionize(
     is_break = (
         F.when(prev_ts.isNull(), F.lit(1))
         .when(
-            F.unix_millis(F.col(ts_col)) - F.unix_millis(prev_ts) > gap_seconds * 1000,
+            ts_millis(F.col(ts_col)) - ts_millis(prev_ts) > gap_seconds * 1000,
             F.lit(1),
         )
         .otherwise(F.lit(0))

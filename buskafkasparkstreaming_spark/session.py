@@ -55,6 +55,10 @@ def get_spark(
         # driver testdata stores events.ts as TIMESTAMP(NANOS) which Spark
         # cannot read natively; read as long and normalize (sources.files)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timezone-naive parquet timestamps (current events.ts encoding)
+        # must read as TIMESTAMP, not TIMESTAMP_NTZ — event-time ops
+        # (withWatermark, window) reject NTZ; UTC session makes it exact
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         # managed-table warehouse (bucketed tables) outside the repo tree

@@ -28,12 +28,26 @@ TPCH_TABLES = (
 
 
 def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """The driver's `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it
-    as long (spark.sql.legacy.parquet.nanosAsLong). Convert to a proper
-    TimestampType via *integer* division (ns → µs) — values exceed 2^53 so
-    a double division would corrupt them."""
-    if col in df.columns and dict(df.dtypes)[col] == "bigint":
+    """Normalize every timestamp encoding the driver's `events.ts` has shipped
+    with to one canonical TimestampType (LTZ, session TZ pinned UTC):
+
+    * parquet TIMESTAMP(NANOS) read as long under
+      spark.sql.legacy.parquet.nanosAsLong — integer division ns → µs
+      (values exceed 2^53, double division would corrupt them);
+    * parquet timestamp[us] without timezone, read as TIMESTAMP_NTZ —
+      cast to TIMESTAMP is value-preserving because the session zone is
+      UTC (ensure_session_confs), and required because event-time ops
+      (withWatermark, unix_millis) reject NTZ.
+
+    This is the engine's ONE schema-normalization choke-point (SURVEY §1.2:
+    the reference's schema-drift bug class, 01-setup-ec-vm.md:309)."""
+    if col not in df.columns:
+        return df
+    dtype = dict(df.dtypes)[col]
+    if dtype == "bigint":
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -43,12 +57,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
     The grading driver (and any host app) builds its own SparkSession; these
     two confs are runtime-settable, so the engine pins them at every table
     read rather than hoping the session was built by get_spark():
-    * nanosAsLong — events.parquet is TIMESTAMP(NANOS), unreadable otherwise;
+    * nanosAsLong — events.parquet was TIMESTAMP(NANOS) in early rounds,
+      unreadable otherwise; harmless when the column is plain micros;
+    * inferTimestampNTZ off — timezone-naive parquet timestamps (the
+      driver's current events.ts encoding) read directly as TIMESTAMP
+      instead of TIMESTAMP_NTZ, which event-time ops reject;
     * UTC session time — timestamp literals and LTZ collection must not
       depend on the host machine's zone (the reference's schema-drift bug
       class, SURVEY §1.2).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from buskafkasparkstreaming_spark.functions import ts_millis
+
 
 def purchases_then_errors(
     events: DataFrame,
@@ -51,5 +53,5 @@ def purchases_then_errors(
         "purchase_event_id",
         "error_event_id",
         F.col("p_user").alias("user_id"),
-        (F.unix_millis("e_ts") - F.unix_millis("p_ts")).cast("long").alias("gap_ms"),
+        (ts_millis("e_ts") - ts_millis("p_ts")).alias("gap_ms"),
     )

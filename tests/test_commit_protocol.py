@@ -300,3 +300,31 @@ def test_merge_crash_then_retry_loses_nothing(spark, tmp_path, monkeypatch):
     table2.merge(batch, delete_col="_del")
     got = {r["rid"]: (r["kph"], r["et"]) for r in table2.read().collect()}
     assert got == {1: (11, 200), 2: (21, 200), 3: (30, 100)}
+
+
+def test_merge_escaped_partition_tombstone_cleanup(spark, tmp_path):
+    """Live end-to-end check of the escaped-partition path (ADVICE r3,
+    low): partition values that Spark percent-escapes on disk (':' ->
+    '%3A') and the null sentinel must round-trip through merge, and a
+    fully-tombstoned escaped partition's directory must be removed —
+    raw f'{col}={val}' comparison would silently miss it."""
+    path = str(tmp_path / "esc_tbl")
+    tbl = UpsertTable(
+        spark, path, key_cols="k", precombine_col="v", partition_col="p"
+    )
+    rows = [(1, 10, "a:b"), (2, 10, "plain"), (3, 10, None)]
+    tbl.merge(spark.createDataFrame(rows, "k int, v int, p string"))
+
+    assert os.path.isdir(os.path.join(path, "p=a%3Ab"))
+    assert os.path.isdir(os.path.join(path, "p=__HIVE_DEFAULT_PARTITION__"))
+    got = {(r.k, r.v, r.p) for r in tbl.read().collect()}
+    assert got == {(1, 10, "a:b"), (2, 10, "plain"), (3, 10, None)}
+
+    # tombstone every row of the escaped partition -> its dir must go away
+    tomb = spark.createDataFrame(
+        [(1, 11, "a:b", True)], "k int, v int, p string, __del boolean"
+    )
+    tbl.merge(tomb, delete_col="__del")
+    assert not os.path.exists(os.path.join(path, "p=a%3Ab"))
+    got = {(r.k, r.v, r.p) for r in tbl.read().collect()}
+    assert got == {(2, 10, "plain"), (3, 10, None)}

@@ -51,3 +51,47 @@ def test_plain_session_matches_oracle():
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-3000:]}"
     for name in ("q1_pricing_summary", "q_hourly_events", "cdc_latest_state", "entry"):
         assert f"OK {name}" in res.stdout
+
+
+def test_timestamp_encoding_drift(spark, tmp_path):
+    """The driver's events.ts has shipped as parquet TIMESTAMP(NANOS)
+    (read as bigint under nanosAsLong), then as timezone-naive micros
+    (read as TIMESTAMP_NTZ unless inference is disabled). read_table must
+    normalize EVERY encoding to TimestampType with identical instant values
+    — the reference's schema-drift bug class (01-setup-ec-vm.md:309 typed
+    epoch-millis as `date`; SURVEY §1.2 'ONE schema registry')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from buskafkasparkstreaming_spark.functions import ts_millis
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]  # µs since epoch
+    ids = [1, 2]
+    encodings = {
+        "nanos": pa.table(
+            {"event_id": ids, "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns"))}
+        ),
+        "ntz_micros": pa.table(
+            {"event_id": ids, "ts": pa.array(micros, pa.timestamp("us"))}
+        ),
+        "ltz_micros": pa.table(
+            {"event_id": ids, "ts": pa.array(micros, pa.timestamp("us", tz="UTC"))}
+        ),
+    }
+    results = {}
+    for name, tbl in encodings.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = read_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), (
+            f"{name}: ts read as {df.schema['ts'].dataType}"
+        )
+        rows = df.select("event_id", ts_millis("ts").alias("ms")).orderBy("event_id").collect()
+        results[name] = [r.ms for r in rows]
+    expected = [m // 1000 for m in micros]
+    for name, got in results.items():
+        assert got == expected, f"{name}: {got} != {expected}"
