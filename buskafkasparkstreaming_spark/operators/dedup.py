@@ -184,11 +184,14 @@ def minhash_signatures(
     # (id, 32 longs) per doc. (A nested array-expression formulation gets
     # re-inlined by Catalyst's project collapse and recomputes the shingle
     # hashes num_hashes times — measured 100+ s vs ~2 s at 5k docs.)
+    # SQL-string aggs (one parse) instead of nested Column builders — the
+    # 32-expression Column form cost ~1 s of py4j round-trips per build
+    # (see simhash_sketch); identical analyzed plan either way
     sh = _spread(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s")
     ).select("id", F.pmod(F.xxhash64("s"), F.lit(m31)).alias("x"))
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(m31))).alias(f"__h{i}")
+        F.expr(f"min(pmod({a}L * x + {b}L, {m31}L))").alias(f"__h{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     return (
@@ -207,28 +210,17 @@ def lsh_candidate_pairs(
     bucket occupancy, never all-pairs. Output: (id_a, id_b, est_jaccard)
     where est_jaccard = fraction of matching signature positions.
     """
-    banded = signatures.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice("sig", i * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
+    # banding as one SQL-string expr (single parse; see simhash_sketch on
+    # why — the Column form paid ~1 band × struct py4j build cost)
+    band_structs = ", ".join(
+        f"named_struct('band', {i}, 'bucket', "
+        f"xxhash64(concat_ws(',', transform("
+        f"slice(sig, {i * rows_per_band + 1}, {rows_per_band}), "
+        f"x -> cast(x as string)))))"
+        for i in range(bands)
+    )
+    banded = signatures.selectExpr(
+        "id", "sig", f"explode(array({band_structs})) as bb"
     ).select("id", "sig", "bb.band", "bb.bucket")
     pairs = (
         banded.alias("a")
@@ -269,46 +261,45 @@ def simhash_sketch(
     engine, so the whole sketch — and the pair set derived from it — is
     replayable by the DuckDB oracle as a full hash check instead of a
     rows-only sketch entry."""
+    # The wide expressions below are built as SQL strings (one F.expr parse
+    # each) rather than nested Column operators: the Column form issued
+    # ~400 py4j round-trips per build — measured 1.5-3 s of DRIVER-side
+    # DataFrame construction per query, more than the 1.3 s the whole
+    # cluster-side execution takes. String-built SQL is parsed once JVM-side
+    # and produces the IDENTICAL analyzed plan (same functions, same order),
+    # so the oracle's full-hash replay is unaffected.
     ex = _spread(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(words(text_col)).alias("__w")
     )
     # two string parses per word, not 16: the 64 hash bits as two unsigned
     # 32-bit halves (each fits a long), bit extraction is then pure integer
     # shift/mask inside the partial aggregate
-    halves = ex.select(
+    halves = ex.selectExpr(
         "id",
-        F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("long").alias("__hi"),
-        F.conv(F.substring(F.md5("__w"), 9, 8), 16, 10).cast("long").alias("__lo"),
+        "cast(conv(substring(md5(__w), 1, 8), 16, 10) as bigint) as __hi",
+        "cast(conv(substring(md5(__w), 9, 8), 16, 10) as bigint) as __lo",
     )
 
-    def word_bit(j: int) -> Column:
+    def word_bit(j: int) -> str:
         # bit j (0 = LSB of the 64-bit hash): bits 63..32 live in __hi
         src, off = ("__hi", j - 32) if j >= 32 else ("__lo", j)
-        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+        return f"(shiftright({src}, {off}) & 1)"
 
     sums = halves.groupBy("id").agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.sum(word_bit(j)).alias(f"__s{j}") for j in range(64)],
+        F.expr("count(1)").alias("__n"),
+        *[F.expr(f"sum{word_bit(j)}").alias(f"__s{j}") for j in range(64)],
     )
 
-    def bit(j: int) -> Column:
-        return F.when(F.col(f"__s{j}") * 2 > F.col("__n"), F.lit(1)).otherwise(
-            F.lit(0)
-        )
+    def bit(j: int) -> str:
+        return f"(case when __s{j} * 2 > __n then 1 else 0 end)"
 
-    hexchars = F.array(*[F.lit(c) for c in _HEXCHARS])
     digits = [
-        F.element_at(
-            hexchars,
-            bit(4 * (16 - p) + 3) * 8
-            + bit(4 * (16 - p) + 2) * 4
-            + bit(4 * (16 - p) + 1) * 2
-            + bit(4 * (16 - p))
-            + 1,
-        )
+        f"substring('{_HEXCHARS}', "
+        f"{bit(4 * (16 - p) + 3)} * 8 + {bit(4 * (16 - p) + 2)} * 4 + "
+        f"{bit(4 * (16 - p) + 1)} * 2 + {bit(4 * (16 - p))} + 1, 1)"
         for p in range(1, 17)
     ]
-    return sums.select("id", F.concat(*digits).alias("simhex"))
+    return sums.selectExpr("id", f"concat({', '.join(digits)}) as simhex")
 
 
 def simhash_pairs(
@@ -347,28 +338,24 @@ def simhash_pairs(
     # per-PAIR hex parsing (32 string convs) would dominate there — with
     # halves carried through the join, Hamming is two bit_count(xor) long
     # ops per pair
-    chunked = sh.select(
+    chunk_structs = ", ".join(
+        f"named_struct('chunk', {i}, 'val', "
+        f"substring(simhex, {i * width_hex + 1}, {width_hex}))"
+        for i in range(chunks)
+    )
+    chunked = sh.selectExpr(
         "id",
-        F.conv(F.substring("simhex", 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring("simhex", 9, 8), 16, 10).cast("long").alias("lo"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.substring("simhex", i * width_hex + 1, width_hex).alias(
-                            "val"
-                        ),
-                    )
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("cc"),
+        "cast(conv(substring(simhex, 1, 8), 16, 10) as bigint) as hi",
+        "cast(conv(substring(simhex, 9, 8), 16, 10) as bigint) as lo",
+        f"explode(array({chunk_structs})) as cc",
     ).select("id", "hi", "lo", "cc.chunk", "cc.val")
     # explicit shuffle on the join key BEFORE the self-join: both join
     # sides become the identical exchange, which ReuseExchange dedupes —
     # without it the (expensive) sketch subtree is computed once per side
-    # (measured ~30% of the query; AQE's broadcast choice defeats reuse)
+    # (measured ~30% of the query; AQE's broadcast choice defeats reuse,
+    # and an un-numbered repartition lets AQE re-plan each side
+    # independently, which ALSO breaks reuse — verified: the sketch ran
+    # twice and the query slowed ~2×)
     n = df.sparkSession.sparkContext.defaultParallelism
     chunked = chunked.repartition(n, F.col("chunk"), F.col("val"))
     ham = (
