@@ -46,7 +46,9 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     dtype = dict(df.dtypes)[col]
     if dtype == "bigint":
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    if dtype == "timestamp_ntz":
+    if dtype in ("timestamp_ntz", "string", "date"):
+        # NTZ and ISO strings cast value-preservingly under the pinned UTC
+        # session; date degrades to midnight (the best a date can say)
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

@@ -80,6 +80,17 @@ def test_timestamp_encoding_drift(spark, tmp_path):
         "ltz_micros": pa.table(
             {"event_id": ids, "ts": pa.array(micros, pa.timestamp("us", tz="UTC"))}
         ),
+        "iso_string": pa.table(
+            {
+                "event_id": ids,
+                "ts": pa.array(
+                    [
+                        "2023-11-14 22:13:20",
+                        "2023-11-14 22:15:23.456789",
+                    ]
+                ),
+            }
+        ),
     }
     results = {}
     for name, tbl in encodings.items():
