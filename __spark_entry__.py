@@ -1334,6 +1334,22 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (operators/dedup.py:duplicated_spans):
+    maximal 8-word spans occurring verbatim in >= 2 distinct docs — the
+    Lee et al. 2022 substring-granular dedup, relational instead of
+    suffix-array. md5 fingerprints let the oracle replay the whole
+    pipeline (window hash -> distinct-doc count -> overlap merge) in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.duplicated_spans(docs, "doc_id", window=8, min_docs=2)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
 def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling (operators/sampling.py:domain_cap): keep
     at most 40 docs per source, selected by deterministic md5 rank within
@@ -1371,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination_bloom": dedup_contamination_bloom,
         "rollup_incremental": rollup_incremental,
         "sample_domain_cap": sample_domain_cap,
+        # --- new in round 5 ----------------------------------------------
+        "dedup_substring_spans": dedup_substring_spans,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -1948,6 +1966,43 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(value * 100) AS BIGINT) AS cents
                   FROM events)
             GROUP BY 1, 2
+        """,
+        "dedup_substring_spans": f"""
+            -- full replay of operators/dedup.py::duplicated_spans
+            -- (window=8, min_docs=2): md5 window fingerprints ->
+            -- distinct-doc count -> overlap merge (gap > window-1 breaks)
+            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            g AS (
+                SELECT doc_id, g AS pos,
+                       md5(array_to_string(ws[g:g+7], ' ')) AS fp
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS g
+                      FROM w)
+            ),
+            dupfp AS (
+                SELECT fp FROM (
+                    SELECT fp, count(DISTINCT doc_id) AS nd FROM g GROUP BY fp)
+                WHERE nd >= 2
+            ),
+            dw AS (SELECT doc_id, pos FROM g JOIN dupfp USING (fp)),
+            b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 7
+                            THEN 1 ELSE 0 END AS brk
+                FROM dw WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            s AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS span
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM s GROUP BY doc_id, span
         """,
         "sample_domain_cap": """
             -- identical window rank as operators/sampling.py::domain_cap

@@ -23,7 +23,7 @@ Scale design notes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from buskafkasparkstreaming_spark.functions import cosine_similarity
@@ -693,3 +693,68 @@ def contamination_pairs_bloom(
             "containment",
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplication: maximal word spans that occur
+    verbatim in >= `min_docs` distinct documents — the substring-granular
+    dedup of an LLM training pipeline (doc-level dedup misses boilerplate
+    headers/footers and quoted passages; removing duplicated SPANS is the
+    Lee et al. 2022 'Deduplicating Training Data' operation, re-expressed
+    relationally instead of via a suffix array, which has no distributed
+    form).
+
+    Plan: slide a `window`-word fingerprint over each doc (posexplode —
+    row-local), md5 the window text, count DISTINCT docs per fingerprint
+    (one partial-agg shuffle keyed by the hash — uniform, skew-free by
+    construction), keep windows duplicated across >= min_docs docs, then
+    merge OVERLAPPING duplicated windows per doc into maximal spans with
+    the sessionize gap-break pattern (two window passes over ONE per-doc
+    shuffle). No step is quadratic: cost is O(total words) + the
+    duplicated-window subset; the all-pairs expansion of ngram_jaccard
+    never happens because counting replaces pairing.
+
+    md5 (not xxhash64) so the DuckDB oracle replays the fingerprints
+    bit-identically. Output: (id, span_start, span_end, n_windows) with
+    1-based inclusive word positions.
+
+    Short docs (< window words) contribute their whole text as one
+    window, mirroring `word_shingles`.
+    """
+    ws = words(text_col)
+    grams = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(ws) - window + 1, F.lit(1))),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, window))),
+            )
+        ).alias("pos0", "fp"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "fp")
+    dup_fp = (
+        grams.groupBy("fp")
+        .agg(F.count_distinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("fp")
+    )
+    dup_windows = grams.join(dup_fp, "fp").select("id", "pos")
+    # overlap merge: windows [i, i+w-1] and [j, j+w-1] (i < j) overlap iff
+    # j - i <= w - 1; a larger gap starts a new maximal span
+    w_order = Window.partitionBy("id").orderBy(F.col("pos").asc())
+    prev = F.lag("pos").over(w_order)
+    brk = F.when(
+        prev.isNull() | (F.col("pos") - prev > window - 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = dup_windows.withColumn("__span", F.sum(brk).over(w_cum))
+    return spans.groupBy("id", "__span").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + window - 1).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("id", "span_start", "span_end", "n_windows")

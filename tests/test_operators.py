@@ -351,3 +351,26 @@ def test_http_poller_spool(spark, tmp_path):
     rids = [e["payload"]["after"]["record_id"] for e in lines]
     assert rids == [1, 2, 3, 4]  # auto-increment across polls
     assert all(e["payload"]["op"] == "c" for e in lines)
+
+
+def test_duplicated_spans_merge_semantics(spark):
+    """Hand-crafted corpus: a shared 10-word passage inside two docs must
+    surface as ONE maximal merged span per doc (overlapping 8-word windows
+    collapse); a doc with no cross-doc duplication yields nothing."""
+    from buskafkasparkstreaming_spark.operators.dedup import duplicated_spans
+
+    passage = " ".join(f"w{i}" for i in range(10))  # 10 shared words
+    rows = [
+        (1, "alpha beta " + passage + " gamma"),        # passage at words 3..12
+        (2, passage + " delta epsilon"),                # passage at words 1..10
+        (3, "totally unique words " + " ".join(f"u{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.id: (r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_spans(df, "doc_id", window=8, min_docs=2).collect()
+    }
+    # 10-word passage -> 3 overlapping 8-word windows (positions p, p+1, p+2)
+    assert out[1] == (3, 12, 3)
+    assert out[2] == (1, 10, 3)
+    assert 3 not in out
