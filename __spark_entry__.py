@@ -1350,6 +1350,20 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN budget for the training mix
+    (operators/sampling.py:token_budget_mix): rows ranked by deterministic
+    md5 within each source, kept while the running whitespace-token total
+    stays <= 800 — balancing the mix in the unit that matters
+    (a doc quota treats a tweet and a book as equal contributions)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SP.token_budget_mix(
+        docs, "doc_id", "source", F.size(F.split(F.col("text"), " ")),
+        budget_tokens=800,
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
 def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling (operators/sampling.py:domain_cap): keep
     at most 40 docs per source, selected by deterministic md5 rank within
@@ -1389,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_domain_cap": sample_domain_cap,
         # --- new in round 5 ----------------------------------------------
         "dedup_substring_spans": dedup_substring_spans,
+        "sample_token_budget_mix": sample_token_budget_mix,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -2003,6 +2018,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) + 7 AS BIGINT) AS span_end,
                    CAST(count(*) AS BIGINT) AS n_windows
             FROM s GROUP BY doc_id, span
+        """,
+        "sample_token_budget_mix": """
+            -- identical running-sum window as
+            -- operators/sampling.py::token_budget_mix (salt 'mix')
+            SELECT doc_id, source, n_tokens FROM (
+                SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       sum(len(string_split(text, ' '))) OVER (
+                           PARTITION BY source
+                           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) ASC,
+                                    doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM documents)
+            WHERE cum <= 800
         """,
         "sample_domain_cap": """
             -- identical window rank as operators/sampling.py::domain_cap

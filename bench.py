@@ -45,6 +45,9 @@ HEADLINE = [
     "pack_token_budget",
     "corpus_curation",
     "ann_quantize_int8",
+    # round-5 additions
+    "dedup_substring_spans",
+    "sample_token_budget_mix",
 ]
 
 

@@ -128,3 +128,43 @@ def deterministic_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    n_tokens_col: Column | str,
+    budget_tokens: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Cap each domain's contribution to the training mix by TOKENS, not
+    documents — the unit pretraining mixes are actually balanced in
+    (a 10-word doc and a 10k-word doc are not equal contributions, which
+    is what `domain_cap`'s doc quota assumes). Within each domain, rows
+    are ordered by md5(id:salt) (deterministic, unbiased w.r.t. crawl
+    order — same rationale as `domain_cap`) and kept while the RUNNING
+    token total stays within `budget_tokens` (inclusive: the row whose
+    cumulative count reaches the budget exactly is kept; the first row of
+    an over-budget domain is dropped only if it alone exceeds the budget).
+
+    Plan: one hash exchange on the domain + a per-domain running-sum
+    window — identical shape to `domain_cap`, so the same 100 TB argument
+    holds (per-task state is one accumulator per domain, not the domain's
+    rows). Adds `n_tokens` (long) and keeps only in-budget rows.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
+    h = _bucket_hex(id_col, salt)
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", c.cast("long"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .filter(F.col("__cum") <= budget_tokens)
+        .drop("__cum")
+    )
