@@ -21,6 +21,8 @@ SHOWN = {
     "dedup_simhash": "single-pass sketch: one explode + 64 partial-aggregable bit sums, pigeonhole chunk equi-join (exchange reused across the self-join)",
     "corpus_curation": "quality/lang/fingerprint as column exprs, ONE dedup aggregation, split as a row-local hash — the whole nightly pipeline in one plan",
     "pack_token_budget": "token-budget packing: one window cumsum partitioned by pack group — parallel, no global sort",
+    "dedup_substring_spans": "substring dedup by COUNTING, not pairing: windowed md5 fingerprints -> distinct-doc agg -> join back -> per-doc overlap-merge window; no suffix array, no quadratic expansion",
+    "sample_token_budget_mix": "per-source token quota: ONE hash exchange on the source + running-sum window (domain_cap's shape in token units)",
 }
 
 

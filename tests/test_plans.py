@@ -152,3 +152,28 @@ def test_cdc_parse_is_narrow(spark, tmp_path):
     parsed = parse_envelopes(read_envelope_jsonl(spark, str(p)))
     assert "Exchange" not in physical_plan(parsed)
     assert_wholestage_codegen(parsed)
+
+
+def test_substring_spans_plan_shape(spark, sf_dir):
+    """duplicated_spans must stay counting-based: no cartesian/nested-loop
+    pair expansion, no SinglePartition window, and a bounded exchange
+    count (spread + fingerprint agg + dup-join + per-doc window)."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    df = entrymod.dedup_substring_spans(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "SinglePartition" not in plan
+    assert count_shuffles(df) <= 4
+
+
+def test_token_budget_mix_is_single_exchange(spark, sf_dir):
+    """token_budget_mix = one hash exchange on the domain + a running-sum
+    window; a global sort or SinglePartition window would not survive a
+    100 TB corpus."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    df = entrymod.sample_token_budget_mix(spark, sf_dir)
+    plan = explain_str(df)
+    assert "SinglePartition" not in plan
+    assert count_shuffles(df) == 1
