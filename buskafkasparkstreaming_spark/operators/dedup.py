@@ -1,6 +1,6 @@
 """Deduplication operators for the 100 TB training-data pipeline
 (BASELINE.json north_star): exact, n-gram Jaccard, MinHash+LSH, SimHash,
-and embedding-cosine near-dup.
+embedding-cosine near-dup, and exact substring-span dedup.
 
 Scale design notes
 ------------------

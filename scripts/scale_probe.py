@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from buskafkasparkstreaming_spark import get_spark
 from buskafkasparkstreaming_spark.operators.dedup import (
+    duplicated_spans,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -125,6 +126,21 @@ def main() -> None:
         "simhash 10x", lambda: simhash_pairs(docs10, "doc_id", max_hamming=3).count(), results
     )
 
+    # substring spans: the replication makes EVERY window duplicated
+    # (10 verbatim copies of each doc) — the worst case for pair-based
+    # dedup (100x pairs) but the counting-based span plan stays linear:
+    # output is one merged span per doc copy
+    t_1x["spans"] = timed(
+        "substring_spans 1x",
+        lambda: duplicated_spans(docs1, "doc_id", window=8).count(),
+        results,
+    )
+    t_10x["spans"] = timed(
+        "substring_spans 10x (all docs 10x duplicated)",
+        lambda: duplicated_spans(docs10, "doc_id", window=8).count(),
+        results,
+    )
+
     q = emb1.filter(F.col("vec_id") < 10)
 
     t_1x["ann"] = timed(
@@ -184,6 +200,7 @@ def main() -> None:
         "ngram": "output-quadratic workload (each 1x pair → 100 pairs + within-group); see pairs/sec + boilerplate probe below",
         "minhash": "sketch linear; candidate pairs grow with true-dup count (10 copies/doc)",
         "simhash": "banding: same",
+        "spans": "counting-based substring dedup: replication makes EVERY window a duplicate (pair-based would do 100× work), but distinct-doc counting stays ~linear",
         "ann": "brute force is O(|Q|×|C|): 100× work at 10×/10× — the IVF path exists for this",
         "ivf": "same 10×/10× workload, query path only (index pre-built & amortized)",
     }

@@ -374,3 +374,23 @@ def test_duplicated_spans_merge_semantics(spark):
     assert out[1] == (3, 12, 3)
     assert out[2] == (1, 10, 3)
     assert 3 not in out
+
+
+def test_token_budget_mix_edge_semantics(spark):
+    """Inclusive budget edge: the row whose running total EQUALS the budget
+    stays; the next row is dropped; a domain whose first row alone exceeds
+    the budget contributes nothing."""
+    from buskafkasparkstreaming_spark.operators.sampling import token_budget_mix
+
+    rows = [
+        # domain a: three 10-token docs, budget 20 -> exactly two kept
+        (1, "a", 10), (2, "a", 10), (3, "a", 10),
+        # domain b: first-ranked doc alone exceeds the budget
+        (4, "b", 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, domain string, n int")
+    out = token_budget_mix(df, "doc_id", "domain", "n", budget_tokens=20)
+    got = {r.doc_id for r in out.collect()}
+    a_kept = got & {1, 2, 3}
+    assert len(a_kept) == 2          # 2 of 3 ten-token docs fit the 20 budget
+    assert 4 not in got              # over-budget singleton dropped
