@@ -1350,6 +1350,34 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_duplicate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc covered by cross-doc duplicated spans — the
+    signal a pipeline actually thresholds on to drop boilerplate-dominated
+    docs (spans from duplicated_spans are disjoint after the overlap
+    merge, so coverage = sum of span lengths; exact integer ratio ->
+    bit-identical division in the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = D.duplicated_spans(docs, "doc_id", window=8, min_docs=2)
+    per_doc = spans.groupBy("id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_words")
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words")
+    )
+    return (
+        base.join(per_doc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("dup_words"), F.lit(0)).cast("long").alias("dup_words"),
+            (
+                F.coalesce(F.col("dup_words"), F.lit(0)).cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source TOKEN budget for the training mix
     (operators/sampling.py:token_budget_mix): rows ranked by deterministic
@@ -1404,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ----------------------------------------------
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
+        "text_duplicate_fraction": text_duplicate_fraction,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -2018,6 +2047,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) + 7 AS BIGINT) AS span_end,
                    CAST(count(*) AS BIGINT) AS n_windows
             FROM s GROUP BY doc_id, span
+        """,
+        "text_duplicate_fraction": f"""
+            -- duplicated_spans replay (see dedup_substring_spans) +
+            -- per-doc coverage; spans are disjoint post-merge so coverage
+            -- = sum of span lengths; exact integer ratio
+            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            g AS (
+                SELECT doc_id, g AS pos,
+                       md5(array_to_string(ws[g:g+7], ' ')) AS fp
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS g
+                      FROM w)
+            ),
+            dupfp AS (
+                SELECT fp FROM (
+                    SELECT fp, count(DISTINCT doc_id) AS nd FROM g GROUP BY fp)
+                WHERE nd >= 2
+            ),
+            dw AS (SELECT doc_id, pos FROM g JOIN dupfp USING (fp)),
+            b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER win IS NULL
+                                 OR pos - lag(pos) OVER win > 7
+                            THEN 1 ELSE 0 END AS brk
+                FROM dw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            s AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS span
+                FROM b
+            ),
+            spans AS (
+                SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+                FROM s GROUP BY doc_id, span
+            ),
+            cov AS (
+                SELECT doc_id,
+                       sum(span_end - span_start + 1) AS dup_words
+                FROM spans GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+                   CAST(coalesce(cov.dup_words, 0) AS BIGINT) AS dup_words,
+                   CAST(coalesce(cov.dup_words, 0) AS DOUBLE)
+                       / len(string_split(d.text, ' ')) AS dup_frac
+            FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
         """,
         "sample_token_budget_mix": """
             -- identical running-sum window as
