@@ -102,23 +102,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    # Measurement protocol: one warm-up pass (whole-stage-codegen compile —
-    # measured up to ~9 s for the widest aggregate pipelines — and AQE
-    # strategy choice both happen at the target SF), then THREE timed
-    # rounds per query, reporting the MINIMUM. C2 JIT of the generated
-    # methods keeps improving over the first few executions
-    # (dedup_simhash: 3.5 → 2.9 → 2.1 → 1.8 s in isolation), and an
-    # 80-plan session adds GC/code-cache jitter on top — the r3→r4
+    # Measurement protocol: THREE timed rounds per query, reporting the
+    # MINIMUM. Round 1 doubles as the warm-up — it pays whole-stage-codegen
+    # compile (measured up to ~9 s for the widest aggregate pipelines) and
+    # AQE strategy choice at the target SF, so it is never the minimum and
+    # min-of-3 discards it. C2 JIT keeps improving over the first few
+    # executions (dedup_simhash: 3.5 → 2.9 → 2.1 → 1.8 s in isolation),
+    # and an 80-plan session adds GC/code-cache jitter on top — the r3→r4
     # 'regression' on dedup_simhash was exactly this warm-up noise, not
-    # the operator. min-of-3 is the standard noise-robust steady-state
+    # the operator. The minimum is the standard noise-robust steady-state
     # statistic; rounds are interleaved across queries so session-level
     # noise lands on every query equally. Compile is a one-time cost
     # amortized over a production session.
-    for name in HEADLINE:
-        queries[name](spark, sf_dir).count()
-    bench_minhash_pipeline(spark, sf_dir, {})
-    bench_ivf_split(spark, sf_dir, {})
-
     timings: dict[str, float] = {}
     for _ in range(3):
         round_t: dict[str, float] = {}
