@@ -1167,6 +1167,39 @@ def dedup_rp_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "cos_sim")
 
 
+def _semantic_centroids(ncent: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Seeded coarse-quantizer centroids shared VERBATIM by the Spark entry
+    and the DuckDB oracle (same RNG sequence → same double literals), the
+    rp_lsh replay pattern. Production swaps these for
+    similarity.train_ivf_centroids output; the plan shape is unchanged."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(ncent)]
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.py:semantic_dedup):
+    coarse-cluster embeddings to 8 seeded centroids, prune cosine near-dups
+    (>= 0.35) within clusters, keep the min-id representative per near-dup
+    component. FULL hash oracle: the centroids are deterministic literals,
+    so DuckDB replays assignment (argmax cosine, ties to lowest id),
+    within-cluster pairing, and recursive-CTE reachability exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _semantic_centroids()
+    cdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)],
+        "centroid_id bigint, embedding array<double>",
+    )
+    out = D.semantic_dedup(emb, cdf, "vec_id", "embedding", threshold=0.35)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        "is_dup",
+    )
+
+
 def doc_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash sketch with a structural self-check
     oracle (the xxhash64 values themselves aren't SQL-expressible, but the
@@ -1433,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
+        "dedup_semantic": dedup_semantic,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -1616,6 +1650,73 @@ def _rp_lsh_oracle_sql(
         JOIN embeddings ea ON ea.vec_id = id_a
         JOIN embeddings eb ON eb.vec_id = id_b
         WHERE {cos} >= {threshold}
+    """
+
+
+def _semantic_dedup_oracle_sql(
+    ncent: int = 8, dim: int = 64, seed: int = 7, threshold: float = 0.35
+) -> str:
+    """Regenerate dedup_semantic's seeded centroids as SQL literals and
+    replay the full SemDeDup pipeline in DuckDB: argmax-cosine cluster
+    assignment (ties to lowest centroid id — same ordering as
+    similarity.assign_buckets), within-cluster cosine pairs, recursive-CTE
+    reachability for the near-dup components, min-id representative. Dot
+    products are sequential double folds on both engines (proven
+    bit-identical by dedup_embedding_blocked / dedup_rp_lsh_embeddings)."""
+    cents = _semantic_centroids(ncent, dim, seed)
+    values = ",\n                   ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}])" for i, c in enumerate(cents)
+    )
+    cos_ec = (
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), cv)"
+        " / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))"
+        " * list_dot_product(cv, cv))"
+    )
+    cos_ab = (
+        "list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))"
+        " / sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))"
+        " * list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))"
+    )
+    return f"""
+        WITH RECURSIVE
+        cent(cid, cv) AS (VALUES
+                   {values}),
+        sims AS (
+            SELECT e.vec_id, c.cid, {cos_ec} AS sim
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        assigned AS (
+            SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid ASC) AS rn
+                FROM sims)
+            WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM assigned a
+            JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE {cos_ab} >= {threshold}
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+        ),
+        comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+        SELECT a.vec_id,
+               a.cluster,
+               coalesce(c.comp, a.vec_id) AS rep_id,
+               coalesce(c.comp, a.vec_id) <> a.vec_id AS is_dup
+        FROM assigned a LEFT JOIN comp c ON c.node = a.vec_id
     """
 
 
@@ -2345,6 +2446,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_sampled_frames
             FROM documents
         """,
+        "dedup_semantic": _semantic_dedup_oracle_sql(),
         "dedup_rp_lsh_embeddings": _rp_lsh_oracle_sql(
             num_planes=4, num_tables=8, seed=42, dim=64, threshold=0.35
         ),

@@ -758,3 +758,64 @@ def duplicated_spans(
         (F.max("pos") + window - 1).alias("span_end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select("id", "span_start", "span_end", "n_windows")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then find
+    cosine near-duplicates WITHIN each cluster only, and keep one
+    canonical doc per near-dup group. The all-pairs cosine matrix is
+    never materialized — pair candidates are bounded by cluster sizes,
+    so at 100 TB you scale `nlist` with the corpus (FAISS sizing:
+    ~sqrt(N) clusters) and each cluster join stays executor-sized.
+
+    `centroids` is any (centroid_id, centroid_vec) frame: seeded random
+    centroids make the result exactly replayable (the oracle path);
+    production uses `similarity.train_ivf_centroids` for data-adaptive
+    clusters — the plan shape is identical either way (one broadcast
+    assignment pass, one within-cluster equi-join, distributed
+    union-find; no collects, no cartesian).
+
+    Keep rule: within a cluster, near-dup groups are connected components
+    of the cos >= threshold pair graph; the representative is the MINIMUM
+    id in the group (deterministic). Returns one row per input doc:
+    (id_col, cluster, rep_id, is_dup) — filter `~is_dup` for the kept
+    corpus.
+
+    Note the returned frame's lineage contains the persisted
+    `connected_components` result; long-lived drivers should unpersist
+    after materializing (see connected_components docstring).
+    """
+    from buskafkasparkstreaming_spark.operators.similarity import assign_buckets
+
+    assigned = assign_buckets(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        centroids,
+        id_col=id_col,
+        corpus_vec=vec_col,
+        centroid_id=centroid_id,
+        centroid_vec=centroid_vec,
+        nprobe=1,
+    )
+    pairs = embedding_neardup_pairs(
+        assigned, id_col, vec_col, "bucket", threshold=threshold
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    rep = F.coalesce(F.col("comp"), F.col(id_col))
+    return (
+        assigned.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("bucket").alias("cluster"),
+            rep.alias("rep_id"),
+            (rep != F.col(id_col)).alias("is_dup"),
+        )
+    )

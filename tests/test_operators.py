@@ -394,3 +394,35 @@ def test_token_budget_mix_edge_semantics(spark):
     a_kept = got & {1, 2, 3}
     assert len(a_kept) == 2          # 2 of 3 ten-token docs fit the 20 budget
     assert 4 not in got              # over-budget singleton dropped
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Two tight near-dup groups in opposite half-spaces + one singleton:
+    clusters split by the centroid argmax, rep = min id per cos>=t group,
+    singletons kept."""
+    from buskafkasparkstreaming_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),   # near-dup of 1
+        (3, [-1.0, 0.05]),
+        (4, [-0.999, 0.06]),  # near-dup of 3
+        (5, [0.0, 1.0]),      # singleton (orthogonal to both groups)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "centroid_id bigint, embedding array<double>",
+    )
+    out = {
+        r["doc_id"]: (r["cluster"], r["rep_id"], r["is_dup"])
+        for r in semantic_dedup(
+            corpus, cents, "doc_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert out[1] == (0, 1, False)
+    assert out[2] == (0, 1, True)
+    assert out[3] == (1, 3, False)
+    assert out[4] == (1, 3, True)
+    # doc 5: cos to both groups < 0.95 -> kept, rep is itself
+    assert out[5][1] == 5 and out[5][2] is False
