@@ -1167,6 +1167,22 @@ def dedup_rp_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "cos_sim")
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score
+    (operators/text.py:lm_unigram_score): mean token log-probability per
+    doc, add-one smoothed. Checked columns are exact integers (fixed-point
+    nats summed as BIGINT); the double avg derives from them by one
+    division, so the oracle matches hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.lm_unigram_score(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "sum_nats_fp",
+        "avg_logprob",
+    )
+
+
 def _semantic_centroids(ncent: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
     """Seeded coarse-quantizer centroids shared VERBATIM by the Spark entry
     and the DuckDB oracle (same RNG sequence → same double literals), the
@@ -1467,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
         "dedup_semantic": dedup_semantic,
+        "text_lm_score": text_lm_score,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -2447,6 +2464,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_semantic": _semantic_dedup_oracle_sql(),
+        "text_lm_score": f"""
+            -- replay of operators/text.py::lm_unigram_score: train unigram
+            -- counts, fixed-point each token's ln(p) row-locally (exact
+            -- BIGINT aggregation — engine-order-independent), derive the
+            -- double avg from the integers by one division.
+            WITH toks AS (
+                SELECT doc_id, unnest({WORDS}) AS w FROM documents
+            ),
+            vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+            tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab),
+            scored AS (
+                SELECT doc_id,
+                       CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)
+                                     / CAST(n + v AS DOUBLE)) * 10000)
+                            AS BIGINT) AS nats_fp
+                FROM toks JOIN vocab USING (w) CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(nats_fp) AS BIGINT) AS sum_nats_fp,
+                   CAST(sum(nats_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       / 10000.0 AS avg_logprob
+            FROM scored GROUP BY doc_id
+        """,
         "dedup_rp_lsh_embeddings": _rp_lsh_oracle_sql(
             num_planes=4, num_tables=8, seed=42, dim=64, threshold=0.35
         ),

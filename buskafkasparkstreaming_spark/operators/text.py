@@ -241,3 +241,72 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select("id", "word", "tf", "weight", "rank")
     )
+
+
+def lm_unigram_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_scale: int = 10_000,
+) -> DataFrame:
+    """CCNet-style LM quality score (Wenzek et al. 2020, arXiv:1911.00359,
+    score docs by LM perplexity and keep the low-perplexity tail; the
+    unigram variant keeps the same train-then-score dataflow with an
+    exactly-replayable model): token frequencies are trained on the corpus
+    itself, each doc is scored by its mean token log-probability with
+    add-one smoothing. Low scores flag OOV-heavy / non-language docs;
+    unusually high scores flag degenerate repeated-token docs.
+
+    Exactness contract: per-token log-probs are fixed-pointed ROW-LOCALLY —
+    floor(ln(p) * fp_scale) as BIGINT — so the per-doc aggregation is exact
+    integer arithmetic, independent of summation order (float sums are NOT
+    reproducible across engines; integer sums are). ln's last-ulp variance
+    between libm implementations can only flip a floor when ln(p)*fp_scale
+    lands within ~1e-11 of an integer — odds ~1e-9 across a corpus at the
+    default scale, and shrinking with fp_scale. The informative double
+    `avg_logprob` (nats/token) derives from the exact integers by one
+    division.
+
+    Plan: one explode; vocab aggregation (shuffle on word); token→vocab
+    equi-join co-partitioned on the same key (the exchanges are distinct —
+    partial aggregation sits under the vocab one — but no extra shuffle is
+    introduced beyond the join's own); corpus totals as a broadcast 1-row
+    aggregate (no driver action); per-doc sum (shuffle on id). At 100 TB,
+    cap the vocab (top-M words + an OOV bucket) and the join side becomes
+    broadcastable; uncapped it stays a shuffle-colocated join on word.
+
+    Output: (id, n_tokens, sum_nats_fp, avg_logprob).
+    """
+    toks = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").cast("long").alias("__N"),
+        F.count(F.lit(1)).cast("long").alias("__V"),
+    )
+    scored = (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(totals))  # scalar-broadcast idiom, not a cartesian
+        .withColumn(
+            "__nats_fp",
+            F.floor(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("__N") + F.col("__V")).cast("double")
+                )
+                * F.lit(fp_scale)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__nats_fp").cast("long").alias("sum_nats_fp"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.col("sum_nats_fp").cast("double")
+            / F.col("n_tokens").cast("double")
+            / F.lit(float(fp_scale)),
+        )
+    )

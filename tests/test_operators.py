@@ -426,3 +426,25 @@ def test_semantic_dedup_keep_rule(spark):
     assert out[4] == (1, 3, True)
     # doc 5: cos to both groups < 0.95 -> kept, rep is itself
     assert out[5][1] == 5 and out[5][2] is False
+
+
+def test_lm_unigram_score_discriminates(spark):
+    """Docs made of corpus-frequent tokens must out-score docs of rare
+    tokens; integer fixed-point columns must be consistent with the
+    derived double."""
+    from buskafkasparkstreaming_spark.operators.text import lm_unigram_score
+
+    rows = [
+        (1, "the the the the"),        # frequent tokens
+        (2, "the cat sat here"),       # mixed
+        (3, "zyx qwv jkl pfb"),        # singletons
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["id"]: r
+        for r in lm_unigram_score(docs, "doc_id", "text").collect()
+    }
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"] > out[3]["avg_logprob"]
+    for r in out.values():
+        assert r["n_tokens"] == 4
+        assert abs(r["avg_logprob"] - r["sum_nats_fp"] / 4 / 10_000) < 1e-12

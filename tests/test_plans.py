@@ -177,3 +177,50 @@ def test_token_budget_mix_is_single_exchange(spark, sf_dir):
     plan = explain_str(df)
     assert "SinglePartition" not in plan
     assert count_shuffles(df) == 1
+
+
+def test_semantic_dedup_pair_stage_is_equi_join(spark, sf_dir):
+    """SemDeDup's scale-critical stage — cluster assignment + within-cluster
+    candidate pairs — must be the 8-row broadcast centroid fan-out plus an
+    equi-join on the cluster label, never a corpus×corpus cartesian. (Gated
+    pre-union-find: connected_components' iterative lineage makes the full
+    entry plan unprintable.)"""
+    from buskafkasparkstreaming_spark.operators.dedup import embedding_neardup_pairs
+    from buskafkasparkstreaming_spark.operators.similarity import assign_buckets
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(entrymod._semantic_centroids())],
+        "centroid_id bigint, embedding array<double>",
+    )
+    assigned = assign_buckets(emb, cents, id_col="vec_id", nprobe=1)
+    pairs = embedding_neardup_pairs(
+        assigned, "vec_id", "embedding", "bucket", threshold=0.35
+    )
+    from buskafkasparkstreaming_spark.plans import physical_plan
+
+    plan = physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    # the pair join keys on the cluster label -> hash or sort-merge join;
+    # the only nested-loops allowed are the broadcast centroid fan-outs
+    # (one per self-join side — the 8-row centroid set, not data x data)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_lm_score_plan_shape(spark, sf_dir):
+    """LM scoring is two keyed aggregations + one keyed join + a 1-row
+    scalar broadcast: no cartesian, and the scalar crossJoin must plan as
+    a broadcast (a replicated nested-loop over a 1-row side is the
+    documented scalar idiom, not a data-sized cartesian)."""
+    from buskafkasparkstreaming_spark.operators.text import lm_unigram_score
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    from buskafkasparkstreaming_spark.plans import physical_plan
+
+    df = lm_unigram_score(docs)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row totals only
