@@ -1194,6 +1194,28 @@ def _semantic_centroids(ncent: int = 8, dim: int = 64, seed: int = 7) -> list[li
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(ncent)]
 
 
+def sample_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning (operators/sampling.py:prototypicality_prune)
+    over the embeddings table with the same seeded centroid literals as
+    dedup_semantic — drop the 30% most prototypical examples per cluster.
+    FULL hash oracle: assignment, cosine-to-own-centroid, and both windows
+    replay exactly in DuckDB; the keep boundary is integer arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_semantic_centroids())],
+        "centroid_id bigint, embedding array<double>",
+    )
+    out = SP.prototypicality_prune(emb, cdf, "vec_id", "embedding", drop_pct=30)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "proto_sim",
+        "proto_rank",
+        "n_cluster",
+        "is_kept",
+    )
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/dedup.py:semantic_dedup):
     coarse-cluster embeddings to 8 seeded centroids, prune cosine near-dups
@@ -1484,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_duplicate_fraction": text_duplicate_fraction,
         "dedup_semantic": dedup_semantic,
         "text_lm_score": text_lm_score,
+        "sample_prototype_prune": sample_prototype_prune,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -1641,7 +1664,10 @@ def _rp_lsh_oracle_sql(
         bits = []
         for j in range(num_planes):
             plane = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
-            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            # exact DOUBLE[] literal — a plain list literal parses as
+            # DECIMAL(19,18)[] and skews the dot ~1e-16, which could flip
+            # a sign bit when a vector lies near a plane
+            lit = _sql_double_array(plane)
             bits.append(
                 f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit})"
                 f" > 0 THEN {1 << j} ELSE 0 END)"
@@ -1670,6 +1696,41 @@ def _rp_lsh_oracle_sql(
     """
 
 
+def _sql_double_array(vec: list[float]) -> str:
+    """Bit-exact DOUBLE[] literal for DuckDB. A plain `[0.844...]` literal
+    parses as DECIMAL(19,18)[] — lossy for binary doubles (repr needs 17
+    significant digits; the decimal type rounds them), which skewed every
+    replayed dot product by ~1e-16. String→DOUBLE casts are correctly
+    rounded, so `CAST('repr' AS DOUBLE)` round-trips each component
+    exactly (verified list-equal to the parameter-bound array)."""
+    return "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vec) + "]"
+
+
+def _centroid_sims_sql(cents: list[list[float]]) -> str:
+    """UNION ALL of per-centroid cosine scans. DuckDB's `list_dot_product`
+    is a sequential left fold (verified with order-discriminating inputs),
+    matching Spark's `F.aggregate` fold bit-for-bit — PROVIDED the centroid
+    literal round-trips exactly (see _sql_double_array). The centroid
+    self-dot is a Python-side sequential fold inlined as a literal (same op
+    order as Spark's fold over the same values). Do NOT unroll the dot as
+    an explicit `a + b + c` chain: DuckDB flattens long addition chains and
+    reassociates them, drifting a last-ulp from the sequential result."""
+    scans = []
+    for i, c in enumerate(cents):
+        lit = _sql_double_array(c)
+        dcc = 0.0
+        for v in c:
+            dcc += v * v
+        scans.append(
+            f"SELECT vec_id, {i} AS cid,"
+            f" list_dot_product(CAST(embedding AS DOUBLE[]), {lit})"
+            " / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+            f" CAST(embedding AS DOUBLE[])) * CAST('{dcc!r}' AS DOUBLE))"
+            " AS sim FROM embeddings"
+        )
+    return "\n            UNION ALL\n            ".join(scans)
+
+
 def _semantic_dedup_oracle_sql(
     ncent: int = 8, dim: int = 64, seed: int = 7, threshold: float = 0.35
 ) -> str:
@@ -1677,18 +1738,11 @@ def _semantic_dedup_oracle_sql(
     replay the full SemDeDup pipeline in DuckDB: argmax-cosine cluster
     assignment (ties to lowest centroid id — same ordering as
     similarity.assign_buckets), within-cluster cosine pairs, recursive-CTE
-    reachability for the near-dup components, min-id representative. Dot
-    products are sequential double folds on both engines (proven
+    reachability for the near-dup components, min-id representative.
+    Centroid cosines use the sequential-unrolled form (_centroid_sims_sql);
+    pair cosines between float32 embeddings use list_dot_product (proven
     bit-identical by dedup_embedding_blocked / dedup_rp_lsh_embeddings)."""
     cents = _semantic_centroids(ncent, dim, seed)
-    values = ",\n                   ".join(
-        f"({i}, [{', '.join(repr(v) for v in c)}])" for i, c in enumerate(cents)
-    )
-    cos_ec = (
-        "list_dot_product(CAST(e.embedding AS DOUBLE[]), cv)"
-        " / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))"
-        " * list_dot_product(cv, cv))"
-    )
     cos_ab = (
         "list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))"
         " / sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))"
@@ -1696,11 +1750,8 @@ def _semantic_dedup_oracle_sql(
     )
     return f"""
         WITH RECURSIVE
-        cent(cid, cv) AS (VALUES
-                   {values}),
         sims AS (
-            SELECT e.vec_id, c.cid, {cos_ec} AS sim
-            FROM embeddings e CROSS JOIN cent c
+            {_centroid_sims_sql(cents)}
         ),
         assigned AS (
             SELECT vec_id, cid AS cluster FROM (
@@ -1734,6 +1785,41 @@ def _semantic_dedup_oracle_sql(
                coalesce(c.comp, a.vec_id) AS rep_id,
                coalesce(c.comp, a.vec_id) <> a.vec_id AS is_dup
         FROM assigned a LEFT JOIN comp c ON c.node = a.vec_id
+    """
+
+
+def _prototype_prune_oracle_sql(
+    ncent: int = 8, dim: int = 64, seed: int = 7, drop_pct: int = 30
+) -> str:
+    """Replay prototypicality_prune in DuckDB with the same seeded centroid
+    literals as _semantic_dedup_oracle_sql: argmax-cosine assignment
+    (sequential-unrolled dots — see _centroid_sims_sql), cosine to the
+    winning centroid, per-cluster rank + size windows, integer keep
+    boundary."""
+    cents = _semantic_centroids(ncent, dim, seed)
+    return f"""
+        WITH sims AS (
+            {_centroid_sims_sql(cents)}
+        ),
+        assigned AS (
+            SELECT vec_id, cid AS cluster, sim AS proto_sim FROM (
+                SELECT vec_id, cid, sim,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid ASC) AS rn
+                FROM sims)
+            WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT vec_id, cluster, proto_sim,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY proto_sim DESC, vec_id ASC)
+                       AS proto_rank,
+                   count(*) OVER (PARTITION BY cluster) AS n_cluster
+            FROM assigned
+        )
+        SELECT vec_id, cluster, proto_sim, proto_rank, n_cluster,
+               proto_rank * 100 > n_cluster * {drop_pct} AS is_kept
+        FROM ranked
     """
 
 
@@ -2464,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_semantic": _semantic_dedup_oracle_sql(),
+        "sample_prototype_prune": _prototype_prune_oracle_sql(),
         "text_lm_score": f"""
             -- replay of operators/text.py::lm_unigram_score: train unigram
             -- counts, fixed-point each token's ln(p) row-locally (exact

@@ -48,6 +48,9 @@ HEADLINE = [
     # round-5 additions
     "dedup_substring_spans",
     "sample_token_budget_mix",
+    "dedup_semantic",
+    "text_lm_score",
+    "sample_prototype_prune",
 ]
 
 

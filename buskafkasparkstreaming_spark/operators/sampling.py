@@ -168,3 +168,72 @@ def token_budget_mix(
         .filter(F.col("__cum") <= budget_tokens)
         .drop("__cum")
     )
+
+
+def prototypicality_prune(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    drop_pct: int = 30,
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "embedding",
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, arXiv:2206.14486,
+    "Beyond neural scaling laws"): cluster the embedding space, rank each
+    example by cosine to its OWN cluster centroid (prototypicality), and
+    drop the most prototypical `drop_pct` percent per cluster — redundant
+    easy examples near cluster cores carry the least training signal, and
+    pruning them beats random pruning at large data scale.
+
+    Keep rule is exact integer arithmetic (`rank * 100 > n_cluster *
+    drop_pct`), so the boundary is engine-independent; ranking ties break
+    by id. Returns one row per input: (id_col, cluster, proto_sim,
+    proto_rank, n_cluster, is_kept) — filter `is_kept` for the pruned
+    corpus.
+
+    Plan: one broadcast assignment pass (argmax over the tiny centroid
+    set), a second broadcast join to re-attach the winning centroid's
+    vector for the sim column, and ONE shuffle on the cluster label for
+    the two windows (rank + size share the partitioning). At 100 TB,
+    scale the number of clusters with the corpus (~sqrt(N)) so window
+    partitions stay executor-sized; the centroid set remains broadcast.
+    """
+    from pyspark.sql import Window
+
+    from buskafkasparkstreaming_spark.functions import cosine_similarity
+    from buskafkasparkstreaming_spark.operators.similarity import assign_buckets
+
+    assigned = assign_buckets(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        centroids,
+        id_col=id_col,
+        corpus_vec=vec_col,
+        centroid_id=centroid_id,
+        centroid_vec=centroid_vec,
+        nprobe=1,
+    )
+    cent = centroids.select(
+        F.col(centroid_id).alias("bucket"), F.col(centroid_vec).alias("__cv")
+    )
+    scored = assigned.join(F.broadcast(cent), "bucket").withColumn(
+        "proto_sim", cosine_similarity(vec_col, "__cv")
+    )
+    w_rank = Window.partitionBy("bucket").orderBy(
+        F.col("proto_sim").desc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy("bucket")
+    return (
+        scored.withColumn("proto_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("n_cluster", F.count(F.lit(1)).over(w_all).cast("long"))
+        .select(
+            F.col(id_col),
+            F.col("bucket").alias("cluster"),
+            "proto_sim",
+            "proto_rank",
+            "n_cluster",
+            (F.col("proto_rank") * 100 > F.col("n_cluster") * drop_pct).alias(
+                "is_kept"
+            ),
+        )
+    )

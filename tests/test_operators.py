@@ -448,3 +448,36 @@ def test_lm_unigram_score_discriminates(spark):
     for r in out.values():
         assert r["n_tokens"] == 4
         assert abs(r["avg_logprob"] - r["sum_nats_fp"] / 4 / 10_000) < 1e-12
+
+
+def test_prototypicality_prune_semantics(spark):
+    """Cluster of 4 around +x with graded distances + singleton cluster:
+    the most prototypical drop_pct% per cluster are dropped, ranked by
+    cosine to the cluster centroid; a 1-element cluster keeps its row
+    (rank 1 of 1 survives any drop_pct < 100)."""
+    from buskafkasparkstreaming_spark.operators.sampling import (
+        prototypicality_prune,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),      # closest to centroid -> dropped at 25%
+        (2, [0.9, 0.1]),
+        (3, [0.8, 0.3]),
+        (4, [0.5, 0.8]),      # least prototypical
+        (5, [-1.0, 0.0]),     # own cluster, singleton
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "centroid_id bigint, embedding array<double>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in prototypicality_prune(
+            corpus, cents, "doc_id", "embedding", drop_pct=25
+        ).collect()
+    }
+    assert [out[i]["proto_rank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert not out[1]["is_kept"]          # rank 1 of 4 -> 100 <= 4*25
+    assert out[2]["is_kept"] and out[3]["is_kept"] and out[4]["is_kept"]
+    assert out[5]["is_kept"] and out[5]["n_cluster"] == 1
