@@ -1194,6 +1194,22 @@ def _semantic_centroids(ncent: int = 8, dim: int = 64, seed: int = 7) -> list[li
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(ncent)]
 
 
+def pack_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking (operators/packing.py:chunk_documents):
+    split docs into 64-token chunks with 16-token overlap (stride 48);
+    tail chunks emitted short. Row-local explode, zero shuffles. FULL hash
+    oracle: integer chunk boundaries replayed with DuckDB list slicing."""
+    docs = _t(spark, sf_dir, "documents")
+    out = PK.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "n_chunks",
+        "chunk_text",
+        "chunk_len",
+    )
+
+
 def sample_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSL-prototypes pruning (operators/sampling.py:prototypicality_prune)
     over the embeddings table with the same seeded centroid literals as
@@ -1507,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "text_lm_score": text_lm_score,
         "sample_prototype_prune": sample_prototype_prune,
+        "pack_chunk_documents": pack_chunk_documents,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -2551,6 +2568,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_semantic": _semantic_dedup_oracle_sql(),
         "sample_prototype_prune": _prototype_prune_oracle_sql(),
+        "pack_chunk_documents": f"""
+            -- replay of operators/packing.py::chunk_documents (chunk 64,
+            -- overlap 16 -> stride 48): integer chunk count, 1-based
+            -- inclusive list slices clip at the tail exactly like
+            -- Spark's slice()
+            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            c AS (
+                SELECT doc_id, ws,
+                       unnest(range(0, (len(ws) + 47) // 48)) AS k
+                FROM w
+            )
+            SELECT doc_id,
+                   k AS chunk_id,
+                   (len(ws) + 47) // 48 AS n_chunks,
+                   array_to_string(ws[k*48+1 : k*48+64], ' ') AS chunk_text,
+                   len(ws[k*48+1 : k*48+64]) AS chunk_len
+            FROM c
+        """,
         "text_lm_score": f"""
             -- replay of operators/text.py::lm_unigram_score: train unigram
             -- counts, fixed-point each token's ln(p) row-locally (exact

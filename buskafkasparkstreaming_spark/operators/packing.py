@@ -53,3 +53,60 @@ def pack_token_budget(
     return grouped.withColumn(
         "bin_in_group", F.floor(tokens_before / F.lit(budget)).cast("long")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into fixed-size training chunks with optional
+    overlap — the other half of context-length preprocessing (packing
+    concatenates short docs; chunking splits long ones). Chunk k of a doc
+    covers words [k*stride, k*stride + chunk_tokens) for stride =
+    chunk_tokens − overlap, for every k with k*stride < n_words; the tail
+    chunk is emitted short rather than dropped (training pipelines pad or
+    pack it downstream). A doc shorter than one chunk yields itself.
+
+    Pure row-local explode — ZERO shuffles, no UDF: chunk count and slices
+    are array expressions over the split-once word array, so at 100 TB
+    this is a single map stage over the scan, parallel in the input
+    splits. Deterministic and SQL-replayable (integer chunk boundaries).
+
+    Output: (id, chunk_id, n_chunks, chunk_text, chunk_len) — one row per
+    chunk, chunk_id 0-based.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    from buskafkasparkstreaming_spark.operators.text import words
+
+    ws = words(text_col)
+    n = F.size(ws)
+    # ceil(n / stride) in exact integer arithmetic; n >= 1 always (split
+    # of an empty string is [''])
+    n_chunks = F.floor((n + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            ws.alias("__ws"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("__k", "__junk"),
+        )
+        .select(
+            "id",
+            F.col("__k").cast("long").alias("chunk_id"),
+            F.floor((F.size("__ws") + F.lit(stride - 1)) / F.lit(stride))
+            .cast("long")
+            .alias("n_chunks"),
+            F.array_join(
+                F.slice(F.col("__ws"), F.col("__k") * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("__ws"), F.col("__k") * stride + 1, chunk_tokens)
+            ).cast("long").alias("chunk_len"),
+        )
+    )

@@ -481,3 +481,31 @@ def test_prototypicality_prune_semantics(spark):
     assert not out[1]["is_kept"]          # rank 1 of 4 -> 100 <= 4*25
     assert out[2]["is_kept"] and out[3]["is_kept"] and out[4]["is_kept"]
     assert out[5]["is_kept"] and out[5]["n_cluster"] == 1
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk/overlap boundary semantics: short doc -> itself; exact
+    multiple of stride -> no empty tail; overlap repeats the boundary
+    words; overlap >= chunk rejected."""
+    import pytest as _pytest
+
+    from buskafkasparkstreaming_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                       # shorter than one chunk
+            (2, "a b c d e f g h"),             # 8 words = 2 chunks at stride 4
+            (3, "a b c d e f g h i"),           # 9 words -> 3rd short chunk
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=6, overlap=2)
+    rows = {(r["id"], r["chunk_id"]): r for r in out.collect()}
+    assert rows[(1, 0)]["chunk_text"] == "a b c" and rows[(1, 0)]["n_chunks"] == 1
+    # stride 4: chunk0 = words 1..6, chunk1 = words 5..10 (clipped)
+    assert rows[(2, 0)]["chunk_text"] == "a b c d e f"
+    assert rows[(2, 1)]["chunk_text"] == "e f g h"       # overlap e f
+    assert rows[(2, 1)]["chunk_len"] == 4
+    assert rows[(3, 2)]["chunk_text"] == "i" and rows[(3, 2)]["n_chunks"] == 3
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -224,3 +224,14 @@ def test_lm_score_plan_shape(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row totals only
+
+
+def test_chunk_documents_is_row_local(spark, sf_dir):
+    """Chunking is a pure map stage: split once, integer boundaries,
+    explode — ZERO exchanges in the plan."""
+    from buskafkasparkstreaming_spark.operators.packing import chunk_documents
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    assert count_shuffles(chunk_documents(docs)) == 0
