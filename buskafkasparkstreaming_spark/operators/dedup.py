@@ -430,15 +430,23 @@ def connected_components(
     neighborhood, then labels chase their own label's label — so label
     paths halve every round and convergence is O(log diameter) rounds,
     not O(diameter). Iteration is inherent to the algorithm, so this runs
-    a driver-side loop (the MLlib/GraphX pattern) with persist/unpersist
-    between rounds to keep lineage flat, early-stopping at the fixpoint.
+    a driver-side loop (the MLlib/GraphX pattern) with an eager
+    localCheckpoint per round to keep lineage flat (see below),
+    early-stopping at the fixpoint.
     The fixpoint is unique (component-wide min), so the result is
     deterministic and oracle-checkable. Nodes that appear in no pair are
     absent — callers left-join and coalesce to the node's own id.
 
-    The RETURNED DataFrame is persisted (its lineage would otherwise
-    replay every iteration); long-lived drivers should call
-    `.unpersist()` once the result is materialized downstream. If the
+    Each round ends in an EAGER `localCheckpoint`: the label frame is
+    bounded (one row per node) but its un-truncated lineage QUADRUPLES
+    per round (the pointer-jump self-joins `labels` twice), and by ~10
+    rounds merely rendering the plan string OOMs the driver —
+    AdaptiveSparkPlanExec builds the explain string eagerly on every plan
+    update, so a persist alone (which dedups execution but not the
+    logical plan) does not survive. Checkpointing materializes the rows
+    and resets the plan to a leaf, keeping every round's plan O(1). The
+    returned frame is therefore checkpoint-backed; its blocks are freed
+    by the ContextCleaner when the frame is garbage collected. If the
     loop exhausts `max_iter` before the fixpoint, labels may be
     partially merged — a UserWarning is raised (with path halving,
     25 rounds cover components of diameter ~2^25; hitting the warning
@@ -451,14 +459,14 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .persist()
-    )
-    converged = False
     try:
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
+            .localCheckpoint()  # eager: flat-plan leaf for the loop below
+        )
+        converged = False
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -473,22 +481,18 @@ def connected_components(
             jumped = (
                 prop.join(hop, prop["comp"] == hop["__cn"], "left")
                 .select("node", F.coalesce("__cc", "comp").alias("comp"))
-                .persist()
+                .localCheckpoint()  # eager: truncate this round's lineage
             )
-            try:
-                changed = (
-                    jumped.withColumnRenamed("comp", "__new")
-                    .join(labels, "node")
-                    .filter(F.col("__new") != F.col("comp"))
-                    .limit(1)
-                    .count()
-                )
-            except BaseException:
-                # a failed round must not strand this round's cache on the
-                # executors (ADVICE r3, low: persist leak on mid-loop error)
-                jumped.unpersist()
-                raise
-            labels.unpersist()
+            changed = (
+                jumped.withColumnRenamed("comp", "__new")
+                .join(labels, "node")
+                .filter(F.col("__new") != F.col("comp"))
+                .limit(1)
+                .count()
+            )
+            # the superseded round's checkpoint blocks are released by the
+            # ContextCleaner once `labels` drops the reference (persist
+            # bookkeeping is gone — checkpoints expose no unpersist)
             labels = jumped
             if changed == 0:
                 converged = True
@@ -500,8 +504,6 @@ def connected_components(
                 "raise max_iter",
                 stacklevel=2,
             )
-        # result stays cached: one (node, comp) row per node, bounded;
-        # callers unpersist after materializing downstream
         return labels
     finally:
         edges.unpersist()
@@ -790,9 +792,8 @@ def semantic_dedup(
     (id_col, cluster, rep_id, is_dup) — filter `~is_dup` for the kept
     corpus.
 
-    Note the returned frame's lineage contains the persisted
-    `connected_components` result; long-lived drivers should unpersist
-    after materializing (see connected_components docstring).
+    The returned frame joins against the checkpoint-backed
+    `connected_components` result (see its docstring for block lifetime).
     """
     from buskafkasparkstreaming_spark.operators.similarity import assign_buckets
 

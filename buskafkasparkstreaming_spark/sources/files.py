@@ -66,11 +66,18 @@ def ensure_session_confs(spark: SparkSession) -> None:
       instead of TIMESTAMP_NTZ, which event-time ops reject;
     * UTC session time — timestamp literals and LTZ collection must not
       depend on the host machine's zone (the reference's schema-drift bug
-      class, SURVEY §1.2).
+      class, SURVEY §1.2);
+    * maxPlanStringLength — AQE renders the explain string EAGERLY on
+      every plan update; an iterative operator whose lineage escapes
+      truncation can otherwise OOM the driver just printing its plan
+      (observed with a ~10-round union-find before localCheckpoint was
+      added). 8 MB keeps every legitimate plan intact and bounds the
+      failure mode.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
