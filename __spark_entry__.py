@@ -30,6 +30,7 @@ from buskafkasparkstreaming_spark.cdc.envelope import parse_envelopes, synthesiz
 from buskafkasparkstreaming_spark.cdc.upsert import latest_state
 from buskafkasparkstreaming_spark.operators import dedup as D
 from buskafkasparkstreaming_spark.operators import joins as J
+from buskafkasparkstreaming_spark.operators import layout as LY
 from buskafkasparkstreaming_spark.operators import multimodal as MM
 from buskafkasparkstreaming_spark.operators import packing as PK
 from buskafkasparkstreaming_spark.operators import rollup as RU
@@ -1194,6 +1195,23 @@ def _semantic_centroids(ncent: int = 8, dim: int = 64, seed: int = 7) -> list[li
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(ncent)]
 
 
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys (operators/layout.py:zorder_layout) over events
+    (user_id × value-cents): min/max-scale both dims to 16 bits,
+    bit-interleave into a Morton key, bucket Z-space uniformly into 64
+    files. FULL hash oracle: scaling, interleave, and bucketing are exact
+    integer/IEEE arithmetic replayed in DuckDB."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    out = LY.zorder_layout(ev, "user_id", "value_cents", bits=16, num_files=64)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "zkey",
+        "file_id",
+    )
+
+
 def pack_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length chunking (operators/packing.py:chunk_documents):
     split docs into 64-token chunks with 16-token overlap (stride 48);
@@ -1524,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": text_lm_score,
         "sample_prototype_prune": sample_prototype_prune,
         "pack_chunk_documents": pack_chunk_documents,
+        "layout_zorder_events": layout_zorder_events,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -2568,6 +2587,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_semantic": _semantic_dedup_oracle_sql(),
         "sample_prototype_prune": _prototype_prune_oracle_sql(),
+        "layout_zorder_events": """
+            -- replay of operators/layout.py::zorder_layout (16 bits, 64
+            -- files): min/max scaling uses the same double division
+            -- (IEEE correctly-rounded -> identical floor), interleave and
+            -- bucketing are integer bit arithmetic
+            WITH ev AS (
+                SELECT event_id, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS value_cents
+                FROM events
+            ),
+            bounds AS (
+                SELECT min(user_id) AS amin, max(user_id) AS amax,
+                       min(value_cents) AS bmin, max(value_cents) AS bmax
+                FROM ev
+            ),
+            scaled AS (
+                SELECT event_id,
+                       CAST(floor(CAST((user_id - amin) * 65535 AS DOUBLE)
+                                  / CAST(greatest(amax - amin, 1) AS DOUBLE))
+                            AS BIGINT) AS za,
+                       CAST(floor(CAST((value_cents - bmin) * 65535 AS DOUBLE)
+                                  / CAST(greatest(bmax - bmin, 1) AS DOUBLE))
+                            AS BIGINT) AS zb
+                FROM ev CROSS JOIN bounds
+            ),
+            z AS (
+                SELECT event_id,
+                       ({interleave}) AS zkey
+                FROM scaled
+            )
+            SELECT event_id, zkey,
+                   CAST((zkey * 64) >> 32 AS BIGINT) AS file_id
+            FROM z
+        """.format(interleave=" | ".join(
+            f"(((za >> {j}) & 1) << {2 * j}) | (((zb >> {j}) & 1) << {2 * j + 1})"
+            for j in range(16)
+        )),
         "pack_chunk_documents": f"""
             -- replay of operators/packing.py::chunk_documents (chunk 64,
             -- overlap 16 -> stride 48): integer chunk count, 1-based

@@ -235,3 +235,24 @@ def test_chunk_documents_is_row_local(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     assert count_shuffles(chunk_documents(docs)) == 0
+
+
+def test_zorder_layout_is_row_local(spark, sf_dir):
+    """Z-order key attachment must not shuffle the data: the only plan
+    extras over the scan are the 1-row min/max broadcast (BNLJ over a
+    single aggregate row) and row-local bit arithmetic."""
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.layout import zorder_layout
+    from buskafkasparkstreaming_spark.plans import physical_plan
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    plan = physical_plan(zorder_layout(ev, "user_id", "value_cents"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row bounds
+    # no hash/range exchange on the data side — the bounds agg's own
+    # SinglePartition exchange is the only one
+    assert plan.count("Exchange hashpartitioning") == 0
