@@ -1184,7 +1184,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_centroids(ncent: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
+def _semantic_centroids(ncent: int = 16, dim: int = 64, seed: int = 7) -> list[list[float]]:
     """Seeded coarse-quantizer centroids shared VERBATIM by the Spark entry
     and the DuckDB oracle (same RNG sequence → same double literals), the
     rp_lsh replay pattern. Production swaps these for
@@ -1193,6 +1193,18 @@ def _semantic_centroids(ncent: int = 8, dim: int = 64, seed: int = 7) -> list[li
 
     rnd = random.Random(seed)
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(ncent)]
+
+
+def stats_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (operators/stats.py:profile_columns) of the
+    documents table: row/null/distinct counts + min/max strings per
+    column — the pre-training data-validation gate. FULL hash oracle:
+    every metric is integer or string, replayed as a UNION ALL of
+    per-column aggregates."""
+    from buskafkasparkstreaming_spark.operators.stats import profile_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
 
 
 def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1252,7 +1264,7 @@ def sample_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/dedup.py:semantic_dedup):
-    coarse-cluster embeddings to 8 seeded centroids, prune cosine near-dups
+    coarse-cluster embeddings to 16 seeded centroids, prune cosine near-dups
     (>= 0.35) within clusters, keep the min-id representative per near-dup
     component. FULL hash oracle: the centroids are deterministic literals,
     so DuckDB replays assignment (argmax cosine, ties to lowest id),
@@ -1543,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_prototype_prune": sample_prototype_prune,
         "pack_chunk_documents": pack_chunk_documents,
         "layout_zorder_events": layout_zorder_events,
+        "stats_profile_documents": stats_profile_documents,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -1768,7 +1781,7 @@ def _centroid_sims_sql(cents: list[list[float]]) -> str:
 
 
 def _semantic_dedup_oracle_sql(
-    ncent: int = 8, dim: int = 64, seed: int = 7, threshold: float = 0.35
+    ncent: int = 16, dim: int = 64, seed: int = 7, threshold: float = 0.35
 ) -> str:
     """Regenerate dedup_semantic's seeded centroids as SQL literals and
     replay the full SemDeDup pipeline in DuckDB: argmax-cosine cluster
@@ -1825,7 +1838,7 @@ def _semantic_dedup_oracle_sql(
 
 
 def _prototype_prune_oracle_sql(
-    ncent: int = 8, dim: int = 64, seed: int = 7, drop_pct: int = 30
+    ncent: int = 16, dim: int = 64, seed: int = 7, drop_pct: int = 30
 ) -> str:
     """Replay prototypicality_prune in DuckDB with the same seeded centroid
     literals as _semantic_dedup_oracle_sql: argmax-cosine assignment
@@ -2587,6 +2600,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_semantic": _semantic_dedup_oracle_sql(),
         "sample_prototype_prune": _prototype_prune_oracle_sql(),
+        "stats_profile_documents": """
+            -- replay of operators/stats.py::profile_columns: integer and
+            -- string metrics only, so every value is engine-exact
+            SELECT 'doc_id' AS column, count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_null,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_str,
+                   CAST(max(doc_id) AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'lang' AS column, count(*) AS n_rows,
+                   count(*) - count(lang) AS n_null,
+                   count(DISTINCT lang) AS n_distinct,
+                   CAST(min(lang) AS VARCHAR) AS min_str,
+                   CAST(max(lang) AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'source' AS column, count(*) AS n_rows,
+                   count(*) - count(source) AS n_null,
+                   count(DISTINCT source) AS n_distinct,
+                   CAST(min(source) AS VARCHAR) AS min_str,
+                   CAST(max(source) AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars' AS column, count(*) AS n_rows,
+                   count(*) - count(n_chars) AS n_null,
+                   count(DISTINCT n_chars) AS n_distinct,
+                   CAST(min(n_chars) AS VARCHAR) AS min_str,
+                   CAST(max(n_chars) AS VARCHAR) AS max_str
+            FROM documents
+        """,
         "layout_zorder_events": """
             -- replay of operators/layout.py::zorder_layout (16 bits, 64
             -- files): min/max scaling uses the same double division

@@ -388,27 +388,55 @@ def embedding_neardup_pairs(
     vec_col: str,
     block_col: str,
     threshold: float = 0.95,
+    unique_blocks: bool = False,
 ) -> DataFrame:
     """Cosine near-dup pairs within blocks: equi-join on `block_col` (an LSH
     bucket / cluster label / shard key), exact double-precision cosine on
-    survivors. Output: (id_a, id_b, cos_sim)."""
+    survivors. Output: (id_a, id_b, cos_sim).
+
+    Set `unique_blocks=True` when each row carries exactly ONE block (a
+    partition-style label, e.g. nprobe=1 cluster assignment): a pair can
+    then meet in at most one block, and the pair-dedup — an exchange that
+    drags both embedding vectors through a sort-aggregate — is skipped
+    entirely (~40% of the stage cost measured at sf0.1). Leave False for
+    multi-table LSH, where a pair colliding in several tables must be
+    deduped BEFORE the cosine so the expensive part runs once per pair."""
+    from buskafkasparkstreaming_spark.functions import dot_product
+
+    # self-dots precomputed ONCE PER DOC on each join side: the higher-
+    # order-function fold is interpreted (not codegen), and computing
+    # dot(v,v) per PAIR made the cosine stage ~3x more expensive. The
+    # value is the identical fold over the identical array, so results
+    # are bit-unchanged.
     lhs = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
+        dot_product(vec_col, vec_col).alias("__na"),
     )
     rhs = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v_b"),
+        dot_product(vec_col, vec_col).alias("__nb"),
     )
-    return (
-        lhs.join(rhs, on="blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+    joined = lhs.join(rhs, on="blk").filter(F.col("id_a") < F.col("id_b"))
+    if unique_blocks:
+        # no dedup needed — but DO spread the pairs before the CPU-bound
+        # cosine: the block join keys on few distinct blocks and AQE
+        # coalesces its output by BYTES, leaving the arithmetic on a
+        # couple of cores (measured 2/32 busy at sf0.1). A plain exchange
+        # on the pair key is strictly cheaper than the sort-aggregate the
+        # dedup would pay, and restores full parallelism.
+        n = df.sparkSession.sparkContext.defaultParallelism
+        joined = joined.repartition(n, F.col("id_a"), F.col("id_b"))
+    else:
         # a pair can collide in several blocks (multi-table LSH): dedup
         # BEFORE the cosine so the expensive part runs once per pair
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos_sim", cosine_similarity("v_a", "v_b"))
+        joined = joined.dropDuplicates(["id_a", "id_b"])
+    cos = dot_product("v_a", "v_b") / F.sqrt(F.col("__na") * F.col("__nb"))
+    return (
+        joined.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -419,25 +447,38 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Near-dup PAIRS → dedup CLUSTERS: (node, comp) where `comp` is the
     minimum node id reachable from `node` — the union-find step every
     dedup pipeline needs between "found similar pairs" and "kept one
     canonical doc per group".
 
-    Distributed min-label propagation with pointer jumping (path halving):
-    each round, a node adopts the smallest label in its closed
-    neighborhood, then labels chase their own label's label — so label
-    paths halve every round and convergence is O(log diameter) rounds,
-    not O(diameter). Iteration is inherent to the algorithm, so this runs
-    a driver-side loop (the MLlib/GraphX pattern) with an eager
-    localCheckpoint per round to keep lineage flat (see below),
-    early-stopping at the fixpoint.
-    The fixpoint is unique (component-wide min), so the result is
-    deterministic and oracle-checkable. Nodes that appear in no pair are
-    absent — callers left-join and coalesce to the node's own id.
+    Two-tier execution, switched on the MEASURED edge count (one count()
+    on the persisted edge frame — no extra scan):
 
-    Each round ends in an EAGER `localCheckpoint`: the label frame is
+    * ≤ `driver_max_edges` (default 10⁶ ≈ 16 MB of id pairs — the same
+      metadata-sized-collect class as a broadcast-side build): collect
+      once and run path-compressed union-find on the driver. The
+      distributed loop pays per-round scheduling for several micro-stage
+      jobs; on a thousand-edge graph that is ~10 s of pure overhead vs
+      ~milliseconds of actual work (measured at sf0.1 — SCALE.md). Near-
+      dup pair sets are usually tiny relative to the corpus, so this is
+      the common path even at 100 TB.
+    * above the cap: distributed min-label propagation with pointer
+      jumping (path halving) — each round a node adopts the smallest
+      label in its closed neighborhood, then labels chase their own
+      label's label, so label paths halve every round and convergence is
+      O(log diameter) rounds, not O(diameter). Driver-side loop (the
+      MLlib/GraphX pattern) with an eager localCheckpoint per round to
+      keep lineage flat (see below), early-stopping at the fixpoint.
+
+    Both tiers reach the same unique fixpoint (component-wide min), so
+    the result is deterministic and oracle-checkable regardless of tier.
+    Nodes that appear in no pair are absent — callers left-join and
+    coalesce to the node's own id.
+
+    Each distributed round ends in an EAGER `localCheckpoint`: the label frame is
     bounded (one row per node) but its un-truncated lineage QUADRUPLES
     per round (the pointer-jump self-joins `labels` twice), and by ~10
     rounds merely rendering the plan string OOMs the driver —
@@ -453,12 +494,55 @@ def connected_components(
     means the edge set is pathological, so raise `max_iter`).
     """
     import warnings
-    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # persist the projected pair list FIRST: the two union branches below
+    # are column-swapped copies of the same subtree, which Catalyst cannot
+    # exchange-reuse — without this cache an expensive candidate-pair
+    # pipeline upstream is computed twice in one job (measured 2x the
+    # whole stage cost at sf0.1)
+    p = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).persist()
     edges = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
+    n_edges = edges.count()  # materializes both caches
+    if n_edges <= driver_max_edges:
+        try:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for row in edges.collect():  # bounded by the cap (~16 MB); one
+                # fetch — toLocalIterator would pay per-partition RPCs
+                s, d = row[0], row[1]
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[rd] = rs
+            comp_min: dict = {}
+            for node in parent:
+                r = find(node)
+                m = comp_min.get(r)
+                if m is None or node < m:
+                    comp_min[r] = node
+            out_schema = (
+                f"node {dict(p.dtypes)['src']}, comp {dict(p.dtypes)['src']}"
+            )
+            return pairs.sparkSession.createDataFrame(
+                [(n, comp_min[find(n)]) for n in parent], out_schema
+            )
+        finally:
+            edges.unpersist()
+            p.unpersist()
     try:
         labels = (
             edges.select(F.col("src").alias("node"))
@@ -507,6 +591,7 @@ def connected_components(
         return labels
     finally:
         edges.unpersist()
+        p.unpersist()
 
 
 def contamination_pairs(
@@ -807,7 +892,8 @@ def semantic_dedup(
         nprobe=1,
     )
     pairs = embedding_neardup_pairs(
-        assigned, id_col, vec_col, "bucket", threshold=threshold
+        assigned, id_col, vec_col, "bucket", threshold=threshold,
+        unique_blocks=True,  # nprobe=1: each doc sits in exactly one cluster
     )
     comp = connected_components(pairs, "id_a", "id_b")
     rep = F.coalesce(F.col("comp"), F.col(id_col))
