@@ -47,3 +47,46 @@ def zscore_by_group(
     return df.select(id_col, group_col, cents_col).groupBy(group_col).applyInPandas(
         fn, ZSCORE_SCHEMA
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Deequ-style one-pass column profile — the data-validation step a
+    training pipeline runs before trusting a new corpus drop (null bursts,
+    cardinality collapses, and range drift are the classic silent killers
+    of a refreshed ingest). Public analog: AWS Deequ / Great Expectations
+    column profiles.
+
+    One aggregation over one scan computes, per requested column:
+    row count, null count, exact distinct count, and min/max rendered as
+    strings. The multiple COUNT(DISTINCT)s plan as Spark's Expand (input
+    rows × len(cols) before partial aggregation) — the standard
+    multi-distinct strategy; profile a bounded column list, not SELECT *.
+    Min/max stringification is only deterministic across engines for
+    integer and string columns — profile doubles via a pre-computed
+    fixed-point column.
+
+    Output: one row per column — (column, n_rows, n_null, n_distinct,
+    min_str, max_str).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs.extend(
+            [
+                F.count(F.lit(1)).cast("long").alias(f"__rows_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"__null_{c}"),
+                F.count_distinct(F.col(c)).cast("long").alias(f"__dist_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
+        )
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __rows_{c}, __null_{c}, __dist_{c}, __min_{c}, __max_{c}"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column, n_rows, n_null, n_distinct, min_str, max_str)"
+    )

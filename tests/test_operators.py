@@ -579,3 +579,18 @@ def test_write_zordered_files_sorted(spark, tmp_path):
     for f in files:
         zs = [r["zkey"] for r in spark.read.parquet(f).select("zkey").collect()]
         assert zs == sorted(zs)
+
+
+def test_profile_columns_nulls_and_cardinality(spark):
+    from buskafkasparkstreaming_spark.operators.stats import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id bigint, tag string"
+    )
+    rows = {r["column"]: r for r in profile_columns(df, ["id", "tag"]).collect()}
+    assert rows["id"]["n_rows"] == 4 and rows["id"]["n_null"] == 0
+    assert rows["id"]["n_distinct"] == 4
+    assert rows["id"]["min_str"] == "1" and rows["id"]["max_str"] == "4"
+    # count(DISTINCT) and min/max ignore NULLs; the null count reports them
+    assert rows["tag"]["n_null"] == 1 and rows["tag"]["n_distinct"] == 2
+    assert rows["tag"]["min_str"] == "a" and rows["tag"]["max_str"] == "b"
