@@ -51,6 +51,9 @@ HEADLINE = [
     "dedup_semantic",
     "text_lm_score",
     "sample_prototype_prune",
+    "pack_chunk_documents",
+    "layout_zorder_events",
+    "stats_profile_documents",
 ]
 
 

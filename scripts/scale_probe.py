@@ -141,6 +141,39 @@ def main() -> None:
         results,
     )
 
+    # semantic dedup: replication hands every vector 10 exact copies, so
+    # the within-cluster pair OUTPUT grows quadratically in the copy count
+    # (45 pairs per copy-group) while scan/assignment stay linear; the
+    # cluster count scales with the corpus (sqrt-N sizing) so per-cluster
+    # join fan-out stays bounded — the operator's 100 TB contract
+    import random
+
+    from buskafkasparkstreaming_spark.operators.dedup import semantic_dedup
+
+    def cents_df(n):
+        rnd = random.Random(7)
+        rows = [
+            (i, [rnd.gauss(0.0, 1.0) for _ in range(64)]) for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "centroid_id bigint, embedding array<double>"
+        )
+
+    t_1x["semantic"] = timed(
+        "semantic_dedup 1x (16 clusters)",
+        lambda: semantic_dedup(
+            emb1, cents_df(16), "vec_id", "embedding", threshold=0.35
+        ).count(),
+        results,
+    )
+    t_10x["semantic"] = timed(
+        "semantic_dedup 10x (64 clusters, sqrt-N sizing)",
+        lambda: semantic_dedup(
+            emb10, cents_df(64), "vec_id", "embedding", threshold=0.35
+        ).count(),
+        results,
+    )
+
     q = emb1.filter(F.col("vec_id") < 10)
 
     t_1x["ann"] = timed(
@@ -201,6 +234,7 @@ def main() -> None:
         "minhash": "sketch linear; candidate pairs grow with true-dup count (10 copies/doc)",
         "simhash": "banding: same",
         "spans": "counting-based substring dedup: replication makes EVERY window a duplicate (pair-based would do 100× work), but distinct-doc counting stays ~linear",
+        "semantic": "assign linear; pair stage bounded by cluster size (nlist scales sqrt-N); output quadratic in copy count like any true-dup finder",
         "ann": "brute force is O(|Q|×|C|): 100× work at 10×/10× — the IVF path exists for this",
         "ivf": "same 10×/10× workload, query path only (index pre-built & amortized)",
     }

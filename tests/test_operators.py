@@ -594,3 +594,65 @@ def test_profile_columns_nulls_and_cardinality(spark):
     # count(DISTINCT) and min/max ignore NULLs; the null count reports them
     assert rows["tag"]["n_null"] == 1 and rows["tag"]["n_distinct"] == 2
     assert rows["tag"]["min_str"] == "a" and rows["tag"]["max_str"] == "b"
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """Seeded random corpus vs an independent NumPy implementation of the
+    full SemDeDup contract (argmax-cosine assignment with lowest-id tie
+    break, within-cluster threshold pairs, union-find, min-id rep)."""
+    import numpy as np
+
+    from buskafkasparkstreaming_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    n, dim, ncent, thr = 60, 8, 4, 0.6
+    vecs = rng.randn(n, dim)
+    # plant exact duplicate groups to exercise the union-find
+    vecs[10] = vecs[3]
+    vecs[11] = vecs[3]
+    vecs[40] = vecs[25]
+    cents = rng.randn(ncent, dim)
+
+    def cos(a, b):
+        return float(a @ b) / float(np.sqrt((a @ a) * (b @ b)))
+
+    assign = [
+        max(range(ncent), key=lambda c: (cos(vecs[i], cents[c]), -c))
+        for i in range(n)
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if assign[i] == assign[j] and cos(vecs[i], vecs[j]) >= thr:
+                parent[find(j)] = find(i)
+    comp_min = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expected = {
+        i: (assign[i], comp_min[find(i)], comp_min[find(i)] != i)
+        for i in range(n)
+    }
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "doc_id bigint, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(c, [float(x) for x in cents[c]]) for c in range(ncent)],
+        "centroid_id bigint, embedding array<double>",
+    )
+    got = {
+        r["doc_id"]: (r["cluster"], r["rep_id"], r["is_dup"])
+        for r in semantic_dedup(
+            corpus, cdf, "doc_id", "embedding", threshold=thr
+        ).collect()
+    }
+    assert got == expected
