@@ -855,6 +855,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py:
+    lsh_candidate_pairs_incremental): every 10th doc is "today's batch",
+    the rest the standing corpus; candidates cross batch x corpus only.
+    Recall/accuracy self-check oracle like dedup_minhash_lsh: every exact
+    crossing pair with Jaccard >= 0.3 must be surfaced by the incremental
+    join with its estimate within 0.25."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cand = D.lsh_candidate_pairs_incremental(
+        D.minhash_signatures(batch, "doc_id", k=3, num_hashes=32),
+        D.minhash_signatures(corpus, "doc_id", k=3, num_hashes=32),
+        bands=8,
+        rows_per_band=4,
+    ).select(
+        F.least("new_id", "corpus_id").alias("id_a"),
+        F.greatest("new_id", "corpus_id").alias("id_b"),
+        "est_jaccard",
+    )
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.3, max_df=1000)
+    crossing = exact.filter(
+        (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+    )
+    joined = crossing.join(
+        cand.withColumnRenamed("est_jaccard", "__est"), ["id_a", "id_b"], "left"
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.col("__est").isNotNull().alias("found_by_lsh"),
+        F.coalesce(
+            F.abs(F.col("__est") - F.col("jaccard")) <= 0.25, F.lit(False)
+        ).alias("est_within_bound"),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — FULL hash check since round 3: the sketch
     hashes words with md5 (bit-identical in DuckDB), so the oracle replays
@@ -1556,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunk_documents": pack_chunk_documents,
         "layout_zorder_events": layout_zorder_events,
         "stats_profile_documents": stats_profile_documents,
+        "dedup_incremental_lsh": dedup_incremental_lsh,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -2182,6 +2221,13 @@ def oracle_sql() -> dict[str, str]:
                    true AS found_by_lsh,
                    true AS est_within_bound
             FROM ({_ngram_pairs_sql(0.3, 1000)})
+        """,
+        "dedup_incremental_lsh": f"""
+            SELECT id_a, id_b, jaccard,
+                   true AS found_by_lsh,
+                   true AS est_within_bound
+            FROM ({_ngram_pairs_sql(0.3, 1000)})
+            WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE

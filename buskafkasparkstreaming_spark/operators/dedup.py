@@ -201,6 +201,23 @@ def minhash_signatures(
     )
 
 
+def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature frame into (id, sig, band, bucket) rows — the
+    LSH index representation. Banding runs as one SQL-string expr (single
+    parse; see simhash_sketch on why — the Column form paid ~1 band ×
+    struct py4j build cost)."""
+    band_structs = ", ".join(
+        f"named_struct('band', {i}, 'bucket', "
+        f"xxhash64(concat_ws(',', transform("
+        f"slice(sig, {i * rows_per_band + 1}, {rows_per_band}), "
+        f"x -> cast(x as string)))))"
+        for i in range(bands)
+    )
+    return signatures.selectExpr(
+        "id", "sig", f"explode(array({band_structs})) as bb"
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
@@ -210,18 +227,7 @@ def lsh_candidate_pairs(
     bucket occupancy, never all-pairs. Output: (id_a, id_b, est_jaccard)
     where est_jaccard = fraction of matching signature positions.
     """
-    # banding as one SQL-string expr (single parse; see simhash_sketch on
-    # why — the Column form paid ~1 band × struct py4j build cost)
-    band_structs = ", ".join(
-        f"named_struct('band', {i}, 'bucket', "
-        f"xxhash64(concat_ws(',', transform("
-        f"slice(sig, {i * rows_per_band + 1}, {rows_per_band}), "
-        f"x -> cast(x as string)))))"
-        for i in range(bands)
-    )
-    banded = signatures.selectExpr(
-        "id", "sig", f"explode(array({band_structs})) as bb"
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    banded = _banded(signatures, bands, rows_per_band)
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bucket"])
@@ -905,4 +911,43 @@ def semantic_dedup(
             rep.alias("rep_id"),
             (rep != F.col(id_col)).alias("is_dup"),
         )
+    )
+
+
+def lsh_candidate_pairs_incremental(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental-ingest LSH: candidate pairs between a NEW batch and the
+    EXISTING corpus only — the shape every production dedup actually runs
+    per ingest tick. Only the batch is sketched per tick; the corpus side
+    is its PRECOMPUTED banded index (at scale, store `_banded(corpus)`
+    bucket-partitioned so this join prunes to touched buckets at file
+    level). The corpus is never self-joined and never re-sketched: cost is
+    |batch| × bucket occupancy, independent of |corpus|².
+
+    Ids on the two sides must be disjoint (they identify the pair's
+    orientation). Output: (new_id, corpus_id, est_jaccard).
+    """
+    bn = _banded(new_sigs, bands, rows_per_band).withColumnsRenamed(
+        {"id": "new_id", "sig": "sig_n"}
+    )
+    bc = _banded(corpus_sigs, bands, rows_per_band).withColumnsRenamed(
+        {"id": "corpus_id", "sig": "sig_c"}
+    )
+    pairs = (
+        bn.join(bc, on=["band", "bucket"])
+        .select("new_id", "corpus_id", "sig_n", "sig_c")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    n = F.size("sig_n")
+    matches = F.size(
+        F.filter(F.zip_with("sig_n", "sig_c", lambda x, y: x == y), lambda m: m)
+    )
+    return pairs.select(
+        "new_id",
+        "corpus_id",
+        (matches.cast("double") / n.cast("double")).alias("est_jaccard"),
     )

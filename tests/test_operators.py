@@ -656,3 +656,39 @@ def test_semantic_dedup_matches_numpy_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_incremental_lsh_matches_self_join_restriction(spark):
+    """Batch x corpus incremental candidates must equal the full self-join
+    candidates restricted to crossing pairs (same bands, same sketches)."""
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base + f"tail {i % 4}") for i in range(40)]  # 4 dup groups
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = minhash_signatures(docs, "doc_id", k=3, num_hashes=16)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).collect()
+    }
+    crossing_full = {
+        (a, b) for a, b in full if (a % 10 == 0) != (b % 10 == 0)
+    }
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = {
+        (min(r["new_id"], r["corpus_id"]), max(r["new_id"], r["corpus_id"]))
+        for r in lsh_candidate_pairs_incremental(
+            minhash_signatures(batch, "doc_id", k=3, num_hashes=16),
+            minhash_signatures(corpus, "doc_id", k=3, num_hashes=16),
+            bands=4,
+            rows_per_band=4,
+        ).collect()
+    }
+    assert inc == crossing_full and len(inc) > 0
