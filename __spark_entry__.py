@@ -1245,6 +1245,22 @@ def stats_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
 
 
+def sample_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging (operators/sampling.py:curriculum_stages) over
+    the LM quality score: standard-score bands from exact integer
+    sum/sum-of-squares — no global sort, no quantile window. FULL hash
+    oracle: the integer aggregates are engine-exact and the band
+    comparison replays with the identical double expression."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = TX.lm_unigram_score(docs, "doc_id", "text")
+    out = SP.curriculum_stages(scored, "id", "sum_nats_fp")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "sum_nats_fp",
+        F.col("stage").cast("long").alias("stage"),
+    )
+
+
 def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout keys (operators/layout.py:zorder_layout) over events
     (user_id × value-cents): min/max-scale both dims to 16 bits,
@@ -1595,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_events": layout_zorder_events,
         "stats_profile_documents": stats_profile_documents,
         "dedup_incremental_lsh": dedup_incremental_lsh,
+        "sample_curriculum_stages": sample_curriculum_stages,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -2646,6 +2663,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_semantic": _semantic_dedup_oracle_sql(),
         "sample_prototype_prune": _prototype_prune_oracle_sql(),
+        "sample_curriculum_stages": """
+            -- replay of curriculum_stages over lm_unigram_score: integer
+            -- sum/sum-of-squares are exact; mean/sigma derive with the
+            -- same double expression order as the engine
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+            tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab),
+            scored AS (
+                SELECT doc_id,
+                       CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)
+                                     / CAST(n + v AS DOUBLE)) * 10000)
+                            AS BIGINT) AS nats_fp
+                FROM toks JOIN vocab USING (w) CROSS JOIN tot
+            ),
+            docsc AS (
+                SELECT doc_id, CAST(sum(nats_fp) AS BIGINT) AS sum_nats_fp
+                FROM scored GROUP BY doc_id
+            ),
+            st AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(sum_nats_fp) AS BIGINT) AS s,
+                       CAST(sum(sum_nats_fp * sum_nats_fp) AS BIGINT) AS ss
+                FROM docsc
+            )
+            SELECT doc_id, sum_nats_fp,
+                   CASE
+                     WHEN CAST(sum_nats_fp AS DOUBLE)
+                          >= CAST(s AS DOUBLE) / CAST(n AS DOUBLE) THEN 1
+                     WHEN CAST(sum_nats_fp AS DOUBLE)
+                          >= CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                             - sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+                          THEN 2
+                     WHEN CAST(sum_nats_fp AS DOUBLE)
+                          >= CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                             - 2 * sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+                          THEN 3
+                     ELSE 4
+                   END AS stage
+            FROM docsc CROSS JOIN st
+        """,
         "stats_profile_documents": """
             -- replay of operators/stats.py::profile_columns: integer and
             -- string metrics only, so every value is engine-exact

@@ -237,3 +237,49 @@ def prototypicality_prune(
             ),
         )
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Curriculum-ordering stages from an INTEGER quality score (e.g. the
+    fixed-point LM score): band each doc by how many standard deviations
+    its score sits below the corpus mean — stage 1 (at/above mean, train
+    first) through stage 4 (more than 2σ below, train last / drop).
+
+    Quantile staging (ntile) needs a global total order — a single-
+    partition window that dies at scale. Standard-score banding gets the
+    same curriculum shape from ONE 1-row aggregate broadcast back
+    row-locally: sum and sum-of-squares of an integer score are exact
+    BIGINTs (engine-order-independent), mean/σ derive from them with a
+    fixed double expression, and the band comparison is row-local. No
+    shuffle of the data, no sort, no collect.
+
+    Output: input columns + (stage int). Degenerate corpora (σ = 0) land
+    everything in stage 1.
+    """
+    s = F.col(score_col).cast("long")
+    stats = df.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(s).cast("long").alias("__s"),
+        F.sum(s * s).cast("long").alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    var = (
+        F.col("__ss").cast("double") / F.col("__n").cast("double") - mean * mean
+    )
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    sc = s.cast("double")
+    stage = (
+        F.when(sc >= mean, F.lit(1))
+        .when(sc >= mean - sigma, F.lit(2))
+        .when(sc >= mean - 2 * sigma, F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))  # scalar-broadcast idiom
+        .withColumn("stage", stage.cast("int"))
+        .drop("__n", "__s", "__ss")
+    )

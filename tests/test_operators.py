@@ -692,3 +692,21 @@ def test_incremental_lsh_matches_self_join_restriction(spark):
         ).collect()
     }
     assert inc == crossing_full and len(inc) > 0
+
+
+def test_curriculum_stages_banding(spark):
+    """Standard-score bands: scores at/above mean -> 1, within 1 sigma
+    below -> 2, beyond 2 sigma -> 4; degenerate all-equal corpus -> all 1."""
+    from buskafkasparkstreaming_spark.operators.sampling import curriculum_stages
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100), (5, 100), (6, 100),
+         (7, 100), (8, 100), (9, 0)],
+        "doc_id bigint, score bigint",
+    )
+    # mean = 88.9, sigma ≈ 31.4: the 100s sit above mean -> 1, the 0 sits
+    # ~2.8 sigma below -> 4
+    out = {r["doc_id"]: r["stage"] for r in curriculum_stages(df, "doc_id", "score").collect()}
+    assert all(out[i] == 1 for i in range(1, 9)) and out[9] == 4
+    flat = spark.createDataFrame([(1, 5), (2, 5)], "doc_id bigint, score bigint")
+    assert {r["stage"] for r in curriculum_stages(flat, "doc_id", "score").collect()} == {1}
