@@ -313,10 +313,11 @@ def test_connected_components_chain_and_warning(spark):
     got = {r["node"]: r["comp"] for r in out.collect()}
     out.unpersist()
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
-    # exhausting max_iter before the fixpoint must warn, not return silently
+    # exhausting max_iter before the fixpoint must warn, not return
+    # silently — max_iter governs the DISTRIBUTED tier, so force it
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        out2 = connected_components(pairs, max_iter=0)
+        out2 = connected_components(pairs, max_iter=0, driver_max_edges=0)
         out2.unpersist()
     assert any("max_iter" in str(w.message) for w in caught)
 
