@@ -1222,6 +1222,21 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional LM score (operators/text.py:lm_bigram_score):
+    mean log p(w_i | w_{i-1}) per doc, add-one smoothed over corpus bigram
+    counts. Fixed-point BIGINT nats keep the oracle hash-exact; the first
+    token of each doc has no context and is skipped on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.lm_bigram_score(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        "sum_nats_fp",
+        "avg_logprob",
+    )
+
+
 def _semantic_centroids(ncent: int = 16, dim: int = 64, seed: int = 7) -> list[list[float]]:
     """Seeded coarse-quantizer centroids shared VERBATIM by the Spark entry
     and the DuckDB oracle (same RNG sequence → same double literals), the
@@ -1612,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile_documents": stats_profile_documents,
         "dedup_incremental_lsh": dedup_incremental_lsh,
         "sample_curriculum_stages": sample_curriculum_stages,
+        "text_lm_bigram_score": text_lm_bigram_score,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -2662,6 +2678,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_semantic": _semantic_dedup_oracle_sql(),
+        "text_lm_bigram_score": f"""
+            -- replay of operators/text.py::lm_bigram_score: bigram stream
+            -- from adjacent word positions, add-one conditional
+            -- probabilities, row-local fixed-point nats, exact BIGINT
+            -- aggregation
+            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            bg AS (
+                SELECT doc_id, ws[g] AS prev, ws[g + 1] AS cur
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS g
+                      FROM w)
+            ),
+            cbg AS (SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+            ctx AS (SELECT prev, count(*) AS c_ctx FROM bg GROUP BY 1),
+            vocab AS (
+                SELECT count(DISTINCT word) AS v
+                FROM (SELECT unnest(ws) AS word FROM w)
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CAST(floor(ln(CAST(c_bg + 1 AS DOUBLE)
+                                     / CAST(c_ctx + v AS DOUBLE)) * 10000)
+                            AS BIGINT) AS nats_fp
+                FROM bg JOIN cbg USING (prev, cur) JOIN ctx USING (prev)
+                CROSS JOIN vocab
+            )
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   CAST(sum(nats_fp) AS BIGINT) AS sum_nats_fp,
+                   CAST(sum(nats_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       / 10000.0 AS avg_logprob
+            FROM scored GROUP BY doc_id
+        """,
         "sample_prototype_prune": _prototype_prune_oracle_sql(),
         "sample_curriculum_stages": """
             -- replay of curriculum_stages over lm_unigram_score: integer

@@ -310,3 +310,80 @@ def lm_unigram_score(
             / F.lit(float(fp_scale)),
         )
     )
+
+
+def lm_bigram_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_scale: int = 10_000,
+) -> DataFrame:
+    """Bigram conditional LM quality score — the n-gram step up from
+    `lm_unigram_score` toward the CCNet 5-gram filter: score each doc by
+    its mean log p(w_i | w_{i-1}) under add-one-smoothed bigram
+    frequencies trained on the corpus itself (p = (c(prev,cur) + 1) /
+    (c(prev·) + V), V = corpus vocabulary size; the first token of each
+    doc has no context and is skipped — standard conditional perplexity).
+    Repetitive docs score high under a bigram model even when their
+    unigrams are rare — the two scores disagree exactly on the degenerate
+    docs a filter must catch.
+
+    Same exactness contract as the unigram score: per-token log-probs are
+    fixed-pointed row-locally to BIGINT nats, so aggregation is exact
+    integer arithmetic in any engine.
+
+    Plan: the bigram stream is a ROW-LOCAL zip of the word array with its
+    shift (no positional self-join); bigram counts, context counts, and
+    the vocabulary size are three aggregations; scoring re-joins the
+    stream on (prev, cur) and prev. At 100 TB the count frames follow the
+    vocab-cap guidance of the unigram score.
+
+    Output: (id, n_bigrams, sum_nats_fp, avg_logprob); single-word docs
+    are absent (no bigram to score).
+    """
+    ws = words(text_col)
+    n = F.size(ws)
+    bg = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    cbg = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab_n = (
+        df.select(F.explode(words(text_col)).alias("w"))
+        .agg(F.count_distinct("w").cast("long").alias("__V"))
+    )
+    scored = (
+        bg.join(cbg, ["prev", "cur"])
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab_n))  # scalar-broadcast idiom
+        .withColumn(
+            "__nats_fp",
+            F.floor(
+                F.log(
+                    (F.col("c_bg") + 1).cast("double")
+                    / (F.col("c_ctx") + F.col("__V")).cast("double")
+                )
+                * F.lit(fp_scale)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("__nats_fp").cast("long").alias("sum_nats_fp"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.col("sum_nats_fp").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(float(fp_scale)),
+        )
+    )

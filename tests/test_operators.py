@@ -711,3 +711,21 @@ def test_curriculum_stages_banding(spark):
     assert all(out[i] == 1 for i in range(1, 9)) and out[9] == 4
     flat = spark.createDataFrame([(1, 5), (2, 5)], "doc_id bigint, score bigint")
     assert {r["stage"] for r in curriculum_stages(flat, "doc_id", "score").collect()} == {1}
+
+
+def test_lm_bigram_score_conditional_semantics(spark):
+    """A doc repeating a corpus-frequent bigram out-scores one of unseen
+    bigrams; single-word docs are absent (no context to condition on)."""
+    from buskafkasparkstreaming_spark.operators.text import lm_bigram_score
+
+    rows = [
+        (1, "to be to be to be"),   # frequent bigrams
+        (2, "to be or not here"),   # mixed
+        (3, "zyx qwv jkl pfb"),     # singleton bigrams
+        (4, "solo"),                # no bigram -> absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["id"]: r for r in lm_bigram_score(docs, "doc_id", "text").collect()}
+    assert 4 not in out and len(out) == 3
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"] > out[3]["avg_logprob"]
+    assert out[1]["n_bigrams"] == 5 and out[3]["n_bigrams"] == 3
