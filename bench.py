@@ -49,11 +49,13 @@ HEADLINE = [
     "dedup_substring_spans",
     "sample_token_budget_mix",
     "dedup_semantic",
-    "text_lm_score",
     "sample_prototype_prune",
     "pack_chunk_documents",
     "layout_zorder_events",
     "stats_profile_documents",
+    "text_lm_score",
+    "text_lm_bigram_score",
+    "sample_curriculum_stages",
 ]
 
 
@@ -72,6 +74,28 @@ def bench_minhash_pipeline(spark, sf_dir: str, timings: dict) -> None:
     sigs = D.minhash_signatures(docs, "doc_id", k=3, num_hashes=32)
     D.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4).count()
     timings["dedup_minhash_lsh"] = round(time.perf_counter() - t0, 3)
+
+
+def bench_incremental_lsh(spark, sf_dir: str, timings: dict) -> None:
+    """Bench the PRODUCTION incremental path only: batch sketch + banded
+    join against the corpus index. The `dedup_incremental_lsh` queries()
+    entry additionally computes the exact crossing-pair verification join
+    — oracle-side work that belongs in the correctness gate, not the
+    bench (the dedup_minhash_lsh precedent, VERDICT r4 §wrong 4)."""
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators import dedup as D
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    t0 = time.perf_counter()
+    D.lsh_candidate_pairs_incremental(
+        D.minhash_signatures(batch, "doc_id", k=3, num_hashes=32),
+        D.minhash_signatures(corpus, "doc_id", k=3, num_hashes=32),
+    ).count()
+    timings["dedup_incremental_lsh"] = round(time.perf_counter() - t0, 3)
 
 
 def bench_ivf_split(spark, sf_dir: str, timings: dict) -> None:
@@ -129,6 +153,7 @@ def main() -> None:
             fn(spark, sf_dir).count()
             round_t[name] = round(time.perf_counter() - t0, 3)
         bench_minhash_pipeline(spark, sf_dir, round_t)
+        bench_incremental_lsh(spark, sf_dir, round_t)
         bench_ivf_split(spark, sf_dir, round_t)
         for name, t in round_t.items():
             timings[name] = min(timings.get(name, float("inf")), t)
