@@ -256,3 +256,36 @@ def test_zorder_layout_is_row_local(spark, sf_dir):
     # no hash/range exchange on the data side — the bounds agg's own
     # SinglePartition exchange is the only one
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_lm_bigram_plan_shape(spark, sf_dir):
+    """Bigram stream must be a row-local zip (no positional self-join);
+    only keyed joins against the count frames plus the 1-row vocab
+    broadcast."""
+    from buskafkasparkstreaming_spark.operators.text import lm_bigram_score
+    from buskafkasparkstreaming_spark.plans import physical_plan
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = physical_plan(lm_bigram_score(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row vocab size
+
+
+def test_curriculum_stages_is_row_local_after_stats(spark, sf_dir):
+    """Curriculum banding must not sort or shuffle the data: one 1-row
+    aggregate broadcast (its own SinglePartition exchange) and a row-local
+    CASE — no hash exchange, no global Sort."""
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.sampling import curriculum_stages
+    from buskafkasparkstreaming_spark.plans import physical_plan
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("score")
+    )
+    plan = physical_plan(curriculum_stages(docs, "doc_id", "score"))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Sort " not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
