@@ -96,3 +96,46 @@ def test_reference_chain_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.sql("SELECT count(*) AS n FROM routes").first()["n"] == 4
+
+
+def test_incremental_dedup_ingest_loop(spark):
+    """Per-tick ingest simulation: each arriving batch is sketched, its
+    band buckets joined against the ACCEPTED corpus's index, and docs with
+    a high-similarity candidate are rejected before the corpus grows —
+    the incremental dedup dataflow a production pipeline runs per tick
+    (operators/dedup.py:lsh_candidate_pairs_incremental)."""
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    base = "all work and no play makes jack a dull boy forever and ever "
+    batch1 = spark.createDataFrame(
+        [(1, base + "alpha"), (2, "completely different text about birds "
+                                  "and trees and rivers flowing south")],
+        "doc_id bigint, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (11, base + "alpha"),          # near-dup of accepted doc 1
+            (12, base + "beta"),           # near-dup of accepted doc 1
+            (13, "entirely novel content on the migration patterns of "
+                 "arctic birds in winter months"),
+        ],
+        "doc_id bigint, text string",
+    )
+    accepted = batch1  # tick 1: empty corpus, everything accepted
+    for batch in (batch2,):
+        cand = lsh_candidate_pairs_incremental(
+            minhash_signatures(batch, "doc_id", k=3, num_hashes=32),
+            minhash_signatures(accepted, "doc_id", k=3, num_hashes=32),
+            bands=8,
+            rows_per_band=4,
+        ).filter(F.col("est_jaccard") >= 0.5)
+        rejected = cand.select(F.col("new_id").alias("doc_id")).distinct()
+        fresh = batch.join(rejected, "doc_id", "left_anti")
+        accepted = accepted.unionByName(fresh)
+    ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+    assert ids == {1, 2, 13}, ids
