@@ -1237,6 +1237,28 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_weights_fp(dim: int = 256, seed: int = 13) -> list[int]:
+    """Seeded stand-in weight vector (production injects trained weights);
+    pre-fixed-pointed ints shared verbatim by entry and oracle."""
+    import math
+    import random
+
+    rnd = random.Random(seed)
+    return [math.floor(rnd.gauss(0.0, 1.0) * 1_000_000) for _ in range(dim)]
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-classifier scoring
+    (operators/text.py:hashed_linear_score) with seeded fixed-point
+    weights. FULL hash oracle: integer weight lookups via the md5-hex
+    idiom, exact BIGINT per-doc sums."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.hashed_linear_score(docs, _classifier_weights_fp(), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_words", "score_fp", "mean_weight"
+    )
+
+
 def _semantic_centroids(ncent: int = 16, dim: int = 64, seed: int = 7) -> list[list[float]]:
     """Seeded coarse-quantizer centroids shared VERBATIM by the Spark entry
     and the DuckDB oracle (same RNG sequence → same double literals), the
@@ -1628,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_lsh": dedup_incremental_lsh,
         "sample_curriculum_stages": sample_curriculum_stages,
         "text_lm_bigram_score": text_lm_bigram_score,
+        "text_quality_classifier": text_quality_classifier,
         # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
         "text_token_count": text_token_count,
         "text_langid": text_langid,
@@ -1973,6 +1996,7 @@ _CONTAMINATION_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
+    WCL = _classifier_weights_fp()
     return {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -2678,6 +2702,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_semantic": _semantic_dedup_oracle_sql(),
+        "text_quality_classifier": f"""
+            -- replay of operators/text.py::hashed_linear_score: feature
+            -- index from the first 16 bits of md5(word) (simhash hex
+            -- idiom), integer literal weight lookup, exact BIGINT sums
+            WITH w AS (SELECT doc_id, unnest({WORDS}) AS word FROM documents),
+            ix AS (
+                SELECT doc_id,
+                       ((strpos({_HEX_SQL}, substr(md5(word), 1, 1)) - 1) * 4096
+                        + (strpos({_HEX_SQL}, substr(md5(word), 2, 1)) - 1) * 256
+                        + (strpos({_HEX_SQL}, substr(md5(word), 3, 1)) - 1) * 16
+                        + (strpos({_HEX_SQL}, substr(md5(word), 4, 1)) - 1))
+                       % {{dim}} AS idx
+                FROM w
+            ),
+            sc AS (SELECT doc_id, ({{warr}})[idx + 1] AS fp FROM ix)
+            SELECT doc_id,
+                   count(*) AS n_words,
+                   CAST(sum(fp) AS BIGINT) AS score_fp,
+                   CAST(sum(fp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       / 1000000.0 AS mean_weight
+            FROM sc GROUP BY doc_id
+        """.format(
+            dim=len(WCL),
+            warr="[" + ", ".join(str(v) for v in WCL) + "]",
+        ),
         "text_lm_bigram_score": f"""
             -- replay of operators/text.py::lm_bigram_score: bigram stream
             -- from adjacent word positions, add-one conditional

@@ -387,3 +387,52 @@ def lm_bigram_score(
             / F.lit(float(fp_scale)),
         )
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights_fp: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """Serving side of a hashed-bag-of-words linear classifier — the
+    GPT-3-style quality-classifier filter (Brown et al. 2020 filtered
+    CommonCrawl with a linear classifier; fastText, Joulin et al. 2016,
+    is the standard architecture): score = mean over words of
+    weight[h(word) mod dim]. Training happens offline on labeled data;
+    this operator applies an injected weight vector to a corpus at scale.
+
+    The weight vector arrives PRE-FIXED-POINTED (ints = floor(w *
+    fp_scale)), so the per-word lookup is an integer literal and the
+    per-doc aggregation is exact BIGINT arithmetic — zero float ops until
+    the final division, hence bit-exact in any engine. The feature hash
+    is the first 16 bits of md5(word) mod dim (md5 is available and
+    bit-identical in Spark and DuckDB — the simhash precedent).
+
+    Plan: one explode, one row-local literal-array lookup, one per-doc
+    aggregation (single data shuffle on the id). dim is bounded by
+    expression size (the weights inline into the plan) — hundreds to a
+    few thousand buckets; a larger model would broadcast a weight table
+    and join, same dataflow.
+
+    Output: (id, n_words, score_fp, mean_weight).
+    """
+    dim = len(weights_fp)
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in weights_fp])
+    toks = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w"))
+    idx = (F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int") % dim)
+    scored = toks.withColumn("__fp", F.element_at(warr, idx + 1))
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__fp").cast("long").alias("score_fp"),
+        )
+        .withColumn(
+            "mean_weight",
+            F.col("score_fp").cast("double")
+            / F.col("n_words").cast("double")
+            / F.lit(float(fp_scale)),
+        )
+    )

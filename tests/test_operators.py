@@ -729,3 +729,21 @@ def test_lm_bigram_score_conditional_semantics(spark):
     assert 4 not in out and len(out) == 3
     assert out[1]["avg_logprob"] > out[2]["avg_logprob"] > out[3]["avg_logprob"]
     assert out[1]["n_bigrams"] == 5 and out[3]["n_bigrams"] == 3
+
+
+def test_hashed_linear_score_deterministic_lookup(spark):
+    """Same word always hits the same bucket; score is the exact integer
+    sum of per-word weights; repeated words scale linearly."""
+    from buskafkasparkstreaming_spark.operators.text import hashed_linear_score
+
+    weights = [i * 1000 for i in range(16)]  # distinguishable buckets
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha alpha alpha"), (3, "alpha beta")],
+        "doc_id bigint, text string",
+    )
+    out = {r["id"]: r for r in hashed_linear_score(docs, weights).collect()}
+    w_alpha = out[1]["score_fp"]
+    assert out[2]["score_fp"] == 3 * w_alpha and out[2]["n_words"] == 3
+    w_beta = out[3]["score_fp"] - w_alpha
+    assert w_beta in weights  # beta resolved to exactly one bucket weight
+    assert abs(out[3]["mean_weight"] - out[3]["score_fp"] / 2 / 1e6) < 1e-12
