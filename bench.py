@@ -56,6 +56,7 @@ HEADLINE = [
     "text_lm_score",
     "text_lm_bigram_score",
     "sample_curriculum_stages",
+    "text_quality_classifier",
 ]
 
 
