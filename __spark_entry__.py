@@ -1088,6 +1088,34 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.run_to_memory(joined, spark, output_mode="append")
 
 
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast lookup join (streaming/joins.py::
+    enrich_with_dimension): each streamed event enriched with the user's
+    market segment and nation from the bounded customer⋈nation dimension.
+    Stateless append stream — no watermark or state store — so an
+    availableNow drain equals the batch left join the oracle runs."""
+    from buskafkasparkstreaming_spark.streaming import joins as SJ
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dim = customer.join(
+        F.broadcast(nation),
+        customer.c_nationkey == nation.n_nationkey,
+        "left",
+    ).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("n_name").alias("nation_name"),
+    )
+    enriched = SJ.enrich_with_dimension(
+        stream, dim, left_on="user_id", right_on="c_custkey"
+    ).select("event_id", "user_id", "event_type", "mktsegment", "nation_name")
+    return SW.run_to_memory(
+        enriched, spark, output_mode="append", state_partitions=None
+    )
+
+
 def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling.py): keep 30%
     of 'en' docs, all 'fr'/'de', and 50% of every other language — the
@@ -1638,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": rollup_incremental,
         "sample_domain_cap": sample_domain_cap,
         # --- new in round 5 ----------------------------------------------
+        "streaming_enrich_static": streaming_enrich_static,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
@@ -3163,6 +3192,16 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts
              AND e.ts <= p.ts + INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase'
+        """,
+        "streaming_enrich_static": """
+            SELECT e.event_id,
+                   e.user_id,
+                   e.event_type,
+                   c.c_mktsegment AS mktsegment,
+                   n.n_name AS nation_name
+            FROM events e
+            LEFT JOIN customer c ON c.c_custkey = e.user_id
+            LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
         """,
         "streaming_dedup_keys": """
             SELECT user_id, count(*) AS n_types FROM (

@@ -14,6 +14,38 @@ from pyspark.sql import functions as F
 from buskafkasparkstreaming_spark.functions import ts_millis
 
 
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    left_on: str,
+    right_on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static equi-join: enrich each streamed fact row with columns
+    from a bounded dimension table (the classic lookup-join of a CDC
+    pipeline — the reference's Athena layer joins `routes` facts to route
+    metadata the same way, 01-setup-ec-vm.md:305-318).
+
+    Scale design: the dimension is BROADCAST, so the streaming side stays a
+    stateless narrow pipeline — no watermark, no state store, no shuffle of
+    the unbounded side, and the micro-batch plan is a BroadcastHashJoin per
+    batch. That is the only formulation that survives an unbounded fact
+    stream: shuffling the stream on the join key would re-partition every
+    micro-batch, and a stateful join would buffer facts forever. Spark
+    re-resolves the static side per micro-batch, so a dimension refresh
+    (e.g. overwritten parquet) is picked up without restarting the query.
+    Dimension must fit the broadcast budget (~8 GB hard Spark limit); a
+    bigger dim means pre-bucketing both sides instead.
+    """
+    dupes = (set(stream.columns) & set(dim.columns)) - {right_on}
+    if dupes:
+        raise ValueError(f"ambiguous enrichment columns: {sorted(dupes)}")
+    joined = stream.join(
+        F.broadcast(dim), stream[left_on] == dim[right_on], how
+    )
+    return joined.drop(dim[right_on])
+
+
 def purchases_then_errors(
     events: DataFrame,
     max_gap: str = "1 hour",

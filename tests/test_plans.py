@@ -289,3 +289,20 @@ def test_curriculum_stages_is_row_local_after_stats(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 0
     assert "Sort " not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_enrich_static_is_broadcast_no_fact_shuffle(spark, sf_dir):
+    """The stream-static enrichment must plan as a BroadcastHashJoin with
+    ZERO hash-exchange of the fact side — shuffling an unbounded stream on
+    the join key would re-partition every micro-batch at 100 TB/day. Gated
+    on the batch form (identical builder; streaming wraps the same join)."""
+    from buskafkasparkstreaming_spark.streaming.joins import enrich_with_dimension
+
+    fact = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    df = enrich_with_dimension(fact, dim, left_on="user_id", right_on="c_custkey")
+    assert_broadcast_join(df)
+    plan = explain_str(df)
+    assert plan.count("Exchange hashpartitioning") == 0

@@ -229,3 +229,34 @@ def test_checkpoint_restart_no_reprocess(spark, tmp_path):
         (r["record_id"], r["kph"], r["event_time"]) for r in table.read().collect()
     )
     assert first == second == [(1, 99, 2000), (2, 20, 1000)]
+
+
+def test_enrich_static_matches_batch_join(spark, tmp_path, event_rows):
+    """Stream-static broadcast enrichment: the availableNow drain must equal
+    the batch left join (stateless pipeline — no watermark, no state)."""
+    from buskafkasparkstreaming_spark.streaming.joins import enrich_with_dimension
+
+    path = str(tmp_path / "ev" / "events.parquet")
+    write_events_parquet(spark, path, event_rows)
+    schema = spark.read.parquet(path).schema
+    stream = read_stream(spark, str(tmp_path / "ev"), schema)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (9, "unused")], "cust_id bigint, tier string"
+    )
+    enriched = enrich_with_dimension(
+        stream, dim, left_on="user_id", right_on="cust_id"
+    ).select("event_id", "user_id", "tier")
+    out = run_to_memory(enriched, spark, output_mode="append", state_partitions=None)
+    got = {(r.event_id, r.user_id, r.tier) for r in out.collect()}
+    # user 1 matches "gold"; user 2 has no dim row -> null tier (left join)
+    assert got == {(1, 1, "gold"), (2, 1, "gold"), (4, 1, "gold"), (3, 2, None)}
+    assert out.count() == len(event_rows)  # one output row per input row
+
+
+def test_enrich_static_rejects_ambiguous_columns(spark):
+    from buskafkasparkstreaming_spark.streaming.joins import enrich_with_dimension
+
+    fact = spark.createDataFrame([(1, "a")], "k bigint, name string")
+    dim = spark.createDataFrame([(1, "b")], "k bigint, name string")
+    with pytest.raises(ValueError, match="ambiguous"):
+        enrich_with_dimension(fact, dim, left_on="k", right_on="k")
