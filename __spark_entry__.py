@@ -1088,6 +1088,25 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.run_to_memory(joined, spark, output_mode="append")
 
 
+def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate-chunk removal (operators/dedup.py::
+    remove_boilerplate_chunks): 3-word aligned chunks, drop chunks present
+    in >= 3 distinct docs, reassemble survivors in order. The oracle
+    replays the identical chunking + distinct-doc count + ordered
+    string_agg in SQL, so the byte-exact cleaned text (via md5) is what's
+    verified, not just counts."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.remove_boilerplate_chunks(
+        docs, "doc_id", chunk_words=3, min_docs=3
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.md5("clean_text").alias("clean_md5"),
+        "n_chunks",
+        "n_dropped",
+    )
+
+
 def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast lookup join (streaming/joins.py::
     enrich_with_dimension): each streamed event enriched with the user's
@@ -1667,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_domain_cap": sample_domain_cap,
         # --- new in round 5 ----------------------------------------------
         "streaming_enrich_static": streaming_enrich_static,
+        "dedup_chunk_boilerplate": dedup_chunk_boilerplate,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
@@ -3192,6 +3212,40 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts
              AND e.ts <= p.ts + INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase'
+        """,
+        "dedup_chunk_boilerplate": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sized AS (
+                SELECT doc_id, w,
+                       greatest(CAST(ceil(len(w) / 3.0) AS INT), 1) AS nc
+                FROM d
+            ), idx AS (
+                SELECT doc_id, w, unnest(range(0, nc)) AS chunk_idx FROM sized
+            ), c AS (
+                SELECT doc_id, chunk_idx,
+                       array_to_string(
+                           w[chunk_idx * 3 + 1 : chunk_idx * 3 + 3], ' '
+                       ) AS chunk
+                FROM idx
+            ), boiler AS (
+                SELECT chunk FROM c
+                GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3
+            ), flagged AS (
+                SELECT c.doc_id, c.chunk_idx, c.chunk,
+                       (b.chunk IS NOT NULL) AS is_boiler
+                FROM c LEFT JOIN boiler b ON b.chunk = c.chunk
+            )
+            SELECT doc_id,
+                   md5(coalesce(
+                       string_agg(chunk, ' ' ORDER BY chunk_idx)
+                           FILTER (WHERE NOT is_boiler),
+                       '')) AS clean_md5,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dropped
+            FROM flagged
+            GROUP BY doc_id
         """,
         "streaming_enrich_static": """
             SELECT e.event_id,

@@ -46,6 +46,8 @@ HEADLINE = [
     "corpus_curation",
     "ann_quantize_int8",
     # round-5 additions
+    "streaming_enrich_static",
+    "dedup_chunk_boilerplate",
     "dedup_substring_spans",
     "sample_token_budget_mix",
     "dedup_semantic",

@@ -853,6 +853,76 @@ def duplicated_spans(
     ).select("id", "span_start", "span_end", "n_windows")
 
 
+def remove_boilerplate_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_words: int = 3,
+    min_docs: int = 3,
+    broadcast_boiler: bool = True,
+) -> DataFrame:
+    """CCNet-style sub-document boilerplate REMOVAL (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.1 dedups corpora at paragraph-hash granularity):
+    split each doc into fixed-size non-overlapping word chunks, count how
+    many distinct docs each chunk occurs in, drop chunks occurring in >=
+    `min_docs` docs, and REASSEMBLE the surviving chunks in original order.
+
+    This is the production complement of `duplicated_spans`: spans REPORTS
+    duplicated regions, this op emits the cleaned corpus a training
+    pipeline actually feeds downstream (headers/footers/cookie banners
+    recur across millions of pages; doc-level dedup never fires on them).
+
+    Plan shape (scale notes): chunking is row-local (`transform` over a
+    `sequence`, JVM codegen — no explode-then-regroup for the split);
+    the distinct-doc count is ONE partial-agg shuffle keyed by chunk text
+    (uniform by construction — md5-free because the chunk string itself is
+    the key and the oracle must replay it); the boilerplate set is
+    typically tiny relative to the corpus (it's the chunks shared by many
+    docs), so it is broadcast back against the exploded chunks —
+    `broadcast_boiler=False` for a pathological corpus whose boilerplate
+    set exceeds the broadcast budget; reassembly is one per-doc shuffle
+    (groupBy id) with an `array_sort(collect_list(struct))` ordered merge.
+
+    Output: (id, clean_text, n_chunks, n_dropped) — one row per input doc,
+    clean_text = '' when every chunk was boilerplate.
+    """
+    ws = words(text_col)
+    n_chunks = F.greatest(
+        F.ceil(F.size(ws) / F.lit(float(chunk_words))).cast("int"), F.lit(1)
+    )
+    chunks = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(ws, i * chunk_words + 1, chunk_words)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("chunk", F.lit(True).alias("__boiler"))
+    )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
+    flagged = chunks.join(boiler, "chunk", "left").withColumn(
+        "__boiler", F.coalesce(F.col("__boiler"), F.lit(False))
+    )
+    kept = F.when(~F.col("__boiler"), F.struct("chunk_idx", "chunk"))
+    return flagged.groupBy("id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["chunk"]),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("__boiler").cast("long")).alias("n_dropped"),
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -747,3 +747,32 @@ def test_hashed_linear_score_deterministic_lookup(spark):
     w_beta = out[3]["score_fp"] - w_alpha
     assert w_beta in weights  # beta resolved to exactly one bucket weight
     assert abs(out[3]["mean_weight"] - out[3]["score_fp"] / 2 / 1e6) < 1e-12
+
+
+def test_remove_boilerplate_chunks_rewrites_docs(spark):
+    """Shared header chunks vanish, unique content survives in order, and a
+    doc that is ALL boilerplate still emits a row with empty clean_text."""
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        remove_boilerplate_chunks,
+    )
+
+    rows = [
+        (1, "cookie policy notice alpha beta gamma"),
+        (2, "cookie policy notice delta epsilon zeta"),
+        (3, "cookie policy notice eta theta iota"),
+        (4, "totally unique content lives right here"),
+        (5, "cookie policy notice"),  # all boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.id: r
+        for r in remove_boilerplate_chunks(
+            df, "doc_id", chunk_words=3, min_docs=3
+        ).collect()
+    }
+    assert out[1].clean_text == "alpha beta gamma"
+    assert out[1].n_chunks == 2 and out[1].n_dropped == 1
+    assert out[4].clean_text == "totally unique content lives right here"
+    assert out[4].n_dropped == 0
+    assert out[5].clean_text == "" and out[5].n_dropped == 1
+    assert set(out) == {1, 2, 3, 4, 5}
