@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from buskafkasparkstreaming_spark.cdc.envelope import parse_envelopes, synthesize_envelopes
 from buskafkasparkstreaming_spark.cdc.upsert import latest_state
 from buskafkasparkstreaming_spark.operators import dedup as D
+from buskafkasparkstreaming_spark.operators import export as EX
 from buskafkasparkstreaming_spark.operators import joins as J
 from buskafkasparkstreaming_spark.operators import layout as LY
 from buskafkasparkstreaming_spark.operators import multimodal as MM
@@ -1088,6 +1089,22 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.run_to_memory(joined, spark, output_mode="append")
 
 
+def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (operators/export.py::
+    assign_shards): shard = int(md5(id:salt)[:4], 16) % 16, a pure row
+    function — reproducible across cluster sizes, partitionings, and task
+    retries. Checked output is the per-shard rollup (count, id-sum,
+    char-sum), which pins every row's assignment; the oracle replays the
+    hex arithmetic digit-by-digit in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    sharded = EX.assign_shards(docs, "doc_id", num_shards=16)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate-chunk removal (operators/dedup.py::
     remove_boilerplate_chunks): 3-word aligned chunks, drop chunks present
@@ -1687,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ----------------------------------------------
         "streaming_enrich_static": streaming_enrich_static,
         "dedup_chunk_boilerplate": dedup_chunk_boilerplate,
+        "export_shard_stats": export_shard_stats,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
@@ -3212,6 +3230,23 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts
              AND e.ts <= p.ts + INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase'
+        """,
+        "export_shard_stats": f"""
+            -- shard = int(md5(id:salt)[:4], 16) mod 16, hex digits decoded
+            -- positionally (same idiom as text_quality_classifier)
+            WITH s AS (
+                SELECT doc_id, n_chars,
+                       ((strpos({_HEX_SQL}, substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 1)) - 1) * 4096
+                      + (strpos({_HEX_SQL}, substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 2, 1)) - 1) * 256
+                      + (strpos({_HEX_SQL}, substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 3, 1)) - 1) * 16
+                      + (strpos({_HEX_SQL}, substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 4, 1)) - 1)
+                       ) % 16 AS shard
+                FROM documents)
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM s GROUP BY shard
         """,
         "dedup_chunk_boilerplate": """
             WITH d AS (

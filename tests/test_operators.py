@@ -776,3 +776,42 @@ def test_remove_boilerplate_chunks_rewrites_docs(spark):
     assert out[4].n_dropped == 0
     assert out[5].clean_text == "" and out[5].n_dropped == 1
     assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_write_shards_one_file_per_shard_and_stable(spark, tmp_path, sf_dir):
+    """Shard export: every shard dir holds exactly ONE parquet file, the
+    readback equals the input, and assignment is a pure row function
+    (re-assigning on the readback reproduces the same shard per row)."""
+    import glob
+
+    from buskafkasparkstreaming_spark.operators.export import (
+        assign_shards,
+        write_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, "doc_id", num_shards=8)
+    for k in range(8):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == 1, f"shard {k}: {len(files)} files"
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    re_assigned = assign_shards(back.drop("shard"), "doc_id", 8)
+    assert (
+        back.select("doc_id", "shard")
+        .exceptAll(re_assigned.select("doc_id", "shard"))
+        .count()
+        == 0
+    )
+
+
+def test_assign_shards_is_rowlocal_project(spark, sf_dir):
+    """No shuffle: shard assignment must stay a pure Project over the scan."""
+    from buskafkasparkstreaming_spark.operators.export import assign_shards
+    from buskafkasparkstreaming_spark.plans import explain_str
+
+    df = assign_shards(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", 16
+    )
+    assert "Exchange" not in explain_str(df)
