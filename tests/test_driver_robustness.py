@@ -106,3 +106,34 @@ def test_timestamp_encoding_drift(spark, tmp_path):
     expected = [m // 1000 for m in micros]
     for name, got in results.items():
         assert got == expected, f"{name}: {got} != {expected}"
+
+
+def test_embedding_dtype_drift(spark, tmp_path):
+    """The driver's `embeddings.embedding` ships as array<float> today; if
+    it drifts to array<double> (the ts-encoding precedent), every
+    embedding operator must still run. Probed end-to-end here against a
+    double-encoded copy of the real table via the driver entries
+    themselves."""
+    import shutil
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    drift = tmp_path / "drift"
+    drift.mkdir()
+    emb = spark.read.parquet(f"{src}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(str(drift / "emb_dir"))
+    import glob
+    import os
+
+    part = glob.glob(str(drift / "emb_dir" / "part-*.parquet"))[0]
+    os.replace(part, str(drift / "embeddings.parquet"))
+    shutil.rmtree(drift / "emb_dir")
+
+    qs = entrymod.queries()
+    for name in ("ann_cosine_topk", "ann_quantize_int8", "dedup_rp_lsh_embeddings"):
+        df = qs[name](spark, str(drift))
+        assert df.count() > 0, f"{name} produced no rows on array<double>"
