@@ -23,7 +23,14 @@ SHOWN = {
     "pack_token_budget": "token-budget packing: one window cumsum partitioned by pack group — parallel, no global sort",
     "dedup_substring_spans": "substring dedup by COUNTING, not pairing: windowed md5 fingerprints -> distinct-doc agg -> join back -> per-doc overlap-merge window; no suffix array, no quadratic expansion",
     "sample_token_budget_mix": "per-source token quota: ONE hash exchange on the source + running-sum window (domain_cap's shape in token units)",
+    "dedup_chunk_boilerplate": "CCNet chunk removal: row-local chunking (transform over sequence), ONE chunk-keyed distinct-doc agg, broadcast boiler set back, ONE per-doc ordered-reassembly shuffle — the corpus is never paired with itself",
+    "export_shard_stats": "deterministic shard assignment is a pure Project (no Exchange before the rollup); md5-mod is stable under retries and repartitioning",
 }
+
+# Everything below this marker in EXPLAIN.md is hand-written (sub-stage
+# plans and iterative operators whose lineage can't print as one tree) and
+# is preserved verbatim across regeneration.
+MANUAL_MARKER = "<!-- MANUAL SECTIONS: preserved by scripts/gen_explain.py -->"
 
 
 def main() -> None:
@@ -44,8 +51,16 @@ def main() -> None:
         # keep the numbered tree, drop the verbose per-node detail section
         tree = plan.split("\n\n")[0]
         out += [f"## {name}", "", f"*{why}*", "", "```", tree, "```", ""]
-    with open(os.path.join(os.path.dirname(__file__), "..", "EXPLAIN.md"), "w") as fh:
+    path = os.path.join(os.path.dirname(__file__), "..", "EXPLAIN.md")
+    manual = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if MANUAL_MARKER in prev:
+            manual = prev[prev.index(MANUAL_MARKER):]
+    with open(path, "w") as fh:
         fh.write("\n".join(out))
+        if manual:
+            fh.write("\n" + manual)
     print("wrote EXPLAIN.md")
     spark.stop()
 
