@@ -36,6 +36,25 @@ from pyspark.sql import functions as F
 _ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
 
 
+def partition_dirvalue(name: str) -> str | None:
+    """Inverse of `partition_dirname` for the value part: unescape the
+    percent-encoded directory name back to the partition value's string
+    form (None for the Hive null sentinel)."""
+    val = name.split("=", 1)[1]
+    if val == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    out: list[str] = []
+    i = 0
+    while i < len(val):
+        if val[i] == "%" and i + 2 < len(val):
+            out.append(chr(int(val[i + 1 : i + 3], 16)))
+            i += 3
+        else:
+            out.append(val[i])
+            i += 1
+    return "".join(out)
+
+
 def partition_dirname(col: str, val) -> str:
     """The directory name Spark writes for partition value `val` — including
     percent-escaping of special characters and the null sentinel. Comparing
@@ -360,3 +379,92 @@ class UpsertTable:
 
         with open(self._schema_sidecar, "w", encoding="utf-8") as fh:
             json.dump(merged.schema.jsonValue(), fh)
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(
+        self, max_files_per_partition: int = 4, max_partitions: int = 64
+    ) -> list[str]:
+        """Rewrite partitions holding more than `max_files_per_partition`
+        parquet files into ONE file each — the small-file compaction every
+        long-lived COW table needs (each merge writes up to
+        spark.sql.shuffle.partitions files per touched partition; S3/HDFS
+        metadata and scan task-setup costs grow with file count, the
+        classic lakehouse decay mode at 100 TB).
+
+        Runs as ONE Spark job over the worst `max_partitions` offenders (a
+        bounded maintenance tick, like Hudi's inline-compaction budget —
+        repeated ticks converge the whole table): read just those
+        partitions (partition-pruned through the sidecar schema),
+        `repartition` on the partition column so each partition's rows land
+        in one task → one output file, and publish through the same
+        write-ahead-manifest committer as merge(), so a crash mid-compact
+        rolls forward and readers never see a mixed file set. Row contents
+        are untouched — compaction is pure layout. Returns the compacted
+        partition dir names ([] when the table is already compact).
+
+        Non-partitioned tables compact the whole directory into one file
+        when it exceeds the threshold.
+        """
+        self.committer.recover()
+        if not self.exists():
+            return []
+
+        def _nfiles(d: str) -> int:
+            return sum(
+                1 for n in os.listdir(d) if n.endswith(".parquet")
+            ) if os.path.isdir(d) else 0
+
+        if self.partition_col is None:
+            if _nfiles(self.path) <= max_files_per_partition:
+                return []
+            df = self.read()
+            staging = os.path.join(
+                self.path, f".bss_staging_{uuid.uuid4().hex[:12]}"
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            staged = [n for n in os.listdir(staging) if not n.startswith(".")]
+            emptied = [
+                n
+                for n in os.listdir(self.path)
+                if not n.startswith((".", "_")) and n not in set(staged)
+            ]
+            self.committer.commit(staging, staged, emptied)
+            return ["."]
+
+        offenders = sorted(
+            (
+                name
+                for name in os.listdir(self.path)
+                if name.startswith(f"{self.partition_col}=")
+                and _nfiles(os.path.join(self.path, name))
+                > max_files_per_partition
+            ),
+            key=lambda n: -_nfiles(os.path.join(self.path, n)),
+        )[:max_partitions]
+        if not offenders:
+            return []
+
+        table_df = self.read()
+        ptype = table_df.schema[self.partition_col].dataType
+        values = [partition_dirvalue(n) for n in offenders]
+        # typed equality on the raw partition column (not a cast of it), so
+        # Catalyst partition-prunes the scan to just the offender dirs
+        cond = F.lit(False)
+        for v in values:
+            if v is None:
+                cond = cond | F.col(self.partition_col).isNull()
+            else:
+                cond = cond | (
+                    F.col(self.partition_col) == F.lit(v).cast(ptype)
+                )
+        subset = table_df.filter(cond)
+        staging = os.path.join(self.path, f".bss_staging_{uuid.uuid4().hex[:12]}")
+        (
+            subset.repartition(len(offenders), F.col(self.partition_col))
+            .write.partitionBy(self.partition_col)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        staged = [n for n in os.listdir(staging) if not n.startswith((".", "_"))]
+        self.committer.commit(staging, staged, [])
+        return sorted(staged)

@@ -185,3 +185,83 @@ def test_sql_surface(spark, spool, tmp_path):
     table.register("routes")
     rows = spark.sql("SELECT * FROM routes LIMIT 100").collect()
     assert len(rows) == 2
+
+
+def _parquet_files(d):
+    import glob
+
+    return glob.glob(os.path.join(d, "*.parquet"))
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    """compact(): offender partitions collapse to ONE file each, row
+    contents are untouched, and already-compact partitions are skipped."""
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="k",
+        precombine_col="v",
+        partition_col="p",
+    )
+    rows = [(i, i, i % 3) for i in range(90)]
+    # fragment the table directly (at real scale each merge leaves up to
+    # shuffle-partition files per touched dir; AQE coalesces toy volumes)
+    (
+        spark.createDataFrame(rows, "k int, v int, p int")
+        .repartition(6)
+        .write.partitionBy("p")
+        .parquet(str(tmp_path / "tbl"))
+    )
+    before = {r.k: r.v for r in table.read().collect()}
+    assert len(_parquet_files(str(tmp_path / "tbl" / "p=0"))) > 1
+
+    done = table.compact(max_files_per_partition=1)
+    assert sorted(done) == ["p=0", "p=1", "p=2"]
+    for p in range(3):
+        assert len(_parquet_files(str(tmp_path / "tbl" / f"p={p}"))) == 1
+    after = {r.k: r.v for r in table.read().collect()}
+    assert after == before
+    assert table.compact(max_files_per_partition=1) == []  # converged
+
+
+def test_compact_escaped_partition_values(spark, tmp_path):
+    """Partition values that percent-escape on disk (':' in dirnames) must
+    round-trip through compaction (dirname -> value -> filter -> dirname)."""
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="k",
+        precombine_col="v",
+        partition_col="route",
+    )
+    rows = [(i, i, "bus:510" if i % 2 else "tram/501") for i in range(40)]
+    (
+        spark.createDataFrame(rows, "k int, v int, route string")
+        .repartition(4)
+        .write.partitionBy("route")
+        .parquet(str(tmp_path / "tbl"))
+    )
+    dirs = sorted(
+        n for n in os.listdir(str(tmp_path / "tbl")) if n.startswith("route=")
+    )
+    assert dirs == ["route=bus%3A510", "route=tram%2F501"]
+    done = table.compact(max_files_per_partition=1)
+    assert sorted(done) == dirs
+    got = sorted(r.route for r in table.read().select("route").distinct().collect())
+    assert got == ["bus:510", "tram/501"]
+    assert table.read().count() == 40
+
+
+def test_compact_unpartitioned_table(spark, tmp_path):
+    table = UpsertTable(
+        spark, str(tmp_path / "tbl"), key_cols="k", precombine_col="v"
+    )
+    (
+        spark.createDataFrame([(i, i) for i in range(50)], "k int, v int")
+        .repartition(6)
+        .write.parquet(str(tmp_path / "tbl"))
+    )
+    assert len(_parquet_files(str(tmp_path / "tbl"))) > 1
+    assert table.compact(max_files_per_partition=1) == ["."]
+    assert len(_parquet_files(str(tmp_path / "tbl"))) == 1
+    assert table.read().count() == 50
