@@ -1089,6 +1089,36 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.run_to_memory(joined, spark, output_mode="append")
 
 
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/stats.py::count_min_sketch):
+    fixed 4x256 counter grid over all word occurrences (shuffle volume
+    O(tasks x d x w), corpus-size-independent; sketches merge by adding
+    counters), then point-query the top-20 exact tokens. FULL oracle: the
+    keyed-md5 hashes, counter grid, and min-over-rows estimates are all
+    replayed in SQL; `no_undercount` pins the one-sided CMS guarantee."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        cms_point_query,
+        count_min_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.words("text")).alias("word"))
+    sketch = count_min_sketch(tok, "word", depth=4, width=256)
+    exact = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+    est = cms_point_query(sketch, exact, "word", depth=4, width=256)
+    return est.select(
+        "word",
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_n")).alias("no_undercount"),
+    )
+
+
 def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment (operators/export.py::
     assign_shards): shard = int(md5(id:salt)[:4], 16) % 16, a pure row
@@ -1705,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich_static": streaming_enrich_static,
         "dedup_chunk_boilerplate": dedup_chunk_boilerplate,
         "export_shard_stats": export_shard_stats,
+        "sketch_count_min": sketch_count_min,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
@@ -3230,6 +3261,39 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts
              AND e.ts <= p.ts + INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase'
+        """,
+        "sketch_count_min": f"""
+            -- full CMS replay: bucket_j(word) = int(md5(word:j)[:4],16) % 256
+            WITH tok AS (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ), hj AS (
+                SELECT word, j,
+                       ((strpos({_HEX_SQL}, substr(md5(word || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) * 4096
+                      + (strpos({_HEX_SQL}, substr(md5(word || ':' || CAST(j AS VARCHAR)), 2, 1)) - 1) * 256
+                      + (strpos({_HEX_SQL}, substr(md5(word || ':' || CAST(j AS VARCHAR)), 3, 1)) - 1) * 16
+                      + (strpos({_HEX_SQL}, substr(md5(word || ':' || CAST(j AS VARCHAR)), 4, 1)) - 1)
+                       ) % 256 AS bucket
+                FROM tok CROSS JOIN range(0, 4) t(j)
+            ), counters AS (
+                SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+                FROM hj GROUP BY j, bucket
+            ), exact AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS exact_n
+                FROM tok GROUP BY word
+                ORDER BY exact_n DESC, word ASC LIMIT 20
+            ), probe AS (
+                SELECT e.word, e.exact_n, h.j, h.bucket
+                FROM exact e JOIN (SELECT DISTINCT word, j, bucket FROM hj) h
+                  ON h.word = e.word
+            ), est AS (
+                SELECT word, exact_n,
+                       min(coalesce(c.cnt, 0)) AS cms_estimate
+                FROM probe p LEFT JOIN counters c USING (j, bucket)
+                GROUP BY word, exact_n
+            )
+            SELECT word, exact_n, cms_estimate,
+                   cms_estimate >= exact_n AS no_undercount
+            FROM est
         """,
         "export_shard_stats": f"""
             -- shard = int(md5(id:salt)[:4], 16) mod 16, hex digits decoded

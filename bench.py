@@ -48,6 +48,8 @@ HEADLINE = [
     # round-5 additions
     "streaming_enrich_static",
     "dedup_chunk_boilerplate",
+    "sketch_count_min",
+    "export_shard_stats",
     "dedup_substring_spans",
     "sample_token_budget_mix",
     "dedup_semantic",

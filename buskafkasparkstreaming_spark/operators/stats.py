@@ -90,3 +90,65 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS "
         "(column, n_rows, n_null, n_distinct, min_str, max_str)"
     )
+
+
+def _cms_bucket(col: "Column", j: int, width: int) -> "Column":
+    """Row j's bucket for an item: int(md5(f"{item}:{j}")[:4], 16) % width.
+    Keyed md5 per row keeps the d hash functions independent AND exactly
+    replayable in the DuckDB oracle (the same hex-digit arithmetic idiom as
+    the shard/stratified operators)."""
+    from pyspark.sql import functions as F
+
+    hx = F.substring(F.md5(F.concat_ws(":", col, F.lit(str(j)))), 1, 4)
+    return F.conv(hx, 16, 10).cast("long") % width
+
+
+def count_min_sketch(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) over the
+    occurrences of `item_col`: a (depth × width) counter grid as a
+    DataFrame (row, bucket, cnt).
+
+    Why this shape survives 100 TB: the counter space is FIXED (d×w rows
+    regardless of corpus size), the count is a partial-aggregable groupBy
+    — each task emits at most d×w partial rows, so shuffle volume is
+    O(tasks × d × w), independent of row count — and two sketches merge by
+    adding counters (the same groupBy-sum), which is what makes the sketch
+    incrementally maintainable per ingest tick. Point-query error is the
+    standard CMS bound: est ∈ [true, true + e·N/w] with prob 1−(1/2)^d.
+    """
+    from pyspark.sql import functions as F
+
+    buckets = F.array(
+        *[_cms_bucket(F.col(item_col), j, width) for j in range(depth)]
+    )
+    ex = df.select(F.posexplode(buckets).alias("row", "bucket"))
+    return ex.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_point_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Estimate each item's occurrence count from a prebuilt sketch:
+    est = min over rows j of counter[j, hash_j(item)]. The sketch is d×w
+    rows — metadata-sized — so the probe join broadcasts it; the query set
+    never shuffles."""
+    from pyspark.sql import functions as F
+
+    buckets = F.array(
+        *[_cms_bucket(F.col(item_col), j, width) for j in range(depth)]
+    )
+    probes = items.select(
+        *items.columns, F.posexplode(buckets).alias("row", "bucket")
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(*items.columns).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
+    )

@@ -815,3 +815,37 @@ def test_assign_shards_is_rowlocal_project(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", 16
     )
     assert "Exchange" not in explain_str(df)
+
+
+def test_count_min_sketch_merge_and_bound(spark):
+    """CMS invariants: (a) estimates never undercount; (b) the sketch of a
+    union equals the counter-sum of per-part sketches (mergeability — what
+    makes the sketch incrementally maintainable per ingest tick)."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        cms_point_query,
+        count_min_sketch,
+    )
+
+    words = ["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 5 + ["delta"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    sketch = count_min_sketch(df, "word", depth=3, width=32)
+    exact = df.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    est = {
+        r.word: (r.n, r.cms_estimate)
+        for r in cms_point_query(sketch, exact, "word", depth=3, width=32).collect()
+    }
+    for w, (n, e) in est.items():
+        assert e >= n, f"{w}: CMS undercounted ({e} < {n})"
+    assert est["alpha"][1] == 50  # heavy hitter exact at this load factor
+
+    # mergeability: sum of per-part counter grids == whole-corpus grid
+    part_a = spark.createDataFrame([(w,) for w in words[:30]], "word string")
+    part_b = spark.createDataFrame([(w,) for w in words[30:]], "word string")
+    merged = (
+        count_min_sketch(part_a, "word", depth=3, width=32)
+        .unionByName(count_min_sketch(part_b, "word", depth=3, width=32))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert merged.exceptAll(sketch).count() == 0
+    assert sketch.exceptAll(merged).count() == 0
