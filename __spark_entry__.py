@@ -1089,6 +1089,17 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.run_to_memory(joined, spark, output_mode="append")
 
 
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab OOV rate (operators/text.py::vocab_coverage): top-64
+    frequency-truncated vocabulary (deterministic boundary: count desc,
+    word asc), per-doc out-of-vocab occurrence fraction as an exact
+    long/long division the oracle reproduces bit-identically."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.vocab_coverage(docs, "doc_id", vocab_size=64).select(
+        F.col("id").alias("doc_id"), "n_words", "n_oov", "oov_rate"
+    )
+
+
 def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters (operators/stats.py::count_min_sketch):
     fixed 4x256 counter grid over all word occurrences (shuffle volume
@@ -1736,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk_boilerplate": dedup_chunk_boilerplate,
         "export_shard_stats": export_shard_stats,
         "sketch_count_min": sketch_count_min,
+        "text_vocab_coverage": text_vocab_coverage,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
@@ -3261,6 +3273,26 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts
              AND e.ts <= p.ts + INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase'
+        """,
+        "text_vocab_coverage": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), vocab AS (
+                SELECT word FROM tok GROUP BY word
+                ORDER BY count(*) DESC, word ASC LIMIT 64
+            ), flagged AS (
+                SELECT t.doc_id, (v.word IS NOT NULL) AS in_vocab
+                FROM tok t LEFT JOIN vocab v ON v.word = t.word
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_oov,
+                   CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS oov_rate
+            FROM flagged
+            GROUP BY doc_id
         """,
         "sketch_count_min": f"""
             -- full CMS replay: bucket_j(word) = int(md5(word:j)[:4],16) % 256

@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_chunk_boilerplate",
     "sketch_count_min",
     "export_shard_stats",
+    "text_vocab_coverage",
     "dedup_substring_spans",
     "sample_token_budget_mix",
     "dedup_semantic",

@@ -436,3 +436,48 @@ def hashed_linear_score(
             / F.lit(float(fp_scale)),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    vocab_size: int = 64,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-`vocab_size` word
+    vocabulary (the frequency-truncation step every tokenizer build starts
+    from, before BPE merges), then score each document's out-of-vocabulary
+    occurrence rate — the signal used to spot corpus/tokenizer mismatch
+    (high OOV => the doc's language/domain isn't represented in the vocab).
+
+    Plan shape: one word-keyed count shuffle (partial-agg), a top-V
+    TakeOrdered over the DISTINCT-word frame (vocab-sized driver result,
+    never data-sized), vocab re-broadcast against the token stream, one
+    per-doc agg. Vocab boundary ties break deterministically
+    (count desc, word asc) so the result is engine-independent.
+
+    Output: (id, n_words, n_oov, oov_rate) with oov_rate an exact
+    long/long double division.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("word").asc())
+        .limit(vocab_size)
+        .select("word", F.lit(True).alias("__in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "word", "left")
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(
+            F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_oov"),
+        (
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )

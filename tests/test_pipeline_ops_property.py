@@ -72,3 +72,30 @@ def test_stratified_sample_is_partitioning_invariant(spark, ids, frac):
         if r["lang"] == "a"
     }
     assert {i for i in kept1 if i % 2} <= kept_more
+
+
+word_strat = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+doc_strat = st.lists(word_strat, min_size=1, max_size=17).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(doc_strat, min_size=1, max_size=12),
+    chunk_words=st.integers(min_value=1, max_value=5),
+)
+def test_boilerplate_reassembly_is_lossless(spark, texts, chunk_words):
+    """With an unreachable min_docs threshold no chunk is dropped, so
+    chunk-split followed by ordered reassembly must reproduce every text
+    byte-for-byte — pins chunk boundary arithmetic (the tail chunk, the
+    one-word doc, chunk_words=1) independent of the dedup logic."""
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        remove_boilerplate_chunks,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_boilerplate_chunks(
+        df, "doc_id", chunk_words=chunk_words, min_docs=len(texts) + 1
+    )
+    got = {r.id: (r.clean_text, r.n_dropped) for r in out.collect()}
+    assert got == {i: (t, 0) for i, t in rows}
