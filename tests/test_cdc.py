@@ -265,3 +265,69 @@ def test_compact_unpartitioned_table(spark, tmp_path):
     assert table.compact(max_files_per_partition=1) == ["."]
     assert len(_parquet_files(str(tmp_path / "tbl"))) == 1
     assert table.read().count() == 50
+
+
+def test_time_travel_read_as_of(spark, tmp_path):
+    """retain_versions: every commit stays readable via log replay —
+    updates, deletes, and the latest state all resolve correctly; vacuum
+    drops exactly the no-longer-needed archives."""
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="k",
+        precombine_col="v",
+        partition_col="p",
+        retain_versions=True,
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10, 0), (2, 10, 1), (3, 10, 0), (4, 10, 1)], "k int, v int, p int"
+    )
+    table.merge(b1)
+    b2 = spark.createDataFrame([(1, 20, 0), (2, 20, 1)], "k int, v int, p int")
+    table.merge(b2)
+    b3 = spark.createDataFrame(
+        [(3, 30, 0, True)], "k int, v int, p int, del boolean"
+    )
+    table.merge(b3, delete_col="del")
+
+    hist = table.history()
+    assert [c["seq"] for c in hist] == [1, 2, 3]
+
+    def state(df):
+        return {(r.k, r.v, r.p) for r in df.select("k", "v", "p").collect()}
+
+    assert state(table.read_as_of(1)) == {(1, 10, 0), (2, 10, 1), (3, 10, 0), (4, 10, 1)}
+    assert state(table.read_as_of(2)) == {(1, 20, 0), (2, 20, 1), (3, 10, 0), (4, 10, 1)}
+    assert state(table.read_as_of(3)) == {(1, 20, 0), (2, 20, 1), (4, 10, 1)}
+    assert state(table.read_as_of(3)) == state(table.read())
+
+    removed = table.vacuum(retain_last=1)
+    assert removed  # older archives dropped
+    assert state(table.read_as_of(3)) == state(table.read())  # latest intact
+    with pytest.raises(ValueError, match="vacuumed"):
+        table.read_as_of(1)
+
+
+def test_retention_log_append_is_idempotent(tmp_path):
+    from buskafkasparkstreaming_spark.cdc.upsert import LocalFSCommitter
+
+    c = LocalFSCommitter(str(tmp_path), retain_versions=True)
+    plan = {"staged": ["p=1"], "emptied": []}
+    c._append_log("abc123", plan)
+    c._append_log("abc123", plan)  # crash-rerun of phase C
+    assert [e["txn"] for e in c.log_entries()] == ["abc123"]
+    assert c.log_entries()[0]["seq"] == 1
+
+
+def test_default_table_retains_nothing(spark, tmp_path):
+    """Without retain_versions the commit path must stay exactly as
+    before: no log dir, no archive dir."""
+    table = UpsertTable(
+        spark, str(tmp_path / "tbl"), key_cols="k", precombine_col="v"
+    )
+    table.merge(spark.createDataFrame([(1, 1)], "k int, v int"))
+    table.merge(spark.createDataFrame([(1, 2)], "k int, v int"))
+    names = set(os.listdir(str(tmp_path / "tbl")))
+    assert ".bss_log" not in names and ".bss_archive" not in names
+    with pytest.raises(ValueError, match="retain_versions"):
+        table.read_as_of(1)
