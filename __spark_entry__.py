@@ -1089,6 +1089,21 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.run_to_memory(joined, spark, output_mode="append")
 
 
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval (operators/text.py::bm25_scores): BM25 top-15 for
+    a 3-term query. Token stream is filtered to query terms BEFORE any
+    aggregation (cost tracks hit count, not corpus size); per-term scores
+    floor to fixed-point BIGINT so the per-doc sum is order-independent;
+    k1/b are dyadic so every constant is bit-identical in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = TX.bm25_scores(docs, "doc_id", ["spark", "table", "query"])
+    return (
+        scored.select(F.col("id").alias("doc_id"), "bm25_fp")
+        .orderBy(F.col("bm25_fp").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocab OOV rate (operators/text.py::vocab_coverage): top-64
     frequency-truncated vocabulary (deterministic boundary: count desc,
@@ -1748,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shard_stats": export_shard_stats,
         "sketch_count_min": sketch_count_min,
         "text_vocab_coverage": text_vocab_coverage,
+        "text_bm25_search": text_bm25_search,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
@@ -3273,6 +3289,47 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts
              AND e.ts <= p.ts + INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase'
+        """,
+        "text_bm25_search": """
+            -- BM25, k1=1.25 b=0.75 (dyadic => bit-identical constants);
+            -- per-term fixed-point floor then integer sum (order-free)
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS dl
+                FROM documents
+            ), st AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(dl) AS DOUBLE) AS sum_dl
+                FROM dl
+            ), qt AS (
+                SELECT doc_id, word FROM tok
+                WHERE word IN ('spark', 'table', 'query')
+            ), dft AS (
+                SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df_t
+                FROM qt GROUP BY word
+            ), tf AS (
+                SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+                FROM qt GROUP BY doc_id, word
+            ), term AS (
+                SELECT tf.doc_id,
+                       CAST(floor(
+                           ln((st.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5)
+                              + 1.0)
+                           * tf.tf * 2.25
+                           / (tf.tf + 1.25 * (0.25 + (0.75 * dl.dl)
+                                              / (st.sum_dl / st.n_docs)))
+                           * 1000000.0
+                       ) AS BIGINT) AS fp
+                FROM tf
+                JOIN dft USING (word)
+                JOIN dl USING (doc_id)
+                CROSS JOIN st
+            )
+            SELECT doc_id, CAST(sum(fp) AS BIGINT) AS bm25_fp
+            FROM term GROUP BY doc_id
+            ORDER BY bm25_fp DESC, doc_id ASC LIMIT 15
         """,
         "text_vocab_coverage": """
             WITH tok AS (

@@ -51,6 +51,7 @@ HEADLINE = [
     "sketch_count_min",
     "export_shard_stats",
     "text_vocab_coverage",
+    "text_bm25_search",
     "dedup_substring_spans",
     "sample_token_budget_mix",
     "dedup_semantic",

@@ -481,3 +481,74 @@ def vocab_coverage(
             / F.count(F.lit(1)).cast("double")
         ).alias("oov_rate"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.25,
+    b: float = 0.75,
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag-of-words query
+    (Robertson & Zaragoza 2009) — the lexical-retrieval complement of the
+    embedding ANN family (hybrid search runs both and fuses).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Scale shape: the token stream is FILTERED TO QUERY TERMS before any
+    aggregation, so tf/df shuffles carry only matching occurrences (query
+    cost tracks hit count, not corpus size); doc lengths are a row-local
+    `size(split)`; N and avgdl are a 1-row aggregate broadcast via the
+    scalar-crossJoin idiom; df is a term-count frame small enough to
+    broadcast into the tf join.
+
+    Oracle determinism: each TERM's score is floored to `fp_scale`
+    fixed-point BIGINT first and the per-doc total is an integer sum —
+    order-independent, so partial aggregation order can't flip results
+    (the lm_score precedent). Default k1/b are dyadic (1.25, 0.75): k1+1
+    and 1−b are exact binary doubles, so the oracle's literals are
+    bit-identical. Output: (id, bm25_fp) for docs matching ≥1 term.
+    """
+    qlit = [str(t) for t in query_terms]
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("word")
+    )
+    dl = df.select(
+        F.col(id_col).alias("id"), F.size(words(text_col)).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    qtok = tok.filter(F.col("word").isin(qlit))
+    df_t = (
+        qtok.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("df_t"))
+    )
+    tf = qtok.groupBy("id", "word").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    joined = (
+        tf.join(F.broadcast(df_t), "word")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + k1 * (
+        (1.0 - b) + b * F.col("dl") / (F.col("sum_dl") / F.col("n_docs"))
+    )
+    term_fp = F.floor(
+        idf * F.col("tf") * (k1 + 1.0) / norm * F.lit(float(fp_scale))
+    ).cast("long")
+    return (
+        joined.select("id", term_fp.alias("__fp"))
+        .groupBy("id")
+        .agg(F.sum("__fp").cast("long").alias("bm25_fp"))
+    )

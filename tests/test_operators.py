@@ -849,3 +849,23 @@ def test_count_min_sketch_merge_and_bound(spark):
     )
     assert merged.exceptAll(sketch).count() == 0
     assert sketch.exceptAll(merged).count() == 0
+
+
+def test_bm25_ranking_semantics(spark):
+    """More query-term occurrences rank higher; equal term counts in a
+    LONGER doc rank lower (length normalization); non-matching docs are
+    absent."""
+    from buskafkasparkstreaming_spark.operators.text import bm25_scores
+
+    rows = [
+        (1, "spark spark spark filler filler"),
+        (2, "spark filler filler filler filler"),
+        (3, "spark filler filler filler filler filler filler filler filler filler"),
+        (4, "nothing relevant here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: r.bm25_fp for r in bm25_scores(df, "doc_id", ["spark"]).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] > got[2] > got[3] > 0
