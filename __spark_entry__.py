@@ -1089,6 +1089,47 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.run_to_memory(joined, spark, output_mode="append")
 
 
+def q_cume_dist_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value window functions over a UNIQUE ordering
+    (cents, orderkey) so rank ties and frame-peer semantics can't diverge
+    between engines; nth_value gets an explicit ROWS frame because the
+    engines' default frames differ in peer handling."""
+    orders = _t(spark, sf_dir, "orders").withColumn("cents", _cents("o_totalprice"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("cents", 2).over(w_rows).alias("second_cents"),
+    )
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling parity: a derived nullable column (NULLIF) grouped
+    with its null group, count(*) vs count(col), and a null-safe
+    self-equality pairing (Spark `<=>` == DuckDB IS NOT DISTINCT FROM) —
+    the null group must pair with itself."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "prio_n", F.expr("nullif(o_orderpriority, '1-URGENT')")
+    )
+    grouped = orders.groupBy("prio_n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("prio_n").cast("long").alias("n_nonnull"),
+    )
+    d = grouped.select("prio_n")
+    pairs = d.alias("a").join(
+        d.alias("b"), F.col("a.prio_n").eqNullSafe(F.col("b.prio_n"))
+    ).select(F.col("a.prio_n").alias("pp"), F.lit(True).alias("self_match"))
+    return (
+        grouped.alias("g")
+        .join(pairs, F.col("g.prio_n").eqNullSafe(F.col("pp")), "left")
+        .select("prio_n", "n_rows", "n_nonnull", "self_match")
+    )
+
+
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval (operators/text.py::bm25_scores): BM25 top-15 for
     a 3-term query. Token stream is filtered to query terms BEFORE any
@@ -1764,6 +1805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_count_min": sketch_count_min,
         "text_vocab_coverage": text_vocab_coverage,
         "text_bm25_search": text_bm25_search,
+        "q_cume_dist_nth_value": q_cume_dist_nth_value,
+        "q_null_semantics": q_null_semantics,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
@@ -3289,6 +3332,39 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts
              AND e.ts <= p.ts + INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase'
+        """,
+        "q_cume_dist_nth_value": """
+            SELECT o_orderkey,
+                   o_orderpriority,
+                   cume_dist() OVER w AS cd,
+                   nth_value(CAST(round(o_totalprice * 100) AS BIGINT), 2)
+                       OVER (PARTITION BY o_orderpriority
+                             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC,
+                                      o_orderkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS second_cents
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC,
+                                  o_orderkey ASC)
+        """,
+        "q_null_semantics": """
+            WITH o AS (
+                SELECT nullif(o_orderpriority, '1-URGENT') AS prio_n
+                FROM orders
+            ), grouped AS (
+                SELECT prio_n,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(prio_n) AS BIGINT) AS n_nonnull
+                FROM o GROUP BY prio_n
+            ), d AS (SELECT prio_n FROM grouped),
+            pairs AS (
+                SELECT a.prio_n AS pp, TRUE AS self_match
+                FROM d a JOIN d b ON a.prio_n IS NOT DISTINCT FROM b.prio_n
+            )
+            SELECT g.prio_n, g.n_rows, g.n_nonnull, p.self_match
+            FROM grouped g
+            LEFT JOIN pairs p ON g.prio_n IS NOT DISTINCT FROM p.pp
         """,
         "text_bm25_search": """
             -- BM25, k1=1.25 b=0.75 (dyadic => bit-identical constants);
