@@ -139,3 +139,45 @@ def test_incremental_dedup_ingest_loop(spark):
         accepted = accepted.unionByName(fresh)
     ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
     assert ids == {1, 2, 13}, ids
+
+
+def test_incremental_cms_ingest_loop(spark):
+    """Per-tick sketch maintenance: each arriving batch builds its own
+    count-min grid and merges into the standing sketch by counter addition
+    (never re-scanning history) — after N ticks the merged sketch equals a
+    from-scratch build over everything, and point queries keep the
+    no-undercount guarantee throughout."""
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.stats import (
+        cms_point_query,
+        count_min_sketch,
+    )
+
+    ticks = [
+        ["spark"] * 10 + ["flink"] * 2,
+        ["spark"] * 5 + ["duck"] * 7,
+        ["duck"] * 3 + ["beam"],
+    ]
+    standing = None
+    for words in ticks:
+        batch = spark.createDataFrame([(w,) for w in words], "word string")
+        grid = count_min_sketch(batch, "word", depth=3, width=16)
+        standing = (
+            grid
+            if standing is None
+            else standing.unionByName(grid)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+    every = spark.createDataFrame(
+        [(w,) for t in ticks for w in t], "word string"
+    )
+    scratch = count_min_sketch(every, "word", depth=3, width=16)
+    assert standing.exceptAll(scratch).count() == 0
+    assert scratch.exceptAll(standing).count() == 0
+
+    exact = every.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    est = cms_point_query(standing, exact, "word", depth=3, width=16)
+    for r in est.collect():
+        assert r.cms_estimate >= r.n
