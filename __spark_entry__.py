@@ -1089,6 +1089,50 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.run_to_memory(joined, spark, output_mode="append")
 
 
+def text_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with an embedding
+    cosine ranking via reciprocal-rank fusion (Cormack et al. 2009),
+    rrf = 1/(60+r_lex) + 1/(60+r_sem), missing-source terms contribute 0.
+    Ranks are integers over deterministic orderings and the fusion is two
+    exact-integer divisions summed in fixed order — bit-identical across
+    engines. doc_id and vec_id share the same id space in the testdata,
+    standing in for a corpus with both text and embeddings."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    lex = TX.bm25_scores(docs, "doc_id", ["spark", "table", "query"]).select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_fp").desc(), F.col("id").asc()))
+        .alias("r_lex"),
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("id"),
+            bssf.cosine_similarity("embedding", "q_emb").alias("cos"),
+        )
+        .select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), F.col("id").asc()))
+            .alias("r_sem"),
+        )
+    )
+    fused = lex.join(sem, "id", "full_outer").select(
+        F.col("id").alias("doc_id"),
+        (
+            F.coalesce(1.0 / (F.col("r_lex") + 60), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("r_sem") + 60), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
+
+
 def q_cume_dist_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cume_dist + nth_value window functions over a UNIQUE ordering
     (cents, orderkey) so rank ties and frame-peer semantics can't diverge
@@ -1805,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_count_min": sketch_count_min,
         "text_vocab_coverage": text_vocab_coverage,
         "text_bm25_search": text_bm25_search,
+        "text_hybrid_search": text_hybrid_search,
         "q_cume_dist_nth_value": q_cume_dist_nth_value,
         "q_null_semantics": q_null_semantics,
         "dedup_substring_spans": dedup_substring_spans,
@@ -3332,6 +3377,70 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts
              AND e.ts <= p.ts + INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase'
+        """,
+        "text_hybrid_search": """
+            -- RRF fusion of the BM25 ranking (same pipeline as
+            -- text_bm25_search) and a cosine ranking against vec 0
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS dl
+                FROM documents
+            ), st AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(dl) AS DOUBLE) AS sum_dl
+                FROM dl
+            ), qt AS (
+                SELECT doc_id, word FROM tok
+                WHERE word IN ('spark', 'table', 'query')
+            ), dft AS (
+                SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df_t
+                FROM qt GROUP BY word
+            ), tf AS (
+                SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+                FROM qt GROUP BY doc_id, word
+            ), term AS (
+                SELECT tf.doc_id,
+                       CAST(floor(
+                           ln((st.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5)
+                              + 1.0)
+                           * tf.tf * 2.25
+                           / (tf.tf + 1.25 * (0.25 + (0.75 * dl.dl)
+                                              / (st.sum_dl / st.n_docs)))
+                           * 1000000.0
+                       ) AS BIGINT) AS fp
+                FROM tf
+                JOIN dft USING (word)
+                JOIN dl USING (doc_id)
+                CROSS JOIN st
+            ), bm AS (
+                SELECT doc_id, CAST(sum(fp) AS BIGINT) AS bm25_fp
+                FROM term GROUP BY doc_id
+            ), lex AS (
+                SELECT doc_id AS id,
+                       row_number() OVER (ORDER BY bm25_fp DESC, doc_id ASC)
+                           AS r_lex
+                FROM bm
+            ), sem AS (
+                SELECT c.vec_id AS id,
+                       row_number() OVER (
+                           ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[]))
+                                    / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                            CAST(q.embedding AS DOUBLE[]))
+                                           * list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                              CAST(c.embedding AS DOUBLE[]))) DESC,
+                                    c.vec_id ASC) AS r_sem
+                FROM embeddings c
+                CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                WHERE c.vec_id <> 0
+            )
+            SELECT coalesce(lex.id, sem.id) AS doc_id,
+                   coalesce(CAST(1.0 AS DOUBLE) / (r_lex + 60), CAST(0.0 AS DOUBLE))
+                       + coalesce(CAST(1.0 AS DOUBLE) / (r_sem + 60), CAST(0.0 AS DOUBLE)) AS rrf
+            FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+            ORDER BY rrf DESC, doc_id ASC LIMIT 20
         """,
         "q_cume_dist_nth_value": """
             SELECT o_orderkey,

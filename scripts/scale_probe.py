@@ -174,6 +174,25 @@ def main() -> None:
         results,
     )
 
+    # chunk-boilerplate removal: replication makes EVERY chunk shared by
+    # >= 10 docs — the total-drop worst case. Counting (not pairing) keeps
+    # the plan linear: one chunk-keyed agg + broadcast boiler set + one
+    # per-doc reassembly, output one row per doc regardless
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        remove_boilerplate_chunks,
+    )
+
+    t_1x["chunks"] = timed(
+        "boilerplate_chunks 1x",
+        lambda: remove_boilerplate_chunks(docs1, "doc_id").count(),
+        results,
+    )
+    t_10x["chunks"] = timed(
+        "boilerplate_chunks 10x (every chunk boiler)",
+        lambda: remove_boilerplate_chunks(docs10, "doc_id").count(),
+        results,
+    )
+
     q = emb1.filter(F.col("vec_id") < 10)
 
     t_1x["ann"] = timed(
@@ -235,6 +254,7 @@ def main() -> None:
         "simhash": "banding: same",
         "spans": "counting-based substring dedup: replication makes EVERY window a duplicate (pair-based would do 100× work), but distinct-doc counting stays ~linear",
         "semantic": "assign linear; pair stage bounded by cluster size (nlist scales sqrt-N); output quadratic in copy count like any true-dup finder",
+        "chunks": "CCNet chunk removal: chunk-keyed counting + broadcast boiler set — linear even when replication makes EVERY chunk boilerplate",
         "ann": "brute force is O(|Q|×|C|): 100× work at 10×/10× — the IVF path exists for this",
         "ivf": "same 10×/10× workload, query path only (index pre-built & amortized)",
     }
