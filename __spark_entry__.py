@@ -3587,8 +3587,10 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY shard
         """,
         "dedup_chunk_boilerplate": """
+            -- coalesce: NULL text is defined as '' (see operator docstring)
             WITH d AS (
-                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents
             ), sized AS (
                 SELECT doc_id, w,
                        greatest(CAST(ceil(len(w) / 3.0) AS INT), 1) AS nc

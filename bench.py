@@ -52,6 +52,7 @@ HEADLINE = [
     "export_shard_stats",
     "text_vocab_coverage",
     "text_bm25_search",
+    "text_hybrid_search",
     "dedup_substring_spans",
     "sample_token_budget_mix",
     "dedup_semantic",

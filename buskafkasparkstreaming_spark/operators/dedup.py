@@ -884,9 +884,12 @@ def remove_boilerplate_chunks(
     (groupBy id) with an `array_sort(collect_list(struct))` ordered merge.
 
     Output: (id, clean_text, n_chunks, n_dropped) — one row per input doc,
-    clean_text = '' when every chunk was boilerplate.
+    clean_text = '' when every chunk was boilerplate. NULL text is
+    normalized to '' first: engines disagree on NULL propagation through
+    the chunk pipeline (Spark concat_ws swallows the NULL into '', DuckDB
+    array_to_string yields NULL), so the operator pins one semantic.
     """
-    ws = words(text_col)
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
     n_chunks = F.greatest(
         F.ceil(F.size(ws) / F.lit(float(chunk_words))).cast("int"), F.lit(1)
     )

@@ -25,6 +25,9 @@ SHOWN = {
     "sample_token_budget_mix": "per-source token quota: ONE hash exchange on the source + running-sum window (domain_cap's shape in token units)",
     "dedup_chunk_boilerplate": "CCNet chunk removal: row-local chunking (transform over sequence), ONE chunk-keyed distinct-doc agg, broadcast boiler set back, ONE per-doc ordered-reassembly shuffle — the corpus is never paired with itself",
     "export_shard_stats": "deterministic shard assignment is a pure Project (no Exchange before the rollup); md5-mod is stable under retries and repartitioning",
+    "text_bm25_search": "BM25: token stream filtered to query terms BEFORE any aggregation — tf/df shuffles carry only matching occurrences; 1-row corpus stats broadcast; fixed-point per-term floor then integer sum",
+    "text_vocab_coverage": "top-V vocab via TakeOrdered over the distinct-word frame (vocab-sized, never data-sized), broadcast back against the token stream",
+    "sketch_count_min": "CMS build: posexplode to d rows/occurrence, partial-agg into the fixed d x w grid; probe joins the broadcast grid",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage

@@ -137,3 +137,57 @@ def test_embedding_dtype_drift(spark, tmp_path):
     for name in ("ann_cosine_topk", "ann_quantize_int8", "dedup_rp_lsh_embeddings"):
         df = qs[name](spark, str(drift))
         assert df.count() > 0, f"{name} produced no rows on array<double>"
+
+
+def test_null_text_drift(spark, tmp_path):
+    """If documents.text ever ships with NULLs or empty strings (the
+    ts-encoding precedent), the text/dedup entries must KEEP ORACLE PARITY
+    on the drifted data — both engines see the same bytes, so any
+    divergence is an engine-semantics leak (e.g. concat_ws swallowing a
+    NULL that array_to_string propagates, caught by this probe)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "nulls")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0 THEN NULL
+                          WHEN doc_id % 13 = 0 THEN ''
+                          ELSE text END AS text,
+                     lang, source, n_chars
+              FROM '{src}/documents.parquet')
+        TO '{drift}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "text_quality",
+        "text_token_count",
+        "text_langid",
+        "text_pii_redact",
+        "dedup_exact",
+        "dedup_chunk_boilerplate",
+        "text_vocab_coverage",
+        "text_bm25_search",
+        "sketch_count_min",
+        "doc_fingerprint",
+    ):
+        run_pair(spark, con, qs[name], oracles[name], drift, name)
+    con.close()
