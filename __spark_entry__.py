@@ -1977,7 +1977,8 @@ def _ngram_pairs_sql(threshold: float, max_df: int | None) -> str:
         else "low AS (SELECT * FROM sh),"
     )
     return f"""
-        WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+        WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents
+                  WHERE trim(coalesce(text, '')) <> ''),
         sh AS (
             SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS sh
             FROM (SELECT doc_id, ws,
@@ -2187,7 +2188,8 @@ def _prototype_prune_oracle_sql(
 # filter's whole claim is zero false negatives + exact confirm join, i.e.
 # output identity with the plain gate, so the identical oracle IS the check.
 _CONTAMINATION_SQL = f"""
-    WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+    WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents
+                  WHERE trim(coalesce(text, '')) <> ''),
     sh AS (
         SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS sh
         FROM (SELECT doc_id, ws,
@@ -2502,7 +2504,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE
-            w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            w AS (SELECT doc_id, {WORDS} AS ws FROM documents
+                  WHERE trim(coalesce(text, '')) <> ''),
             sh AS (
                 SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS sh
                 FROM (SELECT doc_id, ws,
@@ -2585,7 +2588,8 @@ def oracle_sql() -> dict[str, str]:
             -- full replay of operators/dedup.py::duplicated_spans
             -- (window=8, min_docs=2): md5 window fingerprints ->
             -- distinct-doc count -> overlap merge (gap > window-1 breaks)
-            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents
+                  WHERE trim(coalesce(text, '')) <> ''),
             g AS (
                 SELECT doc_id, g AS pos,
                        md5(array_to_string(ws[g:g+7], ' ')) AS fp
@@ -2622,7 +2626,8 @@ def oracle_sql() -> dict[str, str]:
             -- duplicated_spans replay (see dedup_substring_spans) +
             -- per-doc coverage; spans are disjoint post-merge so coverage
             -- = sum of span lengths; exact integer ratio
-            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents
+                  WHERE trim(coalesce(text, '')) <> ''),
             g AS (
                 SELECT doc_id, g AS pos,
                        md5(array_to_string(ws[g:g+7], ' ')) AS fp

@@ -62,13 +62,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 
 def word_shingles(col: Column | str, k: int = 5) -> Column:
-    """Distinct word-k-gram shingles of a text column (array<string>)."""
-    ws = words(col)
+    """Distinct word-k-gram shingles of a text column (array<string>).
+
+    NULL/empty/whitespace text yields an EMPTY array — contentless docs
+    have no shingles, so they never enter any pair computation. Without
+    the guard the engines diverge on drifted data: Spark's concat_ws
+    swallows the NULL into a '' shingle that then pairs every contentless
+    doc with every other, while the SQL oracle's unnest drops NULL rows
+    (caught by tests/test_driver_robustness.py::test_null_text_drift)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = words(c)
     n = F.size(ws)
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    return F.array_distinct(
+    sh = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
     )
+    return F.when(
+        F.coalesce(F.trim(c), F.lit("")) == "", F.array().cast("array<string>")
+    ).otherwise(sh)
 
 
 def ngram_jaccard_pairs(
@@ -818,9 +829,12 @@ def duplicated_spans(
     1-based inclusive word positions.
 
     Short docs (< window words) contribute their whole text as one
-    window, mirroring `word_shingles`.
+    window, mirroring `word_shingles`. NULL/empty/whitespace docs have no
+    windows (same contract as `word_shingles` — contentless docs never
+    pair; engines otherwise diverge on NULL propagation).
     """
     ws = words(text_col)
+    df = df.filter(F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
     grams = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(

@@ -188,6 +188,19 @@ def test_null_text_drift(spark, tmp_path):
         "text_bm25_search",
         "sketch_count_min",
         "doc_fingerprint",
+        # shingle family: contentless docs must have NO shingles/windows on
+        # BOTH sides (word_shingles guard + oracle WHERE) — the family-wide
+        # divergence this test originally caught
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_substring_spans",
+        "text_duplicate_fraction",
+        "dedup_clusters",
+        "dedup_contamination",
+        "dedup_simhash",
+        "text_lm_bigram_score",
+        "pack_chunk_documents",
+        "corpus_curation",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
