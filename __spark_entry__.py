@@ -2327,8 +2327,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         "q_json_extract": """
+            -- json_valid guard: Spark's get_json_object is lenient (NULL on
+            -- malformed/NULL input); DuckDB's json_extract_string throws
             SELECT event_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+                   CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                             THEN json_extract_string(props, '$.k') END
+                        AS BIGINT) AS k_val
             FROM events
         """,
         "q_explode_words": f"""
@@ -3317,7 +3321,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 'k' AS key,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
             FROM events
-            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            WHERE props IS NOT NULL AND json_valid(props)
+              AND json_extract_string(props, '$.k') IS NOT NULL
         """,
         "q_range_frame_events": """
             SELECT event_id, user_id,
@@ -3364,11 +3369,14 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s,
                        CAST(sum(CAST(round(value * 100) AS BIGINT)
                                 * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS ss
-                FROM events GROUP BY event_type)
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+                GROUP BY event_type)
             SELECT e.event_id, e.event_type,
                    (CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE) - g.s / g.n)
                        / sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1.0)) AS zscore
             FROM events e JOIN g USING (event_type)
+            WHERE e.value IS NOT NULL
         """,
         "streaming_purchase_error_join": """
             SELECT p.event_id AS purchase_event_id,

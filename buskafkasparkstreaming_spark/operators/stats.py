@@ -26,7 +26,12 @@ def zscore_by_group(
     id_col: str = "event_id",
 ) -> DataFrame:
     """Per-group z-score of a cents-valued column:
-    z = (c - s/n) / sqrt((ss - s*s/n)/(n-1))."""
+    z = (c - s/n) / sqrt((ss - s*s/n)/(n-1)).
+
+    Rows with a NULL group or NULL value are excluded — a null can neither
+    be standardized nor define a group, and leaving them in diverges
+    between engines (pandas int64 coercion of NaN vs SQL inner-join
+    dropping NULL keys; caught by the events drift probe)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         c = pdf[cents_col].to_numpy(dtype=np.int64)
@@ -44,7 +49,12 @@ def zscore_by_group(
             }
         )
 
-    return df.select(id_col, group_col, cents_col).groupBy(group_col).applyInPandas(
+    from pyspark.sql import functions as F
+
+    clean = df.filter(
+        F.col(group_col).isNotNull() & F.col(cents_col).isNotNull()
+    )
+    return clean.select(id_col, group_col, cents_col).groupBy(group_col).applyInPandas(
         fn, ZSCORE_SCHEMA
     )
 

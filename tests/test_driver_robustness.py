@@ -204,3 +204,64 @@ def test_null_text_drift(spark, tmp_path):
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
+
+
+def test_null_events_drift(spark, tmp_path):
+    """Events-table drift: NULL event_type/value and NULL/malformed props
+    must keep oracle parity — lenient-vs-strict JSON (get_json_object
+    NULLs where DuckDB throws), NULL group keys, and NULL money values
+    were all caught by this probe."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "ev")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT event_id, ts, user_id,
+                     CASE WHEN event_id % 19 = 0 THEN NULL
+                          ELSE event_type END AS event_type,
+                     CASE WHEN event_id % 23 = 0 THEN NULL
+                          ELSE value END AS value,
+                     CASE WHEN event_id % 29 = 0 THEN NULL
+                          WHEN event_id % 31 = 0 THEN 'not json {{'
+                          ELSE props END AS props
+              FROM '{src}/events.parquet')
+        TO '{drift}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "q_json_extract",
+        "q_map_explode_props",
+        "q_zscore_by_type",
+        "q_sessionize_events",
+        "q_event_gaps",
+        "q_hourly_events",
+        "q_sliding_window_avg",
+        "q_range_frame_events",
+        "q_approx_distinct_users",
+        "q_pivot_event_types",
+        "streaming_tumbling_counts",
+        "streaming_dedup_keys",
+        "q_asof_purchase_before_error",
+        "rollup_incremental",
+        "layout_zorder_events",
+    ):
+        run_pair(spark, con, qs[name], oracles[name], drift, name)
+    con.close()
