@@ -1047,7 +1047,13 @@ def q_median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median via the dual-row_number formulation (no engine
     percentile function — their interpolation rules differ; this is
     identical integer/window logic on both sides)."""
-    orders = _t(spark, sf_dir, "orders").withColumn("cents", _cents("o_totalprice"))
+    # NULL prices can't contribute to a median (and engines disagree on
+    # default NULL sort placement) — exclude on both sides
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .withColumn("cents", _cents("o_totalprice"))
+    )
     w_asc = Window.partitionBy("o_orderpriority").orderBy(
         F.col("cents").asc(), F.col("o_orderkey").asc()
     )
@@ -1138,9 +1144,11 @@ def q_cume_dist_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cents, orderkey) so rank ties and frame-peer semantics can't diverge
     between engines; nth_value gets an explicit ROWS frame because the
     engines' default frames differ in peer handling."""
+    # explicit NULLS LAST: Spark's bare ASC places NULLs first, DuckDB's
+    # places them last — a silent divergence the moment a price is NULL
     orders = _t(spark, sf_dir, "orders").withColumn("cents", _cents("o_totalprice"))
     w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("cents").asc(), F.col("o_orderkey").asc()
+        F.col("cents").asc_nulls_last(), F.col("o_orderkey").asc()
     )
     w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
@@ -3355,7 +3363,7 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC,
                                                    o_orderkey ASC) AS rn,
                        count(*) OVER (PARTITION BY o_orderpriority) AS n
-                FROM orders)
+                FROM orders WHERE o_totalprice IS NOT NULL)
             SELECT o_orderpriority,
                    CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS median_price
             FROM ranked
@@ -3461,13 +3469,15 @@ def oracle_sql() -> dict[str, str]:
                    cume_dist() OVER w AS cd,
                    nth_value(CAST(round(o_totalprice * 100) AS BIGINT), 2)
                        OVER (PARTITION BY o_orderpriority
-                             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC,
+                             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                                          ASC NULLS LAST,
                                       o_orderkey ASC
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS second_cents
             FROM orders
             WINDOW w AS (PARTITION BY o_orderpriority
-                         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC,
+                         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                                      ASC NULLS LAST,
                                   o_orderkey ASC)
         """,
         "q_null_semantics": """

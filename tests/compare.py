@@ -41,7 +41,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype(str)
+            # NaT stringifies as 'NaT' but an object-dtype null from the
+            # other engine stringifies as 'None' — unify nulls first
+            df[c] = s.astype("datetime64[us]").astype(str).mask(s.isna(), "None")
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):

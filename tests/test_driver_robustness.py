@@ -265,3 +265,64 @@ def test_null_events_drift(spark, tmp_path):
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
+
+
+def test_null_orders_drift(spark, tmp_path):
+    """Orders-table drift: NULL status/price/date must keep oracle parity
+    — caught the ASC-NULLS-FIRST (Spark) vs ASC-NULLS-LAST (DuckDB)
+    window-ordering divergence and null-median semantics."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "ord")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 19 = 0 THEN NULL
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     CASE WHEN o_orderkey % 23 = 0 THEN NULL
+                          ELSE o_totalprice END AS o_totalprice,
+                     CASE WHEN o_orderkey % 29 = 0 THEN NULL
+                          ELSE o_orderdate END AS o_orderdate,
+                     o_orderpriority
+              FROM '{src}/orders.parquet')
+        TO '{drift}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part lineitem events documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "q3_shipping_priority",
+        "q_topk_orders_per_customer",
+        "q_median_price_by_priority",
+        "q_monthly_orders",
+        "q_date_parts",
+        "q_rollup_status_priority",
+        "q_cube_status_priority",
+        "q_grouping_sets",
+        "q_pivot_native",
+        "q_decimal_and_date",
+        "q_exists_correlated",
+        "q_orders_of_rich_customers",
+        "q_setops_high_value",
+        "q_offset_pagination",
+        "q_cume_dist_nth_value",
+        "q_null_semantics",
+    ):
+        run_pair(spark, con, qs[name], oracles[name], drift, name)
+    con.close()
