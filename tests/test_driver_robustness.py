@@ -326,3 +326,55 @@ def test_null_orders_drift(spark, tmp_path):
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
+
+
+def test_null_lineitem_drift(spark, tmp_path):
+    """Lineitem drift: NULL quantity/discount/returnflag. The aggregate
+    entries are naturally parity-safe (SQL NULL semantics match across
+    engines) — this locks that in."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "li")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT * REPLACE (
+                     CASE WHEN l_orderkey % 19 = 0 THEN NULL
+                          ELSE l_quantity END AS l_quantity,
+                     CASE WHEN l_orderkey % 23 = 0 THEN NULL
+                          ELSE l_discount END AS l_discount,
+                     CASE WHEN l_orderkey % 29 = 0 THEN NULL
+                          ELSE l_returnflag END AS l_returnflag)
+              FROM '{src}/lineitem.parquet')
+        TO '{drift}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders events documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "q1_pricing_summary",
+        "q5_local_supplier_volume",
+        "q_distinct_counts",
+        "q_approx_quantile_bound",
+        "q_running_total",
+        "q_union_by_name",
+        "q_multiset_setops",
+        "q_intersect_segments",
+    ):
+        run_pair(spark, con, qs[name], oracles[name], drift, name)
+    con.close()
