@@ -1,0 +1,311 @@
+"""Object-store keyed-upsert table: write-once data objects + a manifest
+pointer, no renames anywhere.
+
+This is the S3 layout SCALE.md derives from `LocalFSCommitter`'s contract
+(reference deployment is Hudi-on-s3a, 01-setup-ec-vm.md:273): object
+stores have no atomic rename, so the rename-based commit protocol cannot
+apply. The manifest protocol replaces it:
+
+* **stage** — every merge writes its output parquet as NEW objects under
+  unique keys (`data/<txn>/part-*.parquet`); nothing is ever overwritten
+  or moved. (Locally, "upload" is a write into the final key path — the
+  one local rename inside `_publish_objects` stands in for S3's
+  atomic-per-key PUT, not for a commit primitive.)
+* **commit point** — ONE manifest object (`_manifests/<n>.json`, n
+  monotonically increasing) lists the complete live file set per
+  partition plus the table schema. Readers resolve the HIGHEST manifest
+  and read exactly the keys it lists — never ListObjects over data — so
+  a reader sees the old or the new file set, never a mix. On S3 the PUT
+  is last-wins (conditional-PUT where offered); locally, write-tmp +
+  rename gives the same atomicity.
+* **retire** — superseded data objects stay on disk until `vacuum()`
+  deletes everything unreferenced by the current manifest. A writer that
+  crashes after staging but before the manifest PUT leaves only
+  unreferenced keys: invisible to readers, collected by the next vacuum.
+
+Merge semantics (key/partition/precombine, delete tombstones, idempotent
+replay) are identical to `UpsertTable` — both call `latest_state`; only
+the storage protocol differs. Single-writer, like the reference's one
+streaming driver (01-setup-ec-vm.md:284).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from buskafkasparkstreaming_spark.cdc.upsert import latest_state
+
+
+class ManifestUpsertTable:
+    DATA_DIR = "data"
+    MANIFEST_DIR = "_manifests"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str] | str,
+        precombine_col: str,
+        partition_col: str | None = None,
+        tiebreak_cols: list[str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        self.precombine_col = precombine_col
+        self.partition_col = partition_col
+        self.tiebreak_cols = tiebreak_cols or []
+
+    # -- manifest resolution -------------------------------------------------
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, self.MANIFEST_DIR)
+
+    def _current_manifest(self) -> dict | None:
+        d = self._manifest_dir()
+        if not os.path.isdir(d):
+            return None
+        names = sorted(n for n in os.listdir(d) if n.endswith(".json"))
+        if not names:
+            return None
+        with open(os.path.join(d, names[-1]), encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def exists(self) -> bool:
+        return self._current_manifest() is not None
+
+    def version(self) -> int:
+        m = self._current_manifest()
+        return -1 if m is None else m["version"]
+
+    # -- read ----------------------------------------------------------------
+    def read(self) -> DataFrame:
+        """Read exactly the objects the current manifest lists (never a
+        directory listing). Partition values are re-attached from the
+        manifest — partition "pruning" is trivially explicit key
+        selection, the object-store equivalent of directory pruning."""
+        m = self._current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {self.path}")
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        if self.partition_col is None:
+            files = [os.path.join(self.path, k) for k in m["partitions"][""]]
+            if not files:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(*files)
+        ptype = schema[self.partition_col].dataType
+        data_schema = StructType(
+            [f for f in schema.fields if f.name != self.partition_col]
+        )
+        out: DataFrame | None = None
+        for val_str, keys in sorted(m["partitions"].items()):
+            if not keys:
+                continue
+            files = [os.path.join(self.path, k) for k in keys]
+            part = self.spark.read.schema(data_schema).parquet(*files)
+            val = (
+                F.lit(None).cast(ptype)
+                if val_str == "\0null"
+                else F.lit(val_str).cast(ptype)
+            )
+            part = part.withColumn(self.partition_col, val)
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            return self.spark.createDataFrame([], schema)
+        return out
+
+    def _read_partitions(self, m: dict, vals: set) -> DataFrame | None:
+        """Manifest-resolved read of just the partitions in `vals`."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        ptype = schema[self.partition_col].dataType
+        data_schema = StructType(
+            [f for f in schema.fields if f.name != self.partition_col]
+        )
+        out: DataFrame | None = None
+        for val_str, keys in sorted(m["partitions"].items()):
+            if val_str not in vals or not keys:
+                continue
+            files = [os.path.join(self.path, k) for k in keys]
+            part = self.spark.read.schema(data_schema).parquet(*files)
+            val = (
+                F.lit(None).cast(ptype)
+                if val_str == "\0null"
+                else F.lit(val_str).cast(ptype)
+            )
+            out_part = part.withColumn(self.partition_col, val)
+            out = out_part if out is None else out.unionByName(out_part)
+        return out
+
+    # -- write ---------------------------------------------------------------
+    @staticmethod
+    def _pval(v) -> str:
+        return "\0null" if v is None else str(v)
+
+    def _publish_objects(self, staging: str, txn: str) -> dict[str, list[str]]:
+        """Move staged part files under data/<txn>/ with unique keys and
+        return {partition_value_str: [relative keys]}. The os.rename here
+        emulates S3's atomic per-key upload (finalize-on-close), not a
+        commit: objects are INVISIBLE until the manifest references them."""
+        out: dict[str, list[str]] = {}
+        dst_dir = os.path.join(self.path, self.DATA_DIR, txn)
+        os.makedirs(dst_dir, exist_ok=True)
+        if self.partition_col is None:
+            entries = [("", staging)]
+        else:
+            entries = []
+            for name in os.listdir(staging):
+                if name.startswith(f"{self.partition_col}="):
+                    raw = name.split("=", 1)[1]
+                    val = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else _unescape(raw)
+                    )
+                    entries.append((self._pval(val), os.path.join(staging, name)))
+        for val_str, src_dir in entries:
+            keys = []
+            for fname in os.listdir(src_dir):
+                if not fname.endswith(".parquet"):
+                    continue
+                key = f"{self.DATA_DIR}/{txn}/{uuid.uuid4().hex[:16]}.parquet"
+                os.rename(
+                    os.path.join(src_dir, fname), os.path.join(self.path, key)
+                )
+                keys.append(key)
+            out[val_str] = keys
+        return out
+
+    def _put_manifest(self, version: int, partitions: dict, schema_json: dict) -> None:
+        d = self._manifest_dir()
+        os.makedirs(d, exist_ok=True)
+        body = {"version": version, "partitions": partitions, "schema": schema_json}
+        tmp = os.path.join(d, f".{version:010d}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(body, fh)
+        os.rename(tmp, os.path.join(d, f"{version:010d}.json"))
+
+    def merge(self, batch: DataFrame, delete_col: str | None = None) -> None:
+        """Same precombine merge as UpsertTable.merge, via the manifest
+        protocol: stage merged objects → PUT manifest. Idempotent: replay
+        of the same batch produces the same table state (a new manifest
+        version with equal contents)."""
+        data_cols = [c for c in batch.columns if not c.startswith("_")]
+        required = {*self.key_cols, self.precombine_col} | (
+            {self.partition_col} if self.partition_col else set()
+        )
+        missing = sorted(required - set(data_cols))
+        if missing:
+            raise ValueError(f"batch is missing required merge columns {missing}")
+        delete_flag = (
+            F.coalesce(F.col(delete_col), F.lit(False))
+            if delete_col is not None and delete_col in batch.columns
+            else F.lit(False)
+        )
+        incoming = batch.select(
+            *data_cols,
+            delete_flag.alias("__deleted"),
+            F.lit(1).alias("__gen"),
+        )
+
+        m = self._current_manifest()
+        touched: set[str] = set()
+        if self.partition_col is not None:
+            touched = {
+                self._pval(r[0])
+                for r in batch.select(self.partition_col).distinct().collect()
+            }
+        if m is not None:
+            if self.partition_col is not None:
+                existing = self._read_partitions(m, touched)
+            else:
+                existing = self.read()
+            if existing is not None:
+                existing = existing.select(
+                    *existing.columns,
+                    F.lit(False).alias("__deleted"),
+                    F.lit(0).alias("__gen"),
+                )
+                incoming = existing.unionByName(
+                    incoming, allowMissingColumns=True
+                )
+
+        merged = latest_state(
+            incoming,
+            self.key_cols,
+            self.precombine_col,
+            tiebreak_cols=[*self.tiebreak_cols, "__gen"],
+            delete_col="__deleted",
+        ).drop("__deleted", "__gen")
+
+        txn = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, f".stage_{txn}")
+        writer = merged.write.mode("overwrite")
+        if self.partition_col is not None:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(staging)
+        new_objs = self._publish_objects(staging, txn)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+        partitions = dict(m["partitions"]) if m is not None else {}
+        if self.partition_col is None:
+            partitions[""] = new_objs.get("", [])
+        else:
+            for val_str in touched:
+                # fully-tombstoned partition: no staged objects -> empty list
+                partitions[val_str] = new_objs.get(val_str, [])
+            for val_str, keys in new_objs.items():
+                partitions[val_str] = keys
+        version = (m["version"] + 1) if m is not None else 0
+        self._put_manifest(version, partitions, merged.schema.jsonValue())
+
+    # -- maintenance ---------------------------------------------------------
+    def vacuum(self, keep_manifests: int = 1) -> list[str]:
+        """Delete data objects unreferenced by the current manifest and
+        retire old manifest versions (keep the newest `keep_manifests`).
+        Safe at any time: live readers resolve a manifest first and read
+        only its keys; on S3 the same op runs with a grace period so
+        in-flight readers of a superseded manifest finish."""
+        m = self._current_manifest()
+        if m is None:
+            return []
+        live = {k for keys in m["partitions"].values() for k in keys}
+        removed = []
+        data_root = os.path.join(self.path, self.DATA_DIR)
+        for txn in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            tdir = os.path.join(data_root, txn)
+            for fname in os.listdir(tdir):
+                key = f"{self.DATA_DIR}/{txn}/{fname}"
+                if key not in live:
+                    os.remove(os.path.join(tdir, fname))
+                    removed.append(key)
+            if not os.listdir(tdir):
+                os.rmdir(tdir)
+        d = self._manifest_dir()
+        names = sorted(n for n in os.listdir(d) if n.endswith(".json"))
+        for n in names[:-keep_manifests] if keep_manifests > 0 else names:
+            os.remove(os.path.join(d, n))
+        return removed
+
+
+def _unescape(raw: str) -> str:
+    """Undo Spark's percent-escaping in partition dir names."""
+    out: list[str] = []
+    i = 0
+    while i < len(raw):
+        if raw[i] == "%" and i + 2 < len(raw):
+            out.append(chr(int(raw[i + 1 : i + 3], 16)))
+            i += 3
+        else:
+            out.append(raw[i])
+            i += 1
+    return "".join(out)

@@ -332,6 +332,12 @@ def main() -> None:
         "`LocalFSCommitter` for an S3 manifest committer changes no merge",
         "logic.",
         "",
+        "IMPLEMENTED: `bss/cdc/manifest_table.py::ManifestUpsertTable` runs this",
+        "exact protocol (write-once `data/<txn>/` objects, `_manifests/<n>.json`",
+        "pointer reads, deferred-GC `vacuum`), locally emulated and tested in",
+        "`tests/test_manifest_table.py` — crash-before-PUT leaves the old state",
+        "readable and only unreferenced keys behind.",
+        "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALE.md"), "w") as fh:
         fh.write("\n".join(lines))

@@ -1,0 +1,123 @@
+"""Object-store manifest-table protocol (SCALE.md S3 committer,
+implemented locally): write-once objects, manifest-pointer reads,
+crash = unreferenced keys, deferred GC."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from buskafkasparkstreaming_spark.cdc.manifest_table import ManifestUpsertTable
+
+
+def _table(spark, tmp_path, **kw):
+    return ManifestUpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="k",
+        precombine_col="et",
+        partition_col=kw.pop("partition_col", "p"),
+        **kw,
+    )
+
+
+def _state(t):
+    return {(r.k, r.v, r.p) for r in t.read().select("k", "v", "p").collect()}
+
+
+def test_manifest_merge_semantics(spark, tmp_path):
+    """Insert, update (later precombine wins), late duplicate loses,
+    delete tombstone, idempotent replay — Hudi semantics through the
+    manifest protocol."""
+    t = _table(spark, tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, 10, 0, 100), (2, 10, 1, 100), (3, 10, 0, 100)],
+        "k int, v int, p int, et int",
+    )
+    t.merge(b1)
+    assert _state(t) == {(1, 10, 0), (2, 10, 1), (3, 10, 0)}
+    assert t.version() == 0
+
+    b2 = spark.createDataFrame(
+        [
+            (1, 99, 0, 200),   # update wins (later et)
+            (2, 55, 1, 50),    # late duplicate must lose
+            (3, 0, 0, 300),    # tombstone
+        ],
+        "k int, v int, p int, et int",
+    ).withColumn("del", F.col("k") == 3)
+    t.merge(b2, delete_col="del")
+    assert _state(t) == {(1, 99, 0), (2, 10, 1)}
+    assert t.version() == 1
+
+    t.merge(b2, delete_col="del")  # replay: state unchanged
+    assert _state(t) == {(1, 99, 0), (2, 10, 1)}
+
+
+def test_manifest_crash_leaves_old_state(spark, tmp_path):
+    """A writer that dies before the manifest PUT leaves only
+    unreferenced objects: readers still resolve the previous state, and
+    vacuum removes the orphans."""
+    t = _table(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame([(1, 10, 0, 100)], "k int, v int, p int, et int")
+    )
+    s1 = _state(t)
+    t.merge(
+        spark.createDataFrame([(1, 20, 0, 200)], "k int, v int, p int, et int")
+    )
+    # simulate: the v1 manifest PUT never happened
+    mdir = str(tmp_path / "tbl" / "_manifests")
+    newest = sorted(os.listdir(mdir))[-1]
+    os.remove(os.path.join(mdir, newest))
+    assert _state(t) == s1  # reader sees the old file set, never a mix
+    orphans = t.vacuum()
+    assert orphans  # the unreferenced v1 objects were collected
+    assert _state(t) == s1
+
+
+def test_manifest_vacuum_keeps_live_objects(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    for et, v in ((100, 1), (200, 2), (300, 3)):
+        t.merge(
+            spark.createDataFrame(
+                [(1, v, 0, et)], "k int, v int, p int, et int"
+            )
+        )
+    n_before = len(glob.glob(str(tmp_path / "tbl" / "data" / "*" / "*.parquet")))
+    removed = t.vacuum()
+    assert removed  # superseded versions collected
+    n_after = len(glob.glob(str(tmp_path / "tbl" / "data" / "*" / "*.parquet")))
+    assert n_after < n_before
+    assert _state(t) == {(1, 3, 0)}
+    # only one manifest retained
+    assert len(os.listdir(str(tmp_path / "tbl" / "_manifests"))) == 1
+
+
+def test_manifest_unpartitioned_and_escaped_values(spark, tmp_path):
+    t = ManifestUpsertTable(
+        spark,
+        str(tmp_path / "flat"),
+        key_cols="k",
+        precombine_col="et",
+    )
+    t.merge(spark.createDataFrame([(1, 5, 100)], "k int, v int, et int"))
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, 5)}
+
+    e = ManifestUpsertTable(
+        spark,
+        str(tmp_path / "esc"),
+        key_cols="k",
+        precombine_col="et",
+        partition_col="route",
+    )
+    e.merge(
+        spark.createDataFrame(
+            [(1, 1, "bus:510", 100), (2, 2, None, 100)],
+            "k int, v int, route string, et int",
+        )
+    )
+    got = {(r.k, r.route) for r in e.read().collect()}
+    assert got == {(1, "bus:510"), (2, None)}
