@@ -121,3 +121,37 @@ def test_manifest_unpartitioned_and_escaped_values(spark, tmp_path):
     )
     got = {(r.k, r.route) for r in e.read().collect()}
     assert got == {(1, "bus:510"), (2, None)}
+
+
+def test_manifest_table_as_streaming_cdc_sink(spark, tmp_path):
+    """The manifest table is a drop-in sink for the streaming CDC pipeline
+    (duck-typed on merge): the golden envelope fixture lands with the same
+    latest-state semantics as the rename-committer table."""
+    from buskafkasparkstreaming_spark.schemas import BUS_STATUS_SCHEMA
+    from buskafkasparkstreaming_spark.sources.files import stream_envelope_jsonl
+    from buskafkasparkstreaming_spark.streaming.pipeline import run_cdc_pipeline
+    from tests.test_cdc import FIXTURE, write_jsonl
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    write_jsonl(spool / "batch1.jsonl", FIXTURE)
+    table = ManifestUpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="record_id",
+        precombine_col="event_time",
+        partition_col="routeId",
+    )
+    q = run_cdc_pipeline(
+        stream_envelope_jsonl(spark, str(spool)),
+        table,
+        str(tmp_path / "ckpt"),
+        row_schema=BUS_STATUS_SCHEMA,
+    )
+    q.awaitTermination()
+    state = {
+        r["record_id"]: (r["kph"], r["event_time"], r["routeId"])
+        for r in table.read().collect()
+    }
+    assert state == {1: (99, 2000, 7), 2: (20, 1000, 7)}
+    assert 3 not in state  # tombstoned
