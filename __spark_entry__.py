@@ -1139,6 +1139,21 @@ def text_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval versioning (cdc/upsert.py::scd2_history): each
+    change row gains valid_from/valid_to/is_current via ONE lead window
+    per key — latest_state answers 'what is true now', this answers 'what
+    was true when'. Unique (ts, event_id) ordering keeps intervals
+    deterministic; full SQL oracle."""
+    from buskafkasparkstreaming_spark.cdc.upsert import scd2_history
+
+    events = _t(spark, sf_dir, "events")
+    out = scd2_history(events, "user_id", "ts", tiebreak_cols=["event_id"])
+    return out.select(
+        "user_id", "event_id", "valid_from", "valid_to", "is_current"
+    )
+
+
 def q_cume_dist_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cume_dist + nth_value window functions over a UNIQUE ordering
     (cents, orderkey) so rank ties and frame-peer semantics can't diverge
@@ -1860,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hybrid_search": text_hybrid_search,
         "q_cume_dist_nth_value": q_cume_dist_nth_value,
         "q_null_semantics": q_null_semantics,
+        "cdc_scd2_history": cdc_scd2_history,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
@@ -3462,6 +3478,15 @@ def oracle_sql() -> dict[str, str]:
                        + coalesce(CAST(1.0 AS DOUBLE) / (r_sem + 60), CAST(0.0 AS DOUBLE)) AS rrf
             FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "cdc_scd2_history": """
+            SELECT user_id, event_id,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
         """,
         "q_cume_dist_nth_value": """
             SELECT o_orderkey,

@@ -232,6 +232,38 @@ class LocalFSCommitter:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    version_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: turn a change log (one row per
+    key version) into interval-versioned history — each row gains
+    `valid_from` (its own version stamp), `valid_to` (the NEXT version's
+    stamp, NULL while current) and `is_current`. The standard warehouse
+    materialization of exactly the CDC stream the reference tails
+    (01-setup-ec-vm.md:97-104): latest_state() answers "what is true
+    now", scd2_history() answers "what was true when".
+
+    One hash shuffle on the key; the interval assignment is a single
+    `lead` window over (version, tiebreak) — per-key sorted, spill-safe,
+    no self-join. Ties on the version stamp are ordered by
+    `tiebreak_cols` so intervals are deterministic.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(version_col).asc_nulls_last()] + [
+        F.col(t).asc_nulls_last() for t in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(version_col).over(w)
+    return (
+        df.withColumn("valid_from", F.col(version_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )
+
+
 def latest_state(
     df: DataFrame,
     key_cols: list[str] | str,
@@ -507,6 +539,30 @@ class UpsertTable:
             part = part.withColumn(self.partition_col, pcol)
             out = part if out is None else out.unionByName(part)
         return out
+
+    def diff_versions(self, from_seq: int, to_seq: int) -> DataFrame:
+        """Changelog between two retained commits (Delta CDF analog): one
+        row per key whose state changed, labeled insert/update/delete.
+        Pure relational: full-outer key join of the two time-travel reads,
+        null-safe struct comparison for the update test — no stored change
+        log needed beyond what retain_versions already keeps."""
+        a = self.read_as_of(from_seq)
+        b = self.read_as_of(to_seq)
+        keys = self.key_cols
+        cols = [c for c in b.columns if c not in keys]
+        a_s = a.select(*keys, F.struct(*cols).alias("__a"))
+        b_s = b.select(*keys, F.struct(*cols).alias("__b"))
+        j = a_s.join(b_s, keys, "full_outer")
+        change = (
+            F.when(F.col("__a").isNull(), F.lit("insert"))
+            .when(F.col("__b").isNull(), F.lit("delete"))
+            .when(~F.col("__a").eqNullSafe(F.col("__b")), F.lit("update"))
+        )
+        return (
+            j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select(*keys, "change_type")
+        )
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Drop archived versions not needed to time-travel the last

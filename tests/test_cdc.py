@@ -331,3 +331,34 @@ def test_default_table_retains_nothing(spark, tmp_path):
     assert ".bss_log" not in names and ".bss_archive" not in names
     with pytest.raises(ValueError, match="retain_versions"):
         table.read_as_of(1)
+
+
+def test_diff_versions_changelog(spark, tmp_path):
+    """Delta-CDF-style changelog from time travel: insert/update/delete
+    labels between any two retained commits."""
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="k",
+        precombine_col="v",
+        partition_col="p",
+        retain_versions=True,
+    )
+    table.merge(spark.createDataFrame(
+        [(1, 10, 0), (2, 10, 1), (3, 10, 0), (4, 10, 1)], "k int, v int, p int"
+    ))
+    table.merge(spark.createDataFrame(
+        [(1, 20, 0), (2, 20, 1), (5, 20, 0)], "k int, v int, p int"
+    ))
+    table.merge(
+        spark.createDataFrame([(3, 30, 0, True)], "k int, v int, p int, del boolean"),
+        delete_col="del",
+    )
+
+    def diff(a, b):
+        return {(r.k, r.change_type) for r in table.diff_versions(a, b).collect()}
+
+    assert diff(1, 2) == {(1, "update"), (2, "update"), (5, "insert")}
+    assert diff(2, 3) == {(3, "delete")}
+    assert diff(1, 3) == {(1, "update"), (2, "update"), (5, "insert"), (3, "delete")}
+    assert diff(3, 3) == set()
