@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_quantize_int8",
     # round-5 additions
     "streaming_enrich_static",
+    "cdc_scd2_history",
     "dedup_chunk_boilerplate",
     "sketch_count_min",
     "export_shard_stats",

@@ -378,3 +378,35 @@ def test_null_lineitem_drift(spark, tmp_path):
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
+
+
+def test_empty_tables_drift(spark, tmp_path):
+    """EVERY declared entry must execute on zero-row tables (the cheapest
+    full-surface sweep: degenerate inputs flush out divide-by-zero,
+    empty-sample model fits, and first()/collect()[0] assumptions)."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "empty")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con0.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 0) "
+            f"TO '{drift}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con0.close()
+    failures = []
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, drift).count()
+        except Exception as e:  # noqa: BLE001 — collecting the full list
+            failures.append(f"{name}: {e}")
+    assert not failures, "\n".join(failures)
