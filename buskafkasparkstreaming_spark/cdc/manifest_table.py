@@ -53,6 +53,7 @@ class ManifestUpsertTable:
         precombine_col: str,
         partition_col: str | None = None,
         tiebreak_cols: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -60,6 +61,10 @@ class ManifestUpsertTable:
         self.precombine_col = precombine_col
         self.partition_col = partition_col
         self.tiebreak_cols = tiebreak_cols or []
+        #: columns whose per-object min/max zone maps are lifted from the
+        #: parquet footers into the manifest at commit time (file-skipping
+        #: stats, the Delta/Iceberg pattern)
+        self.stats_cols = stats_cols or []
 
     # -- manifest resolution -------------------------------------------------
     def _manifest_dir(self) -> str:
@@ -120,6 +125,66 @@ class ManifestUpsertTable:
             return self.spark.createDataFrame([], schema)
         return out
 
+    def select_objects(self, col: str, lo, hi) -> tuple[list[str], list[str]]:
+        """File skipping: split the manifest's live objects into (kept,
+        skipped) for the predicate lo <= col <= hi using the per-object
+        zone maps. An object without stats for `col` is always kept
+        (stats are an optimization, never a correctness gate)."""
+        m = self._current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {self.path}")
+        stats = m.get("stats", {})
+        kept, skipped = [], []
+        for keys in m["partitions"].values():
+            for k in keys:
+                rng = stats.get(k, {}).get(col)
+                if rng is not None and (rng[1] < lo or rng[0] > hi):
+                    skipped.append(k)
+                else:
+                    kept.append(k)
+        return kept, skipped
+
+    def read_where(self, col: str, lo, hi) -> DataFrame:
+        """Range read with manifest-level file skipping: objects whose
+        zone map cannot contain [lo, hi] are never opened — at object-store
+        scale this (not row-group pushdown) is what turns a full-table
+        scan into a handful of GETs. The surviving objects still get the
+        row-level filter (zone maps are file-granular)."""
+        m = self._current_manifest()
+        kept, _ = self.select_objects(col, lo, hi)
+        kept_set = set(kept)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        pred = F.col(col).between(lo, hi)
+        if self.partition_col is None:
+            files = [os.path.join(self.path, k) for k in kept]
+            if not files:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(*files).filter(pred)
+        ptype = schema[self.partition_col].dataType
+        data_schema = StructType(
+            [f for f in schema.fields if f.name != self.partition_col]
+        )
+        out: DataFrame | None = None
+        for val_str, keys in sorted(m["partitions"].items()):
+            files = [
+                os.path.join(self.path, k) for k in keys if k in kept_set
+            ]
+            if not files:
+                continue
+            part = self.spark.read.schema(data_schema).parquet(*files)
+            val = (
+                F.lit(None).cast(ptype)
+                if val_str == "\0null"
+                else F.lit(val_str).cast(ptype)
+            )
+            part = part.withColumn(self.partition_col, val)
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            return self.spark.createDataFrame([], schema)
+        return out.filter(pred)
+
     def _read_partitions(self, m: dict, vals: set) -> DataFrame | None:
         """Manifest-resolved read of just the partitions in `vals`."""
         from pyspark.sql.types import StructType
@@ -149,6 +214,41 @@ class ManifestUpsertTable:
     def _pval(v) -> str:
         return "\0null" if v is None else str(v)
 
+    @staticmethod
+    def _object_stats(path: str, cols: list[str]) -> dict:
+        """Zone map for one object: {col: [min, max]} lifted from the
+        parquet FOOTER statistics (no data scan — the same stats Delta/
+        Iceberg persist for file skipping). Only int/float/string stats
+        are kept; a column without footer stats is simply absent, which
+        readers must treat as 'cannot skip'."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        out: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                if name not in cols:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(mn, (int, float, str)):
+                    continue
+                if name in out:
+                    out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+                else:
+                    out[name] = [mn, mx]
+        return out
+
     def _publish_objects(self, staging: str, txn: str) -> dict[str, list[str]]:
         """Move staged part files under data/<txn>/ with unique keys and
         return {partition_value_str: [relative keys]}. The os.rename here
@@ -170,23 +270,38 @@ class ManifestUpsertTable:
                         else _unescape(raw)
                     )
                     entries.append((self._pval(val), os.path.join(staging, name)))
+        self._last_stats: dict[str, dict] = {}
         for val_str, src_dir in entries:
             keys = []
             for fname in os.listdir(src_dir):
                 if not fname.endswith(".parquet"):
                     continue
                 key = f"{self.DATA_DIR}/{txn}/{uuid.uuid4().hex[:16]}.parquet"
-                os.rename(
-                    os.path.join(src_dir, fname), os.path.join(self.path, key)
-                )
+                dst = os.path.join(self.path, key)
+                os.rename(os.path.join(src_dir, fname), dst)
                 keys.append(key)
+                if self.stats_cols:
+                    self._last_stats[key] = self._object_stats(
+                        dst, self.stats_cols
+                    )
             out[val_str] = keys
         return out
 
-    def _put_manifest(self, version: int, partitions: dict, schema_json: dict) -> None:
+    def _put_manifest(
+        self,
+        version: int,
+        partitions: dict,
+        schema_json: dict,
+        stats: dict | None = None,
+    ) -> None:
         d = self._manifest_dir()
         os.makedirs(d, exist_ok=True)
-        body = {"version": version, "partitions": partitions, "schema": schema_json}
+        body = {
+            "version": version,
+            "partitions": partitions,
+            "schema": schema_json,
+            "stats": stats or {},
+        }
         tmp = os.path.join(d, f".{version:010d}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(body, fh)
@@ -265,8 +380,19 @@ class ManifestUpsertTable:
                 partitions[val_str] = new_objs.get(val_str, [])
             for val_str, keys in new_objs.items():
                 partitions[val_str] = keys
+        live_keys = {k for keys in partitions.values() for k in keys}
+        stats = {
+            k: v
+            for k, v in {
+                **(m.get("stats", {}) if m is not None else {}),
+                **getattr(self, "_last_stats", {}),
+            }.items()
+            if k in live_keys
+        }
         version = (m["version"] + 1) if m is not None else 0
-        self._put_manifest(version, partitions, merged.schema.jsonValue())
+        self._put_manifest(
+            version, partitions, merged.schema.jsonValue(), stats
+        )
 
     # -- maintenance ---------------------------------------------------------
     def vacuum(self, keep_manifests: int = 1) -> list[str]:

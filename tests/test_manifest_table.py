@@ -155,3 +155,33 @@ def test_manifest_table_as_streaming_cdc_sink(spark, tmp_path):
     }
     assert state == {1: (99, 2000, 7), 2: (20, 1000, 7)}
     assert 3 not in state  # tombstoned
+
+
+def test_manifest_zone_map_file_skipping(spark, tmp_path):
+    """stats_cols lifts per-object min/max from the parquet footers into
+    the manifest; read_where skips objects whose range cannot match —
+    verified by the (kept, skipped) split AND by result correctness."""
+    t = ManifestUpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="k",
+        precombine_col="et",
+        partition_col="p",
+        stats_cols=["v"],
+    )
+    # two partitions with DISJOINT value ranges -> distinct objects
+    lo_rows = [(i, i, 0, 100) for i in range(100)]          # v in [0, 99]
+    hi_rows = [(i + 100, i + 1000, 1, 100) for i in range(100)]  # v in [1000, 1099]
+    t.merge(
+        spark.createDataFrame(lo_rows + hi_rows, "k int, v int, p int, et int")
+    )
+    kept, skipped = t.select_objects("v", 1000, 1099)
+    assert skipped, "low-range object should be skipped"
+    assert kept, "high-range object must be kept"
+    got = {r.k for r in t.read_where("v", 1000, 1099).collect()}
+    assert got == {i + 100 for i in range(100)}
+    # stats are an optimization, not a gate: full read still exact
+    assert t.read().count() == 200
+    # range overlapping both keeps everything
+    k2, s2 = t.select_objects("v", 50, 1050)
+    assert not s2
