@@ -252,8 +252,10 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead over event time."""
-    events = _t(spark, sf_dir, "events")
+    """lag/lead over event time. Timeless rows are excluded — neighbor
+    relationships over a NULL-ordered column differ between engines
+    (NULLS FIRST vs LAST), so they cannot be deterministic."""
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     ms = bssf.ts_millis("ts")
     prev_ms = F.lag(ms).over(w)
@@ -2311,7 +2313,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    CAST(epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS BIGINT) AS gap_ms,
                    CAST(lead(event_id) OVER w AS BIGINT) AS next_event_id
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         "q_rollup_status_priority": f"""
@@ -2395,7 +2397,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
                             THEN 1 ELSE 0 END AS brk
-                FROM events
+                FROM events WHERE ts IS NOT NULL
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             ), s AS (
                 SELECT user_id, ts,
@@ -2473,7 +2475,7 @@ def oracle_sql() -> dict[str, str]:
                                CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP)])
                            AS window_start,
                        value
-                FROM events)
+                FROM events WHERE ts IS NOT NULL)
             SELECT window_start,
                    count(*) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_value
@@ -2496,7 +2498,7 @@ def oracle_sql() -> dict[str, str]:
                                CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP)])
                            AS window_start,
                        value
-                FROM events)
+                FROM events WHERE ts IS NOT NULL)
             SELECT window_start,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_value
             FROM assigned GROUP BY window_start
@@ -3240,7 +3242,7 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    count(*) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         """,
         "streaming_session_windows": """
             WITH g AS (
@@ -3248,7 +3250,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
                             THEN 1 ELSE 0 END AS brk
-                FROM events
+                FROM events WHERE ts IS NOT NULL
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             ), s AS (
                 SELECT user_id, ts,

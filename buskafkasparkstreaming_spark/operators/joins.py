@@ -55,7 +55,13 @@ def asof_join(
     Cost: one hash shuffle on `key` + per-key sort — linear, no range
     explosion; survives 100× scale-up as long as per-key cardinality fits a
     sort spill (it does: UnsafeExternalSorter spills to disk).
+
+    NULL times: a build row without a time can never be "the latest as of
+    t" and is dropped; a probe row without a time matches nothing (kept
+    unmatched under how='left'). Without the guard, NULL build times sort
+    NULLS-FIRST into the union and silently act as since-forever matches.
     """
+    build = build.filter(F.col(build_time).isNotNull())
     probe_cols = probe.columns
     pay = F.struct(*[F.col(c) for c in build_cols]).alias("__pay")
     probe_struct = F.struct(*[F.col(c) for c in probe_cols]).alias("__probe")
@@ -84,7 +90,12 @@ def asof_join(
 
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
+        .orderBy(
+            # nulls FIRST (explicit): a null-time probe must see no build
+            F.col("__t").asc_nulls_first(),
+            F.col("__side").asc(),
+            F.col("__tb").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = (

@@ -58,8 +58,11 @@ def sessionize(
 
     session_id = cumulative count of gap-breaks in (key, ts) order — two
     window passes over ONE shuffle (same partitioning, Catalyst reuses the
-    exchange).
+    exchange). Rows with a NULL timestamp are dropped — a timeless event
+    belongs to no session (and engines disagree on where NULLs sort, so
+    keeping them cannot be made deterministic cross-engine).
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     w_order = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
     prev_ts = F.lag(F.col(ts_col)).over(w_order)
     is_break = (

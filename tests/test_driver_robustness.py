@@ -410,3 +410,60 @@ def test_empty_tables_drift(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 — collecting the full list
             failures.append(f"{name}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_null_ts_drift(spark, tmp_path):
+    """events.ts with NULLs: event-time operators define timeless rows OUT
+    (they can't be watermarked, sessionized, bucketed, or as-of matched,
+    and engines disagree on NULL sort placement). Caught: NULL build times
+    acting as since-forever as-of matches; NULL buckets kept by the SQL
+    side but dropped by window()/watermark on the Spark side."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "ts")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT event_id,
+                     CASE WHEN event_id % 19 = 0 THEN NULL ELSE ts END AS ts,
+                     user_id, event_type, value, props
+              FROM '{src}/events.parquet')
+        TO '{drift}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "q_hourly_events",
+        "q_sessionize_events",
+        "q_event_gaps",
+        "q_sliding_window_avg",
+        "q_range_frame_events",
+        "cdc_scd2_history",
+        "q_asof_purchase_before_error",
+        "streaming_tumbling_counts",
+        "streaming_sliding_avg",
+        "streaming_session_windows",
+        "streaming_stateful_running",
+        "streaming_dedup_within_watermark",
+        "streaming_purchase_error_join",
+        "rollup_incremental",
+        "layout_zorder_events",
+    ):
+        run_pair(spark, con, qs[name], oracles[name], drift, name)
+    con.close()

@@ -869,3 +869,33 @@ def test_bm25_ranking_semantics(spark):
     }
     assert set(got) == {1, 2, 3}
     assert got[1] > got[2] > got[3] > 0
+
+
+def test_asof_join_null_times(spark):
+    """NULL build times never match; NULL probe times match nothing but
+    survive a left join unmatched."""
+    probe = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, None)], "pid int, k int, t int"
+    )
+    build = spark.createDataFrame(
+        [(100, 1, 5), (999, 1, None)], "bid int, k int, t int"
+    )
+    inner = asof_join(
+        probe, build, key="k", probe_time="t", build_time="t",
+        build_cols=["bid"], how="inner",
+    )
+    assert {(r.pid, r.bid) for r in inner.collect()} == {(1, 100)}
+    left = asof_join(
+        probe, build, key="k", probe_time="t", build_time="t",
+        build_cols=["bid"], how="left",
+    )
+    assert {(r.pid, r.bid) for r in left.collect()} == {(1, 100), (2, None)}
+
+
+def test_sessionize_drops_null_ts(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (1, None), (1, 5000)], "user int, sec int"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    out = sessionize(df, "user", "ts", gap_seconds=60)
+    got = sorted((r.user, r.sec, r.session_id) for r in out.collect())
+    assert got == [(1, 0, 1), (1, 5000, 2)]
