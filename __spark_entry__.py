@@ -1141,6 +1141,16 @@ def text_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
 
 
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated train/test split (operators/sampling.py::
+    leakage_safe_split): md5 hash-split, then quarantine train docs that
+    near-duplicate any test doc via the df-capped n-gram index — eval-set
+    honesty as a first-class pipeline op. FULL oracle: hash split + pair
+    index + quarantine semi-join all replayed in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return SP.leakage_safe_split(docs, "doc_id")
+
+
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 interval versioning (cdc/upsert.py::scd2_history): each
     change row gains valid_from/valid_to/is_current via ONE lead window
@@ -1878,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cume_dist_nth_value": q_cume_dist_nth_value,
         "q_null_semantics": q_null_semantics,
         "cdc_scd2_history": cdc_scd2_history,
+        "sample_leakage_safe_split": sample_leakage_safe_split,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
@@ -3480,6 +3491,33 @@ def oracle_sql() -> dict[str, str]:
                        + coalesce(CAST(1.0 AS DOUBLE) / (r_sem + 60), CAST(0.0 AS DOUBLE)) AS rrf
             FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "sample_leakage_safe_split": f"""
+            -- 0.1 -> hex cutoff '19999999' (mirrors _hex_threshold)
+            WITH pairs AS ({_ngram_pairs_sql(0.3, 1000)}),
+            sp AS (
+                SELECT doc_id,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':leak'), 1, 8)
+                                 < '19999999'
+                            THEN 'test' ELSE 'train' END AS s
+                FROM documents
+            ),
+            edges AS (
+                SELECT id_a AS x, id_b AS y FROM pairs
+                UNION ALL
+                SELECT id_b AS x, id_a AS y FROM pairs
+            ),
+            leaked AS (
+                SELECT DISTINCT e.x AS doc_id
+                FROM edges e JOIN sp ON sp.doc_id = e.y AND sp.s = 'test'
+            )
+            SELECT d.doc_id,
+                   CASE WHEN sp.s = 'test' THEN 'test'
+                        WHEN l.doc_id IS NOT NULL THEN 'quarantined'
+                        ELSE 'train' END AS split
+            FROM documents d
+            JOIN sp ON sp.doc_id = d.doc_id
+            LEFT JOIN leaked l ON l.doc_id = d.doc_id
         """,
         "cdc_scd2_history": """
             SELECT user_id, event_id,

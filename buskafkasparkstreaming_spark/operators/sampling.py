@@ -283,3 +283,56 @@ def curriculum_stages(
         .withColumn("stage", stage.cast("int"))
         .drop("__n", "__s", "__ss")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    test_fraction: float = 0.1,
+    salt: str = "leak",
+    jaccard_threshold: float = 0.3,
+) -> DataFrame:
+    """Decontaminated train/test split: hash-split the corpus, then
+    QUARANTINE every train doc that is a near-duplicate of any test doc —
+    the practice that keeps eval sets honest (a test doc's near-dup left
+    in train is silent leakage; plain random splits do this constantly on
+    crawl corpora).
+
+    Composition of existing primitives: the md5-threshold split is
+    row-local; the cross-split near-dup pairs come from the df-capped
+    n-gram inverted index (never all-pairs); the quarantine is one
+    semi-join against the test side. Output: (id, split) with split ∈
+    {train, test, quarantined} — every input doc appears exactly once.
+    """
+    from buskafkasparkstreaming_spark.operators.dedup import ngram_jaccard_pairs
+
+    h = _bucket_hex(id_col, salt)
+    split = df.withColumn(
+        "__split",
+        F.when(h < F.lit(_hex_threshold(test_fraction)), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, k=3, threshold=jaccard_threshold
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("x"), F.col("id_b").alias("y")
+    ).unionByName(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+    test_ids = split.filter(F.col("__split") == "test").select(
+        F.col(id_col).alias("y")
+    )
+    leaked = (
+        edges.join(test_ids, "y").select(F.col("x").alias(id_col)).distinct()
+    )
+    out = split.join(
+        leaked.withColumn("__leak", F.lit(True)), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        F.when(F.col("__split") == "test", F.lit("test"))
+        .when(F.col("__leak"), F.lit("quarantined"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

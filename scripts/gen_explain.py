@@ -28,6 +28,8 @@ SHOWN = {
     "text_bm25_search": "BM25: token stream filtered to query terms BEFORE any aggregation — tf/df shuffles carry only matching occurrences; 1-row corpus stats broadcast; fixed-point per-term floor then integer sum",
     "text_vocab_coverage": "top-V vocab via TakeOrdered over the distinct-word frame (vocab-sized, never data-sized), broadcast back against the token stream",
     "sketch_count_min": "CMS build: posexplode to d rows/occurrence, partial-agg into the fixed d x w grid; probe joins the broadcast grid",
+    "cdc_scd2_history": "SCD2 intervals: ONE lead window per key over the change log — no self-join",
+    "text_hybrid_search": "RRF fusion: two independent rankings full-outer joined on id; global row_number windows are single-partition by nature (top-k scoring), bounded by ranked-set size",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage

@@ -899,3 +899,31 @@ def test_sessionize_drops_null_ts(spark):
     out = sessionize(df, "user", "ts", gap_seconds=60)
     got = sorted((r.user, r.sec, r.session_id) for r in out.collect())
     assert got == [(1, 0, 1), (1, 5000, 2)]
+
+
+def test_leakage_safe_split_quarantines_near_dups(spark):
+    """A train doc nearly identical to a test doc must be quarantined;
+    unrelated train docs stay in train; every doc appears exactly once."""
+    from buskafkasparkstreaming_spark.operators.sampling import (
+        _bucket_hex,
+        _hex_threshold,
+        leakage_safe_split,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base + f"tail{i % 2}") for i in range(40)] + [
+        (100 + i, f"completely unrelated text number {i} about nothing shared")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.split for r in leakage_safe_split(df, "doc_id").collect()}
+    assert len(out) == 50
+    test_ids = {d for d, s in out.items() if s == "test"}
+    assert test_ids, "hash split produced no test docs in this id range"
+    # every base-family train doc sharing a test doc's family is quarantined
+    fam_test = {d % 2 for d in test_ids if d < 100}
+    for d, s in out.items():
+        if d < 100 and d not in test_ids and (d % 2) in fam_test:
+            assert s == "quarantined", f"doc {d} leaked into train"
+        if d >= 100 and d not in test_ids:
+            assert s == "train", f"unrelated doc {d} wrongly {s}"
