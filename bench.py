@@ -65,6 +65,7 @@ HEADLINE = [
     "text_lm_bigram_score",
     "sample_curriculum_stages",
     "text_quality_classifier",
+    "sample_leakage_safe_split",
 ]
 
 

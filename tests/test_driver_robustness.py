@@ -467,3 +467,56 @@ def test_null_ts_drift(spark, tmp_path):
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
+
+
+def test_null_customer_drift(spark, tmp_path):
+    """Customer-dimension drift: NULL name/nationkey/acctbal/mktsegment.
+    The join/aggregate surface is naturally parity-safe (SQL NULL
+    semantics) — locked in across eleven entries."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "dims")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT c_custkey,
+                     CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_name END AS c_name,
+                     CASE WHEN c_custkey % 23 = 0 THEN NULL ELSE c_nationkey END AS c_nationkey,
+                     CASE WHEN c_custkey % 29 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+                     CASE WHEN c_custkey % 31 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+              FROM '{src}/customer.parquet')
+        TO '{drift}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation supplier part orders lineitem events documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q_right_join_customers",
+        "q_full_outer_counts",
+        "q_exists_correlated",
+        "q_customers_without_orders",
+        "q_orders_of_rich_customers",
+        "q_string_funcs",
+        "q_string_agg_suppliers",
+        "streaming_enrich_static",
+        "q_topk_orders_per_customer",
+    ):
+        run_pair(spark, con, qs[name], oracles[name], drift, name)
+    con.close()
