@@ -29,7 +29,11 @@ from tests.compare import duckdb_conn, assert_frames_match
 sf = "/root/testdata/sf0.001"
 con = duckdb_conn(sf)
 checked = ["q1_pricing_summary", "q_hourly_events", "cdc_latest_state",
-           "q_sessionize_events", "q_monthly_orders", "streaming_tumbling_counts"]
+           "q_sessionize_events", "q_monthly_orders", "streaming_tumbling_counts",
+           # round-5 additions: must also survive a hostile plain session
+           "streaming_enrich_static", "dedup_chunk_boilerplate",
+           "sketch_count_min", "text_bm25_search", "cdc_scd2_history",
+           "sample_leakage_safe_split", "export_shard_stats"]
 for name in checked:
     sdf = mod.queries()[name](spark, sf)
     assert_frames_match(sdf.toPandas(), con.execute(mod.oracle_sql()[name]).df(), name)
