@@ -306,3 +306,42 @@ def test_enrich_static_is_broadcast_no_fact_shuffle(spark, sf_dir):
     assert_broadcast_join(df)
     plan = explain_str(df)
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def _fmt_exchanges(df):
+    """Count plain shuffle Exchange nodes in a formatted plan (broadcast
+    exchanges are 'BroadcastExchange', not matched)."""
+    return explain_str(df).count(") Exchange")
+
+
+def test_bm25_plan_is_bounded(spark, sf_dir):
+    """BM25: no cartesian product, and a fixed exchange budget — tf/df
+    aggs, doc-length join, and final per-doc sum; the corpus stats reach
+    the plan as a broadcast, never a shuffle of the token stream per
+    query."""
+    df = entrymod.queries()["text_bm25_search"](spark, sf_dir)
+    plan = explain_str(df)
+    # the BroadcastNestedLoopJoin in this plan is the 1-ROW corpus-stats
+    # scalar broadcast (the tf-idf idiom), not a data×data nested loop
+    assert "CartesianProduct" not in plan
+    assert _fmt_exchanges(df) <= 5
+
+
+def test_count_min_plan_is_two_shuffles(spark, sf_dir):
+    """CMS: exactly the grid aggregation + the per-item estimate
+    aggregation; the probe side joins the grid as a broadcast."""
+    df = entrymod.queries()["sketch_count_min"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert _fmt_exchanges(df) <= 2
+    assert "BroadcastHashJoin" in explain_str(df)
+
+
+def test_vocab_coverage_plan_top_v_never_data_sized(spark, sf_dir):
+    """Vocab build must be a TakeOrdered over the distinct-word frame
+    (vocab-sized result), re-joined broadcast — not a global sort of the
+    token stream."""
+    df = entrymod.queries()["text_vocab_coverage"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan
+    assert _fmt_exchanges(df) <= 2
