@@ -1141,6 +1141,25 @@ def text_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
 
 
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.py) over the near-dup
+    similarity graph: 3 power iterations, damping 7/8 (dyadic), all
+    arithmetic in BIGINT fixed point so the ranks are bit-identical
+    across engines and partitionings. FULL oracle: the edge build and
+    every unrolled iteration are replayed in SQL."""
+    from buskafkasparkstreaming_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.3)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    out = G.pagerank_fixed_point(edges, docs.select("doc_id"), iters=3)
+    return out.select(F.col("id").alias("doc_id"), "rank_fp")
+
+
 def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontaminated train/test split (operators/sampling.py::
     leakage_safe_split): md5 hash-split, then quarantine train docs that
@@ -1889,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_null_semantics": q_null_semantics,
         "cdc_scd2_history": cdc_scd2_history,
         "sample_leakage_safe_split": sample_leakage_safe_split,
+        "graph_pagerank_neardup": graph_pagerank_neardup,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
@@ -3491,6 +3511,61 @@ def oracle_sql() -> dict[str, str]:
                        + coalesce(CAST(1.0 AS DOUBLE) / (r_sem + 60), CAST(0.0 AS DOUBLE)) AS rrf
             FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "graph_pagerank_neardup": f"""
+            -- fixed-point PageRank, damping 7/8, scale 1e12; // is floor
+            -- division = Spark's div on the nonnegative values here
+            WITH pairs AS ({_ngram_pairs_sql(0.3, 1000)}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+            nn AS (SELECT count(*) AS n FROM documents),
+            r0 AS (
+                SELECT doc_id AS id,
+                       CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+                           AS rank_fp
+                FROM documents
+            ),
+            c1 AS (
+                SELECT e.dst AS id, SUM(r.rank_fp // d.dg) AS i
+                FROM edges e JOIN deg d ON d.src = e.src
+                JOIN r0 r ON r.id = e.src GROUP BY e.dst
+            ),
+            r1 AS (
+                SELECT r0.id,
+                       CAST((1000000000000 // 8) // (SELECT n FROM nn)
+                            + (7 * coalesce(c1.i, 0)) // 8 AS BIGINT)
+                           AS rank_fp
+                FROM r0 LEFT JOIN c1 USING (id)
+            ),
+            c2 AS (
+                SELECT e.dst AS id, SUM(r.rank_fp // d.dg) AS i
+                FROM edges e JOIN deg d ON d.src = e.src
+                JOIN r1 r ON r.id = e.src GROUP BY e.dst
+            ),
+            r2 AS (
+                SELECT r1.id,
+                       CAST((1000000000000 // 8) // (SELECT n FROM nn)
+                            + (7 * coalesce(c2.i, 0)) // 8 AS BIGINT)
+                           AS rank_fp
+                FROM r1 LEFT JOIN c2 USING (id)
+            ),
+            c3 AS (
+                SELECT e.dst AS id, SUM(r.rank_fp // d.dg) AS i
+                FROM edges e JOIN deg d ON d.src = e.src
+                JOIN r2 r ON r.id = e.src GROUP BY e.dst
+            ),
+            r3 AS (
+                SELECT r2.id,
+                       CAST((1000000000000 // 8) // (SELECT n FROM nn)
+                            + (7 * coalesce(c3.i, 0)) // 8 AS BIGINT)
+                           AS rank_fp
+                FROM r2 LEFT JOIN c3 USING (id)
+            )
+            SELECT id AS doc_id, rank_fp FROM r3
         """,
         "sample_leakage_safe_split": f"""
             -- 0.1 -> hex cutoff '19999999' (mirrors _hex_threshold)

@@ -927,3 +927,28 @@ def test_leakage_safe_split_quarantines_near_dups(spark):
             assert s == "quarantined", f"doc {d} leaked into train"
         if d >= 100 and d not in test_ids:
             assert s == "train", f"unrelated doc {d} wrongly {s}"
+
+
+def test_pagerank_fixed_point_semantics(spark):
+    """Star graph: the hub out-ranks every leaf; an isolated node keeps
+    only teleport mass; total mass is conserved up to integer truncation;
+    ranks are deterministic BIGINTs (exactly reproducible run to run)."""
+    from buskafkasparkstreaming_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # hub 0 <-> leaves 1..4 (undirected), node 9 isolated
+    und = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 9]], "id long")
+    r = {x.id: x.rank_fp for x in pagerank_fixed_point(edges, nodes, iters=3).collect()}
+    assert r[0] > r[1] > r[9]
+    assert r[1] == r[2] == r[3] == r[4]  # symmetric leaves identical
+    assert sum(r.values()) <= 10**12  # mass never created
+    # the isolated node is DANGLING: its mass leaks (documented
+    # simplification) and it retains exactly the teleport term
+    assert r[9] == (10**12 // 8) // 6
+    r2 = {x.id: x.rank_fp for x in pagerank_fixed_point(edges, nodes, iters=3).collect()}
+    assert r == r2
