@@ -66,6 +66,7 @@ HEADLINE = [
     "sample_curriculum_stages",
     "text_quality_classifier",
     "sample_leakage_safe_split",
+    "graph_pagerank_neardup",
 ]
 
 

@@ -54,6 +54,10 @@ def pagerank_fixed_point(
     Output: (id, rank_fp) — BIGINT fixed-point rank.
     """
     n_nodes = nodes.count()  # scalar, metadata-sized (driver-safe)
+    if n_nodes == 0:
+        return nodes.sparkSession.createDataFrame(
+            [], "id bigint, rank_fp bigint"
+        )
     base_fp = (scale // DAMP_DEN) // n_nodes  # (1-d)/N in fixed point
     init_fp = scale // n_nodes
 
