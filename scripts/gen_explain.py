@@ -30,6 +30,7 @@ SHOWN = {
     "sketch_count_min": "CMS build: posexplode to d rows/occurrence, partial-agg into the fixed d x w grid; probe joins the broadcast grid",
     "cdc_scd2_history": "SCD2 intervals: ONE lead window per key over the change log — no self-join",
     "text_hybrid_search": "RRF fusion: two independent rankings full-outer joined on id; global row_number windows are single-partition by nature (top-k scoring), bounded by ranked-set size",
+    "graph_pagerank_neardup": "power iteration as joins: per round ONE edge-rank join + ONE dst-keyed partial agg + ONE node re-join; integer fixed-point keeps ranks bit-exact under any partitioning",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage
