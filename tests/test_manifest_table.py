@@ -185,3 +185,16 @@ def test_manifest_zone_map_file_skipping(spark, tmp_path):
     # range overlapping both keeps everything
     k2, s2 = t.select_objects("v", 50, 1050)
     assert not s2
+
+
+def test_manifest_merge_new_partition_later(spark, tmp_path):
+    """A merge introducing a partition value the manifest has never seen
+    must land it without touching existing partitions' objects."""
+    t = _table(spark, tmp_path)
+    t.merge(spark.createDataFrame([(1, 10, 0, 100)], "k int, v int, p int, et int"))
+    m0 = t._current_manifest()
+    t.merge(spark.createDataFrame([(2, 20, 7, 100)], "k int, v int, p int, et int"))
+    m1 = t._current_manifest()
+    assert m1["partitions"]["0"] == m0["partitions"]["0"]  # untouched objects
+    assert m1["partitions"]["7"]
+    assert _state(t) == {(1, 10, 0), (2, 20, 7)}
