@@ -193,6 +193,22 @@ def main() -> None:
         results,
     )
 
+    # PageRank over the near-dup graph: replication multiplies the edge
+    # list ~100x (every 1x pair -> copy-pair clique), so this probes the
+    # edge-join iteration cost directly; the per-iteration plan is
+    # edge-size-linear regardless of graph shape
+    from buskafkasparkstreaming_spark.operators.graph import pagerank_fixed_point
+
+    def pr(d):
+        pairs = ngram_jaccard_pairs(d, "doc_id", k=3, threshold=0.3)
+        edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+            pairs.selectExpr("id_b AS src", "id_a AS dst")
+        )
+        return pagerank_fixed_point(edges, d.select("doc_id"), iters=3).count()
+
+    t_1x["pagerank"] = timed("pagerank 1x", lambda: pr(docs1), results)
+    t_10x["pagerank"] = timed("pagerank 10x (~100x edges)", lambda: pr(docs10), results)
+
     q = emb1.filter(F.col("vec_id") < 10)
 
     t_1x["ann"] = timed(
@@ -255,6 +271,7 @@ def main() -> None:
         "spans": "counting-based substring dedup: replication makes EVERY window a duplicate (pair-based would do 100× work), but distinct-doc counting stays ~linear",
         "semantic": "assign linear; pair stage bounded by cluster size (nlist scales sqrt-N); output quadratic in copy count like any true-dup finder",
         "chunks": "CCNet chunk removal: chunk-keyed counting + broadcast boiler set — linear even when replication makes EVERY chunk boilerplate",
+        "pagerank": "join-based power iteration: cost tracks the EDGE list (~100x under replication — every 1x pair becomes a copy-pair clique), per-iteration plan shape constant",
         "ann": "brute force is O(|Q|×|C|): 100× work at 10×/10× — the IVF path exists for this",
         "ivf": "same 10×/10× workload, query path only (index pre-built & amortized)",
     }
