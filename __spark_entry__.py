@@ -3367,8 +3367,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
         """,
         "q_string_agg_suppliers": """
+            -- coalesce: both engines skip NULL names, but an all-NULL
+            -- group is '' in Spark (collect_list -> empty -> concat_ws)
+            -- and NULL in SQL string_agg
             SELECT s_nationkey AS nationkey,
-                   string_agg(s_name, ',' ORDER BY s_name) AS supplier_names,
+                   coalesce(string_agg(s_name, ',' ORDER BY s_name), '')
+                       AS supplier_names,
                    count(*) AS n_suppliers
             FROM supplier GROUP BY s_nationkey
         """,

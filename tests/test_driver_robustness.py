@@ -524,3 +524,57 @@ def test_null_customer_drift(spark, tmp_path):
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
+
+
+def test_null_part_supplier_drift(spark, tmp_path):
+    """Part/supplier drift: NULL names/prices/nationkeys. Caught the
+    all-NULL string_agg group ('' in Spark via collect_list vs NULL in
+    SQL)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "ps")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT * REPLACE (
+                CASE WHEN p_partkey % 19 = 0 THEN NULL ELSE p_name END AS p_name,
+                CASE WHEN p_partkey % 23 = 0 THEN NULL ELSE p_retailprice END AS p_retailprice)
+              FROM '{src}/part.parquet')
+        TO '{drift}/part.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.execute(
+        f"""
+        COPY (SELECT * REPLACE (
+                CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_name END AS s_name,
+                CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS s_nationkey)
+              FROM '{src}/supplier.parquet')
+        TO '{drift}/supplier.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer orders lineitem events documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "q_parts_above_avg_price",
+        "q5_local_supplier_volume",
+        "q_string_agg_suppliers",
+        "q_range_join_value_tiers",
+        "q_union_by_name",
+        "q_intersect_segments",
+    ):
+        run_pair(spark, con, qs[name], oracles[name], drift, name)
+    con.close()
