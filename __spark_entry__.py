@@ -1141,6 +1141,24 @@ def text_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
 
 
+def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min aggregates via lexicographic struct max — the
+    deterministic form of max_by/arg_max (whose bare versions are
+    tie-nondeterministic in BOTH engines): ties on the value break on
+    event_id because the id is inside the compared struct."""
+    events = _t(spark, sf_dir, "events")
+    s = F.struct(_cents("value").alias("c"), F.col("event_id").alias("i"))
+    agg = events.groupBy("event_type").agg(
+        F.max(s).alias("mx"), F.min(s).alias("mn")
+    )
+    return agg.select(
+        "event_type",
+        F.col("mx.i").cast("long").alias("top_event_id"),
+        (F.col("mx.c").cast("double") / 100.0).alias("top_value"),
+        F.col("mn.i").cast("long").alias("bottom_event_id"),
+    )
+
+
 def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (operators/graph.py) over the near-dup
     similarity graph: 3 power iterations, damping 7/8 (dyadic), all
@@ -1909,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": cdc_scd2_history,
         "sample_leakage_safe_split": sample_leakage_safe_split,
         "graph_pagerank_neardup": graph_pagerank_neardup,
+        "q_argmax_events": q_argmax_events,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
@@ -3515,6 +3534,19 @@ def oracle_sql() -> dict[str, str]:
                        + coalesce(CAST(1.0 AS DOUBLE) / (r_sem + 60), CAST(0.0 AS DOUBLE)) AS rrf
             FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        """,
+        "q_argmax_events": """
+            -- lexicographic struct max/min = deterministic arg-max
+            SELECT event_type,
+                   CAST((max({'c': CAST(round(value * 100) AS BIGINT),
+                              'i': event_id})).i AS BIGINT) AS top_event_id,
+                   CAST((max({'c': CAST(round(value * 100) AS BIGINT),
+                              'i': event_id})).c AS DOUBLE) / 100.0
+                       AS top_value,
+                   CAST((min({'c': CAST(round(value * 100) AS BIGINT),
+                              'i': event_id})).i AS BIGINT)
+                       AS bottom_event_id
+            FROM events GROUP BY event_type
         """,
         "graph_pagerank_neardup": f"""
             -- fixed-point PageRank, damping 7/8, scale 1e12; // is floor
