@@ -1145,8 +1145,12 @@ def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-max/arg-min aggregates via lexicographic struct max — the
     deterministic form of max_by/arg_max (whose bare versions are
     tie-nondeterministic in BOTH engines): ties on the value break on
-    event_id because the id is inside the compared struct."""
-    events = _t(spark, sf_dir, "events")
+    event_id because the id is inside the compared struct. NULL values
+    are filtered before the agg — Spark orders a NULL struct field
+    SMALLEST while DuckDB orders it LARGEST, so a NULL-value row would
+    flip min/max between the engines (ADVICE r5); an arg-max over an
+    unobserved value is meaningless anyway."""
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     s = F.struct(_cents("value").alias("c"), F.col("event_id").alias("i"))
     agg = events.groupBy("event_type").agg(
         F.max(s).alias("mx"), F.min(s).alias("mn")
@@ -3536,7 +3540,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rrf DESC, doc_id ASC LIMIT 20
         """,
         "q_argmax_events": """
-            -- lexicographic struct max/min = deterministic arg-max
+            -- lexicographic struct max/min = deterministic arg-max;
+            -- NULL values excluded (engines order NULL struct fields
+            -- on opposite ends)
             SELECT event_type,
                    CAST((max({'c': CAST(round(value * 100) AS BIGINT),
                               'i': event_id})).i AS BIGINT) AS top_event_id,
@@ -3546,7 +3552,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST((min({'c': CAST(round(value * 100) AS BIGINT),
                               'i': event_id})).i AS BIGINT)
                        AS bottom_event_id
-            FROM events GROUP BY event_type
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
         """,
         "graph_pagerank_neardup": f"""
             -- fixed-point PageRank, damping 7/8, scale 1e12; // is floor

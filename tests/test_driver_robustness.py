@@ -266,6 +266,7 @@ def test_null_events_drift(spark, tmp_path):
         "q_asof_purchase_before_error",
         "rollup_incremental",
         "layout_zorder_events",
+        "q_argmax_events",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
