@@ -21,8 +21,15 @@ import sys
 
 import pytest
 
-_JAR_GLOB = (
-    "/root/.cache/coursier/v1/**/org/duckdb/duckdb_jdbc/*/duckdb_jdbc-*.jar"
+# vendored jar first (survives artifact-cache wipes — the r5 skip), then
+# any coursier-cached copy
+_JAR_GLOBS = (
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jars",
+        "duckdb_jdbc-*.jar",
+    ),
+    "/root/.cache/coursier/v1/**/org/duckdb/duckdb_jdbc/*/duckdb_jdbc-*.jar",
 )
 
 _SCRIPT = r"""
@@ -93,13 +100,15 @@ spark.stop()
 
 
 def test_jdbc_roundtrip_duckdb(tmp_path):
-    jars = sorted(glob.glob(_JAR_GLOB, recursive=True))
+    jars = [
+        j for g in _JAR_GLOBS for j in sorted(glob.glob(g, recursive=True))
+    ]
     if not jars:
         pytest.skip("no duckdb_jdbc jar available in the local artifact cache")
     db = str(tmp_path / "live.duckdb")
     script = _SCRIPT.format(
         repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        jar=jars[-1],
+        jar=jars[0],
         db=db,
     )
     proc = subprocess.run(
