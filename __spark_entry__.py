@@ -385,6 +385,70 @@ def q_asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")
 
 
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance window (operators.joins
+    direction='forward'): each error event attaches the NEXT purchase by
+    the same user within one hour, or NULL (how='left'). Times go through
+    ts_millis so the tolerance is plain integer arithmetic on both
+    engines."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ms", bssf.ts_millis("ts")
+    )
+    probe = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ms"
+    )
+    build = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("next_purchase_id"),
+        "user_id",
+        "ms",
+        F.col("value").alias("next_value"),
+    )
+    out = J.asof_join(
+        probe,
+        build,
+        key="user_id",
+        probe_time="ms",
+        build_time="ms",
+        build_cols=["next_purchase_id", "next_value"],
+        tiebreak="next_purchase_id",
+        how="left",
+        direction="forward",
+        tolerance=3_600_000,
+    )
+    return out.select("event_id", "user_id", "next_purchase_id", "next_value")
+
+
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (operators.joins direction='nearest'):
+    each error event attaches the purchase closest in time either way; an
+    exact distance tie deterministically prefers the backward match. Same
+    single key-shuffle plan — the second window reuses the partitioning."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ms", bssf.ts_millis("ts")
+    )
+    probe = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ms"
+    )
+    build = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("near_purchase_id"),
+        "user_id",
+        "ms",
+        F.col("value").alias("near_value"),
+    )
+    out = J.asof_join(
+        probe,
+        build,
+        key="user_id",
+        probe_time="ms",
+        build_time="ms",
+        build_cols=["near_purchase_id", "near_value"],
+        tiebreak="near_purchase_id",
+        how="inner",
+        direction="nearest",
+    )
+    return out.select("event_id", "user_id", "near_purchase_id", "near_value")
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     sess = sessionize(events, "user_id", "ts", gap_seconds=6 * 3600)
@@ -1207,6 +1271,45 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_read_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping on the object-store manifest table
+    (cdc/manifest_table.py::read_where): events land partitioned by a
+    value band, per-object min/max footers are lifted into the manifest,
+    and a range read opens ONLY the objects whose zone map can match —
+    the manifest-level pruning that turns a 100 TB scan into a handful
+    of GETs. Oracle: the same range filter over the raw table; any
+    wrongly-skipped object would drop rows and hash-fail. A runtime
+    guard asserts skipping actually engaged (several band objects
+    pruned), so the green row certifies the skip path, not a full scan."""
+    import tempfile
+
+    from buskafkasparkstreaming_spark.cdc.manifest_table import (
+        ManifestUpsertTable,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    batch = events.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.floor(F.col("value") / 50).cast("int").alias("band"),
+    )
+    t = ManifestUpsertTable(
+        spark,
+        tempfile.mkdtemp(prefix="bss_manifest_rw_"),
+        key_cols="event_id",
+        precombine_col="ts",
+        partition_col="band",
+        stats_cols=["value"],
+    )
+    t.merge(batch)
+    kept, skipped = t.select_objects("value", 120.0, 180.0)
+    assert skipped, "zone maps failed to prune any band object"
+    out = t.read_where("value", 120.0, 180.0)
+    return out.select("event_id", "event_type", "value")
+
+
 def q_cume_dist_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cume_dist + nth_value window functions over a UNIQUE ordering
     (cents, orderkey) so rank ties and frame-peer semantics can't diverge
@@ -1893,85 +1996,38 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
-    # entries (an exact prefix of this dict, verified r01–r04). The
+    # entries (an exact prefix of this dict, verified r01–r05). The
     # ordering ROTATES each round so every entry gets a driver-verified row
-    # at least every other round. Round 5: the 9 entries broken by the
-    # TIMESTAMP_NTZ testdata drift lead (they are exactly what the r5 fix
-    # must prove out — VERDICT r4 next-6), then the 4 entries that gained
-    # oracle twins this round, then everything the r4 sweep window did not
-    # reach; the r4-green entries (all unchanged) fill the remainder.
+    # at least every other round. Round 6: the 14 entries last
+    # driver-verified in round 2 lead (VERDICT r5 next-1 — three testdata
+    # drifts have happened since their last driver check), then the 4
+    # entries changed or added this round (q_argmax_events NULL fix;
+    # manifest zone-map read; as-of forward/nearest), then the round-4
+    # entries (now the stalest); the round-5-green entries fill the tail.
     # tests/test_oracle_parity.py checks ALL oracle entries every run
     # regardless of order.
     return {
-        # --- NTZ-affected: fixed this round, must re-verify ---------------
-        "streaming_stateful_running": streaming_stateful_running,
-        "streaming_tumbling_counts": streaming_tumbling_counts,
-        "streaming_sliding_avg": streaming_sliding_avg,
-        "streaming_session_windows": streaming_session_windows,
-        "streaming_dedup_keys": streaming_dedup_keys,
-        "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
-        "streaming_purchase_error_join": streaming_purchase_error_join,
-        "q_sessionize_events": q_sessionize_events,
-        "q_range_frame_events": q_range_frame_events,
-        # --- gained oracle twins in round 5 (were no_oracle r3–r4) --------
-        "text_repetition": text_repetition,
-        "dedup_contamination_bloom": dedup_contamination_bloom,
-        "rollup_incremental": rollup_incremental,
-        "sample_domain_cap": sample_domain_cap,
-        # --- new in round 5 ----------------------------------------------
-        "streaming_enrich_static": streaming_enrich_static,
-        "dedup_chunk_boilerplate": dedup_chunk_boilerplate,
-        "export_shard_stats": export_shard_stats,
-        "sketch_count_min": sketch_count_min,
-        "text_vocab_coverage": text_vocab_coverage,
-        "text_bm25_search": text_bm25_search,
-        "text_hybrid_search": text_hybrid_search,
-        "q_cume_dist_nth_value": q_cume_dist_nth_value,
-        "q_null_semantics": q_null_semantics,
-        "cdc_scd2_history": cdc_scd2_history,
-        "sample_leakage_safe_split": sample_leakage_safe_split,
-        "graph_pagerank_neardup": graph_pagerank_neardup,
-        "q_argmax_events": q_argmax_events,
-        "dedup_substring_spans": dedup_substring_spans,
-        "sample_token_budget_mix": sample_token_budget_mix,
-        "text_duplicate_fraction": text_duplicate_fraction,
-        "dedup_semantic": dedup_semantic,
-        "text_lm_score": text_lm_score,
-        "sample_prototype_prune": sample_prototype_prune,
-        "pack_chunk_documents": pack_chunk_documents,
-        "layout_zorder_events": layout_zorder_events,
-        "stats_profile_documents": stats_profile_documents,
-        "dedup_incremental_lsh": dedup_incremental_lsh,
-        "sample_curriculum_stages": sample_curriculum_stages,
-        "text_lm_bigram_score": text_lm_bigram_score,
-        "text_quality_classifier": text_quality_classifier,
-        # --- unchecked in the r04 sweep window (r02/r03-green, unchanged) -
-        "text_token_count": text_token_count,
-        "text_langid": text_langid,
-        "text_tfidf_top_terms": text_tfidf_top_terms,
-        "doc_fingerprint": doc_fingerprint,
-        "multimodal_bytes_meta": multimodal_bytes_meta,
-        "multimodal_features": multimodal_features,
-        "multimodal_frames": multimodal_frames,
-        "q_approx_distinct_users": q_approx_distinct_users,
-        "q_median_price_by_priority": q_median_price_by_priority,
-        "q_asof_purchase_before_error": q_asof_purchase_before_error,
-        "q_range_join_value_tiers": q_range_join_value_tiers,
-        "udtf_split_words": udtf_split_words,
-        "q_zscore_by_type": q_zscore_by_type,
-        "q_pandas_udf_score": q_pandas_udf_score,
+        # --- last driver-verified in round 2 (three drifts ago) --------
+        "q_hourly_events": q_hourly_events,
+        "q_sliding_window_avg": q_sliding_window_avg,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_pivot_native": q_pivot_native,
         "q_grouping_sets": q_grouping_sets,
         "q_rollup_status_priority": q_rollup_status_priority,
         "q_cube_status_priority": q_cube_status_priority,
-        "q_pivot_native": q_pivot_native,
-        "q_pivot_event_types": q_pivot_event_types,
-        "q_hourly_events": q_hourly_events,
-        "q_sliding_window_avg": q_sliding_window_avg,
-        "q_decimal_and_date": q_decimal_and_date,
-        "q_array_ops_embeddings": q_array_ops_embeddings,
-        "q_map_explode_props": q_map_explode_props,
         "q_string_agg_suppliers": q_string_agg_suppliers,
-        # --- r04-green, re-swept as window room allows --------------------
+        "q_map_explode_props": q_map_explode_props,
+        "q_array_ops_embeddings": q_array_ops_embeddings,
+        "q_decimal_and_date": q_decimal_and_date,
+        "q_pandas_udf_score": q_pandas_udf_score,
+        "q_zscore_by_type": q_zscore_by_type,
+        "udtf_split_words": udtf_split_words,
+        # --- changed or new in round 6 ---------------------------------
+        "q_argmax_events": q_argmax_events,
+        "manifest_read_where": manifest_read_where,
+        "q_asof_next_purchase": q_asof_next_purchase,
+        "q_asof_nearest_purchase": q_asof_nearest_purchase,
+        # --- round-4-green (stalest full-green cohort) -----------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1985,7 +2041,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
         "dedup_contamination": dedup_contamination,
         "ann_ivf_topk": ann_ivf_topk,
-        # --- r04-green tail (unchanged since CORRECTNESS_r04) -------------
         "doc_winnow_sketch": doc_winnow_sketch,
         "sample_stratified_lang": sample_stratified_lang,
         "text_pii_redact": text_pii_redact,
@@ -2018,6 +2073,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_by_name": q_union_by_name,
         "q_multiset_setops": q_multiset_setops,
         "q_date_parts": q_date_parts,
+        # --- round-5-green tail (re-swept as window room allows) -------
+        "streaming_stateful_running": streaming_stateful_running,
+        "streaming_tumbling_counts": streaming_tumbling_counts,
+        "streaming_sliding_avg": streaming_sliding_avg,
+        "streaming_session_windows": streaming_session_windows,
+        "streaming_dedup_keys": streaming_dedup_keys,
+        "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
+        "streaming_purchase_error_join": streaming_purchase_error_join,
+        "q_sessionize_events": q_sessionize_events,
+        "q_range_frame_events": q_range_frame_events,
+        "text_repetition": text_repetition,
+        "dedup_contamination_bloom": dedup_contamination_bloom,
+        "rollup_incremental": rollup_incremental,
+        "sample_domain_cap": sample_domain_cap,
+        "streaming_enrich_static": streaming_enrich_static,
+        "dedup_chunk_boilerplate": dedup_chunk_boilerplate,
+        "export_shard_stats": export_shard_stats,
+        "sketch_count_min": sketch_count_min,
+        "text_vocab_coverage": text_vocab_coverage,
+        "text_bm25_search": text_bm25_search,
+        "text_hybrid_search": text_hybrid_search,
+        "q_cume_dist_nth_value": q_cume_dist_nth_value,
+        "q_null_semantics": q_null_semantics,
+        "cdc_scd2_history": cdc_scd2_history,
+        "sample_leakage_safe_split": sample_leakage_safe_split,
+        "graph_pagerank_neardup": graph_pagerank_neardup,
+        "dedup_substring_spans": dedup_substring_spans,
+        "sample_token_budget_mix": sample_token_budget_mix,
+        "text_duplicate_fraction": text_duplicate_fraction,
+        "dedup_semantic": dedup_semantic,
+        "text_lm_score": text_lm_score,
+        "sample_prototype_prune": sample_prototype_prune,
+        "pack_chunk_documents": pack_chunk_documents,
+        "layout_zorder_events": layout_zorder_events,
+        "stats_profile_documents": stats_profile_documents,
+        "dedup_incremental_lsh": dedup_incremental_lsh,
+        "sample_curriculum_stages": sample_curriculum_stages,
+        "text_lm_bigram_score": text_lm_bigram_score,
+        "text_quality_classifier": text_quality_classifier,
+        "text_token_count": text_token_count,
+        "text_langid": text_langid,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
+        "doc_fingerprint": doc_fingerprint,
+        "multimodal_bytes_meta": multimodal_bytes_meta,
+        "multimodal_features": multimodal_features,
+        "multimodal_frames": multimodal_frames,
+        "q_approx_distinct_users": q_approx_distinct_users,
+        "q_median_price_by_priority": q_median_price_by_priority,
+        "q_asof_purchase_before_error": q_asof_purchase_before_error,
+        "q_range_join_value_tiers": q_range_join_value_tiers,
     }
 
 
@@ -2442,6 +2547,43 @@ def oracle_sql() -> dict[str, str]:
                   ON p.user_id = e.user_id
                  AND p.event_type = 'purchase'
                  AND p.ts <= e.ts
+                WHERE e.event_type = 'error')
+            WHERE rn = 1
+        """,
+        "q_asof_next_purchase": """
+            -- forward as-of within 1h tolerance; equal-time purchase
+            -- matches (inclusive >=), greatest event_id wins time ties
+            SELECT event_id, user_id, next_purchase_id, next_value FROM (
+                SELECT e.event_id, e.user_id,
+                       p.event_id AS next_purchase_id,
+                       p.value AS next_value,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY p.ts ASC, p.event_id DESC) AS rn
+                FROM events e
+                LEFT JOIN events p
+                  ON p.user_id = e.user_id
+                 AND p.event_type = 'purchase'
+                 AND p.ts >= e.ts
+                 AND epoch_ms(p.ts) - epoch_ms(e.ts) <= 3600000
+                WHERE e.event_type = 'error')
+            WHERE rn = 1
+        """,
+        "q_asof_nearest_purchase": """
+            -- nearest-direction as-of: min |distance|, exact tie prefers
+            -- the backward (earlier) match, then greatest event_id
+            SELECT event_id, user_id, near_purchase_id, near_value FROM (
+                SELECT e.event_id, e.user_id,
+                       p.event_id AS near_purchase_id,
+                       p.value AS near_value,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY abs(epoch_ms(p.ts) - epoch_ms(e.ts)) ASC,
+                                    CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END ASC,
+                                    p.event_id DESC) AS rn
+                FROM events e
+                JOIN events p
+                  ON p.user_id = e.user_id
+                 AND p.event_type = 'purchase'
                 WHERE e.event_type = 'error')
             WHERE rn = 1
         """,
@@ -3635,6 +3777,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN sp ON sp.doc_id = d.doc_id
             LEFT JOIN leaked l ON l.doc_id = d.doc_id
+        """,
+        "manifest_read_where": """
+            -- the manifest table holds exactly the non-NULL-value events
+            -- (unique event_id keys); read_where(value, 120, 180) must
+            -- return precisely the range-filtered rows
+            SELECT event_id, event_type, value
+            FROM events
+            WHERE value BETWEEN 120.0 AND 180.0
         """,
         "cdc_scd2_history": """
             SELECT user_id, event_id,

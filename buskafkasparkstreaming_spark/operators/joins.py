@@ -42,28 +42,48 @@ def asof_join(
     build_cols: list[str],
     tiebreak: str | None = None,
     how: str = "inner",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """As-of join: for each probe row, attach the build row with the greatest
-    `build_time` ≤ `probe_time` within the same `key`.
+    """As-of join (pandas `merge_asof` parity): for each probe row, attach
+    one build row within the same `key` chosen by `direction`:
+
+    * ``backward`` (default) — greatest `build_time` ≤ `probe_time`;
+    * ``forward`` — smallest `build_time` ≥ `probe_time`;
+    * ``nearest`` — whichever of the two is closer in time; an exact tie
+      prefers the backward match (deterministic).
+
+    `tolerance` (optional) drops a match farther than this from the probe
+    time — same units as the time columns, which must be NUMERIC when
+    `tolerance` or `direction='nearest'` is used (interval arithmetic on
+    raw timestamps is engine-specific; convert via `functions.ts_millis`).
 
     Implementation: union probe and build rows with a side marker, window
     over (key) ordered by (time, side, tiebreak), and take
-    `last(build payload, ignorenulls=True)` up to the current row. Build
-    rows at exactly probe_time win (inclusive ≤). Among equal-time build
+    `last(build payload, ignorenulls=True)` up to the current row — the
+    forward direction is the same pass under a descending order. Build
+    rows at exactly probe_time win (inclusive). Among equal-time build
     rows the greatest `tiebreak` wins.
 
-    Cost: one hash shuffle on `key` + per-key sort — linear, no range
+    Cost: one hash shuffle on `key` + per-key sort(s) — linear, no range
     explosion; survives 100× scale-up as long as per-key cardinality fits a
-    sort spill (it does: UnsafeExternalSorter spills to disk).
+    sort spill (it does: UnsafeExternalSorter spills to disk). `nearest`
+    adds a second sort over the SAME partitioning, not a second shuffle.
 
     NULL times: a build row without a time can never be "the latest as of
     t" and is dropped; a probe row without a time matches nothing (kept
     unmatched under how='left'). Without the guard, NULL build times sort
     NULLS-FIRST into the union and silently act as since-forever matches.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     build = build.filter(F.col(build_time).isNotNull())
     probe_cols = probe.columns
-    pay = F.struct(*[F.col(c) for c in build_cols]).alias("__pay")
+    # __bt (the matched build's time) rides inside the payload so the
+    # tolerance / nearest-distance checks can see it after the window
+    pay = F.struct(
+        F.col(build_time).alias("__bt"), *[F.col(c) for c in build_cols]
+    ).alias("__pay")
     probe_struct = F.struct(*[F.col(c) for c in probe_cols]).alias("__probe")
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
 
@@ -88,21 +108,48 @@ def asof_join(
         tb.alias("__tb"),
     )
 
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(
-            # nulls FIRST (explicit): a null-time probe must see no build
-            F.col("__t").asc_nulls_first(),
-            F.col("__side").asc(),
-            F.col("__tb").asc_nulls_first(),
+    def _w(desc: bool):
+        # nulls FIRST in both orders: a null-time probe must see no build
+        t_ord = (
+            F.col("__t").desc_nulls_first()
+            if desc
+            else F.col("__t").asc_nulls_first()
         )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = (
-        p.unionByName(b)
-        .withColumn("__matched", F.last("__pay", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
+        return (
+            Window.partitionBy("__k")
+            .orderBy(t_ord, F.col("__side").asc(), F.col("__tb").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    merged = p.unionByName(b)
+    if direction in ("backward", "nearest"):
+        merged = merged.withColumn(
+            "__m_b", F.last("__pay", ignorenulls=True).over(_w(desc=False))
+        )
+    if direction in ("forward", "nearest"):
+        merged = merged.withColumn(
+            "__m_f", F.last("__pay", ignorenulls=True).over(_w(desc=True))
+        )
+    merged = merged.filter(F.col("__side") == 1)
+
+    def _within(m: Column, dist: Column) -> Column:
+        if tolerance is None:
+            return m
+        return F.when(dist <= F.lit(tolerance), m)
+
+    if direction == "backward":
+        matched = _within(F.col("__m_b"), F.col("__t") - F.col("__m_b")["__bt"])
+    elif direction == "forward":
+        matched = _within(F.col("__m_f"), F.col("__m_f")["__bt"] - F.col("__t"))
+    else:
+        mb = _within(F.col("__m_b"), F.col("__t") - F.col("__m_b")["__bt"])
+        mf = _within(F.col("__m_f"), F.col("__m_f")["__bt"] - F.col("__t"))
+        d_b = F.col("__t") - mb["__bt"]
+        d_f = mf["__bt"] - F.col("__t")
+        matched = F.when(
+            mb.isNotNull() & (mf.isNull() | (d_b <= d_f)), mb
+        ).otherwise(mf)
+    merged = merged.withColumn("__matched", matched)
     if how == "inner":
         merged = merged.filter(F.col("__matched").isNotNull())
     return merged.select(

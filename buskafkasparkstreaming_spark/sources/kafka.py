@@ -18,16 +18,29 @@ def read_stream(
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream from a topic — reference S4 (01-setup-ec-vm.md:166-172,
-    startingOffsets=latest at :171)."""
-    return (
+    startingOffsets=latest at :171).
+
+    `max_offsets_per_trigger` is the backpressure knob a 30 s-tick
+    pipeline needs after downtime: without it the restart micro-batch
+    swallows the whole accumulated backlog in one batch (shuffle spill /
+    OOM at scale); with it the drain is paced across micro-batches while
+    exactly-once state (checkpointed offsets) keeps the final result
+    identical — proven for the file analog in
+    tests/test_streaming.py::test_rate_limited_drain_same_state."""
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
-        .load()
     )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
+    return reader.load()
 
 
 def read_batch(

@@ -267,6 +267,9 @@ def test_null_events_drift(spark, tmp_path):
         "rollup_incremental",
         "layout_zorder_events",
         "q_argmax_events",
+        "q_asof_next_purchase",
+        "q_asof_nearest_purchase",
+        "manifest_read_where",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

@@ -54,6 +54,97 @@ def test_asof_join_left_keeps_unmatched(spark):
     assert got == {1: 100, 2: None}
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    probe = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 1, 100)], "pid int, k int, t int"
+    )
+    build = spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 15), (102, 1, 30)], "bid int, k int, t int"
+    )
+    fwd = asof_join(
+        probe, build, key="k", probe_time="t", build_time="t",
+        build_cols=["bid"], tiebreak="bid", how="left", direction="forward",
+    )
+    got = {r["pid"]: r["bid"] for r in fwd.collect()}
+    # pid1 t=10: equal-time build wins (inclusive >=); pid2 t=20: next is
+    # t=30; pid3 t=100: nothing ahead -> NULL under how='left'
+    assert got == {1: 100, 2: 102, 3: None}
+
+    tol = asof_join(
+        probe, build, key="k", probe_time="t", build_time="t",
+        build_cols=["bid"], tiebreak="bid", how="left",
+        direction="backward", tolerance=4,
+    )
+    got = {r["pid"]: r["bid"] for r in tol.collect()}
+    # pid2 t=20: latest build t=15 is 5 away > tolerance 4 -> unmatched;
+    # pid3 t=100: latest build t=30 is 70 away -> unmatched
+    assert got == {1: 100, 2: None, 3: None}
+
+
+def test_asof_join_nearest_prefers_backward_on_tie(spark):
+    probe = spark.createDataFrame(
+        [(1, 1, 20), (2, 1, 26), (3, 1, 2)], "pid int, k int, t int"
+    )
+    build = spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 30)], "bid int, k int, t int"
+    )
+    out = asof_join(
+        probe, build, key="k", probe_time="t", build_time="t",
+        build_cols=["bid"], tiebreak="bid", how="inner", direction="nearest",
+    )
+    got = {r["pid"]: r["bid"] for r in out.collect()}
+    # pid1 t=20: both sides 10 away -> backward (100) wins the tie
+    # pid2 t=26: forward t=30 (4 away) beats backward t=10 (16 away)
+    # pid3 t=2: only forward side exists -> 100
+    assert got == {1: 100, 2: 101, 3: 100}
+
+
+def test_asof_join_directions_match_pandas(spark):
+    """Randomized parity with pandas merge_asof on unique (key, time)
+    builds for every direction x tolerance combination."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    keys = [1, 2, 3]
+    build_rows = []
+    bid = 0
+    seen = set()
+    for k in keys:
+        for _ in range(20):
+            t = rng.randrange(0, 200)
+            if (k, t) in seen:
+                continue
+            seen.add((k, t))
+            build_rows.append((bid, k, t))
+            bid += 1
+    probe_rows = [
+        (i, rng.choice(keys + [9]), rng.randrange(0, 220)) for i in range(60)
+    ]
+    probe = spark.createDataFrame(probe_rows, "pid int, k int, t int")
+    build = spark.createDataFrame(build_rows, "bid int, k int, t int")
+    pprobe = pd.DataFrame(probe_rows, columns=["pid", "k", "t"]).sort_values("t")
+    pbuild = pd.DataFrame(build_rows, columns=["bid", "k", "t"]).sort_values("t")
+    for direction in ("backward", "forward", "nearest"):
+        for tolerance in (None, 7):
+            out = asof_join(
+                probe, build, key="k", probe_time="t", build_time="t",
+                build_cols=["bid"], tiebreak="bid", how="left",
+                direction=direction, tolerance=tolerance,
+            )
+            got = {r["pid"]: r["bid"] for r in out.collect()}
+            exp_df = pd.merge_asof(
+                pprobe, pbuild, on="t", by="k", direction=direction,
+                tolerance=tolerance,
+            )
+            exp = {
+                int(r.pid): (None if pd.isna(r.bid) else int(r.bid))
+                for r in exp_df.itertuples()
+            }
+            assert got == exp, (direction, tolerance)
+
+
 def test_range_join_bucketed(spark):
     left = spark.createDataFrame([(1, 5.0), (2, 25.0), (3, 55.0)], "lid int, v double")
     right = spark.createDataFrame(

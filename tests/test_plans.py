@@ -101,6 +101,19 @@ def test_asof_is_single_shuffle(spark, sf_dir):
     assert count_shuffles(df) == 1
 
 
+def test_asof_nearest_is_single_shuffle_two_sorts(spark, sf_dir):
+    """direction='nearest' runs a second window pass but over the SAME key
+    partitioning: still exactly one Exchange (a second sort, never a
+    second shuffle) and no nested-loop join."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    df = entrymod.q_asof_nearest_purchase(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_shuffles(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window [last(__pay") == 2
+
+
 def test_simhash_pairs_is_equi_join(spark, sf_dir):
     df = entrymod.dedup_simhash(spark, sf_dir)
     plan = explain_str(df)

@@ -260,3 +260,63 @@ def test_enrich_static_rejects_ambiguous_columns(spark):
     dim = spark.createDataFrame([(1, "b")], "k bigint, name string")
     with pytest.raises(ValueError, match="ambiguous"):
         enrich_with_dimension(fact, dim, left_on="k", right_on="k")
+
+
+def test_rate_limited_drain_same_state(spark, tmp_path):
+    """Backpressure: maxFilesPerTrigger=1 paces a 3-file backlog over
+    MULTIPLE micro-batches (the restart-after-downtime scenario where an
+    unbounded drain would swallow the backlog in one giant batch), and the
+    checkpointed exactly-once offsets keep the final table state identical
+    to the unpaced drain."""
+    import os
+
+    from buskafkasparkstreaming_spark.cdc import UpsertTable
+    from buskafkasparkstreaming_spark.schemas import BUS_STATUS_SCHEMA
+    from buskafkasparkstreaming_spark.sources.files import stream_envelope_jsonl
+    from buskafkasparkstreaming_spark.streaming.pipeline import run_cdc_pipeline
+
+    from .test_cdc import env, write_jsonl
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    # 3 files = a backlog; later files update earlier keys so batch ORDER
+    # matters to the merge — pacing must not change the outcome
+    write_jsonl(spool / "b1.jsonl", [env("c", 1, 7, 10, 1000), env("c", 2, 7, 20, 1000)])
+    write_jsonl(spool / "b2.jsonl", [env("u", 1, 7, 99, 2000)])
+    write_jsonl(spool / "b3.jsonl", [env("d", 2, 7, 0, 3000, before=True)])
+    # the file source paces batches in mtime order; pin ascending mtimes so
+    # the paced replay is deterministic (arrival order, like a topic)
+    for i, name in enumerate(("b1.jsonl", "b2.jsonl", "b3.jsonl")):
+        os.utime(spool / name, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def drain(name, **stream_kw):
+        table = UpsertTable(
+            spark,
+            str(tmp_path / name / "tbl"),
+            key_cols="record_id",
+            precombine_col="event_time",
+        )
+        ckpt = str(tmp_path / name / "ckpt")
+        q = run_cdc_pipeline(
+            stream_envelope_jsonl(spark, str(spool), **stream_kw),
+            table,
+            ckpt,
+            row_schema=BUS_STATUS_SCHEMA,
+        )
+        q.awaitTermination()
+        commits = [
+            f
+            for f in os.listdir(os.path.join(ckpt, "commits"))
+            if not f.startswith(".")
+        ]
+        state = {
+            r["record_id"]: (r["kph"], r["event_time"])
+            for r in table.read().collect()
+        }
+        return len(commits), state
+
+    n_paced, paced = drain("paced", max_files_per_trigger=1)
+    n_free, free = drain("free")
+    assert n_paced == 3, f"expected one micro-batch per file, got {n_paced}"
+    assert n_free < n_paced  # the unpaced drain really was one gulp
+    assert paced == free == {1: (99, 2000)}
