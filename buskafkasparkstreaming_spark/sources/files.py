@@ -31,9 +31,15 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize every timestamp encoding the driver's `events.ts` has shipped
     with to one canonical TimestampType (LTZ, session TZ pinned UTC):
 
-    * parquet TIMESTAMP(NANOS) read as long under
-      spark.sql.legacy.parquet.nanosAsLong — integer division ns → µs
-      (values exceed 2^53, double division would corrupt them);
+    * raw integer epochs — parquet TIMESTAMP(NANOS) arrives as long under
+      spark.sql.legacy.parquet.nanosAsLong, and a future drift could ship
+      plain BIGINT seconds/millis/micros (the reference's own bug class:
+      01-setup-ec-vm.md:309 typed epoch-millis as `date`). The unit is
+      inferred from magnitude — epoch seconds (~1e9), millis (~1e12),
+      micros (~1e15) and nanos (~1e18) are 1000× apart, so thresholds at
+      1e11 / 1e14 / 1e17 classify every timestamp between 1973 and 5138
+      unambiguously. Arithmetic stays integer (values exceed 2^53,
+      double division would corrupt them);
     * parquet timestamp[us] without timezone, read as TIMESTAMP_NTZ —
       cast to TIMESTAMP is value-preserving because the session zone is
       UTC (ensure_session_confs), and required because event-time ops
@@ -45,7 +51,14 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         return df
     dtype = dict(df.dtypes)[col]
     if dtype == "bigint":
-        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        v = F.abs(F.col(col))
+        micros = (
+            F.when(v < 100_000_000_000, F.col(col) * 1_000_000)  # seconds
+            .when(v < 100_000_000_000_000, F.col(col) * 1_000)  # millis
+            .when(v < 100_000_000_000_000_000, F.col(col))  # micros
+            .otherwise(F.expr(f"{col} div 1000"))  # nanos
+        )
+        return df.withColumn(col, F.timestamp_micros(micros))
     if dtype in ("timestamp_ntz", "string", "date"):
         # NTZ and ISO strings cast value-preservingly under the pinned UTC
         # session; date degrades to midnight (the best a date can say)

@@ -95,6 +95,24 @@ def test_timestamp_encoding_drift(spark, tmp_path):
                 ),
             }
         ),
+        # raw BIGINT epochs: the unit must be inferred from magnitude
+        # (epoch seconds/millis/micros/nanos are 1000x apart) — the
+        # reference's own drift class typed epoch-millis as `date`
+        "bigint_micros": pa.table(
+            {"event_id": ids, "ts": pa.array(micros, pa.int64())}
+        ),
+        "bigint_millis": pa.table(
+            {"event_id": ids, "ts": pa.array([m // 1000 for m in micros], pa.int64())}
+        ),
+        "bigint_seconds": pa.table(
+            {
+                "event_id": ids,
+                "ts": pa.array([m // 1_000_000 for m in micros], pa.int64()),
+            }
+        ),
+        "bigint_nanos": pa.table(
+            {"event_id": ids, "ts": pa.array([m * 1000 for m in micros], pa.int64())}
+        ),
     }
     results = {}
     for name, tbl in encodings.items():
@@ -108,8 +126,11 @@ def test_timestamp_encoding_drift(spark, tmp_path):
         rows = df.select("event_id", ts_millis("ts").alias("ms")).orderBy("event_id").collect()
         results[name] = [r.ms for r in rows]
     expected = [m // 1000 for m in micros]
+    # a seconds-grain encoding can only carry seconds-grain values
+    expected_by = {"bigint_seconds": [m // 1_000_000 * 1000 for m in micros]}
     for name, got in results.items():
-        assert got == expected, f"{name}: {got} != {expected}"
+        want = expected_by.get(name, expected)
+        assert got == want, f"{name}: {got} != {want}"
 
 
 def test_embedding_dtype_drift(spark, tmp_path):
