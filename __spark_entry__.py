@@ -1863,6 +1863,42 @@ def sample_split_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.deterministic_split(docs, "doc_id").select("doc_id", "split")
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality gate (operators/text.py::gopher_rules; Rae et al.
+    2021 A1.1): word-count bounds, mean-word-length band, symbol ratio,
+    alpha-word fraction, required-stopword rule, and the conjunction —
+    all row-local folds (zero shuffles), exact-integer ratios. FULL SQL
+    oracle replays every signal and threshold. min_stopwords is lowered
+    to 1 here (published default 2) because the synthetic corpus's
+    vocabulary contains a single Gopher stopword — at 2 the rule would be
+    constant-false and verify nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.gopher_rules(docs, min_stopwords=1)
+    # NULL text yields NULL signals; the gate semantics for an unreadable
+    # doc is FAIL, so booleans are pinned to false on both sides
+    bools = ["pass_word_count", "pass_word_len", "pass_symbol",
+             "pass_alpha", "pass_stopwords", "gopher_keep"]
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "n_stopwords",
+        *[F.coalesce(F.col(b), F.lit(False)).alias(b) for b in bools],
+    )
+
+
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page-cleaning heuristics (operators/text.py::c4_rules; Raffel
+    et al. 2020 §2.2): line/sentence counts, terminal-punctuation line
+    fraction, lorem-ipsum / brace / policy-word exclusions, and the
+    page-keep conjunction. Row-local; FULL SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.c4_rules(docs)
+    bools = ["has_lorem", "has_brace", "has_policy_word", "c4_keep"]
+    return out.select(
+        "doc_id", "n_lines", "punct_line_frac", "n_sentences",
+        *[F.coalesce(F.col(b), F.lit(False)).alias(b) for b in bools],
+    )
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (operators/text.py:
     repetition_metrics): duplicate-bigram fraction and top-bigram share per
@@ -2027,6 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
         "q_asof_nearest_purchase": q_asof_nearest_purchase,
+        "text_gopher_rules": text_gopher_rules,
+        "text_c4_rules": text_c4_rules,
         # --- round-4-green (stalest full-green cohort) -----------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2773,6 +2811,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_contamination": _CONTAMINATION_SQL,
         "dedup_contamination_bloom": _CONTAMINATION_SQL,
+        "text_gopher_rules": f"""
+            -- Gopher A1.1 rules: every signal replayed from the same
+            -- space-split word array; ratios divide exact integers
+            WITH w AS (
+                SELECT doc_id, text, {WORDS} AS ws FROM documents
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       CAST(list_sum(list_transform(ws, x -> length(x)))
+                            AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                           AS mean_word_len,
+                       CAST((length(text) - length(replace(text, '#', '')))
+                            + (length(text) - length(replace(text, '…', '')))
+                            AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                           AS symbol_ratio,
+                       CAST(len(list_filter(ws,
+                                x -> regexp_matches(x, '[A-Za-z]')))
+                            AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                           AS alpha_word_frac,
+                       CAST(len(list_filter(
+                                ['the','be','to','of','and','that','have','with'],
+                                s -> list_contains(ws, s))) AS BIGINT)
+                           AS n_stopwords
+                FROM w
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_word_frac, n_stopwords,
+                   coalesce(n_words >= 50 AND n_words <= 100000, false)
+                       AS pass_word_count,
+                   coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+                            false) AS pass_word_len,
+                   coalesce(symbol_ratio <= 0.1, false) AS pass_symbol,
+                   coalesce(alpha_word_frac >= 0.8, false) AS pass_alpha,
+                   coalesce(n_stopwords >= 1, false) AS pass_stopwords,
+                   coalesce((n_words >= 50 AND n_words <= 100000)
+                       AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                       AND symbol_ratio <= 0.1
+                       AND alpha_word_frac >= 0.8
+                       AND n_stopwords >= 1, false) AS gopher_keep
+            FROM sig
+        """,
+        "text_c4_rules": """
+            -- C4 §2.2 page heuristics replayed in SQL
+            WITH l AS (
+                SELECT doc_id, text, string_split(text, chr(10)) AS lines
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(lines,
+                            x -> regexp_matches(trim(x), '[.!?"'']$')))
+                        AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                       AS punct_line_frac,
+                   CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+                       AS n_sentences,
+                   coalesce(contains(lower(text), 'lorem ipsum'), false)
+                       AS has_lorem,
+                   coalesce(contains(text, '{'), false) AS has_brace,
+                   coalesce(contains(lower(text), 'javascript'), false)
+                       AS has_policy_word,
+                   coalesce(len(regexp_extract_all(text, '[.!?]')) >= 3
+                       AND NOT contains(lower(text), 'lorem ipsum')
+                       AND NOT contains(text, '{')
+                       AND NOT contains(lower(text), 'javascript'), false)
+                       AS c4_keep
+            FROM l
+        """,
         "text_repetition": f"""
             -- replay of operators/text.py::repetition_metrics (n=2): the
             -- engine counts gram runs row-locally over a sorted array; a

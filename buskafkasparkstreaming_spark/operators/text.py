@@ -197,6 +197,127 @@ def repetition_metrics(
     )
 
 
+#: the Gopher "required word" set (Rae et al. 2021, A1.1): a document must
+#: contain at least two of these to pass the stopword rule
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A1.1) —
+    the published heuristic gate MassiveWeb applies before pretraining:
+    word-count bounds, mean-word-length band, symbol-to-word ratio
+    ('#'/'…'), fraction of words with an alphabetic character, and the
+    required-stopword rule (≥ 2 distinct words from a fixed set).
+    Repetition rules (A1.2) are `repetition_metrics`; composition of the
+    two is the full filter.
+
+    Plan shape: ZERO shuffles — every signal is a higher-order-function
+    fold over the document's own word array (JVM codegen, no Python, no
+    explode). Ratios divide exact integers so the SQL oracle reproduces
+    them bit-identically.
+
+    Adds per-rule signal columns, per-rule booleans (`pass_*`), and the
+    conjunction `gopher_keep`.
+    """
+    ws = words(text_col)
+    n_words = F.size(ws)
+    sum_word_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = sum_word_len.cast("double") / n_words.cast("double")
+    n_symbols = F.size(F.split(F.col(text_col), "#")) - 1 + (
+        F.size(F.split(F.col(text_col), "…")) - 1
+    )
+    symbol_ratio = n_symbols.cast("double") / n_words.cast("double")
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = n_alpha.cast("double") / n_words.cast("double")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(ws, s),
+        )
+    )
+    out = (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_len)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("n_stopwords", n_stop.cast("long"))
+        .withColumn(
+            "pass_word_count",
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        )
+        .withColumn(
+            "pass_word_len",
+            (F.col("mean_word_len") >= min_word_len)
+            & (F.col("mean_word_len") <= max_word_len),
+        )
+        .withColumn("pass_symbol", F.col("symbol_ratio") <= max_symbol_ratio)
+        .withColumn("pass_alpha", F.col("alpha_word_frac") >= min_alpha_frac)
+        .withColumn("pass_stopwords", F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn(
+        "gopher_keep",
+        F.col("pass_word_count")
+        & F.col("pass_word_len")
+        & F.col("pass_symbol")
+        & F.col("pass_alpha")
+        & F.col("pass_stopwords"),
+    )
+
+
+def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 document-cleaning heuristics (Raffel et al. 2020, §2.2) as
+    row-local signals: line count and the fraction of lines ending in
+    terminal punctuation, sentence count (C4 drops pages with < 3
+    sentences), the 'lorem ipsum' and curly-brace exclusions, and the
+    policy-word exclusion C4 applies via its bad-words list (represented
+    by the fixed marker 'javascript', the paper's named example).
+
+    ZERO shuffles — splits and regex counts over the document's own text.
+    `c4_keep` is the paper's page-level conjunction (line-level pruning
+    composes via `chunk_boilerplate`-style ops instead of here).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_punct_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("[.!?\"']$"))
+    )
+    n_sentences = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]"), 0))
+    lower = F.lower(F.col(text_col))
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    has_policy_word = lower.contains("javascript")
+    out = (
+        df.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn(
+            "punct_line_frac",
+            n_punct_lines.cast("double") / n_lines.cast("double"),
+        )
+        .withColumn("n_sentences", n_sentences.cast("long"))
+        .withColumn("has_lorem", has_lorem)
+        .withColumn("has_brace", has_brace)
+        .withColumn("has_policy_word", has_policy_word)
+    )
+    return out.withColumn(
+        "c4_keep",
+        (F.col("n_sentences") >= 3)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_policy_word"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -206,6 +206,8 @@ def test_null_text_drift(spark, tmp_path):
         "text_quality",
         "text_token_count",
         "text_langid",
+        "text_gopher_rules",
+        "text_c4_rules",
         "text_pii_redact",
         "dedup_exact",
         "dedup_chunk_boilerplate",

@@ -62,6 +62,8 @@ def test_row_local_ops_have_no_shuffle(spark, sf_dir):
         entrymod.sample_stratified_lang,
         entrymod.text_pii_redact,
         entrymod.ann_quantize_int8,
+        entrymod.text_gopher_rules,
+        entrymod.text_c4_rules,
     ):
         df = fn(spark, sf_dir)
         assert count_shuffles(df) == 0, fn.__name__
