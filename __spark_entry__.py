@@ -1409,6 +1409,50 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-count sketch (operators/stats.py::
+    hll_sketch, Flajolet et al. 2007) — the cardinality analog of the
+    count-min tick merge: per event_type, 256 md5-derived registers whose
+    groupBy(max) partial-aggregates map-side (shuffle O(tasks x m),
+    corpus-size-independent) and merges across ingest ticks by the same
+    max. FULL oracle: bucket/rank hashing and the exact fixed-point
+    harmonic denominator (each register contributes 2^(53-rank) as
+    BIGINT — order-independent, unlike a float sum of 2^-rank) are
+    replayed in SQL; `est_within_20pct` pins the estimator (std error
+    1.04/sqrt(256) ~ 6.5%) against the exact distinct count."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        hll_estimate_col,
+        hll_sketch,
+        hll_stats,
+    )
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    sk = hll_sketch(events, "user_id", group_cols=["event_type"])
+    stats = hll_stats(sk, ["event_type"])
+    exact = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_users"))
+    )
+    est = hll_estimate_col(F.col("sum_fp"), F.col("empty_buckets"))
+    return (
+        stats.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.col("sum_fp").alias("hll_sum_fp"),
+            "empty_buckets",
+            (
+                F.abs(est - F.col("exact_users").cast("double"))
+                / F.col("exact_users").cast("double")
+                <= 0.2
+            ).alias("est_within_20pct"),
+        )
+    )
+
+
 def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment (operators/export.py::
     assign_shards): shard = int(md5(id:salt)[:4], 16) % 16, a pure row
@@ -2065,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_nearest_purchase": q_asof_nearest_purchase,
         "text_gopher_rules": text_gopher_rules,
         "text_c4_rules": text_c4_rules,
+        "sketch_hll_distinct": sketch_hll_distinct,
         # --- round-4-green (stalest full-green cohort) -----------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2179,6 +2224,25 @@ def _sha_byte_sql(i: int, expr: str = "sha256(text)") -> str:
         return f"(strpos('0123456789abcdef', substr({expr}, {pos}, 1)) - 1)"
 
     return f"(16 * {digit(2 * i + 1)} + {digit(2 * i + 2)})"
+
+
+def _hex_int_sql(expr: str, start: int, n: int) -> str:
+    """DuckDB expression for int(hex[start:start+n], 16) of a hex-digest
+    string (1-based `start`) — mirrors Spark's conv(substring(...), 16,
+    10). Written as an explicit positional fold so the value stays exact
+    BIGINT (n <= 15 keeps it under 2^60)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+#: the one float literal in the HLL estimator, computed ONCE in Python and
+#: inlined into BOTH the Spark plan and the oracle SQL so the engines
+#: divide by the bit-identical constant
+_HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * float(1 << 53)
 
 
 def _ngram_pairs_sql(threshold: float, max_df: int | None) -> str:
@@ -3996,6 +4060,53 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(count(*) AS DOUBLE) AS oov_rate
             FROM flagged
             GROUP BY doc_id
+        """,
+        "sketch_hll_distinct": f"""
+            -- HyperLogLog registers replayed from md5: bucket = first 8
+            -- bits, rank = 1 + leading zeros of the next 52 bits; the
+            -- harmonic denominator is summed in exact fixed point
+            WITH it AS (
+                SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            ),
+            br AS (
+                SELECT event_type,
+                       {_hex_int_sql('hx', 1, 2)} AS bucket,
+                       {_hex_int_sql('hx', 3, 13)} AS val
+                FROM it
+            ),
+            reg AS (
+                SELECT event_type, bucket,
+                       MAX(CASE WHEN val = 0 THEN 53
+                                ELSE 53 - length(bin(val)) END) AS rank
+                FROM br GROUP BY event_type, bucket
+            ),
+            st AS (
+                SELECT event_type,
+                       CAST(SUM(1::BIGINT << (53 - rank))
+                            + (256 - count(*)) * (1::BIGINT << 53)
+                            AS BIGINT) AS hll_sum_fp,
+                       CAST(256 - count(*) AS BIGINT) AS empty_buckets
+                FROM reg GROUP BY event_type
+            ),
+            ex AS (
+                SELECT event_type,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY event_type
+            )
+            SELECT st.event_type, ex.exact_users, st.hll_sum_fp,
+                   st.empty_buckets,
+                   abs(CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(st.hll_sum_fp AS DOUBLE)
+                                 <= 640.0 AND st.empty_buckets > 0
+                            THEN 256.0 * ln(256.0 / CAST(st.empty_buckets AS DOUBLE))
+                            ELSE {_HLL_ALPHA_NUM!r} / CAST(st.hll_sum_fp AS DOUBLE)
+                       END - CAST(ex.exact_users AS DOUBLE))
+                       / CAST(ex.exact_users AS DOUBLE) <= 0.2
+                       AS est_within_20pct
+            FROM st JOIN ex ON st.event_type = ex.event_type
         """,
         "sketch_count_min": f"""
             -- full CMS replay: bucket_j(word) = int(md5(word:j)[:4],16) % 256

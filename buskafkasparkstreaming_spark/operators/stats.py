@@ -162,3 +162,95 @@ def cms_point_query(
     return joined.groupBy(*items.columns).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
     )
+
+
+def _hll_bucket_rank(col: "Column", b: int = 8):
+    """(bucket, rank) for one item: bucket = first `b` bits of md5, rank =
+    1 + leading zeros of the next 52 bits (Flajolet et al. 2007). md5 is
+    bit-identical in Spark and DuckDB, the 52-bit slice is always a
+    POSITIVE long (no sign-bit pitfalls), and rank comes from the binary
+    string length — integer-exact in both engines."""
+    from pyspark.sql import functions as F
+
+    if b != 8:
+        raise ValueError("b=8 (256 registers) is the calibrated variant")
+    hx = F.md5(col.cast("string"))
+    bucket = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    val = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    rank = F.when(val == 0, F.lit(53)).otherwise(53 - F.length(F.bin(val)))
+    return bucket, rank.cast("int")
+
+
+def hll_sketch(
+    df: DataFrame, item_col: str, group_cols: list[str] | None = None, b: int = 8
+) -> DataFrame:
+    """HyperLogLog register table per group: (group..., bucket, max rank).
+
+    Why this shape survives 100 TB: register space is FIXED (≤ 2^b rows
+    per group, sparse — empty registers are implicit), the groupBy(max)
+    partial-aggregates map-side so shuffle volume is O(tasks × m)
+    regardless of row count, and two sketches MERGE by the same
+    groupBy(max) over their union — the property that makes distinct
+    counting incrementally maintainable per ingest tick (the cardinality
+    analog of `count_min_sketch`; a COUNT(DISTINCT) over raw rows can
+    never merge across ticks without reshuffling history).
+    NULL items are excluded (COUNT(DISTINCT) semantics)."""
+    from pyspark.sql import functions as F
+
+    groups = group_cols or []
+    bucket, rank = _hll_bucket_rank(F.col(item_col), b)
+    rows = df.filter(F.col(item_col).isNotNull()).select(
+        *groups, bucket.alias("bucket"), rank.alias("rank")
+    )
+    return rows.groupBy(*groups, "bucket").agg(F.max("rank").alias("rank"))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables (same grouping): elementwise max."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    keys = [c for c in u.columns if c != "rank"]
+    return u.groupBy(*keys).agg(F.max("rank").alias("rank"))
+
+
+def hll_stats(sketch: DataFrame, group_cols: list[str] | None = None, b: int = 8) -> DataFrame:
+    """Per-group estimator inputs in EXACT integer arithmetic: the
+    harmonic-mean denominator as fixed-point BIGINT (each register
+    contributes 2^(53-rank), an exact power of two, so the sum is
+    order-independent — a float Σ2^-rank would round order-dependently)
+    plus the empty-register count. The float estimate itself
+    (`hll_estimate_col`) is a deterministic scalar function of these two
+    integers."""
+    from pyspark.sql import functions as F
+
+    groups = group_cols or []
+    m = 1 << b
+    # the Python shiftleft() helper wants a literal shift; the SQL form
+    # accepts a column expression
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rank)")
+    return sketch.groupBy(*groups).agg(
+        (
+            F.sum(term)
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 53).cast("long")
+        ).cast("long").alias("sum_fp"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("empty_buckets"),
+    )
+
+
+def hll_estimate_col(sum_fp: "Column", empty_buckets: "Column", b: int = 8) -> "Column":
+    """Cardinality estimate from the exact integer stats: raw HLL with the
+    small-range linear-counting correction (Flajolet et al. 2007). All
+    float ops are a fixed scalar expression over two integers — identical
+    operation order in any engine."""
+    from pyspark.sql import functions as F
+
+    m = float(1 << b)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = (
+        F.lit(alpha * m * m * float(1 << 53)) / sum_fp.cast("double")
+    )
+    lc = F.lit(m) * F.log(F.lit(m) / empty_buckets.cast("double"))
+    return F.when((raw <= 2.5 * m) & (empty_buckets > 0), lc).otherwise(raw)

@@ -1043,3 +1043,34 @@ def test_pagerank_fixed_point_semantics(spark):
     assert r[9] == (10**12 // 8) // 6
     r2 = {x.id: x.rank_fp for x in pagerank_fixed_point(edges, nodes, iters=3).collect()}
     assert r == r2
+
+
+def test_hll_sketch_merge_and_accuracy(spark):
+    """HLL invariants: (a) the register table of a union equals the
+    bucketwise max of per-part sketches (mergeability — incremental
+    distinct counting per ingest tick); (b) ranks stay in [1, 53];
+    (c) the estimate lands within the 3-sigma HLL error band."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        hll_estimate_col,
+        hll_merge,
+        hll_sketch,
+        hll_stats,
+    )
+
+    df = spark.range(0, 5000).select(F.col("id").alias("uid"))
+    sketch = hll_sketch(df, "uid")
+    ranks = [r.rank for r in sketch.collect()]
+    assert all(1 <= r <= 53 for r in ranks)
+
+    part_a = df.filter(F.col("uid") < 2000)
+    part_b = df.filter(F.col("uid") >= 1500)  # overlap on purpose
+    merged = hll_merge(hll_sketch(part_a, "uid"), hll_sketch(part_b, "uid"))
+    assert merged.exceptAll(sketch).count() == 0
+    assert sketch.exceptAll(merged).count() == 0
+
+    est = (
+        hll_stats(sketch)
+        .select(hll_estimate_col(F.col("sum_fp"), F.col("empty_buckets")).alias("est"))
+        .first()["est"]
+    )
+    assert abs(est - 5000) / 5000 < 3 * 1.04 / (256 ** 0.5), est
