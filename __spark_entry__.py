@@ -2064,6 +2064,18 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens")
 
 
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling without replacement (operators/sampling.py::
+    weighted_sample, Efraimidis & Spirakis 2006): top-100 docs by
+    priority ln(u)/n_chars with u a pure md5 function of the doc id —
+    longer docs proportionally likelier, sample stable across reruns /
+    partitionings / engines. FULL oracle: the 52-bit uniform, the
+    priority, and the top-k ordering are replayed in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SP.weighted_sample(docs, "doc_id", "n_chars", k=100)
+    return out.select("doc_id", "n_chars")
+
+
 def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling (operators/sampling.py:domain_cap): keep
     at most 40 docs per source, selected by deterministic md5 rank within
@@ -2110,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": text_gopher_rules,
         "text_c4_rules": text_c4_rules,
         "sketch_hll_distinct": sketch_hll_distinct,
+        "sample_weighted_priority": sample_weighted_priority,
         # --- round-4-green (stalest full-green cohort) -----------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -3079,6 +3092,21 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING) AS cum
                 FROM documents)
             WHERE cum <= 800
+        """,
+        "sample_weighted_priority": f"""
+            -- A-ES priorities replayed: u = (52-bit md5 prefix + 1)/2^52,
+            -- key = ln(u)/weight, top-100 by (key DESC, doc_id ASC)
+            WITH pri AS (
+                SELECT doc_id, n_chars,
+                       ln(CAST({_hex_int_sql(
+                           "md5(CAST(doc_id AS VARCHAR) || ':wsample')", 1, 13
+                       )} + 1 AS DOUBLE) / 4503599627370496.0)
+                           / CAST(n_chars AS DOUBLE) AS k
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, n_chars FROM pri
+            ORDER BY k DESC, doc_id ASC LIMIT 100
         """,
         "sample_domain_cap": """
             -- identical window rank as operators/sampling.py::domain_cap

@@ -336,3 +336,40 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    algorithm A-ES): each row gets priority key = ln(u) / w with u an
+    md5-derived uniform in (0, 1]; the k largest keys are exactly a
+    weighted sample without replacement. This is the data-mixing
+    primitive a training pipeline uses to draw a corpus subset where
+    inclusion probability tracks a quality/length/temperature weight.
+
+    Deterministic like every sampler here: u is a pure function of
+    (id, salt) — 52 md5 bits, exact in a double — so the sample is
+    stable across reruns, partitionings, and engines. Rows with NULL or
+    non-positive weight are excluded (they cannot be drawn).
+
+    Plan: row-local key computation + one global top-k
+    (TakeOrderedAndProject: per-partition heads then a driver merge of k
+    rows — no full sort materialization at any scale). Adds `__wkey`
+    ordering determinism via (key DESC, id ASC).
+    """
+    hx = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    u52 = F.conv(F.substring(hx, 1, 13), 16, 10).cast("long")
+    u = (u52 + 1).cast("double") / float(1 << 52)  # (0, 1]
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )

@@ -1074,3 +1074,25 @@ def test_hll_sketch_merge_and_accuracy(spark):
         .first()["est"]
     )
     assert abs(est - 5000) / 5000 < 3 * 1.04 / (256 ** 0.5), est
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """A-ES sample is a pure function of (id, salt) — identical across
+    runs — and inclusion probability tracks the weight: with 100 rows at
+    weight 100 vs 900 rows at weight 1, the k=100 sample is dominated by
+    the heavy rows."""
+    from buskafkasparkstreaming_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, F.lit(100)).otherwise(F.lit(1)).alias("w"),
+    )
+    s1 = {r.id for r in weighted_sample(df, "id", "w", k=100).collect()}
+    s2 = {r.id for r in weighted_sample(df, "id", "w", k=100).collect()}
+    assert s1 == s2
+    heavy = sum(1 for i in s1 if i < 100)
+    assert heavy >= 70, f"only {heavy}/100 heavy rows sampled"
+    # zero/NULL weights can never be drawn
+    z = spark.createDataFrame([(1, 0), (2, None), (3, 5)], "id int, w int")
+    got = {r.id for r in weighted_sample(z, "id", "w", k=10).collect()}
+    assert got == {3}
