@@ -1161,6 +1161,26 @@ def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.run_to_memory(joined, spark, output_mode="append")
 
 
+def streaming_purchase_error_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time bounds
+    (streaming/joins.py::purchases_then_errors how='left_outer'): inner
+    matches emit in-batch; null-extended purchases emit only when the
+    watermark passes their match window (state eviction proves no error
+    can still arrive). The oracle replays the cutoff: unmatched
+    purchases with p.ts + gap < min(max purchase ts, max error ts) −
+    watermark delay — purchases whose window is still open at stream end
+    are correctly withheld by BOTH sides."""
+    from buskafkasparkstreaming_spark.streaming.joins import (
+        purchases_then_errors,
+    )
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    joined = purchases_then_errors(stream, max_gap="1 hour", how="left_outer")
+    return SW.run_to_memory(joined, spark, output_mode="append")
+
+
 def text_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 lexical ranking fused with an embedding
     cosine ranking via reciprocal-rank fusion (Cormack et al. 2009),
@@ -2123,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_rules": text_c4_rules,
         "sketch_hll_distinct": sketch_hll_distinct,
         "sample_weighted_priority": sample_weighted_priority,
+        "streaming_purchase_error_left_join": streaming_purchase_error_left_join,
         # --- round-4-green (stalest full-green cohort) -----------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -3801,6 +3822,39 @@ def oracle_sql() -> dict[str, str]:
                        / sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1.0)) AS zscore
             FROM events e JOIN g USING (event_type)
             WHERE e.value IS NOT NULL
+        """,
+        "streaming_purchase_error_left_join": """
+            -- inner pairs + watermark-evicted unmatched purchases:
+            -- a null-extended row exists iff the global watermark
+            -- (min of both sides' max ts − 2h delay) strictly passed
+            -- the end of the purchase's 1h match window
+            WITH w AS (
+                SELECT least(
+                    (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+                    (SELECT max(ts) FROM events WHERE event_type = 'error'))
+                    - INTERVAL 2 HOUR AS wm
+            )
+            SELECT p.event_id AS purchase_event_id,
+                   e.event_id AS error_event_id,
+                   p.user_id,
+                   CAST(epoch_ms(e.ts) - epoch_ms(p.ts) AS BIGINT) AS gap_ms
+            FROM events p
+            JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_type = 'error'
+             AND e.ts >= p.ts
+             AND e.ts <= p.ts + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase'
+            UNION ALL
+            SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id,
+                   CAST(NULL AS BIGINT)
+            FROM events p
+            WHERE p.event_type = 'purchase'
+              AND NOT EXISTS (
+                  SELECT 1 FROM events e
+                  WHERE e.user_id = p.user_id AND e.event_type = 'error'
+                    AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR)
+              AND p.ts + INTERVAL 1 HOUR < (SELECT wm FROM w)
         """,
         "streaming_purchase_error_join": """
             SELECT p.event_id AS purchase_event_id,

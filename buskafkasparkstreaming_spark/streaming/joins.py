@@ -50,11 +50,21 @@ def purchases_then_errors(
     events: DataFrame,
     max_gap: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner stream-stream self-join: each purchase paired with the errors
-    of the same user occurring within `max_gap` AFTER it.
+    """Stream-stream self-join: each purchase paired with the errors of
+    the same user occurring within `max_gap` AFTER it.
 
-    Output: purchase_event_id, error_event_id, user_id, gap_ms.
+    `how='left_outer'` additionally emits every purchase that saw NO
+    error in its window, null-extended — but only once the watermark
+    passes the end of that purchase's match window (state eviction is
+    what proves no match can still arrive; an outer result cannot be
+    emitted speculatively). Purchases whose window is still open when
+    the stream ends stay unemitted — the price of correctness on an
+    unbounded stream, pinned by the oracle's watermark-cutoff replay.
+
+    Output: purchase_event_id, error_event_id, user_id, gap_ms
+    (error_event_id/gap_ms NULL on unmatched rows under left_outer).
     """
     purchases = (
         events.filter(F.col("event_type") == "purchase")
@@ -79,7 +89,7 @@ def purchases_then_errors(
         (F.col("p_user") == F.col("e_user"))
         & (F.col("e_ts") >= F.col("p_ts"))
         & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {max_gap}")),
-        "inner",
+        how,
     )
     return joined.select(
         "purchase_event_id",
