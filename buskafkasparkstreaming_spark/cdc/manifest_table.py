@@ -101,7 +101,35 @@ class ManifestUpsertTable:
         m = self._current_manifest()
         return -1 if m is None else m["version"]
 
+    def history(self) -> list[int]:
+        """Versions still readable (retained by `vacuum`), oldest first.
+        Every retained manifest is fully readable: vacuum keeps the union
+        of their object sets live."""
+        d = self._manifest_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(n[: -len(".json")]) for n in os.listdir(d) if n.endswith(".json")
+        )
+
+    def _manifest_at(self, version: int) -> dict:
+        p = os.path.join(self._manifest_dir(), f"{version:010d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"version {version} is not readable at {self.path}: its "
+                f"manifest was vacuumed (retained: {self.history()})"
+            )
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
     # -- read ----------------------------------------------------------------
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read the table exactly as of `version`. Free on
+        this protocol — manifests are immutable versioned snapshots and
+        `vacuum(keep_manifests=K)` keeps the last K fully readable (the
+        Hudi-timeline / Iceberg-snapshot analog)."""
+        return self._read_manifest_df(self._manifest_at(version))
+
     def read(self) -> DataFrame:
         """Read exactly the objects the current manifest lists (never a
         directory listing). Partition values are re-attached from the
@@ -110,6 +138,9 @@ class ManifestUpsertTable:
         m = self._current_manifest()
         if m is None:
             raise FileNotFoundError(f"no manifest at {self.path}")
+        return self._read_manifest_df(m)
+
+    def _read_manifest_df(self, m: dict) -> DataFrame:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(m["schema"])

@@ -323,3 +323,47 @@ def test_manifest_merge_new_partition_later(spark, tmp_path):
     assert m1["partitions"]["0"] == m0["partitions"]["0"]  # untouched objects
     assert m1["partitions"]["7"]
     assert _state(t) == {(1, 10, 0), (2, 20, 7)}
+
+
+def test_manifest_time_travel_and_history(spark, tmp_path):
+    """Manifests are immutable versioned snapshots: read_version(n)
+    reconstructs the table as of n for every retained version, and
+    vacuumed versions raise with the retained list."""
+    import pytest
+
+    t = _table(spark, tmp_path)
+    states = []
+    for et, v in ((100, 1), (200, 2), (300, 3)):
+        t.merge(
+            spark.createDataFrame([(1, v, 0, et)], "k int, v int, p int, et int")
+        )
+        states.append(_state(t))
+    assert t.history() == [0, 1, 2]
+    for n, want in enumerate(states):
+        got = {(r.k, r.v, r.p) for r in t.read_version(n).select("k", "v", "p").collect()}
+        assert got == want, f"version {n}"
+    t.vacuum(keep_manifests=2)
+    assert t.history() == [1, 2]
+    assert {(r.k, r.v, r.p) for r in t.read_version(1).select("k", "v", "p").collect()} == states[1]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.read_version(0)
+
+
+def test_manifest_schema_evolution_on_merge(spark, tmp_path):
+    """A merge batch introducing a NEW column widens the table schema:
+    old rows read back with NULL in the new column, and the manifest's
+    stored schema reflects the widened shape (unionByName with
+    allowMissingColumns — the Delta mergeSchema behavior)."""
+    t = _table(spark, tmp_path)
+    t.merge(spark.createDataFrame([(1, 10, 0, 100)], "k int, v int, p int, et int"))
+    t.merge(
+        spark.createDataFrame(
+            [(2, 20, 0, 100, "fresh")], "k int, v int, p int, et int, tag string"
+        )
+    )
+    rows = {r.k: (r.v, r.tag) for r in t.read().collect()}
+    assert rows == {1: (10, None), 2: (20, "fresh")}
+    # and the widened schema persists for subsequent old-shape merges
+    t.merge(spark.createDataFrame([(3, 30, 0, 100)], "k int, v int, p int, et int"))
+    rows = {r.k: (r.v, r.tag) for r in t.read().collect()}
+    assert rows == {1: (10, None), 2: (20, "fresh"), 3: (30, None)}
