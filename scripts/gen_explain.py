@@ -31,6 +31,10 @@ SHOWN = {
     "cdc_scd2_history": "SCD2 intervals: ONE lead window per key over the change log — no self-join",
     "text_hybrid_search": "RRF fusion: two independent rankings full-outer joined on id; global row_number windows are single-partition by nature (top-k scoring), bounded by ranked-set size",
     "graph_pagerank_neardup": "power iteration as joins: per round ONE edge-rank join + ONE dst-keyed partial agg + ONE node re-join; integer fixed-point keeps ranks bit-exact under any partitioning",
+    "q_asof_nearest_purchase": "nearest as-of: ONE hash exchange on the key; the forward pass is a second sort over the same partitioning, never a second shuffle",
+    "sketch_hll_distinct": "HLL build: row-local bucket/rank from md5, groupBy(max) partial-aggregates into <= 256 registers per group; fixed-point harmonic sum is a register-sized agg",
+    "text_gopher_rules": "Gopher rules: ZERO exchanges — every signal a higher-order fold over the doc's own word array, one codegen stage over the scan",
+    "sample_weighted_priority": "A-ES weighted sample: row-local priority + TakeOrderedAndProject top-k; no full sort materialization",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage
