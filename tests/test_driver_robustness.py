@@ -293,6 +293,8 @@ def test_null_events_drift(spark, tmp_path):
         "q_asof_next_purchase",
         "q_asof_nearest_purchase",
         "manifest_read_where",
+        "sketch_hll_distinct",
+        "streaming_purchase_error_left_join",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
