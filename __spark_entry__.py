@@ -2098,6 +2098,22 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars")
 
 
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/sampling.py::
+    dsir_importance_sample, Xie et al. 2023): top-100 docs by
+    target/source unigram log-ratio + Gumbel noise, target = lang='en'.
+    Log-probs are floor-fixed-pointed row-locally (exact BIGINT sums);
+    the Gumbel key is a fixed scalar over the md5 uniform. FULL oracle
+    replays both LMs, the ratio, and the Gumbel top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SP.dsir_importance_sample(
+        docs, "doc_id", "text", F.col("lang") == "en", k=100
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "sum_logratio_fp"
+    )
+
+
 def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling (operators/sampling.py:domain_cap): keep
     at most 40 docs per source, selected by deterministic md5 rank within
@@ -2146,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": sketch_hll_distinct,
         "sample_weighted_priority": sample_weighted_priority,
         "streaming_purchase_error_left_join": streaming_purchase_error_left_join,
+        "sample_dsir_importance": sample_dsir_importance,
         # --- round-4-green (stalest full-green cohort) -----------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -3115,6 +3132,50 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING) AS cum
                 FROM documents)
             WHERE cum <= 800
+        """,
+        "sample_dsir_importance": f"""
+            -- DSIR replay: target (lang='en') and source unigram LMs,
+            -- per-token floor-fixed-point ln p ratio, exact BIGINT doc
+            -- sums, Gumbel-top-k key = logw + -ln(-ln(u))
+            WITH toks AS (
+                SELECT doc_id, lang = 'en' AS tgt, unnest({WORDS}) AS w
+                FROM documents
+            ),
+            sv AS (SELECT w, count(*) AS cs FROM toks GROUP BY w),
+            tv AS (SELECT w, count(*) AS ct FROM toks WHERE tgt GROUP BY w),
+            tot AS (
+                SELECT (SELECT sum(cs) FROM sv) AS ns,
+                       (SELECT count(*) FROM sv) AS vs,
+                       (SELECT sum(ct) FROM tv) AS nt,
+                       (SELECT count(*) FROM tv) AS vt
+            ),
+            scored AS (
+                SELECT t.doc_id,
+                       CAST(floor(ln(CAST(coalesce(tv.ct, 0) + 1 AS DOUBLE)
+                                     / CAST(tot.nt + tot.vt AS DOUBLE)) * 10000)
+                            AS BIGINT)
+                       - CAST(floor(ln(CAST(sv.cs + 1 AS DOUBLE)
+                                       / CAST(tot.ns + tot.vs AS DOUBLE)) * 10000)
+                              AS BIGINT) AS fp
+                FROM toks t
+                JOIN sv USING (w)
+                LEFT JOIN tv USING (w)
+                CROSS JOIN tot
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(fp) AS BIGINT) AS sum_logratio_fp
+                FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, sum_logratio_fp FROM (
+                SELECT *,
+                       CAST(sum_logratio_fp AS DOUBLE) / 10000.0
+                       + -ln(-ln(CAST({_hex_int_sql(
+                           "md5(CAST(doc_id AS VARCHAR) || ':dsir')", 1, 13
+                       )} + 1 AS DOUBLE) / 4503599627370496.0)) AS gkey
+                FROM per_doc)
+            ORDER BY gkey DESC, doc_id ASC LIMIT 100
         """,
         "sample_weighted_priority": f"""
             -- A-ES priorities replayed: u = (52-bit md5 prefix + 1)/2^52,

@@ -373,3 +373,97 @@ def weighted_sample(
         .limit(k)
         .drop("__wkey")
     )
+
+
+def dsir_importance_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter: Column,
+    k: int,
+    fp_scale: int = 10_000,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    select k source documents whose unigram bag looks most like a TARGET
+    domain, by importance weight w(doc) = p_target(doc) / p_source(doc)
+    under add-one-smoothed unigram models, sampled WITHOUT replacement
+    via Gumbel-top-k on log w + Gumbel(u) (exactly the weighted sample
+    `weighted_sample` draws, expressed in log space so length-long docs
+    don't overflow the weight).
+
+    Exactness contract (the `lm_unigram_score` idiom): each token's
+    ln p_target and ln p_source are floor-fixed-pointed ROW-LOCALLY, so
+    the per-doc log-ratio is an exact BIGINT sum — engine- and
+    order-independent; the only float ops are the final key = logw +
+    Gumbel(u), a fixed scalar expression over (exact int, md5 uniform).
+
+    Plan: one explode; two word-keyed count aggregations (target model
+    counts a filtered subset of the SAME token stream); token→vocab
+    equi-joins co-partitioned on the word; 1-row totals broadcast;
+    per-doc sum (shuffle on id); global top-k (TakeOrderedAndProject).
+    At 100 TB the target side is typically small (a quality corpus) and
+    its vocab broadcastable.
+
+    Output: top-k rows (id, n_tokens, sum_logratio_fp) by Gumbel key.
+    """
+    from buskafkasparkstreaming_spark.operators.text import words
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_filter.alias("__tgt"),
+        F.explode(words(text_col)).alias("w"),
+    )
+    sv = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cs"))
+    tv = toks.filter(F.col("__tgt")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = sv.agg(
+        F.sum("cs").cast("long").alias("__Ns"),
+        F.count(F.lit(1)).cast("long").alias("__Vs"),
+    ).crossJoin(
+        tv.agg(
+            F.sum("ct").cast("long").alias("__Nt"),
+            F.count(F.lit(1)).cast("long").alias("__Vt"),
+        )
+    )
+
+    def nats_fp(cnt: Column, n: Column, v: Column) -> Column:
+        return F.floor(
+            F.log(
+                (cnt + 1).cast("double") / (n + v).cast("double")
+            )
+            * F.lit(fp_scale)
+        ).cast("long")
+
+    scored = (
+        toks.join(sv, "w")
+        .join(tv, "w", "left")
+        .crossJoin(F.broadcast(totals))  # scalar-broadcast idiom
+        .withColumn(
+            "__fp",
+            nats_fp(
+                F.coalesce(F.col("ct"), F.lit(0)), F.col("__Nt"), F.col("__Vt")
+            )
+            - nats_fp(F.col("cs"), F.col("__Ns"), F.col("__Vs")),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("__fp").cast("long").alias("sum_logratio_fp"),
+    )
+    hx = F.md5(F.concat(F.col("id").cast("string"), F.lit(":" + salt)))
+    u = (F.conv(F.substring(hx, 1, 13), 16, 10).cast("long") + 1).cast(
+        "double"
+    ) / float(1 << 52)
+    gumbel = -F.log(-F.log(u))
+    key = (
+        F.col("sum_logratio_fp").cast("double") / F.lit(float(fp_scale))
+        + gumbel
+    )
+    return (
+        per_doc.withColumn("__gkey", key)
+        .orderBy(F.col("__gkey").desc(), F.col("id").asc())
+        .limit(k)
+        .drop("__gkey")
+    )

@@ -1096,3 +1096,29 @@ def test_weighted_sample_bias_and_determinism(spark):
     z = spark.createDataFrame([(1, 0), (2, None), (3, 5)], "id int, w int")
     got = {r.id for r in weighted_sample(z, "id", "w", k=10).collect()}
     assert got == {3}
+
+
+def test_dsir_importance_favors_target_like_docs(spark):
+    """The DSIR log-ratio is higher for docs whose vocabulary matches the
+    target domain: with target docs speaking vocab A and the rest vocab
+    B, an A-speaking candidate outweighs a B-speaking one."""
+    from buskafkasparkstreaming_spark.operators.sampling import (
+        dsir_importance_sample,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "tgt"),
+        (2, "alpha gamma beta beta alpha", "tgt"),
+        (3, "delta epsilon zeta delta zeta", "src"),
+        (4, "delta zeta epsilon epsilon", "src"),
+        (10, "alpha beta alpha gamma", "cand"),   # target-like
+        (11, "delta zeta delta epsilon", "cand"), # source-only vocab
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, dom string")
+    out = dsir_importance_sample(
+        df, "doc_id", "text", F.col("dom") == "tgt", k=100
+    )
+    w = {r.id: r.sum_logratio_fp for r in out.collect()}
+    assert w[10] > w[11], w
+    # the whole corpus is returned when k >= corpus size, each scored
+    assert set(w) == {1, 2, 3, 4, 10, 11}

@@ -99,3 +99,32 @@ def test_boilerplate_reassembly_is_lossless(spark, texts, chunk_words):
     )
     got = {r.id: (r.clean_text, r.n_dropped) for r in out.collect()}
     assert got == {i: (t, 0) for i, t in rows}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=5, max_size=60,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=20),
+)
+def test_weighted_sample_is_partitioning_invariant(spark, ids, k):
+    """A-ES weighted sample is a pure function of (id, salt): identical
+    under repartitioning (= identical on any cluster layout), sized
+    min(k, eligible), and monotone — a larger k keeps a superset."""
+    from buskafkasparkstreaming_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 + (i % 7)) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    s1 = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(7), "doc_id", "w", k).collect()
+    }
+    assert s1 == s2
+    assert len(s1) == min(k, len(ids))
+    s_more = {
+        r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k + 5).collect()
+    }
+    assert s1 <= s_more
