@@ -1475,6 +1475,38 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tick HLL maintenance (the count-min `rollup_incremental`
+    pattern for DISTINCT counts): events arrive in 3 deterministic
+    batches, each batch sketches independently, the running register
+    table is the elementwise max (operators/stats.py::hll_merge) —
+    refresh cost O(batch), never a history rescan. The oracle recomputes
+    the registers from scratch; hash equality IS the merge-algebra
+    proof."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        hll_merge,
+        hll_sketch,
+        hll_stats,
+    )
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    batches = [
+        events.filter(F.pmod(F.xxhash64(F.col("event_id")), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    merged = hll_merge(
+        *[hll_sketch(b, "user_id", group_cols=["event_type"]) for b in batches]
+    )
+    stats = hll_stats(merged, ["event_type"])
+    return stats.select(
+        "event_type",
+        F.col("sum_fp").alias("hll_sum_fp"),
+        "empty_buckets",
+    )
+
+
 def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment (operators/export.py::
     assign_shards): shard = int(md5(id:salt)[:4], 16) % 16, a pure row
@@ -2163,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_priority": sample_weighted_priority,
         "streaming_purchase_error_left_join": streaming_purchase_error_left_join,
         "sample_dsir_importance": sample_dsir_importance,
+        "sketch_hll_incremental": sketch_hll_incremental,
         # --- round-4-green (stalest full-green cohort) -----------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2296,6 +2329,38 @@ def _hex_int_sql(expr: str, start: int, n: int) -> str:
 #: inlined into BOTH the Spark plan and the oracle SQL so the engines
 #: divide by the bit-identical constant
 _HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * float(1 << 53)
+
+
+def _hll_reg_sql() -> str:
+    """Shared oracle CTE chain: per-event_type HyperLogLog register table
+    (bucket = first 8 md5 bits, rank = 1 + leading zeros of the next 52)
+    over non-NULL (event_type, user_id) — mirrors operators/stats.py::
+    hll_sketch."""
+    return f"""it AS (
+                SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            ),
+            br AS (
+                SELECT event_type,
+                       {_hex_int_sql('hx', 1, 2)} AS bucket,
+                       {_hex_int_sql('hx', 3, 13)} AS val
+                FROM it
+            ),
+            reg AS (
+                SELECT event_type, bucket,
+                       MAX(CASE WHEN val = 0 THEN 53
+                                ELSE 53 - length(bin(val)) END) AS rank
+                FROM br GROUP BY event_type, bucket
+            ),
+            st AS (
+                SELECT event_type,
+                       CAST(SUM(1::BIGINT << (53 - rank))
+                            + (256 - count(*)) * (1::BIGINT << 53)
+                            AS BIGINT) AS hll_sum_fp,
+                       CAST(256 - count(*) AS BIGINT) AS empty_buckets
+                FROM reg GROUP BY event_type
+            )"""
 
 
 def _ngram_pairs_sql(threshold: float, max_df: int | None) -> str:
@@ -4210,31 +4275,7 @@ def oracle_sql() -> dict[str, str]:
             -- HyperLogLog registers replayed from md5: bucket = first 8
             -- bits, rank = 1 + leading zeros of the next 52 bits; the
             -- harmonic denominator is summed in exact fixed point
-            WITH it AS (
-                SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
-                FROM events
-                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-            ),
-            br AS (
-                SELECT event_type,
-                       {_hex_int_sql('hx', 1, 2)} AS bucket,
-                       {_hex_int_sql('hx', 3, 13)} AS val
-                FROM it
-            ),
-            reg AS (
-                SELECT event_type, bucket,
-                       MAX(CASE WHEN val = 0 THEN 53
-                                ELSE 53 - length(bin(val)) END) AS rank
-                FROM br GROUP BY event_type, bucket
-            ),
-            st AS (
-                SELECT event_type,
-                       CAST(SUM(1::BIGINT << (53 - rank))
-                            + (256 - count(*)) * (1::BIGINT << 53)
-                            AS BIGINT) AS hll_sum_fp,
-                       CAST(256 - count(*) AS BIGINT) AS empty_buckets
-                FROM reg GROUP BY event_type
-            ),
+            WITH {_hll_reg_sql()},
             ex AS (
                 SELECT event_type,
                        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
@@ -4252,6 +4293,13 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(ex.exact_users AS DOUBLE) <= 0.2
                        AS est_within_20pct
             FROM st JOIN ex ON st.event_type = ex.event_type
+        """,
+        "sketch_hll_incremental": f"""
+            -- scratch recompute of the register table: hash equality
+            -- with the engine's 3-batch merged sketch IS the
+            -- merge-algebra proof (elementwise max is order-free)
+            WITH {_hll_reg_sql()}
+            SELECT event_type, hll_sum_fp, empty_buckets FROM st
         """,
         "sketch_count_min": f"""
             -- full CMS replay: bucket_j(word) = int(md5(word:j)[:4],16) % 256
