@@ -360,3 +360,41 @@ def test_vocab_coverage_plan_top_v_never_data_sized(spark, sf_dir):
     assert "TakeOrdered" in plan
     assert "BroadcastHashJoin" in plan
     assert _fmt_exchanges(df) <= 2
+
+
+def test_weighted_sample_is_row_local_topk(spark, sf_dir):
+    """A-ES sampling must be ZERO exchanges + TakeOrderedAndProject —
+    per-partition heads merged on the driver, never a global sort."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    df = entrymod.sample_weighted_priority(spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_hll_plan_is_register_bounded(spark, sf_dir):
+    """HLL build: bounded exchanges (sketch agg + stats agg + exact-side
+    join), no cartesian/nested-loop — shuffle volume is register-sized
+    after partial aggregation, independent of corpus size."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    for fn in (entrymod.sketch_hll_distinct, entrymod.sketch_hll_incremental):
+        df = fn(spark, sf_dir)
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert count_shuffles(df) <= 4, fn.__name__
+
+
+def test_dsir_plan_shape(spark, sf_dir):
+    """DSIR: explode + two word aggs + co-partitioned vocab joins +
+    per-doc agg + TakeOrdered top-k; the only nested-loop is the 1-row
+    totals scalar-broadcast (the lm_score idiom), never a data-sized
+    cartesian."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    df = entrymod.sample_dsir_importance(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert count_shuffles(df) <= 5
