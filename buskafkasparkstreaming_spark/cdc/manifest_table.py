@@ -140,14 +140,29 @@ class ManifestUpsertTable:
             raise FileNotFoundError(f"no manifest at {self.path}")
         return self._read_manifest_df(m)
 
-    def _read_manifest_df(self, m: dict) -> DataFrame:
+    def _read_objects(
+        self,
+        m: dict,
+        vals: set | None = None,
+        keep_keys: set | None = None,
+    ) -> DataFrame | None:
+        """THE manifest-resolved reader (every read path funnels here):
+        partitions restricted to string forms in `vals` when given,
+        objects restricted to `keep_keys` (zone-map survivors) when
+        given. Partition values are re-attached from the manifest.
+        Returns None when nothing matches."""
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(m["schema"])
         if self.partition_col is None:
-            files = [os.path.join(self.path, k) for k in m["partitions"][""]]
-            if not files:
-                return self.spark.createDataFrame([], schema)
+            keys = [
+                k
+                for k in m["partitions"].get("", [])
+                if keep_keys is None or k in keep_keys
+            ]
+            if not keys:
+                return None
+            files = [os.path.join(self.path, k) for k in keys]
             return self.spark.read.schema(schema).parquet(*files)
         ptype = schema[self.partition_col].dataType
         data_schema = StructType(
@@ -155,9 +170,15 @@ class ManifestUpsertTable:
         )
         out: DataFrame | None = None
         for val_str, keys in sorted(m["partitions"].items()):
-            if not keys:
+            if vals is not None and val_str not in vals:
                 continue
-            files = [os.path.join(self.path, k) for k in keys]
+            files = [
+                os.path.join(self.path, k)
+                for k in keys
+                if keep_keys is None or k in keep_keys
+            ]
+            if not files:
+                continue
             part = self.spark.read.schema(data_schema).parquet(*files)
             val = (
                 F.lit(None).cast(ptype)
@@ -166,9 +187,16 @@ class ManifestUpsertTable:
             )
             part = part.withColumn(self.partition_col, val)
             out = part if out is None else out.unionByName(part)
-        if out is None:
-            return self.spark.createDataFrame([], schema)
         return out
+
+    def _empty(self, m: dict) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        return self.spark.createDataFrame([], StructType.fromJson(m["schema"]))
+
+    def _read_manifest_df(self, m: dict) -> DataFrame:
+        out = self._read_objects(m)
+        return self._empty(m) if out is None else out
 
     def select_objects(self, col: str, lo, hi) -> tuple[list[str], list[str]]:
         """File skipping: split the manifest's live objects into (kept,
@@ -196,63 +224,16 @@ class ManifestUpsertTable:
         scan into a handful of GETs. The surviving objects still get the
         row-level filter (zone maps are file-granular)."""
         m = self._current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {self.path}")
         kept, _ = self.select_objects(col, lo, hi)
-        kept_set = set(kept)
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(m["schema"])
+        out = self._read_objects(m, keep_keys=set(kept))
         pred = F.col(col).between(lo, hi)
-        if self.partition_col is None:
-            files = [os.path.join(self.path, k) for k in kept]
-            if not files:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(*files).filter(pred)
-        ptype = schema[self.partition_col].dataType
-        data_schema = StructType(
-            [f for f in schema.fields if f.name != self.partition_col]
-        )
-        out: DataFrame | None = None
-        for val_str, keys in sorted(m["partitions"].items()):
-            files = [
-                os.path.join(self.path, k) for k in keys if k in kept_set
-            ]
-            if not files:
-                continue
-            part = self.spark.read.schema(data_schema).parquet(*files)
-            val = (
-                F.lit(None).cast(ptype)
-                if val_str == "\0null"
-                else F.lit(val_str).cast(ptype)
-            )
-            part = part.withColumn(self.partition_col, val)
-            out = part if out is None else out.unionByName(part)
-        if out is None:
-            return self.spark.createDataFrame([], schema)
-        return out.filter(pred)
+        return self._empty(m) if out is None else out.filter(pred)
 
     def _read_partitions(self, m: dict, vals: set) -> DataFrame | None:
         """Manifest-resolved read of just the partitions in `vals`."""
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(m["schema"])
-        ptype = schema[self.partition_col].dataType
-        data_schema = StructType(
-            [f for f in schema.fields if f.name != self.partition_col]
-        )
-        out: DataFrame | None = None
-        for val_str, keys in sorted(m["partitions"].items()):
-            if val_str not in vals or not keys:
-                continue
-            files = [os.path.join(self.path, k) for k in keys]
-            part = self.spark.read.schema(data_schema).parquet(*files)
-            val = (
-                F.lit(None).cast(ptype)
-                if val_str == "\0null"
-                else F.lit(val_str).cast(ptype)
-            )
-            out_part = part.withColumn(self.partition_col, val)
-            out = out_part if out is None else out.unionByName(out_part)
-        return out
+        return self._read_objects(m, vals=vals)
 
     # -- write ---------------------------------------------------------------
     @staticmethod
