@@ -325,6 +325,95 @@ def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_price_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer moments: per order priority,
+    corr(order total price, lineitem count). Spark's corr() partial-sums
+    doubles in task order (not reproducible); instead the five moments
+    (Σx, Σy, Σxy, Σx², Σy², n) are exact BIGINT sums over cents/counts and
+    the correlation is ONE fixed-order float expression over them — the
+    same technique as the cents aggregates, lifted to second moments."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    items = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    j = orders.join(
+        items, orders["o_orderkey"] == items["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        _cents("o_totalprice").alias("x"),
+        F.col("n_items").alias("y"),
+    )
+    mom = j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return mom.select("o_orderpriority", "n", corr.alias("corr_price_items"))
+
+
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the TimescaleDB time_bucket_gapfill /
+    window-fill op): hourly event counts per event_type INCLUDING empty
+    hours as zero rows — the dense axis a dashboard or forecasting
+    pipeline needs. The hour spine is sequence(min, max) per type
+    (bounded: hours × types, independent of row count), exploded and
+    left-joined against the sparse counts."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    out = spine.join(hourly, ["event_type", "h"], "left")
+    return out.select(
+        "event_type",
+        F.col("h").alias("bucket_ts"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: treat `value` as observed only on
+    purchase events and fill every other event with the user's most
+    recent purchase value (pandas ffill / TimescaleDB locf), via ONE
+    last(ignorenulls) window per user — the per-key forward-fill idiom
+    shared with the as-of join. Deterministic: (ts, event_id) is a unique
+    ordering."""
+    events = _t(spark, sf_dir, "events")
+    obs = F.when(F.col("event_type") == "purchase", _cents("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_first(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.last(obs, ignorenulls=True).over(w).cast("double") / 100.0).alias(
+            "filled_value"
+        ),
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return events.select(
@@ -2196,6 +2285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_purchase_error_left_join": streaming_purchase_error_left_join,
         "sample_dsir_importance": sample_dsir_importance,
         "sketch_hll_incremental": sketch_hll_incremental,
+        "q_corr_price_items": q_corr_price_items,
+        "q_gapfill_hourly": q_gapfill_hourly,
+        "q_locf_fill": q_locf_fill,
         # --- round-4-green (stalest full-green cohort) -----------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2724,6 +2816,72 @@ def oracle_sql() -> dict[str, str]:
                    concat_ws('|', p_brand, p_type) AS brand_type,
                    CAST(length(p_name) AS BIGINT) AS name_len
             FROM part
+        """,
+        "q_corr_price_items": f"""
+            -- correlation from exact integer moments; the float formula
+            -- is one fixed-order expression over BIGINT sums
+            WITH it AS (
+                SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+                FROM lineitem GROUP BY l_orderkey
+            ),
+            j AS (
+                SELECT o.o_orderpriority,
+                       {SQL_CENTS.format(x='o.o_totalprice')} AS x,
+                       it.n_items AS y
+                FROM orders o JOIN it ON o.o_orderkey = it.l_orderkey
+            ),
+            mom AS (
+                SELECT o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy
+                FROM j GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority, n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       AS corr_price_items
+            FROM mom
+        """,
+        "q_gapfill_hourly": """
+            -- dense hourly spine per type (generate_series), zero-filled
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY event_type, date_trunc('hour', ts)
+            ),
+            spine AS (
+                SELECT event_type,
+                       unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+                      FROM hourly GROUP BY event_type)
+            )
+            SELECT s.event_type, s.h AS bucket_ts,
+                   CAST(coalesce(hourly.n, 0) AS BIGINT) AS n_events
+            FROM spine s LEFT JOIN hourly USING (event_type, h)
+        """,
+        "q_locf_fill": """
+            -- last-observation-carried-forward over (ts, event_id)
+            SELECT event_id, user_id,
+                   CAST(last_value(
+                            CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT) END
+                            IGNORE NULLS)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts ASC NULLS FIRST, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS DOUBLE) / 100.0
+                       AS filled_value
+            FROM events
         """,
         "q_monthly_orders": f"""
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,

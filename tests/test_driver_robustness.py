@@ -295,6 +295,8 @@ def test_null_events_drift(spark, tmp_path):
         "manifest_read_where",
         "sketch_hll_distinct",
         "streaming_purchase_error_left_join",
+        "q_gapfill_hourly",
+        "q_locf_fill",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -355,6 +357,7 @@ def test_null_orders_drift(spark, tmp_path):
         "q_setops_high_value",
         "q_offset_pagination",
         "q_cume_dist_nth_value",
+        "q_corr_price_items",
         "q_null_semantics",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
