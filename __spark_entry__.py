@@ -325,6 +325,58 @@ def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (the MATCH_RECOGNIZE-class query, computed
+    relationally): per user, first view → first click strictly after it →
+    first purchase strictly after that; stage counts over the user base.
+    Three conditional min-aggregations over one grouped pass each — no
+    per-row pattern engine, scales as three keyed aggs."""
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    t1 = events.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).cast("long").alias("n_clicked_after")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).cast("long").alias("n_purchased_after")))
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their FIRST event;
+    for each (cohort week, week offset) the distinct users active that
+    many weeks later. Two keyed aggs + one join — the standard retention
+    triangle, engine-exact via integer epoch-week arithmetic."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    week = (bssf.ts_millis("ts") / F.lit(604_800_000)).cast("long")
+    acts = events.select("user_id", week.alias("wk")).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    return (
+        acts.join(cohort, "user_id")
+        .groupBy(
+            F.col("wk0").alias("cohort_week"),
+            (F.col("wk") - F.col("wk0")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
 def q_corr_price_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation from EXACT integer moments: per order priority,
     corr(order total price, lineitem count). Spark's corr() partial-sums
@@ -2288,6 +2340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corr_price_items": q_corr_price_items,
         "q_gapfill_hourly": q_gapfill_hourly,
         "q_locf_fill": q_locf_fill,
+        "q_funnel_conversion": q_funnel_conversion,
+        "q_cohort_retention": q_cohort_retention,
         # --- round-4-green (stalest full-green cohort) -----------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2816,6 +2870,49 @@ def oracle_sql() -> dict[str, str]:
                    concat_ws('|', p_brand, p_type) AS brand_type,
                    CAST(length(p_name) AS BIGINT) AS name_len
             FROM part
+        """,
+        "q_funnel_conversion": """
+            -- ordered funnel via three conditional min-aggregations
+            WITH t1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+            ),
+            t2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+                  AND e.ts > t1.t1
+                GROUP BY e.user_id
+            ),
+            t3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+                  AND e.ts > t2.t2
+                GROUP BY e.user_id
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_viewed,
+                   (SELECT CAST(count(*) AS BIGINT) FROM t2)
+                       AS n_clicked_after,
+                   (SELECT CAST(count(*) AS BIGINT) FROM t3)
+                       AS n_purchased_after
+        """,
+        "q_cohort_retention": """
+            -- retention triangle over integer epoch weeks
+            WITH acts AS (
+                SELECT DISTINCT user_id,
+                       epoch_ms(ts) // 604800000 AS wk
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ),
+            cohort AS (
+                SELECT user_id, min(wk) AS wk0 FROM acts GROUP BY user_id
+            )
+            SELECT CAST(c.wk0 AS BIGINT) AS cohort_week,
+                   CAST(a.wk - c.wk0 AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+            FROM acts a JOIN cohort c ON a.user_id = c.user_id
+            GROUP BY c.wk0, a.wk - c.wk0
         """,
         "q_corr_price_items": f"""
             -- correlation from exact integer moments; the float formula

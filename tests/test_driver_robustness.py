@@ -297,6 +297,8 @@ def test_null_events_drift(spark, tmp_path):
         "streaming_purchase_error_left_join",
         "q_gapfill_hourly",
         "q_locf_fill",
+        "q_funnel_conversion",
+        "q_cohort_retention",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
