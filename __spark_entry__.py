@@ -2303,12 +2303,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ordering ROTATES each round so every entry gets a driver-verified row
     # at least every other round. Round 6: the 14 entries last
     # driver-verified in round 2 lead (VERDICT r5 next-1 — three testdata
-    # drifts have happened since their last driver check), then the 4
+    # drifts have happened since their last driver check), then the 16
     # entries changed or added this round (q_argmax_events NULL fix;
-    # manifest zone-map read; as-of forward/nearest), then the round-4
-    # entries (now the stalest); the round-5-green entries fill the tail.
-    # tests/test_oracle_parity.py checks ALL oracle entries every run
-    # regardless of order.
+    # manifest zone-map read; as-of forward/nearest; Gopher/C4 rules; HLL
+    # sketch + tick merge; A-ES weighted + DSIR sampling; left-outer
+    # stream join; corr/gap-fill/LOCF; funnel + cohort), then the round-4
+    # entries (now the stalest) fill the window; round-5-green entries
+    # tail. tests/test_oracle_parity.py checks ALL oracle entries every
+    # run regardless of order.
     return {
         # --- last driver-verified in round 2 (three drifts ago) --------
         "q_hourly_events": q_hourly_events,
