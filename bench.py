@@ -67,6 +67,22 @@ HEADLINE = [
     "text_quality_classifier",
     "sample_leakage_safe_split",
     "graph_pagerank_neardup",
+    # round-6 additions (own BASELINE.md budget family)
+    "q_asof_next_purchase",
+    "q_asof_nearest_purchase",
+    "manifest_read_where",
+    "text_gopher_rules",
+    "text_c4_rules",
+    "sketch_hll_distinct",
+    "sketch_hll_incremental",
+    "sample_weighted_priority",
+    "sample_dsir_importance",
+    "streaming_purchase_error_left_join",
+    "q_corr_price_items",
+    "q_gapfill_hourly",
+    "q_locf_fill",
+    "q_funnel_conversion",
+    "q_cohort_retention",
 ]
 
 
