@@ -474,6 +474,65 @@ class ManifestUpsertTable:
             raise
 
     # -- maintenance ---------------------------------------------------------
+    def compact(self, max_objects_per_partition: int = 4) -> list[str]:
+        """Small-object compaction: rewrite every partition holding more
+        than `max_objects_per_partition` live objects into one object —
+        the maintenance tick a 30 s-ingest pipeline needs (each merge
+        writes a fresh txn's objects; object-store GET/LIST overhead and
+        scan task-setup grow with object count, the lakehouse decay mode).
+
+        Pure layout: rows are untouched. The rewrite stages new objects
+        under a fresh txn and publishes a new manifest version through the
+        same create-exclusive PUT as merge() — so it is crash-safe (a
+        crash pre-PUT leaves only unreferenced objects) AND concurrency-
+        safe (a racing merge wins or loses the version like any writer;
+        losing this compaction is harmless, it just retries next tick —
+        here we surface the conflict instead of retrying a stale layout).
+        Old objects stay until vacuum. Returns the partition keys
+        compacted ([] when already compact)."""
+        m = self._current_manifest()
+        if m is None:
+            return []
+        crowded = {
+            val_str
+            for val_str, keys in m["partitions"].items()
+            if len(keys) > max_objects_per_partition
+        }
+        if not crowded:
+            return []
+        if self.partition_col is None:
+            df = self._read_manifest_df(m)
+        else:
+            df = self._read_objects(m, vals=crowded)
+        txn = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, f".stage_{txn}")
+        writer = df.coalesce(1).write.mode("overwrite")
+        if self.partition_col is not None:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(staging)
+        new_objs = self._publish_objects(staging, txn)
+        shutil.rmtree(staging, ignore_errors=True)
+        partitions = dict(m["partitions"])
+        for val_str in crowded:
+            partitions[val_str] = new_objs.get(val_str, [])
+        live_keys = {k for keys in partitions.values() for k in keys}
+        stats = {
+            k: v
+            for k, v in {
+                **m.get("stats", {}),
+                **getattr(self, "_last_stats", {}),
+            }.items()
+            if k in live_keys
+        }
+        try:
+            self._put_manifest(m["version"] + 1, partitions, m["schema"], stats)
+        except ManifestConflictError:
+            shutil.rmtree(
+                os.path.join(self.path, self.DATA_DIR, txn), ignore_errors=True
+            )
+            raise
+        return sorted(crowded)
+
     def vacuum(self, keep_manifests: int = 1) -> list[str]:
         """Retire manifest versions older than the newest `keep_manifests`
         and delete data objects no RETAINED manifest references. The live

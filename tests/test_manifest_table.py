@@ -367,3 +367,45 @@ def test_manifest_schema_evolution_on_merge(spark, tmp_path):
     t.merge(spark.createDataFrame([(3, 30, 0, 100)], "k int, v int, p int, et int"))
     rows = {r.k: (r.v, r.tag) for r in t.read().collect()}
     assert rows == {1: (10, None), 2: (20, "fresh"), 3: (30, None)}
+
+
+def test_manifest_compact_reduces_objects_keeps_state(spark, tmp_path):
+    """Small-object compaction: N tiny merges leave N objects per touched
+    partition; compact() rewrites crowded partitions to one object each
+    through the same create-exclusive manifest PUT, rows untouched;
+    vacuum then collects the superseded objects."""
+    t = _table(spark, tmp_path, stats_cols=["v"])
+    # one wide merge: the staged partitionBy write emits one object per
+    # TASK holding the partition's rows -> many objects in partition 0
+    batch = spark.createDataFrame(
+        [(i, i * 10, 0, 100) for i in range(20)], "k int, v int, p int, et int"
+    )
+    # AQE would coalesce this tiny shuffle to one task/file; disable it so
+    # the staged write really emits one object per shuffle partition
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t.merge(batch)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    before = _state(t)
+    m = t._current_manifest()
+    assert len(m["partitions"]["0"]) > 4
+    compacted = t.compact(max_objects_per_partition=4)
+    assert compacted == ["0"]
+    m2 = t._current_manifest()
+    assert len(m2["partitions"]["0"]) == 1
+    assert m2["version"] == m["version"] + 1
+    assert _state(t) == before
+    # zone-map stats survive compaction for the rewritten object
+    key = m2["partitions"]["0"][0]
+    assert m2["stats"][key]["v"] == [0, 190]
+    # idempotent: already compact -> no-op
+    assert t.compact(max_objects_per_partition=4) == []
+    # a later merge still lands correctly on the compacted layout
+    t.merge(
+        spark.createDataFrame([(99, 990, 0, 100)], "k int, v int, p int, et int")
+    )
+    before = before | {(99, 990, 0)}
+    assert _state(t) == before
+    removed = t.vacuum()
+    assert removed and _state(t) == before
