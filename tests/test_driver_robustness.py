@@ -612,3 +612,59 @@ def test_null_part_supplier_drift(spark, tmp_path):
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
+
+
+def test_unicode_text_drift(spark, tmp_path):
+    """If documents.text ever ships CJK / emoji / accented text (the
+    ts-encoding precedent), the text pipeline must keep oracle parity:
+    char-based length(), space-splitting, substr, regex classes, and
+    md5-of-UTF-8 must agree between the engines on multibyte input."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "uni")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                              THEN text || ' 数据 管道 🚀 café'
+                          WHEN doc_id % 7 = 0
+                              THEN 'これは テスト です ' || text
+                          ELSE text END AS text,
+                     lang, source, n_chars
+              FROM '{src}/documents.parquet')
+        TO '{drift}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "text_token_count",
+        "text_gopher_rules",
+        "text_c4_rules",
+        "doc_fingerprint",
+        "dedup_exact",
+        "text_langid",
+        "text_quality",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "text_lm_score",
+        "sample_dsir_importance",
+    ):
+        run_pair(spark, con, qs[name], oracles[name], drift, name)
+    con.close()
