@@ -506,9 +506,19 @@ class ManifestUpsertTable:
             df = self._read_objects(m, vals=crowded)
         txn = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f".stage_{txn}")
-        writer = df.coalesce(1).write.mode("overwrite")
         if self.partition_col is not None:
-            writer = writer.partitionBy(self.partition_col)
+            # hash-repartition on the partition column: each partition
+            # value lands in exactly one task -> ONE output object per
+            # partition, compacted in PARALLEL across partitions
+            # (coalesce(1) would funnel every crowded partition through
+            # a single task — a bottleneck at fleet scale)
+            writer = (
+                df.repartition(F.col(self.partition_col))
+                .write.mode("overwrite")
+                .partitionBy(self.partition_col)
+            )
+        else:
+            writer = df.coalesce(1).write.mode("overwrite")
         writer.parquet(staging)
         new_objs = self._publish_objects(staging, txn)
         shutil.rmtree(staging, ignore_errors=True)
