@@ -396,13 +396,18 @@ def q_corr_price_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("o_totalprice").alias("x"),
         F.col("n_items").alias("y"),
     )
+    # second moments overflow BIGINT at bench scale (sum of x^2 over
+    # cents is ~2.5e19 per group at sf0.1 > 2^63); the per-row products
+    # fit a long, the SUMS accumulate in DECIMAL(38,0) — exact to 1e38 in
+    # both engines (the cents technique, widened for second moments)
+    dec = "decimal(38,0)"
     mom = j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast(dec).alias("syy"),
     )
     n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
@@ -1442,11 +1447,20 @@ def manifest_read_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrongly-skipped object would drop rows and hash-fail. A runtime
     guard asserts skipping actually engaged (several band objects
     pruned), so the green row certifies the skip path, not a full scan."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
     import tempfile
 
     from buskafkasparkstreaming_spark.cdc.manifest_table import (
         ManifestUpsertTable,
     )
+
+    # bound disk use across repeated invocations (bench min-of-3 x drift
+    # sweeps): clear previous runs' table dirs — their DataFrames have
+    # long been collected — before staging a fresh one
+    for old in _glob.glob(os.path.join(tempfile.gettempdir(), "bss_manifest_rw_*")):
+        _shutil.rmtree(old, ignore_errors=True)
 
     events = _t(spark, sf_dir, "events")
     batch = events.filter(F.col("value").isNotNull()).select(
@@ -2930,13 +2944,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders o JOIN it ON o.o_orderkey = it.l_orderkey
             ),
             mom AS (
+                -- second moments in DECIMAL(38,0): BIGINT overflows at
+                -- sf0.1 (sum x^2 ~ 2.5e19 per group)
                 SELECT o_orderpriority,
                        CAST(count(*) AS BIGINT) AS n,
                        CAST(sum(x) AS BIGINT) AS sx,
                        CAST(sum(y) AS BIGINT) AS sy,
-                       CAST(sum(x * y) AS BIGINT) AS sxy,
-                       CAST(sum(x * x) AS BIGINT) AS sxx,
-                       CAST(sum(y * y) AS BIGINT) AS syy
+                       CAST(sum(CAST(x * y AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS sxy,
+                       CAST(sum(CAST(x * x AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS sxx,
+                       CAST(sum(CAST(y * y AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS syy
                 FROM j GROUP BY o_orderpriority
             )
             SELECT o_orderpriority, n,

@@ -198,12 +198,19 @@ class ManifestUpsertTable:
         out = self._read_objects(m)
         return self._empty(m) if out is None else out
 
-    def select_objects(self, col: str, lo, hi) -> tuple[list[str], list[str]]:
+    def select_objects(
+        self, col: str, lo, hi, m: dict | None = None
+    ) -> tuple[list[str], list[str]]:
         """File skipping: split the manifest's live objects into (kept,
         skipped) for the predicate lo <= col <= hi using the per-object
         zone maps. An object without stats for `col` is always kept
-        (stats are an optimization, never a correctness gate)."""
-        m = self._current_manifest()
+        (stats are an optimization, never a correctness gate). Pass `m`
+        to pin a manifest snapshot — callers that resolve the manifest
+        AND select objects must use ONE snapshot for both, or a commit
+        landing between the two reads silently empties the
+        intersection."""
+        if m is None:
+            m = self._current_manifest()
         if m is None:
             raise FileNotFoundError(f"no manifest at {self.path}")
         stats = m.get("stats", {})
@@ -226,7 +233,10 @@ class ManifestUpsertTable:
         m = self._current_manifest()
         if m is None:
             raise FileNotFoundError(f"no manifest at {self.path}")
-        kept, _ = self.select_objects(col, lo, hi)
+        # ONE manifest snapshot governs both the selection and the read —
+        # re-resolving inside select_objects would race a concurrent
+        # commit and silently drop the recompacted partitions
+        kept, _ = self.select_objects(col, lo, hi, m=m)
         out = self._read_objects(m, keep_keys=set(kept))
         pred = F.col(col).between(lo, hi)
         return self._empty(m) if out is None else out.filter(pred)
@@ -525,6 +535,12 @@ class ManifestUpsertTable:
         partitions = dict(m["partitions"])
         for val_str in crowded:
             partitions[val_str] = new_objs.get(val_str, [])
+        # safety net (the merge() idiom): if the partition-value round
+        # trip through the staged dir name recovered a DIFFERENT key
+        # than the manifest's, land the rewritten objects under the
+        # recovered key rather than dropping them on the floor
+        for val_str, keys in new_objs.items():
+            partitions[val_str] = keys
         live_keys = {k for keys in partitions.values() for k in keys}
         stats = {
             k: v
@@ -543,14 +559,26 @@ class ManifestUpsertTable:
             raise
         return sorted(crowded)
 
-    def vacuum(self, keep_manifests: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_manifests: int = 1, writer_grace_seconds: float = 0.0
+    ) -> list[str]:
         """Retire manifest versions older than the newest `keep_manifests`
         and delete data objects no RETAINED manifest references. The live
         set is the UNION over every retained manifest — keeping a manifest
         but deleting objects only it references would leave it a dangling
         pointer for the in-flight readers the retention grace period
-        exists for (ADVICE r5, low). Safe at any time: live readers
-        resolve a manifest first and read only its keys."""
+        exists for (ADVICE r5, low). Always safe for READERS (they
+        resolve a manifest first and read only its keys).
+
+        With CONCURRENT WRITERS, a writer that has published its txn
+        objects but not yet PUT its manifest has objects no manifest
+        references; deleting them corrupts the manifest it is about to
+        commit. `writer_grace_seconds` skips unreferenced objects younger
+        than the grace window — set it above the longest expected
+        stage-to-commit latency when other writers may be in flight
+        (the Delta/Iceberg retention-threshold rule). The default 0
+        matches the single-maintenance-process deployment where vacuum
+        never races a writer."""
         d = self._manifest_dir()
         if not os.path.isdir(d):
             return []
@@ -564,14 +592,18 @@ class ManifestUpsertTable:
             with open(os.path.join(d, n), encoding="utf-8") as fh:
                 body = json.load(fh)
             live |= {k for keys in body["partitions"].values() for k in keys}
+        import time as _time
+
+        cutoff = _time.time() - writer_grace_seconds
         removed = []
         data_root = os.path.join(self.path, self.DATA_DIR)
         for txn in os.listdir(data_root) if os.path.isdir(data_root) else []:
             tdir = os.path.join(data_root, txn)
             for fname in os.listdir(tdir):
                 key = f"{self.DATA_DIR}/{txn}/{fname}"
-                if key not in live:
-                    os.remove(os.path.join(tdir, fname))
+                p = os.path.join(tdir, fname)
+                if key not in live and os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
                     removed.append(key)
             if not os.listdir(tdir):
                 os.rmdir(tdir)

@@ -409,3 +409,29 @@ def test_manifest_compact_reduces_objects_keeps_state(spark, tmp_path):
     assert _state(t) == before
     removed = t.vacuum()
     assert removed and _state(t) == before
+
+
+def test_manifest_vacuum_writer_grace_spares_inflight_objects(spark, tmp_path):
+    """With writer_grace_seconds set, vacuum must NOT delete freshly
+    published objects of a writer that has not yet PUT its manifest —
+    the corruption window of a maintenance job racing a concurrent
+    merge (code-review r6)."""
+    t = _table(spark, tmp_path)
+    t.merge(spark.createDataFrame([(1, 10, 0, 100)], "k int, v int, p int, et int"))
+    t.merge(spark.createDataFrame([(1, 20, 0, 200)], "k int, v int, p int, et int"))
+    # simulate an in-flight writer: published objects, no manifest yet
+    mdir = str(tmp_path / "tbl" / "_manifests")
+    newest = sorted(os.listdir(mdir))[-1]
+    os.rename(os.path.join(mdir, newest), str(tmp_path / "stash.json"))
+    # graceful vacuum spares the young unreferenced objects
+    assert t.vacuum(writer_grace_seconds=3600) == []
+    # the writer's manifest PUT completes -> its objects are all present
+    os.rename(str(tmp_path / "stash.json"), os.path.join(mdir, newest))
+    assert _state(t) == {(1, 20, 0)}
+    # a normal vacuum now collects only the SUPERSEDED v0 object; the
+    # restored manifest's objects are live and remain readable
+    m = t._current_manifest()
+    live = {k for keys in m["partitions"].values() for k in keys}
+    removed = t.vacuum()
+    assert not (set(removed) & live)
+    assert _state(t) == {(1, 20, 0)}
