@@ -1662,6 +1662,53 @@ def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-style mergeable quantile sketch (operators/stats.py::
+    log_histogram_sketch): per event_type, power-of-two cent bins whose
+    counts merge by ADDITION across ingest ticks — the percentile-monitor
+    sketch next to count-min (frequency) and HLL (cardinality). p50/p95/
+    p99 upper bounds read from the ≤64-bin cumulative histogram; entirely
+    integer arithmetic, FULL SQL oracle. Tick-merge algebra is proven by
+    building from 3 deterministic batches and hash-matching the
+    scratch-built oracle."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        log_histogram_quantile,
+        log_histogram_sketch,
+    )
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .withColumn("cents", _cents("value"))
+    )
+    batches = [
+        events.filter(F.pmod(F.xxhash64(F.col("event_id")), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    merged = None
+    for b in batches:
+        sk = log_histogram_sketch(b, "cents", group_cols=["event_type"])
+        merged = sk if merged is None else merged.unionByName(sk)
+    sketch = merged.groupBy("event_type", "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    outs = []
+    for q in (0.5, 0.95, 0.99):
+        outs.append(
+            log_histogram_quantile(sketch, q, ["event_type"]).select(
+                "event_type",
+                F.lit(q).alias("q"),
+                "q_bin",
+                "q_upper_bound",
+                "n_rows",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment (operators/export.py::
     assign_shards): shard = int(md5(id:salt)[:4], 16) % 16, a pure row
@@ -2353,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_purchase_error_left_join": streaming_purchase_error_left_join,
         "sample_dsir_importance": sample_dsir_importance,
         "sketch_hll_incremental": sketch_hll_incremental,
+        "sketch_quantile_histogram": sketch_quantile_histogram,
         "q_corr_price_items": q_corr_price_items,
         "q_gapfill_hourly": q_gapfill_hourly,
         "q_locf_fill": q_locf_fill,
@@ -4576,6 +4624,41 @@ def oracle_sql() -> dict[str, str]:
             -- merge-algebra proof (elementwise max is order-free)
             WITH {_hll_reg_sql()}
             SELECT event_type, hll_sum_fp, empty_buckets FROM st
+        """,
+        "sketch_quantile_histogram": """
+            -- scratch recompute of the log-bin histogram + quantile
+            -- upper bounds; hash equality with the engine's 3-batch
+            -- added sketch proves the merge algebra
+            WITH v AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+            ),
+            h AS (
+                SELECT event_type,
+                       CASE WHEN cents <= 0 THEN 0
+                            ELSE length(bin(cents)) END AS bin,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM v GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT event_type, bin,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM h
+            ),
+            qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q)
+            SELECT event_type, q,
+                   CAST(min(bin) AS BIGINT) AS q_bin,
+                   CAST((1::BIGINT << CAST(min(bin) AS INTEGER)) - 1
+                        AS BIGINT) AS q_upper_bound,
+                   CAST(min(n) AS BIGINT) AS n_rows
+            FROM c CROSS JOIN qs
+            WHERE cum >= CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
+            GROUP BY event_type, q
         """,
         "sketch_count_min": f"""
             -- full CMS replay: bucket_j(word) = int(md5(word:j)[:4],16) % 256

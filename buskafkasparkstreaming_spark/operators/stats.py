@@ -254,3 +254,78 @@ def hll_estimate_col(sum_fp: "Column", empty_buckets: "Column", b: int = 8) -> "
     )
     lc = F.lit(m) * F.log(F.lit(m) / empty_buckets.cast("double"))
     return F.when((raw <= 2.5 * m) & (empty_buckets > 0), lc).otherwise(raw)
+
+
+def log_histogram_sketch(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """HDR-histogram-style mergeable quantile sketch: per group, counts in
+    power-of-two value bins (bin = bit length of the integer value; bin 0
+    holds zero/negatives). The third mergeable-sketch family next to
+    count-min (frequencies) and HyperLogLog (cardinality): bins are fixed
+    a priori, so per-tick sketches MERGE by adding counts — the property
+    a latency/size-percentile monitor needs across ingest ticks, where an
+    exact percentile would rescan history. Shuffle volume is
+    O(tasks × 64) after partial aggregation, corpus-size-independent.
+
+    `value_col` must be integer-valued (cents; the fixed-point contract).
+    Entirely integer arithmetic — bit-exact in any engine.
+    """
+    from pyspark.sql import functions as F
+
+    groups = group_cols or []
+    v = F.col(value_col)
+    bin_col = F.when(v <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(v.cast("long")))
+    )
+    rows = df.filter(v.isNotNull()).select(
+        *groups, bin_col.cast("int").alias("bin")
+    )
+    return rows.groupBy(*groups, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def log_histogram_quantile(
+    sketch: DataFrame,
+    q: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile UPPER BOUND from the histogram: the smallest bin whose
+    cumulative count reaches ceil(q × n); the estimate is that bin's
+    inclusive upper edge 2^bin − 1 (relative error bounded by the bin
+    width, ~2×). Window cumsum over ≤ 64 bins per group — sketch-sized,
+    never data-sized."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    groups = group_cols or []
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*groups)
+    cum = sketch.select(
+        *groups,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    # smallest bin with cum >= ceil(q * n): integer threshold avoids
+    # engine-specific float rounding at the boundary
+    thresh = F.ceil(F.lit(q) * F.col("n").cast("double")).cast("long")
+    hit = cum.filter(F.col("cum") >= thresh)
+    rk = Window.partitionBy(*groups).orderBy(F.col("bin").asc())
+    return (
+        hit.withColumn("__rn", F.row_number().over(rk))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *groups,
+            F.col("bin").cast("long").alias("q_bin"),
+            (
+                F.expr("shiftleft(CAST(1 AS BIGINT), bin)") - 1
+            ).alias("q_upper_bound"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )

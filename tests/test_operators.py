@@ -1122,3 +1122,31 @@ def test_dsir_importance_favors_target_like_docs(spark):
     assert w[10] > w[11], w
     # the whole corpus is returned when k >= corpus size, each scored
     assert set(w) == {1, 2, 3, 4, 10, 11}
+
+
+def test_log_histogram_merge_and_bound(spark):
+    """Log-histogram invariants: (a) per-part sketches merge by adding
+    counts into exactly the whole-corpus sketch; (b) the quantile upper
+    bound is >= the exact quantile and within one power-of-two bin."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        log_histogram_quantile,
+        log_histogram_sketch,
+    )
+
+    df = spark.range(1, 2001).select((F.col("id") * 3).alias("v"))
+    whole = log_histogram_sketch(df, "v")
+    part_a = df.filter(F.col("v") % 2 == 0)
+    part_b = df.filter(F.col("v") % 2 == 1)
+    merged = (
+        log_histogram_sketch(part_a, "v")
+        .unionByName(log_histogram_sketch(part_b, "v"))
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+    exact_p95 = df.approxQuantile("v", [0.95], 0.0)[0]
+    est = log_histogram_quantile(whole, 0.95).first()
+    assert est["q_upper_bound"] >= exact_p95
+    assert est["q_upper_bound"] < 2 * exact_p95 + 2  # one-bin resolution
