@@ -83,6 +83,7 @@ HEADLINE = [
     "q_locf_fill",
     "q_funnel_conversion",
     "q_cohort_retention",
+    "sketch_quantile_histogram",
 ]
 
 

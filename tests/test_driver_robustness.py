@@ -299,6 +299,7 @@ def test_null_events_drift(spark, tmp_path):
         "q_locf_fill",
         "q_funnel_conversion",
         "q_cohort_retention",
+        "sketch_quantile_histogram",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
