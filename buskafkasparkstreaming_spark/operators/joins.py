@@ -74,10 +74,17 @@ def asof_join(
     t" and is dropped; a probe row without a time matches nothing (kept
     unmatched under how='left'). Without the guard, NULL build times sort
     NULLS-FIRST into the union and silently act as since-forever matches.
+
+    NULL keys: SQL equi-join semantics — a NULL key matches NOTHING.
+    Window.partitionBy groups NULLs into one partition, so without the
+    build-side guard a NULL-key probe would silently "match" NULL-key
+    build rows (caught by the null-user drift probe, r6).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction {direction!r}")
-    build = build.filter(F.col(build_time).isNotNull())
+    build = build.filter(
+        F.col(build_time).isNotNull() & F.col(key).isNotNull()
+    )
     probe_cols = probe.columns
     # __bt (the matched build's time) rides inside the payload so the
     # tolerance / nearest-distance checks can see it after the window

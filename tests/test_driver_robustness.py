@@ -669,3 +669,106 @@ def test_unicode_text_drift(spark, tmp_path):
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
+
+
+def test_null_source_drift(spark, tmp_path):
+    """NULL documents.source: the per-domain sampling/packing/export
+    entries must keep oracle parity when the domain key itself is NULL
+    (window-partition NULL grouping vs SQL GROUP BY NULL)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "nsrc")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT doc_id, text, lang,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END
+                         AS source, n_chars
+              FROM '{src}/documents.parquet')
+        TO '{drift}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "sample_domain_cap",
+        "sample_token_budget_mix",
+        "export_shard_stats",
+        "stats_profile_documents",
+        "corpus_curation",
+    ):
+        run_pair(spark, con, qs[name], oracles[name], drift, name)
+    con.close()
+
+
+def test_null_user_drift(spark, tmp_path):
+    """NULL events.user_id: the keyed CDC/window/join/sketch entries must
+    keep oracle parity when the KEY column goes NULL — caught the asof
+    NULL-key divergence (Window.partitionBy groups NULLs into one
+    partition and silently 'matched' NULL-key probes to NULL-key builds,
+    where the SQL equi-join matches nothing; fixed in operators/joins.py
+    by dropping NULL-key build rows)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "nuser")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT event_id, ts,
+                     CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END
+                         AS user_id,
+                     event_type, value, props
+              FROM '{src}/events.parquet')
+        TO '{drift}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "cdc_latest_state",
+        "cdc_scd2_history",
+        "q_sessionize_events",
+        "q_running_total",
+        "q_topk_orders_per_customer",
+        "q_asof_purchase_before_error",
+        "q_asof_next_purchase",
+        "q_asof_nearest_purchase",
+        "sketch_hll_distinct",
+        "q_cohort_retention",
+        "q_funnel_conversion",
+        "q_locf_fill",
+        "q_approx_distinct_users",
+        "q_event_gaps",
+        "streaming_purchase_error_join",
+        "streaming_purchase_error_left_join",
+    ):
+        run_pair(spark, con, qs[name], oracles[name], drift, name)
+    con.close()

@@ -1150,3 +1150,26 @@ def test_log_histogram_merge_and_bound(spark):
     est = log_histogram_quantile(whole, 0.95).first()
     assert est["q_upper_bound"] >= exact_p95
     assert est["q_upper_bound"] < 2 * exact_p95 + 2  # one-bin resolution
+
+
+def test_asof_join_null_keys_match_nothing(spark):
+    """SQL equi-join semantics: a NULL key matches NOTHING — NULL-key
+    probes stay unmatched (left) / drop (inner), NULL-key build rows are
+    never candidates (r6 null-user drift finding)."""
+    probe = spark.createDataFrame(
+        [(1, None, 10), (2, 1, 10)], "pid int, k int, t int"
+    )
+    build = spark.createDataFrame(
+        [(100, None, 5), (101, 1, 5)], "bid int, k int, t int"
+    )
+    left = asof_join(
+        probe, build, key="k", probe_time="t", build_time="t",
+        build_cols=["bid"], how="left",
+    )
+    got = {r["pid"]: r["bid"] for r in left.collect()}
+    assert got == {1: None, 2: 101}
+    inner = asof_join(
+        probe, build, key="k", probe_time="t", build_time="t",
+        build_cols=["bid"], how="inner",
+    )
+    assert {r["pid"] for r in inner.collect()} == {2}
