@@ -1672,6 +1672,7 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     building from 3 deterministic batches and hash-matching the
     scratch-built oracle."""
     from buskafkasparkstreaming_spark.operators.stats import (
+        log_histogram_merge,
         log_histogram_quantile,
         log_histogram_sketch,
     )
@@ -1685,12 +1686,11 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.pmod(F.xxhash64(F.col("event_id")), F.lit(3)) == i)
         for i in range(3)
     ]
-    merged = None
-    for b in batches:
-        sk = log_histogram_sketch(b, "cents", group_cols=["event_type"])
-        merged = sk if merged is None else merged.unionByName(sk)
-    sketch = merged.groupBy("event_type", "bin").agg(
-        F.sum("cnt").cast("long").alias("cnt")
+    sketch = log_histogram_merge(
+        *[
+            log_histogram_sketch(b, "cents", group_cols=["event_type"])
+            for b in batches
+        ]
     )
     outs = []
     for q in (0.5, 0.95, 0.99):
@@ -4653,8 +4653,10 @@ def oracle_sql() -> dict[str, str]:
             qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q)
             SELECT event_type, q,
                    CAST(min(bin) AS BIGINT) AS q_bin,
-                   CAST((1::BIGINT << CAST(min(bin) AS INTEGER)) - 1
-                        AS BIGINT) AS q_upper_bound,
+                   CAST(CASE WHEN min(bin) >= 63
+                             THEN 9223372036854775807
+                             ELSE (1::BIGINT << CAST(min(bin) AS INTEGER)) - 1
+                        END AS BIGINT) AS q_upper_bound,
                    CAST(min(n) AS BIGINT) AS n_rows
             FROM c CROSS JOIN qs
             WHERE cum >= CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)

@@ -286,6 +286,18 @@ def log_histogram_sketch(
     )
 
 
+def log_histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge log-histogram sketches (same grouping): add bin counts —
+    the per-tick maintenance op (the hll_merge analog)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    keys = [c for c in u.columns if c != "cnt"]
+    return u.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
 def log_histogram_quantile(
     sketch: DataFrame,
     q: float,

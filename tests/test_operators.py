@@ -1137,11 +1137,12 @@ def test_log_histogram_merge_and_bound(spark):
     whole = log_histogram_sketch(df, "v")
     part_a = df.filter(F.col("v") % 2 == 0)
     part_b = df.filter(F.col("v") % 2 == 1)
-    merged = (
-        log_histogram_sketch(part_a, "v")
-        .unionByName(log_histogram_sketch(part_b, "v"))
-        .groupBy("bin")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    from buskafkasparkstreaming_spark.operators.stats import (
+        log_histogram_merge,
+    )
+
+    merged = log_histogram_merge(
+        log_histogram_sketch(part_a, "v"), log_histogram_sketch(part_b, "v")
     )
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
