@@ -1,0 +1,108 @@
+"""Time-series similarity primitives (SURVEY §2.3 extension surface;
+public background: Lin et al. 2003 "A Symbolic Representation of Time
+Series" — SAX; the EDBT 2019 streaming time-series-similarity line in
+PAPERS.md motivates the blocking formulation).
+
+SAX turns each key's ordered value series into a short SYMBOL WORD:
+PAA-segment the series, z-normalize the segment means, and map them to
+letters via fixed normal-quantile breakpoints. Equal words = candidate
+similar series — the blocking step that makes all-pairs time-series
+similarity tractable at scale (group by word, compare within blocks),
+exactly the inverted-index/banding idea the dedup family uses for text.
+
+Scale shape: every stage is keyed on the series id — one hash shuffle
+for the ordering window, then co-partitioned aggregations; the word is
+bounded (`segments` chars) so the blocking groupBy shuffles only
+(id, word) rows. Arithmetic follows the engine's exactness contract:
+segment sums/counts and the per-key moments are exact BIGINT; the
+z-scores divide those integers in ONE fixed-order float formula, so the
+oracle reproduces the symbols bit-identically. Constant series (zero
+variance) get the sentinel word 'flat' via the exact integer test
+min(c) == max(c) — no float division by zero reaches any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: standard SAX breakpoints for a 4-symbol alphabet (N(0,1) quartiles)
+BREAKPOINTS_4 = (-0.6745, 0.0, 0.6745)
+
+
+def sax_words(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    cents_col: str,
+    segments: int = 4,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One SAX word per key: (key, n_points, sax_word).
+
+    Rows with NULL key/time/value are excluded (they have no position in
+    the series). Keys with fewer points than `segments` still produce a
+    word (trailing segments empty -> skipped in the word)."""
+    clean = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(cents_col).isNotNull()
+    )
+    order = [F.col(time_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    n_w = Window.partitionBy(key_col)
+    rows = clean.select(
+        F.col(key_col).alias("key"),
+        F.col(cents_col).cast("long").alias("c"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    ).withColumn(
+        # segment index 0..segments-1: floor((rn-1)*segments/n), exact ints
+        "seg",
+        ((F.col("rn") - 1) * segments / F.col("n")).cast("long"),
+    )
+    segs = rows.groupBy("key", "seg").agg(
+        F.sum("c").cast("long").alias("s_sum"),
+        F.count(F.lit(1)).cast("long").alias("s_n"),
+    )
+    moments = rows.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sx"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.min("c").alias("cmin"),
+        F.max("c").alias("cmax"),
+    )
+    j = segs.join(moments, "key")
+    n = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / n
+    var = F.col("sxx").cast("double") / n - mean * mean
+    seg_mean = F.col("s_sum").cast("double") / F.col("s_n").cast("double")
+    z = (seg_mean - mean) / F.sqrt(var)
+    # exact zero-variance test: every value equal
+    flat = F.col("cmin") == F.col("cmax")
+    b1, b2, b3 = BREAKPOINTS_4
+    sym = (
+        F.when(z < b1, F.lit("a"))
+        .when(z < b2, F.lit("b"))
+        .when(z < b3, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    per_seg = j.select(
+        "key", "seg", "n", sym.alias("sym"), flat.alias("flat")
+    )
+    return per_seg.groupBy("key").agg(
+        F.max("n").cast("long").alias("n_points"),
+        F.when(
+            F.max(F.col("flat").cast("int")) == 1, F.lit("flat")
+        )
+        .otherwise(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("seg", "sym"))).sym
+            )
+        )
+        .alias("sax_word"),
+    )
