@@ -2358,6 +2358,284 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+# ---------------------------------------------------------------------------
+# round 7: analytics depth — exact order statistics, regression, EWMA,
+# null-aware joins, skew-safe aggregation, graph traversal/motifs
+# ---------------------------------------------------------------------------
+
+
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quartiles (percentile_disc semantics: the SMALLEST
+    value whose cume fraction reaches p) per order priority. Engine
+    percentile functions interpolate with engine-specific rules, so both
+    sides use the explicit rank formula rn == ceil(p*n) over a unique
+    ordering — pure integer logic, bit-identical."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .withColumn("cents", _cents("o_totalprice"))
+    )
+    w_asc = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w_asc).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    pick = lambda num, den: F.expr(f"(n * {num} + {den} - 1) div {den}")  # noqa: E731
+    return ranked.groupBy("o_orderpriority").agg(
+        *[
+            (
+                F.max(F.when(F.col("rn") == pick(num, 4), F.col("cents")))
+                .cast("double")
+                / 100.0
+            ).alias(alias)
+            for num, alias in ((1, "p25"), (2, "p50"), (3, "p75"))
+        ]
+    )
+
+
+def q_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent user per event type, ties broken
+    by LOWEST user id. Engine mode() functions leave ties unspecified, so
+    both sides rank (count DESC, user ASC) explicitly."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("modal_user"), "n")
+    )
+
+
+def q_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti join: event users NOT IN the high-value customer
+    key set, written as a genuine NOT IN subquery so Spark plans its
+    null-aware anti join (outer NULL user_ids are correctly EXCLUDED —
+    NULL NOT IN (...) is never true). dropDuplicates-free SQL on both
+    sides; identical three-valued-logic semantics is the point."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("bss_naaj_events")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("bss_naaj_cust")
+    return spark.sql(
+        """
+        SELECT user_id, count(*) AS n_events
+        FROM bss_naaj_events
+        WHERE user_id NOT IN (
+            SELECT c_custkey FROM bss_naaj_cust WHERE c_acctbal > 5000
+        )
+        GROUP BY user_id
+        """
+    )
+
+
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: for each event, the next and the
+    first OBSERVED json k-value in the user's (ts, event_id) timeline —
+    get_json_object NULLs on rows whose props lack the key, which is
+    exactly what IGNORE NULLS navigates past. Unique ordering pinned
+    NULLS FIRST on both engines."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "k_val", F.get_json_object(F.col("props"), "$.k").cast("long")
+    )
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, "
+        "event_id ASC)"
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "k_val",
+        F.expr(f"lead(k_val, 1) IGNORE NULLS {over}").alias("next_obs"),
+        F.expr(
+            f"first_value(k_val) IGNORE NULLS {over.replace(')', '')} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("first_obs"),
+    )
+
+
+def q_two_phase_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: lineitem revenue by l_returnflag —
+    3 heavy keys that would reduce a single-exchange agg to 3 straggler
+    tasks at 100 TB. Phase 1 partial-sums by (flag, l_orderkey % 16) so
+    the shuffle spreads each hot key over 16 reducers; phase 2 merges 16
+    rows per flag. Integer cents sums are associative, so the oracle is
+    the plain one-phase SUM — same exact result, different physical plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "__salt")
+        .agg(
+            F.sum(_revenue_e4()).alias("rev_e4"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        (F.sum("rev_e4").cast("double") / 10000.0).alias("revenue"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+
+
+def q_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: 16 bins between the exact
+    global min/max. Bounds are a 1-row aggregate broadcast (scalar-
+    subquery idiom, never collected); bin ids are pure integer math
+    ((x-lo)*16 div (hi-lo+1), always in [0,15]) so both engines bin
+    identically with no float edges."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .withColumn("cents", _cents("o_totalprice"))
+    )
+    bounds = orders.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin_id",
+            F.expr("((cents - lo) * 16) div (hi - lo + 1)").cast("long"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum("cents").cast("double") / 100.0).alias("sum_price"),
+        )
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier profile per event type — the
+    robust anomaly gate (3-sigma breaks under heavy tails; 3-MAD does
+    not). Both medians use the dual-row_number formula on SCALED
+    integers: med2 = 2x the median of cents, dev = |2*cents - med2|,
+    mad2 = 2x the median of dev — every comparison stays in BIGINT, the
+    outlier test dev*2 > 3*mad2 is exactly |x - med| > 3*MAD."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", "event_id", _cents("value").alias("cents"))
+    )
+
+    def med2_of(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(
+            F.col(col).asc(), F.col("event_id").asc()
+        )
+        ranked = df.select(
+            "event_type",
+            col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .alias("n"),
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("n div 2 + 1"))
+        )
+        return mid.groupBy("event_type").agg(
+            F.when(
+                F.count(F.lit(1)) == 1, F.sum(col) * 2
+            )
+            .otherwise(F.sum(col))
+            .cast("long")
+            .alias("m2")
+        )
+
+    med = med2_of(ev, "cents").withColumnRenamed("m2", "med2")
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("cents") * 2 - F.col("med2")).alias("dev"),
+    )
+    mad = med2_of(dev, "dev").withColumnRenamed("m2", "mad2")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.col("dev") * 2 > F.col("mad2") * 3).cast("long")
+            ).cast("long").alias("n_outliers"),
+            F.max("mad2").cast("long").alias("mad2"),
+        )
+    )
+
+
+def q_regr_slope_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope + intercept of order price (cents) against
+    item count, per priority — regr_slope/regr_intercept from EXACT
+    integer moments (the q_corr_price_items technique): the five sums
+    accumulate in BIGINT/DECIMAL(38,0), then ONE fixed-order float
+    formula, bit-identical in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    items = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    j = orders.join(items, orders["o_orderkey"] == items["l_orderkey"]).select(
+        "o_orderpriority",
+        F.col("n_items").alias("x"),
+        _cents("o_totalprice").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    mom = j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
+    )
+    n, sx, sy = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return mom.select(
+        "o_orderpriority",
+        "n",
+        slope.alias("slope_cents_per_item"),
+        ((sy - slope * sx) / n).alias("intercept_cents"),
+    )
+
+
+def q_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving sum per user with EXACT dyadic
+    weights: the 8 most recent observations at weights 128,64,...,1
+    (alpha=1/2 truncated at depth 8 — the tail below 1/256 is under the
+    cents resolution anyway). Missing/NULL observations contribute 0.
+    The weighted sum is a BIGINT; the single final division by 256*100
+    is one float op over the same integer on both engines."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc()
+    )
+    obs = F.coalesce(_cents("value"), F.lit(0))
+    terms = [
+        (F.coalesce(F.lag(obs, i).over(w), F.lit(0)) * (2 ** (7 - i)))
+        for i in range(8)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return events.select(
+        "event_id",
+        "user_id",
+        total.cast("long").alias("ews_fp"),
+        (total.cast("double") / 256.0 / 100.0).alias("ewma_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict, verified r01–r05). The
@@ -2373,6 +2651,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail. tests/test_oracle_parity.py checks ALL oracle entries every
     # run regardless of order.
     return {
+        # --- new in round 7 (never driver-verified — must lead) --------
+        "q_percentile_disc": q_percentile_disc,
+        "q_mode_deterministic": q_mode_deterministic,
+        "q_not_in_null_aware": q_not_in_null_aware,
+        "q_window_ignore_nulls": q_window_ignore_nulls,
+        "q_two_phase_skew_agg": q_two_phase_skew_agg,
+        "q_histogram_equi_width": q_histogram_equi_width,
+        "q_mad_outliers": q_mad_outliers,
+        "q_regr_slope_exact": q_regr_slope_exact,
+        "q_ewma_dyadic": q_ewma_dyadic,
         # --- last driver-verified in round 2 (three drifts ago) --------
         "q_hourly_events": q_hourly_events,
         "q_sliding_window_avg": q_sliding_window_avg,
@@ -2829,6 +3117,195 @@ _CONTAMINATION_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     WCL = _classifier_weights_fp()
     return {
+        # --- round 7 -----------------------------------------------------
+        "q_percentile_disc": """
+            -- percentile_disc by explicit rank formula rn == ceil(p*n):
+            -- engine percentile fns interpolate differently, this picks
+            -- actual data values with pure integer logic
+            WITH ranked AS (
+                SELECT o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC,
+                                    o_orderkey ASC) AS rn,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM orders WHERE o_totalprice IS NOT NULL)
+            SELECT o_orderpriority,
+                   CAST(max(CASE WHEN rn = (n * 1 + 3) // 4 THEN cents END)
+                        AS DOUBLE) / 100.0 AS p25,
+                   CAST(max(CASE WHEN rn = (n * 2 + 3) // 4 THEN cents END)
+                        AS DOUBLE) / 100.0 AS p50,
+                   CAST(max(CASE WHEN rn = (n * 3 + 3) // 4 THEN cents END)
+                        AS DOUBLE) / 100.0 AS p75
+            FROM ranked GROUP BY o_orderpriority
+        """,
+        "q_mode_deterministic": """
+            WITH counts AS (
+                SELECT event_type, user_id, count(*) AS n
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY event_type, user_id),
+            ranked AS (
+                SELECT event_type, user_id, n,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY n DESC, user_id ASC) AS rn
+                FROM counts)
+            SELECT event_type, user_id AS modal_user, n
+            FROM ranked WHERE rn = 1
+        """,
+        "q_not_in_null_aware": """
+            -- three-valued NOT IN: outer NULL user_ids never qualify
+            SELECT user_id, count(*) AS n_events
+            FROM events
+            WHERE user_id NOT IN (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+            )
+            GROUP BY user_id
+        """,
+        "q_window_ignore_nulls": """
+            -- json_valid guard mirrors Spark's lenient get_json_object
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                                 THEN json_extract_string(props, '$.k') END
+                            AS BIGINT) AS k_val
+                FROM events)
+            SELECT event_id, user_id, k_val,
+                   lead(k_val, 1 IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC NULLS FIRST, event_id ASC) AS next_obs,
+                   first_value(k_val IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC NULLS FIRST, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS first_obs
+            FROM e
+        """,
+        "q_two_phase_skew_agg": f"""
+            -- oracle is the plain one-phase sum: integer cents sums are
+            -- associative, so the salted two-phase plan must match exactly
+            SELECT l_returnflag,
+                   CAST(sum({SQL_REVENUE_E4}) AS DOUBLE) / 10000.0 AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_histogram_equi_width": """
+            WITH o AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o)
+            SELECT ((o.cents - b.lo) * 16) // (b.hi - b.lo + 1) AS bin_id,
+                   count(*) AS n_orders,
+                   CAST(sum(o.cents) AS DOUBLE) / 100.0 AS sum_price
+            FROM o, b
+            GROUP BY 1
+        """,
+        "q_mad_outliers": """
+            WITH ev AS (
+                SELECT event_type, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            r1 AS (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents ASC, event_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM ev),
+            med AS (
+                SELECT event_type,
+                       CAST(CASE WHEN count(*) = 1 THEN sum(cents) * 2
+                                 ELSE sum(cents) END AS BIGINT) AS med2
+                FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+                GROUP BY event_type),
+            dv AS (
+                SELECT ev.event_type, ev.event_id,
+                       abs(ev.cents * 2 - med.med2) AS dev
+                FROM ev JOIN med USING (event_type)),
+            r2 AS (
+                SELECT event_type, dev,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev ASC, event_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM dv),
+            mad AS (
+                SELECT event_type,
+                       CAST(CASE WHEN count(*) = 1 THEN sum(dev) * 2
+                                 ELSE sum(dev) END AS BIGINT) AS mad2
+                FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+                GROUP BY event_type)
+            SELECT dv.event_type, count(*) AS n,
+                   CAST(sum(CASE WHEN dv.dev * 2 > mad.mad2 * 3
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   max(mad.mad2) AS mad2
+            FROM dv JOIN mad USING (event_type)
+            GROUP BY dv.event_type
+        """,
+        "q_regr_slope_exact": """
+            WITH it AS (
+                SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+                FROM lineitem GROUP BY l_orderkey),
+            j AS (
+                SELECT o.o_orderpriority,
+                       it.n_items AS x,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+                FROM orders o JOIN it ON o.o_orderkey = it.l_orderkey),
+            mom AS (
+                SELECT o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(CAST(x * y AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS sxy,
+                       CAST(sum(CAST(x * x AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS sxx
+                FROM j GROUP BY o_orderpriority)
+            SELECT o_orderpriority, n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       AS slope_cents_per_item,
+                   (CAST(sy AS DOUBLE)
+                        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                       AS intercept_cents
+            FROM mom
+        """,
+        "q_ewma_dyadic": """
+            -- dyadic-weight EWMA: BIGINT weighted sum of the 8 most
+            -- recent observations, one final float division
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       coalesce(CAST(round(value * 100) AS BIGINT), 0) AS c
+                FROM events)
+            SELECT event_id, user_id,
+                   CAST(c * 128
+                        + coalesce(lag(c, 1) OVER w, 0) * 64
+                        + coalesce(lag(c, 2) OVER w, 0) * 32
+                        + coalesce(lag(c, 3) OVER w, 0) * 16
+                        + coalesce(lag(c, 4) OVER w, 0) * 8
+                        + coalesce(lag(c, 5) OVER w, 0) * 4
+                        + coalesce(lag(c, 6) OVER w, 0) * 2
+                        + coalesce(lag(c, 7) OVER w, 0) * 1
+                        AS BIGINT) AS ews_fp,
+                   CAST(CAST(c * 128
+                        + coalesce(lag(c, 1) OVER w, 0) * 64
+                        + coalesce(lag(c, 2) OVER w, 0) * 32
+                        + coalesce(lag(c, 3) OVER w, 0) * 16
+                        + coalesce(lag(c, 4) OVER w, 0) * 8
+                        + coalesce(lag(c, 5) OVER w, 0) * 4
+                        + coalesce(lag(c, 6) OVER w, 0) * 2
+                        + coalesce(lag(c, 7) OVER w, 0) * 1
+                        AS BIGINT) AS DOUBLE) / 256.0 / 100.0 AS ewma_value
+            FROM e
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC NULLS FIRST, event_id ASC)
+        """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -89,3 +89,113 @@ def pagerank_fixed_point(
             )
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (<= max_hops) from any seed.
+
+    The recursive-CTE workload Spark SQL cannot express (no WITH
+    RECURSIVE): level-synchronous frontier expansion, the Pregel BFS
+    pattern as DataFrame joins. Each round joins the CURRENT frontier
+    (only nodes discovered last round — not the whole visited set)
+    against the edge list, then anti-joins out already-visited nodes, so
+    per-round work is O(frontier x avg-degree), the textbook distributed
+    BFS cost.
+
+    `edges` must be DIRECTED (src, dst) — pass both directions for an
+    undirected graph. `seeds` is a 1-column frame of start node ids
+    (hop 0). Hop counts are exact integers: bit-identical across engines
+    and partitionings, so a SQL oracle (recursive CTE) reproduces them.
+
+    Scale: O(max_hops) shuffle rounds, each an equi-join on node id. The
+    visited set is carried as a DataFrame (never collected). Lineage
+    grows linearly in max_hops; for deep traversals localCheckpoint
+    every few rounds would truncate it — at the hop budgets this engine
+    exposes (<= ~6) lineage depth is a non-issue.
+
+    Output: (id, hop) — one row per reachable node, hop in [0, max_hops].
+    """
+    visited = seeds.select(
+        F.col(seeds.columns[0]).alias("id"), F.lit(0).cast("int").alias("hop")
+    ).dropDuplicates(["id"])
+    frontier = visited.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates(["id"])
+            .join(visited.select("id"), "id", "left_anti")
+        )
+        frontier = nxt
+        visited = visited.unionByName(
+            nxt.select("id", F.lit(h).cast("int").alias("hop"))
+        )
+    return visited
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    `edges` is one row per undirected edge with a < b ((id_a, id_b) —
+    the near-dup pair shape from operators/dedup.py). The classic
+    quadratic hazard is wedge enumeration at high-degree hubs; the
+    standard fix (Cohen 2009 MapReduce triangle counting; GraphX's
+    implementation) is DEGREE ORIENTATION: direct every edge from the
+    lower-(degree, id) endpoint to the higher, so every wedge is rooted
+    at its lowest-degree corner and per-node wedge work is bounded by
+    (min-degree choose 2) — O(m^{3/2}) total instead of sum(deg^2).
+
+    All joins are equi-joins on node ids; counts are exact integers, so
+    the whole computation replays in a SQL oracle bit-identically.
+
+    Output: (id, n_triangles) for every node that appears in an edge
+    (0 for triangle-free nodes).
+    """
+    und = edges.select(
+        F.col(edges.columns[0]).alias("a"), F.col(edges.columns[1]).alias("b")
+    )
+    nodes = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # orient each edge from the lower (deg, id) endpoint to the higher
+    d = und.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b")), "b")
+    lo_is_a = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = d.select(
+        F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # wedges rooted at the low corner: (root)->(u), (root)->(v), u < v
+    # by the same orientation key; closing edge must also be oriented u->v
+    left = oriented.select(F.col("lo").alias("root"), F.col("hi").alias("u"))
+    right = oriented.select(F.col("lo").alias("root"), F.col("hi").alias("v"))
+    wedges = left.join(right, "root").filter(F.col("u") != F.col("v"))
+    closing = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    tri = wedges.join(closing, ["u", "v"])  # each triangle closes once
+    corners = (
+        tri.select(F.col("root").alias("id"))
+        .unionByName(tri.select(F.col("u").alias("id")))
+        .unionByName(tri.select(F.col("v").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return nodes.join(counts, "id", "left").select(
+        "id",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )
