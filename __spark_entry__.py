@@ -2636,6 +2636,44 @@ def q_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup similarity graph
+    (operators/graph.py::bfs_levels): minimum hop count (<= 3) from the
+    seed docs to everything transitively similar — the recursive-CTE
+    traversal Spark SQL cannot express, built as level-synchronous
+    frontier joins. Hop counts are exact integers; the oracle replays
+    the traversal with a genuine WITH RECURSIVE."""
+    from buskafkasparkstreaming_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.3)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+    out = G.bfs_levels(edges, seeds, max_hops=3)
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("hop").cast("long").alias("hop")
+    )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle participation in the near-dup graph
+    (operators/graph.py::triangle_counts) — the motif that separates
+    'pairwise similar' from 'mutually similar cluster'. Degree-oriented
+    wedge enumeration bounds per-node work by the LOWER degree corner
+    (O(m^1.5) total, no hub blow-up). Exact integer counts; full SQL
+    oracle replays orientation, wedges, and closure."""
+    from buskafkasparkstreaming_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.3)
+    out = G.triangle_counts(pairs.select("id_a", "id_b"))
+    return out.select(F.col("id").alias("doc_id"), "n_triangles")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict, verified r01–r05). The
@@ -2652,6 +2690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # run regardless of order.
     return {
         # --- new in round 7 (never driver-verified — must lead) --------
+        "graph_bfs_reachability": graph_bfs_reachability,
+        "graph_triangle_count": graph_triangle_count,
         "q_percentile_disc": q_percentile_disc,
         "q_mode_deterministic": q_mode_deterministic,
         "q_not_in_null_aware": q_not_in_null_aware,
@@ -3118,6 +3158,63 @@ def oracle_sql() -> dict[str, str]:
     WCL = _classifier_weights_fp()
     return {
         # --- round 7 -----------------------------------------------------
+        "graph_bfs_reachability": f"""
+            -- genuine recursive CTE vs the engine's frontier-join BFS;
+            -- hop budget 3 bounds the UNION ALL expansion
+            WITH RECURSIVE pairs AS ({_ngram_pairs_sql(0.3, 1000)}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            walk(id, hop) AS (
+                SELECT doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+                UNION ALL
+                SELECT e.dst, w.hop + 1
+                FROM walk w JOIN edges e ON e.src = w.id
+                WHERE w.hop < 3
+            )
+            SELECT id AS doc_id, CAST(min(hop) AS BIGINT) AS hop
+            FROM walk GROUP BY id
+        """,
+        "graph_triangle_count": f"""
+            -- degree-oriented triangle closure, replayed relationally
+            WITH pairs AS ({_ngram_pairs_sql(0.3, 1000)}),
+            und AS (SELECT id_a AS a, id_b AS b FROM pairs),
+            ends AS (
+                SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und
+            ),
+            nodes AS (SELECT DISTINCT id FROM ends),
+            deg AS (SELECT id, count(*) AS dg FROM ends GROUP BY id),
+            oriented AS (
+                SELECT CASE WHEN (da.dg < db.dg)
+                                 OR (da.dg = db.dg AND u.a < u.b)
+                            THEN u.a ELSE u.b END AS lo,
+                       CASE WHEN (da.dg < db.dg)
+                                 OR (da.dg = db.dg AND u.a < u.b)
+                            THEN u.b ELSE u.a END AS hi
+                FROM und u
+                JOIN deg da ON da.id = u.a
+                JOIN deg db ON db.id = u.b
+            ),
+            tri AS (
+                SELECT l.root, l.u, r.v
+                FROM (SELECT lo AS root, hi AS u FROM oriented) l
+                JOIN (SELECT lo AS root, hi AS v FROM oriented) r
+                     ON l.root = r.root AND l.u <> r.v
+                JOIN (SELECT lo AS cu, hi AS cv FROM oriented) c
+                     ON c.cu = l.u AND c.cv = r.v
+            ),
+            corners AS (
+                SELECT root AS id FROM tri
+                UNION ALL SELECT u FROM tri
+                UNION ALL SELECT v FROM tri
+            ),
+            cnt AS (SELECT id, count(*) AS n_triangles FROM corners GROUP BY id)
+            SELECT n.id AS doc_id,
+                   CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles
+            FROM nodes n LEFT JOIN cnt c ON c.id = n.id
+        """,
         "q_percentile_disc": """
             -- percentile_disc by explicit rank formula rn == ceil(p*n):
             -- engine percentile fns interpolate differently, this picks

@@ -1174,3 +1174,35 @@ def test_asof_join_null_keys_match_nothing(spark):
         build_cols=["bid"], how="inner",
     )
     assert {r["pid"] for r in inner.collect()} == {2}
+
+
+def test_bfs_levels_semantics(spark):
+    """Path graph 0-1-2-3-4 plus an off-path seed: min hop from ANY
+    seed, nodes beyond max_hops absent, re-discovered nodes keep the
+    EARLIEST level, deterministic integers."""
+    from buskafkasparkstreaming_spark.operators.graph import bfs_levels
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (7, 2)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (7,)], "id long")
+    out = {x.id: x.hop for x in bfs_levels(edges, seeds, max_hops=2).collect()}
+    # 2 is reachable in 1 hop via seed 7 (not 2 hops via 0)
+    assert out == {0: 0, 7: 0, 1: 1, 2: 1, 3: 2}
+    out3 = {x.id: x.hop for x in bfs_levels(edges, seeds, max_hops=3).collect()}
+    assert out3[4] == 3 and 5 not in out3
+
+
+def test_triangle_counts_semantics(spark):
+    """K4 on 0-3 (every node in C(3,2)=3 triangles) plus a pendant edge
+    (zero triangles) and a hub wedge that must NOT count."""
+    from buskafkasparkstreaming_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(3, 9), (9, 10), (9, 11)]  # pendant chain + open wedge at 9
+    edges = spark.createDataFrame(k4 + extra, "id_a long, id_b long")
+    out = {x.id: x.n_triangles for x in triangle_counts(edges).collect()}
+    assert out[0] == out[1] == out[2] == 3
+    assert out[3] == 3  # K4 membership unchanged by the pendant
+    assert out[9] == out[10] == out[11] == 0
