@@ -2674,24 +2674,190 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "n_triangles")
 
 
+def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic time-series words (operators/timeseries.py, Lin et
+    al. 2003): each user's value series → PAA segments → z-normalized
+    quantile symbols — the blocking key for all-pairs series similarity
+    (equal words = candidate similar series, the banding idea on time
+    series). Exact integer moments; one fixed-order float z formula;
+    FULL SQL oracle replays segmentation, moments, and symbols."""
+    from buskafkasparkstreaming_spark.operators import timeseries as TS
+
+    events = _t(spark, sf_dir, "events").withColumn("cents", _cents("value"))
+    out = TS.sax_words(
+        events, "user_id", "ts", "cents", segments=4, tiebreak_col="event_id"
+    )
+    return out.select(
+        F.col("key").alias("user_id"), "n_points", "sax_word"
+    )
+
+
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (operators/text.py::bigram_pmi): top-200 adjacent
+    word pairs by count with ln-fixed-point PMI — the BPE merge-candidate
+    ranking. Row-local bigram zip (no self-join), token-keyed count
+    shuffles, 1-row totals broadcast, TakeOrdered top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bigram_pmi(docs, "doc_id", min_count=5, top_k=200)
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quartiles
+    via ntile(4) over unique orderings (ties broken by custkey) — the
+    standard marketing-analytics cut, exact integers end to end.
+
+    Scale note: ntile is a GLOBAL window (one ordered partition), but it
+    runs over the per-customer AGGREGATE (|customers| rows, not
+    |orders|) — the heavy groupBy shuffle is distributed and exact. At
+    billions of customers the segment assignment would switch to 3
+    broadcast quantile thresholds (approx_percentile over the same
+    aggregate); ntile is kept here because the driver contract needs
+    exact, engine-identical bucket boundaries."""
+    orders = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_cents("o_totalprice")).cast("long").alias("spend_cents"),
+    )
+    seg = lambda col, alias: F.ntile(4).over(  # noqa: E731
+        Window.orderBy(F.col(col).desc(), F.col("o_custkey").asc())
+    ).alias(alias)
+    return rfm.select(
+        "o_custkey",
+        "n_orders",
+        seg("last_order", "r_seg"),
+        seg("n_orders", "f_seg"),
+        seg("spend_cents", "m_seg"),
+    )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup POLICY: union-find near-dup clusters
+    (dedup_clusters' edge set), then keep the highest-quality doc per
+    cluster (longest by n_chars, ties to lowest id) instead of the
+    arbitrary min-id representative — the 'which copy survives' decision
+    a real pipeline must make. Singleton docs are their own cluster.
+    FULL oracle: recursive-CTE components + the same argmax window."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.05)
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    allc = docs.select("doc_id", "n_chars").join(
+        comp.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+        ),
+        "doc_id",
+        "left",
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    return (
+        allc.select(
+            "cluster_id",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias(
+                "n_docs"
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_chars").cast("long").alias("kept_chars"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version time travel on the object-store manifest table
+    (cdc/manifest_table.py::read_version): two merges produce immutable
+    snapshot manifests v0 and v1; reading AS OF v0 after v1 exists must
+    reproduce exactly the first batch — the audit/rollback read a lake
+    table owes its consumers. Oracle: the v0 batch predicate over the
+    raw events table; a runtime guard asserts v1 is current."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from buskafkasparkstreaming_spark.cdc.manifest_table import (
+        ManifestUpsertTable,
+    )
+
+    for old in _glob.glob(os.path.join(tempfile.gettempdir(), "bss_manifest_tt_*")):
+        _shutil.rmtree(old, ignore_errors=True)
+
+    events = _t(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.floor(F.col("value") / 50).cast("int").alias("band"),
+    )
+    t = ManifestUpsertTable(
+        spark,
+        tempfile.mkdtemp(prefix="bss_manifest_tt_"),
+        key_cols="event_id",
+        precombine_col="ts",
+        partition_col="band",
+        stats_cols=["value"],
+    )
+    t.merge(base.filter(F.col("event_id") % 3 != 0))
+    t.merge(base.filter(F.col("event_id") % 3 == 0))
+    assert t.version() == 1, f"expected 2 snapshots, at v{t.version()}"
+    return t.read_version(0).select("event_id", "event_type", "value")
+
+
+def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: drain the watermarked tumbling count aggregation
+    (streaming/windows.py::tumbling_counts) through a real availableNow
+    checkpointed query, then rank event types within each hour window
+    and keep the top 3 — the trending-now dashboard query. The rank runs
+    batch-side on the drained state (Spark forbids a second stateful agg
+    in one stream); ordering (n_events DESC, event_type ASC) is unique."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    agg = SW.tumbling_counts(stream)
+    drained = SW.run_to_memory(agg, spark, output_mode="update")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc_nulls_first()
+    )
+    return (
+        drained.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
-    # entries (an exact prefix of this dict, verified r01–r05). The
-    # ordering ROTATES each round so every entry gets a driver-verified row
-    # at least every other round. Round 6: the 14 entries last
-    # driver-verified in round 2 lead (VERDICT r5 next-1 — three testdata
-    # drifts have happened since their last driver check), then the 16
-    # entries changed or added this round (q_argmax_events NULL fix;
-    # manifest zone-map read; as-of forward/nearest; Gopher/C4 rules; HLL
-    # sketch + tick merge; A-ES weighted + DSIR sampling; left-outer
-    # stream join; corr/gap-fill/LOCF; funnel + cohort), then the round-4
-    # entries (now the stalest) fill the window; round-5-green entries
-    # tail. tests/test_oracle_parity.py checks ALL oracle entries every
-    # run regardless of order.
+    # entries (an exact prefix of this dict). The ordering ROTATES each
+    # round so every entry gets a driver-verified row regularly. Round 7:
+    # the 17 entries NEW this round lead (never driver-verified), then the
+    # 26 entries last driver-verified in ROUND 4 that fell outside round
+    # 6's window (positions 51+ then), then the head of the round-4
+    # cohort fills the window to 50. Groups verified in recent rounds
+    # (r6-new, the r2 group re-verified r6, r5-green tail) follow.
+    # tests/test_oracle_parity.py checks ALL oracle entries every run
+    # regardless of order.
     return {
-        # --- new in round 7 (never driver-verified — must lead) --------
+        # --- new in round 7 (never driver-verified -- must lead) ------
         "graph_bfs_reachability": graph_bfs_reachability,
         "graph_triangle_count": graph_triangle_count,
+        "ts_sax_words": ts_sax_words,
+        "text_bigram_pmi": text_bigram_pmi,
+        "q_rfm_segments": q_rfm_segments,
+        "dedup_keep_best": dedup_keep_best,
+        "manifest_time_travel": manifest_time_travel,
+        "streaming_topk_per_window": streaming_topk_per_window,
         "q_percentile_disc": q_percentile_disc,
         "q_mode_deterministic": q_mode_deterministic,
         "q_not_in_null_aware": q_not_in_null_aware,
@@ -2701,59 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mad_outliers": q_mad_outliers,
         "q_regr_slope_exact": q_regr_slope_exact,
         "q_ewma_dyadic": q_ewma_dyadic,
-        # --- last driver-verified in round 2 (three drifts ago) --------
-        "q_hourly_events": q_hourly_events,
-        "q_sliding_window_avg": q_sliding_window_avg,
-        "q_pivot_event_types": q_pivot_event_types,
-        "q_pivot_native": q_pivot_native,
-        "q_grouping_sets": q_grouping_sets,
-        "q_rollup_status_priority": q_rollup_status_priority,
-        "q_cube_status_priority": q_cube_status_priority,
-        "q_string_agg_suppliers": q_string_agg_suppliers,
-        "q_map_explode_props": q_map_explode_props,
-        "q_array_ops_embeddings": q_array_ops_embeddings,
-        "q_decimal_and_date": q_decimal_and_date,
-        "q_pandas_udf_score": q_pandas_udf_score,
-        "q_zscore_by_type": q_zscore_by_type,
-        "udtf_split_words": udtf_split_words,
-        # --- changed or new in round 6 ---------------------------------
-        "q_argmax_events": q_argmax_events,
-        "manifest_read_where": manifest_read_where,
-        "q_asof_next_purchase": q_asof_next_purchase,
-        "q_asof_nearest_purchase": q_asof_nearest_purchase,
-        "text_gopher_rules": text_gopher_rules,
-        "text_c4_rules": text_c4_rules,
-        "sketch_hll_distinct": sketch_hll_distinct,
-        "sample_weighted_priority": sample_weighted_priority,
-        "streaming_purchase_error_left_join": streaming_purchase_error_left_join,
-        "sample_dsir_importance": sample_dsir_importance,
-        "sketch_hll_incremental": sketch_hll_incremental,
-        "sketch_quantile_histogram": sketch_quantile_histogram,
-        "q_corr_price_items": q_corr_price_items,
-        "q_gapfill_hourly": q_gapfill_hourly,
-        "q_locf_fill": q_locf_fill,
-        "q_funnel_conversion": q_funnel_conversion,
-        "q_cohort_retention": q_cohort_retention,
-        # --- round-4-green (stalest full-green cohort) -----------------
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "cdc_latest_state": cdc_latest_state,
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_clusters": dedup_clusters,
-        "dedup_embedding_blocked": dedup_embedding_blocked,
-        "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
-        "dedup_contamination": dedup_contamination,
-        "ann_ivf_topk": ann_ivf_topk,
-        "doc_winnow_sketch": doc_winnow_sketch,
-        "sample_stratified_lang": sample_stratified_lang,
-        "text_pii_redact": text_pii_redact,
-        "pack_token_budget": pack_token_budget,
-        "corpus_curation": corpus_curation,
-        "ann_quantize_int8": ann_quantize_int8,
+        # --- last driver-verified round 4; outside the r6 sweep window -
         "q_approx_quantile_bound": q_approx_quantile_bound,
         "q_ntile_percent_rank": q_ntile_percent_rank,
         "q_offset_pagination": q_offset_pagination,
@@ -2780,6 +2894,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_by_name": q_union_by_name,
         "q_multiset_setops": q_multiset_setops,
         "q_date_parts": q_date_parts,
+        # --- round-4-cohort head fills the 50-entry window -------------
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "cdc_latest_state": cdc_latest_state,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        # --- round-4 cohort, re-swept in the r6 window -----------------
+        "dedup_simhash": dedup_simhash,
+        "dedup_clusters": dedup_clusters,
+        "dedup_embedding_blocked": dedup_embedding_blocked,
+        "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
+        "dedup_contamination": dedup_contamination,
+        "ann_ivf_topk": ann_ivf_topk,
+        "doc_winnow_sketch": doc_winnow_sketch,
+        "sample_stratified_lang": sample_stratified_lang,
+        "text_pii_redact": text_pii_redact,
+        "pack_token_budget": pack_token_budget,
+        "corpus_curation": corpus_curation,
+        "ann_quantize_int8": ann_quantize_int8,
+        # --- re-verified in round 6 (led that window) ------------------
+        "q_hourly_events": q_hourly_events,
+        "q_sliding_window_avg": q_sliding_window_avg,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_pivot_native": q_pivot_native,
+        "q_grouping_sets": q_grouping_sets,
+        "q_rollup_status_priority": q_rollup_status_priority,
+        "q_cube_status_priority": q_cube_status_priority,
+        "q_string_agg_suppliers": q_string_agg_suppliers,
+        "q_map_explode_props": q_map_explode_props,
+        "q_array_ops_embeddings": q_array_ops_embeddings,
+        "q_decimal_and_date": q_decimal_and_date,
+        "q_pandas_udf_score": q_pandas_udf_score,
+        "q_zscore_by_type": q_zscore_by_type,
+        "udtf_split_words": udtf_split_words,
+        # --- new in round 6 (followed in that window) ------------------
+        "q_argmax_events": q_argmax_events,
+        "manifest_read_where": manifest_read_where,
+        "q_asof_next_purchase": q_asof_next_purchase,
+        "q_asof_nearest_purchase": q_asof_nearest_purchase,
+        "text_gopher_rules": text_gopher_rules,
+        "text_c4_rules": text_c4_rules,
+        "sketch_hll_distinct": sketch_hll_distinct,
+        "sample_weighted_priority": sample_weighted_priority,
+        "streaming_purchase_error_left_join": streaming_purchase_error_left_join,
+        "sample_dsir_importance": sample_dsir_importance,
+        "sketch_hll_incremental": sketch_hll_incremental,
+        "sketch_quantile_histogram": sketch_quantile_histogram,
+        "q_corr_price_items": q_corr_price_items,
+        "q_gapfill_hourly": q_gapfill_hourly,
+        "q_locf_fill": q_locf_fill,
+        "q_funnel_conversion": q_funnel_conversion,
+        "q_cohort_retention": q_cohort_retention,
         # --- round-5-green tail (re-swept as window room allows) -------
         "streaming_stateful_running": streaming_stateful_running,
         "streaming_tumbling_counts": streaming_tumbling_counts,
@@ -2831,7 +2999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_purchase_before_error": q_asof_purchase_before_error,
         "q_range_join_value_tiers": q_range_join_value_tiers,
     }
-
 
 STOP_SQL = "('the','a','of','to','and','in')"
 WORDS = "string_split(text, ' ')"
@@ -3158,6 +3325,164 @@ def oracle_sql() -> dict[str, str]:
     WCL = _classifier_weights_fp()
     return {
         # --- round 7 -----------------------------------------------------
+        "ts_sax_words": """
+            -- full SAX replay: PAA segmentation (integer floor-division
+            -- segment ids), exact BIGINT/DECIMAL moments, ONE fixed-order
+            -- z formula, quantile symbols, word assembly. NaN z (near-
+            -- constant variance cancellation) orders above every
+            -- breakpoint in BOTH engines -> symbol 'd'; exactly-constant
+            -- series short-circuit to 'flat' on the integer min=max test
+            WITH clean AS (
+                SELECT user_id AS key,
+                       CAST(round(value * 100) AS BIGINT) AS c, ts, event_id
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND value IS NOT NULL),
+            rws AS (
+                SELECT key, c,
+                       row_number() OVER (PARTITION BY key
+                                          ORDER BY ts ASC, event_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY key) AS n
+                FROM clean),
+            segd AS (
+                SELECT key, c, ((rn - 1) * 4) // n AS seg FROM rws),
+            segs AS (
+                SELECT key, seg, CAST(sum(c) AS BIGINT) AS s_sum,
+                       CAST(count(*) AS BIGINT) AS s_n
+                FROM segd GROUP BY key, seg),
+            mom AS (
+                SELECT key, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(c) AS BIGINT) AS sx,
+                       CAST(sum(CAST(c * c AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS sxx,
+                       min(c) AS cmin, max(c) AS cmax
+                FROM segd GROUP BY key),
+            z AS (
+                SELECT s.key, s.seg, m.n, m.cmin, m.cmax,
+                       (CAST(s.s_sum AS DOUBLE) / CAST(s.s_n AS DOUBLE)
+                            - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                       / sqrt(CAST(m.sxx AS DOUBLE) / CAST(m.n AS DOUBLE)
+                              - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                                * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)))
+                           AS zz
+                FROM segs s JOIN mom m ON m.key = s.key),
+            sym AS (
+                SELECT key, seg, n, cmin, cmax,
+                       CASE WHEN zz < -0.6745 THEN 'a'
+                            WHEN zz < 0.0 THEN 'b'
+                            WHEN zz < 0.6745 THEN 'c'
+                            ELSE 'd' END AS sy
+                FROM z)
+            SELECT key AS user_id, CAST(max(n) AS BIGINT) AS n_points,
+                   CASE WHEN max(cmin) = max(cmax) THEN 'flat'
+                        ELSE string_agg(sy, '' ORDER BY seg ASC) END
+                       AS sax_word
+            FROM sym GROUP BY key
+        """,
+        "text_bigram_pmi": """
+            -- 1-based list slicing mirrors the engine's 0-based adjacent
+            -- zip; PMI is one fixed-order float over exact counts,
+            -- floor-quantized at 1e4 (the ln-fixed-point contract)
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE trim(coalesce(text, '')) <> ''),
+            uni AS (SELECT unnest(ws) AS x FROM w),
+            cuni AS (SELECT x, CAST(count(*) AS BIGINT) AS c
+                     FROM uni GROUP BY x),
+            bg AS (
+                SELECT ws[i] AS x, ws[i + 1] AS y
+                FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                      FROM w WHERE len(ws) >= 2)),
+            cbg AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+                    FROM bg GROUP BY x, y),
+            tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cuni) AS n_uni,
+                           (SELECT CAST(sum(c_xy) AS BIGINT) FROM cbg) AS n_bi)
+            SELECT b.x, b.y, b.c_xy,
+                   CAST(floor(ln(
+                       (CAST(b.c_xy AS DOUBLE) * CAST(t.n_uni AS DOUBLE)
+                            * CAST(t.n_uni AS DOUBLE))
+                       / (CAST(t.n_bi AS DOUBLE) * CAST(cx.c AS DOUBLE)
+                            * CAST(cy.c AS DOUBLE))
+                   ) * 10000.0) AS BIGINT) AS pmi_fp
+            FROM cbg b
+            JOIN cuni cx ON cx.x = b.x
+            JOIN cuni cy ON cy.x = b.y
+            CROSS JOIN tot t
+            WHERE b.c_xy >= 5
+            ORDER BY b.c_xy DESC, b.x ASC, b.y ASC
+            LIMIT 200
+        """,
+        "q_rfm_segments": """
+            -- DESC null ordering is NULLS LAST in both engines; ties
+            -- broken by custkey so every ntile assignment is unique
+            WITH rfm AS (
+                SELECT o_custkey, max(o_orderdate) AS last_order,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS spend_cents
+                FROM orders GROUP BY o_custkey)
+            SELECT o_custkey, n_orders,
+                   ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC)
+                       AS r_seg,
+                   ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC)
+                       AS f_seg,
+                   ntile(4) OVER (ORDER BY spend_cents DESC, o_custkey ASC)
+                       AS m_seg
+            FROM rfm
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS ({_ngram_pairs_sql(0.05, 1000)}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+            ),
+            comp AS (SELECT node AS doc_id, min(comp) AS cluster_id
+                     FROM reach GROUP BY node),
+            allc AS (
+                SELECT d.doc_id, d.n_chars,
+                       coalesce(c.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+            ranked AS (
+                SELECT cluster_id, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY cluster_id) AS n_docs
+                FROM allc)
+            SELECT cluster_id, doc_id AS kept_doc,
+                   CAST(n_chars AS BIGINT) AS kept_chars,
+                   CAST(n_docs AS BIGINT) AS n_docs
+            FROM ranked WHERE rn = 1
+        """,
+        "manifest_time_travel": """
+            -- version-0 snapshot == the first merge batch (unique keys);
+            -- the entry asserts v1 exists before reading as-of v0
+            SELECT event_id, event_type, value FROM events
+            WHERE value IS NOT NULL AND event_id % 3 <> 0
+        """,
+        "streaming_topk_per_window": """
+            WITH hourly AS (
+                SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                           AS window_start,
+                       event_type, count(*) AS n_events
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            ranked AS (
+                SELECT window_start, event_type, n_events,
+                       row_number() OVER (
+                           PARTITION BY window_start
+                           ORDER BY n_events DESC,
+                                    event_type ASC NULLS FIRST) AS rk
+                FROM hourly)
+            SELECT window_start, event_type, n_events,
+                   CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 3
+        """,
         "graph_bfs_reachability": f"""
             -- genuine recursive CTE vs the engine's frontier-join BFS;
             -- hop budget 3 bounds the UNION ALL expansion

@@ -673,3 +673,87 @@ def bm25_scores(
         .groupBy("id")
         .agg(F.sum("__fp").cast("long").alias("bm25_fp"))
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 200,
+    fp_scale: int = 10_000,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent word
+    pairs — PMI(x,y) = ln(p(x,y) / (p(x)p(y))) over corpus unigram/bigram
+    counts (Church & Hanks 1990). The vocabulary-building companion to
+    the tokenizer ops: high-PMI bigrams are the merge candidates a
+    BPE/WordPiece vocab promotes to single tokens.
+
+    Scale shape: one explode for unigrams, one for bigrams (row-local
+    adjacent zip — no self-join), two count shuffles keyed by token, and
+    the two corpus totals broadcast as 1-row aggregates. Output bounded
+    to `top_k` rows by (count, bigram) rank, never data-sized.
+
+    Exactness: counts are BIGINT; the PMI ratio is ONE fixed-order float
+    expression over six integer casts, then floor-quantized to
+    `fp_scale` — the engine's ln-fixed-point contract (the LM-score and
+    BM25 precedent), bit-identical across engines.
+    """
+    w = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("ws")
+    ).filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+    uni = w.select(F.explode("ws").alias("x")).groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c_x")
+    )
+    bg = (
+        w.select(
+            F.explode(
+                F.when(
+                    F.size("ws") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 1), "
+                        "i -> struct(ws[i - 1] AS x, ws[i] AS y))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("b")
+        )
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    )
+    totals = uni.agg(
+        F.sum("c_x").cast("long").alias("n_uni")
+    ).crossJoin(bg.agg(F.sum("c_xy").cast("long").alias("n_bi")))
+    # unigram counts are vocabulary-sized (can exceed broadcast budget at
+    # corpus scale) — plain equi-joins, let AQE pick the strategy
+    j = (
+        bg.filter(F.col("c_xy") >= min_count)
+        .join(uni.withColumnRenamed("c_x", "cx"), "x")
+        .join(
+            uni.select(F.col("x").alias("y"), F.col("c_x").alias("cy")), "y"
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    ratio = (
+        F.col("c_xy").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+    ) / (
+        F.col("n_bi").cast("double")
+        * F.col("cx").cast("double")
+        * F.col("cy").cast("double")
+    )
+    scored = j.select(
+        "x",
+        "y",
+        "c_xy",
+        F.floor(F.log(ratio) * F.lit(float(fp_scale))).cast("long").alias(
+            "pmi_fp"
+        ),
+    )
+    # (c_xy, x, y) is a unique total order → deterministic top-k; orderBy+
+    # limit plans as TakeOrderedAndProject (per-partition heaps + driver
+    # merge of k rows), never a single-partition global sort
+    return scored.orderBy(
+        F.col("c_xy").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(top_k)
