@@ -228,6 +228,10 @@ def test_null_text_drift(spark, tmp_path):
         "text_lm_bigram_score",
         "pack_chunk_documents",
         "corpus_curation",
+        "text_bigram_pmi",
+        "dedup_keep_best",
+        "graph_bfs_reachability",
+        "graph_triangle_count",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -300,6 +304,13 @@ def test_null_events_drift(spark, tmp_path):
         "q_funnel_conversion",
         "q_cohort_retention",
         "sketch_quantile_histogram",
+        "q_mode_deterministic",
+        "q_window_ignore_nulls",
+        "q_mad_outliers",
+        "q_ewma_dyadic",
+        "ts_sax_words",
+        "streaming_topk_per_window",
+        "manifest_time_travel",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -362,6 +373,10 @@ def test_null_orders_drift(spark, tmp_path):
         "q_cume_dist_nth_value",
         "q_corr_price_items",
         "q_null_semantics",
+        "q_percentile_disc",
+        "q_histogram_equi_width",
+        "q_regr_slope_exact",
+        "q_rfm_segments",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -414,6 +429,8 @@ def test_null_lineitem_drift(spark, tmp_path):
         "q_union_by_name",
         "q_multiset_setops",
         "q_intersect_segments",
+        "q_two_phase_skew_agg",
+        "q_regr_slope_exact",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -503,6 +520,10 @@ def test_null_ts_drift(spark, tmp_path):
         "streaming_purchase_error_join",
         "rollup_incremental",
         "layout_zorder_events",
+        "q_ewma_dyadic",
+        "ts_sax_words",
+        "streaming_topk_per_window",
+        "q_window_ignore_nulls",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -666,6 +687,8 @@ def test_unicode_text_drift(spark, tmp_path):
         "dedup_simhash",
         "text_lm_score",
         "sample_dsir_importance",
+        "text_bigram_pmi",
+        "dedup_keep_best",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -769,6 +792,11 @@ def test_null_user_drift(spark, tmp_path):
         "q_event_gaps",
         "streaming_purchase_error_join",
         "streaming_purchase_error_left_join",
+        "q_not_in_null_aware",
+        "ts_sax_words",
+        "q_mode_deterministic",
+        "q_ewma_dyadic",
+        "q_window_ignore_nulls",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

@@ -398,3 +398,53 @@ def test_dsir_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert count_shuffles(df) <= 5
+
+
+def test_bigram_pmi_plan_bounded_topk(spark, sf_dir):
+    """PMI: row-local bigram zip (no self-join), token-keyed count
+    shuffles, 1-row totals broadcast; output is TakeOrdered top-k, never
+    a single-partition global window."""
+    df = entrymod.text_bigram_pmi(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
+
+
+def test_graph_plans_are_equi_joins(spark, sf_dir):
+    """BFS frontier expansion and triangle wedge/closure joins must all
+    be hash equi-joins — a nested-loop anywhere here is quadratic at
+    scale."""
+    for fn in (entrymod.graph_bfs_reachability, entrymod.graph_triangle_count):
+        plan = explain_str(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_sax_plan_is_key_partitioned(spark, sf_dir):
+    """SAX: every stage keyed on the series id — no cartesian, no
+    nested-loop, bounded exchanges (ordering window + two keyed aggs +
+    key join + word agg share the same hash key)."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    df = entrymod.ts_sax_words(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_shuffles(df) <= 5
+
+
+def test_two_phase_skew_agg_has_two_exchanges(spark, sf_dir):
+    """The salted aggregate must actually BE two-phase: exactly two
+    exchanges (salted partial, final merge), no single hot-key shuffle."""
+    from buskafkasparkstreaming_spark.plans import count_shuffles
+
+    df = entrymod.q_two_phase_skew_agg(spark, sf_dir)
+    assert count_shuffles(df) == 2
+
+
+def test_histogram_bounds_are_broadcast(spark, sf_dir):
+    """Equi-width histogram: the min/max bounds join must be a broadcast
+    of the 1-row aggregate (scalar-subquery idiom), not a shuffle."""
+    plan = explain_str(entrymod.q_histogram_equi_width(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
