@@ -84,6 +84,24 @@ HEADLINE = [
     "q_funnel_conversion",
     "q_cohort_retention",
     "sketch_quantile_histogram",
+    # round-7 additions (own BASELINE.md budget family)
+    "q_percentile_disc",
+    "q_mode_deterministic",
+    "q_not_in_null_aware",
+    "q_window_ignore_nulls",
+    "q_two_phase_skew_agg",
+    "q_histogram_equi_width",
+    "q_mad_outliers",
+    "q_regr_slope_exact",
+    "q_ewma_dyadic",
+    "q_rfm_segments",
+    "ts_sax_words",
+    "text_bigram_pmi",
+    "graph_bfs_reachability",
+    "graph_triangle_count",
+    "dedup_keep_best",
+    "manifest_time_travel",
+    "streaming_topk_per_window",
 ]
 
 

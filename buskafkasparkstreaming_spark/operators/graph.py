@@ -112,13 +112,16 @@ def bfs_levels(
     and partitionings, so a SQL oracle (recursive CTE) reproduces them.
 
     Scale: O(max_hops) shuffle rounds, each an equi-join on node id. The
-    visited set is carried as a DataFrame (never collected). Lineage
-    grows linearly in max_hops; for deep traversals localCheckpoint
-    every few rounds would truncate it — at the hop budgets this engine
-    exposes (<= ~6) lineage depth is a non-issue.
+    visited set is carried as a DataFrame (never collected). The edge
+    list and each round's frontier are localCheckpointed NON-eagerly
+    (build stays action-free): an expensive edge derivation (e.g. the
+    n-gram similarity join) is paid once, not once per hop, and the
+    visited lineage — referenced twice per round (union + anti-join) —
+    stops compounding exponentially.
 
     Output: (id, hop) — one row per reachable node, hop in [0, max_hops].
     """
+    edges = edges.localCheckpoint(eager=False)
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("id"), F.lit(0).cast("int").alias("hop")
     ).dropDuplicates(["id"])
@@ -129,11 +132,12 @@ def bfs_levels(
             .select(F.col("dst").alias("id"))
             .dropDuplicates(["id"])
             .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=False)
         )
         frontier = nxt
         visited = visited.unionByName(
             nxt.select("id", F.lit(h).cast("int").alias("hop"))
-        )
+        ).localCheckpoint(eager=False)
     return visited
 
 
@@ -155,9 +159,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Output: (id, n_triangles) for every node that appears in an edge
     (0 for triangle-free nodes).
     """
+    # the edge list is scanned by degree, orientation, wedge, and closure
+    # stages — checkpoint it (non-eager) so an expensive upstream pair
+    # derivation is computed once, and the oriented frame likewise (it
+    # feeds three join inputs)
     und = edges.select(
         F.col(edges.columns[0]).alias("a"), F.col(edges.columns[1]).alias("b")
-    )
+    ).localCheckpoint(eager=False)
     nodes = (
         und.select(F.col("a").alias("id"))
         .unionByName(und.select(F.col("b").alias("id")))
@@ -179,7 +187,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     oriented = d.select(
         F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).localCheckpoint(eager=False)
     # wedges rooted at the low corner: (root)->(u), (root)->(v), u < v
     # by the same orientation key; closing edge must also be oriented u->v
     left = oriented.select(F.col("lo").alias("root"), F.col("hi").alias("u"))

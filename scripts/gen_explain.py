@@ -35,6 +35,11 @@ SHOWN = {
     "sketch_hll_distinct": "HLL build: row-local bucket/rank from md5, groupBy(max) partial-aggregates into <= 256 registers per group; fixed-point harmonic sum is a register-sized agg",
     "text_gopher_rules": "Gopher rules: ZERO exchanges — every signal a higher-order fold over the doc's own word array, one codegen stage over the scan",
     "sample_weighted_priority": "A-ES weighted sample: row-local priority + TakeOrderedAndProject top-k; no full sort materialization",
+    "text_bigram_pmi": "PMI collocations: row-local adjacent zip (no self-join), token-keyed count aggs, 1-row totals broadcast, TakeOrdered top-k (never a global sort)",
+    "graph_triangle_count": "degree-oriented triangles: wedge + closure as hash equi-joins rooted at the LOW-degree corner — O(m^1.5) work, no hub blow-up",
+    "ts_sax_words": "SAX words: one ordering window + segment/moment aggs all keyed on the series id; z-symbols from exact integer moments in one codegen stage",
+    "q_two_phase_skew_agg": "salted two-phase agg: hot keys spread over 16 reducers in the partial exchange, 16-row final merge",
+    "q_histogram_equi_width": "equi-width histogram: 1-row min/max broadcast, integer bin math row-local, one bin-keyed agg",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage
