@@ -2837,6 +2837,73 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-side conjunctive filter (all three
+    predicates pushed to parquet) into a single exact-integer aggregate —
+    the canonical predicate-pushdown probe. Revenue = Σ price·discount in
+    exact 1e-4 currency units."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        (
+            F.sum(_cents("l_extendedprice") * _cents("l_discount"))
+            .cast("double")
+            / 10000.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a child aggregate (orders whose total
+    quantity exceeds the threshold), joined back to the order/customer
+    detail — the classic agg-then-semi-join pattern. Quantities are whole
+    numbers in doubles; the sum is cast via exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion: props parsed once into the binary
+    semi-structured VARIANT type (try_parse_json — NULL on malformed, the
+    lenient contract), then typed paths extracted with try_variant_get —
+    the modern engine path for schema-on-read JSON (columnar-shredded,
+    no per-query string re-parse). Oracle mirrors with json_valid-guarded
+    extraction."""
+    events = _t(spark, sf_dir, "events")
+    v = events.select(
+        "event_id", F.try_parse_json(F.col("props")).alias("v")
+    )
+    return v.select(
+        "event_id",
+        F.try_variant_get(F.col("v"), "$.k", "bigint").alias("k_val"),
+        F.when(F.col("v").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("is_valid_json"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -2850,6 +2917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of order.
     return {
         # --- new in round 7 (never driver-verified -- must lead) ------
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q_variant_props": q_variant_props,
         "graph_bfs_reachability": graph_bfs_reachability,
         "graph_triangle_count": graph_triangle_count,
         "ts_sax_words": ts_sax_words,
@@ -3325,6 +3395,36 @@ def oracle_sql() -> dict[str, str]:
     WCL = _classifier_weights_fp()
     return {
         # --- round 7 -----------------------------------------------------
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+            SELECT o_orderkey, o_custkey, o_orderdate, sum_qty
+            FROM orders JOIN big ON o_orderkey = l_orderkey
+        """,
+        "q_variant_props": """
+            SELECT event_id,
+                   CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                             THEN json_extract_string(props, '$.k') END
+                        AS BIGINT) AS k_val,
+                   CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_valid_json
+            FROM events
+        """,
         "ts_sax_words": """
             -- full SAX replay: PAA segmentation (integer floor-division
             -- segment ids), exact BIGINT/DECIMAL moments, ONE fixed-order
