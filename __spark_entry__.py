@@ -2904,6 +2904,37 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming (Spark 4 multiple-stateful-operator
+    support): hourly windowed counts feeding a second, daily windowed
+    aggregation in ONE streaming query — the pre-aggregation cascade a
+    dashboard pipeline runs (raw → hourly → daily) without a second job
+    or an intermediate sink. Append mode end-to-end: a daily window emits
+    once the watermark (0 s delay ⇒ max event time seen) passes its end,
+    so the drained result is exactly the days strictly before the final
+    watermark — the oracle replays that emission rule."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    hourly = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("w1"), "1 day").alias("w2"), "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_day"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+    )
+    out = SW.run_to_memory(daily, spark, output_mode="append")
+    return out.select(
+        F.col("w2.start").alias("day_start"),
+        "event_type",
+        "n_day",
+        "n_hours",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -2920,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
         "q_variant_props": q_variant_props,
+        "streaming_hourly_daily_rollup": streaming_hourly_daily_rollup,
         "graph_bfs_reachability": graph_bfs_reachability,
         "graph_triangle_count": graph_triangle_count,
         "ts_sax_words": ts_sax_words,
@@ -3424,6 +3456,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
                              THEN 1 ELSE 0 END AS BIGINT) AS is_valid_json
             FROM events
+        """,
+        "streaming_hourly_daily_rollup": """
+            -- append-mode emission rule: a daily window emits iff its END
+            -- <= final watermark (max ts, 0 s delay); hours inside an
+            -- emitted day all closed before it
+            WITH mx AS (SELECT max(ts) AS m FROM events WHERE ts IS NOT NULL),
+            h AS (
+                SELECT date_trunc('hour', ts) AS h1, event_type,
+                       count(*) AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            d AS (
+                SELECT CAST(date_trunc('day', h1) AS TIMESTAMP) AS day_start,
+                       event_type,
+                       CAST(sum(n) AS BIGINT) AS n_day,
+                       CAST(count(*) AS BIGINT) AS n_hours
+                FROM h, mx
+                WHERE date_trunc('day', h1) + INTERVAL 1 DAY <= mx.m
+                GROUP BY 1, 2)
+            SELECT day_start, event_type, n_day, n_hours FROM d
         """,
         "ts_sax_words": """
             -- full SAX replay: PAA segmentation (integer floor-division

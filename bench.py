@@ -102,6 +102,10 @@ HEADLINE = [
     "dedup_keep_best",
     "manifest_time_travel",
     "streaming_topk_per_window",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q_variant_props",
+    "streaming_hourly_daily_rollup",
 ]
 
 

@@ -311,6 +311,8 @@ def test_null_events_drift(spark, tmp_path):
         "ts_sax_words",
         "streaming_topk_per_window",
         "manifest_time_travel",
+        "q_variant_props",
+        "streaming_hourly_daily_rollup",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -431,6 +433,8 @@ def test_null_lineitem_drift(spark, tmp_path):
         "q_intersect_segments",
         "q_two_phase_skew_agg",
         "q_regr_slope_exact",
+        "q6_forecast_revenue",
+        "q18_large_orders",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -524,6 +528,7 @@ def test_null_ts_drift(spark, tmp_path):
         "ts_sax_words",
         "streaming_topk_per_window",
         "q_window_ignore_nulls",
+        "streaming_hourly_daily_rollup",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
