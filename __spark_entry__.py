@@ -2904,6 +2904,41 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between table versions (Delta CDF analog,
+    cdc/upsert.py::diff_versions): two merges into a retained-version
+    upsert table, then the v1→v2 changelog — one row per key whose
+    latest-state row changed, labeled insert/update. Pure relational
+    (full-outer key join of two time-travel reads + null-safe struct
+    compare); the oracle replays both precombine argmaxes and the diff."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from buskafkasparkstreaming_spark.cdc.upsert import UpsertTable
+
+    for old in _glob.glob(os.path.join(tempfile.gettempdir(), "bss_diffver_*")):
+        _shutil.rmtree(old, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    t = UpsertTable(
+        spark,
+        tempfile.mkdtemp(prefix="bss_diffver_"),
+        key_cols="user_id",
+        precombine_col="ts",
+        tiebreak_cols=["event_id"],
+        retain_versions=True,
+    )
+    t.merge(ev.filter(F.col("event_id") % 2 == 0))
+    t.merge(ev.filter(F.col("event_id") % 2 == 1))
+    log = t.history()
+    out = t.diff_versions(log[0]["seq"], log[-1]["seq"])
+    return out.select(F.col("user_id").cast("long").alias("user_id"), "change_type")
+
+
 def streaming_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful streaming (Spark 4 multiple-stateful-operator
     support): hourly windowed counts feeding a second, daily windowed
@@ -2951,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
         "q_variant_props": q_variant_props,
+        "cdc_diff_versions": cdc_diff_versions,
         "streaming_hourly_daily_rollup": streaming_hourly_daily_rollup,
         "graph_bfs_reachability": graph_bfs_reachability,
         "graph_triangle_count": graph_triangle_count,
@@ -3456,6 +3492,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
                              THEN 1 ELSE 0 END AS BIGINT) AS is_valid_json
             FROM events
+        """,
+        "cdc_diff_versions": """
+            -- v1 state = argmax over even-event batch; v2 = over all rows;
+            -- change row iff the chosen row differs (event_id is unique,
+            -- so struct inequality == chosen-event inequality)
+            WITH ev AS (
+                SELECT user_id, event_id, ts FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            s0 AS (
+                SELECT user_id, event_id FROM (
+                    SELECT user_id, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts DESC, event_id DESC)
+                               AS rn
+                    FROM ev WHERE event_id % 2 = 0)
+                WHERE rn = 1),
+            s1 AS (
+                SELECT user_id, event_id FROM (
+                    SELECT user_id, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts DESC, event_id DESC)
+                               AS rn
+                    FROM ev)
+                WHERE rn = 1)
+            SELECT user_id,
+                   CASE WHEN s0.event_id IS NULL THEN 'insert'
+                        WHEN s1.event_id IS NULL THEN 'delete'
+                        WHEN s0.event_id <> s1.event_id THEN 'update'
+                   END AS change_type
+            FROM s0 FULL OUTER JOIN s1 USING (user_id)
+            WHERE (CASE WHEN s0.event_id IS NULL THEN 'insert'
+                        WHEN s1.event_id IS NULL THEN 'delete'
+                        WHEN s0.event_id <> s1.event_id THEN 'update'
+                   END) IS NOT NULL
         """,
         "streaming_hourly_daily_rollup": """
             -- append-mode emission rule: a daily window emits iff its END

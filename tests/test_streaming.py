@@ -320,3 +320,77 @@ def test_rate_limited_drain_same_state(spark, tmp_path):
     assert n_paced == 3, f"expected one micro-batch per file, got {n_paced}"
     assert n_free < n_paced  # the unpaced drain really was one gulp
     assert paced == free == {1: (99, 2000)}
+
+
+def test_state_store_reader_accounts_for_unemitted_windows(spark, tmp_path):
+    """State observability (streaming/state_inspect.py): after an
+    append-mode windowed drain, the state store holds EXACTLY the windows
+    the watermark has not closed — emitted output + live state = the full
+    batch aggregate, and state_metrics sums to the open-window count."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.streaming.state_inspect import (
+        read_state_store,
+        state_metrics,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as fh:
+        for i in range(24):
+            fh.write(
+                json.dumps(
+                    {"ts": f"2024-01-01T{i % 12:02d}:30:00", "k": i % 3}
+                )
+                + "\n"
+            )
+    stream = spark.readStream.schema("ts timestamp, k bigint").json(src)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(out).select(
+        F.col("w.start").alias("ws"), "k", "n"
+    )
+    # state rows carry the AGG BUFFER field names (count), not the
+    # output aliases — part of what this reader documents
+    state = read_state_store(spark, ckpt).select(
+        F.col("key.window.start").alias("ws"),
+        F.col("key.k").alias("k"),
+        F.col("value.count").cast("long").alias("n"),
+    )
+    batch = (
+        spark.read.schema("ts timestamp, k bigint").json(src)
+        .groupBy(F.date_trunc("hour", "ts").alias("ws"), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    together = emitted.unionByName(state)
+    assert together.count() == batch.count()
+    assert together.exceptAll(batch).count() == 0
+    assert emitted.count() > 0 and state.count() > 0  # both sides non-trivial
+    # watermark rule: a window is evicted once its END (ws + 1h) passes
+    # the watermark (max event ts - 2h delay) — so live windows satisfy
+    # ws >= max_bucket - 2h
+    max_ts = batch.agg(F.max("ws")).first()[0]
+    late = state.filter(
+        F.col("ws") < F.expr(f"timestamp'{max_ts}' - INTERVAL 2 HOURS")
+    )
+    assert late.count() == 0
+    m = {r.partition_id: r.n_keys for r in state_metrics(spark, ckpt).collect()}
+    assert sum(m.values()) == state.count()
