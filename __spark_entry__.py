@@ -2974,10 +2974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
     # round so every entry gets a driver-verified row regularly. Round 7:
-    # the 17 entries NEW this round lead (never driver-verified), then the
+    # the 22 entries NEW this round lead (never driver-verified), then the
     # 26 entries last driver-verified in ROUND 4 that fell outside round
-    # 6's window (positions 51+ then), then the head of the round-4
-    # cohort fills the window to 50. Groups verified in recent rounds
+    # 6's window (positions 51+ then) — together they fill the 50-entry
+    # window (the round-4 cohort head takes the last two slots). Groups verified in recent rounds
     # (r6-new, the r2 group re-verified r6, r5-green tail) follow.
     # tests/test_oracle_parity.py checks ALL oracle entries every run
     # regardless of order.

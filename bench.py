@@ -106,6 +106,7 @@ HEADLINE = [
     "q18_large_orders",
     "q_variant_props",
     "streaming_hourly_daily_rollup",
+    "cdc_diff_versions",
 ]
 
 

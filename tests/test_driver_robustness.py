@@ -529,6 +529,7 @@ def test_null_ts_drift(spark, tmp_path):
         "streaming_topk_per_window",
         "q_window_ignore_nulls",
         "streaming_hourly_daily_rollup",
+        "cdc_diff_versions",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -802,6 +803,7 @@ def test_null_user_drift(spark, tmp_path):
         "q_mode_deterministic",
         "q_ewma_dyadic",
         "q_window_ignore_nulls",
+        "cdc_diff_versions",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
