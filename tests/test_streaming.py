@@ -394,3 +394,42 @@ def test_state_store_reader_accounts_for_unemitted_windows(spark, tmp_path):
     assert late.count() == 0
     m = {r.partition_id: r.n_keys for r in state_metrics(spark, ckpt).collect()}
     assert sum(m.values()) == state.count()
+
+
+def test_cap_per_key_tws_or_documented_gate(spark, tmp_path):
+    """cap_events_per_key rides the Spark 4 transformWithStateInPandas
+    API, whose Python state client requires protobuf. With protobuf
+    present: first-N-per-key semantics match the batch window. Without
+    (this container): the documented NotImplementedError fires BEFORE
+    the query starts — never the opaque mid-query TWS worker crash."""
+    import pytest
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.streaming import windows as SW
+    from buskafkasparkstreaming_spark.streaming.state import cap_events_per_key
+
+    stream = SW.read_events_stream(spark, "/root/testdata/sf0.001")
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            cap_events_per_key(stream, n=3)
+        return
+
+    capped = cap_events_per_key(stream, n=3)
+    out = SW.run_to_memory(capped, spark, output_mode="append")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    expect = (
+        batch.withColumn("rank_in_key", F.row_number().over(w))
+        .filter(F.col("rank_in_key") <= 3)
+        .select("user_id", "event_id", "ts", "value", "rank_in_key")
+    )
+    assert out.count() == expect.count()
+    assert out.exceptAll(expect).count() == 0
