@@ -2904,6 +2904,50 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (operators/similarity.py::rerank_topk_int8): exact
+    BIGINT int8-dot prefilter (20 candidates/query) → exact float cosine
+    rerank → top-5. The FAISS-style cheap-scan/exact-rerank split; both
+    stages deterministic and fully replayed in the SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.rerank_topk_int8(queries, emb, "vec_id", "vec_id", k=5, prefilter=20)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        "cos_sim",
+    )
+
+
+def q_interval_contain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval containment join (operators/joins.py::
+    point_in_interval_join): assign every error event to the user session
+    that contains it — sessions from the engine's sessionizer, the join
+    bucketed on (user, epoch-day) hash keys so no nested-loop BETWEEN
+    scan ever runs. Oracle: the session CTE + plain theta containment
+    (same semantics, reference plan)."""
+    from buskafkasparkstreaming_spark.operators.joins import (
+        point_in_interval_join,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    sess = (
+        sessionize(events, "user_id", "ts", gap_seconds=6 * 3600)
+        .groupBy(
+            "user_id", F.col("session_id").cast("long").alias("session_id")
+        )
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = point_in_interval_join(
+        errors, sess, "user_id", "ts", "s_start", "s_end"
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
 def cdc_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between table versions (Delta CDF analog,
     cdc/upsert.py::diff_versions): two merges into a retained-version
@@ -2986,6 +3030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
         "q_variant_props": q_variant_props,
+        "ann_int8_rerank": ann_int8_rerank,
+        "q_interval_contain_join": q_interval_contain_join,
         "cdc_diff_versions": cdc_diff_versions,
         "streaming_hourly_daily_rollup": streaming_hourly_daily_rollup,
         "graph_bfs_reachability": graph_bfs_reachability,
@@ -3492,6 +3538,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
                              THEN 1 ELSE 0 END AS BIGINT) AS is_valid_json
             FROM events
+        """,
+        "ann_int8_rerank": """
+            -- stage 1: EXACT integer int8 dot products (stored in DOUBLE
+            -- lists — values bounded by 127*127*dims, far under 2^53);
+            -- stage 2: the engine's sequential-fold cosine on survivors
+            WITH qv AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                       greatest(list_max(list_transform(
+                           CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-12)
+                           AS s
+                FROM embeddings),
+            qq AS (
+                SELECT vec_id, e,
+                       list_transform(e, x -> CAST(CAST(floor(x / s * 127 + 0.5)
+                                            AS BIGINT) AS DOUBLE)) AS q
+                FROM qv),
+            cand AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       q.e AS qe, c.e AS ce,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.q, c.q) DESC,
+                                    c.vec_id ASC) AS prn
+                FROM qq q JOIN qq c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10),
+            rer AS (
+                SELECT query_id, neighbor_id,
+                       list_dot_product(qe, ce)
+                       / sqrt(list_dot_product(qe, qe)
+                              * list_dot_product(ce, ce)) AS cos_sim
+                FROM cand WHERE prn <= 20)
+            SELECT query_id, neighbor_id, rn AS rank, cos_sim
+            FROM (SELECT query_id, neighbor_id, cos_sim,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+                  FROM rer)
+            WHERE rn <= 5
+        """,
+        "q_interval_contain_join": """
+            -- sessions replayed (the q_sessionize_events CTE), then the
+            -- reference THETA containment join — the engine's bucketed
+            -- equi-join plan must produce identical pairs
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                                    > 21600000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events WHERE ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)
+            ), s AS (
+                SELECT user_id, ts,
+                       CAST(sum(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS session_id
+                FROM g
+            ), sess AS (
+                SELECT user_id, session_id,
+                       min(ts) AS s_start, max(ts) AS s_end
+                FROM s GROUP BY user_id, session_id
+            )
+            SELECT e.event_id, e.user_id, sess.session_id
+            FROM events e JOIN sess
+              ON e.user_id = sess.user_id
+             AND e.ts >= sess.s_start AND e.ts <= sess.s_end
+            WHERE e.event_type = 'error' AND e.ts IS NOT NULL
+                  AND e.user_id IS NOT NULL
         """,
         "cdc_diff_versions": """
             -- v1 state = argmax over even-event batch; v2 = over all rows;

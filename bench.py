@@ -107,6 +107,8 @@ HEADLINE = [
     "q_variant_props",
     "streaming_hourly_daily_rollup",
     "cdc_diff_versions",
+    "q_interval_contain_join",
+    "ann_int8_rerank",
 ]
 
 

@@ -228,3 +228,62 @@ def range_join_bucketed(
     if extra_on is not None:
         cond = cond & extra_on
     return lb.join(rb, on=["__bucket"], how="inner").filter(cond).drop("__bucket")
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Keyed point-in-interval containment join — 'which session/incident
+    window contains this event' — as HASH equi-joins, never the
+    BroadcastNestedLoopJoin Spark plans for a raw BETWEEN theta join.
+
+    Each interval explodes to the epoch buckets it touches
+    (floor(start/b)..floor(end/b)); each point computes its single
+    bucket; the join runs on (key, bucket) and the exact containment
+    predicate filters the co-bucketed candidates. Per-bucket work is
+    |points in bucket| x |intervals touching bucket| for the SAME key —
+    the banding idea (range_join_bucketed above) specialized to
+    timestamped intervals with key equality.
+
+    `bucket_seconds` should match interval-length scale: day buckets for
+    session-like intervals; a pathological months-long interval explodes
+    to ~length/bucket rows (documented tradeoff — for mostly-open-ended
+    intervals use the as-of join instead). NULL keys/times match nothing
+    (the engine-wide as-of contract).
+    """
+    bs = int(bucket_seconds)
+    pb = points.filter(
+        F.col(key_col).isNotNull() & F.col(time_col).isNotNull()
+    ).withColumn(
+        "__b", F.floor(F.unix_timestamp(F.col(time_col)) / bs).cast("long")
+    )
+    ib = (
+        intervals.filter(
+            F.col(key_col).isNotNull()
+            & F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+        )
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(start_col)) / bs).cast("long"),
+                    F.floor(F.unix_timestamp(F.col(end_col)) / bs).cast("long"),
+                )
+            ),
+        )
+    )
+    return (
+        pb.join(ib, on=[key_col, "__b"], how="inner")
+        .filter(
+            (F.col(time_col) >= F.col(start_col))
+            & (F.col(time_col) <= F.col(end_col))
+        )
+        .drop("__b")
+    )

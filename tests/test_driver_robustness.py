@@ -313,6 +313,7 @@ def test_null_events_drift(spark, tmp_path):
         "manifest_time_travel",
         "q_variant_props",
         "streaming_hourly_daily_rollup",
+        "q_interval_contain_join",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -530,6 +531,7 @@ def test_null_ts_drift(spark, tmp_path):
         "q_window_ignore_nulls",
         "streaming_hourly_daily_rollup",
         "cdc_diff_versions",
+        "q_interval_contain_join",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -804,6 +806,7 @@ def test_null_user_drift(spark, tmp_path):
         "q_ewma_dyadic",
         "q_window_ignore_nulls",
         "cdc_diff_versions",
+        "q_interval_contain_join",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

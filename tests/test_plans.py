@@ -448,3 +448,21 @@ def test_histogram_bounds_are_broadcast(spark, sf_dir):
     plan = explain_str(entrymod.q_histogram_equi_width(spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    """Point-in-interval containment must plan as (key, bucket) hash
+    equi-joins — a BETWEEN theta join would be a nested loop, quadratic
+    per key at scale."""
+    plan = explain_str(entrymod.q_interval_contain_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rerank_broadcasts_queries_both_stages(spark, sf_dir):
+    """Two-stage ANN: the corpus side must never shuffle for scoring —
+    queries broadcast into both the int8 prefilter and the cosine
+    rerank."""
+    plan = explain_str(entrymod.ann_int8_rerank(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
