@@ -2904,6 +2904,97 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on each event type's hourly count
+    series — the classic drift detector (Page 1954), in EXACT integers:
+    with prefix sums P_i and total T over m hours, the centered CUSUM
+    scaled by m is S_i = m·P_i − i·T (BIGINT, no float mean). The change
+    point is argmax |S_i| (ties → earliest hour). One ordering window per
+    type; bit-identical across engines."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w_ord = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    w_all = Window.partitionBy("event_type")
+    cur = hourly.select(
+        "event_type",
+        "h",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("x")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("p"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+        F.sum("x").over(w_all).alias("t"),
+    ).withColumn(
+        "s", (F.col("m") * F.col("p") - F.col("i") * F.col("t")).cast("long")
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("h").asc()
+    )
+    return (
+        cur.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("m").cast("long").alias("n_hours"),
+            F.col("h").alias("cp_hour"),
+            F.abs(F.col("s")).cast("long").alias("max_abs_s"),
+        )
+    )
+
+
+def q_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over event types: for each type pair, the
+    distinct-user co-occurrence count and the lift
+    n_co·n_users / (n_a·n_b) — 'users who did X also did Y'. The
+    self-join runs on the DISTINCT (user, type) frame (bounded by
+    users × 8 types, not raw events); totals broadcast as 1-row
+    aggregates; lift is ONE float division of exact BIGINTs."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ut = events.select("user_id", "event_type").distinct()
+    per_type = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    n_users = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+    )
+    return (
+        co.join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_a"),
+                                        F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_b"),
+                                        F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_co",
+            (
+                (F.col("n_co") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
 def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN (operators/similarity.py::rerank_topk_int8): exact
     BIGINT int8-dot prefilter (20 candidates/query) → exact float cosine
@@ -3030,6 +3121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
         "q_variant_props": q_variant_props,
+        "q_cusum_changepoint": q_cusum_changepoint,
+        "q_event_type_affinity": q_event_type_affinity,
         "ann_int8_rerank": ann_int8_rerank,
         "q_interval_contain_join": q_interval_contain_join,
         "cdc_diff_versions": cdc_diff_versions,
@@ -3538,6 +3631,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
                              THEN 1 ELSE 0 END AS BIGINT) AS is_valid_json
             FROM events
+        """,
+        "q_cusum_changepoint": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2),
+            cur AS (
+                SELECT event_type, h,
+                       row_number() OVER w AS i,
+                       CAST(sum(x) OVER (PARTITION BY event_type
+                            ORDER BY h ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS p,
+                       CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                           AS m,
+                       CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+                           AS t
+                FROM hourly
+                WINDOW w AS (PARTITION BY event_type ORDER BY h ASC)),
+            s AS (
+                SELECT event_type, h, m,
+                       CAST(m * p - i * t AS BIGINT) AS sig
+                FROM cur),
+            pick AS (
+                SELECT event_type, m, h, abs(sig) AS a,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(sig) DESC, h ASC) AS rn
+                FROM s)
+            SELECT event_type, m AS n_hours,
+                   CAST(h AS TIMESTAMP) AS cp_hour,
+                   CAST(a AS BIGINT) AS max_abs_s
+            FROM pick WHERE rn = 1
+        """,
+        "q_event_type_affinity": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+            pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+                   FROM ut GROUP BY event_type),
+            nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+                   FROM ut),
+            co AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(count(*) AS BIGINT) AS n_co
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+            SELECT co.type_a, co.type_b, co.n_co,
+                   CAST(co.n_co * nu.n_users AS DOUBLE)
+                       / CAST(pa.n_t * pb.n_t AS DOUBLE) AS lift
+            FROM co
+            JOIN pt pa ON pa.event_type = co.type_a
+            JOIN pt pb ON pb.event_type = co.type_b
+            CROSS JOIN nu
         """,
         "ann_int8_rerank": """
             -- stage 1: EXACT integer int8 dot products (stored in DOUBLE

@@ -109,6 +109,8 @@ HEADLINE = [
     "cdc_diff_versions",
     "q_interval_contain_join",
     "ann_int8_rerank",
+    "q_cusum_changepoint",
+    "q_event_type_affinity",
 ]
 
 

@@ -314,6 +314,8 @@ def test_null_events_drift(spark, tmp_path):
         "q_variant_props",
         "streaming_hourly_daily_rollup",
         "q_interval_contain_join",
+        "q_cusum_changepoint",
+        "q_event_type_affinity",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -532,6 +534,7 @@ def test_null_ts_drift(spark, tmp_path):
         "streaming_hourly_daily_rollup",
         "cdc_diff_versions",
         "q_interval_contain_join",
+        "q_event_type_affinity",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -807,6 +810,7 @@ def test_null_user_drift(spark, tmp_path):
         "q_window_ignore_nulls",
         "cdc_diff_versions",
         "q_interval_contain_join",
+        "q_event_type_affinity",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
