@@ -40,6 +40,8 @@ SHOWN = {
     "ts_sax_words": "SAX words: one ordering window + segment/moment aggs all keyed on the series id; z-symbols from exact integer moments in one codegen stage",
     "q_two_phase_skew_agg": "salted two-phase agg: hot keys spread over 16 reducers in the partial exchange, 16-row final merge",
     "q_histogram_equi_width": "equi-width histogram: 1-row min/max broadcast, integer bin math row-local, one bin-keyed agg",
+    "q_interval_contain_join": "point-in-interval containment as (key, epoch-bucket) hash equi-joins + exact filter — no nested-loop BETWEEN",
+    "ann_int8_rerank": "two-stage ANN: int8 integer-dot prefilter (queries broadcast) -> exact cosine on 20 survivors/query",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage
