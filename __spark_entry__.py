@@ -2904,6 +2904,84 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with the native unpivot/melt API (Spark 3.4+ —
+    no stacked UNION ALL): per-order metric rows for the three numeric
+    order columns, then an exact-cents aggregate per metric name. Oracle
+    uses DuckDB's UNPIVOT — same relational op, both engines' native
+    reshape path."""
+    orders = _t(spark, sf_dir, "orders")
+    long = orders.select(
+        "o_orderkey",
+        _cents("o_totalprice").alias("total_cents"),
+        F.col("o_custkey").alias("custkey_val"),
+        F.col("o_orderkey").alias("orderkey_val"),
+    ).unpivot(
+        "o_orderkey",
+        ["total_cents", "custkey_val", "orderkey_val"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("metric").agg(
+        F.count("val").cast("long").alias("n_vals"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.min("val").cast("long").alias("min_val"),
+        F.max("val").cast("long").alias("max_val"),
+    )
+
+
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring latency-band percentiles: exact P50/P95/P99 of value
+    per event type via the discrete-rank formula (rn == ceil(p·n)) —
+    the SLO dashboard cut, engine-identical integer logic."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", "event_id", _cents("value").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    pick = lambda num, den: F.expr(f"(n * {num} + {den} - 1) div {den}")  # noqa: E731
+    return ranked.groupBy("event_type").agg(
+        *[
+            (
+                F.max(F.when(F.col("rn") == pick(num, den), F.col("cents")))
+                .cast("double")
+                / 100.0
+            ).alias(alias)
+            for num, den, alias in ((1, 2, "p50"), (19, 20, "p95"), (99, 100, "p99"))
+        ]
+    )
+
+
+def ts_sax_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX blocking CLOSED INTO candidate pairs: users whose value series
+    share the same (non-flat) SAX word — the within-block self-join that
+    makes all-pairs series similarity tractable (equal symbols = shape
+    candidates; the dedup banding idea on time series). Word groups are
+    bounded by the 4^4 symbol space, so the join is block-diagonal."""
+    from buskafkasparkstreaming_spark.operators import timeseries as TS
+
+    events = _t(spark, sf_dir, "events").withColumn("cents", _cents("value"))
+    words = TS.sax_words(
+        events, "user_id", "ts", "cents", segments=4, tiebreak_col="event_id"
+    ).filter((F.col("sax_word") != "flat") & (F.col("n_points") >= 4))
+    a = words.select(F.col("key").alias("user_a"), "sax_word")
+    b = words.select(F.col("key").alias("user_b"), "sax_word")
+    return (
+        a.join(b, "sax_word")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .select("sax_word", "user_a", "user_b")
+    )
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection on each event type's hourly count
     series — the classic drift detector (Page 1954), in EXACT integers:
@@ -3123,6 +3201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
         "q_variant_props": q_variant_props,
+        "q_unpivot_metrics": q_unpivot_metrics,
+        "q_percentile_bands": q_percentile_bands,
+        "ts_sax_blocking_pairs": ts_sax_blocking_pairs,
         "q_cusum_changepoint": q_cusum_changepoint,
         "q_event_type_affinity": q_event_type_affinity,
         "ann_int8_rerank": ann_int8_rerank,
@@ -3600,6 +3681,62 @@ _CONTAMINATION_SQL = f"""
 """
 
 
+_SAX_WORDS_SQL = """
+            -- full SAX replay: PAA segmentation (integer floor-division
+            -- segment ids), exact BIGINT/DECIMAL moments, ONE fixed-order
+            -- z formula, quantile symbols, word assembly. NaN z (near-
+            -- constant variance cancellation) orders above every
+            -- breakpoint in BOTH engines -> symbol 'd'; exactly-constant
+            -- series short-circuit to 'flat' on the integer min=max test
+            WITH clean AS (
+                SELECT user_id AS key,
+                       CAST(round(value * 100) AS BIGINT) AS c, ts, event_id
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND value IS NOT NULL),
+            rws AS (
+                SELECT key, c,
+                       row_number() OVER (PARTITION BY key
+                                          ORDER BY ts ASC, event_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY key) AS n
+                FROM clean),
+            segd AS (
+                SELECT key, c, ((rn - 1) * 4) // n AS seg FROM rws),
+            segs AS (
+                SELECT key, seg, CAST(sum(c) AS BIGINT) AS s_sum,
+                       CAST(count(*) AS BIGINT) AS s_n
+                FROM segd GROUP BY key, seg),
+            mom AS (
+                SELECT key, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(c) AS BIGINT) AS sx,
+                       CAST(sum(CAST(c * c AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS sxx,
+                       min(c) AS cmin, max(c) AS cmax
+                FROM segd GROUP BY key),
+            z AS (
+                SELECT s.key, s.seg, m.n, m.cmin, m.cmax,
+                       (CAST(s.s_sum AS DOUBLE) / CAST(s.s_n AS DOUBLE)
+                            - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                       / sqrt(CAST(m.sxx AS DOUBLE) / CAST(m.n AS DOUBLE)
+                              - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                                * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)))
+                           AS zz
+                FROM segs s JOIN mom m ON m.key = s.key),
+            sym AS (
+                SELECT key, seg, n, cmin, cmax,
+                       CASE WHEN zz < -0.6745 THEN 'a'
+                            WHEN zz < 0.0 THEN 'b'
+                            WHEN zz < 0.6745 THEN 'c'
+                            ELSE 'd' END AS sy
+                FROM z)
+            SELECT key AS user_id, CAST(max(n) AS BIGINT) AS n_points,
+                   CASE WHEN max(cmin) = max(cmax) THEN 'flat'
+                        ELSE string_agg(sy, '' ORDER BY seg ASC) END
+                       AS sax_word
+            FROM sym GROUP BY key
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     WCL = _classifier_weights_fp()
     return {
@@ -3633,6 +3770,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
                              THEN 1 ELSE 0 END AS BIGINT) AS is_valid_json
             FROM events
+        """,
+        "q_unpivot_metrics": """
+            -- aggregates use count(val)/sum/min/max so NULL-value rows
+            -- cancel out of the compare even though engines differ on
+            -- whether UNPIVOT keeps them
+            WITH wide AS (
+                SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+                       CAST(o_custkey AS BIGINT) AS custkey_val,
+                       CAST(o_orderkey AS BIGINT) AS orderkey_val
+                FROM orders),
+            long AS (
+                SELECT o_orderkey, metric, val
+                FROM wide UNPIVOT INCLUDE NULLS
+                     (val FOR metric IN (total_cents, custkey_val,
+                                         orderkey_val)))
+            SELECT metric,
+                   CAST(count(val) AS BIGINT) AS n_vals,
+                   CAST(sum(val) AS BIGINT) AS sum_val,
+                   CAST(min(val) AS BIGINT) AS min_val,
+                   CAST(max(val) AS BIGINT) AS max_val
+            FROM long GROUP BY metric
+        """,
+        "q_percentile_bands": """
+            WITH ranked AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY CAST(round(value * 100) AS BIGINT) ASC,
+                                    event_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL)
+            SELECT event_type,
+                   CAST(max(CASE WHEN rn = (n * 1 + 1) // 2 THEN cents END)
+                        AS DOUBLE) / 100.0 AS p50,
+                   CAST(max(CASE WHEN rn = (n * 19 + 19) // 20 THEN cents END)
+                        AS DOUBLE) / 100.0 AS p95,
+                   CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END)
+                        AS DOUBLE) / 100.0 AS p99
+            FROM ranked GROUP BY event_type
+        """,
+        "ts_sax_blocking_pairs": f"""
+            WITH sax AS ({_SAX_WORDS_SQL})
+            SELECT a.sax_word, a.user_id AS user_a, b.user_id AS user_b
+            FROM sax a JOIN sax b
+              ON a.sax_word = b.sax_word AND a.user_id < b.user_id
+            WHERE a.sax_word <> 'flat' AND a.n_points >= 4
+                  AND b.n_points >= 4
         """,
         "q_cusum_changepoint": """
             WITH hourly AS (
@@ -3811,60 +3997,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2)
             SELECT day_start, event_type, n_day, n_hours FROM d
         """,
-        "ts_sax_words": """
-            -- full SAX replay: PAA segmentation (integer floor-division
-            -- segment ids), exact BIGINT/DECIMAL moments, ONE fixed-order
-            -- z formula, quantile symbols, word assembly. NaN z (near-
-            -- constant variance cancellation) orders above every
-            -- breakpoint in BOTH engines -> symbol 'd'; exactly-constant
-            -- series short-circuit to 'flat' on the integer min=max test
-            WITH clean AS (
-                SELECT user_id AS key,
-                       CAST(round(value * 100) AS BIGINT) AS c, ts, event_id
-                FROM events
-                WHERE user_id IS NOT NULL AND ts IS NOT NULL
-                      AND value IS NOT NULL),
-            rws AS (
-                SELECT key, c,
-                       row_number() OVER (PARTITION BY key
-                                          ORDER BY ts ASC, event_id ASC) AS rn,
-                       count(*) OVER (PARTITION BY key) AS n
-                FROM clean),
-            segd AS (
-                SELECT key, c, ((rn - 1) * 4) // n AS seg FROM rws),
-            segs AS (
-                SELECT key, seg, CAST(sum(c) AS BIGINT) AS s_sum,
-                       CAST(count(*) AS BIGINT) AS s_n
-                FROM segd GROUP BY key, seg),
-            mom AS (
-                SELECT key, CAST(count(*) AS BIGINT) AS n,
-                       CAST(sum(c) AS BIGINT) AS sx,
-                       CAST(sum(CAST(c * c AS DECIMAL(38,0)))
-                            AS DECIMAL(38,0)) AS sxx,
-                       min(c) AS cmin, max(c) AS cmax
-                FROM segd GROUP BY key),
-            z AS (
-                SELECT s.key, s.seg, m.n, m.cmin, m.cmax,
-                       (CAST(s.s_sum AS DOUBLE) / CAST(s.s_n AS DOUBLE)
-                            - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
-                       / sqrt(CAST(m.sxx AS DOUBLE) / CAST(m.n AS DOUBLE)
-                              - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
-                                * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)))
-                           AS zz
-                FROM segs s JOIN mom m ON m.key = s.key),
-            sym AS (
-                SELECT key, seg, n, cmin, cmax,
-                       CASE WHEN zz < -0.6745 THEN 'a'
-                            WHEN zz < 0.0 THEN 'b'
-                            WHEN zz < 0.6745 THEN 'c'
-                            ELSE 'd' END AS sy
-                FROM z)
-            SELECT key AS user_id, CAST(max(n) AS BIGINT) AS n_points,
-                   CASE WHEN max(cmin) = max(cmax) THEN 'flat'
-                        ELSE string_agg(sy, '' ORDER BY seg ASC) END
-                       AS sax_word
-            FROM sym GROUP BY key
-        """,
+        "ts_sax_words": _SAX_WORDS_SQL,
         "text_bigram_pmi": """
             -- 1-based list slicing mirrors the engine's 0-based adjacent
             -- zip; PMI is one fixed-order float over exact counts,

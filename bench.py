@@ -111,6 +111,9 @@ HEADLINE = [
     "ann_int8_rerank",
     "q_cusum_changepoint",
     "q_event_type_affinity",
+    "q_unpivot_metrics",
+    "q_percentile_bands",
+    "ts_sax_blocking_pairs",
 ]
 
 

@@ -316,6 +316,8 @@ def test_null_events_drift(spark, tmp_path):
         "q_interval_contain_join",
         "q_cusum_changepoint",
         "q_event_type_affinity",
+        "q_percentile_bands",
+        "ts_sax_blocking_pairs",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -382,6 +384,7 @@ def test_null_orders_drift(spark, tmp_path):
         "q_histogram_equi_width",
         "q_regr_slope_exact",
         "q_rfm_segments",
+        "q_unpivot_metrics",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -535,6 +538,7 @@ def test_null_ts_drift(spark, tmp_path):
         "cdc_diff_versions",
         "q_interval_contain_join",
         "q_event_type_affinity",
+        "ts_sax_blocking_pairs",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -811,6 +815,7 @@ def test_null_user_drift(spark, tmp_path):
         "cdc_diff_versions",
         "q_interval_contain_join",
         "q_event_type_affinity",
+        "ts_sax_blocking_pairs",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
