@@ -2904,6 +2904,108 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (price vs item count per priority) with
+    PROPER tie handling: average ranks, doubled to stay integral
+    (rank2 = 2·min_rank + ties − 1), then the exact-moment Pearson
+    formula over the integer rank pairs — rank-based robustness with the
+    engine's bit-identical arithmetic contract."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    items = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    j = orders.join(items, orders["o_orderkey"] == items["l_orderkey"]).select(
+        "o_orderpriority",
+        _cents("o_totalprice").alias("xv"),
+        F.col("n_items").alias("yv"),
+    )
+
+    def rank2(col: str, alias: str) -> list:
+        wmin = Window.partitionBy("o_orderpriority").orderBy(F.col(col).asc())
+        wties = Window.partitionBy("o_orderpriority", col)
+        return [
+            (
+                F.rank().over(wmin) * 2
+                + F.count(F.lit(1)).over(wties)
+                - 1
+            ).cast("long").alias(alias)
+        ]
+
+    ranked = j.select(
+        "o_orderpriority",
+        *rank2("xv", "rx"),
+        *rank2("yv", "ry"),
+    )
+    dec = "decimal(38,0)"
+    mom = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(dec)).cast(dec).alias("syy"),
+    )
+    n, sx, sy = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return mom.select("o_orderpriority", "n", rho.alias("spearman_rho"))
+
+
+def q_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id(): the bitmask that tells a real NULL group
+    value apart from a rollup-total row — exactly the ambiguity the
+    NULL-status drift injects. Same bit order in both engines (first
+    grouping column = high bit)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            _sum_money("o_totalprice", "sum_price"),
+        )
+    )
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of order totals — the data-quality
+    forensic for fabricated values. The leading digit comes from the
+    integer cents' STRING form (both engines render integers
+    identically), never from float log10 at power-of-ten boundaries."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("cents", _cents("o_totalprice"))
+        .filter(F.col("cents") > 0)
+    )
+    digits = orders.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).alias("digit")
+    )
+    total = digits.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            (F.col("n_orders").cast("double") / F.col("n_total").cast("double")).alias(
+                "frac"
+            ),
+        )
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape with the native unpivot/melt API (Spark 3.4+ —
     no stacked UNION ALL): per-order metric rows for the three numeric
@@ -3202,6 +3304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
         "q_variant_props": q_variant_props,
+        "q_spearman_corr": q_spearman_corr,
+        "q_cube_grouping_id": q_cube_grouping_id,
+        "q_benford_digits": q_benford_digits,
         "q_unpivot_metrics": q_unpivot_metrics,
         "q_percentile_bands": q_percentile_bands,
         "ts_sax_blocking_pairs": ts_sax_blocking_pairs,
@@ -3771,6 +3876,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
                              THEN 1 ELSE 0 END AS BIGINT) AS is_valid_json
             FROM events
+        """,
+        "q_spearman_corr": """
+            WITH it AS (
+                SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+                FROM lineitem GROUP BY l_orderkey),
+            j AS (
+                SELECT o.o_orderpriority,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT) AS xv,
+                       it.n_items AS yv
+                FROM orders o JOIN it ON o.o_orderkey = it.l_orderkey),
+            ranked AS (
+                SELECT o_orderpriority,
+                       CAST(rank() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY xv ASC) * 2
+                            + count(*) OVER (PARTITION BY o_orderpriority, xv)
+                            - 1 AS BIGINT) AS rx,
+                       CAST(rank() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY yv ASC) * 2
+                            + count(*) OVER (PARTITION BY o_orderpriority, yv)
+                            - 1 AS BIGINT) AS ry
+                FROM j),
+            mom AS (
+                SELECT o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(rx) AS BIGINT) AS sx,
+                       CAST(sum(ry) AS BIGINT) AS sy,
+                       CAST(sum(CAST(rx * ry AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS sxy,
+                       CAST(sum(CAST(rx * rx AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS sxx,
+                       CAST(sum(CAST(ry * ry AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS syy
+                FROM ranked GROUP BY o_orderpriority)
+            SELECT o_orderpriority, n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       AS spearman_rho
+            FROM mom
+        """,
+        "q_cube_grouping_id": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                       AS gid,
+                   count(*) AS n_orders,
+                   CAST(sum({SQL_CENTS.format(x='o_totalprice')}) AS DOUBLE)
+                       / 100.0 AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_benford_digits": """
+            WITH d AS (
+                SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS digit
+                FROM orders
+                WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+            SELECT digit, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                       AS frac
+            FROM d, t GROUP BY digit, t.n_total
         """,
         "q_unpivot_metrics": """
             -- aggregates use count(val)/sum/min/max so NULL-value rows

@@ -114,6 +114,9 @@ HEADLINE = [
     "q_unpivot_metrics",
     "q_percentile_bands",
     "ts_sax_blocking_pairs",
+    "q_spearman_corr",
+    "q_cube_grouping_id",
+    "q_benford_digits",
 ]
 
 

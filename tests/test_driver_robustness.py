@@ -385,6 +385,9 @@ def test_null_orders_drift(spark, tmp_path):
         "q_regr_slope_exact",
         "q_rfm_segments",
         "q_unpivot_metrics",
+        "q_spearman_corr",
+        "q_cube_grouping_id",
+        "q_benford_digits",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
