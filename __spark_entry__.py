@@ -2915,10 +2915,16 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = lineitem.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_items")
     )
-    j = orders.join(items, orders["o_orderkey"] == items["l_orderkey"]).select(
-        "o_orderpriority",
-        _cents("o_totalprice").alias("xv"),
-        F.col("n_items").alias("yv"),
+    # NULL prices have no rank (and engines disagree on NULL sort
+    # placement) — excluded from the correlation on both sides
+    j = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .join(items, orders["o_orderkey"] == items["l_orderkey"])
+        .select(
+            "o_orderpriority",
+            _cents("o_totalprice").alias("xv"),
+            F.col("n_items").alias("yv"),
+        )
     )
 
     def rank2(col: str, alias: str) -> list:
@@ -3885,7 +3891,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o.o_orderpriority,
                        CAST(round(o.o_totalprice * 100) AS BIGINT) AS xv,
                        it.n_items AS yv
-                FROM orders o JOIN it ON o.o_orderkey = it.l_orderkey),
+                FROM orders o JOIN it ON o.o_orderkey = it.l_orderkey
+                WHERE o.o_totalprice IS NOT NULL),
             ranked AS (
                 SELECT o_orderpriority,
                        CAST(rank() OVER (PARTITION BY o_orderpriority
