@@ -2904,6 +2904,76 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median order price per priority, weight = item count:
+    the smallest price whose cumulative weight reaches half the total —
+    the size-adjusted central price a pricing dashboard wants. Pure
+    integer logic (cents, BIGINT weights, 2·cum >= total avoids any
+    halving), one ordering window per group."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    items = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("wt")
+    )
+    j = orders.join(items, orders["o_orderkey"] == items["l_orderkey"]).select(
+        "o_orderpriority",
+        _cents("o_totalprice").alias("cents"),
+        "wt",
+        F.col("o_orderkey").alias("okey"),
+    )
+    w_ord = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").asc(), F.col("okey").asc()
+    )
+    cum = j.select(
+        "o_orderpriority",
+        "cents",
+        F.sum("wt")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cw"),
+        F.sum("wt").over(Window.partitionBy("o_orderpriority")).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.min("cents").cast("double") / 100.0).alias("weighted_median"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+def q_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — the aggregation window
+    functions can't express directly (no COUNT(DISTINCT) OVER in either
+    engine): each event's first-occurrence flag (row_number == 1 over
+    (user, type)) cumulative-summed along the user's timeline. The
+    standard rewrite, exact integers, unique ordering pinned."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_run = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = events.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(w_first) == 1).cast("long").alias("is_first"),
+        "ts",
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first").over(w_run).cast("long").alias("n_distinct_types"),
+    )
+
+
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation (price vs item count per priority) with
     PROPER tie handling: average ranks, doubled to stay integral
@@ -3310,6 +3380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
         "q_variant_props": q_variant_props,
+        "q_weighted_median": q_weighted_median,
+        "q_running_distinct_types": q_running_distinct_types,
         "q_spearman_corr": q_spearman_corr,
         "q_cube_grouping_id": q_cube_grouping_id,
         "q_benford_digits": q_benford_digits,
@@ -3882,6 +3954,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
                              THEN 1 ELSE 0 END AS BIGINT) AS is_valid_json
             FROM events
+        """,
+        "q_weighted_median": """
+            WITH it AS (
+                SELECT l_orderkey, CAST(count(*) AS BIGINT) AS wt
+                FROM lineitem GROUP BY l_orderkey),
+            j AS (
+                SELECT o.o_orderpriority,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                       it.wt, o.o_orderkey AS okey
+                FROM orders o JOIN it ON o.o_orderkey = it.l_orderkey
+                WHERE o.o_totalprice IS NOT NULL),
+            cum AS (
+                SELECT o_orderpriority, cents,
+                       CAST(sum(wt) OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents ASC, okey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cw,
+                       CAST(sum(wt) OVER (PARTITION BY o_orderpriority)
+                            AS BIGINT) AS tw
+                FROM j)
+            SELECT o_orderpriority,
+                   CAST(min(cents) AS DOUBLE) / 100.0 AS weighted_median,
+                   max(tw) AS total_weight
+            FROM cum WHERE cw * 2 >= tw
+            GROUP BY o_orderpriority
+        """,
+        "q_running_distinct_types": """
+            WITH flagged AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN row_number() OVER (
+                                PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) = 1
+                            THEN 1 ELSE 0 END AS is_first
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                      AND ts IS NOT NULL)
+            SELECT event_id, user_id,
+                   CAST(sum(is_first) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_distinct_types
+            FROM flagged
         """,
         "q_spearman_corr": """
             WITH it AS (

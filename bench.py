@@ -117,6 +117,8 @@ HEADLINE = [
     "q_spearman_corr",
     "q_cube_grouping_id",
     "q_benford_digits",
+    "q_weighted_median",
+    "q_running_distinct_types",
 ]
 
 

@@ -318,6 +318,7 @@ def test_null_events_drift(spark, tmp_path):
         "q_event_type_affinity",
         "q_percentile_bands",
         "ts_sax_blocking_pairs",
+        "q_running_distinct_types",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -388,6 +389,7 @@ def test_null_orders_drift(spark, tmp_path):
         "q_spearman_corr",
         "q_cube_grouping_id",
         "q_benford_digits",
+        "q_weighted_median",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -819,6 +821,7 @@ def test_null_user_drift(spark, tmp_path):
         "q_interval_contain_join",
         "q_event_type_affinity",
         "ts_sax_blocking_pairs",
+        "q_running_distinct_types",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
