@@ -91,6 +91,25 @@ def _make_header_parser():
         if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", payload[6:10])
             return ("image/gif", w, h)
+        if (
+            len(payload) >= 25
+            and payload[:4] == b"RIFF"
+            and payload[8:12] == b"WEBP"
+        ):
+            # WebP container spec (Google, RFC 9649): first chunk at 12
+            fourcc = payload[12:16]
+            p = payload[20:]  # chunk payload
+            if fourcc == b"VP8 " and len(p) >= 10 and p[3:6] == b"\x9d\x01\x2a":
+                (w,) = struct.unpack("<H", p[6:8])
+                (h,) = struct.unpack("<H", p[8:10])
+                return ("image/webp", w & 0x3FFF, h & 0x3FFF)
+            if fourcc == b"VP8L" and len(p) >= 5 and p[0] == 0x2F:
+                (b,) = struct.unpack("<I", p[1:5])
+                return ("image/webp", (b & 0x3FFF) + 1, ((b >> 14) & 0x3FFF) + 1)
+            if fourcc == b"VP8X" and len(p) >= 10:
+                w = int.from_bytes(p[4:7], "little") + 1
+                h = int.from_bytes(p[7:10], "little") + 1
+                return ("image/webp", w, h)
         if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
             i = 2
             while i + 9 <= len(payload):

@@ -242,6 +242,19 @@ def test_image_header_parse():
     assert parse_image_header(b"BMW dealerships reported record sales") is None
     core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 100, 50)
     assert parse_image_header(core + b"\x00" * 8) == ("image/bmp", 100, 50)
+    # WebP container (RFC 9649): all three chunk variants
+    vp8 = b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
+    webp = lambda cc, p: (  # noqa: E731
+        b"RIFF" + struct.pack("<I", 12 + len(p)) + b"WEBP"
+        + cc + struct.pack("<I", len(p)) + p
+    )
+    assert parse_image_header(webp(b"VP8 ", vp8)) == ("image/webp", 320, 240)
+    vp8l = bytes([0x2F]) + struct.pack("<I", 99 | (49 << 14))
+    assert parse_image_header(webp(b"VP8L", vp8l)) == ("image/webp", 100, 50)
+    vp8x = b"\x00" * 4 + (799).to_bytes(3, "little") + (599).to_bytes(3, "little")
+    assert parse_image_header(webp(b"VP8X", vp8x)) == ("image/webp", 800, 600)
+    # RIFF but not WEBP (e.g. WAV) must not parse
+    assert parse_image_header(b"RIFF\x10\x00\x00\x00WAVEdata" + b"\x00" * 16) is None
     # _real_decode: header-tier decode works without any codec library
     d = _real_decode(_png(1920, 1080))
     assert (d["mime"], d["width"], d["height"]) == ("image/png", 1920, 1080)
