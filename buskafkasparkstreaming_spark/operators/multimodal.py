@@ -12,7 +12,7 @@ sane shape for Python-side media work at 100 TB:
 Decode has two REAL tiers plus a test stand-in. PIXEL decode — PNG
 (stdlib zlib inflate + scanline unfilter) and uncompressed BMP — reads
 the actual pixel array and emits real color/luma features; no codec
-library needed. HEADER decode — dimension/mime sniffing for GIF/JPEG —
+library needed. HEADER decode — dimension/mime sniffing for GIF/JPEG/WebP —
 parses the container header (magic bytes + fixed offsets from the
 published specs); JPEG entropy decode genuinely requires libjpeg, so
 its features fall back to the payload-hash embedding. Formats with
@@ -63,7 +63,8 @@ def _make_header_parser():
 
         Offsets are from the published format specs: PNG IHDR (RFC 2083
         §3), BMP BITMAPINFOHEADER, GIF87a/89a logical screen descriptor,
-        JPEG SOFn marker walk (ITU T.81 §B.2.2)."""
+        JPEG SOFn marker walk (ITU T.81 §B.2.2), WebP RIFF container
+        VP8/VP8L/VP8X chunks (RFC 9649)."""
         import struct
 
         if (
