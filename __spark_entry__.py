@@ -3330,6 +3330,24 @@ def cdc_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("user_id").cast("long").alias("user_id"), "change_type")
 
 
+def streaming_purchase_error_full_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER join with event-time bounds — completes
+    the join-mode matrix (inner r5, left r6): unmatched PURCHASES emit
+    once the watermark passes their 1h match window, unmatched ERRORS
+    once it passes their own timestamp (an error can only pair with
+    purchases at or before it, so eviction proof needs no window
+    lookahead). Oracle replays inner pairs + both cutoff rules."""
+    from buskafkasparkstreaming_spark.streaming.joins import (
+        purchases_then_errors,
+    )
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    joined = purchases_then_errors(stream, how="full_outer")
+    return SW.run_to_memory(joined, spark, output_mode="append")
+
+
 def streaming_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful streaming (Spark 4 multiple-stateful-operator
     support): hourly windowed counts feeding a second, daily windowed
@@ -3391,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_rerank": ann_int8_rerank,
         "q_interval_contain_join": q_interval_contain_join,
         "cdc_diff_versions": cdc_diff_versions,
+        "streaming_purchase_error_full_join": streaming_purchase_error_full_join,
         "streaming_hourly_daily_rollup": streaming_hourly_daily_rollup,
         "graph_bfs_reachability": graph_bfs_reachability,
         "graph_triangle_count": graph_triangle_count,
@@ -4266,6 +4285,46 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s1.event_id IS NULL THEN 'delete'
                         WHEN s0.event_id <> s1.event_id THEN 'update'
                    END) IS NOT NULL
+        """,
+        "streaming_purchase_error_full_join": """
+            -- inner pairs + both sides' watermark-evicted unmatched rows
+            WITH w AS (
+                SELECT least(
+                    (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+                    (SELECT max(ts) FROM events WHERE event_type = 'error'))
+                    - INTERVAL 2 HOUR AS wm
+            )
+            SELECT p.event_id AS purchase_event_id,
+                   e.event_id AS error_event_id,
+                   p.user_id,
+                   CAST(epoch_ms(e.ts) - epoch_ms(p.ts) AS BIGINT) AS gap_ms
+            FROM events p
+            JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_type = 'error'
+             AND e.ts >= p.ts
+             AND e.ts <= p.ts + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase'
+            UNION ALL
+            SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id,
+                   CAST(NULL AS BIGINT)
+            FROM events p
+            WHERE p.event_type = 'purchase'
+              AND NOT EXISTS (
+                  SELECT 1 FROM events e
+                  WHERE e.user_id = p.user_id AND e.event_type = 'error'
+                    AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR)
+              AND p.ts + INTERVAL 1 HOUR < (SELECT wm FROM w)
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), e.event_id, e.user_id,
+                   CAST(NULL AS BIGINT)
+            FROM events e
+            WHERE e.event_type = 'error'
+              AND NOT EXISTS (
+                  SELECT 1 FROM events p
+                  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                    AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR)
+              AND e.ts < (SELECT wm FROM w)
         """,
         "streaming_hourly_daily_rollup": """
             -- append-mode emission rule: a daily window emits iff its END

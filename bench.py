@@ -119,6 +119,7 @@ HEADLINE = [
     "q_benford_digits",
     "q_weighted_median",
     "q_running_distinct_types",
+    "streaming_purchase_error_full_join",
 ]
 
 

@@ -94,6 +94,8 @@ def purchases_then_errors(
     return joined.select(
         "purchase_event_id",
         "error_event_id",
-        F.col("p_user").alias("user_id"),
+        # full_outer emits error-only rows whose p_user is NULL — the key
+        # is whichever side exists (inner/left always have p_user)
+        F.coalesce(F.col("p_user"), F.col("e_user")).alias("user_id"),
         (ts_millis("e_ts") - ts_millis("p_ts")).alias("gap_ms"),
     )

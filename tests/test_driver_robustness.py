@@ -299,6 +299,7 @@ def test_null_events_drift(spark, tmp_path):
         "manifest_read_where",
         "sketch_hll_distinct",
         "streaming_purchase_error_left_join",
+        "streaming_purchase_error_full_join",
         "q_gapfill_hourly",
         "q_locf_fill",
         "q_funnel_conversion",
