@@ -125,3 +125,39 @@ def test_malformed_lines_are_skipped_not_fatal(spark, tmp_path):
     df = spark.read.format("restbus_spool").option("path", spool).load()
     assert df.count() == 2
     assert df.select(F.min("record_id")).first()[0] == 7
+
+
+def test_datasource_to_upsert_pipeline(spark, tmp_path):
+    """S1→S7 through the custom source: stream the spool via the Python
+    DataSource, latest-state upsert per vehicle id (precombine
+    event_time) — the reference's whole pipeline with the DataSource as
+    the ingest boundary. Second poll's rows must supersede the first."""
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.cdc.upsert import UpsertTable
+
+    spool = str(tmp_path / "spool")
+    _publish(spool, polls=2, n_vehicles=3)  # poll 2 re-reports ids 1000-1002
+    restbus_source.register(spark)
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="id",
+        precombine_col="event_time",
+        partition_col="routeId",
+    )
+    stream = (
+        spark.readStream.format("restbus_spool").option("path", spool).load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _bid: table.merge(df)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = {r["id"]: r["event_time"] for r in table.read().collect()}
+    assert len(state) == 3  # one row per vehicle, not per poll
+    assert all(v == 1_700_000_030_000 for v in state.values()), state
