@@ -2974,6 +2974,101 @@ def q_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (event_type × user-id bucket): the
+    A/B-test / drift-detection statistic, in the engine's exactness
+    contract. Each cell's term uses the integer identity
+    (o−e)²/e = (oN − rc)² / (rcN): numerators/denominators are exact
+    BIGINT/DECIMAL, each cell's division is one float op, and the total
+    is a floor-fixed-point integer sum (order-independent — a float Σ
+    would partial-sum in task order). Zero-observed cells of the full
+    margin cross are included, as the statistic requires."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_type", F.pmod(F.col("user_id"), F.lit(4)).alias("bucket"))
+    )
+    obs = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    cols = ev.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = (
+        rows.crossJoin(cols)
+        .join(obs, ["event_type", "bucket"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = "decimal(38,0)"
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast(dec)
+    den = (F.col("r") * F.col("c")).cast(dec) * F.col("n").cast(dec)
+    cell_fp = F.floor(
+        (num * num).cast("double") / den.cast("double") * 1e6
+    ).cast("long")
+    return cells.select("event_type", "bucket", cell_fp.alias("cfp")).agg(
+        F.sum("cfp").cast("long").alias("chi2_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+
+
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA: estimated overlap of two user sets (purchasers ∩
+    error-reporters) by inclusion–exclusion over three mergeable
+    sketches — est(A) + est(B) − est(A∪B), where the union sketch is the
+    elementwise register max (the only set op HLL supports natively).
+    The audience-overlap question answered without ever shuffling raw
+    ids. All register stats are exact BIGINTs; the three estimates and
+    their combination are one fixed float expression — bit-identical,
+    so the oracle needs no tolerance band."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        hll_estimate_col,
+        hll_merge,
+        hll_sketch,
+        hll_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("purchase", "error")
+    )
+    pa = hll_sketch(ev.filter(F.col("event_type") == "purchase"), "user_id")
+    pb = hll_sketch(ev.filter(F.col("event_type") == "error"), "user_id")
+    un = hll_merge(pa, pb)
+
+    def stats1(sk: DataFrame, tag: str) -> DataFrame:
+        return hll_stats(sk).select(
+            F.col("sum_fp").alias(f"{tag}_sum_fp"),
+            F.col("empty_buckets").alias(f"{tag}_empty"),
+        )
+
+    sa, sb, su = stats1(pa, "a"), stats1(pb, "b"), stats1(un, "u")
+    exact = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "error").select("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    j = (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(su))
+        .crossJoin(F.broadcast(exact))
+    )
+    est = lambda t: hll_estimate_col(  # noqa: E731
+        F.col(f"{t}_sum_fp"), F.col(f"{t}_empty")
+    )
+    return j.select(
+        "a_sum_fp",
+        "a_empty",
+        "b_sum_fp",
+        "b_empty",
+        "u_sum_fp",
+        "u_empty",
+        "exact_overlap",
+        (est("a") + est("b") - est("u")).alias("est_overlap"),
+    )
+
+
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation (price vs item count per priority) with
     PROPER tie handling: average ranks, doubled to stay integral
@@ -3398,6 +3493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_variant_props": q_variant_props,
         "q_weighted_median": q_weighted_median,
         "q_running_distinct_types": q_running_distinct_types,
+        "q_chi2_independence": q_chi2_independence,
+        "sketch_hll_intersection": sketch_hll_intersection,
         "q_spearman_corr": q_spearman_corr,
         "q_cube_grouping_id": q_cube_grouping_id,
         "q_benford_digits": q_benford_digits,
@@ -4013,6 +4110,86 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS n_distinct_types
             FROM flagged
+        """,
+        "q_chi2_independence": """
+            WITH ev AS (
+                SELECT event_type,
+                       user_id % 4 AS bucket
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+            obs AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS o
+                    FROM ev GROUP BY 1, 2),
+            r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS r
+                  FROM ev GROUP BY 1),
+            c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c
+                  FROM ev GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+            cells AS (
+                SELECT r.event_type, c.bucket, r.r, c.c, t.n,
+                       coalesce(obs.o, 0) AS o
+                FROM r CROSS JOIN c CROSS JOIN t
+                LEFT JOIN obs ON obs.event_type = r.event_type
+                             AND obs.bucket = c.bucket),
+            terms AS (
+                SELECT CAST(floor(
+                           CAST(CAST(o * n - r * c AS DECIMAL(38,0))
+                                * CAST(o * n - r * c AS DECIMAL(38,0))
+                                AS DOUBLE)
+                           / CAST(CAST(r * c AS DECIMAL(38,0))
+                                  * CAST(n AS DECIMAL(38,0)) AS DOUBLE)
+                           * 1e6) AS BIGINT) AS cfp
+                FROM cells)
+            SELECT CAST(sum(cfp) AS BIGINT) AS chi2_fp,
+                   CAST(count(*) AS BIGINT) AS n_cells
+            FROM terms
+        """,
+        "sketch_hll_intersection": f"""
+            -- registers for A (purchase), B (error), U (union of the raw
+            -- streams = elementwise max of registers); estimates combined
+            -- by inclusion-exclusion in one fixed float expression
+            WITH it AS (
+                SELECT CASE WHEN event_type = 'purchase' THEN 'a'
+                            ELSE 'b' END AS lbl,
+                       md5(CAST(user_id AS VARCHAR)) AS hx,
+                       user_id
+                FROM events
+                WHERE user_id IS NOT NULL
+                      AND event_type IN ('purchase', 'error')),
+            it2 AS (
+                SELECT lbl, hx FROM it
+                UNION ALL
+                SELECT 'u', hx FROM it),
+            br AS (
+                SELECT lbl,
+                       {_hex_int_sql('hx', 1, 2)} AS bucket,
+                       {_hex_int_sql('hx', 3, 13)} AS val
+                FROM it2),
+            reg AS (
+                SELECT lbl, bucket,
+                       MAX(CASE WHEN val = 0 THEN 53
+                                ELSE 53 - length(bin(val)) END) AS rank
+                FROM br GROUP BY lbl, bucket),
+            st AS (
+                SELECT lbl,
+                       CAST(SUM(1::BIGINT << (53 - rank))
+                            + (256 - count(*)) * (1::BIGINT << 53)
+                            AS BIGINT) AS sum_fp,
+                       CAST(256 - count(*) AS BIGINT) AS empty
+                FROM reg GROUP BY lbl),
+            ex AS (
+                SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM (
+                    SELECT user_id FROM it WHERE lbl = 'a'
+                    INTERSECT
+                    SELECT user_id FROM it WHERE lbl = 'b'))
+            SELECT a.sum_fp AS a_sum_fp, a.empty AS a_empty,
+                   b.sum_fp AS b_sum_fp, b.empty AS b_empty,
+                   u.sum_fp AS u_sum_fp, u.empty AS u_empty,
+                   ex.exact_overlap,
+                   (CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(a.sum_fp AS DOUBLE) <= 640.0 AND a.empty > 0 THEN 256.0 * ln(256.0 / CAST(a.empty AS DOUBLE)) ELSE {_HLL_ALPHA_NUM!r} / CAST(a.sum_fp AS DOUBLE) END) + (CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(b.sum_fp AS DOUBLE) <= 640.0 AND b.empty > 0 THEN 256.0 * ln(256.0 / CAST(b.empty AS DOUBLE)) ELSE {_HLL_ALPHA_NUM!r} / CAST(b.sum_fp AS DOUBLE) END) - (CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(u.sum_fp AS DOUBLE) <= 640.0 AND u.empty > 0 THEN 256.0 * ln(256.0 / CAST(u.empty AS DOUBLE)) ELSE {_HLL_ALPHA_NUM!r} / CAST(u.sum_fp AS DOUBLE) END) AS est_overlap
+            FROM (SELECT sum_fp, empty FROM st WHERE lbl = 'a') a,
+                 (SELECT sum_fp, empty FROM st WHERE lbl = 'b') b,
+                 (SELECT sum_fp, empty FROM st WHERE lbl = 'u') u,
+                 ex
         """,
         "q_spearman_corr": """
             WITH it AS (

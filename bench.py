@@ -120,6 +120,8 @@ HEADLINE = [
     "q_weighted_median",
     "q_running_distinct_types",
     "streaming_purchase_error_full_join",
+    "sketch_hll_intersection",
+    "q_chi2_independence",
 ]
 
 

@@ -320,6 +320,8 @@ def test_null_events_drift(spark, tmp_path):
         "q_percentile_bands",
         "ts_sax_blocking_pairs",
         "q_running_distinct_types",
+        "sketch_hll_intersection",
+        "q_chi2_independence",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -823,6 +825,8 @@ def test_null_user_drift(spark, tmp_path):
         "q_event_type_affinity",
         "ts_sax_blocking_pairs",
         "q_running_distinct_types",
+        "sketch_hll_intersection",
+        "q_chi2_independence",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
