@@ -3478,9 +3478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
     # round so every entry gets a driver-verified row regularly. Round 7:
-    # the 35 entries NEW this round lead (never driver-verified), then
+    # the 37 entries NEW this round lead (never driver-verified), then
     # the round-4-stale entries (last driver-verified r4, outside round
-    # 6's window) fill the remaining 15 slots; the stale entries that no
+    # 6's window) fill the remaining 13 slots; the stale entries that no
     # longer fit rotate to the next round's head and stay covered by the
     # local parity gate + drift sweeps meanwhile. Groups verified in recent rounds
     # (r6-new, the r2 group re-verified r6, r5-green tail) follow.
