@@ -2974,6 +2974,58 @@ def q_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_percent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 5% of orders by value within each priority — the percentile
+    cousin of top-k: threshold = ceil(0.05·n) by exact integer rank over
+    a unique ordering, so the boundary row is engine-identical."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .withColumn("cents", _cents("o_totalprice"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.expr("(n + 19) div 20"))
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            (F.col("cents").cast("double") / 100.0).alias("price"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def q_scalar_subquery_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the SELECT list — the decorrelation
+    workload: per customer, their order count and max order value pulled
+    by two correlated subqueries. Catalyst rewrites both into one
+    left-joined aggregate (no per-row re-execution); the oracle states
+    the same query naturally."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("bss_sq_cust")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("bss_sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               CAST((SELECT count(*) FROM bss_sq_orders o
+                     WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+               (SELECT CAST(round(max(o_totalprice) * 100) AS BIGINT)
+                FROM bss_sq_orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_cents
+        FROM bss_sq_cust c
+        WHERE c_custkey < 500
+        """
+    )
+
+
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test (event_type × user-id bucket): the
     A/B-test / drift-detection statistic, in the engine's exactness
@@ -3478,9 +3530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
     # round so every entry gets a driver-verified row regularly. Round 7:
-    # the 37 entries NEW this round lead (never driver-verified), then
+    # the 39 entries NEW this round lead (never driver-verified), then
     # the round-4-stale entries (last driver-verified r4, outside round
-    # 6's window) fill the remaining 13 slots; the stale entries that no
+    # 6's window) fill the remaining 11 slots; the stale entries that no
     # longer fit rotate to the next round's head and stay covered by the
     # local parity gate + drift sweeps meanwhile. Groups verified in recent rounds
     # (r6-new, the r2 group re-verified r6, r5-green tail) follow.
@@ -3493,6 +3545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_variant_props": q_variant_props,
         "q_weighted_median": q_weighted_median,
         "q_running_distinct_types": q_running_distinct_types,
+        "q_top_percent_orders": q_top_percent_orders,
+        "q_scalar_subquery_select": q_scalar_subquery_select,
         "q_chi2_independence": q_chi2_independence,
         "sketch_hll_intersection": sketch_hll_intersection,
         "q_spearman_corr": q_spearman_corr,
@@ -4110,6 +4164,32 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS n_distinct_types
             FROM flagged
+        """,
+        "q_top_percent_orders": """
+            WITH ranked AS (
+                SELECT o_orderpriority, o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                                        DESC,
+                                    o_orderkey ASC) AS rn,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM orders WHERE o_totalprice IS NOT NULL)
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(cents AS DOUBLE) / 100.0 AS price,
+                   CAST(rn AS BIGINT) AS rn
+            FROM ranked WHERE rn <= (n + 19) // 20
+        """,
+        "q_scalar_subquery_select": """
+            SELECT c_custkey,
+                   CAST((SELECT count(*) FROM orders o
+                         WHERE o.o_custkey = c.c_custkey) AS BIGINT)
+                       AS n_orders,
+                   (SELECT CAST(round(max(o_totalprice) * 100) AS BIGINT)
+                    FROM orders o
+                    WHERE o.o_custkey = c.c_custkey) AS max_cents
+            FROM customer c
+            WHERE c_custkey < 500
         """,
         "q_chi2_independence": """
             WITH ev AS (

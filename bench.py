@@ -122,6 +122,8 @@ HEADLINE = [
     "streaming_purchase_error_full_join",
     "sketch_hll_intersection",
     "q_chi2_independence",
+    "q_top_percent_orders",
+    "q_scalar_subquery_select",
 ]
 
 

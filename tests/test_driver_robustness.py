@@ -393,6 +393,8 @@ def test_null_orders_drift(spark, tmp_path):
         "q_cube_grouping_id",
         "q_benford_digits",
         "q_weighted_median",
+        "q_top_percent_orders",
+        "q_scalar_subquery_select",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
