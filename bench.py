@@ -97,9 +97,10 @@ HEADLINE = [
     "q_rfm_segments",
     "ts_sax_words",
     "text_bigram_pmi",
-    "graph_bfs_reachability",
-    "graph_triangle_count",
-    "dedup_keep_best",
+    # graph_bfs_reachability / graph_triangle_count / dedup_keep_best are
+    # benched via bench_graph_family: one shared pair-table derivation
+    # (its own timed row) so each row measures the operator, not the
+    # ~1.6 s upstream n-gram join repeated three times
     "manifest_time_travel",
     "streaming_topk_per_window",
     "q6_forecast_revenue",
@@ -124,6 +125,10 @@ HEADLINE = [
     "q_chi2_independence",
     "q_top_percent_orders",
     "q_scalar_subquery_select",
+    # round-8 additions (own BASELINE.md budget family)
+    "sketch_theta_intersection",
+    "pack_ffd_bins",
+    "streaming_session_topk",
 ]
 
 
@@ -193,6 +198,38 @@ def bench_ivf_split(spark, sf_dir: str, timings: dict) -> None:
 
 
 
+def bench_graph_family(spark, sf_dir: str, timings: dict) -> None:
+    """The three graph-family rows all consume the SAME near-dup pair
+    table; a real pipeline materializes it once (exactly what
+    localCheckpoint does *within* each queries() call). Derive it once
+    per round (its own timed row, threshold 0.05 — the superset; the BFS
+    / triangle entries' 0.3 table is a filter of it), persist, and time
+    each operator on the materialized pairs so per-query deltas reflect
+    the operator (VERDICT r7 §wrong 3)."""
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators import dedup as D
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.05).persist()
+    pairs.count()
+    timings["graph_pairs_derivation"] = round(time.perf_counter() - t0, 3)
+
+    graph_pairs = pairs.filter(F.col("jaccard") >= 0.3)
+    for name, prebuilt in (
+        ("graph_bfs_reachability", graph_pairs),
+        ("graph_triangle_count", graph_pairs),
+        ("dedup_keep_best", pairs),
+    ):
+        fn = getattr(entrymod, name)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir, pairs=prebuilt).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    pairs.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -223,6 +260,7 @@ def main() -> None:
         bench_minhash_pipeline(spark, sf_dir, round_t)
         bench_incremental_lsh(spark, sf_dir, round_t)
         bench_ivf_split(spark, sf_dir, round_t)
+        bench_graph_family(spark, sf_dir, round_t)
         for name, t in round_t.items():
             timings[name] = min(timings.get(name, float("inf")), t)
 

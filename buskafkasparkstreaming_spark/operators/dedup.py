@@ -154,10 +154,15 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # no static broadcast hint on `sizes`: it is one row PER DOCUMENT, so
+    # at 10⁹ docs a forced broadcast OOMs the driver/executors — AQE
+    # picks broadcast when the runtime size fits and shuffle-join on the
+    # doc id otherwise (the same static-hints-backfire rationale as the
+    # max_df anti-join above)
     return (
-        common.join(F.broadcast(sizes).withColumnRenamed("doc", "id_a"), "id_a")
+        common.join(sizes.withColumnRenamed("doc", "id_a"), "id_a")
         .withColumnRenamed("n_sh", "n_a")
-        .join(F.broadcast(sizes).withColumnRenamed("doc", "id_b"), "id_b")
+        .join(sizes.withColumnRenamed("doc", "id_b"), "id_b")
         .withColumnRenamed("n_sh", "n_b")
         .withColumn(
             "jaccard",

@@ -110,3 +110,69 @@ def chunk_documents(
             ).cast("long").alias("chunk_len"),
         )
     )
+
+
+FFD_SCHEMA = (
+    "id long, tokens long, pack_group long, bin_in_group long"
+)
+
+
+def pack_ffd(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_groups: int = 32,
+) -> DataFrame:
+    """First-Fit-Decreasing bin packing within parallel pack groups — the
+    QUALITY upgrade over `pack_token_budget`'s fixed-boundary streaming
+    pack: every emitted bin respects the budget exactly (no boundary
+    straddle), and FFD's classic guarantee (≤ 11/9·OPT + 6/9 bins,
+    Johnson 1973) minimizes padding waste, which is what training-batch
+    assembly actually pays for.
+
+    Scale shape: same as pack_token_budget — bins never span pack groups,
+    groups are a deterministic row-local id-modulo, so the sequential FFD
+    loop runs per group inside `applyInPandas` (Arrow-batched, parallel
+    across groups; ONE shuffle on pack_group). Pick num_groups so one
+    group fits one task. Within a group: sort by (tokens desc, id asc)
+    — deterministic — and place each doc into the lowest-numbered bin
+    with room. A doc larger than the whole budget gets a dedicated
+    overflow bin (emitted as-is; sequence assembly re-chunks it).
+
+    Output: (id, tokens, pack_group, bin_in_group).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    import pandas as pd
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["tokens", "id"], ascending=[False, True], kind="mergesort"
+        )
+        caps: list[int] = []  # remaining capacity per bin
+        bins: list[int] = []
+        for t in pdf["tokens"]:
+            t = int(t)
+            if t >= budget:
+                # dedicated overflow bin, never reused
+                bins.append(len(caps))
+                caps.append(0)
+                continue
+            for i, cap in enumerate(caps):
+                if cap >= t:
+                    bins.append(i)
+                    caps[i] = cap - t
+                    break
+            else:
+                bins.append(len(caps))
+                caps.append(budget - t)
+        return pdf.assign(bin_in_group=bins)
+
+    prepped = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.coalesce(F.col(token_col), F.lit(0)).cast("long").alias("tokens"),
+        (F.col(id_col) % num_groups).cast("long").alias("pack_group"),
+    )
+    return prepped.groupBy("pack_group").applyInPandas(ffd, FFD_SCHEMA)

@@ -12,6 +12,8 @@ as the SQL oracle — bit-identical results.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -340,4 +342,160 @@ def log_histogram_quantile(
             ).alias("q_upper_bound"),
             F.col("n").cast("long").alias("n_rows"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch (KMV): the fourth mergeable-sketch family — SET ALGEBRA over
+# cardinalities. HLL supports only union natively, so intersections go
+# through inclusion–exclusion whose error blows up when |A∩B| << |A∪B|;
+# a theta sketch keeps a bounded SAMPLE of hash space (the k smallest
+# 52-bit hashes) and supports union / intersect / difference directly with
+# relative error ~1/sqrt(k) on the RESULT set (Dasgupta et al. 2016, the
+# Apache DataSketches theta family).
+#
+# Canonical form used here: entries = retained hashes STRICTLY below theta;
+# estimate = |entries| * 2^52 / theta_fp — one float expression over two
+# exact integers, so a SQL oracle replays it bit-identically. A base sketch
+# over fewer than k distinct items has theta = 2^52 (exact mode, estimate
+# == exact distinct count).
+#
+# Why this shape survives 100 TB: a sketch is ≤ k rows (k is a config
+# constant), built by distinct + TakeOrdered (per-partition partial top-k,
+# shuffle volume O(tasks × k)); sketches for different ticks/partitions
+# merge by union + re-trim, so cross-tick set algebra never reshuffles raw
+# ids — the same per-tick merge property as count_min / HLL / log-histogram.
+# ---------------------------------------------------------------------------
+
+THETA_MAX_FP = 1 << 52  # fixed-point 1.0 on the 52-bit hash scale
+
+
+class ThetaSketch(NamedTuple):
+    """entries: ≤ k rows, column `h` (long), all strictly below theta;
+    theta: ONE row, column `theta_fp` (long)."""
+
+    entries: DataFrame
+    theta: DataFrame
+
+
+def theta_item_hash(col: "Column") -> "Column":
+    """52-bit uniform item hash: first 13 hex chars of md5(item || ':theta')
+    — salted so it is independent of the HLL register hash, and exactly
+    replayable in DuckDB via the hex-digit fold idiom."""
+    from pyspark.sql import functions as F
+
+    hx = F.md5(F.concat(col.cast("string"), F.lit(":theta")))
+    return F.conv(F.substring(hx, 1, 13), 16, 10).cast("long")
+
+
+def _theta_trim(candidates: DataFrame, k: int) -> ThetaSketch:
+    """Canonicalize a candidate hash set (distinct longs `h`): keep the
+    k smallest; theta = the k-th smallest if ≥ k candidates else 2^52;
+    entries = candidates strictly below theta. The sort-limit is a
+    TakeOrdered (per-partition top-k), never a global sort."""
+    from pyspark.sql import functions as F
+
+    topk = candidates.orderBy("h").limit(k)
+    th = topk.agg(
+        F.count(F.lit(1)).alias("__cnt"), F.max("h").alias("__mx")
+    ).select(
+        F.when(F.col("__cnt") >= k, F.col("__mx"))
+        .otherwise(F.lit(THETA_MAX_FP))
+        .cast("long")
+        .alias("theta_fp")
+    )
+    # 1-row broadcast-scalar join (the repo-wide idiom), never a shuffle
+    entries = topk.crossJoin(F.broadcast(th)).filter(
+        F.col("h") < F.col("theta_fp")
+    ).select("h")
+    return ThetaSketch(entries=entries, theta=th)
+
+
+def theta_sketch(df: DataFrame, item_col: str, k: int = 64) -> ThetaSketch:
+    """Build a theta sketch of the distinct non-NULL values of `item_col`."""
+    from pyspark.sql import functions as F
+
+    hashes = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(theta_item_hash(F.col(item_col)).alias("h"))
+        .distinct()
+    )
+    return _theta_trim(hashes, k)
+
+
+def _theta_min(a: ThetaSketch, b: ThetaSketch) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        a.theta.crossJoin(
+            F.broadcast(b.theta.withColumnRenamed("theta_fp", "__tb"))
+        )
+        .select(F.least("theta_fp", "__tb").alias("theta_fp"))
+    )
+
+
+def theta_union(a: ThetaSketch, b: ThetaSketch, k: int = 64) -> ThetaSketch:
+    """A ∪ B: pooled entries cut to min(θa, θb), then re-trimmed to k."""
+    from pyspark.sql import functions as F
+
+    th = _theta_min(a, b)
+    pooled = (
+        a.entries.unionByName(b.entries)
+        .distinct()
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta_fp"))
+        .select("h")
+    )
+    trimmed = _theta_trim(pooled, k)
+    # trimming can only lower theta further; combine both cuts
+    final_th = _theta_min(trimmed, ThetaSketch(entries=pooled, theta=th))
+    entries = trimmed.entries.crossJoin(F.broadcast(final_th)).filter(
+        F.col("h") < F.col("theta_fp")
+    ).select("h")
+    return ThetaSketch(entries=entries, theta=final_th)
+
+
+def _theta_setop(a: ThetaSketch, b: ThetaSketch, how: str) -> ThetaSketch:
+    from pyspark.sql import functions as F
+
+    th = _theta_min(a, b)
+    if how == "intersect":
+        ent = a.entries.join(b.entries, "h")
+    elif how == "diff":
+        ent = a.entries.join(b.entries, "h", "left_anti")
+    else:  # pragma: no cover
+        raise ValueError(how)
+    ent = ent.crossJoin(F.broadcast(th)).filter(
+        F.col("h") < F.col("theta_fp")
+    ).select("h")
+    return ThetaSketch(entries=ent, theta=th)
+
+
+def theta_intersect(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    """A ∩ B: entries present in both, below min(θa, θb) — the op HLL
+    cannot express without inclusion–exclusion error blow-up."""
+    return _theta_setop(a, b, "intersect")
+
+
+def theta_diff(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    """A \\ B: A's entries absent from B, below min(θa, θb)."""
+    return _theta_setop(a, b, "diff")
+
+
+def theta_estimate(sk: ThetaSketch) -> DataFrame:
+    """ONE row: (n_retained, theta_fp, estimate). estimate =
+    n_retained * 2^52 / theta_fp — a single fixed-order float division
+    over two exact integers (exact mode falls out: theta = 2^52 ⇒
+    estimate == n_retained)."""
+    from pyspark.sql import functions as F
+
+    n = sk.entries.agg(F.count(F.lit(1)).cast("long").alias("n_retained"))
+    return n.crossJoin(F.broadcast(sk.theta)).select(
+        "n_retained",
+        "theta_fp",
+        (
+            F.col("n_retained").cast("double")
+            * F.lit(float(THETA_MAX_FP))
+            / F.col("theta_fp").cast("double")
+        ).alias("estimate"),
     )

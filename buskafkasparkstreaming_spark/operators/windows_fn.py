@@ -45,6 +45,122 @@ def running_agg(
     return df.withColumn(out_col, getattr(F, agg)(F.col(agg_col)).over(w))
 
 
+def _ranked_in_range_partitions(
+    df: DataFrame,
+    order_cols: list[Column],
+    num_partitions: int,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, list[tuple[int, int]], int]:
+    """Shared core of global_rank / global_ntile: range-repartition on
+    the order columns, assign per-partition local row numbers WITHOUT a
+    second exchange, and return (local-ranked df, per-partition prefix
+    offsets, total row count).
+
+    The trick: after repartitionByRange + sortWithinPartitions the rows
+    of partition i all precede partition i+1 in the global order
+    (RangePartitioner boundaries are value tuples — the sample only
+    affects balance, never correctness), and monotonically_increasing_id
+    evaluated in that narrow stage encodes (partition id << 33 | local
+    row index), so local rank needs no Window (a Window.partitionBy(pid)
+    would re-shuffle by pid on top of the range exchange). Offsets are
+    prefix sums of the per-partition counts — at most `num_partitions`
+    rows collected to the driver (the cap-bounded idiom; bounded by
+    config, not by data size).
+    """
+    local = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright(F.col("__mid"), 33).cast("int"))
+        .withColumn(
+            "__lrn", (F.col("__mid") % F.lit(1 << 33) + F.lit(1)).cast("long")
+        )
+        .drop("__mid")
+    )
+    if checkpoint:
+        # pin partition ids across the two jobs below (offset count + the
+        # caller's read); checkpoint=False is for plan-gate tests that
+        # need the pre-checkpoint lineage visible
+        local = local.localCheckpoint(eager=False)
+    cnt_rows = sorted(
+        (r["__pid"], r["cnt"])
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in cnt_rows:
+        offsets.append((pid, acc))
+        acc += cnt
+    return local, offsets, acc
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "global_rn",
+    num_partitions: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """EXACT global row_number under `order_cols` without collapsing to a
+    single ordered partition — the scalable replacement for
+    Window.orderBy(...) with no partitionBy (a single-task global sort,
+    the classic 100 TB killer). One range shuffle, parallel per-partition
+    sorts, offsets via a broadcast of ≤ num_partitions rows.
+
+    `order_cols` must define a UNIQUE ordering (add a key tiebreak) for
+    the rank to be deterministic.
+    """
+    local, offsets, _n = _ranked_in_range_partitions(
+        df, order_cols, num_partitions, checkpoint
+    )
+    offdf = local.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    return (
+        local.join(F.broadcast(offdf), "__pid")
+        .withColumn(rank_col, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    out_col: str,
+    num_partitions: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """EXACT ntile(k) over a global ordering without a single-task sort:
+    global_rank's distributed ranking + the ntile bucket formula applied
+    row-locally with driver-computed (q, r) literals. Bit-identical to
+    `ntile(k) OVER (ORDER BY ...)` for a unique ordering: the first
+    n%k buckets get floor(n/k)+1 rows, the rest floor(n/k).
+    """
+    local, offsets, n = _ranked_in_range_partitions(
+        df, order_cols, num_partitions, checkpoint
+    )
+    offdf = local.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    q, r = divmod(n, k)
+    head = (q + 1) * r  # rows covered by the (q+1)-sized leading buckets
+    rn = F.col("__lrn") + F.col("__off")
+    if q == 0:  # fewer rows than buckets: bucket i holds row i alone
+        bucket = rn
+    else:
+        # ceil(a/b) = floor((a+b-1)/b); operands stay exact in double
+        # below 2^53, far past any realistic global rank
+        ceil_div = lambda a, b: F.floor((a + F.lit(b - 1)) / F.lit(b))  # noqa: E731
+        bucket = F.when(rn <= F.lit(head), ceil_div(rn, q + 1)).otherwise(
+            F.lit(r) + ceil_div(rn - F.lit(head), q)
+        )
+    return (
+        local.join(F.broadcast(offdf), "__pid")
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

@@ -67,6 +67,22 @@ def get_spark(
             os.environ.get("BSS_WAREHOUSE_DIR", "/tmp/bss-warehouse"),
         )
     )
+    # vendored JDBC driver jars (jars/duckdb_jdbc-*.jar): put them on the
+    # session classpath unconditionally so the LIVE jdbc path works inside
+    # any session built through this factory — classpath must be set at
+    # JVM launch, it cannot be added to a running shared session later
+    import glob as _glob
+
+    jar_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "jars")
+    jars = sorted(_glob.glob(os.path.join(jar_dir, "*.jar")))
+    if jars:
+        jar_csv = ",".join(jars)
+        cp = os.pathsep.join(jars)
+        builder = (
+            builder.config("spark.jars", jar_csv)
+            .config("spark.driver.extraClassPath", cp)
+            .config("spark.executor.extraClassPath", cp)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -66,9 +66,16 @@ def running_per_user(
     )
 
 
-CAP_OUTPUT_SCHEMA = (
-    "user_id bigint, event_id bigint, ts timestamp, value double, rank_in_key bigint"
-)
+def _cap_output_schema(key_col: str) -> str:
+    # built from key_col so cap_events_per_key works for any bigint key,
+    # not just user_id (the yielded projection uses the same list)
+    return (
+        f"{key_col} bigint, event_id bigint, ts timestamp, "
+        "value double, rank_in_key bigint"
+    )
+
+
+CAP_OUTPUT_SCHEMA = _cap_output_schema("user_id")
 
 
 def cap_events_per_key(
@@ -137,7 +144,7 @@ def cap_events_per_key(
                     )
                 )
                 yield allg[
-                    ["user_id", "event_id", "ts", "value", "rank_in_key"]
+                    [key_col, "event_id", "ts", "value", "rank_in_key"]
                 ]
             self._count.update((taken,))
 
@@ -152,7 +159,7 @@ def cap_events_per_key(
         .groupBy(key_col)
         .transformWithStateInPandas(
             _CapProcessor(),
-            outputStructType=CAP_OUTPUT_SCHEMA,
+            outputStructType=_cap_output_schema(key_col),
             outputMode="append",
             timeMode="eventTime",
         )

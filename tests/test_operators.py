@@ -1089,6 +1089,56 @@ def test_hll_sketch_merge_and_accuracy(spark):
     assert abs(est - 5000) / 5000 < 3 * 1.04 / (256 ** 0.5), est
 
 
+def test_theta_sketch_merge_setops_accuracy(spark):
+    """Theta-sketch invariants: (a) per-tick mergeability — the union of
+    two part sketches equals the sketch of the whole set (same entries,
+    same theta); (b) set-op estimates land inside the ~3/sqrt(k) KMV
+    error band; (c) under-full sketches are EXACT (theta = 2^52,
+    estimate == distinct count); (d) disjoint sets estimate an empty
+    intersection."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        THETA_MAX_FP,
+        theta_diff,
+        theta_estimate,
+        theta_intersect,
+        theta_sketch,
+        theta_union,
+    )
+
+    k = 64
+    df = spark.range(0, 4000).select(F.col("id").alias("uid"))
+    whole = theta_sketch(df, "uid", k)
+    part_a = df.filter(F.col("uid") < 2500)
+    part_b = df.filter(F.col("uid") >= 2000)  # overlap on purpose
+    a, b = theta_sketch(part_a, "uid", k), theta_sketch(part_b, "uid", k)
+    merged = theta_union(a, b, k)
+    assert merged.entries.exceptAll(whole.entries).count() == 0
+    assert whole.entries.exceptAll(merged.entries).count() == 0
+    assert (
+        merged.theta.first()["theta_fp"] == whole.theta.first()["theta_fp"]
+    )
+
+    band = 3.0 / (k ** 0.5)
+    for sk, true_n in (
+        (whole, 4000),
+        (theta_intersect(a, b), 500),
+        (theta_diff(a, b), 2000),
+    ):
+        est = theta_estimate(sk).first()["estimate"]
+        assert abs(est - true_n) / true_n < band, (est, true_n)
+
+    # exact mode: fewer distinct items than k
+    small = theta_sketch(df.filter(F.col("uid") < 20), "uid", k)
+    row = theta_estimate(small).first()
+    assert row["theta_fp"] == THETA_MAX_FP
+    assert row["n_retained"] == 20 and row["estimate"] == 20.0
+
+    # disjoint sets: intersection estimate is 0 (no false entries)
+    c = theta_sketch(df.filter(F.col("uid") >= 3000), "uid", k)
+    d = theta_sketch(df.filter(F.col("uid") < 1000), "uid", k)
+    assert theta_estimate(theta_intersect(c, d)).first()["n_retained"] == 0
+
+
 def test_weighted_sample_bias_and_determinism(spark):
     """A-ES sample is a pure function of (id, salt) — identical across
     runs — and inclusion probability tracks the weight: with 100 rows at

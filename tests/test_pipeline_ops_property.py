@@ -128,3 +128,56 @@ def test_weighted_sample_is_partitioning_invariant(spark, ids, k):
         r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k + 5).collect()
     }
     assert s1 <= s_more
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tokens=token_lists, budget=st.integers(min_value=1, max_value=600))
+def test_pack_ffd_invariants(spark, tokens, budget):
+    """FFD invariants for ANY token distribution: (a) the Spark result
+    equals a sequential FFD reference per group (determinism); (b) no
+    non-overflow bin exceeds the budget; (c) FFD never uses more bins
+    than the sequential FIRST-FIT baseline (decreasing order can only
+    help); (d) bins partition the corpus."""
+    from buskafkasparkstreaming_spark.operators.packing import pack_ffd
+
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_ffd(df, "doc_id", "n", budget=budget, num_groups=4)
+    got = {r["id"]: (r["pack_group"], r["bin_in_group"]) for r in out.collect()}
+    assert len(got) == len(rows)
+
+    def ffd_ref(group_rows, decreasing):
+        order = (
+            sorted(group_rows, key=lambda x: (-x[1], x[0]))
+            if decreasing
+            else sorted(group_rows)
+        )
+        caps, assign = [], {}
+        for i, t in order:
+            if t >= budget:
+                assign[i] = len(caps)
+                caps.append(0)
+                continue
+            for b, c in enumerate(caps):
+                if c >= t:
+                    assign[i] = b
+                    caps[b] = c - t
+                    break
+            else:
+                assign[i] = len(caps)
+                caps.append(budget - t)
+        return assign, len(caps)
+
+    for g in range(4):
+        grp = [(i, t) for i, t in rows if i % 4 == g]
+        if not grp:
+            continue
+        ref, n_bins = ffd_ref(grp, decreasing=True)
+        fill: dict[int, int] = {}
+        for i, t in grp:
+            assert got[i] == (g, ref[i]), (i, t, budget)
+            if t < budget:  # overflow bins are exempt by design
+                fill[ref[i]] = fill.get(ref[i], 0) + t
+        assert all(v <= budget for v in fill.values())
+        _, ff_bins = ffd_ref(grp, decreasing=False)
+        assert n_bins <= ff_bins
