@@ -3690,13 +3690,13 @@ def streaming_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
-    # round so every entry gets a driver-verified row regularly. Round 7:
-    # the 39 entries NEW this round lead (never driver-verified), then
-    # the round-4-stale entries (last driver-verified r4, outside round
-    # 6's window) fill the remaining 11 slots; the stale entries that no
-    # longer fit rotate to the next round's head and stay covered by the
-    # local parity gate + drift sweeps meanwhile. Groups verified in recent rounds
-    # (r6-new, the r2 group re-verified r6, r5-green tail) follow.
+    # round so every entry gets a driver-verified row regularly. Round 8
+    # rotation is STALENESS-FIRST, computed from the on-disk
+    # CORRECTNESS_r0*.json artifacts (the r6 file was never preserved, so
+    # its 16 entries count as artifact-less): new r8 entries lead, then
+    # entries whose semantics/plan changed this round, then the
+    # artifact-less group, then r2-stale, then r4-stale head. Groups with
+    # fresh artifacts (r5, r7) follow outside the window.
     # tests/test_oracle_parity.py checks ALL oracle entries every run
     # regardless of order.
     return {
@@ -3704,111 +3704,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_theta_intersection": sketch_theta_intersection,
         "pack_ffd_bins": pack_ffd_bins,
         "streaming_session_topk": streaming_session_topk,
-        # --- new in round 7 (never driver-verified -- must lead) ------
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q_variant_props": q_variant_props,
-        "q_weighted_median": q_weighted_median,
-        "q_running_distinct_types": q_running_distinct_types,
-        "q_top_percent_orders": q_top_percent_orders,
-        "q_scalar_subquery_select": q_scalar_subquery_select,
-        "q_chi2_independence": q_chi2_independence,
-        "sketch_hll_intersection": sketch_hll_intersection,
-        "q_spearman_corr": q_spearman_corr,
-        "q_cube_grouping_id": q_cube_grouping_id,
-        "q_benford_digits": q_benford_digits,
-        "q_unpivot_metrics": q_unpivot_metrics,
-        "q_percentile_bands": q_percentile_bands,
-        "ts_sax_blocking_pairs": ts_sax_blocking_pairs,
-        "q_cusum_changepoint": q_cusum_changepoint,
-        "q_event_type_affinity": q_event_type_affinity,
-        "ann_int8_rerank": ann_int8_rerank,
-        "q_interval_contain_join": q_interval_contain_join,
-        "cdc_diff_versions": cdc_diff_versions,
-        "streaming_purchase_error_full_join": streaming_purchase_error_full_join,
-        "streaming_hourly_daily_rollup": streaming_hourly_daily_rollup,
-        "graph_bfs_reachability": graph_bfs_reachability,
-        "graph_triangle_count": graph_triangle_count,
-        "ts_sax_words": ts_sax_words,
-        "text_bigram_pmi": text_bigram_pmi,
-        "q_rfm_segments": q_rfm_segments,
-        "dedup_keep_best": dedup_keep_best,
-        "manifest_time_travel": manifest_time_travel,
-        "streaming_topk_per_window": streaming_topk_per_window,
-        "q_percentile_disc": q_percentile_disc,
-        "q_mode_deterministic": q_mode_deterministic,
-        "q_not_in_null_aware": q_not_in_null_aware,
-        "q_window_ignore_nulls": q_window_ignore_nulls,
-        "q_two_phase_skew_agg": q_two_phase_skew_agg,
-        "q_histogram_equi_width": q_histogram_equi_width,
-        "q_mad_outliers": q_mad_outliers,
+        # --- changed this round (r7-green, semantics/plan edited) -----
         "q_regr_slope_exact": q_regr_slope_exact,
-        "q_ewma_dyadic": q_ewma_dyadic,
-        # --- last driver-verified round 4; outside the r6 sweep window -
-        "q_approx_quantile_bound": q_approx_quantile_bound,
-        "q_ntile_percent_rank": q_ntile_percent_rank,
-        "q_offset_pagination": q_offset_pagination,
-        "sample_split_labels": sample_split_labels,
-        "ann_cosine_topk": ann_cosine_topk,
-        "text_quality": text_quality,
-        "q_full_outer_counts": q_full_outer_counts,
-        "q_parts_above_avg_price": q_parts_above_avg_price,
-        "q_topk_orders_per_customer": q_topk_orders_per_customer,
-        "q_exists_correlated": q_exists_correlated,
-        "q_customers_without_orders": q_customers_without_orders,
-        "q_orders_of_rich_customers": q_orders_of_rich_customers,
-        "q_running_total": q_running_total,
-        "q_event_gaps": q_event_gaps,
-        "q_setops_high_value": q_setops_high_value,
-        "q_distinct_counts": q_distinct_counts,
-        "q_string_funcs": q_string_funcs,
-        "q_monthly_orders": q_monthly_orders,
-        "q_json_extract": q_json_extract,
-        "q_explode_words": q_explode_words,
-        "q_intersect_segments": q_intersect_segments,
-        "q_right_join_customers": q_right_join_customers,
-        "q_dense_rank_first_last": q_dense_rank_first_last,
-        "q_union_by_name": q_union_by_name,
-        "q_multiset_setops": q_multiset_setops,
-        "q_date_parts": q_date_parts,
-        # --- round-4-cohort head fills the 50-entry window -------------
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "cdc_latest_state": cdc_latest_state,
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        # --- round-4 cohort, re-swept in the r6 window -----------------
-        "dedup_simhash": dedup_simhash,
-        "dedup_clusters": dedup_clusters,
-        "dedup_embedding_blocked": dedup_embedding_blocked,
-        "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
-        "dedup_contamination": dedup_contamination,
-        "ann_ivf_topk": ann_ivf_topk,
-        "doc_winnow_sketch": doc_winnow_sketch,
-        "sample_stratified_lang": sample_stratified_lang,
-        "text_pii_redact": text_pii_redact,
-        "pack_token_budget": pack_token_budget,
-        "corpus_curation": corpus_curation,
-        "ann_quantize_int8": ann_quantize_int8,
-        # --- re-verified in round 6 (led that window) ------------------
-        "q_hourly_events": q_hourly_events,
-        "q_sliding_window_avg": q_sliding_window_avg,
-        "q_pivot_event_types": q_pivot_event_types,
-        "q_pivot_native": q_pivot_native,
-        "q_grouping_sets": q_grouping_sets,
-        "q_rollup_status_priority": q_rollup_status_priority,
-        "q_cube_status_priority": q_cube_status_priority,
-        "q_string_agg_suppliers": q_string_agg_suppliers,
-        "q_map_explode_props": q_map_explode_props,
-        "q_array_ops_embeddings": q_array_ops_embeddings,
-        "q_decimal_and_date": q_decimal_and_date,
-        "q_pandas_udf_score": q_pandas_udf_score,
-        "q_zscore_by_type": q_zscore_by_type,
-        "udtf_split_words": udtf_split_words,
-        # --- new in round 6 (followed in that window) ------------------
-        "q_argmax_events": q_argmax_events,
+        "q_rfm_segments": q_rfm_segments,
+        "q_chi2_independence": q_chi2_independence,
+        # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
         "q_asof_nearest_purchase": q_asof_nearest_purchase,
@@ -3825,7 +3725,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_locf_fill": q_locf_fill,
         "q_funnel_conversion": q_funnel_conversion,
         "q_cohort_retention": q_cohort_retention,
-        # --- round-5-green tail (re-swept as window room allows) -------
+        # --- last on-disk driver-green: round 2 -----------------------
+        "q_hourly_events": q_hourly_events,
+        "q_sliding_window_avg": q_sliding_window_avg,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_pivot_native": q_pivot_native,
+        "q_grouping_sets": q_grouping_sets,
+        "q_rollup_status_priority": q_rollup_status_priority,
+        "q_cube_status_priority": q_cube_status_priority,
+        "q_string_agg_suppliers": q_string_agg_suppliers,
+        "q_map_explode_props": q_map_explode_props,
+        "q_array_ops_embeddings": q_array_ops_embeddings,
+        "q_decimal_and_date": q_decimal_and_date,
+        "q_pandas_udf_score": q_pandas_udf_score,
+        "q_zscore_by_type": q_zscore_by_type,
+        "udtf_split_words": udtf_split_words,
+        # --- last on-disk driver-green: round 4 (head fills window) ---
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "q_orders_of_rich_customers": q_orders_of_rich_customers,
+        "q_running_total": q_running_total,
+        "q_event_gaps": q_event_gaps,
+        "q_setops_high_value": q_setops_high_value,
+        "q_distinct_counts": q_distinct_counts,
+        "q_string_funcs": q_string_funcs,
+        "q_monthly_orders": q_monthly_orders,
+        "q_json_extract": q_json_extract,
+        "q_explode_words": q_explode_words,
+        "q_intersect_segments": q_intersect_segments,
+        "q_right_join_customers": q_right_join_customers,
+        "q_dense_rank_first_last": q_dense_rank_first_last,
+        "q_union_by_name": q_union_by_name,
+        "q_multiset_setops": q_multiset_setops,
+        "q_date_parts": q_date_parts,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "cdc_latest_state": cdc_latest_state,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_clusters": dedup_clusters,
+        "dedup_embedding_blocked": dedup_embedding_blocked,
+        "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
+        "dedup_contamination": dedup_contamination,
+        "ann_ivf_topk": ann_ivf_topk,
+        "doc_winnow_sketch": doc_winnow_sketch,
+        "sample_stratified_lang": sample_stratified_lang,
+        "text_pii_redact": text_pii_redact,
+        "pack_token_budget": pack_token_budget,
+        "corpus_curation": corpus_curation,
+        "ann_quantize_int8": ann_quantize_int8,
+        # --- driver-green round 5 -------------------------------------
+        "q_argmax_events": q_argmax_events,
         "streaming_stateful_running": streaming_stateful_running,
         "streaming_tumbling_counts": streaming_tumbling_counts,
         "streaming_sliding_avg": streaming_sliding_avg,
@@ -3875,6 +3826,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median_price_by_priority": q_median_price_by_priority,
         "q_asof_purchase_before_error": q_asof_purchase_before_error,
         "q_range_join_value_tiers": q_range_join_value_tiers,
+        # --- driver-green round 7 -------------------------------------
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q_variant_props": q_variant_props,
+        "q_weighted_median": q_weighted_median,
+        "q_running_distinct_types": q_running_distinct_types,
+        "q_top_percent_orders": q_top_percent_orders,
+        "q_scalar_subquery_select": q_scalar_subquery_select,
+        "sketch_hll_intersection": sketch_hll_intersection,
+        "q_spearman_corr": q_spearman_corr,
+        "q_cube_grouping_id": q_cube_grouping_id,
+        "q_benford_digits": q_benford_digits,
+        "q_unpivot_metrics": q_unpivot_metrics,
+        "q_percentile_bands": q_percentile_bands,
+        "ts_sax_blocking_pairs": ts_sax_blocking_pairs,
+        "q_cusum_changepoint": q_cusum_changepoint,
+        "q_event_type_affinity": q_event_type_affinity,
+        "ann_int8_rerank": ann_int8_rerank,
+        "q_interval_contain_join": q_interval_contain_join,
+        "cdc_diff_versions": cdc_diff_versions,
+        "streaming_purchase_error_full_join": streaming_purchase_error_full_join,
+        "streaming_hourly_daily_rollup": streaming_hourly_daily_rollup,
+        "graph_bfs_reachability": graph_bfs_reachability,
+        "graph_triangle_count": graph_triangle_count,
+        "ts_sax_words": ts_sax_words,
+        "text_bigram_pmi": text_bigram_pmi,
+        "dedup_keep_best": dedup_keep_best,
+        "manifest_time_travel": manifest_time_travel,
+        "streaming_topk_per_window": streaming_topk_per_window,
+        "q_percentile_disc": q_percentile_disc,
+        "q_mode_deterministic": q_mode_deterministic,
+        "q_not_in_null_aware": q_not_in_null_aware,
+        "q_window_ignore_nulls": q_window_ignore_nulls,
+        "q_two_phase_skew_agg": q_two_phase_skew_agg,
+        "q_histogram_equi_width": q_histogram_equi_width,
+        "q_mad_outliers": q_mad_outliers,
+        "q_ewma_dyadic": q_ewma_dyadic,
+        "q_approx_quantile_bound": q_approx_quantile_bound,
+        "q_ntile_percent_rank": q_ntile_percent_rank,
+        "q_offset_pagination": q_offset_pagination,
+        "sample_split_labels": sample_split_labels,
+        "ann_cosine_topk": ann_cosine_topk,
+        "text_quality": text_quality,
+        "q_full_outer_counts": q_full_outer_counts,
+        "q_parts_above_avg_price": q_parts_above_avg_price,
+        "q_topk_orders_per_customer": q_topk_orders_per_customer,
+        "q_exists_correlated": q_exists_correlated,
+        "q_customers_without_orders": q_customers_without_orders,
     }
 
 STOP_SQL = "('the','a','of','to','and','in')"
