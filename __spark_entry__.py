@@ -3687,6 +3687,201 @@ def streaming_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated ARGMIN join (TPC-H Q2's shape without partsupp): for
+    each part, the supplier observed selling it at the lowest unit price
+    (min extendedprice/quantity over lineitem), ties to the lowest
+    suppkey. Plan: one aggregation to per-(part, supplier) min unit
+    price, one window argmin per part — two key shuffles, no correlated
+    subquery re-scan (the decorrelation Catalyst would have to discover
+    is written directly). Unit price is one float division over exact
+    integers (cents, quantity), ordered with a unique integer tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & (F.col("l_quantity") > 0)
+    )
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            _cents("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("unit_cents")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cents").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        per_supp.select(
+            "*",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("l_partkey")
+            ).cast("long").alias("n_suppliers"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("best_suppkey"),
+            "unit_cents",
+            "n_suppliers",
+        )
+    )
+
+
+def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog on the available columns: orders counted per
+    priority where EXISTS a lineitem shipped more than 60 days after the
+    order date — the classic EXISTS-with-inequality decorrelated to a
+    LEFT SEMI join carrying the cross-side predicate in the join
+    condition (one shuffle pair, no per-row subquery)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_late_orders")
+    )
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the period-over-period dashboard
+    primitive: monthly revenue in exact cents, previous month via lag
+    over the (tiny) month axis, growth as ONE float division. The heavy
+    work is the distributed month aggregation; the lag window runs over
+    |months| rows (bounded by the calendar, not the data)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(_cents("o_totalprice")).cast("long").alias("rev_cents"))
+    w = Window.orderBy(F.col("month").asc())
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "month",
+        "rev_cents",
+        prev.cast("long").alias("prev_cents"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            (F.col("rev_cents") - prev).cast("double") / prev.cast("double"),
+        ).alias("growth"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: (from_type, to_type) counts via lead over the (user, ts,
+    event_id) timeline — one key shuffle — plus the transition
+    probability as one float division against the broadcast per-from
+    totals. The sequence-mining primitive behind funnel/affinity
+    analyses (the repo's q_funnel_conversion is the ordered special
+    case)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )
+
+
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact INTERPOLATED quartiles (percentile_cont semantics: value at
+    fractional position 1 + p·(n−1), linearly interpolated) per order
+    priority — the continuous sibling of q_percentile_disc. Engines'
+    built-in percentile functions differ in interpolation edge rules, so
+    both sides evaluate the explicit formula: integer ranks over a
+    unique ordering, floor/ceil positions, one fixed-order float
+    interpolation — bit-identical."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .withColumn("cents", _cents("o_totalprice"))
+    )
+    w_asc = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w_asc).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    outs = []
+    for p, alias in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        pos = F.lit(1.0) + F.lit(p) * (F.col("n") - 1).cast("double")
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        frac = pos - lo.cast("double")
+        lo_v = F.max(F.when(F.col("rn") == lo, F.col("cents"))).cast("double")
+        hi_v = F.max(F.when(F.col("rn") == hi, F.col("cents"))).cast("double")
+        outs.append(
+            ((lo_v + (hi_v - lo_v) * F.max(frac)) / F.lit(100.0)).alias(alias)
+        )
+    return ranked.groupBy("o_orderpriority").agg(*outs)
+
+
+def dedup_editdist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance RERANK — the canonical two-stage fuzzy
+    match: cheap n-gram Jaccard blocking proposes candidate pairs (never
+    all-pairs), then exact Levenshtein on the candidates only, as a
+    similarity ratio over the 100-char prefixes (quadratic DP priced on
+    a bounded slice — the documented truncation that keeps the rerank
+    O(pairs · 100²) at any corpus size). Both stages are engine
+    built-ins; the oracle replays blocking and DP identically."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.3)
+    texts = docs.select(
+        "doc_id", F.substring(F.col("text"), 1, 100).alias("prefix")
+    )
+    j = (
+        pairs.join(
+            texts.select(
+                F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa")
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb")
+            ),
+            "id_b",
+        )
+    )
+    lev = F.levenshtein("pa", "pb")
+    maxlen = F.greatest(F.length("pa"), F.length("pb"))
+    ratio = F.lit(1.0) - lev.cast("double") / maxlen.cast("double")
+    return (
+        j.filter(maxlen > 0)
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("long").alias("edit_dist"),
+            ratio.alias("ratio"),
+        )
+        .filter(F.col("ratio") >= 0.5)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -3704,6 +3899,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_theta_intersection": sketch_theta_intersection,
         "pack_ffd_bins": pack_ffd_bins,
         "streaming_session_topk": streaming_session_topk,
+        "q_cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "q4_late_ship_priority": q4_late_ship_priority,
+        "q_mom_growth": q_mom_growth,
+        "q_event_transitions": q_event_transitions,
+        "q_percentile_cont": q_percentile_cont,
+        "dedup_editdist_rerank": dedup_editdist_rerank,
         # --- changed this round (r7-green, semantics/plan edited) -----
         "q_regr_slope_exact": q_regr_slope_exact,
         "q_rfm_segments": q_rfm_segments,
@@ -3904,6 +4105,25 @@ def _hex_int_sql(expr: str, start: int, n: int) -> str:
         for i in range(n)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _pcont_cols_sql() -> str:
+    """The three interpolated-quartile aggregate expressions for the
+    q_percentile_cont oracle — generated so the float operation order
+    matches the Spark side token for token (pos, floor/ceil ranks,
+    interpolation, final /100)."""
+    cols = []
+    for p, alias in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        pos = f"(1.0 + {p} * CAST(n - 1 AS DOUBLE))"
+        lo = f"CAST(floor({pos}) AS BIGINT)"
+        hi = f"CAST(ceil({pos}) AS BIGINT)"
+        lov = f"max(CASE WHEN rn = {lo} THEN CAST(cents AS DOUBLE) END)"
+        hiv = f"max(CASE WHEN rn = {hi} THEN CAST(cents AS DOUBLE) END)"
+        frac = f"max({pos} - CAST({lo} AS DOUBLE))"
+        cols.append(
+            f"({lov} + ({hiv} - {lov}) * {frac}) / 100.0 AS {alias}"
+        )
+    return ",\n                   ".join(cols)
 
 
 #: the one float literal in the HLL estimator, computed ONCE in Python and
@@ -4513,6 +4733,117 @@ def oracle_sql() -> dict[str, str]:
             FROM na CROSS JOIN nb CROSS JOIN nu CROSS JOIN ni
                  CROSS JOIN nd CROSS JOIN ta CROSS JOIN tb
                  CROSS JOIN ut CROSS JOIN tmin CROSS JOIN ex
+        """,
+        "q_cheapest_supplier_per_part": """
+            WITH li AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS epc,
+                       l_quantity
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+            ps AS (
+                SELECT l_partkey, l_suppkey,
+                       min(CAST(epc AS DOUBLE)
+                           / CAST(l_quantity AS DOUBLE)) AS unit_cents
+                FROM li GROUP BY 1, 2),
+            r AS (
+                SELECT l_partkey, l_suppkey, unit_cents,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY unit_cents ASC, l_suppkey ASC) AS rn,
+                       CAST(count(*) OVER (PARTITION BY l_partkey)
+                            AS BIGINT) AS n_suppliers
+                FROM ps)
+            SELECT l_partkey AS p_partkey, l_suppkey AS best_suppkey,
+                   unit_cents, n_suppliers
+            FROM r WHERE rn = 1
+        """,
+        "q4_late_ship_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_late_orders
+            FROM orders o
+            WHERE o.o_orderdate IS NOT NULL
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate IS NOT NULL
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q_mom_growth": """
+            WITH m AS (
+                SELECT date_trunc('month', o_orderdate) AS month,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_cents
+                FROM orders
+                WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+                GROUP BY 1)
+            SELECT month, rev_cents,
+                   CAST(lag(rev_cents) OVER mw AS BIGINT) AS prev_cents,
+                   CASE WHEN lag(rev_cents) OVER mw IS NOT NULL
+                             AND lag(rev_cents) OVER mw <> 0
+                        THEN CAST(rev_cents - lag(rev_cents) OVER mw
+                                  AS DOUBLE)
+                             / CAST(lag(rev_cents) OVER mw AS DOUBLE)
+                   END AS growth
+            FROM m
+            WINDOW mw AS (ORDER BY month ASC)
+        """,
+        "q_event_transitions": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_type IS NOT NULL),
+            pr AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS to_type
+                FROM e),
+            c AS (
+                SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+                  FROM c GROUP BY 1)
+            SELECT c.from_type, c.to_type, c.n,
+                   CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+            FROM c JOIN t USING (from_type)
+        """,
+        "q_percentile_cont": f"""
+            WITH o AS (
+                SELECT o_orderpriority, o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            r AS (
+                SELECT o_orderpriority, cents,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY cents ASC, o_orderkey ASC) AS rn,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM o)
+            SELECT o_orderpriority,
+                   {_pcont_cols_sql()}
+            FROM r GROUP BY o_orderpriority
+        """,
+        "dedup_editdist_rerank": f"""
+            WITH pairs AS ({_ngram_pairs_sql(0.3, 1000)}),
+            tx AS (SELECT doc_id, substr(text, 1, 100) AS prefix
+                   FROM documents),
+            j AS (
+                SELECT p.id_a, p.id_b, ta.prefix AS pa, tb.prefix AS pb
+                FROM pairs p
+                JOIN tx ta ON ta.doc_id = p.id_a
+                JOIN tx tb ON tb.doc_id = p.id_b),
+            s AS (
+                SELECT id_a, id_b,
+                       CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist,
+                       1.0 - CAST(levenshtein(pa, pb) AS DOUBLE)
+                             / CAST(greatest(length(pa), length(pb))
+                                    AS DOUBLE) AS ratio,
+                       greatest(length(pa), length(pb)) AS ml
+                FROM j)
+            SELECT id_a, id_b, edit_dist, ratio
+            FROM s WHERE ml > 0 AND ratio >= 0.5
         """,
         "q_spearman_corr": """
             WITH it AS (

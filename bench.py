@@ -129,6 +129,12 @@ HEADLINE = [
     "sketch_theta_intersection",
     "pack_ffd_bins",
     "streaming_session_topk",
+    "q_cheapest_supplier_per_part",
+    "q4_late_ship_priority",
+    "q_mom_growth",
+    "q_event_transitions",
+    "q_percentile_cont",
+    "dedup_editdist_rerank",
 ]
 
 
