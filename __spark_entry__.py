@@ -2714,6 +2714,37 @@ def graph_triangle_count(
     return out.select(F.col("id").alias("doc_id"), "n_triangles")
 
 
+def graph_pagerank_weighted(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Similarity-WEIGHTED PageRank over the near-dup graph
+    (operators/graph.py::pagerank_weighted_fixed_point): rank mass flows
+    proportionally to Jaccard weight (1e-4 fixed point), so the most
+    central copy of a cluster is the one its strongest duplicates point
+    at — the degree-corrected canonical-representative choice. Exact
+    integer arithmetic end to end; the oracle unrolls both iterations.
+    `pairs` injects a prebuilt pair table (bench path)."""
+    from buskafkasparkstreaming_spark.operators.graph import (
+        pagerank_weighted_fixed_point,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    if pairs is None:
+        pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.3)
+    w = F.floor(F.col("jaccard") * 10000).cast("long").alias("w")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), w
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), w
+        )
+    )
+    out = pagerank_weighted_fixed_point(
+        edges, docs.select("doc_id"), iters=2
+    )
+    return out.select(F.col("id").alias("doc_id"), "rank_fp")
+
+
 def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolic time-series words (operators/timeseries.py, Lin et
     al. 2003): each user's value series → PAA segments → z-normalized
@@ -3687,6 +3718,62 @@ def streaming_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top
+    20 — fact-fact equi-join (lineitem filtered to returnflag 'R' at the
+    scan, orders), distributed agg on custkey, broadcast customer
+    dimension for names, global top-20 via TakeOrdered (per-partition
+    partial top-k, never a global sort). Revenue Σ price·(1−discount) in
+    exact 1e-4 units; one float division at the end."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).cast("long").alias("rev_fp"))
+    )
+    return (
+        agg.join(F.broadcast(cust), agg["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "rev_fp",
+            (F.col("rev_fp").cast("double") / 10000.0).alias("returned_revenue"),
+        )
+        .orderBy(F.col("rev_fp").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of promo-part revenue — broadcast
+    part dimension into the lineitem scan, conditional aggregation in
+    exact integers, ONE float expression (100·promo/total) per month."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
+    part = _t(spark, sf_dir, "part")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    monthly = j.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month")
+    ).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("promo_fp"),
+        F.sum(rev).cast("long").alias("total_fp"),
+    )
+    return monthly.select(
+        "month",
+        "promo_fp",
+        "total_fp",
+        (
+            F.lit(100.0) * F.col("promo_fp").cast("double")
+            / F.col("total_fp").cast("double")
+        ).alias("promo_share_pct"),
+    )
+
+
 def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated ARGMIN join (TPC-H Q2's shape without partsupp): for
     each part, the supplier observed selling it at the lowest unit price
@@ -3899,6 +3986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_theta_intersection": sketch_theta_intersection,
         "pack_ffd_bins": pack_ffd_bins,
         "streaming_session_topk": streaming_session_topk,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q14_promo_share": q14_promo_share,
+        "graph_pagerank_weighted": graph_pagerank_weighted,
         "q_cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "q4_late_ship_priority": q4_late_ship_priority,
         "q_mom_growth": q_mom_growth,
@@ -4733,6 +4823,44 @@ def oracle_sql() -> dict[str, str]:
             FROM na CROSS JOIN nb CROSS JOIN nu CROSS JOIN ni
                  CROSS JOIN nd CROSS JOIN ta CROSS JOIN tb
                  CROSS JOIN ut CROSS JOIN tmin CROSS JOIN ex
+        """,
+        "q10_returned_revenue": """
+            WITH a AS (
+                SELECT o.o_custkey,
+                       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l.l_discount * 100)
+                                              AS BIGINT)))
+                            AS BIGINT) AS rev_fp
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY o.o_custkey)
+            SELECT c.c_custkey, c.c_name, a.rev_fp,
+                   CAST(a.rev_fp AS DOUBLE) / 10000.0 AS returned_revenue
+            FROM a JOIN customer c ON a.o_custkey = c.c_custkey
+            ORDER BY a.rev_fp DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_share": """
+            WITH j AS (
+                SELECT date_trunc('month', l.l_shipdate) AS month,
+                       p.p_type,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate IS NOT NULL),
+            m AS (
+                SELECT month,
+                       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                     ELSE 0 END) AS BIGINT) AS promo_fp,
+                       CAST(sum(rev) AS BIGINT) AS total_fp
+                FROM j GROUP BY month)
+            SELECT month, promo_fp, total_fp,
+                   100.0 * CAST(promo_fp AS DOUBLE)
+                       / CAST(total_fp AS DOUBLE) AS promo_share_pct
+            FROM m
         """,
         "q_cheapest_supplier_per_part": """
             WITH li AS (
@@ -7139,6 +7267,55 @@ def oracle_sql() -> dict[str, str]:
                               'i': event_id})).i AS BIGINT)
                        AS bottom_event_id
             FROM events WHERE value IS NOT NULL GROUP BY event_type
+        """,
+        "graph_pagerank_weighted": f"""
+            -- weighted fixed-point PageRank (2 iters unrolled): mass
+            -- splits by Jaccard weight (1e-4 fp); // floor division ==
+            -- Spark div on these nonnegative values
+            WITH pairs AS ({_ngram_pairs_sql(0.3, 1000)}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst,
+                       CAST(floor(jaccard * 10000) AS BIGINT) AS w
+                FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst,
+                       CAST(floor(jaccard * 10000) AS BIGINT) AS w
+                FROM pairs
+            ),
+            sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw
+                   FROM edges GROUP BY src),
+            nn AS (SELECT count(*) AS n FROM documents),
+            r0 AS (
+                SELECT doc_id AS id,
+                       CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+                           AS rank_fp
+                FROM documents
+            ),
+            c1 AS (
+                SELECT e.dst AS id, SUM((r.rank_fp * e.w) // s.sw) AS i
+                FROM edges e JOIN sw s ON s.src = e.src
+                JOIN r0 r ON r.id = e.src GROUP BY e.dst
+            ),
+            r1 AS (
+                SELECT r0.id,
+                       CAST((1000000000000 // 8) // (SELECT n FROM nn)
+                            + (7 * coalesce(c1.i, 0)) // 8 AS BIGINT)
+                           AS rank_fp
+                FROM r0 LEFT JOIN c1 USING (id)
+            ),
+            c2 AS (
+                SELECT e.dst AS id, SUM((r.rank_fp * e.w) // s.sw) AS i
+                FROM edges e JOIN sw s ON s.src = e.src
+                JOIN r1 r ON r.id = e.src GROUP BY e.dst
+            ),
+            r2 AS (
+                SELECT r1.id,
+                       CAST((1000000000000 // 8) // (SELECT n FROM nn)
+                            + (7 * coalesce(c2.i, 0)) // 8 AS BIGINT)
+                           AS rank_fp
+                FROM r1 LEFT JOIN c2 USING (id)
+            )
+            SELECT id AS doc_id, rank_fp FROM r2
         """,
         "graph_pagerank_neardup": f"""
             -- fixed-point PageRank, damping 7/8, scale 1e12; // is floor

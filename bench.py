@@ -129,6 +129,8 @@ HEADLINE = [
     "sketch_theta_intersection",
     "pack_ffd_bins",
     "streaming_session_topk",
+    "q10_returned_revenue",
+    "q14_promo_share",
     "q_cheapest_supplier_per_part",
     "q4_late_ship_priority",
     "q_mom_growth",
@@ -227,6 +229,7 @@ def bench_graph_family(spark, sf_dir: str, timings: dict) -> None:
     for name, prebuilt in (
         ("graph_bfs_reachability", graph_pairs),
         ("graph_triangle_count", graph_pairs),
+        ("graph_pagerank_weighted", graph_pairs),
         ("dedup_keep_best", pairs),
     ):
         fn = getattr(entrymod, name)

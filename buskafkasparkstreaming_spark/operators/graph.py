@@ -207,3 +207,62 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         "id",
         F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+def pagerank_weighted_fixed_point(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Edge-WEIGHTED PageRank in the same exact fixed-point contract as
+    `pagerank_fixed_point`: `edges` is (src, dst, w) with POSITIVE
+    integer weights (e.g. similarity in 1e-4 fixed point), and each
+    node's rank is split across out-edges proportionally to weight —
+    contribution = (rank_fp · w) div Σw(src). On a near-dup graph this
+    is the degree-corrected centrality: a 0.9-Jaccard copy pulls far
+    more rank to the original than a 0.3 borderline match, where the
+    unweighted walk treats them alike.
+
+    Integer-overflow bound: rank_fp ≤ scale and the product rank_fp · w
+    must stay under 2^63, so per-edge weights up to ~9e5 are safe at the
+    default scale — similarity fixed-point (≤ 1e4) has 500× headroom.
+    Plan shape identical to the unweighted form: O(iters) edge-list
+    shuffles, weights carried on the edge rows (no extra join).
+    """
+    n_nodes = nodes.count()  # scalar, metadata-sized (driver-safe)
+    if n_nodes == 0:
+        return nodes.sparkSession.createDataFrame(
+            [], "id bigint, rank_fp bigint"
+        )
+    base_fp = (scale // DAMP_DEN) // n_nodes
+    init_fp = scale // n_nodes
+
+    out_w = edges.groupBy("src").agg(F.sum("w").cast("long").alias("__sw"))
+    ranks = nodes.select(
+        F.col(nodes.columns[0]).alias("id"),
+        F.lit(init_fp).cast("long").alias("rank_fp"),
+    )
+    ed = edges.join(out_w, "src")
+    for _ in range(iters):
+        contrib = ed.join(
+            ranks.select(F.col("id").alias("src"), "rank_fp"), "src"
+        ).select(
+            F.col("dst").alias("id"),
+            F.expr("(rank_fp * w) div __sw").alias("__c"),
+        )
+        incoming = contrib.groupBy("id").agg(F.sum("__c").alias("__in"))
+        ranks = (
+            ranks.select("id")
+            .join(incoming, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base_fp)
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(__in, 0L)) div {DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+    return ranks

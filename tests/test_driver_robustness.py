@@ -232,6 +232,9 @@ def test_null_text_drift(spark, tmp_path):
         "dedup_keep_best",
         "graph_bfs_reachability",
         "graph_triangle_count",
+        # NULL/empty text → NULL levenshtein/length must drop rows on
+        # BOTH sides (NULL >= threshold is not-true in both engines)
+        "dedup_editdist_rerank",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -322,6 +325,9 @@ def test_null_events_drift(spark, tmp_path):
         "q_running_distinct_types",
         "sketch_hll_intersection",
         "q_chi2_independence",
+        "sketch_theta_intersection",
+        "q_event_transitions",
+        "streaming_session_topk",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -395,6 +401,9 @@ def test_null_orders_drift(spark, tmp_path):
         "q_weighted_median",
         "q_top_percent_orders",
         "q_scalar_subquery_select",
+        "q_mom_growth",
+        "q_percentile_cont",
+        "q4_late_ship_priority",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -451,6 +460,7 @@ def test_null_lineitem_drift(spark, tmp_path):
         "q_regr_slope_exact",
         "q6_forecast_revenue",
         "q18_large_orders",
+        "q_cheapest_supplier_per_part",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -549,6 +559,8 @@ def test_null_ts_drift(spark, tmp_path):
         "q_interval_contain_join",
         "q_event_type_affinity",
         "ts_sax_blocking_pairs",
+        "streaming_session_topk",
+        "q_event_transitions",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -829,6 +841,9 @@ def test_null_user_drift(spark, tmp_path):
         "q_running_distinct_types",
         "sketch_hll_intersection",
         "q_chi2_independence",
+        "sketch_theta_intersection",
+        "q_event_transitions",
+        "streaming_session_topk",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
