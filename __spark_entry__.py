@@ -3718,6 +3718,81 @@ def streaming_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: each user's longest run of consecutive active
+    DAYS — the classic streak/retention cut, via the rn-difference trick
+    (day − dense_rank-by-day is constant within an island; no self-join,
+    no recursion). Two windows over ONE user-key shuffle (same
+    partitioning, Catalyst reuses the exchange), then max island length.
+    Distinct days are integer date_diffs from epoch — exact in both
+    engines."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    days = ev.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("d").asc())
+    islands = days.withColumn(
+        "island", F.col("d") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("d").alias("start_d"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("run_len").desc(), F.col("start_d").asc()
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "run_len",
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("start_d")).alias(
+                "streak_start"
+            ),
+        )
+    )
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow matrix between supplier nation and
+    customer nation — the star-join with TWO dimension arms (lineitem →
+    supplier → nation; lineitem → orders → customer → nation). All four
+    dimension joins broadcast; the only shuffle is the final
+    (nation, nation) aggregation of exact fixed-point revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    j = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+    )
+    return j.groupBy("supp_nation", "cust_nation").agg(
+        F.sum(rev).cast("long").alias("rev_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer, top
     20 — fact-fact equi-join (lineitem filtered to returnflag 'R' at the
@@ -3989,6 +4064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_share": q14_promo_share,
         "graph_pagerank_weighted": graph_pagerank_weighted,
+        "q_longest_streak": q_longest_streak,
+        "q7_nation_trade": q7_nation_trade,
         "q_cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "q4_late_ship_priority": q4_late_ship_priority,
         "q_mom_growth": q_mom_growth,
@@ -4823,6 +4900,50 @@ def oracle_sql() -> dict[str, str]:
             FROM na CROSS JOIN nb CROSS JOIN nu CROSS JOIN ni
                  CROSS JOIN nd CROSS JOIN ta CROSS JOIN tb
                  CROSS JOIN ut CROSS JOIN tmin CROSS JOIN ex
+        """,
+        "q_longest_streak": """
+            -- gaps-and-islands: day - row_number is constant per island
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS d
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            i AS (
+                SELECT user_id, d,
+                       d - row_number() OVER (
+                           PARTITION BY user_id ORDER BY d ASC) AS island
+                FROM d),
+            runs AS (
+                SELECT user_id, island,
+                       CAST(count(*) AS BIGINT) AS run_len,
+                       min(d) AS start_d
+                FROM i GROUP BY 1, 2),
+            r AS (
+                SELECT user_id, run_len, start_d,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY run_len DESC, start_d ASC) AS rk
+                FROM runs)
+            SELECT user_id, run_len,
+                   DATE '1970-01-01' + CAST(start_d AS INTEGER)
+                       AS streak_start
+            FROM r WHERE rk = 1
+        """,
+        "q7_nation_trade": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS rev_fp,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            GROUP BY 1, 2
         """,
         "q10_returned_revenue": """
             WITH a AS (

@@ -131,6 +131,8 @@ HEADLINE = [
     "streaming_session_topk",
     "q10_returned_revenue",
     "q14_promo_share",
+    "q_longest_streak",
+    "q7_nation_trade",
     "q_cheapest_supplier_per_part",
     "q4_late_ship_priority",
     "q_mom_growth",
