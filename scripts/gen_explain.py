@@ -42,6 +42,12 @@ SHOWN = {
     "q_histogram_equi_width": "equi-width histogram: 1-row min/max broadcast, integer bin math row-local, one bin-keyed agg",
     "q_interval_contain_join": "point-in-interval containment as (key, epoch-bucket) hash equi-joins + exact filter — no nested-loop BETWEEN",
     "ann_int8_rerank": "two-stage ANN: int8 integer-dot prefilter (queries broadcast) -> exact cosine on 20 survivors/query",
+    "q_rfm_segments": "distributed exact ntile x3: range repartition + parallel local ranks + broadcast prefix offsets — no single-task sort (the plan prints post-checkpoint; the range exchange is gated in test_plans.py)",
+    "q_cheapest_supplier_per_part": "correlated argmin decorrelated: per-(part,supplier) agg then per-part window — two key shuffles, no subquery re-scan",
+    "q7_nation_trade": "two-arm star join: all four dimension joins broadcast; the only exchange is the final (nation, nation) agg",
+    "q_event_transitions": "Markov transitions: ONE key shuffle for the lead window; counts/totals are type-cardinality-sized; totals broadcast back",
+    "dedup_editdist_rerank": "two-stage fuzzy match: n-gram blocked candidates, Levenshtein only on pairs (100-char prefixes) — never all-pairs",
+    "q_longest_streak": "gaps-and-islands: two windows over ONE user-key exchange (island id + run argmax), no self-join",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage
