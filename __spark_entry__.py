@@ -3635,6 +3635,50 @@ def cdc_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("user_id").cast("long").alias("user_id"), "change_type")
 
 
+def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-clause MERGE INTO (cdc/upsert.py::merge_into, the Delta
+    MERGE surface over the precombine path): seed the table with the
+    even-event rows, then merge the odd-event rows with
+    `matched_delete_condition="event_type = 'error'"` — matched error
+    rows tombstone their key (if the tombstone wins precombine),
+    unmatched error rows vanish (CDC delete-of-unknown-key), everything
+    else upserts. The oracle replays clause routing + both argmaxes
+    relationally."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from buskafkasparkstreaming_spark.cdc.upsert import UpsertTable
+
+    # PID-namespaced cleanup (the manifest_time_travel pattern): never
+    # touch a concurrent process's live table dirs
+    prefix = f"bss_mergeinto_{os.getpid()}_"
+    for old in _glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        _shutil.rmtree(old, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", "event_id", "ts", "value", "event_type")
+    t = UpsertTable(
+        spark,
+        tempfile.mkdtemp(prefix=prefix),
+        key_cols="user_id",
+        precombine_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    t.merge(ev.filter(F.col("event_id") % 2 == 0))
+    t.merge_into(
+        ev.filter(F.col("event_id") % 2 == 1),
+        matched_delete_condition="event_type = 'error'",
+    )
+    return t.read().select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+
+
 def streaming_purchase_error_full_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4066,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_weighted": graph_pagerank_weighted,
         "q_longest_streak": q_longest_streak,
         "q7_nation_trade": q7_nation_trade,
+        "cdc_merge_into": cdc_merge_into,
         "q_cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "q4_late_ship_priority": q4_late_ship_priority,
         "q_mom_growth": q_mom_growth,
@@ -5331,6 +5376,47 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= sess.s_start AND e.ts <= sess.s_end
             WHERE e.event_type = 'error' AND e.ts IS NOT NULL
                   AND e.user_id IS NOT NULL
+        """,
+        "cdc_merge_into": """
+            -- clause routing: matched error rows tombstone, unmatched
+            -- error rows vanish, the rest upserts; winner per key =
+            -- argmax(ts, event_id); a winning tombstone drops the key
+            WITH ev AS (
+                SELECT user_id, event_id, ts, event_type FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            s0 AS (
+                SELECT user_id, event_id, ts, event_type FROM (
+                    SELECT user_id, event_id, ts, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts DESC,
+                                                       event_id DESC) AS rn
+                    FROM ev WHERE event_id % 2 = 0)
+                WHERE rn = 1),
+            keys0 AS (SELECT DISTINCT user_id FROM s0),
+            src AS (SELECT user_id, event_id, ts, event_type
+                    FROM ev WHERE event_id % 2 = 1),
+            batch AS (
+                SELECT s.user_id, s.event_id, s.ts, s.event_type,
+                       TRUE AS del
+                FROM src s JOIN keys0 k ON s.user_id = k.user_id
+                WHERE s.event_type = 'error'
+                UNION ALL
+                SELECT user_id, event_id, ts, event_type, FALSE AS del
+                FROM src
+                WHERE NOT coalesce(event_type = 'error', FALSE)),
+            pool AS (
+                SELECT user_id, event_id, ts, event_type, FALSE AS del
+                FROM s0
+                UNION ALL
+                SELECT user_id, event_id, ts, event_type, del FROM batch),
+            win AS (
+                SELECT user_id, event_id, event_type, del,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+                FROM pool)
+            SELECT user_id, event_id, event_type
+            FROM win WHERE rn = 1 AND NOT del
         """,
         "cdc_diff_versions": """
             -- v1 state = argmax over even-event batch; v2 = over all rows;

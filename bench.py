@@ -133,6 +133,7 @@ HEADLINE = [
     "q14_promo_share",
     "q_longest_streak",
     "q7_nation_trade",
+    "cdc_merge_into",
     "q_cheapest_supplier_per_part",
     "q4_late_ship_priority",
     "q_mom_growth",

@@ -467,6 +467,86 @@ class UpsertTable:
         with open(self._schema_sidecar, "w", encoding="utf-8") as fh:
             json.dump(merged.schema.jsonValue(), fh)
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        matched_delete_condition: str | None = None,
+    ) -> None:
+        """Delta-Lake-style tri-clause MERGE INTO, riding the same
+        precombine/committer path as `merge()` (so it inherits
+        idempotency, schema evolution, partition pruning, and crash
+        roll-forward):
+
+        - ``when_matched``: ``"update"`` (source row upserts the stored
+          row, precombine deciding the winner) or ``"ignore"`` (matched
+          source rows are dropped — the statement becomes INSERT-ONLY).
+        - ``when_not_matched``: ``"insert"`` or ``"ignore"`` (unmatched
+          source rows are dropped — the statement becomes UPDATE-ONLY).
+        - ``matched_delete_condition``: SQL boolean expression over the
+          SOURCE row; matched keys whose source row satisfies it are
+          deleted (tombstoned). Rows matching the delete condition never
+          also update — and an UNMATCHED delete-condition row vanishes
+          rather than inserting (the CDC-feed semantics a Debezium
+          ``op='d'`` on an unknown key needs; Delta's literal clause
+          routing would insert it).
+
+        Routing is fully relational: one distinct-key snapshot of the
+        current table (partition-pruned by merge() afterwards), a
+        semi/anti join per clause — no per-row driver logic — then ONE
+        ordinary merge() commit. Matching is on the table's key columns
+        (the only key shape the underlying index supports; arbitrary ON
+        predicates would need a different physical design).
+        """
+        if when_matched not in ("update", "ignore"):
+            raise ValueError(f"when_matched must be update|ignore, got {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(
+                f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+            )
+        if when_matched == "ignore" and when_not_matched == "ignore" and (
+            matched_delete_condition is None
+        ):
+            raise ValueError("merge_into with every clause ignored is a no-op")
+
+        if self.exists():
+            existing_keys = self.read().select(*self.key_cols).distinct()
+        else:
+            existing_keys = self.spark.createDataFrame(
+                [], source.select(*self.key_cols).schema
+            )
+
+        parts: list[DataFrame] = []
+        src = source
+        if matched_delete_condition is not None:
+            cond = F.expr(matched_delete_condition)
+            dels = (
+                src.filter(cond)
+                .join(existing_keys, self.key_cols, "left_semi")
+                .withColumn("__del", F.lit(True))
+            )
+            parts.append(dels)
+            src = src.filter(~F.coalesce(cond, F.lit(False)))
+        if when_matched == "update":
+            parts.append(
+                src.join(existing_keys, self.key_cols, "left_semi").withColumn(
+                    "__del", F.lit(False)
+                )
+            )
+        if when_not_matched == "insert":
+            parts.append(
+                src.join(existing_keys, self.key_cols, "left_anti").withColumn(
+                    "__del", F.lit(False)
+                )
+            )
+        if not parts:
+            return
+        batch = parts[0]
+        for p in parts[1:]:
+            batch = batch.unionByName(p)
+        self.merge(batch, delete_col="__del")
+
     # -- time travel ---------------------------------------------------------
     def history(self) -> list[dict]:
         """Commit history (oldest first) when built with

@@ -362,3 +362,66 @@ def test_diff_versions_changelog(spark, tmp_path):
     assert diff(2, 3) == {(3, "delete")}
     assert diff(1, 3) == {(1, "update"), (2, "update"), (5, "insert"), (3, "delete")}
     assert diff(3, 3) == set()
+
+
+def test_merge_into_tri_clause(spark, tmp_path):
+    """Delta-style MERGE INTO semantics on top of the precombine path:
+    update-only drops unmatched keys, insert-only never touches matched
+    ones, the delete clause tombstones matched keys satisfying the
+    source condition (and those rows never also update), and the whole
+    statement is idempotent (same source twice => same state)."""
+    from buskafkasparkstreaming_spark.cdc.upsert import UpsertTable
+
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "mi"),
+        key_cols="k",
+        precombine_col="v",
+        partition_col="p",
+    )
+    base = spark.createDataFrame(
+        [(1, 10, 0), (2, 10, 1), (3, 10, 0)], "k int, v int, p int"
+    )
+    table.merge(base)
+
+    def state(t):
+        return {(r.k, r.v, r.p) for r in t.read().select("k", "v", "p").collect()}
+
+    # UPDATE-ONLY: key 9 is unmatched and must NOT be inserted
+    upd = spark.createDataFrame([(1, 20, 0), (9, 99, 0)], "k int, v int, p int")
+    table.merge_into(upd, when_not_matched="ignore")
+    assert state(table) == {(1, 20, 0), (2, 10, 1), (3, 10, 0)}
+
+    # INSERT-ONLY: key 2 is matched and must keep its stored value
+    ins = spark.createDataFrame([(2, 99, 1), (4, 40, 1)], "k int, v int, p int")
+    table.merge_into(ins, when_matched="ignore")
+    assert state(table) == {(1, 20, 0), (2, 10, 1), (3, 10, 0), (4, 40, 1)}
+
+    # TRI-CLAUSE: delete k=3 (cond true), update k=1, insert k=5; the
+    # delete row must not resurrect via the update clause
+    tri = spark.createDataFrame(
+        [(1, 30, 0, False), (3, 99, 0, True), (5, 50, 0, False)],
+        "k int, v int, p int, is_del boolean",
+    )
+    table.merge_into(tri, matched_delete_condition="is_del")
+    want = {(1, 30, 0), (2, 10, 1), (4, 40, 1), (5, 50, 0)}
+    assert state(table) == want
+
+    # idempotency: replaying the same tri-clause statement is a no-op
+    table.merge_into(tri, matched_delete_condition="is_del")
+    assert state(table) == want
+
+    # unmatched delete-condition rows with when_not_matched=insert are
+    # inserts only if they do NOT satisfy the delete condition (k=7 does,
+    # so it is routed to the delete clause, finds no match, and vanishes)
+    tri2 = spark.createDataFrame(
+        [(7, 70, 0, True), (8, 80, 0, False)], "k int, v int, p int, is_del boolean"
+    )
+    table.merge_into(tri2, matched_delete_condition="is_del")
+    assert state(table) == want | {(8, 80, 0)}
+
+    # every-clause-ignored is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no-op"):
+        table.merge_into(tri, when_matched="ignore", when_not_matched="ignore")
