@@ -4052,12 +4052,22 @@ def dedup_editdist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs), then exact Levenshtein on the candidates only, as a
     similarity ratio over the 100-char prefixes (quadratic DP priced on
     a bounded slice — the documented truncation that keeps the rerank
-    O(pairs · 100²) at any corpus size). Both stages are engine
-    built-ins; the oracle replays blocking and DP identically."""
+    O(pairs · prefix²) at any corpus size). Both stages are engine
+    built-ins; the oracle replays blocking and DP identically.
+
+    Distance unit: UTF-8 BYTES, not characters. Spark's levenshtein is
+    character-based while DuckDB's is byte-based (the unicode drift
+    sweep caught the 16-byte divergence on CJK text); projecting the
+    prefix through encode(UTF-8)→decode(latin-1) makes Spark's DP walk
+    the byte sequence, so both engines compute the identical integer.
+    Multibyte characters weigh by encoded length — a deterministic,
+    engine-portable metric, normalized by byte length."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.3)
+    as_bytes = lambda c: F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")  # noqa: E731
     texts = docs.select(
-        "doc_id", F.substring(F.col("text"), 1, 100).alias("prefix")
+        "doc_id",
+        as_bytes(F.substring(F.col("text"), 1, 100)).alias("prefix"),
     )
     j = (
         pairs.join(
@@ -4073,6 +4083,8 @@ def dedup_editdist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
     )
+    # pa/pb are byte-projected, so length() counts bytes (== strlen in
+    # the oracle)
     lev = F.levenshtein("pa", "pb")
     maxlen = F.greatest(F.length("pa"), F.length("pb"))
     ratio = F.lit(1.0) - lev.cast("double") / maxlen.cast("double")
@@ -5128,13 +5140,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM pairs p
                 JOIN tx ta ON ta.doc_id = p.id_a
                 JOIN tx tb ON tb.doc_id = p.id_b),
+            -- DuckDB levenshtein walks UTF-8 BYTES; the engine projects
+            -- prefixes to the byte sequence so both DPs agree; strlen
+            -- (bytes) mirrors length() over the projected strings
             s AS (
                 SELECT id_a, id_b,
                        CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist,
                        1.0 - CAST(levenshtein(pa, pb) AS DOUBLE)
-                             / CAST(greatest(length(pa), length(pb))
+                             / CAST(greatest(strlen(pa), strlen(pb))
                                     AS DOUBLE) AS ratio,
-                       greatest(length(pa), length(pb)) AS ml
+                       greatest(strlen(pa), strlen(pb)) AS ml
                 FROM j)
             SELECT id_a, id_b, edit_dist, ratio
             FROM s WHERE ml > 0 AND ratio >= 0.5

@@ -726,6 +726,9 @@ def test_unicode_text_drift(spark, tmp_path):
         "sample_dsir_importance",
         "text_bigram_pmi",
         "dedup_keep_best",
+        # levenshtein + substr on multibyte text: both engines must
+        # count CHARACTERS (not bytes) identically
+        "dedup_editdist_rerank",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
