@@ -1776,6 +1776,40 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_enrich_asof_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static AS-OF enrichment (streaming/joins.py::
+    enrich_asof_static): each streamed ERROR event joined to the
+    purchase IN EFFECT at its event time — the slowly-changing-dimension
+    lookup, as SCD2 validity intervals (one lead window on the bounded
+    dimension) broadcast into a stateless stream join. No stream-side
+    shuffle, no state store; the availableNow drain equals the batch
+    interval join the oracle runs."""
+    from buskafkasparkstreaming_spark.streaming import joins as SJ
+
+    stream = SW.read_events_stream(spark, sf_dir).filter(
+        (F.col("event_type") == "error")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select("event_id", "user_id", "ts")
+    dim = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        _cents("value").alias("p_cents"),
+    )
+    enriched = SJ.enrich_asof_static(
+        stream, dim, key_col="user_id", ts_col="ts",
+        dim_ts_col="p_ts", tiebreak_col="p_event_id",
+    ).select("event_id", "user_id", "p_event_id", "p_cents")
+    return SW.run_to_memory(
+        enriched, spark, output_mode="append", state_partitions=None
+    )
+
+
 def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling.py): keep 30%
     of 'en' docs, all 'fr'/'de', and 50% of every other language — the
@@ -4123,6 +4157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_longest_streak": q_longest_streak,
         "q7_nation_trade": q7_nation_trade,
         "cdc_merge_into": cdc_merge_into,
+        "streaming_enrich_asof_static": streaming_enrich_asof_static,
         "q_cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "q4_late_ship_priority": q4_late_ship_priority,
         "q_mom_growth": q_mom_growth,
@@ -5391,6 +5426,35 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= sess.s_start AND e.ts <= sess.s_end
             WHERE e.event_type = 'error' AND e.ts IS NOT NULL
                   AND e.user_id IS NOT NULL
+        """,
+        "streaming_enrich_asof_static": """
+            -- SCD2 intervals from the purchase changelog (half-open
+            -- [p_ts, next p_ts), open-ended current version; equal-ts
+            -- duplicates give the earlier row an empty interval), then
+            -- interval-containment left join per error event
+            WITH e AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'error'
+                      AND user_id IS NOT NULL AND ts IS NOT NULL),
+            p AS (
+                SELECT user_id,
+                       ts AS p_ts,
+                       event_id AS p_event_id,
+                       CAST(round(value * 100) AS BIGINT) AS p_cents
+                FROM events
+                WHERE event_type = 'purchase'
+                      AND user_id IS NOT NULL AND ts IS NOT NULL),
+            iv AS (
+                SELECT user_id, p_ts, p_event_id, p_cents,
+                       lead(p_ts) OVER (PARTITION BY user_id
+                                        ORDER BY p_ts ASC,
+                                                 p_event_id ASC) AS vto
+                FROM p)
+            SELECT e.event_id, e.user_id, iv.p_event_id, iv.p_cents
+            FROM e LEFT JOIN iv
+              ON iv.user_id = e.user_id
+                 AND e.ts >= iv.p_ts
+                 AND (iv.vto IS NULL OR e.ts < iv.vto)
         """,
         "cdc_merge_into": """
             -- clause routing: matched error rows tombstone, unmatched

@@ -134,6 +134,7 @@ HEADLINE = [
     "q_longest_streak",
     "q7_nation_trade",
     "cdc_merge_into",
+    "streaming_enrich_asof_static",
     "q_cheapest_supplier_per_part",
     "q4_late_ship_priority",
     "q_mom_growth",

@@ -46,6 +46,60 @@ def enrich_with_dimension(
     return joined.drop(dim[right_on])
 
 
+def enrich_asof_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    dim_ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Stream-static AS-OF enrichment: each streamed fact row joined to
+    the dimension row IN EFFECT at its event time — the
+    slowly-changing-dimension lookup a CDC pipeline needs when the
+    dimension itself is a change log (a plain equi-join would enrich
+    old facts with future dimension versions).
+
+    Formulation: the dimension change log becomes SCD2-style validity
+    intervals with ONE lead window ([dim_ts, next dim_ts) per key,
+    open-ended for the current version), then a stream-static LEFT join
+    whose condition is key equality + half-open interval containment.
+    Exactly one interval contains any event time, so the join is
+    1-row-per-fact by construction. The interval table is BROADCAST:
+    the unbounded side stays a stateless narrow pipeline — no
+    watermark, no state store, no stream-side shuffle (the same scale
+    argument as `enrich_with_dimension`); Spark re-resolves the static
+    side per micro-batch, so dimension updates are picked up live.
+    NULL-key or NULL-ts dimension rows are dropped (they can be in
+    effect at no time).
+    """
+    from pyspark.sql import Window
+
+    dimc = dim.filter(
+        F.col(key_col).isNotNull() & F.col(dim_ts_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(dim_ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    intervals = dimc.select(
+        F.col(key_col).alias("__dk"),
+        F.col(dim_ts_col).alias("__valid_from"),
+        F.lead(dim_ts_col).over(w).alias("__valid_to"),
+        *[c for c in dimc.columns if c not in (key_col,)],
+    )
+    cond = (
+        (stream[key_col] == intervals["__dk"])
+        & (stream[ts_col] >= intervals["__valid_from"])
+        & (
+            intervals["__valid_to"].isNull()
+            | (stream[ts_col] < intervals["__valid_to"])
+        )
+    )
+    return stream.join(F.broadcast(intervals), cond, "left").drop(
+        "__dk", "__valid_from", "__valid_to"
+    )
+
+
 def purchases_then_errors(
     events: DataFrame,
     max_gap: str = "1 hour",

@@ -381,6 +381,33 @@ def test_enrich_static_is_broadcast_no_fact_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 0
 
 
+def test_enrich_asof_static_no_fact_shuffle(spark, sf_dir):
+    """The stream-static AS-OF enrichment must broadcast the interval
+    table and never hash-exchange the fact side — the dimension's one
+    lead window shuffles only the bounded dimension. Gated on the batch
+    form (identical builder)."""
+    from buskafkasparkstreaming_spark.streaming.joins import enrich_asof_static
+
+    fact = entrymod._t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    dim = entrymod._t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    df = enrich_asof_static(
+        fact, dim, key_col="user_id", ts_col="ts",
+        dim_ts_col="p_ts", tiebreak_col="p_event_id",
+    )
+    assert_broadcast_join(df)
+    plan = explain_str(df)
+    # exactly ONE shuffle exchange: the dimension's lead window; zero on
+    # the fact subtree (it feeds the broadcast join directly)
+    assert _fmt_exchanges(df) == 1, plan
+    assert "SinglePartition" not in plan
+
+
 def _fmt_exchanges(df):
     """Count plain shuffle Exchange nodes in a formatted plan (broadcast
     exchanges are 'BroadcastExchange', not matched)."""
