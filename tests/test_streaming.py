@@ -433,3 +433,43 @@ def test_cap_per_key_tws_or_documented_gate(spark, tmp_path):
     )
     assert out.count() == expect.count()
     assert out.exceptAll(expect).count() == 0
+
+
+def test_enrich_asof_static_semantics(spark):
+    """As-of enrichment edges: a fact before the first dimension version
+    enriches NULL; equal-ts dimension duplicates give the earlier row an
+    empty interval (the later event_id wins from that instant); facts at
+    exactly a version's start ts take that version (half-open
+    intervals); the current version is open-ended."""
+    from buskafkasparkstreaming_spark.streaming.joins import enrich_asof_static
+
+    def ts(s):
+        return f"2024-01-01 0{s}:00:00"
+
+    dim = spark.createDataFrame(
+        [
+            (1, ts(2), 100, 10),
+            (1, ts(4), 101, 20),
+            # equal-ts pair: event_id 103 must shadow 102 entirely
+            (2, ts(3), 102, 30),
+            (2, ts(3), 103, 40),
+        ],
+        "user_id int, p_ts string, p_event_id int, p_val int",
+    ).withColumn("p_ts", F.col("p_ts").cast("timestamp"))
+    facts = spark.createDataFrame(
+        [(10, 1, ts(1)), (11, 1, ts(2)), (12, 1, ts(5)), (13, 2, ts(3)), (14, 2, ts(6))],
+        "event_id int, user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = enrich_asof_static(
+        facts, dim, key_col="user_id", ts_col="ts",
+        dim_ts_col="p_ts", tiebreak_col="p_event_id",
+    )
+    got = {r.event_id: (r.p_event_id, r.p_val) for r in out.collect()}
+    assert got == {
+        10: (None, None),   # before first version
+        11: (100, 10),      # exactly at version start (half-open)
+        12: (101, 20),      # open-ended current version
+        13: (103, 40),      # equal-ts duplicate: later event_id wins
+        14: (103, 40),
+    }
+    assert out.count() == 5  # exactly one row per fact
