@@ -4134,6 +4134,158 @@ def dedup_editdist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count INCLUDING
+    the zero-order customers — the left-outer-join + count-of-counts
+    double aggregation. Plan: customer LEFT JOIN orders on custkey (both
+    sides shuffle on the join key; the first groupBy(c_custkey) reuses
+    that partitioning, so the heavy agg adds NO extra exchange), then a
+    second tiny agg over ≤ a few hundred distinct counts. count(o_orderkey)
+    counts only matched rows — the NULL-skipping that makes zero-order
+    customers report 0, the Q13 trap."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order ("late" = shipped > 60 days after the
+    order date; the testdata has no commit/receipt dates, so lateness is
+    vs o_orderdate). The reference SQL is a double correlated
+    EXISTS/NOT-EXISTS self-join; here it is ONE order-level aggregation
+    (n distinct suppliers, n distinct LATE suppliers per order) joined
+    back to the distinct late (order, supplier) pairs — two shuffles on
+    l_orderkey total, both reusing one partitioning, instead of three
+    self-join passes. The DuckDB oracle keeps the EXISTS formulation, so
+    parity proves the rewrite. Top 20 via TakeOrdered, tie-broken."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    stats = j.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    late_pairs = j.filter(late).select("l_orderkey", "l_suppkey").distinct()
+    sole = late_pairs.join(
+        stats.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+        "l_orderkey",
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per nation, customers with above-average positive
+    account balance who have NEVER ordered — scalar aggregate subquery +
+    anti join + dimension rollup. The above-average comparison is done in
+    EXACT integer cross-multiplication (bal_cents · n > sum_cents avoids
+    the float average whose partial-sum order differs between engines —
+    the repo-wide exact-money idiom at `_cents`). Anti join streams the
+    (broadcast-size) distinct buyer set against customers; nation is
+    broadcast for names."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    bal = _cents("c_acctbal")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal).cast("long").alias("sum_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_pos"),
+        )
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(bal * F.col("n_pos") > F.col("sum_cents"))
+    )
+    idle = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        idle.join(
+            F.broadcast(nation), idle["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(bal).cast("long").alias("totbal_cents"),
+        )
+        .select(
+            F.col("n_name").alias("cntry"),
+            "numcust",
+            "totbal_cents",
+            (F.col("totbal_cents").cast("double") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+def q_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel WITH TIMEOUT semantics (SURVEY §Round-8 handoff):
+    view → click → purchase where each step must land within 1 hour of
+    the previous step's completion, per user. Unlike the untimed
+    `q_funnel_conversion`, a user whose only click comes 2 h after the
+    first view does NOT convert — the standard product-analytics timeout
+    rule. Same scale shape as the untimed funnel: three conditional
+    min-aggregations over keyed groupBys (no per-row pattern engine, no
+    window over the whole event history); the timeout is one extra
+    half-open interval predicate per stage, pushed into the join filter.
+    Timestamp arithmetic is exact (micros + INTERVAL) in both engines."""
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hour = F.expr("INTERVAL 1 HOUR")
+    t1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
+        .crossJoin(
+            t2.agg(F.count(F.lit(1)).cast("long").alias("n_clicked_1h"))
+        )
+        .crossJoin(
+            t3.agg(F.count(F.lit(1)).cast("long").alias("n_purchased_1h"))
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -4164,6 +4316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_transitions": q_event_transitions,
         "q_percentile_cont": q_percentile_cont,
         "dedup_editdist_rerank": dedup_editdist_rerank,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
+        "q_funnel_timeout": q_funnel_timeout,
         # --- changed this round (r7-green, semantics/plan edited) -----
         "q_regr_slope_exact": q_regr_slope_exact,
         "q_rfm_segments": q_rfm_segments,
@@ -5053,6 +5209,93 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN customer c ON a.o_custkey = c.c_custkey
             ORDER BY a.rev_fp DESC, c.c_custkey ASC
             LIMIT 20
+        """,
+        "q13_customer_distribution": """
+            WITH pc AS (
+                SELECT c.c_custkey,
+                       CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM pc GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q21_sole_late_supplier": """
+            -- the classic correlated EXISTS / NOT EXISTS formulation; the
+            -- engine's order-level aggregation rewrite must agree with it
+            WITH late AS (
+                SELECT DISTINCT l.l_orderkey, l.l_suppkey
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM late l1
+            JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            WHERE EXISTS (
+                    SELECT 1 FROM lineitem l2
+                    JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+                    WHERE o2.o_orderstatus = 'F'
+                      AND l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                    SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name ASC
+            LIMIT 20
+        """,
+        "q22_idle_rich_customers": """
+            -- above-average test in exact integer cross-multiplication
+            WITH th AS (
+                SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                            AS BIGINT) AS sum_cents,
+                       CAST(count(*) AS BIGINT) AS n_pos
+                FROM customer WHERE c_acctbal > 0)
+            SELECT n.n_name AS cntry,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS totbal_cents,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS totacctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            CROSS JOIN th
+            WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * th.n_pos
+                      > th.sum_cents
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY n.n_name
+            ORDER BY cntry
+        """,
+        "q_funnel_timeout": """
+            -- timed funnel: each stage within 1 hour of the previous
+            WITH t1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+            ),
+            t2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+                  AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 1 HOUR
+                GROUP BY e.user_id
+            ),
+            t3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+                  AND e.ts > t2.t2 AND e.ts <= t2.t2 + INTERVAL 1 HOUR
+                GROUP BY e.user_id
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_viewed,
+                   (SELECT CAST(count(*) AS BIGINT) FROM t2)
+                       AS n_clicked_1h,
+                   (SELECT CAST(count(*) AS BIGINT) FROM t3)
+                       AS n_purchased_1h
         """,
         "q14_promo_share": """
             WITH j AS (

@@ -328,6 +328,7 @@ def test_null_events_drift(spark, tmp_path):
         "sketch_theta_intersection",
         "q_event_transitions",
         "streaming_session_topk",
+        "q_funnel_timeout",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -404,6 +405,9 @@ def test_null_orders_drift(spark, tmp_path):
         "q_mom_growth",
         "q_percentile_cont",
         "q4_late_ship_priority",
+        "q13_customer_distribution",
+        "q21_sole_late_supplier",
+        "q22_idle_rich_customers",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -561,6 +565,7 @@ def test_null_ts_drift(spark, tmp_path):
         "ts_sax_blocking_pairs",
         "streaming_session_topk",
         "q_event_transitions",
+        "q_funnel_timeout",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -614,6 +619,8 @@ def test_null_customer_drift(spark, tmp_path):
         "q_string_agg_suppliers",
         "streaming_enrich_static",
         "q_topk_orders_per_customer",
+        "q13_customer_distribution",
+        "q22_idle_rich_customers",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -847,6 +854,7 @@ def test_null_user_drift(spark, tmp_path):
         "sketch_theta_intersection",
         "q_event_transitions",
         "streaming_session_topk",
+        "q_funnel_timeout",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
