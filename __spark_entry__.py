@@ -4134,6 +4134,63 @@ def dedup_editdist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ SPARSE/DENSE adaptive distinct counting (operators/stats.py::
+    hll_adaptive_stats; Heule et al. 2013 §5, the SURVEY §Round-8/9
+    candidate): per (entity, nation) membership cardinality over the
+    union of customers and suppliers — a grouping that genuinely mixes
+    both regimes (suppliers/nation sit under the 32-entry sparse cap,
+    customers/nation overflow to the dense 256-register estimate at
+    sf ≥ 0.01). Sparse groups report EXACTLY (lossless below the cap);
+    dense groups fall back to the register estimator. FULL oracle: the
+    salted 52-bit sparse hash, the cap rule, and the fixed-point register
+    table are all replayed in SQL; `est_within_20pct` pins the sparse
+    branch to equality and the dense branch to the 20% band."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        hll_adaptive_stats,
+        hll_estimate_col,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("entity"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("member"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("entity"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_suppkey").alias("member"),
+    )
+    uni = cust.unionByName(supp)
+    st = hll_adaptive_stats(uni, "member", ["entity", "nationkey"], sparse_cap=32)
+    exact = uni.groupBy("entity", "nationkey").agg(
+        F.count_distinct("member").cast("long").alias("exact_members")
+    )
+    est = hll_estimate_col(F.col("hll_sum_fp"), F.col("empty_buckets"))
+    return (
+        st.join(exact, ["entity", "nationkey"])
+        .select(
+            "entity",
+            "nationkey",
+            "mode",
+            "n_kept",
+            "hll_sum_fp",
+            "empty_buckets",
+            "exact_members",
+            F.when(
+                F.col("mode") == "sparse",
+                F.col("n_kept") == F.col("exact_members"),
+            )
+            .otherwise(
+                F.abs(est - F.col("exact_members").cast("double"))
+                / F.col("exact_members").cast("double")
+                <= 0.2
+            )
+            .alias("est_within_20pct"),
+        )
+    )
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of customers by order count INCLUDING
     the zero-order customers — the left-outer-join + count-of-counts
@@ -4316,6 +4373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_transitions": q_event_transitions,
         "q_percentile_cont": q_percentile_cont,
         "dedup_editdist_rerank": dedup_editdist_rerank,
+        "sketch_hll_sparse": sketch_hll_sparse,
         "q13_customer_distribution": q13_customer_distribution,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_idle_rich_customers": q22_idle_rich_customers,
@@ -5209,6 +5267,74 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN customer c ON a.o_custkey = c.c_custkey
             ORDER BY a.rev_fp DESC, c.c_custkey ASC
             LIMIT 20
+        """,
+        "sketch_hll_sparse": f"""
+            -- HLL++ sparse/dense replay: salted 52-bit sparse hash with
+            -- the 32-entry cap; dense registers from unsalted md5
+            WITH uni AS (
+                SELECT 'customer' AS entity, c_nationkey AS nationkey,
+                       CAST(c_custkey AS VARCHAR) AS member FROM customer
+                UNION ALL
+                SELECT 'supplier', s_nationkey,
+                       CAST(s_suppkey AS VARCHAR) FROM supplier
+            ),
+            sh AS (
+                SELECT DISTINCT entity, nationkey,
+                       {_hex_int_sql("md5(member || ':sparse')", 1, 13)} AS h
+                FROM uni
+            ),
+            sp AS (
+                SELECT entity, nationkey,
+                       CAST(least(count(*), 33) AS BIGINT) AS n_kept
+                FROM sh GROUP BY entity, nationkey
+            ),
+            it AS (SELECT entity, nationkey, md5(member) AS hx FROM uni),
+            br AS (
+                SELECT entity, nationkey,
+                       {_hex_int_sql('hx', 1, 2)} AS bucket,
+                       {_hex_int_sql('hx', 3, 13)} AS val
+                FROM it
+            ),
+            reg AS (
+                SELECT entity, nationkey, bucket,
+                       MAX(CASE WHEN val = 0 THEN 53
+                                ELSE 53 - length(bin(val)) END) AS rank
+                FROM br GROUP BY entity, nationkey, bucket
+            ),
+            st AS (
+                SELECT entity, nationkey,
+                       CAST(SUM(1::BIGINT << (53 - rank))
+                            + (256 - count(*)) * (1::BIGINT << 53)
+                            AS BIGINT) AS hll_sum_fp,
+                       CAST(256 - count(*) AS BIGINT) AS empty_buckets
+                FROM reg GROUP BY entity, nationkey
+            ),
+            ex AS (
+                SELECT entity, nationkey,
+                       CAST(count(DISTINCT member) AS BIGINT) AS exact_members
+                FROM uni GROUP BY entity, nationkey
+            )
+            SELECT sp.entity, sp.nationkey,
+                   CASE WHEN sp.n_kept <= 32 THEN 'sparse'
+                        ELSE 'dense' END AS mode,
+                   sp.n_kept, st.hll_sum_fp, st.empty_buckets,
+                   ex.exact_members,
+                   CASE WHEN sp.n_kept <= 32
+                        THEN sp.n_kept = ex.exact_members
+                        ELSE abs(CASE WHEN {_HLL_ALPHA_NUM!r}
+                                           / CAST(st.hll_sum_fp AS DOUBLE)
+                                           <= 640.0
+                                           AND st.empty_buckets > 0
+                                      THEN 256.0 * ln(256.0
+                                           / CAST(st.empty_buckets AS DOUBLE))
+                                      ELSE {_HLL_ALPHA_NUM!r}
+                                           / CAST(st.hll_sum_fp AS DOUBLE)
+                                 END - CAST(ex.exact_members AS DOUBLE))
+                             / CAST(ex.exact_members AS DOUBLE) <= 0.2
+                   END AS est_within_20pct
+            FROM sp
+            JOIN st ON sp.entity = st.entity AND sp.nationkey = st.nationkey
+            JOIN ex ON sp.entity = ex.entity AND sp.nationkey = ex.nationkey
         """,
         "q13_customer_distribution": """
             WITH pc AS (

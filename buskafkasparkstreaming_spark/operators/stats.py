@@ -258,6 +258,74 @@ def hll_estimate_col(sum_fp: "Column", empty_buckets: "Column", b: int = 8) -> "
     return F.when((raw <= 2.5 * m) & (empty_buckets > 0), lc).otherwise(raw)
 
 
+def hll_sparse_hash(col: "Column") -> "Column":
+    """52-bit uniform item hash for the SPARSE representation: first 13
+    hex chars of md5(item || ':sparse') — salted independently of both the
+    HLL register hash and the theta hash, and exactly replayable in DuckDB
+    via the hex-digit fold idiom (same shape as `theta_item_hash`)."""
+    from pyspark.sql import functions as F
+
+    hx = F.md5(F.concat(col.cast("string"), F.lit(":sparse")))
+    return F.conv(F.substring(hx, 1, 13), 16, 10).cast("long")
+
+
+def hll_adaptive_stats(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    b: int = 8,
+    sparse_cap: int = 32,
+) -> DataFrame:
+    """HLL++-style SPARSE/DENSE adaptive distinct-count state per group
+    (Heule et al. 2013, "HyperLogLog in Practice" §5: small cardinalities
+    keep an exact sparse set, large ones the dense register array).
+
+    Sparse representation: the ≤ sparse_cap+1 SMALLEST distinct item
+    hashes per group — bounded per-group state (the theta-sketch trim,
+    applied per group with one ranked window over the distinct hashes).
+    A group that never overflows the cap reports its distinct count
+    EXACTLY (the sparse set is lossless below the cap); an overflowed
+    group falls back to the dense `hll_sketch` register estimate.
+
+    Why this shape survives 100 TB: both representations are fixed-size
+    per group (cap+1 hashes / 2^b registers), both partial-aggregate
+    map-side (distinct and groupBy(max) combine before the shuffle), and
+    both MERGE across ingest ticks — sparse sets by distinct-union +
+    re-trim, registers by elementwise max; promotion to dense is the
+    merge crossing the cap, exactly the HLL++ rule.
+
+    Returns one row per group: (group..., mode, n_kept, hll_sum_fp,
+    empty_buckets) — all exact integers/strings; estimator floats are a
+    deterministic scalar function of these (`hll_estimate_col`)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = df.filter(F.col(item_col).isNotNull())
+    hashes = rows.select(
+        *group_cols, hll_sparse_hash(F.col(item_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kept = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= sparse_cap + 1
+    )
+    sparse = kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    dense = hll_stats(hll_sketch(rows, item_col, group_cols, b), group_cols, b)
+    return (
+        sparse.join(dense, group_cols)
+        .select(
+            *group_cols,
+            F.when(F.col("n_kept") <= sparse_cap, F.lit("sparse"))
+            .otherwise(F.lit("dense"))
+            .alias("mode"),
+            "n_kept",
+            F.col("sum_fp").alias("hll_sum_fp"),
+            "empty_buckets",
+        )
+    )
+
+
 def log_histogram_sketch(
     df: DataFrame, value_col: str, group_cols: list[str] | None = None
 ) -> DataFrame:

@@ -1089,6 +1089,48 @@ def test_hll_sketch_merge_and_accuracy(spark):
     assert abs(est - 5000) / 5000 < 3 * 1.04 / (256 ** 0.5), est
 
 
+def test_hll_adaptive_sparse_dense_promotion(spark):
+    """HLL++ adaptive invariants: (a) a group at the cap stays sparse and
+    EXACT, one distinct value past the cap promotes to dense; (b) sparse
+    n_kept equals the true distinct count (losslessness below the cap);
+    (c) kept state is bounded at cap+1 regardless of group size; (d) the
+    dense fallback lands inside the HLL 3-sigma band."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        hll_adaptive_stats,
+        hll_estimate_col,
+    )
+
+    cap = 32
+    # group 'at': exactly cap distinct; 'over': cap+1; 'big': 4000
+    rows = (
+        [("at", i) for i in range(cap)]
+        + [("over", i) for i in range(cap + 1)]
+        + [("big", i) for i in range(4000)]
+        # duplicates must not affect distinctness
+        + [("at", 0), ("over", 1), ("big", 2)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r["g"]: r
+        for r in hll_adaptive_stats(df, "v", ["g"], sparse_cap=cap).collect()
+    }
+    assert out["at"]["mode"] == "sparse" and out["at"]["n_kept"] == cap
+    assert out["over"]["mode"] == "dense"
+    assert out["big"]["mode"] == "dense"
+    assert all(r["n_kept"] <= cap + 1 for r in out.values())
+    est = (
+        spark.createDataFrame(
+            [(out["big"]["hll_sum_fp"], out["big"]["empty_buckets"])],
+            "sum_fp long, empty_buckets long",
+        )
+        .select(
+            hll_estimate_col(F.col("sum_fp"), F.col("empty_buckets")).alias("e")
+        )
+        .first()["e"]
+    )
+    assert abs(est - 4000) / 4000 < 3 * 1.04 / (256 ** 0.5), est
+
+
 def test_theta_sketch_merge_setops_accuracy(spark):
     """Theta-sketch invariants: (a) per-tick mergeability — the union of
     two part sketches equals the sketch of the whole set (same entries,
