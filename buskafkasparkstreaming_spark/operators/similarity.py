@@ -411,3 +411,234 @@ def rerank_topk_int8(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# --- product quantization (PQ) + asymmetric distance (ADC) ----------------
+# Jégou et al. 2011, "Product Quantization for Nearest Neighbor Search":
+# split each (L2-normalized) vector into `m` subvectors, k-means each
+# subspace into `ksub` codewords, store each corpus vector as m small codes.
+# A query never decodes the corpus: it builds a LUT of dot(q_subvec,
+# codeword) once per (subspace, codeword) and scores a corpus vector as the
+# sum of m LUT lookups — the memory-bandwidth-bound ANN scan tier between
+# int8 (4x compression) and IVF pruning. With m=4, ksub=16 a 64-dim float32
+# vector compresses 64x (256 bytes -> 4 codes).
+
+
+def _l2_normalize(vec: "F.Column") -> "F.Column":
+    """JVM-side L2 normalization of an array column (double math); zero
+    vectors pass through unchanged (norm guarded to 1)."""
+    norm = F.sqrt(
+        F.aggregate(
+            vec,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    return F.transform(vec, lambda x: x.cast("double") / safe)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 16,
+    sample_size: int = 25_000,
+    iters: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Train PQ codebooks: `m` independent L2 k-means runs, one per
+    `dim/m`-wide subspace, over a bounded seeded sample of the
+    L2-normalized corpus — the `train_ivf_centroids` recipe (constant
+    training cost in corpus size; only encoding touches the full corpus).
+    Deterministic: seeded sample + seeded init per subspace, fixed
+    iterations, first-min tie-breaks.
+
+    Returns (subspace: int, code: int, subvec: array<float>) — m·ksub rows.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    sample = (
+        corpus.select(F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col("__v").cast("string"), F.lit(seed)))
+        .limit(sample_size)
+    )
+
+    def fit(batches):
+        import numpy as np
+        import pandas as _pd
+
+        vecs = []
+        for pdf in batches:
+            vecs.extend([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        if not vecs:
+            return
+        x = np.stack(vecs)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out_s, out_c, out_v = [], [], []
+        for s in range(m):
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            rng = np.random.RandomState(seed + s)
+            init = rng.choice(len(xs), size=min(ksub, len(xs)), replace=False)
+            cent = xs[np.sort(init)]
+            for _ in range(iters):
+                d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)  # first min = lowest code
+                new = np.empty_like(cent)
+                for j in range(len(cent)):
+                    members = xs[assign == j]
+                    new[j] = members.mean(axis=0) if len(members) else cent[j]
+                cent = new
+            out_s.extend([s] * len(cent))
+            out_c.extend(range(len(cent)))
+            out_v.extend([row.astype(np.float32).tolist() for row in cent])
+        yield _pd.DataFrame({"subspace": out_s, "code": out_c, "subvec": out_v})
+
+    return sample.coalesce(1).mapInPandas(
+        fit, "subspace int, code int, subvec array<float>"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+) -> DataFrame:
+    """ENCODE the corpus: per subspace, nearest codeword by L2 (ties →
+    lowest code). Returns (neighbor_id, codes: array<int>) — the inverted
+    64x-compressed representation. Plan: posexplode to (row, subspace,
+    subvec) — an m-wide narrow fan-out — broadcast-join the tiny codebook
+    table, argmin via min(struct), then re-assemble the code array with
+    one keyed agg. Like `build_ivf_index`, this full-corpus pass is paid
+    ONCE per corpus, never per query; persist or partition the result at
+    scale."""
+    dsub = dim // m
+    norm = _l2_normalize(F.col(vec_col))
+    subs = F.array(
+        *[F.slice(norm, s * dsub + 1, dsub) for s in range(m)]
+    )
+    rows = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode(subs).alias("subspace", "__sv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "__sv", F.col("subvec"), lambda x, y: (x - y.cast("double")) * (x - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        rows.join(F.broadcast(codebooks), "subspace")
+        .groupBy("neighbor_id", "subspace")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("code"))).alias("__best"))
+    )
+    return assigned.groupBy("neighbor_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("subspace", F.col("__best.code").alias("code")))
+            ),
+            lambda st: st["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_rerank_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 16,
+    k: int = 5,
+    shortlist: int = 25,
+) -> DataFrame:
+    """QUERY: asymmetric-distance shortlist + exact rerank.
+
+    Stage 1 (ADC): per query build the inner-product LUT — dot(q_subvec,
+    codeword) for all m·ksub codewords, folded into ONE ordered array per
+    query — then score every encoded corpus vector as a sum of m
+    element_at lookups (all JVM higher-order functions, whole-stage
+    codegen; the corpus codes NEVER shuffle — the LUT side is broadcast).
+    Stage 2: the per-query `shortlist` best ADC candidates (window over
+    the scored stream, ties → neighbor ASC) join back to their float
+    vectors and rerank by exact cosine — the `rerank_topk_int8` pattern
+    with a 64x- rather than 4x-compressed scan tier.
+
+    Returns (query_id, neighbor_id, rank, cos_sim), deterministic."""
+    dsub = dim // m
+    qn = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        _l2_normalize(F.col(query_vec)).alias("__qn"),
+    )
+    qsub = qn.select(
+        "query_id",
+        "__qv",
+        F.posexplode(
+            F.array(*[F.slice("__qn", s * dsub + 1, dsub) for s in range(m)])
+        ).alias("subspace", "__qs"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__qs", F.col("subvec"), lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        qsub.join(F.broadcast(codebooks), "subspace")
+        .select("query_id", "__qv", "subspace", "code", dot.alias("__d"))
+        .groupBy("query_id", "__qv")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("subspace", "code", F.col("__d")))
+                ),
+                lambda st: st["__d"],
+            ).alias("__lut")
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(F.col("__lut"), s * ksub + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", adc)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("__prn", F.row_number().over(w1))
+        .filter(F.col("__prn") <= shortlist)
+        .select("query_id", "__qv", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    rer = cand.join(c, "neighbor_id").withColumn(
+        "cos_sim", cosine_similarity("__qv", "__cv")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

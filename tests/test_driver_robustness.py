@@ -159,7 +159,12 @@ def test_embedding_dtype_drift(spark, tmp_path):
     shutil.rmtree(drift / "emb_dir")
 
     qs = entrymod.queries()
-    for name in ("ann_cosine_topk", "ann_quantize_int8", "dedup_rp_lsh_embeddings"):
+    for name in (
+        "ann_cosine_topk",
+        "ann_quantize_int8",
+        "dedup_rp_lsh_embeddings",
+        "ann_pq_adc_rerank",
+    ):
         df = qs[name](spark, str(drift))
         assert df.count() > 0, f"{name} produced no rows on array<double>"
 

@@ -315,6 +315,50 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in approx)
 
 
+def test_pq_encode_and_adc_recall(spark, sf_dir):
+    """PQ invariants: (a) encoding emits exactly one code row per corpus
+    vector, each an m-length array with codes in [0, ksub); (b) the ADC
+    shortlist + exact-rerank pipeline overlaps the exact top-k at least as
+    well as the entry's 0.2 floor; (c) retraining is deterministic; (d)
+    rerank output is a true per-query rank 1..k with valid cosines."""
+    from buskafkasparkstreaming_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_rerank_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    books = train_pq_codebooks(emb, "embedding", dim=64, m=4, ksub=16)
+    books = books.localCheckpoint(eager=False)
+    assert books.count() == 4 * 16
+    codes = pq_encode(emb, books, "vec_id", "embedding", dim=64, m=4)
+    rows = codes.collect()
+    assert len(rows) == n_corpus
+    assert all(
+        len(r["codes"]) == 4 and all(0 <= c < 16 for c in r["codes"])
+        for r in rows
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = pq_adc_rerank_topk(
+        queries, codes, emb, books, "vec_id", "vec_id", k=5, shortlist=50
+    ).collect()
+    exact = cosine_topk(queries, emb, "vec_id", "vec_id", k=5).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"PQ-ADC recall collapsed: {recall}"
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert -1.0 <= r["cos_sim"] <= 1.0
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    again = train_pq_codebooks(emb, "embedding", dim=64, m=4, ksub=16)
+    assert books.collect() == again.collect()
+
+
 def _real_png(w, h, rgb, filter_type=0):
     import struct
     import zlib
