@@ -4134,6 +4134,45 @@ def dedup_editdist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel with per-stage timeout (streaming/state.py::
+    funnel_timeout_per_user) — the stateful twin of the batch
+    `q_funnel_timeout`, completing the SURVEY handoff item "windowed
+    funnel with timeout semantics". Custom applyInPandasWithState
+    operator whose per-user state is the DISTINCT cap=64 smallest
+    event-millis per stage: batch merge is set-union + sort + truncate —
+    a mergeable semilattice, so the final emission is independent of
+    micro-batch boundaries and EXACTLY replayable by SQL (keep the 64
+    smallest distinct timestamps per stage, then fold t1 = min view,
+    t2 = min click in (t1, t1+1h], t3 = min purchase in (t2, t2+1h]).
+    State is bounded (3·64 longs/user) and expires past the watermark.
+    FULL oracle: the capped-set rule and the fold replayed in SQL; all
+    checked values exact integer millis/booleans."""
+    from buskafkasparkstreaming_spark.streaming.state import (
+        funnel_timeout_per_user,
+    )
+
+    stream = SW.read_events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin("view", "click", "purchase")
+    )
+    feed = stream.select(
+        "user_id", "event_type", bssf.ts_millis("ts").alias("ms"), "ts"
+    )
+    out = funnel_timeout_per_user(feed)
+    res = SW.run_to_memory(out, spark, output_mode="update")
+    # final status per user = the emission with max n_seen (monotone);
+    # a timeout flush duplicates the last update emission — identical
+    # rows, so the row_number pick is deterministic
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        res.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("user_id", "n_seen", "t1_ms", "t2_ms", "t3_ms", "converted")
+    )
+
+
 def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance shortlisting and
     exact rerank (operators/similarity.py::pq_adc_rerank_topk; Jégou et
@@ -4410,6 +4449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist_rerank": dedup_editdist_rerank,
         "sketch_hll_sparse": sketch_hll_sparse,
         "ann_pq_adc_rerank": ann_pq_adc_rerank,
+        "streaming_funnel_timeout": streaming_funnel_timeout,
         "q13_customer_distribution": q13_customer_distribution,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_idle_rich_customers": q22_idle_rich_customers,
@@ -5303,6 +5343,53 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN customer c ON a.o_custkey = c.c_custkey
             ORDER BY a.rev_fp DESC, c.c_custkey ASC
             LIMIT 20
+        """,
+        "streaming_funnel_timeout": """
+            -- replay of the capped-state streaming funnel: per user and
+            -- stage keep the 64 smallest DISTINCT event millis, then
+            -- fold t1/t2/t3 with the 1-hour per-stage timeout
+            WITH e AS (
+                SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IN ('view', 'click', 'purchase')
+            ),
+            kept AS (
+                SELECT user_id, event_type, ms FROM (
+                    SELECT user_id, event_type, ms,
+                           row_number() OVER (PARTITION BY user_id, event_type
+                                              ORDER BY ms) AS rn
+                    FROM (SELECT DISTINCT user_id, event_type, ms FROM e))
+                WHERE rn <= 64
+            ),
+            n AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen
+                FROM e GROUP BY user_id
+            ),
+            v AS (
+                SELECT user_id, min(ms) AS t1 FROM kept
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT k.user_id, min(k.ms) AS t2
+                FROM kept k JOIN v ON k.user_id = v.user_id
+                WHERE k.event_type = 'click'
+                  AND k.ms > v.t1 AND k.ms <= v.t1 + 3600000
+                GROUP BY k.user_id
+            ),
+            p AS (
+                SELECT k.user_id, min(k.ms) AS t3
+                FROM kept k JOIN c ON k.user_id = c.user_id
+                WHERE k.event_type = 'purchase'
+                  AND k.ms > c.t2 AND k.ms <= c.t2 + 3600000
+                GROUP BY k.user_id
+            )
+            SELECT n.user_id, n.n_seen,
+                   v.t1 AS t1_ms, c.t2 AS t2_ms, p.t3 AS t3_ms,
+                   (p.t3 IS NOT NULL) AS converted
+            FROM n
+            LEFT JOIN v ON n.user_id = v.user_id
+            LEFT JOIN c ON n.user_id = c.user_id
+            LEFT JOIN p ON n.user_id = p.user_id
         """,
         "ann_pq_adc_rerank": """
             -- recall@k self-check (the ann_ivf_topk pattern): the engine

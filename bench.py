@@ -141,6 +141,12 @@ HEADLINE = [
     "q_event_transitions",
     "q_percentile_cont",
     "dedup_editdist_rerank",
+    "q13_customer_distribution",
+    "q21_sole_late_supplier",
+    "q22_idle_rich_customers",
+    "q_funnel_timeout",
+    "sketch_hll_sparse",
+    "ann_pq_adc_rerank",
 ]
 
 

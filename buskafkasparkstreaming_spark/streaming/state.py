@@ -164,3 +164,127 @@ def cap_events_per_key(
             timeMode="eventTime",
         )
     )
+
+
+FUNNEL_STATE_SCHEMA = (
+    "views array<bigint>, clicks array<bigint>, purchases array<bigint>, "
+    "n_seen bigint"
+)
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id bigint, n_seen bigint, t1_ms bigint, t2_ms bigint, "
+    "t3_ms bigint, converted boolean"
+)
+
+
+def funnel_timeout_per_user(
+    events: DataFrame,
+    timeout_ms: int = 3_600_000,
+    cap: int = 64,
+    watermark: str = "1 hour",
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming funnel WITH TIMEOUT (view → click → purchase, each stage
+    within `timeout_ms` of the previous) as a custom stateful operator —
+    the streaming twin of the batch `q_funnel_timeout`.
+
+    ORDER-INSENSITIVE capped state: per user, the DISTINCT `cap` smallest
+    event-time millis per stage. Merging a batch is set-union + sort +
+    truncate — commutative and idempotent across micro-batches, so the
+    final emission is independent of batch boundaries AND exactly
+    replayable by a batch engine (keep the cap smallest distinct
+    timestamps per stage, then fold the funnel). State is bounded at
+    3·cap longs per live user and expires `state_timeout_ms` past the
+    watermark — stream-length-independent, the 100 TB property.
+
+    The funnel fold over the kept sets: t1 = min view; t2 = min click in
+    (t1, t1+timeout]; t3 = min purchase in (t2, t2+timeout]. Exact
+    integer millis throughout. Emits the updated status every batch
+    (update mode) with a monotone `n_seen` so the final state is the row
+    with max n_seen per user.
+
+    Input columns: user_id (bigint), event_type (string), ms (bigint
+    epoch millis event time), ts (timestamp, for the watermark).
+    """
+
+    def _fold(views, clicks, purchases):
+        t1 = views[0] if views else None
+        t2 = None
+        if t1 is not None:
+            for c in clicks:
+                if t1 < c <= t1 + timeout_ms:
+                    t2 = c
+                    break
+        t3 = None
+        if t2 is not None:
+            for p in purchases:
+                if t2 < p <= t2 + timeout_ms:
+                    t3 = p
+                    break
+        return t1, t2, t3
+
+    def tracker(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            views, clicks, purchases, n_seen = state.get
+            state.remove()
+            t1, t2, t3 = _fold(views, clicks, purchases)
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "n_seen": n_seen,
+                        "t1_ms": t1,
+                        "t2_ms": t2,
+                        "t3_ms": t3,
+                        "converted": t3 is not None,
+                    }
+                ]
+            )
+            return
+        views, clicks, purchases, n_seen = (
+            state.get if state.exists else ([], [], [], 0)
+        )
+        views, clicks, purchases = list(views), list(clicks), list(purchases)
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for stage, bucket in (
+                ("view", views),
+                ("click", clicks),
+                ("purchase", purchases),
+            ):
+                ms = pdf.loc[pdf["event_type"] == stage, "ms"]
+                bucket.extend(int(m) for m in ms.dropna())
+        views = sorted(set(views))[:cap]
+        clicks = sorted(set(clicks))[:cap]
+        purchases = sorted(set(purchases))[:cap]
+        state.update((views, clicks, purchases, n_seen))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + state_timeout_ms
+        )
+        t1, t2, t3 = _fold(views, clicks, purchases)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_seen": n_seen,
+                    "t1_ms": t1,
+                    "t2_ms": t2,
+                    "t3_ms": t3,
+                    "converted": t3 is not None,
+                }
+            ]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            tracker,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

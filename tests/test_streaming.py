@@ -473,3 +473,72 @@ def test_enrich_asof_static_semantics(spark):
         14: (103, 40),
     }
     assert out.count() == 5  # exactly one row per fact
+
+
+def test_streaming_funnel_timeout_batch_boundary_independent(spark, tmp_path):
+    """funnel_timeout_per_user's capped-set state is a mergeable
+    semilattice: a 2-file backlog paced one file per micro-batch — with a
+    user's view arriving AFTER their click (out-of-order across batches)
+    — must produce the same final funnel status as the unpaced drain, and
+    both must match the declared semantics (stage within 1 h of the
+    previous, fold over distinct kept millis)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from buskafkasparkstreaming_spark.streaming.state import (
+        funnel_timeout_per_user,
+    )
+    from buskafkasparkstreaming_spark.streaming.windows import run_to_memory
+
+    base = 1_700_000_000_000  # epoch ms
+    minute = 60_000
+    # user 1 converts (view +0, click +30m, purchase +80m — each stage
+    # within 1 h of the previous) but its view arrives in the LATER file;
+    # user 2 times out (click 130m after view); user 3 has no view
+    b1 = [(1, "click", 30), (2, "view", 0), (3, "click", 5)]
+    b2 = [(1, "view", 0), (1, "purchase", 80), (2, "click", 130)]
+    d = tmp_path / "ev"
+    d.mkdir()
+    for i, rows in enumerate((b1, b2)):
+        ms = [base + off * minute for (_, _, off) in rows]
+        tbl = pa.table(
+            {
+                "user_id": pa.array([u for (u, _, _) in rows], pa.int64()),
+                "event_type": pa.array([t for (_, t, _) in rows]),
+                "ms": pa.array(ms, pa.int64()),
+                "ts": pa.array([m * 1000 for m in ms], pa.timestamp("us")),
+            }
+        )
+        path = str(d / f"b{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(str(d)).schema
+
+    def drain(paced: bool):
+        reader = spark.readStream.schema(schema).format("parquet")
+        if paced:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        out = funnel_timeout_per_user(reader.load(str(d)))
+        res = run_to_memory(out, spark, output_mode="update")
+        rows = res.collect()
+        final = {}
+        for r in rows:
+            if r["user_id"] not in final or r["n_seen"] > final[r["user_id"]]["n_seen"]:
+                final[r["user_id"]] = r
+        return {
+            u: (r["t1_ms"], r["t2_ms"], r["t3_ms"], r["converted"])
+            for u, r in final.items()
+        }
+
+    expected = {
+        1: (base, base + 30 * minute, base + 80 * minute, True),
+        2: (base, None, None, False),
+        3: (None, None, None, False),
+    }
+    paced = drain(paced=True)
+    unpaced = drain(paced=False)
+    assert paced == expected, paced
+    assert unpaced == expected, unpaced
