@@ -147,6 +147,7 @@ HEADLINE = [
     "q_funnel_timeout",
     "sketch_hll_sparse",
     "ann_pq_adc_rerank",
+    "streaming_funnel_timeout",
 ]
 
 

@@ -334,6 +334,7 @@ def test_null_events_drift(spark, tmp_path):
         "q_event_transitions",
         "streaming_session_topk",
         "q_funnel_timeout",
+        "streaming_funnel_timeout",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -571,6 +572,7 @@ def test_null_ts_drift(spark, tmp_path):
         "streaming_session_topk",
         "q_event_transitions",
         "q_funnel_timeout",
+        "streaming_funnel_timeout",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -860,6 +862,7 @@ def test_null_user_drift(spark, tmp_path):
         "q_event_transitions",
         "streaming_session_topk",
         "q_funnel_timeout",
+        "streaming_funnel_timeout",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
