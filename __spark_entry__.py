@@ -4423,12 +4423,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round so every entry gets a driver-verified row regularly. Round 8
     # rotation is STALENESS-FIRST, computed from the on-disk
     # CORRECTNESS_r0*.json artifacts (the r6 file was never preserved, so
-    # its 16 entries count as artifact-less): new r8 entries lead, then
-    # entries whose semantics/plan changed this round, then the
-    # artifact-less group, then r2-stale, then r4-stale head. Groups with
-    # fresh artifacts (r5, r7) follow outside the window.
-    # tests/test_oracle_parity.py checks ALL oracle entries every run
-    # regardless of order.
+    # its 16 entries count as artifact-less): the 23 new r8 entries lead
+    # (never driver-verified — they outrank everything), then the 4
+    # entries whose semantics/plan changed this round (incl.
+    # dedup_ngram_jaccard's AQE sizes-join replan), then the 16
+    # artifact-less, then the r2-stale head up to the 50 cut (7 of 14 fit
+    # this round; the remainder lead the round-9 window with the r4-stale
+    # cohort). Groups with fresh artifacts (r5, r7) follow outside the
+    # window. tests/test_oracle_parity.py checks ALL oracle entries every
+    # run regardless of order.
     return {
         # --- new in round 8 (never driver-verified -- must lead) ------
         "sketch_theta_intersection": sketch_theta_intersection,
@@ -4454,10 +4457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_idle_rich_customers": q22_idle_rich_customers,
         "q_funnel_timeout": q_funnel_timeout,
-        # --- changed this round (r7-green, semantics/plan edited) -----
+        # --- changed this round (r7/r4-green, semantics/plan edited) --
         "q_regr_slope_exact": q_regr_slope_exact,
         "q_rfm_segments": q_rfm_segments,
         "q_chi2_independence": q_chi2_independence,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
@@ -4490,8 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pandas_udf_score": q_pandas_udf_score,
         "q_zscore_by_type": q_zscore_by_type,
         "udtf_split_words": udtf_split_words,
-        # --- last on-disk driver-green: round 4 (head fills window) ---
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        # --- last on-disk driver-green: round 4 ------------------------
         "q_orders_of_rich_customers": q_orders_of_rich_customers,
         "q_running_total": q_running_total,
         "q_event_gaps": q_event_gaps,
