@@ -48,6 +48,12 @@ SHOWN = {
     "q_event_transitions": "Markov transitions: ONE key shuffle for the lead window; counts/totals are type-cardinality-sized; totals broadcast back",
     "dedup_editdist_rerank": "two-stage fuzzy match: n-gram blocked candidates, Levenshtein only on pairs (100-char prefixes) — never all-pairs",
     "q_longest_streak": "gaps-and-islands: two windows over ONE user-key exchange (island id + run argmax), no self-join",
+    "q13_customer_distribution": "Q13 shape: the heavy per-customer count reuses the left-join exchange; second agg is count-of-counts-sized",
+    "q21_sole_late_supplier": "Q21 shape: order-level n_supp/n_late agg + distinct late pairs — two orderkey shuffles replacing the double correlated EXISTS self-join",
+    "q22_idle_rich_customers": "Q22 shape: 1-row threshold broadcast (exact integer cross-multiply), buyer anti-join, broadcast nation rollup",
+    "q_funnel_timeout": "timed funnel: three conditional min-aggs on the user key; the timeout is a pushed join predicate, no pattern engine",
+    "sketch_hll_sparse": "HLL++ adaptive: bounded sparse top-(cap+1) window + fixed register agg, both partial-aggregating on the group key",
+    "ann_pq_adc_rerank": "PQ-ADC: LUT side broadcast, code table scored row-locally (higher-order fns), shortlist window, rerank join",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage
