@@ -551,3 +551,37 @@ def test_rerank_broadcasts_queries_both_stages(spark, sf_dir):
     plan = explain_str(entrymod.ann_int8_rerank(spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_scan_is_broadcast_streamed(spark, sf_dir):
+    """The PQ-ADC scoring stage must broadcast the (tiny) per-query LUT
+    side and STREAM the code table — zero shuffle exchanges between the
+    codes leaf and the ADC score (the shortlist window's query_id
+    exchange shuffles only scored candidates, and the rerank join
+    broadcasts the shortlist). Gated on a checkpointed code table so the
+    gate sees the query path, not the one-time encode."""
+    from buskafkasparkstreaming_spark.operators.similarity import (
+        pq_adc_rerank_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = entrymod._t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, "embedding", dim=64, m=4, ksub=16)
+    books = books.localCheckpoint()
+    codes = pq_encode(emb, books, "vec_id", "embedding", dim=64, m=4)
+    codes = codes.localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < 10)
+    df = pq_adc_rerank_topk(
+        queries, codes, emb, books, "vec_id", "vec_id", k=5, shortlist=50
+    )
+    plan = explain_str(df)
+    # LUT side reaches the scan as a broadcast (nested-loop cross with a
+    # 1-partition LUT — NOT a shuffled join of the corpus)
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan, plan
+    # the corpus/code side must not hash-shuffle before scoring: the only
+    # plain exchanges are the two per-query candidate windows (shortlist
+    # + final rank) and the rerank join's repartition of the tiny
+    # candidate set
+    assert _fmt_exchanges(df) <= 3, plan
+    assert "CartesianProduct" not in plan, plan
