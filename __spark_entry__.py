@@ -4134,6 +4134,42 @@ def dedup_editdist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the full FAISS-style composition (operators/similarity.py::
+    ivfadc_build/ivfadc_topk; Jégou et al. 2011 §IV): IVF coarse
+    quantizer prunes to nprobe=4 of 50 buckets, PQ codes of the RESIDUAL
+    x−c(x) score the survivors via per-query LUT + per-bucket constant
+    (q·x ≈ q·c_b + Σ LUT[code_s]), exact cosine reranks the shortlist.
+    Scans ~8% of the corpus where flat PQ (`ann_pq_adc_rerank`) scans
+    100% — the closing tier of the ANN family. Self-check oracle:
+    `recall_ok` asserts ≥ 20% of the exact top-5 (observed 0.30–0.52
+    across sf 0.001–0.1; deterministic — seeded coarse + residual
+    k-means, first-min assignment, neighbor-ASC ties)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(emb, "embedding", nlist=50)
+    cents = cents.localCheckpoint(eager=False)
+    codes, books = S.ivfadc_build(emb, cents, "vec_id", "embedding")
+    codes = codes.localCheckpoint(eager=False)
+    books = books.localCheckpoint(eager=False)
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = S.ivfadc_topk(
+        queries, codes, cents, books, emb, "vec_id", "vec_id",
+        k=5, nprobe=4, shortlist=50,
+    )
+    exact = S.cosine_topk(queries, emb, "vec_id", "vec_id", k=5)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("__hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) * 5 >= F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
+
+
 def streaming_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming funnel with per-stage timeout (streaming/state.py::
     funnel_timeout_per_user) — the stateful twin of the batch
@@ -4423,11 +4459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round so every entry gets a driver-verified row regularly. Round 8
     # rotation is STALENESS-FIRST, computed from the on-disk
     # CORRECTNESS_r0*.json artifacts (the r6 file was never preserved, so
-    # its 16 entries count as artifact-less): the 23 new r8 entries lead
+    # its 16 entries count as artifact-less): the 24 new r8 entries lead
     # (never driver-verified — they outrank everything), then the 4
     # entries whose semantics/plan changed this round (incl.
     # dedup_ngram_jaccard's AQE sizes-join replan), then the 16
-    # artifact-less, then the r2-stale head up to the 50 cut (7 of 14 fit
+    # artifact-less, then the r2-stale head up to the 50 cut (6 of 14 fit
     # this round; the remainder lead the round-9 window with the r4-stale
     # cohort). Groups with fresh artifacts (r5, r7) follow outside the
     # window. tests/test_oracle_parity.py checks ALL oracle entries every
@@ -4453,6 +4489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_sparse": sketch_hll_sparse,
         "ann_pq_adc_rerank": ann_pq_adc_rerank,
         "streaming_funnel_timeout": streaming_funnel_timeout,
+        "ann_ivfadc_topk": ann_ivfadc_topk,
         "q13_customer_distribution": q13_customer_distribution,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_idle_rich_customers": q22_idle_rich_customers,
@@ -5393,6 +5430,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN v ON n.user_id = v.user_id
             LEFT JOIN c ON n.user_id = c.user_id
             LEFT JOIN p ON n.user_id = p.user_id
+        """,
+        "ann_ivfadc_topk": """
+            -- recall@k self-check (the ann_ivf_topk pattern): the engine
+            -- asserts IVFADC (coarse prune + residual-PQ ADC + rerank)
+            -- recovers >= 20% of the exact top-k set (recall_ok); the
+            -- oracle pins it true and recomputes the exact set's size
+            SELECT count(*) AS n_exact, true AS recall_ok
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                                    CAST(c.embedding AS DOUBLE[]))
+                                                   / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                                           CAST(q.embedding AS DOUBLE[]))
+                                                          * list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                                             CAST(c.embedding AS DOUBLE[]))) DESC,
+                                                   c.vec_id ASC) AS rn
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10)
+            WHERE rn <= 5
         """,
         "ann_pq_adc_rerank": """
             -- recall@k self-check (the ann_ivf_topk pattern): the engine

@@ -148,6 +148,7 @@ HEADLINE = [
     "sketch_hll_sparse",
     "ann_pq_adc_rerank",
     "streaming_funnel_timeout",
+    "ann_ivfadc_topk",
 ]
 
 

@@ -447,11 +447,14 @@ def train_pq_codebooks(
     sample_size: int = 25_000,
     iters: int = 12,
     seed: int = 42,
+    normalize: bool = True,
 ) -> DataFrame:
     """Train PQ codebooks: `m` independent L2 k-means runs, one per
     `dim/m`-wide subspace, over a bounded seeded sample of the
-    L2-normalized corpus — the `train_ivf_centroids` recipe (constant
-    training cost in corpus size; only encoding touches the full corpus).
+    (by default L2-normalized) corpus — the `train_ivf_centroids` recipe
+    (constant training cost in corpus size; only encoding touches the
+    full corpus). Pass normalize=False when the input is already a
+    residual/centered representation (the IVFADC path).
     Deterministic: seeded sample + seeded init per subspace, fixed
     iterations, first-min tie-breaks.
 
@@ -476,7 +479,8 @@ def train_pq_codebooks(
         if not vecs:
             return
         x = np.stack(vecs)
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        if normalize:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         out_s, out_c, out_v = [], [], []
         for s in range(m):
             xs = x[:, s * dsub : (s + 1) * dsub]
@@ -508,6 +512,7 @@ def pq_encode(
     vec_col: str = "embedding",
     dim: int = 64,
     m: int = 4,
+    normalize: bool = True,
 ) -> DataFrame:
     """ENCODE the corpus: per subspace, nearest codeword by L2 (ties →
     lowest code). Returns (neighbor_id, codes: array<int>) — the inverted
@@ -518,9 +523,13 @@ def pq_encode(
     ONCE per corpus, never per query; persist or partition the result at
     scale."""
     dsub = dim // m
-    norm = _l2_normalize(F.col(vec_col))
+    base = (
+        _l2_normalize(F.col(vec_col))
+        if normalize
+        else F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
     subs = F.array(
-        *[F.slice(norm, s * dsub + 1, dsub) for s in range(m)]
+        *[F.slice(base, s * dsub + 1, dsub) for s in range(m)]
     )
     rows = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.posexplode(subs).alias("subspace", "__sv")
@@ -575,12 +584,47 @@ def pq_adc_rerank_topk(
     with a 64x- rather than 4x-compressed scan tier.
 
     Returns (query_id, neighbor_id, rank, cos_sim), deterministic."""
-    dsub = dim // m
     qn = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
         _l2_normalize(F.col(query_vec)).alias("__qn"),
     )
+    lut = _pq_query_lut(qn, codebooks, dim, m)
+    scored = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", _adc_sum("codes", "__lut", m, ksub))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("__prn", F.row_number().over(w1))
+        .filter(F.col("__prn") <= shortlist)
+        .select("query_id", "__qv", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    rer = cand.join(c, "neighbor_id").withColumn(
+        "cos_sim", cosine_similarity("__qv", "__cv")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _pq_query_lut(qn: DataFrame, codebooks: DataFrame, dim: int, m: int) -> DataFrame:
+    """Per-query inner-product LUT: dot(q_subvec, codeword) for all
+    m·ksub codewords folded into ONE (subspace, code)-ordered array.
+    Input qn: (query_id, __qv original vector, __qn sliced-from vector).
+    Output: (query_id, __qv, __lut)."""
+    dsub = dim // m
     qsub = qn.select(
         "query_id",
         "__qv",
@@ -593,7 +637,7 @@ def pq_adc_rerank_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    lut = (
+    return (
         qsub.join(F.broadcast(codebooks), "subspace")
         .select("query_id", "__qv", "subspace", "code", dot.alias("__d"))
         .groupBy("query_id", "__qv")
@@ -606,19 +650,142 @@ def pq_adc_rerank_topk(
             ).alias("__lut")
         )
     )
-    adc = F.aggregate(
+
+
+def _adc_sum(codes_col: str, lut_col: str, m: int, ksub: int) -> "F.Column":
+    """Σ_s LUT[s·ksub + code_s] — the asymmetric-distance score."""
+    return F.aggregate(
         F.zip_with(
-            "codes",
+            codes_col,
             F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, s: F.element_at(F.col("__lut"), s * ksub + c + 1),
+            lambda c, s: F.element_at(F.col(lut_col), s * ksub + c + 1),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def ivfadc_build(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 16,
+    sample_size: int = 25_000,
+    iters: int = 12,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVFADC index build (Jégou et al. 2011 §IV: IVF coarse quantizer +
+    PQ on the RESIDUAL x − c(x)): assign each normalized corpus vector to
+    its nearest coarse centroid, subtract the centroid, train residual
+    codebooks on a bounded seeded sample, and PQ-encode every residual.
+
+    Residual quantization is what makes the composition worth having:
+    residual magnitudes are much smaller than raw vectors, so the same
+    m·ksub code budget spends its resolution near the data — higher
+    recall than raw-vector PQ at equal compression.
+
+    Once-per-corpus, like `build_ivf_index`; persist (or
+    partitionBy("bucket")) the codes at scale so query plans prune probed
+    buckets at the file level. Returns (codes, codebooks) where codes =
+    (neighbor_id, bucket, codes: array<int>)."""
+    normed = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        _l2_normalize(F.col(corpus_vec)).alias("__nv"),
+    )
+    assigned = assign_buckets(
+        normed, centroids, id_col="neighbor_id", corpus_vec="__nv", nprobe=1
+    )
+    cent = centroids.select(
+        F.col("centroid_id").alias("bucket"),
+        F.col(corpus_vec).alias("__cv"),
+    )
+    res = assigned.join(F.broadcast(cent), "bucket").select(
+        "neighbor_id",
+        "bucket",
+        F.zip_with(
+            "__nv", "__cv", lambda x, y: x - y.cast("double")
+        ).alias("__res"),
+    )
+    books = train_pq_codebooks(
+        res,
+        "__res",
+        dim=dim,
+        m=m,
+        ksub=ksub,
+        sample_size=sample_size,
+        iters=iters,
+        seed=seed,
+        normalize=False,
+    )
+    codes = pq_encode(
+        res, books, "neighbor_id", "__res", dim=dim, m=m, normalize=False
+    ).join(res.select("neighbor_id", "bucket"), "neighbor_id")
+    return codes, books
+
+
+def ivfadc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 16,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVFADC query: probe `nprobe` coarse buckets, score ONLY their
+    codes by q·x ≈ q·c_b + Σ_s LUT[code_s] (the residual decomposition —
+    the LUT is built once per QUERY over raw q subvectors; only the
+    scalar q·c_b term differs per probed bucket), shortlist, then exact
+    cosine rerank.
+
+    Plan shape: the probe table (nq·nprobe rows carrying the LUT array
+    and the bucket constant) is BROADCAST into a bucket equi-join against
+    the code table — the corpus side streams and is PRUNED to the probed
+    buckets (fan-out |C|·nprobe/nlist·|Q| instead of |C|·|Q|), which is
+    the IVF advantage the flat PQ scan lacks."""
+    qn = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        _l2_normalize(F.col(query_vec)).alias("__qn"),
+    )
+    lut = _pq_query_lut(qn, codebooks, dim, m)
+    probes = assign_buckets(
+        qn.select("query_id", "__qn"),
+        centroids,
+        id_col="query_id",
+        corpus_vec="__qn",
+        nprobe=nprobe,
+    )
+    cent = centroids.select(
+        F.col("centroid_id").alias("bucket"),
+        F.col(corpus_vec).alias("__cv"),
+    )
+    qconst = F.aggregate(
+        F.zip_with("__qn", "__cv", lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_tbl = (
+        probes.join(F.broadcast(cent), "bucket")
+        .withColumn("__const", qconst)
+        .select("query_id", "bucket", "__const")
+        .join(lut, "query_id")
+    )
     scored = (
-        codes.crossJoin(F.broadcast(lut))
+        codes.join(F.broadcast(probe_tbl), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("__adc", adc)
+        .withColumn("__adc", F.col("__const") + _adc_sum("codes", "__lut", m, ksub))
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("__adc").desc(), F.col("neighbor_id").asc()

@@ -54,6 +54,7 @@ SHOWN = {
     "q_funnel_timeout": "timed funnel: three conditional min-aggs on the user key; the timeout is a pushed join predicate, no pattern engine",
     "sketch_hll_sparse": "HLL++ adaptive: bounded sparse top-(cap+1) window + fixed register agg, both partial-aggregating on the group key",
     "ann_pq_adc_rerank": "PQ-ADC: LUT side broadcast, code table scored row-locally (higher-order fns), shortlist window, rerank join",
+    "ann_ivfadc_topk": "IVFADC: probe table (LUT + bucket constant) broadcast into a bucket equi-join — codes pruned to nprobe/nlist before any scoring",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage

@@ -164,6 +164,7 @@ def test_embedding_dtype_drift(spark, tmp_path):
         "ann_quantize_int8",
         "dedup_rp_lsh_embeddings",
         "ann_pq_adc_rerank",
+        "ann_ivfadc_topk",
     ):
         df = qs[name](spark, str(drift))
         assert df.count() > 0, f"{name} produced no rows on array<double>"

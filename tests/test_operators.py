@@ -359,6 +359,61 @@ def test_pq_encode_and_adc_recall(spark, sf_dir):
     assert books.collect() == again.collect()
 
 
+def test_ivfadc_recall_and_pruning(spark, sf_dir):
+    """IVFADC invariants: (a) every corpus vector gets exactly one
+    (bucket, codes) row with valid code bounds; (b) the composed
+    prune+residual-ADC+rerank pipeline clears the entry's 0.2 recall
+    floor; (c) the scored candidate set is genuinely PRUNED — each query
+    scores only codes in its nprobe probed buckets."""
+    from buskafkasparkstreaming_spark.operators.similarity import (
+        assign_buckets,
+        cosine_topk,
+        ivfadc_build,
+        ivfadc_topk,
+        train_ivf_centroids,
+    )
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    cents = train_ivf_centroids(emb, "embedding", nlist=50).localCheckpoint()
+    codes, books = ivfadc_build(emb, cents, "vec_id", "embedding")
+    codes = codes.localCheckpoint()
+    books = books.localCheckpoint()
+    rows = codes.collect()
+    assert len(rows) == n_corpus
+    assert all(
+        len(r["codes"]) == 4 and all(0 <= c < 16 for c in r["codes"])
+        for r in rows
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = ivfadc_topk(
+        queries, codes, cents, books, emb, "vec_id", "vec_id",
+        k=5, nprobe=4, shortlist=50,
+    ).collect()
+    exact = cosine_topk(queries, emb, "vec_id", "vec_id", k=5).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"IVFADC recall collapsed: {recall}"
+    # pruning: every returned neighbor lives in one of its query's
+    # probed buckets
+    qn = queries.select(
+        "vec_id",
+        F.col("embedding").alias("__qn"),
+    )
+    probed = {
+        (r["vec_id"], r["bucket"])
+        for r in assign_buckets(
+            qn, cents, id_col="vec_id", corpus_vec="__qn", nprobe=4
+        ).collect()
+    }
+    bucket_of = {r["neighbor_id"]: r["bucket"] for r in rows}
+    assert all(
+        (q, bucket_of[nid]) in probed for (q, nid) in approx_pairs
+    ), "IVFADC returned a neighbor outside the probed buckets"
+
+
 def _real_png(w, h, rgb, filter_type=0):
     import struct
     import zlib
