@@ -542,3 +542,48 @@ def test_streaming_funnel_timeout_batch_boundary_independent(spark, tmp_path):
     unpaced = drain(paced=False)
     assert paced == expected, paced
     assert unpaced == expected, unpaced
+
+
+def test_streaming_funnel_timeout_cap_overflow(spark, tmp_path):
+    """Cap semantics: a user with more than `cap` distinct click millis
+    keeps only the cap smallest — the declared (and oracle-replayed)
+    overflow rule. With cap=4, clicks at +10..+17 m and a view at +0, the
+    kept set is {+10..+13 m}, so t2 = +10 m regardless of arrival order;
+    a conversion-qualifying purchase rides on the kept t2."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from buskafkasparkstreaming_spark.streaming.state import (
+        funnel_timeout_per_user,
+    )
+    from buskafkasparkstreaming_spark.streaming.windows import run_to_memory
+
+    base = 1_700_000_000_000
+    minute = 60_000
+    rows = [(1, "view", 0)] + [(1, "click", 10 + i) for i in range(8)] + [
+        (1, "purchase", 40)
+    ]
+    ms = [base + off * minute for (_, _, off) in rows]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for (u, _, _) in rows], pa.int64()),
+            "event_type": pa.array([t for (_, t, _) in rows]),
+            "ms": pa.array(ms, pa.int64()),
+            "ts": pa.array([m * 1000 for m in ms], pa.timestamp("us")),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "b0.parquet"))
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(str(d))
+    out = funnel_timeout_per_user(stream, cap=4)
+    res = run_to_memory(out, spark, output_mode="update").collect()
+    final = max(res, key=lambda r: r["n_seen"])
+    assert final["n_seen"] == 10
+    assert final["t1_ms"] == base
+    assert final["t2_ms"] == base + 10 * minute  # smallest kept click
+    assert final["t3_ms"] == base + 40 * minute
+    assert final["converted"] is True
