@@ -585,3 +585,20 @@ def test_pq_adc_scan_is_broadcast_streamed(spark, sf_dir):
     # candidate set
     assert _fmt_exchanges(df) <= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q13_q21_bounded_exchange_budget(spark, sf_dir):
+    """The Q13/Q21 rewrites commit to bounded shuffle budgets: Q13 is
+    join + two aggs + sort (<= 3 plain exchanges at smoke scale — the
+    per-customer agg rides the join partitioning or a broadcast join);
+    Q21's order-level aggregation rewrite must stay an equi-join plan
+    (no cartesian, no nested-loop from the EXISTS semantics) within 6
+    exchanges."""
+    df13 = entrymod.queries()["q13_customer_distribution"](spark, sf_dir)
+    p13 = explain_str(df13)
+    assert "CartesianProduct" not in p13 and "NestedLoop" not in p13, p13
+    assert _fmt_exchanges(df13) <= 3, p13
+    df21 = entrymod.queries()["q21_sole_late_supplier"](spark, sf_dir)
+    p21 = explain_str(df21)
+    assert "CartesianProduct" not in p21 and "NestedLoop" not in p21, p21
+    assert _fmt_exchanges(df21) <= 6, p21
