@@ -148,10 +148,54 @@ def probe_hll_adaptive(spark):
         )
 
 
+def probe_ann_crossover(spark, copies=100, nq=50):
+    """The scan-tier claim needs scale to show: at 2k-20k vectors the
+    fixed plan overhead (LUT join + windows) exceeds the whole brute
+    crossJoin. This probe replicates to copies x 2k vectors and uses
+    `nq` queries so the scan term dominates — the regime the tiers are
+    built for."""
+    from buskafkasparkstreaming_spark.operators.similarity import (
+        ivfadc_build,
+        ivfadc_topk,
+        train_ivf_centroids,
+    )
+
+    emb1 = read_table(spark, SF_DIR, "embeddings")
+    emb = replicate_emb(emb1, copies).localCheckpoint()
+    queries = emb1.filter(F.col("vec_id") < nq)
+    books = train_pq_codebooks(emb, "embedding", dim=64, m=4, ksub=16)
+    books = books.localCheckpoint()
+    codes = pq_encode(emb, books, "vec_id", "embedding", dim=64, m=4)
+    codes = codes.localCheckpoint()
+    tag = f"{copies}x/{nq}q"
+    timed(
+        f"pq adc scan+rerank {tag}",
+        lambda: pq_adc_rerank_topk(
+            queries, codes, emb, books, "vec_id", "vec_id", k=5, shortlist=50
+        ).count(),
+    )
+    timed(
+        f"brute cosine {tag}",
+        lambda: cosine_topk(queries, emb, "vec_id", "vec_id", k=5).count(),
+    )
+    cents = train_ivf_centroids(emb, "embedding", nlist=50).localCheckpoint()
+    icodes, ibooks = ivfadc_build(emb, cents, "vec_id", "embedding")
+    icodes = icodes.localCheckpoint()
+    ibooks = ibooks.localCheckpoint()
+    timed(
+        f"ivfadc query {tag}",
+        lambda: ivfadc_topk(
+            queries, icodes, cents, ibooks, emb, "vec_id", "vec_id",
+            k=5, nprobe=4, shortlist=50,
+        ).count(),
+    )
+
+
 def main():
     spark = get_spark(app_name="scale-probe-r8b")
     spark.sparkContext.setLogLevel("ERROR")
     probe_pq(spark)
+    probe_ann_crossover(spark)
     probe_funnel(spark)
     probe_hll_adaptive(spark)
     spark.stop()
