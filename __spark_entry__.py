@@ -4453,6 +4453,377 @@ def q_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-8 third wave: TPC-H shape closure (Q8/Q9/Q11/Q12/Q15/Q16/
+# Q17/Q19/Q20 analogs over the reduced schema — with these, all 22
+# TPC-H query shapes are represented) plus the sliding-cohort funnel
+# from the round-9 candidate list. ---------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for a
+    part type, by order year. Five dimension arms (part filter,
+    supplier→nation for the share numerator, customer→nation→region for
+    the market scope) ALL broadcast into the lineitem→orders fact join;
+    the only wide shuffles are the orderkey equi-join and the tiny
+    per-year aggregation. Share is conditional aggregation over exact
+    fixed-point revenue with ONE float division per year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    market_nations = (
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(F.col("n_nationkey").alias("mkt_nationkey"))
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(market_nations),
+            F.col("c_nationkey") == F.col("mkt_nationkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+    )
+    yearly = j.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("nation_fp"),
+        F.sum(rev).cast("long").alias("total_fp"),
+    )
+    return yearly.select(
+        "yr",
+        "nation_fp",
+        "total_fp",
+        (
+            F.col("nation_fp").cast("double") / F.col("total_fp").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name pattern. The reduced schema has no partsupp, so
+    supply cost is proxied by p_retailprice·l_quantity — the plan shape
+    (name-LIKE filtered part + supplier + nation broadcast into the
+    lineitem scan, fact-fact join to orders for the year, two-key agg)
+    is Q9's. Profit stays in exact 1e-4 fixed point: rev_fp −
+    retail_cents·qty·100; quantities in the testdata are integral so the
+    product is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    cost = (
+        _cents("p_retailprice")
+        * F.col("l_quantity").cast("long")
+        * F.lit(100).cast("long")
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    agg = j.groupBy(
+        "nation", F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(F.sum(rev - cost).cast("long").alias("profit_fp"))
+    return agg.select(
+        "nation",
+        "yr",
+        "profit_fp",
+        (F.col("profit_fp").cast("double") / 10000.0).alias("profit"),
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value within one nation
+    exceeds a fixed fraction of that nation's total — the
+    HAVING-against-a-scalar-subquery shape. No partsupp in the reduced
+    schema, so value is revenue over lineitem restricted to suppliers of
+    NATION_7. The threshold compare is exact integer algebra
+    (value_fp·1000 > total_fp) — no float epsilon at the cut; the global
+    total is a 1-row broadcast cross join, not a second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    nat_supp = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"], "left_semi"
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_supp), li["l_suppkey"] == nat_supp["s_suppkey"], "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(rev).cast("long").alias("value_fp"))
+    )
+    total = per_part.agg(F.sum("value_fp").cast("long").alias("total_fp"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_fp") * F.lit(1000) > F.col("total_fp"))
+        .select("p_partkey", "value_fp")
+    )
+
+
+def q12_late_ship_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: the dual conditional count — per shipping class
+    (the reduced schema has no shipmode, so the class is LATE/ONTIME by
+    shipdate − orderdate > 90 days), how many lineitems belong to
+    critical-priority orders (1-URGENT/2-HIGH) vs the rest. One
+    fact-fact equi-join on orderkey, CASE-aggregation into a 2-row
+    result — the shuffle is the join; the agg is map-side partial."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    cls = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.lit("LATE"),
+    ).otherwise(F.lit("ONTIME"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(cls.alias("ship_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving MAX revenue over a
+    3-month ship window — the view-plus-scalar-max-subquery shape,
+    decorrelated to aggregate → 1-row max broadcast → exact equality
+    filter. Revenue is exact fixed point so 'equals max' is
+    deterministic (the float formulation of Q15 is famously tie-fragile;
+    integer cents make it exact). Supplier names via broadcast dim."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).cast("long").alias("total_fp"))
+    mx = per_supp.agg(F.max("total_fp").alias("max_fp"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_fp") == F.col("max_fp"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_fp",
+        )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    triple, with a brand/type/size exclusion list AND a NOT-IN supplier
+    exclusion (the 'complaints' arm — here suppliers with negative
+    account balance, a broadcast anti-join instead of Q16's NOT IN
+    subquery). Distinct is exact: partial sets per map task, merged on
+    the (brand, type, size) shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(
+            F.broadcast(bad_supp),
+            li["l_suppkey"] == bad_supp["s_suppkey"],
+            "left_anti",
+        )
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the part's average quantity, for one brand — the correlated
+    AVG scalar subquery, decorrelated to a per-part aggregate broadcast
+    back onto the fact. The 20%-of-average compare is exact integer
+    algebra: qty < 0.2·(sum/cnt) ⟺ 5·qty·cnt < sum (all positive
+    integers) — no float threshold at the cut. Output is the classic
+    single row: total cents and cents/7 yearly average."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("ep_cents"),
+    )
+    per_part = j.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt_qty")
+    )
+    small = (
+        j.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt_qty") < F.col("sum_qty"))
+    )
+    return small.agg(
+        F.sum("ep_cents").cast("long").alias("small_qty_cents"),
+        (
+            F.sum("ep_cents").cast("double") / F.lit(100.0) / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
+
+
+def q19_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-three-AND-arms predicate
+    mixing part attributes (brand, size) with lineitem attributes
+    (quantity) — the disjunctive pushdown stress test. The part arm of
+    each disjunct prunes the broadcast dimension BEFORE the join (a
+    single OR filter on part), and the residual mixed predicate runs
+    post-join inside one codegen stage; exact fixed-point revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    part_pruned = part.filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+    )
+    j = li.join(F.broadcast(part_pruned), li["l_partkey"] == part["p_partkey"]).filter(
+        arm1 | arm2 | arm3
+    )
+    return j.agg(
+        F.sum(rev).cast("long").alias("rev_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers (in one nation) whose 1997 shipments of
+    promo-type parts exceed a threshold derived from a nested aggregate —
+    the IN-(grouped-HAVING-subquery) shape. The reduced schema has no
+    partsupp/availqty, so the threshold is relative and scale-free:
+    supplier total > half the across-supplier mean, compared in exact
+    integers (2·n_suppliers·qty_s > global_qty). Plan: one groupBy over
+    the filtered fact, a 1-row global broadcast, a semi-join into the
+    nation-filtered supplier dim — no correlated re-scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    per_supp = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_s"))
+    )
+    glob = per_supp.agg(
+        F.sum("qty_s").alias("global_qty"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    heavy = (
+        per_supp.crossJoin(F.broadcast(glob))
+        .filter(
+            F.lit(2) * F.col("n_suppliers") * F.col("qty_s") > F.col("global_qty")
+        )
+        .select("l_suppkey", "qty_s")
+    )
+    return (
+        supp.join(
+            F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"], "left_semi"
+        )
+        .join(F.broadcast(heavy), supp["s_suppkey"] == heavy["l_suppkey"])
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "qty_s")
+    )
+
+
+def q_funnel_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-cohort funnel (round-9 candidate pulled forward): per
+    6-hour window sliding hourly, how many users viewed, then clicked
+    AFTER their first view, then purchased AFTER that click — stage
+    order enforced WITHIN each window. F.window(ts, 6h, 1h) explodes
+    each event into 6 window assignments (a narrow 6× map, no shuffle);
+    the three stage aggregations shuffle on (window, user) — the second
+    and third reuse that partitioning, so AQE coalesces them into
+    exchange-free stages. At 100 TB the 6× explode is the honest cost of
+    hour-sliding windows; wider slides shrink it linearly."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = ev.select(
+        F.window("ts", "6 hours", "1 hour").getField("start").alias("ws"),
+        "user_id",
+        "event_type",
+        "ts",
+    )
+    tv = (
+        w.filter(F.col("event_type") == "view")
+        .groupBy("ws", "user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    tc = (
+        w.filter(F.col("event_type") == "click")
+        .join(tv, ["ws", "user_id"])
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("ws", "user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    tp = (
+        w.filter(F.col("event_type") == "purchase")
+        .join(tc, ["ws", "user_id"])
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("ws", "user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    nv = tv.groupBy("ws").agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = tc.groupBy("ws").agg(F.count(F.lit(1)).cast("long").alias("n_click"))
+    np_ = tp.groupBy("ws").agg(F.count(F.lit(1)).cast("long").alias("n_purchase"))
+    return (
+        nv.join(nc, "ws", "left")
+        .join(np_, "ws", "left")
+        .select(
+            "ws",
+            "n_view",
+            F.coalesce("n_click", F.lit(0)).cast("long").alias("n_click"),
+            F.coalesce("n_purchase", F.lit(0)).cast("long").alias("n_purchase"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -4524,6 +4895,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_rollup_status_priority": q_rollup_status_priority,
         "q_cube_status_priority": q_cube_status_priority,
+        # --- round-8 third wave (added AFTER the 50-entry driver window
+        # was locked — local oracle-parity gate only this round; these
+        # lead the round-9 window together with the r2/r4-stale cohort):
+        # TPC-H shape closure Q8/Q9/Q11/Q12/Q15/Q16/Q17/Q19/Q20 (all 22
+        # shapes now represented) + the sliding-cohort funnel ----------
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_ship_classes": q12_late_ship_classes,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q19_or_predicate_revenue": q19_or_predicate_revenue,
+        "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
+        "q_funnel_sliding_windows": q_funnel_sliding_windows,
         "q_string_agg_suppliers": q_string_agg_suppliers,
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
@@ -5366,6 +5752,203 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation cn ON c.c_nationkey = cn.n_nationkey
             GROUP BY 1, 2
+        """,
+        "q8_market_share": """
+            WITH mkt AS (
+                SELECT n.n_nationkey FROM nation n
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'ASIA'),
+            j AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                       sn.n_name AS supp_nation,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                WHERE p.p_type = 'STANDARD'
+                  AND o.o_orderdate IS NOT NULL
+                  AND c.c_nationkey IN (SELECT n_nationkey FROM mkt))
+            SELECT yr,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                                 ELSE 0 END) AS BIGINT) AS nation_fp,
+                   CAST(sum(rev) AS BIGINT) AS total_fp,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                                 ELSE 0 END) AS DOUBLE)
+                       / CAST(sum(rev) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY yr
+        """,
+        "q9_product_profit": """
+            WITH j AS (
+                SELECT sn.n_name AS nation,
+                       CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                         * CAST(l.l_quantity AS BIGINT) * 100 AS amount
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE p.p_name LIKE '%red%' AND o.o_orderdate IS NOT NULL)
+            SELECT nation, yr,
+                   CAST(sum(amount) AS BIGINT) AS profit_fp,
+                   CAST(sum(amount) AS DOUBLE) / 10000.0 AS profit
+            FROM j GROUP BY nation, yr
+        """,
+        "q11_important_parts": """
+            WITH pp AS (
+                SELECT l.l_partkey AS p_partkey,
+                       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l.l_discount * 100)
+                                              AS BIGINT)))
+                            AS BIGINT) AS value_fp
+                FROM lineitem l
+                WHERE l.l_suppkey IN (
+                    SELECT s.s_suppkey FROM supplier s
+                    JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    WHERE n.n_name = 'NATION_7')
+                GROUP BY l.l_partkey)
+            SELECT p_partkey, value_fp FROM pp
+            WHERE value_fp * 1000 > (SELECT sum(value_fp) FROM pp)
+        """,
+        "q12_late_ship_classes": """
+            SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+            GROUP BY 1
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT)))
+                            AS BIGINT) AS total_fp
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey)
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   r.total_fp
+            FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_fp = (SELECT max(total_fp) FROM r)
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "q17_small_qty_revenue": """
+            WITH j AS (
+                SELECT l.l_partkey,
+                       CAST(l.l_quantity AS BIGINT) AS qty,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           AS ep_cents
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand = 'Brand#3'),
+            pp AS (
+                SELECT l_partkey, sum(qty) AS sum_qty,
+                       count(*) AS cnt_qty
+                FROM j GROUP BY l_partkey)
+            SELECT CAST(sum(j.ep_cents) AS BIGINT) AS small_qty_cents,
+                   CAST(sum(j.ep_cents) AS DOUBLE) / 100.0 / 7.0
+                       AS avg_yearly
+            FROM j JOIN pp ON j.l_partkey = pp.l_partkey
+            WHERE 5 * j.qty * pp.cnt_qty < pp.sum_qty
+        """,
+        "q19_or_predicate_revenue": """
+            SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS rev_fp,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "q20_promo_heavy_suppliers": """
+            WITH ps AS (
+                SELECT l.l_suppkey,
+                       sum(CAST(l.l_quantity AS BIGINT)) AS qty_s
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_type = 'PROMO'
+                  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l.l_suppkey),
+            g AS (SELECT sum(qty_s) AS global_qty, count(*) AS n_suppliers
+                  FROM ps)
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   CAST(ps.qty_s AS BIGINT) AS qty_s
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN ps ON s.s_suppkey = ps.l_suppkey, g
+            WHERE n.n_name = 'NATION_5'
+              AND 2 * g.n_suppliers * ps.qty_s > g.global_qty
+        """,
+        "q_funnel_sliding_windows": """
+            WITH e AS (
+                SELECT user_id, event_type, ts FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            w AS (
+                SELECT date_trunc('hour', e.ts)
+                           - k.k * INTERVAL 1 HOUR AS ws,
+                       e.user_id, e.event_type, e.ts
+                FROM e CROSS JOIN (SELECT unnest(range(6)) AS k) k),
+            tv AS (
+                SELECT ws, user_id, min(ts) AS tv FROM w
+                WHERE event_type = 'view' GROUP BY ws, user_id),
+            tc AS (
+                SELECT w.ws, w.user_id, min(w.ts) AS tc
+                FROM w JOIN tv ON w.ws = tv.ws AND w.user_id = tv.user_id
+                WHERE w.event_type = 'click' AND w.ts > tv.tv
+                GROUP BY w.ws, w.user_id),
+            tp AS (
+                SELECT w.ws, w.user_id, min(w.ts) AS tp
+                FROM w JOIN tc ON w.ws = tc.ws AND w.user_id = tc.user_id
+                WHERE w.event_type = 'purchase' AND w.ts > tc.tc
+                GROUP BY w.ws, w.user_id),
+            nv AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_view
+                   FROM tv GROUP BY ws),
+            nc AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_click
+                   FROM tc GROUP BY ws),
+            np AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_purchase
+                   FROM tp GROUP BY ws)
+            SELECT nv.ws, nv.n_view,
+                   CAST(coalesce(nc.n_click, 0) AS BIGINT) AS n_click,
+                   CAST(coalesce(np.n_purchase, 0) AS BIGINT) AS n_purchase
+            FROM nv
+            LEFT JOIN nc ON nv.ws = nc.ws
+            LEFT JOIN np ON nv.ws = np.ws
         """,
         "q10_returned_revenue": """
             WITH a AS (

@@ -149,6 +149,17 @@ HEADLINE = [
     "ann_pq_adc_rerank",
     "streaming_funnel_timeout",
     "ann_ivfadc_topk",
+    # round-8 third wave: TPC-H shape closure + sliding-cohort funnel
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_ship_classes",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_or_predicate_revenue",
+    "q20_promo_heavy_suppliers",
+    "q_funnel_sliding_windows",
 ]
 
 

@@ -336,6 +336,7 @@ def test_null_events_drift(spark, tmp_path):
         "streaming_session_topk",
         "q_funnel_timeout",
         "streaming_funnel_timeout",
+        "q_funnel_sliding_windows",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -415,6 +416,11 @@ def test_null_orders_drift(spark, tmp_path):
         "q13_customer_distribution",
         "q21_sole_late_supplier",
         "q22_idle_rich_customers",
+        # round-8 third wave: NULL o_orderdate must stay filtered
+        # identically on both sides of the year()/lateness arithmetic
+        "q8_market_share",
+        "q9_product_profit",
+        "q12_late_ship_classes",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -472,6 +478,14 @@ def test_null_lineitem_drift(spark, tmp_path):
         "q6_forecast_revenue",
         "q18_large_orders",
         "q_cheapest_supplier_per_part",
+        # round-8 third wave: quantity/discount NULLs flow through the
+        # exact fixed-point arithmetic of the TPC-H closure analogs
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_qty_revenue",
+        "q19_or_predicate_revenue",
+        "q20_promo_heavy_suppliers",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -574,6 +588,7 @@ def test_null_ts_drift(spark, tmp_path):
         "q_event_transitions",
         "q_funnel_timeout",
         "streaming_funnel_timeout",
+        "q_funnel_sliding_windows",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -683,6 +698,11 @@ def test_null_part_supplier_drift(spark, tmp_path):
         "q_range_join_value_tiers",
         "q_union_by_name",
         "q_intersect_segments",
+        # round-8 third wave: NULL p_name/p_retailprice/s_name/s_nationkey
+        # through the LIKE filter, cost arithmetic, and semi-joins
+        "q9_product_profit",
+        "q15_top_supplier",
+        "q20_promo_heavy_suppliers",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -864,6 +884,7 @@ def test_null_user_drift(spark, tmp_path):
         "streaming_session_topk",
         "q_funnel_timeout",
         "streaming_funnel_timeout",
+        "q_funnel_sliding_windows",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
