@@ -55,6 +55,16 @@ SHOWN = {
     "sketch_hll_sparse": "HLL++ adaptive: bounded sparse top-(cap+1) window + fixed register agg, both partial-aggregating on the group key",
     "ann_pq_adc_rerank": "PQ-ADC: LUT side broadcast, code table scored row-locally (higher-order fns), shortlist window, rerank join",
     "ann_ivfadc_topk": "IVFADC: probe table (LUT + bucket constant) broadcast into a bucket equi-join — codes pruned to nprobe/nlist before any scoring",
+    "q8_market_share": "Q8 shape: five dimension arms all broadcast into the lineitem->orders join; one orderkey exchange + tiny per-year agg",
+    "q9_product_profit": "Q9 shape: LIKE-filtered part + supplier + nation broadcast; profit in exact 1e-4 fixed point; one fact-fact exchange",
+    "q11_important_parts": "Q11 shape: HAVING-vs-total decorrelated to a 1-row broadcast (BNL on a single row); exact integer threshold",
+    "q12_late_ship_classes": "Q12 shape: one orderkey exchange, dual CASE-agg partial-aggregated map-side into 2 rows",
+    "q15_top_supplier": "Q15 shape: supplier agg -> 1-row max broadcast -> exact fixed-point equality; no float tie fragility",
+    "q16_supplier_part_counts": "Q16 shape: filtered part broadcast, negative-balance suppliers broadcast anti-join, exact distinct on the attribute shuffle",
+    "q17_small_qty_revenue": "Q17 shape: per-part avg decorrelated to a broadcast agg; 20%-cut in exact integer algebra (5*qty*cnt < sum)",
+    "q19_or_predicate_revenue": "Q19 shape: disjunctive part arms pushed to the part scan BEFORE the broadcast join; residual OR-of-ANDs in one codegen stage",
+    "q20_promo_heavy_suppliers": "Q20 shape: grouped-HAVING subquery as a 1-row global broadcast + relative integer threshold, semi-join into the nation dim",
+    "q_funnel_sliding_windows": "sliding-cohort funnel: 6x window explode is a narrow map; three stage aggs + counts reuse one (window, user) partitioning",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage

@@ -602,3 +602,49 @@ def test_q13_q21_bounded_exchange_budget(spark, sf_dir):
     p21 = explain_str(df21)
     assert "CartesianProduct" not in p21 and "NestedLoop" not in p21, p21
     assert _fmt_exchanges(df21) <= 6, p21
+
+
+def test_tpch_closure_bounded_exchange_budget(spark, sf_dir):
+    """The nine TPC-H-closure analogs commit to tight shuffle budgets:
+    every dimension arm broadcasts, so the only plain exchanges are the
+    fact join/agg shuffles. The 1-row global-total broadcasts in
+    Q11/Q20 legitimately appear as BroadcastNestedLoopJoin (build side
+    is a single row) — CartesianProduct must never appear."""
+    budgets = {
+        "q8_market_share": 2,
+        "q9_product_profit": 2,
+        "q12_late_ship_classes": 2,
+        "q19_or_predicate_revenue": 2,
+        "q16_supplier_part_counts": 3,
+        "q17_small_qty_revenue": 3,
+        "q11_important_parts": 4,
+        "q15_top_supplier": 4,
+        "q20_promo_heavy_suppliers": 4,
+    }
+    qs = entrymod.queries()
+    for name, budget in budgets.items():
+        df = qs[name](spark, sf_dir)
+        p = explain_str(df)
+        assert "CartesianProduct" not in p, f"{name}\n{p}"
+        assert _fmt_exchanges(df) <= budget, f"{name}\n{p}"
+
+
+def test_q19_part_arm_prunes_before_join(spark, sf_dir):
+    """Q19's OR-of-ANDs: the part-only arm of each disjunct must reach
+    the part scan as a pushed filter (the broadcast build side is pruned
+    BEFORE the join, not post-join) — the disjunctive-pushdown point of
+    the Q19 shape."""
+    df = entrymod.queries()["q19_or_predicate_revenue"](spark, sf_dir)
+    p = explain_str(df)
+    assert "PushedFilters" in p and "p_brand" in p, p
+
+
+def test_funnel_sliding_windows_plan(spark, sf_dir):
+    """Sliding-cohort funnel: the 6x window explode is a narrow map (no
+    shuffle before the first stage agg), and the three stage aggs plus
+    the per-window counts stay within a fixed exchange budget on one
+    reused (window, user) partitioning. No cartesian ever."""
+    df = entrymod.queries()["q_funnel_sliding_windows"](spark, sf_dir)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p, p
+    assert _fmt_exchanges(df) <= 10, p
