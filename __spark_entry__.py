@@ -4456,7 +4456,144 @@ def q_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round-8 third wave: TPC-H shape closure (Q8/Q9/Q11/Q12/Q15/Q16/
 # Q17/Q19/Q20 analogs over the reduced schema — with these, all 22
 # TPC-H query shapes are represented) plus the sliding-cohort funnel
-# from the round-9 candidate list. ---------------------------------------
+# from the round-9 candidate list, and a distribution-drift monitoring
+# pair (exact two-sample KS, fixed-point PSI) — the batch-over-batch
+# data-quality gates a 100 TB ingest pipeline runs continuously. ----------
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic (order totalprice,
+    1995 vs 1996) — the distribution-drift gate between ingest batches.
+    D = max |F1(v) − F2(v)| is computed entirely in integers: per-value
+    counts, running counts via operators.windows_fn.global_running_sum
+    (range repartition + broadcast prefix offsets — NO single-task
+    ordered window over the value axis), and the numerator
+    |c1·n2 − c2·n1| in DECIMAL(38,0) so counts near 1e11 cannot wrap
+    (the chi2 precedent). One float division at the very end. The
+    running-sum axis has one row per DISTINCT value — bounded by the
+    price domain, not the row count."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    yr = F.year("o_orderdate")
+    o = orders.filter(yr.isin(1995, 1996)).select(
+        _cents("o_totalprice").alias("cents"),
+        F.when(yr == 1995, F.lit(1)).otherwise(F.lit(0)).alias("g1"),
+        F.when(yr == 1996, F.lit(1)).otherwise(F.lit(0)).alias("g2"),
+    )
+    per_value = o.groupBy("cents").agg(
+        F.sum("g1").cast("long").alias("d1"),
+        F.sum("g2").cast("long").alias("d2"),
+    )
+    running = W.global_running_sum(
+        per_value, [F.col("cents").asc()], ["d1", "d2"]
+    )
+    totals = o.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum("g2").cast("long").alias("n2"),
+    )
+    dec = "decimal(38,0)"
+    s = running.crossJoin(F.broadcast(totals)).select(
+        "cents",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("d1").cast(dec) * F.col("n2").cast(dec)
+            - F.col("d2").cast(dec) * F.col("n1").cast(dec)
+        ).cast(dec).alias("num"),
+    )
+    mx = s.agg(F.max("num").alias("d_num"))
+    at = (
+        s.join(F.broadcast(mx), s["num"] == F.col("d_num"))
+        .agg(F.min("cents").cast("long").alias("at_value_cents"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n1",
+            "n2",
+            F.col("d_num").cast("double").alias("d_num"),
+            "at_value_cents",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (order totalprice, 1995 reference vs
+    1996 current) over 10 equi-width bins of the REFERENCE range — the
+    standard model/data-drift monitor. Bin bounds are a 1-row broadcast
+    of exact cents; bin assignment is row-local integer math (current
+    rows clamp into the edge bins); both histograms include all 10 bins
+    via a literal bin frame. Probabilities are add-1 smoothed exact
+    rationals; each term (p−q)·ln(p/q) evaluates ln on ONE
+    identically-derived double (integer cross-products, one division)
+    and floors to 1e-6 fixed point before the integer sum — the bm25
+    fixed-point-floor idiom that absorbs last-ulp libm differences."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    yr = F.year("o_orderdate")
+    o = orders.filter(yr.isin(1995, 1996)).select(
+        _cents("o_totalprice").alias("cents"),
+        F.when(yr == 1995, F.lit(1)).otherwise(F.lit(0)).alias("g1"),
+        F.when(yr == 1996, F.lit(1)).otherwise(F.lit(0)).alias("g2"),
+    )
+    ref_bounds = o.filter(F.col("g1") == 1).agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    binned = o.crossJoin(F.broadcast(ref_bounds)).select(
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("cents") - F.col("mn"))
+                    * F.lit(10)
+                    / (F.col("mx") - F.col("mn") + F.lit(1))
+                ),
+            ),
+        ).cast("int").alias("bin"),
+        "g1",
+        "g2",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+    )
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    full = (
+        bins.join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c1", F.lit(0)).cast("long").alias("c1"),
+            F.coalesce("c2", F.lit(0)).cast("long").alias("c2"),
+        )
+    )
+    totals = o.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum("g2").cast("long").alias("n2"),
+    )
+    t = full.crossJoin(F.broadcast(totals))
+    # p = (c1+1)/(n1+10), q = (c2+1)/(n2+10); p/q via exact integer
+    # cross-products and ONE division so both engines ln the same double
+    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + 10).cast("double")
+    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + 10).cast("double")
+    ratio = (
+        ((F.col("c1") + 1) * (F.col("n2") + 10)).cast("double")
+        / ((F.col("c2") + 1) * (F.col("n1") + 10)).cast("double")
+    )
+    term_fp = F.floor((p - q) * F.log(ratio) * F.lit(1e6)).cast("long")
+    return t.select("bin", term_fp.alias("tfp"), "n1", "n2").agg(
+        F.sum("tfp").cast("long").alias("psi_fp"),
+        (F.sum("tfp").cast("double") / 1e6).alias("psi"),
+        F.max("n1").cast("long").alias("n_ref"),
+        F.max("n2").cast("long").alias("n_cur"),
+    )
 
 
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4910,6 +5047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_or_predicate_revenue": q19_or_predicate_revenue,
         "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
         "q_funnel_sliding_windows": q_funnel_sliding_windows,
+        "q_ks_two_sample": q_ks_two_sample,
+        "q_psi_drift": q_psi_drift,
         "q_string_agg_suppliers": q_string_agg_suppliers,
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
@@ -5752,6 +5891,89 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation cn ON c.c_nationkey = cn.n_nationkey
             GROUP BY 1, 2
+        """,
+        "q_ks_two_sample": """
+            WITH o AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END
+                           AS g1,
+                       CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END
+                           AS g2
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+                  AND year(o_orderdate) IN (1995, 1996)),
+            v AS (SELECT cents, CAST(sum(g1) AS BIGINT) AS d1,
+                         CAST(sum(g2) AS BIGINT) AS d2
+                  FROM o GROUP BY cents),
+            r AS (SELECT cents,
+                         CAST(sum(d1) OVER (ORDER BY cents) AS BIGINT) AS c1,
+                         CAST(sum(d2) OVER (ORDER BY cents) AS BIGINT) AS c2
+                  FROM v),
+            t AS (SELECT CAST(sum(g1) AS BIGINT) AS n1,
+                         CAST(sum(g2) AS BIGINT) AS n2 FROM o),
+            s AS (SELECT r.cents,
+                         abs(CAST(r.c1 AS DECIMAL(38,0))
+                                 * CAST(t.n2 AS DECIMAL(38,0))
+                             - CAST(r.c2 AS DECIMAL(38,0))
+                                 * CAST(t.n1 AS DECIMAL(38,0))) AS num
+                  FROM r, t),
+            m AS (SELECT max(num) AS d_num FROM s)
+            SELECT t.n1, t.n2,
+                   CAST(m.d_num AS DOUBLE) AS d_num,
+                   (SELECT CAST(min(cents) AS BIGINT) FROM s
+                    WHERE s.num = m.d_num) AS at_value_cents,
+                   CAST(m.d_num AS DOUBLE)
+                       / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+                       AS ks_stat
+            FROM t, m
+        """,
+        "q_psi_drift": """
+            WITH o AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END
+                           AS g1,
+                       CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END
+                           AS g2
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+                  AND year(o_orderdate) IN (1995, 1996)),
+            b AS (SELECT CAST(min(cents) AS BIGINT) AS mn,
+                         CAST(max(cents) AS BIGINT) AS mx
+                  FROM o WHERE g1 = 1),
+            binned AS (
+                SELECT least(9, greatest(0,
+                           CAST(floor((o.cents - b.mn) * 10
+                                      / (b.mx - b.mn + 1)) AS BIGINT)))
+                           AS bin,
+                       g1, g2
+                FROM o, b),
+            counts AS (SELECT bin, CAST(sum(g1) AS BIGINT) AS c1,
+                              CAST(sum(g2) AS BIGINT) AS c2
+                       FROM binned GROUP BY bin),
+            bins AS (SELECT unnest(range(10)) AS bin),
+            f AS (SELECT bins.bin,
+                         coalesce(counts.c1, 0) AS c1,
+                         coalesce(counts.c2, 0) AS c2
+                  FROM bins LEFT JOIN counts ON bins.bin = counts.bin),
+            t AS (SELECT CAST(sum(g1) AS BIGINT) AS n1,
+                         CAST(sum(g2) AS BIGINT) AS n2 FROM o),
+            terms AS (
+                -- p/q from exact integer cross-products + ONE division
+                -- so both engines take ln of the identical double; the
+                -- 1e-6 fixed-point floor absorbs last-ulp libm diffs
+                SELECT CAST(floor(
+                           ((c1 + 1) / CAST(n1 + 10 AS DOUBLE)
+                            - (c2 + 1) / CAST(n2 + 10 AS DOUBLE))
+                           * ln(CAST((c1 + 1) * (n2 + 10) AS DOUBLE)
+                                / CAST((c2 + 1) * (n1 + 10) AS DOUBLE))
+                           * 1e6) AS BIGINT) AS tfp,
+                       n1, n2
+                FROM f, t)
+            SELECT CAST(sum(tfp) AS BIGINT) AS psi_fp,
+                   CAST(sum(tfp) AS DOUBLE) / 1e6 AS psi,
+                   CAST(max(n1) AS BIGINT) AS n_ref,
+                   CAST(max(n2) AS BIGINT) AS n_cur
+            FROM terms
         """,
         "q8_market_share": """
             WITH mkt AS (

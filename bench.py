@@ -160,6 +160,8 @@ HEADLINE = [
     "q19_or_predicate_revenue",
     "q20_promo_heavy_suppliers",
     "q_funnel_sliding_windows",
+    "q_ks_two_sample",
+    "q_psi_drift",
 ]
 
 

@@ -161,6 +161,60 @@ def global_ntile(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    sum_cols: list[str],
+    num_partitions: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """EXACT running sums of `sum_cols` under a global ordering without a
+    single-task sort — the scalable replacement for
+    `sum(x) OVER (ORDER BY ...)` with no partitionBy (the same 100 TB
+    killer global_rank exists for; the CDF/KS building block).
+
+    Plan: ONE range shuffle + parallel per-partition sorts (the
+    global_rank core), then an intra-partition running sum keyed on the
+    physical partition id — that window adds one hash exchange on
+    `__pid`, which is balanced by construction (RangePartitioner split
+    the data), never a single task. Per-partition TOTALS (at most
+    `num_partitions` rows) come to the driver for prefix offsets, one
+    broadcast per sum column.
+
+    Each output column `x` is replaced by its running sum under
+    `order_cols` (rows where `x` is NULL contribute 0). `order_cols`
+    must define a unique ordering for determinism.
+    """
+    local, _offsets, _n = _ranked_in_range_partitions(
+        df, order_cols, num_partitions, checkpoint
+    )
+    totals = sorted(
+        (r["__pid"], tuple(r[f"__t_{c}"] for c in sum_cols))
+        for r in local.groupBy("__pid")
+        .agg(
+            *[
+                F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(f"__t_{c}")
+                for c in sum_cols
+            ]
+        )
+        .collect()
+    )
+    offsets, acc = [], [0] * len(sum_cols)
+    for pid, tots in totals:
+        offsets.append((pid, *acc))
+        acc = [a + t for a, t in zip(acc, tots)]
+    schema = "__pid int, " + ", ".join(f"__off_{c} long" for c in sum_cols)
+    offdf = local.sparkSession.createDataFrame(
+        offsets or [(0,) + (0,) * len(sum_cols)], schema
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = local.join(F.broadcast(offdf), "__pid")
+    for c in sum_cols:
+        running = F.sum(F.coalesce(F.col(c), F.lit(0))).over(w)
+        out = out.withColumn(c, (running + F.col(f"__off_{c}")).cast("long"))
+    return out.drop("__pid", "__lrn", *[f"__off_{c}" for c in sum_cols])
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

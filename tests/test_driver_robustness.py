@@ -421,6 +421,8 @@ def test_null_orders_drift(spark, tmp_path):
         "q8_market_share",
         "q9_product_profit",
         "q12_late_ship_classes",
+        "q_ks_two_sample",
+        "q_psi_drift",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

@@ -648,3 +648,61 @@ def test_funnel_sliding_windows_plan(spark, sf_dir):
     p = explain_str(df)
     assert "CartesianProduct" not in p, p
     assert _fmt_exchanges(df) <= 10, p
+
+
+def test_global_running_sum_matches_window(spark):
+    """global_running_sum == sum() OVER (ORDER BY ...) on an
+    exhaustively-checkable frame, including NULL measures (contribute 0)
+    and a frame smaller than the partition count."""
+    from pyspark.sql import Window
+
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        global_running_sum,
+    )
+
+    for n_rows, parts in ((1000, 7), (3, 16)):
+        df = spark.range(n_rows).select(
+            (F.col("id") % 97).alias("v"),
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 11 == 0, F.lit(None))
+            .otherwise(F.col("id") % 5)
+            .cast("long")
+            .alias("a"),
+            (F.col("id") % 3).cast("long").alias("b"),
+        )
+        order = [F.col("v").asc(), F.col("k").asc()]
+        got = global_running_sum(df, order, ["a", "b"], num_partitions=parts)
+        w = Window.orderBy(*order)
+        want = df.select(
+            "v",
+            "k",
+            F.sum(F.coalesce("a", F.lit(0))).over(w).cast("long").alias("a"),
+            F.sum(F.coalesce("b", F.lit(0))).over(w).cast("long").alias("b"),
+        )
+        assert got.select("v", "k", "a", "b").exceptAll(want).count() == 0
+        assert want.exceptAll(got.select("v", "k", "a", "b")).count() == 0
+
+
+def test_ks_plan_no_single_partition_value_axis(spark, sf_dir):
+    """q_ks_two_sample's running CDF must ride the distributed
+    range-partitioned running sum — the un-checkpointed primitive plan
+    shows a range exchange, and no SinglePartition window anywhere in
+    the entry's final plan."""
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        global_running_sum,
+    )
+
+    df = entrymod.queries()["q_ks_two_sample"](spark, sf_dir)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p, p
+    orders = entrymod._t(spark, sf_dir, "orders")
+    per_value = orders.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).agg(F.count(F.lit(1)).cast("long").alias("d1"))
+    rp = explain_str(
+        global_running_sum(
+            per_value, [F.col("cents").asc()], ["d1"], checkpoint=False
+        )
+    )
+    assert "rangepartitioning" in rp, rp
+    assert "SinglePartition" not in rp, rp
