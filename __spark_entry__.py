@@ -4461,6 +4461,26 @@ def q_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data-quality gates a 100 TB ingest pipeline runs continuously. ----------
 
 
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (alpha=0.5,
+    operators/sampling.py::temperature_mix): resample the corpus so each
+    source's share of the output is proportional to sqrt(its weight) —
+    the standard head/tail rebalancing of a multilingual training mix.
+    Rates are data-dependent yet the whole pipeline stays
+    engine-deterministic: exact BIGINT weights, IEEE-exact sqrt floors,
+    DECIMAL(38,0) cross-products with a double-proposed/exactly-corrected
+    integer floor-division for the per-domain 32-bit keep threshold, and
+    md5-prefix membership (rate >= 1 keeps the domain outright). Output
+    is the per-domain audit aggregate; the oracle replays every step."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = SP.temperature_mix(docs, "doc_id", "source", "n_chars")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("chars_kept"),
+        F.max("__thr_hex").alias("thr_hex"),
+    )
+
+
 def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT two-sample Kolmogorov–Smirnov statistic (order totalprice,
     1995 vs 1996) — the distribution-drift gate between ingest batches.
@@ -5049,6 +5069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_sliding_windows": q_funnel_sliding_windows,
         "q_ks_two_sample": q_ks_two_sample,
         "q_psi_drift": q_psi_drift,
+        "sample_temperature_mix": sample_temperature_mix,
         "q_string_agg_suppliers": q_string_agg_suppliers,
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
@@ -5891,6 +5912,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation cn ON c.c_nationkey = cn.n_nationkey
             GROUP BY 1, 2
+        """,
+        "sample_temperature_mix": """
+            WITH d AS (
+                SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+                FROM documents GROUP BY source
+                HAVING sum(n_chars) IS NOT NULL AND sum(n_chars) > 0),
+            i AS (SELECT source, w,
+                         CAST(floor(sqrt(CAST(w AS DOUBLE))) AS BIGINT)
+                             AS isq
+                  FROM d),
+            g AS (SELECT CAST(sum(isq) AS BIGINT) AS s,
+                         CAST(sum(w) AS BIGINT) AS total FROM i),
+            t AS (SELECT i.source, i.w,
+                         CAST(i.isq AS DECIMAL(38,0))
+                             * CAST(g.total // 2 AS DECIMAL(38,0))
+                             * CAST(4294967296 AS DECIMAL(38,0)) AS num,
+                         CAST(g.s AS DECIMAL(38,0))
+                             * CAST(i.w AS DECIMAL(38,0)) AS den
+                  FROM i, g),
+            q AS (SELECT source, w, num, den,
+                         CAST(floor(CAST(num AS DOUBLE)
+                                    / CAST(den AS DOUBLE))
+                              AS DECIMAL(38,0)) AS q0
+                  FROM t),
+            thr AS (SELECT source, w,
+                           q0 + (CASE WHEN (q0 + 1) * den <= num
+                                      THEN 1 ELSE 0 END)
+                              - (CASE WHEN q0 * den > num
+                                      THEN 1 ELSE 0 END) AS qq
+                    FROM q),
+            hx AS (SELECT source,
+                          CASE WHEN qq >= 4294967296 THEN 'keep_all'
+                               ELSE lpad(lower(to_hex(CAST(qq AS BIGINT))),
+                                         8, '0') END AS thr_hex
+                   FROM thr),
+            kept AS (
+                SELECT doc.source, doc.n_chars, hx.thr_hex
+                FROM documents doc JOIN hx ON doc.source = hx.source
+                WHERE hx.thr_hex = 'keep_all'
+                   OR substr(md5(CAST(doc.doc_id AS VARCHAR) || ':temp'),
+                             1, 8) < hx.thr_hex)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+                       AS chars_kept,
+                   max(thr_hex) AS thr_hex
+            FROM kept GROUP BY source
         """,
         "q_ks_two_sample": """
             WITH o AS (

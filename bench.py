@@ -162,6 +162,7 @@ HEADLINE = [
     "q_funnel_sliding_windows",
     "q_ks_two_sample",
     "q_psi_drift",
+    "sample_temperature_mix",
 ]
 
 

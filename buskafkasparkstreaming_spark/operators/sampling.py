@@ -467,3 +467,90 @@ def dsir_importance_sample(
         .limit(k)
         .drop("__gkey")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weight_col: str,
+    alpha_sqrt: bool = True,
+    out_fraction_num: int = 1,
+    out_fraction_den: int = 2,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (alpha = 0.5): resample so each
+    domain's share of the OUTPUT is proportional to sqrt(domain weight)
+    instead of the weight itself — the standard rebalancing that keeps
+    head domains from drowning tail ones in a training mix.
+
+    Every arithmetic step is engine-deterministic:
+      * domain weights w_d and the target size N_out = total·num/den are
+        exact BIGINT sums;
+      * sqrt is IEEE-correctly-rounded in every engine, so
+        floor(sqrt(w_d)) is bit-identical (it may differ from the true
+        integer sqrt by the usual last-ulp perfect-square edge, but
+        identically so on both sides of an oracle);
+      * the per-domain keep threshold floor(isqrt_d·N_out·2^32/(S·w_d))
+        is an EXACT integer floor-division: products go through
+        DECIMAL(38,0) (BIGINT wraps past ~1e19 — the chi2 precedent), a
+        double division proposes the quotient, and two exact decimal
+        comparisons correct the proposal (+1/−1) — no reliance on either
+        engine's decimal-division rounding mode;
+      * membership compares the md5(id:salt) 8-hex prefix against the
+        threshold rendered via lpad(lower(hex()),8,'0') — lexicographic
+        == numeric on the 32-bit prefix (the hash_sample idiom), and a
+        rate >= 1 keeps the whole domain outright (no 'ffffffff' loss).
+
+    Returns the kept rows with the per-domain bookkeeping columns
+    (__w_d, __thr_hex) still attached for auditability.
+    """
+    dec = "decimal(38,0)"
+    pow32 = F.lit(1 << 32).cast(dec)
+    per_dom = (
+        df.groupBy(domain_col)
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w_d"))
+        # a weightless domain has no defined rate — dropped outright
+        # (the oracle mirrors this)
+        .filter(F.col("__w_d").isNotNull() & (F.col("__w_d") > 0))
+    )
+    if not alpha_sqrt:
+        raise NotImplementedError("only alpha=0.5 (sqrt) is implemented")
+    per_dom = per_dom.withColumn(
+        "__isqrt",
+        F.floor(F.sqrt(F.col("__w_d").cast("double"))).cast("long"),
+    )
+    glob = per_dom.agg(
+        F.sum("__isqrt").cast("long").alias("__s"),
+        F.sum("__w_d").cast("long").alias("__total"),
+    ).select(
+        "__s",
+        # exact integer target size — DIV, never a rounded decimal/
+        # double division
+        F.expr(
+            f"CAST((__total * {int(out_fraction_num)})"
+            f" DIV {int(out_fraction_den)} AS DECIMAL(38,0))"
+        ).alias("__n_out"),
+    )
+    d = per_dom.crossJoin(F.broadcast(glob))
+    num = (F.col("__isqrt").cast(dec) * F.col("__n_out") * pow32).cast(dec)
+    den = (F.col("__s").cast(dec) * F.col("__w_d").cast(dec)).cast(dec)
+    q0 = F.floor(num.cast("double") / den.cast("double")).cast(dec)
+    q = (
+        q0
+        + F.when((q0 + 1) * den <= num, F.lit(1)).otherwise(F.lit(0))
+        - F.when(q0 * den > num, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    thr = d.select(
+        domain_col,
+        "__w_d",
+        q.alias("__thr"),
+        F.when(q >= F.lit(1 << 32), F.lit("keep_all"))
+        .otherwise(F.lpad(F.lower(F.hex(q)), 8, "0"))
+        .alias("__thr_hex"),
+    )
+    joined = df.join(F.broadcast(thr), domain_col)
+    keep = (F.col("__thr_hex") == "keep_all") | (
+        _bucket_hex(id_col, salt) < F.col("__thr_hex")
+    )
+    return joined.filter(keep).drop("__thr")

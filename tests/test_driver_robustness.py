@@ -810,6 +810,7 @@ def test_null_source_drift(spark, tmp_path):
         "export_shard_stats",
         "stats_profile_documents",
         "corpus_curation",
+        "sample_temperature_mix",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

@@ -1410,3 +1410,40 @@ def test_triangle_counts_semantics(spark):
     assert out[0] == out[1] == out[2] == 3
     assert out[3] == 3  # K4 membership unchanged by the pendant
     assert out[9] == out[10] == out[11] == 0
+
+
+def test_temperature_mix_rebalances_toward_tail(spark):
+    """alpha=0.5 mixing must RAISE the tail domain's output share above
+    its input share (and lower the head's): with head weight 100x the
+    tail, sqrt scaling targets a 10:1 output ratio instead of 100:1.
+    Also pins determinism: two runs produce the identical kept set."""
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "head", 100) for i in range(2000)] + [
+        (100000 + i, "tail", 100) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    kept = temperature_mix(df, "doc_id", "source", "w").cache()
+    by_dom = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # input tail share = 20/2020 ~ 1%; sqrt targets ~9%; the tail domain
+    # rate must saturate (keep_all) while the head is subsampled
+    thr = {
+        r["source"]: r["__thr_hex"]
+        for r in kept.select("source", "__thr_hex").distinct().collect()
+    }
+    assert thr.get("tail") == "keep_all", thr
+    assert by_dom.get("tail", 0) == 20
+    assert 0 < by_dom["head"] < 2000
+    tail_share_in = 20 / 2020
+    tail_share_out = by_dom["tail"] / (by_dom["tail"] + by_dom["head"])
+    assert tail_share_out > tail_share_in
+    again = temperature_mix(df, "doc_id", "source", "w")
+    assert again.select("doc_id").exceptAll(kept.select("doc_id")).count() == 0
+    assert kept.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
