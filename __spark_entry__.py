@@ -4616,6 +4616,86 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_rolling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling drift monitor: an exact two-sample KS between each hour's
+    event-value distribution and the PREVIOUS hour's — the continuous
+    form of q_ks_two_sample a pipeline runs on every ingest tick. The
+    pair axis is built by a union trick (current rows tagged d_cur,
+    previous rows re-keyed to hour+1 tagged d_prev) so each hour-pair
+    gets both distributions in ONE (hour, value) aggregation; running
+    CDFs are per-pair keyed windows (partitionBy hour — parallel across
+    hours, never a global sort; per-hour distinct values bound the sort).
+    Numerators in DECIMAL(38,0); one float division per hour."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    e = ev.select(
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    counts = e.groupBy("hr", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    hours = counts.select("hr").distinct()
+    valid = hours.alias("a").join(
+        hours.select(
+            (F.col("hr") + F.expr("INTERVAL 1 HOUR")).alias("hr")
+        ).alias("b"),
+        "hr",
+        "left_semi",
+    )
+    cur = counts.select("hr", "cents", F.col("n").alias("d_cur"), F.lit(0).cast("long").alias("d_prev"))
+    prev = counts.select(
+        (F.col("hr") + F.expr("INTERVAL 1 HOUR")).alias("hr"),
+        "cents",
+        F.lit(0).cast("long").alias("d_cur"),
+        F.col("n").alias("d_prev"),
+    )
+    both = (
+        cur.unionByName(prev)
+        .join(F.broadcast(valid), "hr", "left_semi")
+        .groupBy("hr", "cents")
+        .agg(
+            F.sum("d_cur").cast("long").alias("d_cur"),
+            F.sum("d_prev").cast("long").alias("d_prev"),
+        )
+    )
+    w = Window.partitionBy("hr").orderBy(F.col("cents").asc())
+    wt = Window.partitionBy("hr")
+    dec = "decimal(38,0)"
+    r = both.select(
+        "hr",
+        "cents",
+        F.sum("d_cur").over(w).alias("c_cur"),
+        F.sum("d_prev").over(w).alias("c_prev"),
+        F.sum("d_cur").over(wt).cast("long").alias("n_cur"),
+        F.sum("d_prev").over(wt).cast("long").alias("n_prev"),
+    ).withColumn(
+        "num",
+        F.abs(
+            F.col("c_cur").cast(dec) * F.col("n_prev").cast(dec)
+            - F.col("c_prev").cast(dec) * F.col("n_cur").cast(dec)
+        ).cast(dec),
+    )
+    agg = r.groupBy("hr").agg(
+        F.max("num").alias("d_num"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.max("n_prev").cast("long").alias("n_prev"),
+    )
+    # hours whose previous hour had no rows compare against an empty
+    # sample — n_prev = 0 means KS is undefined; both engines drop them
+    return agg.filter((F.col("n_prev") > 0) & (F.col("n_cur") > 0)).select(
+        "hr",
+        "n_prev",
+        "n_cur",
+        F.col("d_num").cast("double").alias("d_num"),
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n_prev").cast("double") * F.col("n_cur").cast("double"))
+        ).alias("ks_stat"),
+    )
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's market for a
     part type, by order year. Five dimension arms (part filter,
@@ -5070,6 +5150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_two_sample": q_ks_two_sample,
         "q_psi_drift": q_psi_drift,
         "sample_temperature_mix": sample_temperature_mix,
+        "q_ks_rolling_hourly": q_ks_rolling_hourly,
         "q_string_agg_suppliers": q_string_agg_suppliers,
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
@@ -5958,6 +6039,62 @@ def oracle_sql() -> dict[str, str]:
                        AS chars_kept,
                    max(thr_hex) AS thr_hex
             FROM kept GROUP BY source
+        """,
+        "q_ks_rolling_hourly": """
+            WITH e AS (
+                SELECT date_trunc('hour', ts) AS hr,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL),
+            counts AS (
+                SELECT hr, cents, CAST(count(*) AS BIGINT) AS n
+                FROM e GROUP BY hr, cents),
+            hours AS (SELECT DISTINCT hr FROM counts),
+            valid AS (
+                SELECT a.hr FROM hours a
+                WHERE a.hr IN (SELECT hr + INTERVAL 1 HOUR FROM hours)),
+            pairhist AS (
+                SELECT hr, cents,
+                       CAST(sum(d_cur) AS BIGINT) AS d_cur,
+                       CAST(sum(d_prev) AS BIGINT) AS d_prev
+                FROM (
+                    SELECT hr, cents, n AS d_cur, 0 AS d_prev FROM counts
+                    UNION ALL
+                    SELECT hr + INTERVAL 1 HOUR AS hr, cents, 0 AS d_cur,
+                           n AS d_prev
+                    FROM counts) u
+                WHERE hr IN (SELECT hr FROM valid)
+                GROUP BY hr, cents),
+            r AS (
+                SELECT hr, cents,
+                       sum(d_cur) OVER (PARTITION BY hr ORDER BY cents)
+                           AS c_cur,
+                       sum(d_prev) OVER (PARTITION BY hr ORDER BY cents)
+                           AS c_prev,
+                       CAST(sum(d_cur) OVER (PARTITION BY hr) AS BIGINT)
+                           AS n_cur,
+                       CAST(sum(d_prev) OVER (PARTITION BY hr) AS BIGINT)
+                           AS n_prev
+                FROM pairhist),
+            s AS (
+                SELECT hr, n_cur, n_prev,
+                       abs(CAST(c_cur AS DECIMAL(38,0))
+                               * CAST(n_prev AS DECIMAL(38,0))
+                           - CAST(c_prev AS DECIMAL(38,0))
+                               * CAST(n_cur AS DECIMAL(38,0))) AS num
+                FROM r),
+            agg AS (
+                SELECT hr, max(num) AS d_num,
+                       CAST(max(n_cur) AS BIGINT) AS n_cur,
+                       CAST(max(n_prev) AS BIGINT) AS n_prev
+                FROM s GROUP BY hr)
+            SELECT hr, n_prev, n_cur,
+                   CAST(d_num AS DOUBLE) AS d_num,
+                   CAST(d_num AS DOUBLE)
+                       / (CAST(n_prev AS DOUBLE) * CAST(n_cur AS DOUBLE))
+                       AS ks_stat
+            FROM agg
+            WHERE n_prev > 0 AND n_cur > 0
         """,
         "q_ks_two_sample": """
             WITH o AS (

@@ -163,6 +163,7 @@ HEADLINE = [
     "q_ks_two_sample",
     "q_psi_drift",
     "sample_temperature_mix",
+    "q_ks_rolling_hourly",
 ]
 
 

@@ -65,6 +65,9 @@ SHOWN = {
     "q19_or_predicate_revenue": "Q19 shape: disjunctive part arms pushed to the part scan BEFORE the broadcast join; residual OR-of-ANDs in one codegen stage",
     "q20_promo_heavy_suppliers": "Q20 shape: grouped-HAVING subquery as a 1-row global broadcast + relative integer threshold, semi-join into the nation dim",
     "q_funnel_sliding_windows": "sliding-cohort funnel: 6x window explode is a narrow map; three stage aggs + counts reuse one (window, user) partitioning",
+    "q_ks_two_sample": "exact two-sample KS: per-value counts -> distributed running CDF (range repartition + broadcast prefix offsets) -> DECIMAL(38,0) numerator; prints post-checkpoint, range exchange gated in test_plans.py",
+    "q_psi_drift": "PSI: 1-row bin-bounds broadcast, row-local integer binning, 10-bin literal frame join, fixed-point ln terms summed as integers",
+    "sample_temperature_mix": "temperature mixing: domain-cardinality rate table broadcast back into a row-local md5-threshold filter; one domain agg + one audit agg",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage

@@ -337,6 +337,7 @@ def test_null_events_drift(spark, tmp_path):
         "q_funnel_timeout",
         "streaming_funnel_timeout",
         "q_funnel_sliding_windows",
+        "q_ks_rolling_hourly",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -591,6 +592,7 @@ def test_null_ts_drift(spark, tmp_path):
         "q_funnel_timeout",
         "streaming_funnel_timeout",
         "q_funnel_sliding_windows",
+        "q_ks_rolling_hourly",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -888,6 +890,7 @@ def test_null_user_drift(spark, tmp_path):
         "q_funnel_timeout",
         "streaming_funnel_timeout",
         "q_funnel_sliding_windows",
+        "q_ks_rolling_hourly",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
