@@ -9,17 +9,21 @@ sane shape for Python-side media work at 100 TB:
 * each task decodes its partition independently — embarrassingly parallel;
 * output schemas are declared up front so downstream stays Catalyst-planned.
 
-Decode has two REAL tiers plus a test stand-in. PIXEL decode — PNG
+Decode has three REAL tiers plus a test stand-in. PIXEL decode — PNG
 (stdlib zlib inflate + scanline unfilter) and uncompressed BMP — reads
 the actual pixel array and emits real color/luma features; no codec
 library needed. HEADER decode — dimension/mime sniffing for GIF/JPEG/WebP —
 parses the container header (magic bytes + fixed offsets from the
 published specs); JPEG entropy decode genuinely requires libjpeg, so
-its features fall back to the payload-hash embedding. Formats with
-neither tier (video/audio) raise NotImplementedError behind an
-import-try on PIL/ffmpeg; a deterministic fake decoder (seeded by sha2
-of the payload) stands in for non-image payloads and exercises the
-identical Spark plumbing — schema, batching, partitioning — in tests.
+its features fall back to the payload-hash embedding. AUDIO decode —
+RIFF/WAVE PCM (stdlib struct) — walks the chunk list and computes a
+real 8-segment RMS energy profile over the samples; typed metadata
+maps onto the fixed schema as width=sample_rate, height=n_channels,
+n_frames=audio frames. Formats with no tier (video, compressed audio)
+raise NotImplementedError behind an import-try on PIL/ffmpeg; a
+deterministic fake decoder (seeded by sha2 of the payload) stands in
+for unrecognized payloads and exercises the identical Spark plumbing —
+schema, batching, partitioning — in tests.
 """
 
 from __future__ import annotations
@@ -279,6 +283,80 @@ def _make_pixel_decoder():
 decode_pixels = _make_pixel_decoder()
 
 
+def _make_wav_decoder():
+    """AUDIO tier: RIFF/WAVE PCM needs only struct — no codec library.
+    Nested-builder for the same pickle-by-value reason as the image
+    parser. Returns (header_fn, features_fn)."""
+    import struct
+
+    def parse_wav_header(payload: bytes):
+        """RIFF/WAVE chunk walk (the published container spec): locate
+        'fmt ' (PCM format code 1, 8- or 16-bit) and 'data'. Returns
+        ("audio/wav", sample_rate, n_channels, bits, n_frames,
+        data_offset, data_len) or None."""
+        if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = pos + 8
+            if cid == b"fmt " and clen >= 16 and body + 16 <= len(payload):
+                code, nch, rate = struct.unpack(
+                    "<HHI", payload[body : body + 8]
+                )
+                (bits,) = struct.unpack("<H", payload[body + 14 : body + 16])
+                fmt = (code, nch, rate, bits)
+            elif cid == b"data":
+                data = (body, min(clen, len(payload) - body))
+            pos = body + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        code, nch, rate, bits = fmt
+        if code != 1 or bits not in (8, 16) or nch < 1 or rate < 1:
+            return None
+        frame_bytes = nch * (bits // 8)
+        n_frames = data[1] // frame_bytes if frame_bytes else 0
+        return ("audio/wav", rate, nch, bits, n_frames, data[0], data[1])
+
+    def wav_features(payload: bytes):
+        """duration_ms + an 8-dim per-segment RMS energy vector over the
+        REAL samples (first channel) — the shape an audio embedding
+        takes at cluster scale. Integer sums of squares (exact), one
+        sqrt + normalization per segment."""
+        hdr = parse_wav_header(payload)
+        if hdr is None:
+            return None
+        _, rate, nch, bits, n_frames, off, dlen = hdr
+        if n_frames == 0:
+            return hdr, 0, [0.0] * 8
+        width = bits // 8
+        stride = nch * width
+        full_scale = 32768.0 if bits == 16 else 128.0
+        seg_sums = [0] * 8
+        seg_counts = [0] * 8
+        for i in range(n_frames):
+            base = off + i * stride
+            if bits == 16:
+                (s,) = struct.unpack_from("<h", payload, base)
+            else:
+                s = payload[base] - 128
+            seg = min(7, i * 8 // n_frames)
+            seg_sums[seg] += s * s
+            seg_counts[seg] += 1
+        feat = [
+            round((ss / sc) ** 0.5 / full_scale, 6) if sc else 0.0
+            for ss, sc in zip(seg_sums, seg_counts)
+        ]
+        duration_ms = n_frames * 1000 // rate
+        return hdr, duration_ms, feat
+
+    return parse_wav_header, wav_features
+
+
+parse_wav_header, wav_features = _make_wav_decoder()
+
+
 def _real_decode(payload: bytes) -> dict:
     """Real media decode in two tiers, no codec library needed for either:
 
@@ -294,6 +372,20 @@ def _real_decode(payload: bytes) -> dict:
     PIL/ffmpeg on the cluster image is the real dependency."""
     hdr = parse_image_header(payload)
     if hdr is None:
+        wv = wav_features(payload)
+        if wv is not None:
+            # AUDIO tier (RIFF/WAVE PCM, stdlib struct): typed metadata
+            # maps onto the fixed feature schema as width=sample_rate,
+            # height=n_channels, n_frames=audio frames; feat is the
+            # REAL 8-segment RMS energy profile
+            (mime, rate, nch, _bits, n_frames, _off, _dl), _dur, feat = wv
+            return {
+                "mime": mime,
+                "width": rate,
+                "height": nch,
+                "n_frames": n_frames,
+                "feat": feat,
+            }
         try:
             from PIL import Image  # noqa: PLC0415, F401
         except ImportError as exc:  # pragma: no cover
@@ -357,6 +449,7 @@ def extract_features(
     use_fake = use_fake_decoder
     parse_header = _make_header_parser()
     pixel_decode = _make_pixel_decoder()
+    wav_decode = _make_wav_decoder()[1]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -374,6 +467,12 @@ def extract_features(
                     # pixel tier: real dims + real color/luma features
                     return (mime, px[0], px[1], 1, px[2])
                 return (mime, width, height, 1, feat)
+            wv = wav_decode(payload)
+            if wv is not None:
+                # audio tier: width=sample_rate, height=n_channels,
+                # n_frames=audio frames, feat=8-segment RMS profile
+                (wmime, rate, nch, _b, n_fr, _o, _d), _dur, wfeat = wv
+                return (wmime, rate, nch, n_fr, wfeat)
             if not use_fake:
                 raise NotImplementedError(
                     "unrecognized container: pixel decode requires "

@@ -1447,3 +1447,74 @@ def test_temperature_mix_rebalances_toward_tail(spark):
     again = temperature_mix(df, "doc_id", "source", "w")
     assert again.select("doc_id").exceptAll(kept.select("doc_id")).count() == 0
     assert kept.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def _wav(rate=8000, samples=()):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_wav_audio_tier():
+    """RIFF/WAVE PCM is a REAL decode tier (stdlib struct): header
+    fields from the chunk walk, duration, and a genuine per-segment RMS
+    profile — silence in the first half, half-scale amplitude in the
+    second."""
+    from buskafkasparkstreaming_spark.operators.multimodal import (
+        _real_decode,
+        parse_wav_header,
+        wav_features,
+    )
+
+    samples = [0] * 400 + [16384] * 400
+    payload = _wav(8000, samples)
+    hdr = parse_wav_header(payload)
+    assert hdr[:5] == ("audio/wav", 8000, 1, 16, 800)
+    hdr2, dur_ms, feat = wav_features(payload)
+    assert dur_ms == 100
+    assert feat[:4] == [0.0] * 4
+    assert all(abs(f - 0.5) < 1e-6 for f in feat[4:])
+    d = _real_decode(payload)
+    assert (d["mime"], d["width"], d["height"], d["n_frames"]) == (
+        "audio/wav", 8000, 1, 800,
+    )
+    assert d["feat"] == feat
+    # malformed RIFFs must NOT parse: truncated, non-PCM, zero-rate
+    assert parse_wav_header(payload[:30]) is None
+    import struct as _st
+
+    nonpcm = bytearray(payload)
+    nonpcm[20:22] = _st.pack("<H", 3)  # IEEE-float format code
+    assert parse_wav_header(bytes(nonpcm)) is None
+
+
+def test_wav_strict_mode_through_map_in_pandas(spark):
+    """Strict extract_features must route WAV payloads through the audio
+    tier on executors (no fake decoder, no raise)."""
+    from buskafkasparkstreaming_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    rows = [
+        (1, bytearray(_wav(16000, [8192] * 160)), "application/octet-stream"),
+        (2, bytearray(_png(64, 32)), "image/png"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary, mime string")
+    out = {
+        r["doc_id"]: r
+        for r in extract_features(df, use_fake_decoder=False).collect()
+    }
+    assert out[1]["mime"] == "audio/wav"
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (16000, 1, 160)
+    assert all(abs(f - 0.25) < 1e-6 for f in out[1]["feat"])
+    assert out[2]["mime"] == "image/png"
