@@ -4616,6 +4616,67 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# t-digest boundary fractions (k1 scale, delta=100 -> 50 centroids):
+# q_j = (sin(2*pi*k/delta)+1)/2 at integer k-steps. Computed ONCE in
+# Python and embedded as the SAME shortest-repr literals in the engine
+# plan and the oracle SQL — both engines parse them to the identical
+# double, so ceil(n*q) rank boundaries cannot diverge by an asin/sin
+# libm ulp (the reason a transcendental computed independently on each
+# side was rejected in round 8's theta-vs-t-digest decision).
+import math as _math
+
+_TDIGEST_QS: tuple[float, ...] = tuple(
+    (_math.sin(2.0 * _math.pi * k / 100.0) + 1.0) / 2.0 for k in range(-24, 25)
+)
+
+
+def sketch_tdigest_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest with a PINNED merge order (the round-9 candidate SURVEY
+    gated on exactly this): the order-sensitivity of centroid merging
+    disappears when the digest is built over the GLOBAL rank — with unit
+    weights, k1-scale centroid boundaries are a pure function of
+    rank/n, so assignment is row-local after operators.windows_fn.
+    global_rank (range repartition + broadcast offsets — the distributed
+    sort that makes the pinned order affordable; a cluster build is one
+    rank pass + one 50-group aggregation, mergeable across batches by
+    re-ranking). Per-centroid stats are exact integers + ONE float mean
+    division; the oracle replays rank → bucket → aggregate with the
+    identical boundary literals."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    v = orders.select(
+        _cents("o_totalprice").alias("cents"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    ranked = W.global_rank(v, [F.col("cents").asc(), F.col("okey").asc()], "rn")
+    n1 = v.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    qarr = F.array(*[F.lit(q) for q in _TDIGEST_QS])
+    bucket = F.aggregate(
+        qarr,
+        F.lit(0),
+        lambda acc, q: acc
+        + F.when(F.ceil(F.col("nn") * q) < F.col("rn"), 1).otherwise(0),
+    )
+    assigned = ranked.crossJoin(F.broadcast(n1)).select(
+        "cents", bucket.cast("int").alias("centroid")
+    )
+    agg = assigned.groupBy("centroid").agg(
+        F.count(F.lit(1)).cast("long").alias("weight"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+    return agg.select(
+        "centroid",
+        "weight",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        (
+            F.col("sum_cents").cast("double") / F.col("weight").cast("double")
+        ).alias("mean_cents"),
+    )
+
+
 def q_ks_rolling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling drift monitor: an exact two-sample KS between each hour's
     event-value distribution and the PREVIOUS hour's — the continuous
@@ -5151,6 +5212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi_drift": q_psi_drift,
         "sample_temperature_mix": sample_temperature_mix,
         "q_ks_rolling_hourly": q_ks_rolling_hourly,
+        "sketch_tdigest_pinned": sketch_tdigest_pinned,
         "q_string_agg_suppliers": q_string_agg_suppliers,
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
@@ -6039,6 +6101,36 @@ def oracle_sql() -> dict[str, str]:
                        AS chars_kept,
                    max(thr_hex) AS thr_hex
             FROM kept GROUP BY source
+        """,
+        "sketch_tdigest_pinned": f"""
+            -- boundary literals are the SAME shortest-repr doubles the
+            -- engine embeds (_TDIGEST_QS) — parsed identically, so the
+            -- ceil(n*q) rank cuts cannot diverge by a libm ulp
+            WITH v AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderkey AS okey
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM v),
+            r AS (SELECT cents,
+                         row_number() OVER (ORDER BY cents ASC, okey ASC)
+                             AS rn
+                  FROM v),
+            qs AS (SELECT unnest([{", ".join(repr(q) for q in _TDIGEST_QS)}])
+                       AS q),
+            b AS (
+                SELECT r.cents, r.rn,
+                       CAST(sum(CASE WHEN ceil(nn.nn * qs.q) < r.rn
+                                     THEN 1 ELSE 0 END) AS INT) AS centroid
+                FROM r CROSS JOIN qs CROSS JOIN nn
+                GROUP BY r.cents, r.rn)
+            SELECT centroid,
+                   CAST(count(*) AS BIGINT) AS weight,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(min(cents) AS BIGINT) AS min_cents,
+                   CAST(max(cents) AS BIGINT) AS max_cents,
+                   CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mean_cents
+            FROM b GROUP BY centroid
         """,
         "q_ks_rolling_hourly": """
             WITH e AS (

