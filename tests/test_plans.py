@@ -706,3 +706,30 @@ def test_ks_plan_no_single_partition_value_axis(spark, sf_dir):
     )
     assert "rangepartitioning" in rp, rp
     assert "SinglePartition" not in rp, rp
+
+
+def test_tdigest_plan_distributed_rank(spark, sf_dir):
+    """sketch_tdigest_pinned must build on the distributed global rank:
+    NO Window operator in the final plan (bucket assignment is a
+    row-local JVM aggregate over the literal array; a row_number window
+    here would mean the single-task sort came back), no cartesian, and
+    the un-checkpointed rank lineage shows the range exchange. The one
+    SinglePartition exchange is the 1-row corpus count — input to a
+    broadcast, not a data-sized sort."""
+    from buskafkasparkstreaming_spark.operators.windows_fn import global_rank
+
+    df = entrymod.queries()["sketch_tdigest_pinned"](spark, sf_dir)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+    orders = entrymod._t(spark, sf_dir, "orders")
+    rp = explain_str(
+        global_rank(
+            orders.select("o_orderkey", "o_totalprice"),
+            [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+            "rn",
+            checkpoint=False,
+        )
+    )
+    assert "rangepartitioning" in rp, rp
+    assert "SinglePartition" not in rp, rp
