@@ -5137,6 +5137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cohort). Groups with fresh artifacts (r5, r7) follow outside the
     # window. tests/test_oracle_parity.py checks ALL oracle entries every
     # run regardless of order.
+    # THIRD WAVE (TPC-H closure, sliding funnel, KS/PSI/rolling-KS,
+    # temperature mix, pinned t-digest — 15 entries) landed AFTER this
+    # window was locked: they sit at positions 51+ (local oracle gate
+    # only this round) and MUST lead the round-9 window, per the
+    # staleness-first rule (never-driver-seen outranks everything).
     return {
         # --- new in round 8 (never driver-verified -- must lead) ------
         "sketch_theta_intersection": sketch_theta_intersection,
