@@ -5122,6 +5122,21 @@ def q_funnel_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity self-join
+    (operators/dedup.py::prefix_filter_jaccard_pairs): candidate pairs come
+    from joining only each document's rarest-first PREFIX tokens (length
+    n − ceil(t·n) + 1 under the global df-ascending order), then exact
+    Jaccard verification. The ORACLE is the EXHAUSTIVE all-pairs join
+    (`_ngram_pairs_sql` with no cap) — a hash match proves the prefix
+    lemma held (no false negatives) and the verification killed every
+    false positive, i.e. the pruned plan is bit-identical to brute force.
+    The third set-similarity tier next to the max_df inverted index and
+    MinHash-LSH: exact like the former, prefix-pruned like the latter."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -5144,6 +5159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # staleness-first rule (never-driver-seen outranks everything).
     return {
         # --- new in round 8 (never driver-verified -- must lead) ------
+        "dedup_prefix_filter": dedup_prefix_filter,
         "sketch_theta_intersection": sketch_theta_intersection,
         "pack_ffd_bins": pack_ffd_bins,
         "streaming_session_topk": streaming_session_topk,
@@ -8091,6 +8107,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dedup_ngram_jaccard": _ngram_pairs_sql(0.05, 1000),
+        # exhaustive (uncapped) all-pairs join: a hash match proves the
+        # prefix-filter plan found EVERY qualifying pair (prefix lemma) and
+        # no spurious one (exact verification)
+        "dedup_prefix_filter": _ngram_pairs_sql(0.5, None),
         "dedup_minhash_lsh": f"""
             SELECT id_a, id_b, jaccard,
                    true AS found_by_lsh,

@@ -1043,3 +1043,104 @@ def lsh_candidate_pairs_incremental(
         "corpus_id",
         (matches.cast("double") / n.cast("double")).alias("est_jaccard"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity self-join: all pairs
+    (a < b) with Jaccard(shingles_a, shingles_b) >= threshold, found by
+    joining only each document's PREFIX tokens instead of its full
+    inverted-index postings.
+
+    The classic prefix-filter principle (Chaudhuri et al. SSJoin /
+    Xiao et al. PPJoin): order the token universe globally by ascending
+    document frequency (rarest first, ties on the token string), sort each
+    doc's tokens in that order, and keep only the first
+    ``n - ceil(threshold * n) + 1`` tokens as the doc's prefix. Any pair
+    with Jaccard >= threshold MUST share at least one prefix token, so the
+    candidate join runs prefix x prefix — and because prefixes are by
+    construction the RAREST tokens, per-token join fan-out collapses
+    versus the full inverted index (the boilerplate/stop-shingle problem
+    that `ngram_jaccard_pairs` needs `max_df` for simply never enters the
+    index here: high-df tokens sort to the END of each doc and fall
+    outside every prefix for any doc with more than a handful of tokens).
+    A length filter (threshold * n_b <= n_a <= n_b / threshold) prunes
+    size-incompatible candidates before verification.
+
+    Verification is exact: candidates re-join both docs' FULL token sets,
+    count the intersection, and compute true Jaccard — so the output is
+    bit-identical to the exhaustive all-pairs result (no false negatives
+    by the prefix lemma, false positives removed by the exact check).
+
+    Scale shape: one explode + df-count (two shuffles over the token
+    stream), a per-doc window to rank tokens (partitioned BY DOC — each
+    partition is one doc's token list, never a global sort), a
+    prefix-only self-join whose fan-out is Sum_{rare tokens} df^2 (small
+    by Zipf: rare-first ordering caps df at the low end), and a
+    candidates x doc-size verification join. No all-pairs path exists.
+
+    Output: (id_a, id_b, jaccard).
+    """
+    sh = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, k)).alias("__s"),
+    )
+    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        sh.join(dfreq, "__s")
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(
+                    F.col("__df").asc(), F.col("__s").asc()
+                )
+            ),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    )
+    prefix = ranked.filter(
+        F.col("__pos")
+        <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + F.lit(1)
+    ).select("doc", "__s", "__n")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="__s")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        # length filter: Jaccard >= t forces t*n_b <= n_a and t*n_a <= n_b
+        .filter(
+            (F.lit(threshold) * F.col("b.__n") <= F.col("a.__n"))
+            & (F.lit(threshold) * F.col("a.__n") <= F.col("b.__n"))
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.__n").alias("n_a"),
+            F.col("b.__n").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    toks = sh  # full (doc, token) stream for exact verification
+    common = (
+        cand.join(toks.alias("ta"), cand["id_a"] == F.col("ta.doc"))
+        .join(
+            toks.alias("tb"),
+            (cand["id_b"] == F.col("tb.doc"))
+            & (F.col("ta.__s") == F.col("tb.__s")),
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
