@@ -5137,6 +5137,54 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5)
 
 
+def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (operators/layout.py::write_bucketed):
+    orders and customer are written as 8-bucket catalog tables hashed on
+    the customer key, then joined bucket-to-bucket and aggregated to
+    revenue + order count per market segment. The join itself needs NO
+    Exchange on either side (plan-gated in tests/test_plans.py with
+    broadcast disabled): bucketing pays the shuffle once at WRITE time —
+    on a 100 TB fact table joined on the same key by every downstream run,
+    this is the single most effective layout lever Spark offers. The timed
+    path includes both bucketed writes, honestly measuring the layout
+    cost. Table names and paths are PID-namespaced (the
+    manifest_time_travel pattern) so concurrent runs never collide."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from buskafkasparkstreaming_spark.operators.layout import write_bucketed
+
+    pid = os.getpid()
+    prefix = f"bss_bkt_{pid}_"
+    for old in _glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        _shutil.rmtree(old, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix=prefix)
+    t_orders = f"bss_bkt_orders_{pid}"
+    t_cust = f"bss_bkt_customer_{pid}"
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    cust = _t(spark, sf_dir, "customer")
+    write_bucketed(
+        orders, t_orders, os.path.join(base, "orders"), "o_custkey", 8
+    )
+    write_bucketed(
+        cust, t_cust, os.path.join(base, "customer"), "c_custkey", 8
+    )
+    j = spark.table(t_orders).join(
+        spark.table(t_cust),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).cast("long").alias("revenue_cents"),
+        )
+        .select("c_mktsegment", "n_orders", "revenue_cents")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -5160,6 +5208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 8 (never driver-verified -- must lead) ------
         "dedup_prefix_filter": dedup_prefix_filter,
+        "lake_bucketed_join": lake_bucketed_join,
         "sketch_theta_intersection": sketch_theta_intersection,
         "pack_ffd_bins": pack_ffd_bins,
         "streaming_session_topk": streaming_session_topk,
@@ -8111,6 +8160,15 @@ def oracle_sql() -> dict[str, str]:
         # prefix-filter plan found EVERY qualifying pair (prefix lemma) and
         # no spurious one (exact verification)
         "dedup_prefix_filter": _ngram_pairs_sql(0.5, None),
+        "lake_bucketed_join": f"""
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum({SQL_CENTS.format(x='o.o_totalprice')}) AS BIGINT)
+                       AS revenue_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_custkey IS NOT NULL
+            GROUP BY 1
+        """,
         "dedup_minhash_lsh": f"""
             SELECT id_a, id_b, jaccard,
                    true AS found_by_lsh,

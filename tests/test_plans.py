@@ -13,6 +13,7 @@ from buskafkasparkstreaming_spark.plans import (
     assert_pushed_filters,
     assert_wholestage_codegen,
     explain_str,
+    physical_plan,
 )
 
 
@@ -733,3 +734,43 @@ def test_tdigest_plan_distributed_rank(spark, sf_dir):
     )
     assert "rangepartitioning" in rp, rp
     assert "SinglePartition" not in rp, rp
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """lake_bucketed_join's promise: joining two tables bucketed on the
+    same key (same bucket count) needs NO Exchange on either join side —
+    the shuffle was paid at write time. With broadcast disabled (forcing
+    the sort-merge path the 100 TB case would take), the physical plan
+    between the scans and the join must contain zero Exchange operators;
+    the only Exchange allowed in the whole plan is the final
+    per-mktsegment aggregation."""
+    import os
+    import tempfile
+
+    from buskafkasparkstreaming_spark.operators.layout import write_bucketed
+
+    orders = entrymod._t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    cust = entrymod._t(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix=f"bss_bktgate_{os.getpid()}_")
+    write_bucketed(orders, "bss_gate_orders", os.path.join(base, "o"), "o_custkey", 8)
+    write_bucketed(cust, "bss_gate_customer", os.path.join(base, "c"), "c_custkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bss_gate_orders").join(
+            spark.table("bss_gate_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        p = physical_plan(j)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        # the aggregate on a NON-bucket column does shuffle -- exactly once
+        agg = j.groupBy("c_mktsegment").count()
+        pa = physical_plan(agg)
+        assert pa.count("Exchange") == 1, pa
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bss_gate_orders")
+        spark.sql("DROP TABLE IF EXISTS bss_gate_customer")
