@@ -5185,6 +5185,52 @@ def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten (cdc/upsert.py::purge_keys): build the
+    canonical latest-state table from events (key user_id, precombine ts,
+    partitioned by event_type), then PHYSICALLY purge every user_id
+    divisible by 7 — partition-scoped file rewrite through the
+    write-ahead-manifest commit, then vacuum of archived versions, so no
+    retained byte on disk still carries the purged keys (a tombstone
+    merge would only mask them). The oracle replays latest-state
+    precombine over events minus the purge set — a hash match proves the
+    rewrite dropped exactly the purged keys and nothing else."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from buskafkasparkstreaming_spark.cdc.upsert import UpsertTable
+
+    prefix = f"bss_purge_{os.getpid()}_"
+    for old in _glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        _shutil.rmtree(old, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select("user_id", "event_id", "ts", "value", "event_type")
+    t = UpsertTable(
+        spark,
+        tempfile.mkdtemp(prefix=prefix),
+        key_cols="user_id",
+        precombine_col="ts",
+        partition_col="event_type",
+        tiebreak_cols=["event_id"],
+    )
+    t.merge(ev)
+    purge_set = ev.select("user_id").filter(
+        F.col("user_id") % 7 == 0
+    ).dropDuplicates(["user_id"])
+    t.purge_keys(purge_set)
+    return t.read().select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -5209,6 +5255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 8 (never driver-verified -- must lead) ------
         "dedup_prefix_filter": dedup_prefix_filter,
         "lake_bucketed_join": lake_bucketed_join,
+        "cdc_purge_keys": cdc_purge_keys,
         "sketch_theta_intersection": sketch_theta_intersection,
         "pack_ffd_bins": pack_ffd_bins,
         "streaming_session_topk": streaming_session_topk,
@@ -8168,6 +8215,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE o.o_custkey IS NOT NULL
             GROUP BY 1
+        """,
+        "cdc_purge_keys": """
+            -- latest-state precombine (ts DESC, event_id DESC) over the
+            -- non-null-key events, minus the purged user_id % 7 = 0 set
+            SELECT user_id, event_id, event_type
+            FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_type IS NOT NULL)
+            WHERE rn = 1 AND user_id % 7 <> 0
         """,
         "dedup_minhash_lsh": f"""
             SELECT id_a, id_b, jaccard,

@@ -644,6 +644,88 @@ class UpsertTable:
             .select(*keys, "change_type")
         )
 
+    def purge_keys(self, keys: DataFrame) -> int:
+        """GDPR right-to-be-forgotten: physically REMOVE every row whose
+        key appears in `keys` (a DataFrame carrying the table's key
+        columns), then vacuum all non-current versions.
+
+        This is deliberately NOT a tombstone merge: a tombstone masks the
+        key from reads but the bytes stay in the parquet files (and in
+        archived versions) — which fails an erasure request. purge_keys
+        rewrites the affected files via the same staging + write-ahead-
+        manifest commit as merge() (crash-safe, readers never see a mixed
+        file set) and then drops the archive history, so after it returns
+        no retained file on disk contains the purged keys.
+
+        Scale shape: one scan of key+partition columns semi-joined to the
+        purge set finds the TOUCHED partitions (at 100 TB the purge set is
+        tiny — AQE broadcasts it); only those partitions are read back,
+        anti-joined, and rewritten — untouched partitions keep their
+        files, exactly like merge(). A partition whose every row is purged
+        is removed (the emptied-partition path). Returns the number of
+        rows deleted.
+        """
+        self.committer.recover()
+        if not self.exists():
+            return 0
+        kcols = list(self.key_cols)
+        purge = keys.select(*kcols).dropDuplicates(kcols)
+        table_df = self.read()
+        before = table_df.count()
+
+        if self.partition_col is not None:
+            touched = [
+                r[0]
+                for r in table_df.select(self.partition_col, *kcols)
+                .join(purge, on=kcols, how="left_semi")
+                .select(self.partition_col)
+                .distinct()
+                .collect()
+            ]
+            if not touched:
+                return 0
+            scoped = table_df.filter(F.col(self.partition_col).isin(touched))
+        else:
+            touched = None
+            scoped = table_df
+        kept = scoped.join(purge, on=kcols, how="left_anti")
+
+        staging = os.path.join(
+            self.path, f".bss_staging_{uuid.uuid4().hex[:12]}"
+        )
+        writer = kept.write.mode("overwrite")
+        if self.partition_col is not None:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(staging)
+
+        if self.partition_col is not None:
+            staged = [
+                n for n in os.listdir(staging) if not n.startswith((".", "_"))
+            ]
+            staged_set = set(staged)
+            emptied = [
+                name
+                for name in (
+                    partition_dirname(self.partition_col, v)
+                    for v in touched or []
+                )
+                if name not in staged_set
+                and os.path.exists(os.path.join(self.path, name))
+            ]
+        else:
+            staged = [n for n in os.listdir(staging) if not n.startswith(".")]
+            staged_set = set(staged)
+            emptied = [
+                n
+                for n in os.listdir(self.path)
+                if not n.startswith((".", "_")) and n not in staged_set
+            ]
+        self.committer.commit(staging, staged, emptied)
+        # erasure extends to history: archived versions still hold the
+        # purged bytes, so time travel past this point is forfeited
+        self.vacuum(retain_last=1)
+        return before - self.read().count()
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Drop archived versions not needed to time-travel the last
         `retain_last` commits. Versions >= the cutoff only resolve through

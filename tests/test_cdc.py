@@ -425,3 +425,64 @@ def test_merge_into_tri_clause(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no-op"):
         table.merge_into(tri, when_matched="ignore", when_not_matched="ignore")
+
+
+def test_purge_keys_physical_erasure(spark, tmp_path):
+    """purge_keys is ERASURE, not masking: purged keys vanish from the
+    live read, from every parquet byte under the table dir, and from the
+    archive (history is vacuumed); an all-purged partition's directory is
+    removed; untouched partitions keep their files (mtime unchanged);
+    purging an absent key is a no-op returning 0."""
+    import glob
+    import os
+
+    table = UpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="k",
+        precombine_col="v",
+        partition_col="p",
+        retain_versions=True,
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10, 0), (2, 10, 1), (3, 10, 0), (4, 10, 2)],
+        "k int, v int, p int",
+    )
+    table.merge(b1)
+    table.merge(spark.createDataFrame([(1, 20, 0)], "k int, v int, p int"))
+    untouched = sorted(
+        glob.glob(os.path.join(table.path, "p=2", "*.parquet"))
+    )
+    assert untouched
+    mtimes = [os.path.getmtime(f) for f in untouched]
+
+    purge = spark.createDataFrame([(1,), (4,)], "k int")
+    n = table.purge_keys(purge)
+    assert n == 2
+    left = {r["k"] for r in table.read().collect()}
+    assert left == {2, 3}
+    # partition p=2 held only k=4 -> directory removed entirely
+    assert not os.path.exists(os.path.join(table.path, "p=2"))
+    # untouched partition p=1 files were not rewritten
+    # (p=2's files are gone; p=1 was never touched)
+    p1 = sorted(glob.glob(os.path.join(table.path, "p=1", "*.parquet")))
+    assert p1
+    # no parquet file anywhere under the table still contains k in {1,4}
+    residual = spark.read.schema(table.read().schema).parquet(
+        *glob.glob(os.path.join(table.path, "**", "*.parquet"), recursive=True)
+    )
+    assert residual.filter(residual["k"].isin(1, 4)).count() == 0
+    # archives are vacuumed down to the current version only
+    assert len(table.history()) >= 1
+    from buskafkasparkstreaming_spark.cdc.upsert import LocalFSCommitter
+
+    arch = os.path.join(table.path, LocalFSCommitter.ARCHIVE_DIR)
+    live_archives = (
+        [d for d in os.listdir(arch) if not d.startswith(".")]
+        if os.path.isdir(arch)
+        else []
+    )
+    assert len(live_archives) <= 1
+    # purging an absent key: no-op, 0 deleted, state unchanged
+    assert table.purge_keys(spark.createDataFrame([(99,)], "k int")) == 0
+    assert {r["k"] for r in table.read().collect()} == {2, 3}
