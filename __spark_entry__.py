@@ -5231,6 +5231,244 @@ def cdc_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy and mutual information profiling — the
+    data-quality numbers a training-data pipeline tracks per column pair
+    (is this feature informative? did a join collapse its distribution?):
+    H(event_type), H(hour-of-day), and MI(event_type; hour) in nats over
+    the events table. Every probability is an exact integer ratio; every
+    ln argument is ONE identically-derived double (integer cross-products,
+    one division); every term is floored to 1e-6 fixed point BEFORE the
+    integer sum — the PSI/bm25 idiom that absorbs last-ulp libm
+    differences between engines. Plan: one shuffle (groupBy type,hour);
+    the marginals/total derive from that tiny cell frame."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"), F.hour("ts").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    nx = cells.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
+    ny = cells.groupBy("y").agg(F.sum("nxy").cast("long").alias("ny"))
+    tot = cells.agg(F.sum("nxy").cast("long").alias("n"))
+
+    # H(X)*n*1e6 = n*floor(ln(n)*1e6) - sum_x floor(nx*ln(nx)*1e6)
+    def _h_fp(marg: DataFrame, c: str) -> DataFrame:
+        return marg.agg(
+            F.sum(
+                F.floor(
+                    F.col(c).cast("double") * F.log(F.col(c).cast("double"))
+                    * F.lit(1e6)
+                ).cast("long")
+            ).alias("s")
+        )
+
+    hx = _h_fp(nx, "nx").select(F.col("s").alias("sx"))
+    hy = _h_fp(ny, "ny").select(F.col("s").alias("sy"))
+    mi_terms = (
+        cells.join(F.broadcast(nx), "x")
+        .join(F.broadcast(ny), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                (F.col("nxy").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    (F.col("n") * F.col("nxy")).cast("double")
+                    / (F.col("nx") * F.col("ny")).cast("double")
+                )
+                * F.lit(1e6)
+            ).cast("long").alias("tfp")
+        )
+    )
+    mi = mi_terms.agg(F.sum("tfp").cast("long").alias("mi_fp"))
+    lnn_fp = F.floor(F.log(F.col("n").cast("double")) * F.lit(1e6)).cast(
+        "long"
+    )
+    return (
+        tot.crossJoin(hx).crossJoin(hy).crossJoin(mi)
+        .select(
+            F.col("n"),
+            (lnn_fp * F.col("n") - F.col("sx")).alias("h_type_fp"),
+            (lnn_fp * F.col("n") - F.col("sy")).alias("h_hour_fp"),
+            "mi_fp",
+            (
+                (lnn_fp * F.col("n") - F.col("sx")).cast("double")
+                / (F.col("n").cast("double") * 1e6)
+            ).alias("h_type"),
+            (
+                (lnn_fp * F.col("n") - F.col("sy")).cast("double")
+                / (F.col("n").cast("double") * 1e6)
+            ).alias("h_hour"),
+            (F.col("mi_fp").cast("double") / 1e6).alias("mi_nats"),
+        )
+    )
+
+
+def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1–3) of the hourly event-count
+    series — the seasonality probe a forecasting pipeline runs before
+    picking features. The series is GAPFILLED to a dense hour axis (zero
+    rows count), indexed by integer epoch-hour; each lag's numerator and
+    the shared denominator are exact integer moments multiplied through
+    by H² (the corr technique, DECIMAL(38,0) for the H²·Σyy products);
+    the ACF value is ONE double division per lag. The hour axis has one
+    row per HOUR in the data's span — bounded by the time domain, not the
+    row count — so the lag self-joins are over a tiny frame; the only
+    data-sized operation is the initial groupBy(hour)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        (bssf.ts_millis(F.col("ts")) / F.lit(3600000)).cast("long").alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    bounds = hourly.agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("t0"), F.col("t1"))).alias("t")
+    )
+    dense = (
+        spine.join(hourly, "t", "left")
+        .select("t", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    glob = dense.agg(
+        F.count(F.lit(1)).cast("long").alias("hh"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast(dec).alias("q"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("long").alias("lag"))
+    a = dense.alias("a")
+    b = dense.alias("b")
+    pairs = (
+        lags.join(a, how="cross")
+        .join(
+            b,
+            F.col("b.t") == F.col("a.t") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.sum(
+                (F.col("a.y") * F.col("b.y")).cast(dec)
+            ).cast(dec).alias("sab"),
+            F.sum(F.col("a.y")).cast("long").alias("sa"),
+            F.sum(F.col("b.y")).cast("long").alias("sb"),
+        )
+    )
+    j = pairs.crossJoin(F.broadcast(glob))
+    hh, s = F.col("hh").cast(dec), F.col("s").cast(dec)
+    num = (
+        hh * hh * F.col("sab")
+        - hh * s * (F.col("sa") + F.col("sb")).cast(dec)
+        + F.col("np").cast(dec) * s * s
+    )
+    den = hh * hh * F.col("q") - hh * s * s
+    return j.select(
+        "lag",
+        F.col("hh").alias("n_hours"),
+        (num.cast("double") / den.cast("double")).alias("acf"),
+    ).orderBy("lag")
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection, ENTIRELY in integers (no float
+    anywhere): per (day, hour-of-day) event counts, flagged when the
+    count deviates from its own hour-of-day's cross-day mean by more than
+    2 standard deviations. The 2σ test (y − S/c)² > 4·(cQ − S²)/c² is
+    multiplied through by c²: (y·c − S)² > 4·(c·Q − S²), every side an
+    exact DECIMAL(38,0) — the two engines cannot diverge even in the last
+    bit. The same-hour-yesterday baseline every ops dashboard runs, as
+    one groupBy + one bounded-axis aggregate (hours-of-day = 24 rows)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cell = ev.groupBy(
+        F.to_date("ts").alias("d"), F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    base = cell.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    dec = "decimal(38,0)"
+    j = cell.join(F.broadcast(base), "h").filter(F.col("c") >= 2)
+    lhs = (F.col("y").cast(dec) * F.col("c").cast(dec) - F.col("s").cast(dec))
+    rhs = F.lit(4).cast(dec) * (
+        F.col("c").cast(dec) * F.col("q") - F.col("s").cast(dec) * F.col("s").cast(dec)
+    )
+    return (
+        j.filter(lhs * lhs > rhs)
+        .select(
+            "d",
+            "h",
+            "y",
+            (F.col("y") * F.col("c") > F.col("s")).alias("above"),
+        )
+    )
+
+
+def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2-style bigram overlap scoring between consecutive documents
+    of each source (the next doc_id under a per-source window — a
+    deterministic linear pair stream, NOT a pair blow-up): set-based
+    precision |A∩B|/|A|, recall |A∩B|/|B| and their F1 over distinct word
+    bigrams. The summarization-eval metric applied as a corpus
+    diagnostic: adjacent near-identical crawl records score F1→1. All
+    counts are exact integers; P/R/F1 are single divisions. Pairs whose
+    either side has zero bigrams are excluded (contentless docs carry no
+    signal; the word_shingles NULL guard rationale)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(D.word_shingles("text", 2)).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    pairs = (
+        docs.select("doc_id", "source")
+        .withColumn("id_b", F.lead("doc_id", 1).over(w))
+        .filter(F.col("id_b").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("id_b2"), F.col("g").alias("gb"))
+    inter = (
+        pairs.join(ga, "id_a")
+        .join(
+            gb,
+            (F.col("id_b") == F.col("id_b2")) & (F.col("ga") == F.col("gb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_g").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_g").alias("n_b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / F.col("n_a").cast("double")
+            ).alias("rouge_p"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / F.col("n_b").cast("double")
+            ).alias("rouge_r"),
+            (
+                F.lit(2.0) * F.coalesce("n_common", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b")).cast("double")
+            ).alias("rouge_f1"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -5256,6 +5494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_filter": dedup_prefix_filter,
         "lake_bucketed_join": lake_bucketed_join,
         "cdc_purge_keys": cdc_purge_keys,
+        "q_entropy_mi": q_entropy_mi,
+        "q_acf_hourly": q_acf_hourly,
+        "q_seasonal_anomaly": q_seasonal_anomaly,
+        "text_rouge_overlap": text_rouge_overlap,
         "sketch_theta_intersection": sketch_theta_intersection,
         "pack_ffd_bins": pack_ffd_bins,
         "streaming_session_topk": streaming_session_topk,
@@ -8228,6 +8470,153 @@ def oracle_sql() -> dict[str, str]:
                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
                       AND event_type IS NOT NULL)
             WHERE rn = 1 AND user_id % 7 <> 0
+        """,
+        "q_entropy_mi": """
+            -- entropy / MI from exact counts; each ln takes ONE
+            -- identically-derived double; 1e-6 fixed-point floors before
+            -- integer sums (the PSI idiom)
+            WITH ev AS (
+                SELECT event_type AS x, hour(CAST(ts AS TIMESTAMP)) AS y
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            cells AS (
+                SELECT x, y, CAST(count(*) AS BIGINT) AS nxy
+                FROM ev GROUP BY 1, 2),
+            nx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+                   FROM cells GROUP BY x),
+            ny AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny
+                   FROM cells GROUP BY y),
+            tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+            sx AS (SELECT CAST(sum(CAST(floor(
+                       CAST(nx AS DOUBLE) * ln(CAST(nx AS DOUBLE)) * 1e6)
+                       AS BIGINT)) AS BIGINT) AS sx FROM nx),
+            sy AS (SELECT CAST(sum(CAST(floor(
+                       CAST(ny AS DOUBLE) * ln(CAST(ny AS DOUBLE)) * 1e6)
+                       AS BIGINT)) AS BIGINT) AS sy FROM ny),
+            mi AS (
+                SELECT CAST(sum(CAST(floor(
+                           (CAST(c.nxy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                           * ln(CAST(t.n * c.nxy AS DOUBLE)
+                                / CAST(nx.nx * ny.ny AS DOUBLE))
+                           * 1e6) AS BIGINT)) AS BIGINT) AS mi_fp
+                FROM cells c
+                JOIN nx ON c.x = nx.x
+                JOIN ny ON c.y = ny.y
+                CROSS JOIN tot t),
+            lnn AS (SELECT CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS lf FROM tot)
+            SELECT t.n,
+                   CAST(lnn.lf * t.n - sx.sx AS BIGINT) AS h_type_fp,
+                   CAST(lnn.lf * t.n - sy.sy AS BIGINT) AS h_hour_fp,
+                   mi.mi_fp,
+                   CAST(lnn.lf * t.n - sx.sx AS DOUBLE)
+                       / (CAST(t.n AS DOUBLE) * 1e6) AS h_type,
+                   CAST(lnn.lf * t.n - sy.sy AS DOUBLE)
+                       / (CAST(t.n AS DOUBLE) * 1e6) AS h_hour,
+                   CAST(mi.mi_fp AS DOUBLE) / 1e6 AS mi_nats
+            FROM tot t, sx, sy, mi, lnn
+        """,
+        "q_acf_hourly": """
+            -- dense hourly series; exact integer moments x H^2 in
+            -- DECIMAL(38,0); one double division per lag
+            WITH hourly AS (
+                SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000
+                            AS BIGINT) AS t,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            bounds AS (SELECT min(t) AS t0, max(t) AS t1 FROM hourly),
+            spine AS (SELECT unnest(range(t0, t1 + 1)) AS t FROM bounds),
+            dense AS (
+                SELECT s.t, coalesce(h.y, 0) AS y
+                FROM spine s LEFT JOIN hourly h ON s.t = h.t),
+            gtot AS (
+                SELECT CAST(count(*) AS BIGINT) AS hh,
+                       CAST(sum(y) AS BIGINT) AS s,
+                       CAST(sum(CAST(y * y AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS q
+                FROM dense),
+            lags AS (SELECT unnest([1, 2, 3]) AS lag),
+            pairs AS (
+                SELECT l.lag,
+                       CAST(count(*) AS BIGINT) AS np,
+                       CAST(sum(CAST(a.y * b.y AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS sab,
+                       CAST(sum(a.y) AS BIGINT) AS sa,
+                       CAST(sum(b.y) AS BIGINT) AS sb
+                FROM lags l
+                JOIN dense a ON true
+                JOIN dense b ON b.t = a.t + l.lag
+                GROUP BY l.lag)
+            SELECT CAST(p.lag AS BIGINT) AS lag,
+                   g.hh AS n_hours,
+                   CAST(CAST(g.hh AS DECIMAL(38,0)) * g.hh * p.sab
+                        - CAST(g.hh AS DECIMAL(38,0)) * g.s * (p.sa + p.sb)
+                        + CAST(p.np AS DECIMAL(38,0)) * g.s * g.s
+                        AS DOUBLE)
+                   / CAST(CAST(g.hh AS DECIMAL(38,0)) * g.hh * g.q
+                          - CAST(g.hh AS DECIMAL(38,0)) * g.s * g.s
+                          AS DOUBLE) AS acf
+            FROM pairs p CROSS JOIN gtot g
+            ORDER BY lag
+        """,
+        "q_seasonal_anomaly": """
+            -- pure-integer 2-sigma test: (y*c - S)^2 > 4*(c*Q - S^2)
+            WITH cell AS (
+                SELECT CAST(ts AS DATE) AS d,
+                       hour(CAST(ts AS TIMESTAMP)) AS h,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            base AS (
+                SELECT h, CAST(count(*) AS BIGINT) AS c,
+                       CAST(sum(y) AS BIGINT) AS s,
+                       CAST(sum(CAST(y * y AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS q
+                FROM cell GROUP BY h)
+            SELECT cell.d, cell.h, cell.y,
+                   cell.y * base.c > base.s AS above
+            FROM cell JOIN base ON cell.h = base.h
+            WHERE base.c >= 2
+              AND (CAST(cell.y AS DECIMAL(38,0)) * base.c - base.s)
+                  * (CAST(cell.y AS DECIMAL(38,0)) * base.c - base.s)
+                  > 4 * (CAST(base.c AS DECIMAL(38,0)) * base.q
+                         - CAST(base.s AS DECIMAL(38,0)) * base.s)
+        """,
+        "text_rouge_overlap": f"""
+            -- consecutive-doc bigram overlap; set-based P/R/F1 from
+            -- exact counts, single divisions
+            WITH w AS (SELECT doc_id, source, {WORDS} AS ws FROM documents
+                       WHERE trim(coalesce(text, '')) <> ''),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[g:g+1], ' ') AS g
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, greatest(len(ws) - 1, 1) + 1)) AS g
+                      FROM w)),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g
+                      FROM grams GROUP BY doc_id),
+            pairs AS (
+                SELECT doc_id AS id_a,
+                       lead(doc_id) OVER (PARTITION BY source
+                                          ORDER BY doc_id ASC) AS id_b
+                FROM documents),
+            p2 AS (SELECT id_a, id_b FROM pairs WHERE id_b IS NOT NULL),
+            inter AS (
+                SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_common
+                FROM p2 p
+                JOIN grams a ON a.doc_id = p.id_a
+                JOIN grams b ON b.doc_id = p.id_b AND a.g = b.g
+                GROUP BY 1, 2)
+            SELECT p.id_a, p.id_b,
+                   coalesce(i.n_common, 0) AS n_common,
+                   CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                       / CAST(sa.n_g AS DOUBLE) AS rouge_p,
+                   CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                       / CAST(sb.n_g AS DOUBLE) AS rouge_r,
+                   2.0 * CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                       / CAST(sa.n_g + sb.n_g AS DOUBLE) AS rouge_f1
+            FROM p2 p
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
         """,
         "dedup_minhash_lsh": f"""
             SELECT id_a, id_b, jaccard,
