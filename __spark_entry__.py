@@ -5472,23 +5472,21 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
-    # round so every entry gets a driver-verified row regularly. Round 8
-    # rotation is STALENESS-FIRST, computed from the on-disk
-    # CORRECTNESS_r0*.json artifacts (the r6 file was never preserved, so
-    # its 16 entries count as artifact-less): the 24 new r8 entries lead
-    # (never driver-verified — they outrank everything), then the 4
-    # entries whose semantics/plan changed this round (incl.
-    # dedup_ngram_jaccard's AQE sizes-join replan), then the 16
-    # artifact-less, then the r2-stale head up to the 50 cut (6 of 14 fit
-    # this round; the remainder lead the round-9 window with the r4-stale
-    # cohort). Groups with fresh artifacts (r5, r7) follow outside the
-    # window. tests/test_oracle_parity.py checks ALL oracle entries every
-    # run regardless of order.
-    # THIRD WAVE (TPC-H closure, sliding funnel, KS/PSI/rolling-KS,
-    # temperature mix, pinned t-digest — 15 entries) landed AFTER this
-    # window was locked: they sit at positions 51+ (local oracle gate
-    # only this round) and MUST lead the round-9 window, per the
-    # staleness-first rule (never-driver-seen outranks everything).
+    # round so every entry gets a driver-verified row regularly, computed
+    # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
+    # (never-driver-seen outranks everything, then entries whose
+    # semantics/plan changed this round, then artifact-less — the r6 file
+    # was never preserved — then oldest-artifact-first).
+    # Round-8 final rotation: the driver never ran mid-round, so ALL 46
+    # never-seen r8 entries fit the window — 24 first-wave + 15 third-wave
+    # (TPC-H closure, sliding funnel, KS/PSI/rolling-KS, temperature mix,
+    # pinned t-digest) + 7 session-4 additions (PPJoin prefix filter,
+    # bucketed join, GDPR purge, entropy/MI, ACF, seasonal anomaly,
+    # ROUGE-2) — plus the 4 changed entries = exactly 50. The 16
+    # artifact-less r6 entries, the 8 remaining r2-stale and the r4-stale
+    # cohort sit below the cut (all locally green via
+    # tests/test_oracle_parity.py, which checks ALL oracle entries every
+    # run regardless of order) and lead the round-9 window in that order.
     return {
         # --- new in round 8 (never driver-verified -- must lead) ------
         "dedup_prefix_filter": dedup_prefix_filter,
@@ -5522,11 +5520,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_idle_rich_customers": q22_idle_rich_customers,
         "q_funnel_timeout": q_funnel_timeout,
+        # --- round-8 third wave + session-4 additions (never
+        # driver-verified -- inside the window with the rest) -----------
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_ship_classes": q12_late_ship_classes,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q19_or_predicate_revenue": q19_or_predicate_revenue,
+        "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
+        "q_funnel_sliding_windows": q_funnel_sliding_windows,
+        "q_ks_two_sample": q_ks_two_sample,
+        "q_psi_drift": q_psi_drift,
+        "sample_temperature_mix": sample_temperature_mix,
+        "q_ks_rolling_hourly": q_ks_rolling_hourly,
+        "sketch_tdigest_pinned": sketch_tdigest_pinned,
         # --- changed this round (r7/r4-green, semantics/plan edited) --
         "q_regr_slope_exact": q_regr_slope_exact,
         "q_rfm_segments": q_rfm_segments,
         "q_chi2_independence": q_chi2_independence,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        # ===== DRIVER WINDOW CUT: entries above are the 50 the sweep
+        # checks (46 never-driver-seen + 4 changed); everything below is
+        # locally green via tests/test_oracle_parity.py and leads the
+        # round-9 window (16 artifact-less r6, then r2-stale, then
+        # r4-stale) =====================================================
         # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
@@ -5552,26 +5572,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_rollup_status_priority": q_rollup_status_priority,
         "q_cube_status_priority": q_cube_status_priority,
-        # --- round-8 third wave (added AFTER the 50-entry driver window
-        # was locked — local oracle-parity gate only this round; these
-        # lead the round-9 window together with the r2/r4-stale cohort):
-        # TPC-H shape closure Q8/Q9/Q11/Q12/Q15/Q16/Q17/Q19/Q20 (all 22
-        # shapes now represented) + the sliding-cohort funnel ----------
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_ship_classes": q12_late_ship_classes,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_qty_revenue": q17_small_qty_revenue,
-        "q19_or_predicate_revenue": q19_or_predicate_revenue,
-        "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
-        "q_funnel_sliding_windows": q_funnel_sliding_windows,
-        "q_ks_two_sample": q_ks_two_sample,
-        "q_psi_drift": q_psi_drift,
-        "sample_temperature_mix": sample_temperature_mix,
-        "q_ks_rolling_hourly": q_ks_rolling_hourly,
-        "sketch_tdigest_pinned": sketch_tdigest_pinned,
         "q_string_agg_suppliers": q_string_agg_suppliers,
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
