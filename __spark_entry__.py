@@ -5138,23 +5138,24 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed co-located join (operators/layout.py::write_bucketed):
-    orders and customer are written as 8-bucket catalog tables hashed on
-    the customer key, then joined bucket-to-bucket and aggregated to
-    revenue + order count per market segment. The join itself needs NO
-    Exchange on either side (plan-gated in tests/test_plans.py with
-    broadcast disabled): bucketing pays the shuffle once at WRITE time —
-    on a 100 TB fact table joined on the same key by every downstream run,
-    this is the single most effective layout lever Spark offers. The timed
-    path includes both bucketed writes, honestly measuring the layout
-    cost. Table names and paths are PID-namespaced (the
-    manifest_time_travel pattern) so concurrent runs never collide."""
+    """Bucketed co-located join (tables.py::write_bucketed): orders and
+    customer are written as 8-bucket catalog tables hashed on the
+    customer key, then joined bucket-to-bucket and aggregated to revenue
+    + order count per market segment. The join itself needs NO Exchange
+    on either side (plan-gated in tests/test_plans.py with broadcast
+    disabled, and in tests/test_scale_levers.py for the managed-table
+    variant): bucketing pays the shuffle once at WRITE time — on a 100 TB
+    fact table joined on the same key by every downstream run, this is
+    the single most effective layout lever Spark offers. The timed path
+    includes both bucketed writes, honestly measuring the layout cost.
+    Table names and paths are PID-namespaced (the manifest_time_travel
+    pattern) so concurrent runs never collide."""
     import glob as _glob
     import os
     import shutil as _shutil
     import tempfile
 
-    from buskafkasparkstreaming_spark.operators.layout import write_bucketed
+    from buskafkasparkstreaming_spark.tables import write_bucketed
 
     pid = os.getpid()
     prefix = f"bss_bkt_{pid}_"
@@ -5166,10 +5167,20 @@ def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
     cust = _t(spark, sf_dir, "customer")
     write_bucketed(
-        orders, t_orders, os.path.join(base, "orders"), "o_custkey", 8
+        orders,
+        t_orders,
+        ["o_custkey"],
+        8,
+        ["o_custkey"],
+        path=os.path.join(base, "orders"),
     )
     write_bucketed(
-        cust, t_cust, os.path.join(base, "customer"), "c_custkey", 8
+        cust,
+        t_cust,
+        ["c_custkey"],
+        8,
+        ["c_custkey"],
+        path=os.path.join(base, "customer"),
     )
     j = spark.table(t_orders).join(
         spark.table(t_cust),

@@ -165,6 +165,14 @@ HEADLINE = [
     "sample_temperature_mix",
     "q_ks_rolling_hourly",
     "sketch_tdigest_pinned",
+    # round-8 session-4 additions
+    "dedup_prefix_filter",
+    "lake_bucketed_join",
+    "cdc_purge_keys",
+    "q_entropy_mi",
+    "q_acf_hourly",
+    "q_seasonal_anomaly",
+    "text_rouge_overlap",
 ]
 
 

@@ -110,35 +110,3 @@ def write_zordered(
         .parquet(path)
     )
 
-
-def write_bucketed(
-    df: DataFrame,
-    table_name: str,
-    path: str,
-    bucket_col: str,
-    num_buckets: int = 8,
-) -> None:
-    """Write `df` as a BUCKETED catalog table (external, parquet at
-    `path`): rows are hash-partitioned into `num_buckets` files per write
-    task by `bucket_col` and sorted in-bucket, and the bucket spec is
-    recorded in the catalog. This is the lakehouse pre-shuffle: two tables
-    bucketed the same way (same column semantics, same bucket count) join
-    bucket-to-bucket with NO Exchange on either side — the shuffle is paid
-    ONCE at write time and amortized over every subsequent join/agg on the
-    bucket key, the decisive layout lever when a 100 TB fact table is
-    joined on the same key by every downstream pipeline run.
-
-    `saveAsTable` is required (bucket metadata lives in the catalog, not
-    the parquet footer); `.option("path", ...)` keeps the data external so
-    the table is droppable without data loss and PID-namespaced callers
-    never collide."""
-    spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    (
-        df.write.bucketBy(num_buckets, bucket_col)
-        .sortBy(bucket_col)
-        .option("path", path)
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(table_name)
-    )

@@ -19,27 +19,41 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist as a managed parquet table bucketed (and optionally sorted)
-    by the join key. Sorting within buckets additionally removes the
-    per-task Sort under sort-merge join."""
+    """Persist as a parquet table bucketed (and optionally sorted) by the
+    join key. Sorting within buckets additionally removes the per-task
+    Sort under sort-merge join. `saveAsTable` is required either way —
+    bucket metadata lives in the catalog, not the parquet footer.
+
+    With `path` the table is EXTERNAL: data lands at the caller's
+    (PID-namespaced) location, so concurrent processes sharing a
+    warehouse dir never clobber each other — the variant the driver-facing
+    lake_bucketed_join entry uses. Without it the table is managed in the
+    session warehouse."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    # the default session catalog is in-memory, so a leftover location from a
-    # previous process is invisible to DROP TABLE — clear it explicitly
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:") :]
-    if warehouse:
-        import shutil
+    if path is None:
+        # the default session catalog is in-memory, so a leftover location
+        # from a previous process is invisible to DROP TABLE — clear it
+        # explicitly
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:") :]
+        if warehouse:
+            import shutil
 
-        shutil.rmtree(os.path.join(warehouse, table_name.lower()), ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(warehouse, table_name.lower()), ignore_errors=True
+            )
 
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         num_buckets, *bucket_cols
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 

@@ -736,26 +736,41 @@ def test_tdigest_plan_distributed_rank(spark, sf_dir):
     assert "SinglePartition" not in rp, rp
 
 
-def test_bucketed_join_has_no_exchange(spark, sf_dir):
-    """lake_bucketed_join's promise: joining two tables bucketed on the
-    same key (same bucket count) needs NO Exchange on either join side —
-    the shuffle was paid at write time. With broadcast disabled (forcing
-    the sort-merge path the 100 TB case would take), the physical plan
-    between the scans and the join must contain zero Exchange operators;
-    the only Exchange allowed in the whole plan is the final
-    per-mktsegment aggregation."""
+def test_external_bucketed_join_has_no_exchange(spark, sf_dir):
+    """lake_bucketed_join's promise, for the EXTERNAL-path variant the
+    entry uses (test_scale_levers.py gates the managed one): joining two
+    tables bucketed on the same key (same bucket count) needs NO Exchange
+    on either join side — the shuffle was paid at write time. With
+    broadcast disabled (forcing the sort-merge path the 100 TB case would
+    take), the physical plan between the scans and the join must contain
+    zero Exchange operators; the only Exchange allowed in the whole plan
+    is the final per-mktsegment aggregation."""
     import os
     import tempfile
 
-    from buskafkasparkstreaming_spark.operators.layout import write_bucketed
+    from buskafkasparkstreaming_spark.tables import write_bucketed
 
     orders = entrymod._t(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull()
     )
     cust = entrymod._t(spark, sf_dir, "customer")
     base = tempfile.mkdtemp(prefix=f"bss_bktgate_{os.getpid()}_")
-    write_bucketed(orders, "bss_gate_orders", os.path.join(base, "o"), "o_custkey", 8)
-    write_bucketed(cust, "bss_gate_customer", os.path.join(base, "c"), "c_custkey", 8)
+    write_bucketed(
+        orders,
+        "bss_gate_orders",
+        ["o_custkey"],
+        8,
+        ["o_custkey"],
+        path=os.path.join(base, "o"),
+    )
+    write_bucketed(
+        cust,
+        "bss_gate_customer",
+        ["c_custkey"],
+        8,
+        ["c_custkey"],
+        path=os.path.join(base, "c"),
+    )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
