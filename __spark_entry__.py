@@ -5419,14 +5419,24 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-2-style bigram overlap scoring between consecutive documents
-    of each source (the next doc_id under a per-source window — a
-    deterministic linear pair stream, NOT a pair blow-up): set-based
-    precision |A∩B|/|A|, recall |A∩B|/|B| and their F1 over distinct word
-    bigrams. The summarization-eval metric applied as a corpus
-    diagnostic: adjacent near-identical crawl records score F1→1. All
-    counts are exact integers; P/R/F1 are single divisions. Pairs whose
-    either side has zero bigrams are excluded (contentless docs carry no
-    signal; the word_shingles NULL guard rationale)."""
+    of each source — a deterministic LINEAR pair stream (n−1 pairs per
+    source), NOT a pair blow-up: set-based precision |A∩B|/|A|, recall
+    |A∩B|/|B| and their F1 over distinct word bigrams. The
+    summarization-eval metric applied as a corpus diagnostic: adjacent
+    near-identical crawl records score F1→1.
+
+    The pair stream deliberately does NOT use
+    Window.partitionBy(source).orderBy(doc_id): with a handful of Zipf
+    sources that window's parallelism equals the source count — the same
+    single-task-sort failure mode the RFM entry was rebuilt to avoid.
+    Instead operators/windows_fn.global_rank ranks (source, doc_id) via a
+    RANGE repartition (parallel per-partition sorts, broadcast prefix
+    offsets), and consecutive ranks self-join on rank+1 with a same-source
+    guard — a BALANCED hash join on the rank key, skew-free at any source
+    distribution. All counts are exact integers; P/R/F1 are single
+    divisions. Pairs whose either side has zero bigrams are excluded
+    (contentless docs carry no signal; the word_shingles NULL guard
+    rationale)."""
     docs = _t(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
@@ -5436,12 +5446,22 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_g")
     )
-    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    ranked = W.global_rank(
+        docs.select("doc_id", "source"),
+        [F.col("source").asc_nulls_first(), F.col("doc_id").asc()],
+        "grn",
+    )
     pairs = (
-        docs.select("doc_id", "source")
-        .withColumn("id_b", F.lead("doc_id", 1).over(w))
-        .filter(F.col("id_b").isNotNull())
-        .select(F.col("doc_id").alias("id_a"), "id_b")
+        ranked.alias("ra")
+        .join(
+            ranked.alias("rb"),
+            (F.col("rb.grn") == F.col("ra.grn") + 1)
+            & F.col("ra.source").eqNullSafe(F.col("rb.source")),
+        )
+        .select(
+            F.col("ra.doc_id").alias("id_a"),
+            F.col("rb.doc_id").alias("id_b"),
+        )
     )
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("id_b2"), F.col("g").alias("gb"))
