@@ -789,3 +789,49 @@ def test_external_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bss_gate_orders")
         spark.sql("DROP TABLE IF EXISTS bss_gate_customer")
+
+
+def test_rouge_pair_stream_is_rank_join_not_window(spark, sf_dir):
+    """text_rouge_overlap must derive its consecutive-doc pairs from the
+    range-partitioned global rank, NOT a Window.partitionBy(source)
+    (whose parallelism equals the source count — the RFM failure mode):
+    zero Window operators in the plan, a rangepartitioning exchange
+    present, and no cartesian anywhere."""
+    df = entrymod.queries()["text_rouge_overlap"](spark, sf_dir)
+    p = explain_str(df)
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SinglePartition" not in p, p
+    # the checkpoint inside global_rank truncates lineage in the final
+    # plan (the RFM gate precedent); inspect the un-checkpointed ranking
+    # plan for the range exchange directly
+    from buskafkasparkstreaming_spark.operators.windows_fn import global_rank
+
+    docs = entrymod._t(spark, sf_dir, "documents").select("doc_id", "source")
+    rplan = explain_str(
+        global_rank(
+            docs,
+            [F.col("source").asc_nulls_first(), F.col("doc_id").asc()],
+            "grn",
+            checkpoint=False,
+        )
+    )
+    assert "rangepartitioning" in rplan, rplan
+    assert "SinglePartition" not in rplan, rplan
+
+
+def test_prefix_filter_plan_shape(spark, sf_dir):
+    """prefix_filter_jaccard_pairs: the per-doc token ranking must be a
+    window PARTITIONED BY DOC (each partition is one doc's token list),
+    never a global single-task sort, and the candidate/verify joins must
+    all be equi-joins — no cartesian, no SinglePartition exchange."""
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = entrymod._t(spark, sf_dir, "documents")
+    df = prefix_filter_jaccard_pairs(docs, "doc_id", threshold=0.5)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "Window" in p, p  # the per-doc prefix ranking
