@@ -671,7 +671,6 @@ class UpsertTable:
         kcols = list(self.key_cols)
         purge = keys.select(*kcols).dropDuplicates(kcols)
         table_df = self.read()
-        before = table_df.count()
 
         if self.partition_col is not None:
             touched = [
@@ -688,6 +687,11 @@ class UpsertTable:
         else:
             touched = None
             scoped = table_df
+        # deleted-row count from the SCOPED semi-join — never a full-table
+        # count (at 100 TB the purge must only ever read touched partitions)
+        deleted = scoped.join(purge, on=kcols, how="left_semi").count()
+        if deleted == 0:
+            return 0
         kept = scoped.join(purge, on=kcols, how="left_anti")
 
         staging = os.path.join(
@@ -724,7 +728,7 @@ class UpsertTable:
         # erasure extends to history: archived versions still hold the
         # purged bytes, so time travel past this point is forfeited
         self.vacuum(retain_last=1)
-        return before - self.read().count()
+        return deleted
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Drop archived versions not needed to time-travel the last
