@@ -241,6 +241,11 @@ def test_null_text_drift(spark, tmp_path):
         # NULL/empty text → NULL levenshtein/length must drop rows on
         # BOTH sides (NULL >= threshold is not-true in both engines)
         "dedup_editdist_rerank",
+        # contentless docs must vanish from the prefix index and from the
+        # ROUGE pair sizes on BOTH sides (word_shingles guard + oracle w/
+        # grams CTEs)
+        "dedup_prefix_filter",
+        "text_rouge_overlap",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -338,6 +343,13 @@ def test_null_events_drift(spark, tmp_path):
         "streaming_funnel_timeout",
         "q_funnel_sliding_windows",
         "q_ks_rolling_hourly",
+        # NULL event_type rows must drop from the (type, hour) cells /
+        # the purge table build identically on both sides; the hour axis
+        # and seasonal cells only need ts
+        "q_entropy_mi",
+        "q_acf_hourly",
+        "q_seasonal_anomaly",
+        "cdc_purge_keys",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
