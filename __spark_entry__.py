@@ -5500,6 +5500,97 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor — the per-ingest-tick version of
+    q_psi_drift: hourly windowed 10-bin histograms of event value flow
+    through an append-mode checkpointed availableNow drain (watermark
+    0 s ⇒ an hour emits once the max event time passes its end), then
+    each emitted hour is PSI-scored against the GLOBAL batch reference
+    distribution. Bin bounds are the reference's exact min/max cents,
+    collected once (a 1-row bounded driver transfer, the bloom-bitmap
+    idiom) and embedded as literals in the streaming bin expression —
+    a stream-static join before a stateful agg would add a second
+    stateful boundary for two constants. The PSI arithmetic is the
+    fixed-point idiom of q_psi_drift (exact integer cross-products, one
+    division per ln argument, 1e-6 floors before integer sums); the
+    oracle replays binning, the emission rule, and every term."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    cents = _cents("value")
+    b = ev.agg(
+        F.min(cents).alias("mn"), F.max(cents).alias("mx")
+    ).collect()[0]
+    mn, mx = int(b["mn"]), int(b["mx"])
+    span = mx - mn + 1
+
+    def bin_expr(c: Column) -> Column:
+        return F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor((c - F.lit(mn)) * F.lit(10) / F.lit(span)),
+            ),
+        ).cast("int")
+
+    ref = ev.select(bin_expr(cents).alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ref")
+    )
+    n_ref = ev.count()
+
+    stream = SW.read_events_stream(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hourly = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            bin_expr(_cents("value")).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    drained = SW.run_to_memory(hourly, spark, output_mode="append").select(
+        F.col("w.start").alias("hour_start"), "bin", "c"
+    )
+    hours = drained.select("hour_start").distinct()
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    full = (
+        hours.join(bins, how="cross")
+        .join(drained, ["hour_start", "bin"], "left")
+        .select(
+            "hour_start", "bin", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+    )
+    tot = drained.groupBy("hour_start").agg(
+        F.sum("c").cast("long").alias("n_cur")
+    )
+    j = (
+        full.join(F.broadcast(ref), "bin", "left")
+        .select(
+            "hour_start",
+            "bin",
+            "c",
+            F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
+        )
+        .join(F.broadcast(tot), "hour_start")
+    )
+    p = (F.col("c") + 1).cast("double") / (F.col("n_cur") + 10).cast("double")
+    q = (F.col("c_ref") + 1).cast("double") / F.lit(float(n_ref + 10))
+    ratio = (
+        ((F.col("c") + 1) * F.lit(n_ref + 10)).cast("double")
+        / ((F.col("c_ref") + 1) * (F.col("n_cur") + 10)).cast("double")
+    )
+    term_fp = F.floor((p - q) * F.log(ratio) * F.lit(1e6)).cast("long")
+    return (
+        j.select("hour_start", "n_cur", term_fp.alias("tfp"))
+        .groupBy("hour_start", "n_cur")
+        .agg(
+            F.sum("tfp").cast("long").alias("psi_fp"),
+            (F.sum("tfp").cast("double") / 1e6).alias("psi"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -5576,8 +5667,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== DRIVER WINDOW CUT: entries above are the 50 the sweep
         # checks (46 never-driver-seen + 4 changed); everything below is
         # locally green via tests/test_oracle_parity.py and leads the
-        # round-9 window (16 artifact-less r6, then r2-stale, then
-        # r4-stale) =====================================================
+        # round-9 window (never-seen session-4 tail first, then 16
+        # artifact-less r6, then r2-stale, then r4-stale) ===============
+        # --- session-4 tail: added after the window filled (never
+        # driver-seen -- lead round 9) ----------------------------------
+        "streaming_psi_drift": streaming_psi_drift,
         # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
@@ -8501,6 +8595,58 @@ def oracle_sql() -> dict[str, str]:
                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
                       AND event_type IS NOT NULL)
             WHERE rn = 1 AND user_id % 7 <> 0
+        """,
+        "streaming_psi_drift": """
+            -- append emission rule: an hour emits iff its END <= final
+            -- watermark (max ts over value-notnull rows, 0 s delay);
+            -- binning/PSI replayed exactly (reference = global batch)
+            WITH ev AS (
+                SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+            b AS (SELECT CAST(min(cents) AS BIGINT) AS mn,
+                         CAST(max(cents) AS BIGINT) AS mx FROM ev),
+            mxts AS (SELECT max(ts) AS m FROM ev),
+            binned AS (
+                SELECT date_trunc('hour', ts) AS h,
+                       least(9, greatest(0,
+                           CAST(floor((ev.cents - b.mn) * 10
+                                      / (b.mx - b.mn + 1)) AS BIGINT)))
+                           AS bin
+                FROM ev, b),
+            ref AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_ref
+                    FROM binned GROUP BY bin),
+            nref AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+            cur AS (
+                SELECT h, bin, CAST(count(*) AS BIGINT) AS c
+                FROM binned, mxts
+                WHERE h + INTERVAL 1 HOUR <= mxts.m
+                GROUP BY h, bin),
+            hours AS (SELECT DISTINCT h FROM cur),
+            bins AS (SELECT unnest(range(10)) AS bin),
+            f AS (
+                SELECT hours.h, bins.bin, coalesce(cur.c, 0) AS c
+                FROM hours CROSS JOIN bins
+                LEFT JOIN cur ON cur.h = hours.h AND cur.bin = bins.bin),
+            tot AS (SELECT h, CAST(sum(c) AS BIGINT) AS n_cur
+                    FROM cur GROUP BY h),
+            terms AS (
+                SELECT f.h, tot.n_cur,
+                       CAST(floor(
+                           ((f.c + 1) / CAST(tot.n_cur + 10 AS DOUBLE)
+                            - (coalesce(ref.c_ref, 0) + 1)
+                              / CAST(nref.n + 10 AS DOUBLE))
+                           * ln(CAST((f.c + 1) * (nref.n + 10) AS DOUBLE)
+                                / CAST((coalesce(ref.c_ref, 0) + 1)
+                                       * (tot.n_cur + 10) AS DOUBLE))
+                           * 1e6) AS BIGINT) AS tfp
+                FROM f
+                LEFT JOIN ref ON ref.bin = f.bin
+                JOIN tot ON tot.h = f.h
+                CROSS JOIN nref)
+            SELECT CAST(h AS TIMESTAMP) AS hour_start, n_cur,
+                   CAST(sum(tfp) AS BIGINT) AS psi_fp,
+                   CAST(sum(tfp) AS DOUBLE) / 1e6 AS psi
+            FROM terms GROUP BY h, n_cur
         """,
         "q_entropy_mi": """
             -- entropy / MI from exact counts; each ln takes ONE
