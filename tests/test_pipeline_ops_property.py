@@ -181,3 +181,52 @@ def test_pack_ffd_invariants(spark, tokens, budget):
         assert all(v <= budget for v in fill.values())
         _, ff_bins = ffd_ref(grp, decreasing=False)
         assert n_bins <= ff_bins
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=3, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=14,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_prefix_filter_equals_brute_force(spark, docs, threshold):
+    """The PPJoin prefix lemma, pinned over RANDOM corpora: the
+    prefix-filtered join must return EXACTLY the brute-force Jaccard
+    pairs — no false negatives (the lemma), no false positives (the
+    verification) — for any token distribution, including corpora that
+    are all boilerplate (every prefix token hot) and near-empty docs."""
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", k=3, threshold=threshold
+        ).collect()
+    }
+
+    # driver-side brute force over the SAME shingle definition
+    def shingles(text):
+        ws = text.split(" ")
+        n = len(ws)
+        return {
+            " ".join(ws[i : i + 3]) for i in range(max(n - 2, 1))
+        } if text.strip() else set()
+
+    sh = {i: shingles(t) for i, t in rows}
+    want = set()
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= threshold:
+                want.add((a, b, round(inter / union, 12)))
+    assert got == want, (got - want, want - got)
