@@ -173,6 +173,7 @@ HEADLINE = [
     "q_acf_hourly",
     "q_seasonal_anomaly",
     "text_rouge_overlap",
+    "streaming_psi_drift",
 ]
 
 
