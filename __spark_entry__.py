@@ -5500,6 +5500,77 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccf_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between two event-type series (does
+    `purchase` lag `view`, and by how many hours?) at lags −3…3 — the
+    lead–lag probe a product-analytics pipeline runs next to the ACF.
+    Both hourly series live on ONE shared gapfilled spine (so zero hours
+    count); for each lag k, corr(x_t, y_{t+k}) comes from exact integer
+    moments multiplied through by the pair count (the q_corr_price_items
+    five-moment technique, DECIMAL(38,0) second moments), with ONE double
+    expression at the end. The spine axis is bounded by the time domain —
+    the only data-sized operation is the initial (hour, type) groupBy."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isin("view", "purchase")
+    )
+    hourly = ev.groupBy(
+        (bssf.ts_millis(F.col("ts")) / F.lit(3600000)).cast("long").alias("t"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = hourly.agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("t0"), F.col("t1"))).alias("t")
+    )
+    x = hourly.filter(F.col("event_type") == "view").select(
+        "t", F.col("n").alias("x")
+    )
+    y = hourly.filter(F.col("event_type") == "purchase").select(
+        "t", F.col("n").alias("y")
+    )
+    dense = (
+        spine.join(x, "t", "left")
+        .join(y, "t", "left")
+        .select(
+            "t",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    a = dense.alias("a")
+    b = dense.alias("b")
+    dec = "decimal(38,0)"
+    pairs = (
+        lags.join(a, how="cross")
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.sum(F.col("a.x")).cast("long").alias("sx"),
+            F.sum(F.col("b.y")).cast("long").alias("sy"),
+            F.sum((F.col("a.x") * F.col("b.y")).cast(dec)).cast(dec).alias("sxy"),
+            F.sum((F.col("a.x") * F.col("a.x")).cast(dec)).cast(dec).alias("sxx"),
+            F.sum((F.col("b.y") * F.col("b.y")).cast(dec)).cast(dec).alias("syy"),
+        )
+    )
+    n, sx, sy = (
+        F.col("np").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    ccf = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return pairs.select(
+        "lag", F.col("np").alias("n_pairs"), ccf.alias("ccf")
+    ).orderBy("lag")
+
+
 def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING drift monitor — the per-ingest-tick version of
     q_psi_drift: hourly windowed 10-bin histograms of event value flow
@@ -5672,6 +5743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- session-4 tail: added after the window filled (never
         # driver-seen -- lead round 9) ----------------------------------
         "streaming_psi_drift": streaming_psi_drift,
+        "q_ccf_types": q_ccf_types,
         # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
@@ -8595,6 +8667,51 @@ def oracle_sql() -> dict[str, str]:
                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
                       AND event_type IS NOT NULL)
             WHERE rn = 1 AND user_id % 7 <> 0
+        """,
+        "q_ccf_types": """
+            -- shared dense spine; exact five-moment corr per lag
+            -- (moments x pair count, DECIMAL(38,0) second moments)
+            WITH hourly AS (
+                SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000
+                            AS BIGINT) AS t,
+                       event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IN ('view', 'purchase')
+                GROUP BY 1, 2),
+            bounds AS (SELECT min(t) AS t0, max(t) AS t1 FROM hourly),
+            spine AS (SELECT unnest(range(t0, t1 + 1)) AS t FROM bounds),
+            dense AS (
+                SELECT s.t,
+                       coalesce(x.n, 0) AS x,
+                       coalesce(y.n, 0) AS y
+                FROM spine s
+                LEFT JOIN hourly x ON x.t = s.t AND x.event_type = 'view'
+                LEFT JOIN hourly y ON y.t = s.t AND y.event_type = 'purchase'),
+            lags AS (SELECT unnest(range(-3, 4)) AS lag),
+            p AS (
+                SELECT l.lag,
+                       CAST(count(*) AS BIGINT) AS np,
+                       CAST(sum(a.x) AS BIGINT) AS sx,
+                       CAST(sum(b.y) AS BIGINT) AS sy,
+                       CAST(sum(CAST(a.x * b.y AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS sxy,
+                       CAST(sum(CAST(a.x * a.x AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS sxx,
+                       CAST(sum(CAST(b.y * b.y AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS syy
+                FROM lags l
+                JOIN dense a ON true
+                JOIN dense b ON b.t = a.t + l.lag
+                GROUP BY l.lag)
+            SELECT CAST(lag AS BIGINT) AS lag, np AS n_pairs,
+                   (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       AS ccf
+            FROM p ORDER BY lag
         """,
         "streaming_psi_drift": """
             -- append emission rule: an hour emits iff its END <= final

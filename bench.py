@@ -174,6 +174,7 @@ HEADLINE = [
     "q_seasonal_anomaly",
     "text_rouge_overlap",
     "streaming_psi_drift",
+    "q_ccf_types",
 ]
 
 
