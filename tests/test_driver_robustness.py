@@ -350,6 +350,10 @@ def test_null_events_drift(spark, tmp_path):
         "q_acf_hourly",
         "q_seasonal_anomaly",
         "cdc_purge_keys",
+        # NULL value rows must stay out of the streamed histograms and
+        # the watermark; NULL event_type drops from both CCF series
+        "streaming_psi_drift",
+        "q_ccf_types",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
