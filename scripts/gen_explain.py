@@ -74,6 +74,7 @@ SHOWN = {
     "q_acf_hourly": "ACF: one data-sized groupBy(hour); dense spine + lag joins run over the bounded hour axis; DECIMAL moments, one division per lag",
     "q_seasonal_anomaly": "seasonal 2-sigma: one groupBy(day,hour); 24-row hour baseline broadcast back; pure-integer variance test, zero floats",
     "text_rouge_overlap": "ROUGE-2: range-partitioned global rank (no per-source window skew) -> rank+1 self-join pair stream -> bigram intersection equi-joins; prints post-checkpoint, range exchange gated in test_plans.py",
+    "q_ccf_types": "CCF: one data-sized (hour, type) groupBy; both series on ONE shared dense spine; per-lag joins over the bounded hour axis, DECIMAL moments, one float expression per lag",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage
