@@ -5571,6 +5571,43 @@ def q_ccf_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lag")
 
 
+def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH (quantile-bucketed) histogram of order totalprice — the
+    complement of q_histogram_equi_width and the shape ANALYZE/statistics
+    collectors actually store (equal row mass per bucket, data-driven
+    bounds): 8 buckets via operators/windows_fn.global_ntile over
+    (cents, orderkey) — the range-repartitioned distributed ntile (no
+    single-task sort; the q_rfm_segments machinery), then per-bucket
+    count and exact integer bounds. The oracle replays ntile over the
+    same unique ordering."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    vals = orders.select(
+        _cents("o_totalprice").alias("cents"), "o_orderkey"
+    )
+    bucketed = W.global_ntile(
+        vals,
+        [F.col("cents").asc(), F.col("o_orderkey").asc()],
+        8,
+        "bucket",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("cents").cast("long").alias("lo_cents"),
+            F.max("cents").cast("long").alias("hi_cents"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n",
+            "lo_cents",
+            "hi_cents",
+        )
+    )
+
+
 def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING drift monitor — the per-ingest-tick version of
     q_psi_drift: hourly windowed 10-bin histograms of event value flow
@@ -5744,6 +5781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-seen -- lead round 9) ----------------------------------
         "streaming_psi_drift": streaming_psi_drift,
         "q_ccf_types": q_ccf_types,
+        "q_histogram_equi_depth": q_histogram_equi_depth,
         # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
@@ -8667,6 +8705,20 @@ def oracle_sql() -> dict[str, str]:
                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
                       AND event_type IS NOT NULL)
             WHERE rn = 1 AND user_id % 7 <> 0
+        """,
+        "q_histogram_equi_depth": """
+            -- ntile over the same UNIQUE ordering (cents, orderkey)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(cents) AS BIGINT) AS lo_cents,
+                   CAST(max(cents) AS BIGINT) AS hi_cents
+            FROM (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       ntile(8) OVER (ORDER BY
+                           CAST(round(o_totalprice * 100) AS BIGINT) ASC,
+                           o_orderkey ASC) AS bucket
+                FROM orders WHERE o_totalprice IS NOT NULL)
+            GROUP BY bucket
         """,
         "q_ccf_types": """
             -- shared dense spine; exact five-moment corr per lag

@@ -175,6 +175,7 @@ HEADLINE = [
     "text_rouge_overlap",
     "streaming_psi_drift",
     "q_ccf_types",
+    "q_histogram_equi_depth",
 ]
 
 
