@@ -5276,8 +5276,13 @@ def q_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hx = _h_fp(nx, "nx").select(F.col("s").alias("sx"))
     hy = _h_fp(ny, "ny").select(F.col("s").alias("sy"))
+    # no static hint on nx: its row count is the event_type CARDINALITY —
+    # unbounded in principle, so AQE must pick the join strategy from the
+    # measured runtime size (the ngram sizes-join rationale). ny is the
+    # hour-of-day marginal (<= 24 rows, domain-bounded) and tot is 1 row —
+    # those broadcasts are constants of the query, not of the data.
     mi_terms = (
-        cells.join(F.broadcast(nx), "x")
+        cells.join(nx, "x")
         .join(F.broadcast(ny), "y")
         .crossJoin(F.broadcast(tot))
         .select(
