@@ -5634,7 +5634,10 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.agg(
         F.min(cents).alias("mn"), F.max(cents).alias("mx")
     ).collect()[0]
-    mn, mx = int(b["mn"]), int(b["mx"])
+    # empty reference (zero-row table drift): any bounds work — no row
+    # will ever reach the bin expression, and the output is empty
+    mn = int(b["mn"]) if b["mn"] is not None else 0
+    mx = int(b["mx"]) if b["mx"] is not None else 0
     span = mx - mn + 1
 
     def bin_expr(c: Column) -> Column:
