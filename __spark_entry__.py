@@ -5707,6 +5707,79 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round 8, session 5: stratified reservoir, pinned-compaction KLL sketch,
+# Fellegi–Sunter record linkage, BPE merge learning
+
+
+def sample_reservoir_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted reservoir (operators/sampling.py::
+    weighted_sample_per_stratum): an independent A-ES top-20 weighted
+    sample without replacement PER LANGUAGE, weight = n_chars — the
+    per-stratum quota draw of a corpus-mixing pipeline (no language can
+    starve another, unlike the global `sample_weighted_priority`).
+    FULL oracle: the 52-bit md5 uniform, the ln(u)/w priority, and the
+    per-stratum row_number are replayed verbatim in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SP.weighted_sample_per_stratum(
+        docs, "doc_id", "n_chars", "lang", k=20
+    )
+    return out.select("doc_id", "lang", "n_chars", F.col("rk").cast("int").alias("rk"))
+
+
+_KLL_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+_KLL_KCAP = 64
+
+
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style quantile sketch under PINNED deterministic compaction
+    (operators/stats.py::kll_sketch — the module comment derives the
+    closed form): items fed in global rank order, every compaction keeps
+    the even local positions, so the final sketch is a pure integer
+    function of rank and a log2(n/kcap)-row level plan. Build = ONE
+    range-shuffle global rank (operators/windows_fn.global_rank — no
+    single-task sort) + a row-local CASE; the sketch is < kcap rows per
+    level (config-bounded), so the cumulative-weight window over it and
+    the quantile lookups are driver-scale by construction. n is read
+    once (a count job — the same bounded driver round-trip class as
+    global_rank's ≤32-row offset collect) to fold the level plan into
+    the plan as literals; the oracle recomputes the identical plan with
+    a WITH RECURSIVE over the same recursion. Estimates: for each q,
+    the first sketch item whose cumulative weight reaches ceil(q*n) —
+    both engines ceil the same IEEE double product."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("event_id").alias("eid"),
+    )
+    n = v.count()
+    from buskafkasparkstreaming_spark.operators.stats import kll_sketch
+
+    ranked = W.global_rank(v, [F.col("cents").asc(), F.col("eid").asc()], "rn")
+    sk = kll_sketch(ranked, "rn", n, kcap=_KLL_KCAP)
+    # the sketch is <= kcap * ceil(log2(n/kcap)) rows (config-bounded) —
+    # a single-partition cumulative window over it never sees data scale
+    cum = sk.withColumn(
+        "cumw",
+        F.sum("weight").over(
+            Window.orderBy(F.col("cents").asc(), F.col("rn").asc())
+        ),
+    )
+    ndf = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qdf = spark.createDataFrame([(q,) for q in _KLL_QS], "q double")
+    return (
+        cum.crossJoin(F.broadcast(ndf))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("cumw") >= F.ceil(F.col("n") * F.col("q")))
+        .groupBy("q")
+        .agg(
+            F.min("cents").cast("long").alias("est_cents"),
+            F.min("cumw").cast("long").alias("cum_w"),
+            F.min("n").cast("long").alias("n"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -5790,6 +5863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_psi_drift": streaming_psi_drift,
         "q_ccf_types": q_ccf_types,
         "q_histogram_equi_depth": q_histogram_equi_depth,
+        # --- session-5 tail: never driver-seen -- lead round 9 with the
+        # three above ---------------------------------------------------
+        "sample_reservoir_stratum": sample_reservoir_stratum,
+        "sketch_kll_quantiles": sketch_kll_quantiles,
         # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
@@ -8713,6 +8790,78 @@ def oracle_sql() -> dict[str, str]:
                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
                       AND event_type IS NOT NULL)
             WHERE rn = 1 AND user_id % 7 <> 0
+        """,
+        "sample_reservoir_stratum": f"""
+            -- A-ES priorities replayed per stratum: u = (52-bit md5
+            -- prefix + 1)/2^52, key = ln(u)/weight, per-lang row_number
+            -- by (key DESC, doc_id ASC), keep <= 20 (salt 'wstrat')
+            SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ln(CAST({_hex_int_sql(
+                               "md5(CAST(doc_id AS VARCHAR) || ':wstrat')",
+                               1, 13
+                           )} + 1 AS DOUBLE) / 4503599627370496.0)
+                               / CAST(n_chars AS DOUBLE) DESC,
+                               doc_id ASC) AS rk
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0)
+            WHERE rk <= 20
+        """,
+        "sketch_kll_quantiles": f"""
+            -- the pinned-compaction level plan is recomputed by the
+            -- same integer recursion kll_level_plan runs in Python:
+            -- n_0 = n, C_l = n_l // kcap, n_(l+1) = (kcap/2) * C_l;
+            -- retained at l iff 2^l | rn, rn <= R_l (running min of
+            -- kcap*C_m*2^m), rn > kcap*C_l*2^l; weight 2^l
+            WITH RECURSIVE v AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                       event_id AS eid
+                FROM events WHERE value IS NOT NULL),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+            lv(l, nl) AS (
+                SELECT 0, n FROM nn WHERE n > 0
+                UNION ALL
+                SELECT l + 1, (nl // {_KLL_KCAP}) * {_KLL_KCAP // 2}
+                FROM lv WHERE (nl // {_KLL_KCAP}) * {_KLL_KCAP // 2} > 0),
+            levels AS (
+                SELECT l,
+                       (nl // {_KLL_KCAP}) * {_KLL_KCAP}
+                           * (CAST(1 AS BIGINT) << l) AS lo,
+                       coalesce(
+                           min((nl // {_KLL_KCAP}) * {_KLL_KCAP}
+                               * (CAST(1 AS BIGINT) << l)) OVER (
+                               ORDER BY l
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING),
+                           9223372036854775807) AS rmax
+                FROM lv),
+            r AS (
+                SELECT cents,
+                       row_number() OVER (ORDER BY cents ASC, eid ASC)
+                           AS rn
+                FROM v),
+            sk AS (
+                SELECT r.cents, r.rn,
+                       (CAST(1 AS BIGINT) << levels.l) AS weight
+                FROM r JOIN levels
+                  ON r.rn % (CAST(1 AS BIGINT) << levels.l) = 0
+                 AND r.rn <= levels.rmax AND r.rn > levels.lo),
+            cum AS (
+                SELECT cents, rn, weight,
+                       sum(weight) OVER (ORDER BY cents ASC, rn ASC)
+                           AS cumw
+                FROM sk),
+            qs AS (SELECT unnest([{", ".join(repr(q) for q in _KLL_QS)}])
+                       AS q)
+            SELECT qs.q,
+                   CAST(min(cum.cents) AS BIGINT) AS est_cents,
+                   CAST(min(cum.cumw) AS BIGINT) AS cum_w,
+                   CAST(min(nn.n) AS BIGINT) AS n
+            FROM qs CROSS JOIN nn
+            JOIN cum ON cum.cumw >= ceil(nn.n * qs.q)
+            GROUP BY qs.q
         """,
         "q_histogram_equi_depth": """
             -- ntile over the same UNIQUE ordering (cents, orderkey)

@@ -375,6 +375,55 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    stratum_col: str,
+    k: int,
+    salt: str = "wstrat",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """STRATIFIED weighted reservoir: an independent A-ES weighted sample
+    without replacement of size k inside EVERY stratum — the per-domain /
+    per-language quota draw a corpus-mixing pipeline runs, where each
+    stratum's inclusion probabilities track the weight but no stratum can
+    starve another (contrast `weighted_sample`, whose single global top-k
+    lets a heavy stratum take every slot).
+
+    Same determinism contract as `weighted_sample`: priority key
+    ln(u)/w with u a 52-bit md5 uniform of (id, salt) — a pure function
+    of the row, so each stratum's reservoir is stable across reruns,
+    partitionings, and engines, and INCREMENTAL: because A-ES keys are
+    row-local, re-running over (old ∪ new) rows reproduces exactly the
+    reservoir an online algorithm maintains by keeping the k largest
+    keys seen so far.
+
+    Plan: row-local key, ONE hash shuffle on the stratum, per-stratum
+    row_number — never a global sort. Per-partition sort depth is the
+    stratum size; at 100 TB with few huge strata the same two-phase
+    trick as topk_per_group applies (pre-prune per input partition to
+    its local top-k before the shuffle); with the testdata's stratum
+    counts the single window is the right plan.
+    """
+    from pyspark.sql import Window
+
+    hx = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    u52 = F.conv(F.substring(hx, 1, 13), 16, 10).cast("long")
+    u = (u52 + 1).cast("double") / float(1 << 52)  # (0, 1]
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("__wkey").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop("__wkey")
+    )
+
+
 def dsir_importance_sample(
     df: DataFrame,
     id_col: str,

@@ -567,3 +567,87 @@ def theta_estimate(sk: ThetaSketch) -> DataFrame:
             / F.col("theta_fp").cast("double")
         ).alias("estimate"),
     )
+
+
+# --- KLL-style quantile sketch under PINNED deterministic compaction -------
+#
+# The classic KLL sketch (Karnin, Lang, Liberty 2016) keeps a hierarchy of
+# level buffers; when level l fills to capacity it sorts the buffer and
+# promotes a RANDOM half to level l+1 with doubled weight. Randomized
+# compaction makes the sketch merge-order sensitive — the same blocker the
+# t-digest had (SURVEY round-9 notes) until `sketch_tdigest_pinned` pinned
+# the build over the GLOBAL rank. The same pinning works here: feed the
+# items in global sorted order and make every compaction keep the items at
+# EVEN local positions. The whole final sketch then has a closed form in
+# the item's global rank r (1-based, unique tiebreak):
+#
+#   n_0 = n,  C_l = floor(n_l / kcap),  n_{l+1} = (kcap/2) * C_l
+#
+#   an item reaches level l      iff  2^l | r  and  r <= R_l,
+#       where R_l = min_{m<l} kcap * C_m * 2^m   (R_0 = +inf)
+#   it is RETAINED at level l    iff  it reaches l and r > kcap * C_l * 2^l
+#       (it arrived after level l's last compaction), with weight 2^l.
+#
+# Weight is conserved (each compaction turns kcap rows of weight w into
+# kcap/2 rows of weight 2w), so the sketch's total weight is exactly n, and
+# the sketch size is < kcap rows per level, <= kcap * ceil(log2(n/kcap))
+# overall — bounded by CONFIG, not by data. "Mergeable" here is rank-pinned
+# like the t-digest: building over (A union B) IS the merge, and the result
+# is independent of partitioning and arrival order by construction.
+#
+# Everything is integer arithmetic on the rank — no RNG, no floats — so a
+# SQL engine replays the identical sketch from the identical closed form
+# (the oracle's WITH RECURSIVE level plan mirrors kll_level_plan).
+
+
+def kll_level_plan(n: int, kcap: int = 64) -> list[tuple[int, int, int]]:
+    """(level, n_l, C_l) rows of the pinned-compaction recursion; empty
+    for n == 0. kcap must be even."""
+    if kcap < 2 or kcap % 2:
+        raise ValueError("kcap must be an even integer >= 2")
+    plan, l, nl = [], 0, int(n)
+    while nl > 0:
+        cl = nl // kcap
+        plan.append((l, nl, cl))
+        nl = (kcap // 2) * cl
+        l += 1
+    return plan
+
+
+def kll_sketch(
+    ranked: DataFrame,
+    rank_col: str,
+    n: int,
+    kcap: int = 64,
+    level_col: str = "level",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Assign each globally-ranked row its retained level (or drop it)
+    under the pinned-compaction closed form above. Row-local: the level
+    plan is a handful of Python-computed constants folded into one
+    chained CASE — no join, no extra shuffle on top of the rank."""
+    from pyspark.sql import functions as F
+
+    plan = kll_level_plan(n, kcap)
+    r = F.col(rank_col)
+    lvl = None
+    rmax: int | None = None  # R_l as a running min; None = +inf (l = 0)
+    for l, _nl, cl in plan:
+        lo = cl * kcap * (1 << l)
+        cond = (r % F.lit(1 << l) == 0) & (r > F.lit(lo))
+        if rmax is not None:
+            cond = cond & (r <= F.lit(rmax))
+        lvl = F.when(cond, F.lit(l)) if lvl is None else lvl.when(cond, F.lit(l))
+        rmax = lo if rmax is None else min(rmax, lo)
+    if lvl is None:  # empty input
+        return ranked.withColumn(level_col, F.lit(None).cast("int")).filter(
+            F.lit(False)
+        )
+    return (
+        ranked.withColumn(level_col, lvl)
+        .filter(F.col(level_col).isNotNull())
+        .withColumn(
+            weight_col,
+            F.expr(f"shiftleft(cast(1 as bigint), {level_col})"),
+        )
+    )

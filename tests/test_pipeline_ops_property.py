@@ -230,3 +230,139 @@ def test_prefix_filter_equals_brute_force(spark, docs, threshold):
             if union and inter / union >= threshold:
                 want.add((a, b, round(inter / union, 12)))
     assert got == want, (got - want, want - got)
+
+
+def _kll_simulate(n: int, kcap: int) -> set[tuple[int, int]]:
+    """Direct buffer simulation of the pinned-compaction KLL: items
+    (identified by rank) arrive in sorted order; a full level buffer
+    promotes its even local positions. Because arrival order is sorted
+    order at EVERY level (each compaction emits ascending ranks), the
+    pre-compaction sort is the identity."""
+    levels: list[list[int]] = []
+
+    def insert(l: int, item: int) -> None:
+        while len(levels) <= l:
+            levels.append([])
+        levels[l].append(item)
+        if len(levels[l]) == kcap:
+            promoted = levels[l][1::2]  # local positions 2, 4, ..., kcap
+            levels[l] = []
+            for it in promoted:
+                insert(l + 1, it)
+
+    for r in range(1, n + 1):
+        insert(0, r)
+    return {(r, l) for l, buf in enumerate(levels) for r in buf}
+
+
+def _kll_closed_form(n: int, kcap: int) -> set[tuple[int, int]]:
+    from buskafkasparkstreaming_spark.operators.stats import kll_level_plan
+
+    plan = kll_level_plan(n, kcap)
+    out: set[tuple[int, int]] = set()
+    for r in range(1, n + 1):
+        rmax: int | None = None
+        for l, _nl, cl in plan:
+            lo = cl * kcap * (1 << l)
+            if r % (1 << l) == 0 and r > lo and (rmax is None or r <= rmax):
+                out.add((r, l))
+            rmax = lo if rmax is None else min(rmax, lo)
+    return out
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=0, max_value=3000),
+    kcap=st.sampled_from([2, 4, 8, 16, 64]),
+)
+def test_kll_closed_form_matches_buffer_simulation(n, kcap):
+    """The rank closed form IS the deterministic KLL: identical retained
+    (rank, level) set to a direct buffer simulation, and weight (2^l)
+    conservation — the sketch's total weight is exactly n."""
+    sim = _kll_simulate(n, kcap)
+    got = _kll_closed_form(n, kcap)
+    assert got == sim
+    assert sum(1 << l for _r, l in got) == n
+    # sketch size bound: < kcap rows per level
+    from collections import Counter
+
+    per_level = Counter(l for _r, l in got)
+    assert all(c < kcap for c in per_level.values())
+
+
+def test_kll_sketch_spark_matches_closed_form_and_bounds(spark):
+    """kll_sketch on Spark reproduces the closed form, and quantile
+    estimates read off the cumulative weight are rank-accurate within
+    the top level's weight (the overshoot of a conserved-weight CDF)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.stats import (
+        kll_level_plan,
+        kll_sketch,
+    )
+    from buskafkasparkstreaming_spark.operators.windows_fn import global_rank
+
+    n, kcap = 1000, 16
+    vals = [((i * 7919) % 4001, i) for i in range(n)]  # distinct-ish, unordered
+    df = spark.createDataFrame(vals, "v long, id long")
+    ranked = global_rank(df, [F.col("v").asc(), F.col("id").asc()], "rn")
+    sk = kll_sketch(ranked, "rn", n, kcap=kcap).collect()
+    got = {(r["rn"], r["level"]) for r in sk}
+    assert got == _kll_closed_form(n, kcap)
+    assert sum(r["weight"] for r in sk) == n
+    # estimate check: first sketch item with cumw >= ceil(q*n) has true
+    # rank within max-weight of the target
+    top_w = 1 << max(l for _r, l in got)
+    items = sorted((r["rn"], r["weight"]) for r in sk)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        target = math.ceil(q * n)
+        cum = 0
+        for rn, w in items:
+            cum += w
+            if cum >= target:
+                assert abs(rn - target) <= max(top_w, kcap), (q, rn, target)
+                break
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=5, max_size=60,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_stratified_reservoir_invariants(spark, ids, k):
+    """Per-stratum A-ES reservoir: partitioning-invariant, exactly
+    min(k, stratum size) rows per stratum, and each stratum's selection
+    equals a GLOBAL weighted_sample run on that stratum alone (same
+    priorities, same salt ⇒ same winners)."""
+    from buskafkasparkstreaming_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_per_stratum,
+    )
+
+    rows = [(i, 1 + (i % 7), "s" + str(i % 3)) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, w int, g string")
+    out = weighted_sample_per_stratum(df, "doc_id", "w", "g", k).collect()
+    out2 = weighted_sample_per_stratum(
+        df.repartition(7), "doc_id", "w", "g", k
+    ).collect()
+    assert {(r["doc_id"], r["g"]) for r in out} == {
+        (r["doc_id"], r["g"]) for r in out2
+    }
+    by_g: dict[str, set[int]] = {}
+    for r in out:
+        by_g.setdefault(r["g"], set()).add(r["doc_id"])
+    for g, members in by_g.items():
+        stratum = df.filter(df.g == g)
+        assert len(members) == min(k, stratum.count())
+        solo = {
+            r["doc_id"]
+            for r in weighted_sample(
+                stratum, "doc_id", "w", k, salt="wstrat"
+            ).collect()
+        }
+        assert members == solo
