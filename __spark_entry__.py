@@ -5730,6 +5730,61 @@ def sample_reservoir_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KLL_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 _KLL_KCAP = 64
 
+#: Fellegi–Sunter m/u probabilities (pinned literals — the production
+#: path EM-estimates them from the same pattern table the operator
+#: emits) and the resulting fixed-point log2-likelihood weights.
+_FS_MU = {"bal": (0.92, 0.08), "name": (0.85, 0.01), "sign": (0.95, 0.55)}
+_FS_W = {k: D.fs_weights_fp(m, u) for k, (m, u) in _FS_MU.items()}
+_FS_T_LINK, _FS_T_NONLINK = 2000, -2000
+
+
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (operators/dedup.py::
+    fellegi_sunter_patterns, Fellegi & Sunter 1969): customer records
+    linked against supplier records, blocked on (nationkey, $500
+    account-balance band) — candidate pairs come from a hash EQUI-join,
+    never all-pairs. γ vector: balance within $100 (exact cents), name
+    numeric suffix mod 100 equal, balance sign equal. Score = exact
+    integer sum of pinned fixed-point log2(m/u) weights (fs_weights_fp
+    literals shared verbatim with the oracle); output is the canonical
+    γ-pattern table (≤ 2³ rows) with the three-way link decision."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    suf = lambda name: (  # noqa: E731 — numeric name suffix mod 100
+        F.nullif(F.regexp_extract(name, "([0-9]+)$", 1), F.lit("")).cast(
+            "long"
+        )
+        % 100
+    )
+    a = cust.select(
+        F.col("c_nationkey").alias("nat_a"),
+        _cents("c_acctbal").alias("cents_a"),
+        F.floor(F.col("c_acctbal") / 500.0).cast("long").alias("band_a"),
+        suf(F.col("c_name")).alias("suf_a"),
+    )
+    b = supp.select(
+        F.col("s_nationkey").alias("nat_b"),
+        _cents("s_acctbal").alias("cents_b"),
+        F.floor(F.col("s_acctbal") / 500.0).cast("long").alias("band_b"),
+        suf(F.col("s_name")).alias("suf_b"),
+    )
+    return D.fellegi_sunter_patterns(
+        a,
+        b,
+        block_on=[
+            (F.col("a.nat_a"), F.col("b.nat_b")),
+            (F.col("a.band_a"), F.col("b.band_b")),
+        ],
+        gammas={
+            "bal": F.abs(F.col("a.cents_a") - F.col("b.cents_b")) <= 10000,
+            "name": F.col("a.suf_a") == F.col("b.suf_b"),
+            "sign": (F.col("a.cents_a") < 0) == (F.col("b.cents_b") < 0),
+        },
+        weights_fp=_FS_W,
+        t_link_fp=_FS_T_LINK,
+        t_nonlink_fp=_FS_T_NONLINK,
+    )
+
 
 def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL-style quantile sketch under PINNED deterministic compaction
@@ -5778,6 +5833,68 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n").cast("long").alias("n"),
         )
     )
+
+
+_BPE_K = 8
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning at fixed k (operators/text.py::
+    bpe_learn_merges, Sennrich et al. 2016): the first 8 byte-pair
+    merges over the documents corpus, word-level with frequency
+    weighting. Each iteration is one distributed pair-count aggregation
+    over the cached DISTINCT-word corpus plus a 1-row argmax collect
+    (the inherent sequential dependency of BPE). FULL oracle: 8 unrolled
+    CTE stages replay pair counting (overlaps included), the
+    (count DESC, pair ASC) argmax, and the left-to-right non-overlapping
+    replace rewrite — all three engines share replace() semantics on the
+    space-delimited symbol string."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bpe_learn_merges(docs, "text", k=_BPE_K)
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """The k-stage unrolled BPE oracle (mechanically generated — the
+    per-stage SQL is identical modulo the stage index)."""
+    parts = [
+        r"""c0 AS (
+                SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s,
+                       CAST(count(*) AS BIGINT) AS f
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents) t
+                WHERE w <> '' GROUP BY w)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""t{i} AS (
+                SELECT f, list_filter(string_split(s, ' '),
+                                      z -> z <> '') AS arr
+                FROM c{i - 1}),
+            p{i} AS (
+                SELECT x, y, CAST(sum(f) AS BIGINT) AS cnt FROM (
+                    SELECT f, unnest(arr[1:len(arr)-1]) AS x,
+                           unnest(arr[2:len(arr)]) AS y
+                    FROM t{i}) u
+                GROUP BY x, y),
+            b{i} AS (SELECT x, y, cnt FROM p{i}
+                     ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+            c{i} AS (
+                SELECT replace(c.s, ' ' || b.x || ' ' || b.y || ' ',
+                               ' ' || b.x || b.y || ' ') AS s, c.f
+                FROM c{i - 1} c CROSS JOIN b{i} b)"""
+        )
+        parts_sql = ",\n            ".join(parts)
+    selects = "\n                UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step, x AS lft, y AS rgt, "
+        f"x || y AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+            -- k unrolled BPE stages; same argmax tiebreak and the same
+            -- left-to-right non-overlapping replace() as the engine
+            WITH {parts_sql}
+            {selects}
+        """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5867,6 +5984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # three above ---------------------------------------------------
         "sample_reservoir_stratum": sample_reservoir_stratum,
         "sketch_kll_quantiles": sketch_kll_quantiles,
+        "q_record_linkage_fs": q_record_linkage_fs,
+        "text_bpe_merges": text_bpe_merges,
         # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
@@ -8808,6 +8927,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
                 WHERE n_chars IS NOT NULL AND n_chars > 0)
             WHERE rk <= 20
+        """,
+        "text_bpe_merges": _bpe_oracle_sql(_BPE_K),
+        "q_record_linkage_fs": f"""
+            -- FS weights are the SAME fs_weights_fp fixed-point
+            -- literals the engine folds in; score is an exact BIGINT
+            WITH a AS (
+                SELECT c_nationkey AS nat,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                       CAST(floor(c_acctbal / 500.0) AS BIGINT) AS band,
+                       CAST(NULLIF(regexp_extract(c_name, '([0-9]+)$', 1),
+                                   '') AS BIGINT) % 100 AS suf
+                FROM customer),
+            b AS (
+                SELECT s_nationkey AS nat,
+                       CAST(round(s_acctbal * 100) AS BIGINT) AS cents,
+                       CAST(floor(s_acctbal / 500.0) AS BIGINT) AS band,
+                       CAST(NULLIF(regexp_extract(s_name, '([0-9]+)$', 1),
+                                   '') AS BIGINT) % 100 AS suf
+                FROM supplier),
+            p AS (
+                SELECT CASE WHEN abs(a.cents - b.cents) <= 10000
+                            THEN 1 ELSE 0 END AS g_bal,
+                       CASE WHEN a.suf = b.suf THEN 1 ELSE 0 END AS g_name,
+                       CASE WHEN (a.cents < 0) = (b.cents < 0)
+                            THEN 1 ELSE 0 END AS g_sign
+                FROM a JOIN b ON a.nat = b.nat AND a.band = b.band),
+            s AS (
+                SELECT g_bal, g_name, g_sign,
+                       CAST(CASE WHEN g_bal = 1 THEN {_FS_W["bal"][0]}
+                                 ELSE {_FS_W["bal"][1]} END
+                          + CASE WHEN g_name = 1 THEN {_FS_W["name"][0]}
+                                 ELSE {_FS_W["name"][1]} END
+                          + CASE WHEN g_sign = 1 THEN {_FS_W["sign"][0]}
+                                 ELSE {_FS_W["sign"][1]} END
+                            AS BIGINT) AS score_fp
+                FROM p)
+            SELECT CAST(g_bal AS INT) AS g_bal,
+                   CAST(g_name AS INT) AS g_name,
+                   CAST(g_sign AS INT) AS g_sign,
+                   CAST(count(*) AS BIGINT) AS pair_count,
+                   score_fp,
+                   CASE WHEN score_fp >= {_FS_T_LINK} THEN 'link'
+                        WHEN score_fp <= {_FS_T_NONLINK} THEN 'non_link'
+                        ELSE 'possible' END AS decision
+            FROM s GROUP BY g_bal, g_name, g_sign, score_fp
         """,
         "sketch_kll_quantiles": f"""
             -- the pinned-compaction level plan is recomputed by the

@@ -1144,3 +1144,78 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --- Fellegi–Sunter record linkage ----------------------------------------
+
+
+def fs_weights_fp(m: float, u: float, scale: int = 1000) -> tuple[int, int]:
+    """Fellegi–Sunter agreement/disagreement weights as fixed-point
+    integers: (round(scale*log2(m/u)), round(scale*log2((1-m)/(1-u)))).
+    Computed ONCE in Python and embedded as literals in both the engine
+    plan and the SQL oracle, so the per-pair score is an exact integer
+    sum — no float accumulation anywhere."""
+    from math import log2
+
+    return (round(scale * log2(m / u)), round(scale * log2((1 - m) / (1 - u))))
+
+
+def fellegi_sunter_patterns(
+    a: DataFrame,
+    b: DataFrame,
+    block_on: list[tuple[Column, Column]],
+    gammas: dict[str, Column],
+    weights_fp: dict[str, tuple[int, int]],
+    t_link_fp: int,
+    t_nonlink_fp: int,
+) -> DataFrame:
+    """Fellegi & Sunter (1969) probabilistic record linkage over BLOCKED
+    candidate pairs: every pair agreeing on all `block_on` key pairs gets
+    an agreement vector γ (one boolean per comparison field), a
+    log-likelihood-ratio score Σ_i (γ_i ? w_agree_i : w_disagree_i), and
+    a three-way decision (link / possible / non_link) against the two
+    thresholds. Returns the canonical FS artifact — the γ-PATTERN TABLE:
+    one row per observed agreement pattern with its pair count and score
+    (2^|γ| rows max, driver-scale by construction).
+
+    The m/u probabilities behind `weights_fp` are supplied (pinned
+    literals via fs_weights_fp) — the production path estimates them by
+    EM over the same pattern table; the table this returns IS the EM
+    sufficient statistic, so the iteration loop composes directly.
+
+    Plan shape: candidate generation is a hash EQUI-join on the block
+    keys (never all-pairs — the blocking discipline every linkage
+    pipeline at scale lives by); γ bits and the score are row-local; the
+    pattern rollup is one bounded aggregation. Skew: block-key design is
+    the caller's lever (band continuous attributes, compound keys); at
+    extreme skew the salted-join lever (operators/joins.py) applies
+    unchanged because the join is an equi-join.
+    """
+    names = list(gammas)
+    aj, bj = a.alias("a"), b.alias("b")
+    cond = None
+    for ka, kb in block_on:
+        c = ka.eqNullSafe(kb)
+        cond = c if cond is None else cond & c
+    pairs = aj.join(bj, cond, "inner")
+    for n in names:
+        pairs = pairs.withColumn(
+            f"g_{n}", F.when(gammas[n], F.lit(1)).otherwise(F.lit(0)).cast("int")
+        )
+    score = None
+    for n in names:
+        wa, wd = weights_fp[n]
+        t = F.when(F.col(f"g_{n}") == 1, F.lit(wa)).otherwise(F.lit(wd))
+        score = t if score is None else score + t
+    pairs = pairs.withColumn("score_fp", score.cast("long"))
+    return (
+        pairs.groupBy(*[f"g_{n}" for n in names], "score_fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .withColumn(
+            "decision",
+            F.when(F.col("score_fp") >= t_link_fp, F.lit("link"))
+            .when(F.col("score_fp") <= t_nonlink_fp, F.lit("non_link"))
+            .otherwise(F.lit("possible")),
+        )
+        .select(*[f"g_{n}" for n in names], "pair_count", "score_fp", "decision")
+    )

@@ -757,3 +757,83 @@ def bigram_pmi(
     return scored.orderBy(
         F.col("c_xy").desc(), F.col("x").asc(), F.col("y").asc()
     ).limit(top_k)
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Learn the first k BPE merges (Sennrich et al. 2016) over the
+    corpus, word-level with word-frequency weighting — the tokenizer-
+    training step of a data pipeline, run where the data lives instead
+    of funnelling the corpus through one machine.
+
+    Semantics pinned exactly (and replayed by the k-stage unrolled
+    oracle): symbols start as characters; pair counts are ADJACENT
+    OCCURRENCES INCLUDING OVERLAPS ("aaa" counts (a,a) twice) weighted
+    by word frequency; the winning pair maximizes (count, then
+    lexicographically smallest left, then right); applying a merge
+    rewrites every word left-to-right NON-overlapping — the replace()
+    semantics all three engines (Python str, Spark, DuckDB) share on the
+    space-delimited symbol string ' s1 s2 ... '.
+
+    Plan: one explode + word-frequency aggregation (cached — the corpus
+    state is one row per DISTINCT word, already ≤ vocabulary scale, not
+    document scale); each of the k iterations is ONE distributed
+    pair-count aggregation (explode of adjacent symbol pairs, groupBy
+    sum) plus a 1-row argmax collect — the k driver round-trips are the
+    inherent sequential dependency of BPE (merge i+1's counts depend on
+    merge i), each bounded to a single (pair, count) row. Rewrites are
+    row-local replaces chained on the cached vocab.
+
+    Returns (step, lft, rgt, merged, pair_count) — k rows (fewer iff
+    the corpus runs out of pairs first).
+    """
+    spark = df.sparkSession
+    w = F.explode(words(text_col)).alias("w")
+    vocab = (
+        df.select(w)
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+            ).alias("s"),
+            "f",
+        )
+        .cache()
+    )
+    corpus = vocab
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, k + 1):
+        arr = F.filter(F.split(F.col("s"), " "), lambda z: z != "")
+        pz = F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+        )
+        best = (
+            corpus.select(F.col("f"), F.explode(pz).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        x, y, cnt = best[0]["x"], best[0]["y"], best[0]["cnt"]
+        merges.append((step, x, y, x + y, cnt))
+        corpus = corpus.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(f" {x} {y} "), F.lit(f" {x}{y} ")
+            ),
+        )
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, lft string, rgt string, merged string, pair_count long"
+    )

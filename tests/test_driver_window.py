@@ -49,12 +49,14 @@ def test_round8_window_composition():
 
 
 def test_session4_tail_leads_below_cut():
-    """The never-driver-seen session-4 tail entries sit immediately
+    """The never-driver-seen session-4/5 tail entries sit immediately
     below the cut, so they lead the round-9 window."""
     qs = list(entrymod.queries().keys())
-    assert qs[50:53] == [
-        "streaming_psi_drift", "q_ccf_types", "q_histogram_equi_depth"
-    ], qs[50:53]
+    assert qs[50:57] == [
+        "streaming_psi_drift", "q_ccf_types", "q_histogram_equi_depth",
+        "sample_reservoir_stratum", "sketch_kll_quantiles",
+        "q_record_linkage_fs", "text_bpe_merges",
+    ], qs[50:57]
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():

@@ -1546,3 +1546,37 @@ def test_tdigest_pinned_structure(spark, sf_dir):
     # centroids are value-ordered and non-overlapping
     for a, b in zip(rows, rows[1:]):
         assert a["max_cents"] <= b["min_cents"]
+
+
+def test_fellegi_sunter_pattern_table(spark):
+    """FS linkage on a constructed corpus: blocking keeps only same-block
+    pairs, the γ pattern table partitions the candidate set, scores are
+    the exact fixed-point weight sums, and decisions follow thresholds."""
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        fellegi_sunter_patterns,
+        fs_weights_fp,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 100)], "id_a long, blk_a int, v_a long"
+    )
+    b = spark.createDataFrame(
+        [(7, 10, 102), (8, 10, 900), (9, 30, 100)], "id_b long, blk_b int, v_b long"
+    )
+    wa, wd = fs_weights_fp(0.9, 0.1)
+    out = fellegi_sunter_patterns(
+        a,
+        b,
+        block_on=[(F.col("a.blk_a"), F.col("b.blk_b"))],
+        gammas={"v": F.abs(F.col("a.v_a") - F.col("b.v_b")) <= 10},
+        weights_fp={"v": (wa, wd)},
+        t_link_fp=wa,
+        t_nonlink_fp=wd,
+    ).collect()
+    got = {r["g_v"]: (r["pair_count"], r["score_fp"], r["decision"]) for r in out}
+    # block 10: a∈{1,2} × b∈{7,8} = 4 pairs; only (1,7) agrees (|100-102|<=10)
+    assert got[1] == (1, wa, "link")
+    assert got[0] == (3, wd, "non_link")
+    assert wa == round(1000 * __import__("math").log2(0.9 / 0.1))

@@ -366,3 +366,53 @@ def test_stratified_reservoir_invariants(spark, ids, k):
             ).collect()
         }
         assert members == solo
+
+
+def _ref_bpe(word_list: list[str], k: int):
+    """Sequential BPE reference: overlap-counting pair frequencies,
+    (count desc, pair asc) argmax, left-to-right non-overlapping
+    rewrite via Python str.replace — the exact pinned semantics."""
+    from collections import Counter
+
+    freq = Counter(w for w in word_list if w)
+    corpus = [(" " + " ".join(w) + " ", f) for w, f in sorted(freq.items())]
+    merges = []
+    for step in range(1, k + 1):
+        cnt: Counter = Counter()
+        for s, f in corpus:
+            syms = s.split()
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += f
+        if not cnt:
+            break
+        (x, y), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, x, y, x + y, c))
+        corpus = [(s.replace(f" {x} {y} ", f" {x}{y} "), f) for s, f in corpus]
+    return merges
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_bpe_matches_sequential_reference(spark, docs, k):
+    """Distributed BPE merge learning equals the sequential reference
+    on arbitrary corpora — same winners, same counts, same order."""
+    from buskafkasparkstreaming_spark.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "id long, text string")
+    got = [
+        (r["step"], r["lft"], r["rgt"], r["merged"], r["pair_count"])
+        for r in bpe_learn_merges(df, "text", k=k).collect()
+    ]
+    want = _ref_bpe([w for d in docs for w in d.split(" ")], k)
+    assert sorted(got) == sorted(want)
