@@ -5973,7 +5973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== DRIVER WINDOW CUT: entries above are the 50 the sweep
         # checks (46 never-driver-seen + 4 changed); everything below is
         # locally green via tests/test_oracle_parity.py and leads the
-        # round-9 window (never-seen session-4 tail first, then 16
+        # round-9 window (never-seen session-4/5 tail first, then 16
         # artifact-less r6, then r2-stale, then r4-stale) ===============
         # --- session-4 tail: added after the window filled (never
         # driver-seen -- lead round 9) ----------------------------------

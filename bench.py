@@ -176,6 +176,11 @@ HEADLINE = [
     "streaming_psi_drift",
     "q_ccf_types",
     "q_histogram_equi_depth",
+    # round-8 session-5 additions
+    "sample_reservoir_stratum",
+    "sketch_kll_quantiles",
+    "q_record_linkage_fs",
+    "text_bpe_merges",
 ]
 
 

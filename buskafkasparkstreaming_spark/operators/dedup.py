@@ -1195,7 +1195,10 @@ def fellegi_sunter_patterns(
     aj, bj = a.alias("a"), b.alias("b")
     cond = None
     for ka, kb in block_on:
-        c = ka.eqNullSafe(kb)
+        # plain equality, not eqNullSafe: a NULL block key matches
+        # nothing — SQL equi-join semantics, and what a linkage pipeline
+        # wants (records with an unusable blocking key are not candidates)
+        c = ka == kb
         cond = c if cond is None else cond & c
     pairs = aj.join(bj, cond, "inner")
     for n in names:

@@ -639,9 +639,11 @@ def kll_sketch(
             cond = cond & (r <= F.lit(rmax))
         lvl = F.when(cond, F.lit(l)) if lvl is None else lvl.when(cond, F.lit(l))
         rmax = lo if rmax is None else min(rmax, lo)
-    if lvl is None:  # empty input
-        return ranked.withColumn(level_col, F.lit(None).cast("int")).filter(
-            F.lit(False)
+    if lvl is None:  # empty input: keep the full output schema
+        return (
+            ranked.withColumn(level_col, F.lit(None).cast("int"))
+            .withColumn(weight_col, F.lit(None).cast("long"))
+            .filter(F.lit(False))
         )
     return (
         ranked.withColumn(level_col, lvl)

@@ -246,6 +246,9 @@ def test_null_text_drift(spark, tmp_path):
         # grams CTEs)
         "dedup_prefix_filter",
         "text_rouge_overlap",
+        # NULL/empty text must contribute no words to the BPE corpus on
+        # BOTH sides (w <> '' filter after the split)
+        "text_bpe_merges",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -354,6 +357,9 @@ def test_null_events_drift(spark, tmp_path):
         # the watermark; NULL event_type drops from both CCF series
         "streaming_psi_drift",
         "q_ccf_types",
+        # NULL value rows must be absent from the ranked stream on BOTH
+        # sides before the level plan is applied (n counts non-null only)
+        "sketch_kll_quantiles",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -665,6 +671,9 @@ def test_null_customer_drift(spark, tmp_path):
         "q_topk_orders_per_customer",
         "q13_customer_distribution",
         "q22_idle_rich_customers",
+        # NULL name/nationkey/acctbal: NULL block keys must produce NO
+        # candidate pairs on BOTH sides (plain equality, not eqNullSafe)
+        "q_record_linkage_fs",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
