@@ -5897,6 +5897,198 @@ def _bpe_oracle_sql(k: int) -> str:
         """
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT winsorized + trimmed mean over order totals — the robust
+    location statistics an ANALYZE-style collector keeps next to the
+    plain mean. k = n div 20 (5% per tail, PURE INTEGER — no float
+    fraction-of-n boundary anywhere), cut values read at global ranks
+    k+1 and n-k through operators/windows_fn.global_rank (range shuffle
+    + broadcast offsets — never a single-task sort), and the tail
+    replacement is closed-form (winsor_sum = mid_sum + k*lo + k*hi), so
+    the whole statistic is ONE conditional aggregation over the ranked
+    stream: exact integer sums, two float divisions at the end, both
+    replayed token for token by the oracle."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    v = orders.select(
+        _cents("o_totalprice").alias("cents"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    ranked = W.global_rank(v, [F.col("cents").asc(), F.col("okey").asc()], "rn")
+    ndf = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = ranked.crossJoin(F.broadcast(ndf)).withColumn("k", F.expr("n div 20"))
+    a = j.agg(
+        F.min("n").alias("n_rows"),
+        F.min("k").alias("k"),
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("cents")))
+        .cast("long")
+        .alias("lo_cents"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("cents")))
+        .cast("long")
+        .alias("hi_cents"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("k"))
+                & (F.col("rn") <= F.col("n") - F.col("k")),
+                F.col("cents"),
+            )
+        )
+        .cast("long")
+        .alias("mid_sum"),
+    )
+    return a.filter(F.col("n_rows").isNotNull()).select(
+        "n_rows",
+        "k",
+        "lo_cents",
+        "hi_cents",
+        (
+            (
+                F.col("mid_sum")
+                + F.col("k") * F.col("lo_cents")
+                + F.col("k") * F.col("hi_cents")
+            ).cast("double")
+            / F.col("n_rows").cast("double")
+            / F.lit(100.0)
+        ).alias("winsor_mean"),
+        (
+            F.col("mid_sum").cast("double")
+            / (F.col("n_rows") - 2 * F.col("k")).cast("double")
+            / F.lit(100.0)
+        ).alias("trim_mean"),
+    )
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence n-gram novelty scoring: for each document (in
+    arrival order = doc_id), the fraction of its distinct word-trigram
+    shingles whose FIRST corpus occurrence is this document — the
+    dataset-ordering / memorization diagnostic of a training pipeline
+    (a low-novelty tail is what near-dedup should have removed). Plan:
+    one explode, one shingle-keyed min aggregation, one co-partitioned
+    equi-join back on the shingle, one per-doc rollup — no pair
+    expansion anywhere, linear in corpus shingles at any scale.
+    Contentless docs have no shingles on either side (the word_shingles
+    NULL guard) and are absent from the output."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"), F.explode(D.word_shingles("text", 3)).alias("sh")
+    )
+    firsts = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
+def q_theilsen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of the hourly event-count series: the
+    LOWER median of all pairwise slopes — the outlier-proof trend
+    estimator a monitoring pipeline runs where least-squares
+    (q_regr_slope_exact) would chase a single burst hour. The O(H²)
+    pair stream is over the BOUNDED hour axis (time domain, not data
+    size — the ACF/CCF discipline), so the inequality join is a
+    broadcast loop over spine-scale rows at any data scale; slopes are
+    fixed-pointed row-locally (floor((Δy·10⁶)/Δt) — exact longs, one
+    IEEE division) and the median is read at rank (m+1) div 2 of the
+    UNIQUE (slope_fp, t_a, t_b) ordering via global_rank — never a
+    single-task sort, and no engine median() with unspecified ties."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    h = ev.groupBy(
+        (bssf.ts_millis(F.col("ts")) / F.lit(3600000)).cast("long").alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    pairs = (
+        h.alias("a")
+        .join(h.alias("b"), F.col("b.t") > F.col("a.t"))
+        .select(
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+            F.floor(
+                ((F.col("b.y") - F.col("a.y")) * F.lit(1000000)).cast(
+                    "double"
+                )
+                / (F.col("b.t") - F.col("a.t")).cast("double")
+            )
+            .cast("long")
+            .alias("slope_fp"),
+        )
+    )
+    mdf = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    nh = h.agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
+    ranked = W.global_rank(
+        pairs,
+        [F.col("slope_fp").asc(), F.col("ta").asc(), F.col("tb").asc()],
+        "rn",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(mdf))
+        .crossJoin(F.broadcast(nh))
+        .filter(F.col("rn") == F.expr("(m + 1) div 2"))
+        .select(
+            "n_hours",
+            F.col("m").alias("n_pairs"),
+            "slope_fp",
+            (F.col("slope_fp").cast("double") / F.lit(1000000.0)).alias(
+                "slope"
+            ),
+        )
+    )
+
+
+def streaming_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-hour distinct-user HLL — the sketch family meeting
+    the streaming family: 256 HyperLogLog registers maintained as a
+    windowed streaming MAX aggregation (mergeable per micro-batch by
+    construction — max is the HLL merge), drained append-mode through
+    the checkpointed availableNow harness with a 0 s watermark (an hour
+    emits iff its end ≤ the final watermark, the streaming_psi_drift
+    emission rule), then each emitted hour's registers feed the exact
+    fixed-point estimator (operators/stats.py::hll_stats /
+    hll_estimate_col — integer harmonic denominator, the one float
+    literal shared verbatim with the oracle). FULL oracle: bucket/rank
+    hashing, per-hour register max, the emission rule, and the
+    estimator expression are all replayed in SQL."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        _hll_bucket_rank,
+        hll_estimate_col,
+        hll_stats,
+    )
+
+    stream = SW.read_events_stream(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    bucket, rank = _hll_bucket_rank(F.col("user_id"))
+    hourly = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), bucket.alias("bucket"))
+        .agg(F.max(rank).alias("rank"))
+    )
+    drained = SW.run_to_memory(hourly, spark, output_mode="append").select(
+        F.col("w.start").alias("hour_start"), "bucket", "rank"
+    )
+    stats = hll_stats(drained, ["hour_start"])
+    return stats.select(
+        "hour_start",
+        "sum_fp",
+        "empty_buckets",
+        hll_estimate_col(F.col("sum_fp"), F.col("empty_buckets")).alias(
+            "est_users"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -5986,6 +6178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kll_quantiles": sketch_kll_quantiles,
         "q_record_linkage_fs": q_record_linkage_fs,
         "text_bpe_merges": text_bpe_merges,
+        "q_winsorized_stats": q_winsorized_stats,
+        "text_ngram_novelty": text_ngram_novelty,
+        "q_theilsen_hourly": q_theilsen_hourly,
+        "streaming_hll_hourly": streaming_hll_hourly,
         # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
@@ -8929,6 +9125,122 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 20
         """,
         "text_bpe_merges": _bpe_oracle_sql(_BPE_K),
+        "q_winsorized_stats": """
+            -- k = n div 20 (pure integer 5% tails); cut values at ranks
+            -- k+1 and n-k; winsor_sum = mid + k*lo + k*hi, same float
+            -- division order as the engine
+            WITH v AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderkey AS okey
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+            r AS (SELECT cents,
+                         row_number() OVER (ORDER BY cents ASC, okey ASC)
+                             AS rn
+                  FROM v),
+            j AS (SELECT r.cents, r.rn, nn.n, nn.n // 20 AS k
+                  FROM r CROSS JOIN nn),
+            a AS (SELECT min(n) AS n_rows, min(k) AS k,
+                         CAST(max(CASE WHEN rn = k + 1 THEN cents END)
+                              AS BIGINT) AS lo_cents,
+                         CAST(max(CASE WHEN rn = n - k THEN cents END)
+                              AS BIGINT) AS hi_cents,
+                         CAST(sum(CASE WHEN rn > k AND rn <= n - k
+                                       THEN cents END) AS BIGINT) AS mid_sum
+                  FROM j)
+            SELECT n_rows, k, lo_cents, hi_cents,
+                   CAST(mid_sum + k * lo_cents + k * hi_cents AS DOUBLE)
+                       / CAST(n_rows AS DOUBLE) / 100.0 AS winsor_mean,
+                   CAST(mid_sum AS DOUBLE)
+                       / CAST(n_rows - 2 * k AS DOUBLE) / 100.0 AS trim_mean
+            FROM a WHERE n_rows IS NOT NULL
+        """,
+        "text_ngram_novelty": f"""
+            -- trigram shingles (the word_shingles guard: contentless
+            -- docs have none); first occurrence = min doc_id
+            WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents
+                       WHERE trim(coalesce(text, '')) <> ''),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS sh
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, greatest(len(ws) - 2, 1) + 1))
+                                 AS g
+                      FROM w)
+            ),
+            f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+            SELECT s.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   CAST(CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+                        AS DOUBLE)
+                       / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS novelty
+            FROM sh s JOIN f ON s.sh = f.sh
+            GROUP BY s.doc_id
+        """,
+        "q_theilsen_hourly": """
+            -- pairwise slopes over the bounded hour axis; LOWER median
+            -- at rank (m+1)//2 of the unique (slope_fp, ta, tb) order
+            WITH e AS (
+                SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000
+                            AS BIGINT) AS t
+                FROM events WHERE ts IS NOT NULL),
+            h AS (SELECT t, CAST(count(*) AS BIGINT) AS y
+                  FROM e GROUP BY t),
+            p AS (
+                SELECT a.t AS ta, b.t AS tb,
+                       CAST(floor(CAST((b.y - a.y) * 1000000 AS DOUBLE)
+                                  / CAST(b.t - a.t AS DOUBLE)) AS BIGINT)
+                           AS slope_fp
+                FROM h a JOIN h b ON b.t > a.t),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+            nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM h),
+            r AS (SELECT slope_fp,
+                         row_number() OVER (ORDER BY slope_fp, ta, tb) AS rn
+                  FROM p)
+            SELECT nh.n_hours, m.m AS n_pairs, r.slope_fp,
+                   CAST(r.slope_fp AS DOUBLE) / 1000000.0 AS slope
+            FROM r CROSS JOIN m CROSS JOIN nh
+            WHERE r.rn = (m.m + 1) // 2
+        """,
+        "streaming_hll_hourly": f"""
+            -- append emission rule (hour end <= final watermark = max
+            -- ts over the filtered stream) + HLL registers replayed
+            -- from md5; the estimator literal is the engine's
+            WITH ev AS (
+                SELECT ts, user_id FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            mxts AS (SELECT max(ts) AS m FROM ev),
+            br AS (
+                SELECT date_trunc('hour', ts) AS h,
+                       {_hex_int_sql("md5(CAST(user_id AS VARCHAR))", 1, 2)}
+                           AS bucket,
+                       {_hex_int_sql("md5(CAST(user_id AS VARCHAR))", 3, 13)}
+                           AS val
+                FROM ev),
+            reg AS (
+                SELECT h, bucket,
+                       MAX(CASE WHEN val = 0 THEN 53
+                                ELSE 53 - length(bin(val)) END) AS rank
+                FROM br, mxts
+                WHERE h + INTERVAL 1 HOUR <= mxts.m
+                GROUP BY h, bucket),
+            st AS (
+                SELECT h,
+                       CAST(SUM(1::BIGINT << (53 - rank))
+                            + (256 - count(*)) * (1::BIGINT << 53)
+                            AS BIGINT) AS sum_fp,
+                       CAST(256 - count(*) AS BIGINT) AS empty_buckets
+                FROM reg GROUP BY h)
+            SELECT h AS hour_start, sum_fp, empty_buckets,
+                   CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(sum_fp AS DOUBLE)
+                             <= 640.0 AND empty_buckets > 0
+                        THEN 256.0 * ln(256.0 / CAST(empty_buckets AS DOUBLE))
+                        ELSE {_HLL_ALPHA_NUM!r} / CAST(sum_fp AS DOUBLE)
+                   END AS est_users
+            FROM st
+        """,
         "q_record_linkage_fs": f"""
             -- FS weights are the SAME fs_weights_fp fixed-point
             -- literals the engine folds in; score is an exact BIGINT

@@ -181,6 +181,10 @@ HEADLINE = [
     "sketch_kll_quantiles",
     "q_record_linkage_fs",
     "text_bpe_merges",
+    "q_winsorized_stats",
+    "text_ngram_novelty",
+    "q_theilsen_hourly",
+    "streaming_hll_hourly",
 ]
 
 

@@ -249,6 +249,9 @@ def test_null_text_drift(spark, tmp_path):
         # NULL/empty text must contribute no words to the BPE corpus on
         # BOTH sides (w <> '' filter after the split)
         "text_bpe_merges",
+        # contentless docs must be absent from the novelty output on
+        # BOTH sides (no shingles -> no rows)
+        "text_ngram_novelty",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -447,6 +450,9 @@ def test_null_orders_drift(spark, tmp_path):
         "q_ks_two_sample",
         "q_psi_drift",
         "sketch_tdigest_pinned",
+        # NULL o_totalprice rows must be outside rank, n, AND k = n div
+        # 20 identically on both sides
+        "q_winsorized_stats",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -616,6 +622,10 @@ def test_null_ts_drift(spark, tmp_path):
         "streaming_funnel_timeout",
         "q_funnel_sliding_windows",
         "q_ks_rolling_hourly",
+        # NULL ts rows must be outside the hourly pair axis / the
+        # streamed registers AND the final watermark on BOTH sides
+        "q_theilsen_hourly",
+        "streaming_hll_hourly",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

@@ -52,11 +52,13 @@ def test_session4_tail_leads_below_cut():
     """The never-driver-seen session-4/5 tail entries sit immediately
     below the cut, so they lead the round-9 window."""
     qs = list(entrymod.queries().keys())
-    assert qs[50:57] == [
+    assert qs[50:61] == [
         "streaming_psi_drift", "q_ccf_types", "q_histogram_equi_depth",
         "sample_reservoir_stratum", "sketch_kll_quantiles",
         "q_record_linkage_fs", "text_bpe_merges",
-    ], qs[50:57]
+        "q_winsorized_stats", "text_ngram_novelty", "q_theilsen_hourly",
+        "streaming_hll_hourly",
+    ], qs[50:61]
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():
