@@ -6089,6 +6089,193 @@ def streaming_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming one-sided CUSUM drift detector (streaming/state.py::
+    cusum_hourly_per_type) — the sequential, per-ingest-tick form of the
+    batch q_cusum_changepoint, completing the drift-monitor family
+    (batch KS/PSI/CUSUM + streaming PSI/rolling-KS + this). Per-type
+    state is the bounded (hour → count) histogram (merge = addition,
+    independent of micro-batch boundaries); every emission folds
+    S_i = max(0, S_{i-1} + x_i·m − t) over the sorted hours in exact
+    integers (scaled by the hour count — no float mean) and reports
+    max S, the earliest argmax hour, and alarm hours (S > 2t). FULL
+    oracle: the same recursion replayed with WITH RECURSIVE over the
+    same hourly histogram; final state = max-n_seen emission per type
+    (the funnel protocol)."""
+    from buskafkasparkstreaming_spark.streaming.state import (
+        cusum_hourly_per_type,
+    )
+
+    stream = SW.read_events_stream(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    feed = stream.select(
+        "event_type", bssf.ts_millis("ts").alias("ms"), "ts"
+    )
+    out = cusum_hourly_per_type(feed)
+    res = SW.run_to_memory(out, spark, output_mode="update")
+    w = Window.partitionBy("event_type").orderBy(F.col("n_seen").desc())
+    return (
+        res.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "event_type", "n_hours", "total", "max_s", "cp_hour_ms",
+            "n_alarms",
+        )
+    )
+
+
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of the order-revenue distribution — the
+    inequality statistic next to the winsorized/trimmed location stats:
+    with values sorted ascending (unique (cents, okey) order via
+    operators/windows_fn.global_rank — never a single-task sort),
+    G = (2·Σ r·x − (n+1)·Σx) / (n·Σx). The rank-weighted sum runs in
+    DECIMAL(38,0) (r·x products overflow BIGINT at 10⁹ rows), the
+    final expression is ONE float division of exact integers. Cast
+    discipline: numerator and denominator stay under 2⁵³ through the
+    gate scale factors, so the DECIMAL→DOUBLE cast is exact in both
+    engines; at cluster scale the final cast would switch to the
+    fixed-point share idiom of q_herfindahl_segments (whose drift-sweep
+    failure motivated exactly this — DECIMAL→DOUBLE above 2⁵³ rounds
+    engine-specifically)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    v = orders.select(
+        _cents("o_totalprice").alias("cents"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    ranked = W.global_rank(v, [F.col("cents").asc(), F.col("okey").asc()], "rn")
+    dec = "decimal(38,0)"
+    a = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.col("rn").cast(dec) * F.col("cents").cast(dec))
+        .cast(dec)
+        .alias("srx"),
+    ).filter(F.col("n") > 0)
+    return a.select(
+        "n",
+        "sum_cents",
+        (
+            (
+                F.lit(2).cast(dec) * F.col("srx")
+                - (F.col("n") + 1).cast(dec) * F.col("sum_cents").cast(dec)
+            ).cast("double")
+            / (F.col("n").cast(dec) * F.col("sum_cents").cast(dec)).cast(
+                "double"
+            )
+        ).alias("gini"),
+    )
+
+
+def q_herfindahl_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of revenue across customers
+    WITHIN each market segment — 'is this segment's revenue spread or
+    dominated by a few accounts'. Shares are fixed-pointed at 1e6 per
+    customer (floor(rev·10⁶ / rev_seg) — one IEEE division of
+    exactly-representable doubles, the PSI idiom), so HHI_fp = Σ
+    share_fp² is an EXACT BIGINT at any scale — a DECIMAL(38,0)
+    rev² sum would exceed 2⁵³ and the DECIMAL→DOUBLE cast rounds
+    differently across engines (caught by the null-orders drift sweep).
+    hhi = HHI_fp/10¹²; effective_n = 10¹²/HHI_fp (equivalent-equal-
+    customers count). Plan: per-customer rollup, broadcast of ≤
+    segment-count totals joined back, per-segment integer rollup — no
+    window, no collect."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_custkey").isNotNull()
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_c = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("rev"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    totals = per_c.groupBy("c_mktsegment").agg(
+        F.sum("rev").cast("long").alias("rev_seg")
+    )
+    share_fp = F.floor(
+        F.col("rev").cast("double")
+        * F.lit(1000000.0)
+        / F.col("rev_seg").cast("double")
+    ).cast("long")
+    seg = (
+        per_c.join(F.broadcast(totals), "c_mktsegment")
+        .select("c_mktsegment", "rev_seg", share_fp.alias("sfp"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("rev_seg").cast("long").alias("rev_cents"),
+            F.sum(F.col("sfp") * F.col("sfp")).cast("long").alias("hhi_fp"),
+        )
+    )
+    return seg.select(
+        "c_mktsegment",
+        "n_customers",
+        "rev_cents",
+        "hhi_fp",
+        (F.col("hhi_fp").cast("double") / F.lit(1e12)).alias("hhi"),
+        (F.lit(1e12) / F.col("hhi_fp").cast("double")).alias("effective_n"),
+    )
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law exponent of the corpus word-frequency distribution:
+    OLS slope of (ln rank, ln freq) over the top-100 vocabulary terms —
+    the corpus-health diagnostic (natural text ≈ −1; synthetic or
+    boilerplate-heavy corpora flatten). Vocabulary ranks come from a
+    TakeOrdered top-100 by (freq DESC, word ASC) — per-partition heads
+    + a 100-row driver merge, never a global sort — and the regression
+    runs over ≤ 100 points: each ln is taken on ONE identically-derived
+    double then floor-fixed-pointed at 1e6 (the PSI idiom), so the OLS
+    moments are exact integers (DECIMAL cross-products) and the slope
+    is one float division."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(TX.words("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(100)
+    )
+    # rank within the collected 100-row frame: window over a
+    # config-bounded input (k=100), not data scale
+    ranked = vocab.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+        ),
+    )
+    x = F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e6)).cast("long")
+    y = F.floor(F.log(F.col("freq").cast("double")) * F.lit(1e6)).cast("long")
+    dec = "decimal(38,0)"
+    pts = ranked.select(x.alias("x"), y.alias("y"))
+    a = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec).alias("sxx"),
+    ).filter(F.col("m") > 1)
+    return a.select(
+        "m",
+        (
+            (
+                F.col("m").cast(dec) * F.col("sxy")
+                - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+            ).cast("double")
+            / (
+                F.col("m").cast(dec) * F.col("sxx")
+                - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+            ).cast("double")
+        ).alias("zipf_slope"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -6182,6 +6369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": text_ngram_novelty,
         "q_theilsen_hourly": q_theilsen_hourly,
         "streaming_hll_hourly": streaming_hll_hourly,
+        "streaming_cusum_hourly": streaming_cusum_hourly,
+        "q_gini_revenue": q_gini_revenue,
+        "q_herfindahl_segments": q_herfindahl_segments,
+        "text_zipf_slope": text_zipf_slope,
         # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
@@ -9125,6 +9316,155 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 20
         """,
         "text_bpe_merges": _bpe_oracle_sql(_BPE_K),
+        "streaming_cusum_hourly": """
+            -- the engine's stateful fold replayed: S_i = max(0,
+            -- S_{i-1} + x_i*m - t) over sorted hours per type (exact
+            -- integers, scaled by the hour count); earliest argmax;
+            -- alarms where S > 2t; single availableNow drain => every
+            -- type's full histogram is in state at the final emission
+            WITH RECURSIVE ev AS (
+                SELECT event_type,
+                       (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000)
+                           * 3600000 AS hms
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            h AS (SELECT event_type, hms, CAST(count(*) AS BIGINT) AS x
+                  FROM ev GROUP BY event_type, hms),
+            hi AS (SELECT event_type, hms, x,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY hms) AS i
+                   FROM h),
+            ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+                          CAST(sum(x) AS BIGINT) AS t
+                   FROM hi GROUP BY event_type),
+            rec(event_type, i, hms, s) AS (
+                SELECT hi.event_type, hi.i, hi.hms,
+                       greatest(CAST(0 AS BIGINT), hi.x * ag.m - ag.t)
+                FROM hi JOIN ag ON ag.event_type = hi.event_type
+                WHERE hi.i = 1
+                UNION ALL
+                SELECT hi.event_type, hi.i, hi.hms,
+                       greatest(CAST(0 AS BIGINT),
+                                r.s + hi.x * ag.m - ag.t)
+                FROM rec r
+                JOIN hi ON hi.event_type = r.event_type
+                       AND hi.i = r.i + 1
+                JOIN ag ON ag.event_type = hi.event_type),
+            pick AS (
+                SELECT event_type, s, hms,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY s DESC, hms ASC) AS rk
+                FROM rec),
+            al AS (
+                SELECT r.event_type,
+                       CAST(sum(CASE WHEN r.s > 2 * ag.t THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_alarms
+                FROM rec r JOIN ag ON ag.event_type = r.event_type
+                GROUP BY r.event_type)
+            SELECT ag.event_type, ag.m AS n_hours, ag.t AS total,
+                   CAST(p.s AS BIGINT) AS max_s,
+                   CAST(p.hms AS BIGINT) AS cp_hour_ms,
+                   al.n_alarms
+            FROM ag
+            JOIN pick p ON p.event_type = ag.event_type AND p.rk = 1
+            JOIN al ON al.event_type = ag.event_type
+        """,
+        "q_gini_revenue": """
+            -- G = (2*sum(r*x) - (n+1)*sum(x)) / (n*sum(x)) over the
+            -- unique (cents, okey) ascending order; DECIMAL(38,0)
+            -- rank-weighted sum; one float division
+            WITH v AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderkey AS okey
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            r AS (SELECT cents,
+                         row_number() OVER (ORDER BY cents ASC, okey ASC)
+                             AS rn
+                  FROM v),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS sum_cents,
+                         CAST(sum(CAST(rn AS DECIMAL(38,0))
+                                  * CAST(cents AS DECIMAL(38,0)))
+                              AS DECIMAL(38,0)) AS srx
+                  FROM r)
+            SELECT n, sum_cents,
+                   CAST(CAST(2 AS DECIMAL(38,0)) * srx
+                        - CAST(n + 1 AS DECIMAL(38,0))
+                          * CAST(sum_cents AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(CAST(n AS DECIMAL(38,0))
+                          * CAST(sum_cents AS DECIMAL(38,0)) AS DOUBLE)
+                       AS gini
+            FROM a WHERE n > 0
+        """,
+        "q_herfindahl_segments": """
+            -- fixed-point shares: floor(rev*1e6/rev_seg) per customer,
+            -- HHI_fp = sum(share_fp^2) exact BIGINT; hhi = fp/1e12
+            WITH per_c AS (
+                SELECT o.o_custkey, c.c_mktsegment,
+                       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE o.o_totalprice IS NOT NULL
+                      AND o.o_custkey IS NOT NULL
+                GROUP BY o.o_custkey, c.c_mktsegment),
+            tot AS (
+                SELECT c_mktsegment, CAST(sum(rev) AS BIGINT) AS rev_seg
+                FROM per_c GROUP BY c_mktsegment),
+            sh AS (
+                SELECT p.c_mktsegment, t.rev_seg,
+                       CAST(floor(CAST(p.rev AS DOUBLE) * 1000000.0
+                                  / CAST(t.rev_seg AS DOUBLE)) AS BIGINT)
+                           AS sfp
+                FROM per_c p JOIN tot t
+                  ON t.c_mktsegment = p.c_mktsegment),
+            seg AS (
+                SELECT c_mktsegment,
+                       CAST(count(*) AS BIGINT) AS n_customers,
+                       CAST(min(rev_seg) AS BIGINT) AS rev_cents,
+                       CAST(sum(sfp * sfp) AS BIGINT) AS hhi_fp
+                FROM sh GROUP BY c_mktsegment)
+            SELECT c_mktsegment, n_customers, rev_cents, hhi_fp,
+                   CAST(hhi_fp AS DOUBLE) / 1e12 AS hhi,
+                   1e12 / CAST(hhi_fp AS DOUBLE) AS effective_n
+            FROM seg
+        """,
+        "text_zipf_slope": """
+            -- top-100 vocab by (freq DESC, word ASC); ln fixed-pointed
+            -- at 1e6 per point; exact integer OLS moments
+            WITH wv AS (SELECT unnest(string_split(text, ' ')) AS w
+                        FROM documents),
+            v AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                  FROM wv WHERE w <> '' GROUP BY w
+                  ORDER BY freq DESC, w ASC LIMIT 100),
+            r AS (SELECT freq,
+                         row_number() OVER (ORDER BY freq DESC, w ASC)
+                             AS rank
+                  FROM v),
+            p AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0)
+                              AS BIGINT) AS x,
+                         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0)
+                              AS BIGINT) AS y
+                  FROM r),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(CAST(x AS DECIMAL(38,0))
+                                  * CAST(y AS DECIMAL(38,0)))
+                              AS DECIMAL(38,0)) AS sxy,
+                         CAST(sum(CAST(x AS DECIMAL(38,0))
+                                  * CAST(x AS DECIMAL(38,0)))
+                              AS DECIMAL(38,0)) AS sxx
+                  FROM p)
+            SELECT m,
+                   CAST(CAST(m AS DECIMAL(38,0)) * sxy
+                        - CAST(sx AS DECIMAL(38,0))
+                          * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(CAST(m AS DECIMAL(38,0)) * sxx
+                          - CAST(sx AS DECIMAL(38,0))
+                            * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+                       AS zipf_slope
+            FROM a WHERE m > 1
+        """,
         "q_winsorized_stats": """
             -- k = n div 20 (pure integer 5% tails); cut values at ranks
             -- k+1 and n-k; winsor_sum = mid + k*lo + k*hi, same float

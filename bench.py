@@ -185,6 +185,10 @@ HEADLINE = [
     "text_ngram_novelty",
     "q_theilsen_hourly",
     "streaming_hll_hourly",
+    "streaming_cusum_hourly",
+    "q_gini_revenue",
+    "q_herfindahl_segments",
+    "text_zipf_slope",
 ]
 
 

@@ -288,3 +288,130 @@ def funnel_timeout_per_user(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+CUSUM_STATE_SCHEMA = "hours array<bigint>, counts array<bigint>, n_seen bigint"
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, n_seen bigint, n_hours bigint, total bigint, "
+    "max_s bigint, cp_hour_ms bigint, n_alarms bigint"
+)
+
+
+def cusum_hourly_per_type(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    state_timeout_ms: int = 3_600_000,
+    cap_hours: int = 4096,
+    alarm_mult: int = 2,
+) -> DataFrame:
+    """STREAMING one-sided CUSUM drift detector per event type — the
+    sequential form of `q_cusum_changepoint` (Page 1954), run as a
+    custom applyInPandasWithState operator: the batch entry finds the
+    historical change point; this one maintains the detector the way a
+    monitoring pipeline actually runs it, per ingest tick.
+
+    ORDER-INSENSITIVE capped state: per type, the (hour → count)
+    histogram of event arrivals — batch merge is per-hour ADDITION
+    (commutative/associative, so the final state is independent of
+    micro-batch boundaries), bounded at `cap_hours` entries (the hour
+    axis is bounded by the time domain, the ACF/CCF discipline; a
+    monitoring deployment also ages out hours past the watermark).
+
+    Each emission folds the one-sided recursion over the sorted hours
+    in EXACT integers, scaled by the per-type hour count to avoid a
+    float mean: with m hours and total t,
+
+        S_i = max(0, S_{i-1} + x_i·m − t)        (S_0 = 0)
+
+    and reports max S, the EARLIEST argmax hour, and the number of
+    alarm hours (S_i > alarm_mult·t). Emissions carry a monotone
+    n_seen, so the final detector state is the max-n_seen row per type
+    (the funnel_timeout_per_user protocol). Exactly replayable by SQL:
+    the oracle runs the same recursion with WITH RECURSIVE over the
+    same hourly histogram.
+
+    Input columns: event_type (string), ms (bigint epoch millis event
+    time), ts (timestamp, for the watermark).
+    """
+
+    def _fold(hours: list, counts: list):
+        m = len(hours)
+        t = sum(counts)
+        s = 0
+        max_s, cp_ms, n_alarms = 0, None, 0
+        for h, x in sorted(zip(hours, counts)):
+            s = max(0, s + x * m - t)
+            if s > max_s:
+                max_s, cp_ms = s, h
+            if s > alarm_mult * t:
+                n_alarms += 1
+        if cp_ms is None and hours:
+            cp_ms = min(hours)  # all-zero S: earliest hour by convention
+        return m, t, max_s, cp_ms, n_alarms
+
+    def tracker(key, pdfs, state):
+        import pandas as pd
+
+        (etype,) = key
+        if state.hasTimedOut:
+            hours, counts, n_seen = state.get
+            state.remove()
+            m, t, max_s, cp_ms, n_alarms = _fold(list(hours), list(counts))
+            yield pd.DataFrame(
+                [
+                    {
+                        "event_type": etype,
+                        "n_seen": n_seen,
+                        "n_hours": m,
+                        "total": t,
+                        "max_s": max_s,
+                        "cp_hour_ms": cp_ms,
+                        "n_alarms": n_alarms,
+                    }
+                ]
+            )
+            return
+        hours, counts, n_seen = (
+            state.get if state.exists else ([], [], 0)
+        )
+        hist = dict(zip(hours, counts))
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            hr = (pdf["ms"].dropna().astype("int64") // 3_600_000) * 3_600_000
+            for h, c in hr.value_counts().items():
+                hist[int(h)] = hist.get(int(h), 0) + int(c)
+        if len(hist) > cap_hours:  # age out the OLDEST hours first
+            for h in sorted(hist)[: len(hist) - cap_hours]:
+                del hist[h]
+        hours = sorted(hist)
+        counts = [hist[h] for h in hours]
+        state.update((hours, counts, n_seen))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + state_timeout_ms
+        )
+        m, t, max_s, cp_ms, n_alarms = _fold(hours, counts)
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": etype,
+                    "n_seen": n_seen,
+                    "n_hours": m,
+                    "total": t,
+                    "max_s": max_s,
+                    "cp_hour_ms": cp_ms,
+                    "n_alarms": n_alarms,
+                }
+            ]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            tracker,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

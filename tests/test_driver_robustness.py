@@ -252,6 +252,8 @@ def test_null_text_drift(spark, tmp_path):
         # contentless docs must be absent from the novelty output on
         # BOTH sides (no shingles -> no rows)
         "text_ngram_novelty",
+        # NULL/empty text contributes no words to the vocab ranks
+        "text_zipf_slope",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -453,6 +455,10 @@ def test_null_orders_drift(spark, tmp_path):
         # NULL o_totalprice rows must be outside rank, n, AND k = n div
         # 20 identically on both sides
         "q_winsorized_stats",
+        # NULL price/custkey rows out of the rank-weighted Gini sum and
+        # the per-customer revenue identically on both sides
+        "q_gini_revenue",
+        "q_herfindahl_segments",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -626,6 +632,7 @@ def test_null_ts_drift(spark, tmp_path):
         # streamed registers AND the final watermark on BOTH sides
         "q_theilsen_hourly",
         "streaming_hll_hourly",
+        "streaming_cusum_hourly",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

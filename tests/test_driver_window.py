@@ -52,13 +52,15 @@ def test_session4_tail_leads_below_cut():
     """The never-driver-seen session-4/5 tail entries sit immediately
     below the cut, so they lead the round-9 window."""
     qs = list(entrymod.queries().keys())
-    assert qs[50:61] == [
+    assert qs[50:65] == [
         "streaming_psi_drift", "q_ccf_types", "q_histogram_equi_depth",
         "sample_reservoir_stratum", "sketch_kll_quantiles",
         "q_record_linkage_fs", "text_bpe_merges",
         "q_winsorized_stats", "text_ngram_novelty", "q_theilsen_hourly",
         "streaming_hll_hourly",
-    ], qs[50:61]
+        "streaming_cusum_hourly", "q_gini_revenue",
+        "q_herfindahl_segments", "text_zipf_slope",
+    ], qs[50:65]
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():
