@@ -189,6 +189,8 @@ HEADLINE = [
     "q_gini_revenue",
     "q_herfindahl_segments",
     "text_zipf_slope",
+    "q_bootstrap_ci_mean",
+    "dedup_containment",
 ]
 
 
@@ -283,6 +285,7 @@ def bench_graph_family(spark, sf_dir: str, timings: dict) -> None:
         ("graph_triangle_count", graph_pairs),
         ("graph_pagerank_weighted", graph_pairs),
         ("dedup_keep_best", pairs),
+        ("graph_kcore", pairs),
     ):
         fn = getattr(entrymod, name)
         t0 = time.perf_counter()

@@ -1222,3 +1222,71 @@ def fellegi_sunter_patterns(
         )
         .select(*[f"g_{n}" for n in names], "pair_count", "score_fp", "decision")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.6,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """DIRECTED containment near-dup: all ordered pairs (a, b), a ≠ b,
+    with C(a→b) = |shingles_a ∩ shingles_b| / |shingles_a| ≥ threshold —
+    "most of a appears in b". This catches what symmetric Jaccard
+    structurally misses: a short document contained in a long one
+    (quotes, truncated copies, boilerplate supersets) has low Jaccard
+    (the union is dominated by b) but high containment.
+
+    Same inverted-index discipline as `ngram_jaccard_pairs` (xxhash64
+    shingle keys, `max_df` stop-shingle anti-join with the AQE
+    rationale, exchange-reused self-join, no static broadcast on the
+    per-doc sizes): the only differences are the a ≠ b pair stream (each
+    unordered pair appears in both directions — the asymmetry is the
+    point) and the n_a denominator. Output: (id_a, id_b, n_a, n_common,
+    containment) meaning "a is contained in b at `containment`"."""
+    sh = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, k)).alias("__s"),
+    ).select("doc", F.xxhash64("__s").alias("sh"))
+
+    if max_df is not None:
+        high_sh = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("sh")
+        )
+        low = sh.join(high_sh, "sh", "left_anti")
+        sizes = low.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        low = sh
+        sizes = _spread(df, id_col).select(
+            F.col(id_col).alias("doc"),
+            F.size(word_shingles(text_col, k)).alias("n_sh"),
+        )
+
+    common = (
+        low.alias("a")
+        .join(low.alias("b"), on="sh")
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc", "id_a"), "id_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("n_a").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_common").cast("long").alias("n_common"),
+            "containment",
+        )
+    )

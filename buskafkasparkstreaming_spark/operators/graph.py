@@ -266,3 +266,50 @@ def pagerank_weighted_fixed_point(
             )
         )
     return ranks
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """J-round k-core peeling: repeatedly drop every node whose degree
+    (within the surviving subgraph) is below k. With enough rounds the
+    survivors are exactly the k-core (the maximal subgraph of min-degree
+    ≥ k) — the density filter a dedup pipeline runs on the near-dup
+    graph to separate tight duplicate clusters from incidental edges.
+
+    `rounds` is PINNED (not run-to-convergence) so the semantics are a
+    pure function both engines replay — the entry's test asserts one
+    extra peel changes nothing on the gate data, i.e. the pinned J
+    reached the true fixed point. Each round is one degree aggregation
+    + two semi-joins, localCheckpointed non-eagerly to keep the
+    iteration's lineage flat (the bfs_levels discipline). Convergence
+    rounds needed = peeling depth, typically ≪ node count; at 100 TB
+    each round is degree-agg shuffle cost, nothing quadratic.
+
+    `edges`: (src, dst) with BOTH directions present (symmetric).
+    Returns (id, core_deg): surviving nodes with their within-core
+    degree."""
+    from pyspark.sql import functions as F
+
+    edges = edges.localCheckpoint(eager=False)
+    alive = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=False
+    )
+    for _ in range(rounds):
+        live_edges = (
+            edges.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+        deg = live_edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("dg")
+        )
+        alive = (
+            deg.filter(F.col("dg") >= k)
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=False)
+        )
+    final_edges = (
+        edges.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    )
+    return final_edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )

@@ -140,7 +140,8 @@ parse_image_header = _make_header_parser()
 def _make_pixel_decoder():
     """Pure-stdlib PIXEL decoder for the formats that need no codec
     library: PNG (zlib IDAT + per-scanline unfilter, 8-bit gray/RGB ±
-    alpha, non-interlaced) and uncompressed 24/32-bit BMP. Built as a
+    alpha, non-interlaced), uncompressed 24/32-bit BMP, and GIF87a/89a
+    (full LZW decompression + color-table mapping, non-interlaced). Built as a
     nested function so worker closures pickle it by value. Returns
     (width, height, feat8) — feat8 = [mean_r, mean_g, mean_b, mean_luma,
     quadrant lumas] in [0,1] — or None for formats that genuinely need
@@ -271,9 +272,132 @@ def _make_pixel_decoder():
             rows.append(row)
         return (w, h, _features(rows))
 
+    def _gif_lzw(data: bytes, min_code_size: int):
+        """GIF LZW decompression (the published GIF89a appendix
+        algorithm): LSB-first variable-width codes, clear/end codes,
+        table growth with the 12-bit cap. Returns the color-index list
+        or None on a malformed stream."""
+        clear = 1 << min_code_size
+        end = clear + 1
+        nbits = len(data) * 8
+        bitpos = 0
+        code_size = min_code_size + 1
+        table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+        next_code = end + 1
+        prev: list[int] | None = None
+        out: list[int] = []
+
+        def read_code(size: int):
+            nonlocal bitpos
+            if bitpos + size > nbits:
+                return None
+            v = 0
+            for i in range(size):
+                byte = data[(bitpos + i) >> 3]
+                v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+            bitpos += size
+            return v
+
+        while True:
+            code = read_code(code_size)
+            if code is None or code == end:
+                break
+            if code == clear:
+                table = {i: [i] for i in range(clear)}
+                next_code = end + 1
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + [prev[0]]
+            else:
+                return None
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+        return out
+
+    def _decode_gif(payload):
+        """GIF87a/89a PIXEL decode, stdlib-only: logical screen
+        descriptor, global/local color table, extension-block walk,
+        first image descriptor, LZW-decompressed indices mapped through
+        the color table. Non-interlaced only (interlaced falls back to
+        the header tier)."""
+        import struct
+
+        if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        packed = payload[10]
+        pos = 13
+        gct = None
+        if packed >> 7:
+            n = 2 ** ((packed & 7) + 1)
+            if pos + 3 * n > len(payload):
+                return None
+            gct = [
+                (payload[pos + 3 * i], payload[pos + 3 * i + 1],
+                 payload[pos + 3 * i + 2])
+                for i in range(n)
+            ]
+            pos += 3 * n
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x21:  # extension: label byte + sub-blocks
+                pos += 2
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += payload[pos] + 1
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                if pos + 10 > len(payload):
+                    return None
+                _l, _t, iw, ih = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+                ipacked = payload[pos + 9]
+                pos += 10
+                ct = gct
+                if ipacked >> 7:  # local color table
+                    n = 2 ** ((ipacked & 7) + 1)
+                    if pos + 3 * n > len(payload):
+                        return None
+                    ct = [
+                        (payload[pos + 3 * i], payload[pos + 3 * i + 1],
+                         payload[pos + 3 * i + 2])
+                        for i in range(n)
+                    ]
+                    pos += 3 * n
+                if ct is None or (ipacked >> 6) & 1 or iw == 0 or ih == 0:
+                    return None  # no palette / interlaced -> header tier
+                min_code_size = payload[pos]
+                pos += 1
+                data = b""
+                while pos < len(payload) and payload[pos] != 0:
+                    ln = payload[pos]
+                    data += payload[pos + 1:pos + 1 + ln]
+                    pos += ln + 1
+                idx = _gif_lzw(data, min_code_size)
+                if idx is None or len(idx) < iw * ih:
+                    return None
+                rows = [
+                    [ct[idx[y * iw + x] % len(ct)] for x in range(iw)]
+                    for y in range(ih)
+                ]
+                return (iw, ih, _features(rows))
+            else:  # trailer (0x3B) or junk
+                return None
+        return None
+
     def decode_pixels(payload: bytes):
         try:
-            return _decode_png(payload) or _decode_bmp(payload)
+            return (
+                _decode_png(payload)
+                or _decode_bmp(payload)
+                or _decode_gif(payload)
+            )
         except Exception:
             return None
 
@@ -360,13 +484,15 @@ parse_wav_header, wav_features = _make_wav_decoder()
 def _real_decode(payload: bytes) -> dict:
     """Real media decode in two tiers, no codec library needed for either:
 
-    * PIXEL tier (PNG, uncompressed BMP — stdlib zlib/struct suffice):
-      dimensions from the actual pixel array plus a real 8-dim color/luma
-      feature vector (mean RGB, mean luma, quadrant lumas) — the shape a
-      CNN/CLIP embedding would take at cluster scale.
-    * HEADER tier (GIF/JPEG): dimensions + mime from the container header;
-      the feature vector falls back to the deterministic payload-hash
-      embedding (JPEG entropy decode genuinely requires libjpeg).
+    * PIXEL tier (PNG, uncompressed BMP, non-interlaced GIF — stdlib
+      zlib/struct and a ~60-line LZW decoder suffice): dimensions from
+      the actual pixel array plus a real 8-dim color/luma feature vector
+      (mean RGB, mean luma, quadrant lumas) — the shape a CNN/CLIP
+      embedding would take at cluster scale.
+    * HEADER tier (JPEG, interlaced GIF): dimensions + mime from the
+      container header; the feature vector falls back to the
+      deterministic payload-hash embedding (JPEG entropy decode
+      genuinely requires libjpeg).
 
     Raises only for formats with neither tier (video/audio), where
     PIL/ffmpeg on the cluster image is the real dependency."""

@@ -254,6 +254,10 @@ def test_null_text_drift(spark, tmp_path):
         "text_ngram_novelty",
         # NULL/empty text contributes no words to the vocab ranks
         "text_zipf_slope",
+        # contentless docs produce no shingles -> no directed pairs, no
+        # k-core membership, on BOTH sides
+        "dedup_containment",
+        "graph_kcore",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -459,6 +463,8 @@ def test_null_orders_drift(spark, tmp_path):
         # the per-customer revenue identically on both sides
         "q_gini_revenue",
         "q_herfindahl_segments",
+        # NULL-price rows must be outside every bootstrap replica
+        "q_bootstrap_ci_mean",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

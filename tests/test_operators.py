@@ -1580,3 +1580,145 @@ def test_fellegi_sunter_pattern_table(spark):
     assert got[1] == (1, wa, "link")
     assert got[0] == (3, wd, "non_link")
     assert wa == round(1000 * __import__("math").log2(0.9 / 0.1))
+
+
+def test_kcore_fixed_point_and_invariants(spark, sf_dir):
+    """The pinned J=8 peel reaches the true fixed point on the gate
+    data (one extra peel changes nothing), and the survivors satisfy
+    the k-core contract: every core member has core_deg >= k."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from buskafkasparkstreaming_spark.operators import dedup as D
+    from buskafkasparkstreaming_spark.operators.graph import kcore_peel
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.05)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    at8 = {(r["id"], r["core_deg"]) for r in kcore_peel(edges, 2, 8).collect()}
+    at9 = {(r["id"], r["core_deg"]) for r in kcore_peel(edges, 2, 9).collect()}
+    assert at8 == at9, "pinned J=8 did not reach the fixed point"
+    assert at8, "2-core unexpectedly empty on gate data"
+    assert all(d >= 2 for _i, d in at8)
+
+
+def _tiny_gif(indices, w, h, interlaced=False):
+    """Hand-assembled GIF89a: 4-color global table, one extension block,
+    one image descriptor, LZW stream encoded as [clear, literal] pairs
+    at a fixed 3-bit code width (legal, never grows the table)."""
+    import struct
+
+    palette = bytes(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255]
+    )
+    hdr = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x81, 0, 0]) + palette
+    ext = bytes([0x21, 0xFE, 3]) + b"abc" + bytes([0])  # comment block
+    ipacked = 0x40 if interlaced else 0
+    desc = bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+    # min_code_size=2: clear=4, end=5; 3-bit codes, LSB-first
+    codes = []
+    for i in indices:
+        codes += [4, i]
+    codes.append(5)
+    bits = 0
+    acc = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += 3
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    lzw = bytes([2, len(out)]) + bytes(out) + bytes([0])
+    return hdr + ext + desc + lzw + bytes([0x3B])
+
+
+def test_gif_pixel_decode_tier():
+    """The GIF LZW pixel tier decodes a hand-assembled 2x2 GIF to the
+    exact palette colors (red/green/blue/white quadrant lumas), and an
+    interlaced GIF falls back (None) rather than mis-decoding."""
+    from buskafkasparkstreaming_spark.operators.multimodal import (
+        decode_pixels,
+    )
+
+    gif = _tiny_gif([0, 1, 2, 3], 2, 2)
+    got = decode_pixels(gif)
+    assert got is not None, "GIF pixel tier did not decode"
+    w, h, feat = got
+    assert (w, h) == (2, 2)
+    # pixels: (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    mr = (255 + 0 + 0 + 255) / 4 / 255.0
+    mg = (0 + 255 + 0 + 255) / 4 / 255.0
+    mb = (0 + 0 + 255 + 255) / 4 / 255.0
+    assert abs(feat[0] - mr) < 1e-6
+    assert abs(feat[1] - mg) < 1e-6
+    assert abs(feat[2] - mb) < 1e-6
+    # quadrant lumas are per-pixel lumas of the 4 corners
+    lum = [
+        0.299 * 1.0,               # red
+        0.587 * 1.0,               # green
+        0.114 * 1.0,               # blue
+        0.299 + 0.587 + 0.114,     # white
+    ]
+    for q, want in zip(feat[4:8], lum):
+        assert abs(q - want) < 1e-5, (feat[4:8], lum)
+    assert decode_pixels(_tiny_gif([0, 1, 2, 3], 2, 2, interlaced=True)) is None
+
+
+def test_gif_lzw_with_table_growth():
+    """A real LZW stream (single clear, then literals — the table grows
+    and the code width steps 3->4 mid-stream) decodes correctly: the
+    decoder's width-growth schedule matches a reference encoder that
+    tracks next_code identically."""
+    from buskafkasparkstreaming_spark.operators.multimodal import (
+        decode_pixels,
+    )
+    import struct
+
+    w, h = 3, 3
+    indices = [0, 1, 2, 3, 0, 1, 2, 3, 0]
+    # encode literals only, but mirror the decoder's growth schedule:
+    # after each emitted code (post-first), next_code += 1; width grows
+    # when next_code == 1 << width
+    codes = [4] + indices + [5]
+    out = bytearray()
+    acc = bits = 0
+    width, next_code = 3, 6
+    first_after_clear = True
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+        if c == 4:
+            width, next_code, first_after_clear = 3, 6, True
+        elif c != 5:
+            if first_after_clear:
+                first_after_clear = False
+            else:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+    if bits:
+        out.append(acc & 0xFF)
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    gif = (
+        b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x81, 0, 0]) + palette
+        + bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        + bytes([2, len(out)]) + bytes(out) + bytes([0]) + bytes([0x3B])
+    )
+    got = decode_pixels(gif)
+    assert got is not None
+    assert (got[0], got[1]) == (3, 3)
+    # mean red channel: red (idx 0) appears 3x, white (idx 3) 2x
+    assert abs(got[2][0] - ((255 * 3 + 255 * 2) / 9 / 255.0)) < 1e-6
