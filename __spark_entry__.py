@@ -6425,6 +6425,168 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
         """
 
 
+def sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 3-hour distinct-user estimate from per-hour HLL sketches —
+    the sketch-merge-algebra showcase: each hour's 256 registers union
+    into the trailing window by elementwise MAX, computed WITHOUT a
+    range join by exploding every register row to the ≤3 target hours
+    it contributes to (linear in registers, never hours×registers).
+    Output hours are those with ≥1 event; each unions exactly the
+    clock-hours [h−2, h]. Registers, the explode-and-max merge, and the
+    exact fixed-point estimator are all replayed by the oracle."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        _hll_bucket_rank,
+        hll_estimate_col,
+        hll_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    bucket, rank = _hll_bucket_rank(F.col("user_id"))
+    reg = (
+        ev.select(
+            (bssf.ts_millis(F.col("ts")) / F.lit(3600000))
+            .cast("long")
+            .alias("h"),
+            bucket.alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("h", "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+    hours = reg.select("h").distinct()
+    contrib = reg.select(
+        F.explode(F.sequence(F.col("h"), F.col("h") + 2)).alias("h"),
+        "bucket",
+        "rank",
+    )
+    rolled = (
+        contrib.join(hours, "h", "left_semi")
+        .groupBy("h", "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+    stats = hll_stats(rolled, ["h"])
+    return stats.select(
+        "h",
+        "sum_fp",
+        "empty_buckets",
+        hll_estimate_col(F.col("sum_fp"), F.col("empty_buckets")).alias(
+            "est_users_3h"
+        ),
+    )
+
+
+def streaming_quantile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-hour P95 upper bound from the mergeable
+    log-histogram sketch (operators/stats.py::log_histogram_sketch
+    family): 64 power-of-two bins maintained as a windowed streaming
+    count aggregation (bins are fixed a priori, so per-tick sketches
+    merge by ADDING counts — the latency-monitor property), drained
+    append-mode with the 0 s watermark emission rule, then each emitted
+    hour's histogram yields the smallest bin whose cumulative count
+    reaches ceil(0.95·n) — integer arithmetic end to end, upper bound
+    2^bin − 1 cents. FULL oracle: binning, the emission rule, and the
+    cumulative threshold replayed in SQL."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        log_histogram_quantile,
+    )
+
+    stream = SW.read_events_stream(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    cents = _cents("value")
+    bin_col = F.when(cents <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(cents.cast("long")))
+    )
+    hourly = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), bin_col.cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    drained = SW.run_to_memory(hourly, spark, output_mode="append").select(
+        F.col("w.start").alias("hour_start"), "bin", "cnt"
+    )
+    return log_histogram_quantile(drained, 0.95, ["hour_start"]).select(
+        "hour_start", "q_bin", "q_upper_bound", "n_rows"
+    )
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (the ANALYZE-family data-quality
+    probe): for each pinned candidate FD A→B, the number of A-values
+    that map to MORE than one B (violations) and the violation rate —
+    how far the column pair is from a key/functional relationship. One
+    two-level aggregation per pair (groupBy A countDistinct B, then a
+    1-row rollup); pairs unioned with literal labels. At scale each
+    pair is an independent shuffle on A — the profiler batches as many
+    pairs as fit one pass over each table."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+
+    def fd(df: DataFrame, lhs: str, rhs: str, label: str) -> DataFrame:
+        per = (
+            df.filter(F.col(lhs).isNotNull())
+            .groupBy(lhs)
+            .agg(F.count_distinct(F.col(rhs)).alias("nd"))
+        )
+        return per.agg(
+            F.lit(label).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            (
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("violation_rate"),
+        )
+    return (
+        fd(ev, "user_id", "event_type", "events.user_id->event_type")
+        .unionByName(fd(ev, "event_type", "props", "events.event_type->props"))
+        .unionByName(fd(orders, "o_custkey", "o_orderpriority", "orders.o_custkey->o_orderpriority"))
+        .unionByName(fd(orders, "o_orderstatus", "o_orderpriority", "orders.o_orderstatus->o_orderpriority"))
+    )
+
+
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profiling over the star schema's FK edges:
+    per edge, child row count, orphan count (child rows whose FK value
+    — non-NULL — has no parent, NOT EXISTS semantics = left-anti join),
+    and the orphan rate. The anti-joins are plain equi-joins AQE sizes
+    (broadcast for the small dims); nothing quadratic. The pipeline
+    data-quality gate a lake ingests runs before publishing a
+    snapshot."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+
+    def edge(child: DataFrame, fk: str, parent: DataFrame, pk: str, label: str) -> DataFrame:
+        c = child.filter(F.col(fk).isNotNull())
+        orphans = c.join(
+            parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+        )
+        n = c.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        o = orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        return n.crossJoin(o).select(
+            F.lit(label).alias("fk_edge"),
+            "n_child",
+            "n_orphans",
+            (
+                F.col("n_orphans").cast("double")
+                / F.col("n_child").cast("double")
+            ).alias("orphan_rate"),
+        )
+    return (
+        edge(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionByName(edge(orders, "o_custkey", cust, "c_custkey", "orders->customer"))
+        .unionByName(edge(cust, "c_nationkey", nation, "n_nationkey", "customer->nation"))
+        .unionByName(edge(supp, "s_nationkey", nation, "n_nationkey", "supplier->nation"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -6525,6 +6687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bootstrap_ci_mean": q_bootstrap_ci_mean,
         "graph_kcore": graph_kcore,
         "dedup_containment": dedup_containment,
+        "sketch_hll_rolling": sketch_hll_rolling,
+        "streaming_quantile_hourly": streaming_quantile_hourly,
+        "q_fd_violations": q_fd_violations,
+        "q_ref_integrity": q_ref_integrity,
         # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
@@ -9522,6 +9688,175 @@ def oracle_sql() -> dict[str, str]:
             JOIN al ON al.event_type = ag.event_type
         """,
         "graph_kcore": _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS),
+        "sketch_hll_rolling": f"""
+            -- per-hour registers; each contributes to hours h..h+2
+            -- (the explode-and-max merge); estimator literal shared
+            WITH ev AS (
+                SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000
+                            AS BIGINT) AS h,
+                       user_id
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            br AS (
+                SELECT h,
+                       {_hex_int_sql("md5(CAST(user_id AS VARCHAR))", 1, 2)}
+                           AS bucket,
+                       {_hex_int_sql("md5(CAST(user_id AS VARCHAR))", 3, 13)}
+                           AS val
+                FROM ev),
+            reg AS (
+                SELECT h, bucket,
+                       MAX(CASE WHEN val = 0 THEN 53
+                                ELSE 53 - length(bin(val)) END) AS rank
+                FROM br GROUP BY h, bucket),
+            hours AS (SELECT DISTINCT h FROM reg),
+            contrib AS (
+                SELECT reg.h + d.d AS h, reg.bucket, reg.rank
+                FROM reg, (SELECT unnest(range(0, 3)) AS d) d),
+            rolled AS (
+                SELECT c.h, c.bucket, max(c.rank) AS rank
+                FROM contrib c
+                WHERE c.h IN (SELECT h FROM hours)
+                GROUP BY c.h, c.bucket),
+            st AS (
+                SELECT h,
+                       CAST(SUM(1::BIGINT << (53 - rank))
+                            + (256 - count(*)) * (1::BIGINT << 53)
+                            AS BIGINT) AS sum_fp,
+                       CAST(256 - count(*) AS BIGINT) AS empty_buckets
+                FROM rolled GROUP BY h)
+            SELECT h, sum_fp, empty_buckets,
+                   CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(sum_fp AS DOUBLE)
+                             <= 640.0 AND empty_buckets > 0
+                        THEN 256.0 * ln(256.0 / CAST(empty_buckets AS DOUBLE))
+                        ELSE {_HLL_ALPHA_NUM!r} / CAST(sum_fp AS DOUBLE)
+                   END AS est_users_3h
+            FROM st
+        """,
+        "streaming_quantile_hourly": """
+            -- append emission rule + power-of-two binning + integer
+            -- cumulative threshold, replayed exactly
+            WITH ev AS (
+                SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+            mxts AS (SELECT max(ts) AS m FROM ev),
+            b AS (
+                SELECT date_trunc('hour', ts) AS h,
+                       CASE WHEN cents <= 0 THEN 0
+                            ELSE length(bin(cents)) END AS bin
+                FROM ev),
+            hist AS (
+                SELECT h, bin, CAST(count(*) AS BIGINT) AS cnt
+                FROM b, mxts
+                WHERE h + INTERVAL 1 HOUR <= mxts.m
+                GROUP BY h, bin),
+            cum AS (
+                SELECT h, bin,
+                       sum(cnt) OVER (PARTITION BY h ORDER BY bin) AS cum,
+                       sum(cnt) OVER (PARTITION BY h) AS n
+                FROM hist),
+            hit AS (
+                SELECT h, bin, n,
+                       row_number() OVER (PARTITION BY h ORDER BY bin)
+                           AS rn
+                FROM cum
+                WHERE cum >= ceil(0.95 * CAST(n AS DOUBLE)))
+            SELECT h AS hour_start, CAST(bin AS BIGINT) AS q_bin,
+                   (CAST(1 AS BIGINT) << bin) - 1 AS q_upper_bound,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM hit WHERE rn = 1
+        """,
+        "q_fd_violations": """
+            WITH f1 AS (SELECT user_id AS l,
+                               count(DISTINCT event_type) AS nd
+                        FROM events WHERE user_id IS NOT NULL
+                        GROUP BY user_id),
+            f2 AS (SELECT event_type AS l, count(DISTINCT props) AS nd
+                   FROM events WHERE event_type IS NOT NULL
+                   GROUP BY event_type),
+            f3 AS (SELECT o_custkey AS l,
+                          count(DISTINCT o_orderpriority) AS nd
+                   FROM orders WHERE o_custkey IS NOT NULL
+                   GROUP BY o_custkey),
+            f4 AS (SELECT o_orderstatus AS l,
+                          count(DISTINCT o_orderpriority) AS nd
+                   FROM orders WHERE o_orderstatus IS NOT NULL
+                   GROUP BY o_orderstatus)
+            SELECT 'events.user_id->event_type' AS fd,
+                   CAST(count(*) AS BIGINT) AS n_lhs,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS violation_rate
+            FROM f1
+            UNION ALL
+            SELECT 'events.event_type->props',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)
+            FROM f2
+            UNION ALL
+            SELECT 'orders.o_custkey->o_orderpriority',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)
+            FROM f3
+            UNION ALL
+            SELECT 'orders.o_orderstatus->o_orderpriority',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)
+            FROM f4
+        """,
+        "q_ref_integrity": """
+            WITH e1 AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_child,
+                       CAST(sum(CASE WHEN NOT EXISTS (
+                                SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+                FROM lineitem l WHERE l.l_orderkey IS NOT NULL),
+            e2 AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_child,
+                       CAST(sum(CASE WHEN NOT EXISTS (
+                                SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+                FROM orders o WHERE o.o_custkey IS NOT NULL),
+            e3 AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_child,
+                       CAST(sum(CASE WHEN NOT EXISTS (
+                                SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+                FROM customer c WHERE c.c_nationkey IS NOT NULL),
+            e4 AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_child,
+                       CAST(sum(CASE WHEN NOT EXISTS (
+                                SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = s.s_nationkey)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+                FROM supplier s WHERE s.s_nationkey IS NOT NULL)
+            SELECT 'lineitem->orders' AS fk_edge, n_child, n_orphans,
+                   CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+                       AS orphan_rate
+            FROM e1
+            UNION ALL
+            SELECT 'orders->customer', n_child, n_orphans,
+                   CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+            FROM e2
+            UNION ALL
+            SELECT 'customer->nation', n_child, n_orphans,
+                   CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+            FROM e3
+            UNION ALL
+            SELECT 'supplier->nation', n_child, n_orphans,
+                   CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+            FROM e4
+        """,
         "dedup_containment": f"""
             -- directed pairs (a <> b), max_df=1000 stop-shingle cap,
             -- containment = n_common / n_a

@@ -191,6 +191,10 @@ HEADLINE = [
     "text_zipf_slope",
     "q_bootstrap_ci_mean",
     "dedup_containment",
+    "sketch_hll_rolling",
+    "streaming_quantile_hourly",
+    "q_fd_violations",
+    "q_ref_integrity",
 ]
 
 

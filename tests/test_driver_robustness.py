@@ -369,6 +369,11 @@ def test_null_events_drift(spark, tmp_path):
         # NULL value rows must be absent from the ranked stream on BOTH
         # sides before the level plan is applied (n counts non-null only)
         "sketch_kll_quantiles",
+        # NULL value rows stay out of the streamed log-histogram bins and
+        # its per-hour n; NULL event_type/props drop out of count(DISTINCT)
+        # on BOTH sides of the FD profiler
+        "streaming_quantile_hourly",
+        "q_fd_violations",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -465,6 +470,9 @@ def test_null_orders_drift(spark, tmp_path):
         "q_herfindahl_segments",
         # NULL-price rows must be outside every bootstrap replica
         "q_bootstrap_ci_mean",
+        # NULL o_orderstatus drops that LHS group from the FD profile on
+        # BOTH sides (the o_orderstatus->o_orderpriority pair)
+        "q_fd_violations",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

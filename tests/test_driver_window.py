@@ -52,7 +52,7 @@ def test_session4_tail_leads_below_cut():
     """The never-driver-seen session-4/5 tail entries sit immediately
     below the cut, so they lead the round-9 window."""
     qs = list(entrymod.queries().keys())
-    assert qs[50:68] == [
+    assert qs[50:72] == [
         "streaming_psi_drift", "q_ccf_types", "q_histogram_equi_depth",
         "sample_reservoir_stratum", "sketch_kll_quantiles",
         "q_record_linkage_fs", "text_bpe_merges",
@@ -61,7 +61,9 @@ def test_session4_tail_leads_below_cut():
         "streaming_cusum_hourly", "q_gini_revenue",
         "q_herfindahl_segments", "text_zipf_slope",
         "q_bootstrap_ci_mean", "graph_kcore", "dedup_containment",
-    ], qs[50:68]
+        "sketch_hll_rolling", "streaming_quantile_hourly",
+        "q_fd_violations", "q_ref_integrity",
+    ], qs[50:72]
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():
