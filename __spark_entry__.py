@@ -6587,6 +6587,454 @@ def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANOVA_GROUPS = [
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+]
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five order priorities on totalprice —
+    the batch-effect / segment-difference test next to the chi-square
+    (independence) and KS (two-sample) entries. All moments are EXACT:
+    per-group n (BIGINT), sum of cents (BIGINT), sum of squared cents
+    (DECIMAL(38,0) — row squares near 2.5e15 would wrap a BIGINT sum).
+    The 5 groups pivot into literal-keyed columns so every float
+    operation happens in one PINNED left-associative expression order —
+    sums of doubles never pass through an engine-ordered aggregate.
+    SSB = sum_g s_g^2/n_g - S^2/n, SSW = sum_g (n_g*q_g - s_g^2)/n_g,
+    F = (SSB/(k-1)) / (SSW/(n-k)); groups absent from the data drop
+    from k. The oracle replays the same pivot and the same operation
+    order."""
+    dec = "decimal(38,0)"
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderpriority").isNotNull()
+    )
+    c = _cents("o_totalprice")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(c).cast("long").alias("s_g"),
+        F.sum((c * c).cast(dec)).cast(dec).alias("q_g"),
+    )
+
+    def piv(col: str, g: str, typ: str) -> Column:
+        m = F.max(F.when(F.col("o_orderpriority") == g, F.col(col)))
+        return F.coalesce(m, F.lit(0).cast(typ)).cast(typ)
+
+    aggs = []
+    for idx, g in enumerate(_ANOVA_GROUPS):
+        aggs += [
+            piv("n_g", g, "long").alias(f"n{idx}"),
+            piv("s_g", g, "long").alias(f"s{idx}"),
+            piv("q_g", g, dec).alias(f"q{idx}"),
+        ]
+    one = per.agg(*aggs)
+
+    def ssb_term(i: int) -> Column:
+        s, n = F.col(f"s{i}").cast(dec), F.col(f"n{i}")
+        return F.when(
+            n > 0, (s * s).cast(dec).cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    def ssw_term(i: int) -> Column:
+        s, n, q = F.col(f"s{i}").cast(dec), F.col(f"n{i}"), F.col(f"q{i}")
+        num = (n.cast(dec) * q - (s * s).cast(dec)).cast(dec)
+        return F.when(
+            n > 0, num.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    idxs = range(len(_ANOVA_GROUPS))
+    n_tot = sum((F.col(f"n{i}") for i in idxs), F.lit(0).cast("long"))
+    s_tot = sum((F.col(f"s{i}") for i in idxs), F.lit(0).cast("long"))
+    k_present = sum(
+        (F.when(F.col(f"n{i}") > 0, 1).otherwise(0) for i in idxs),
+        F.lit(0),
+    )
+    ssb_sum = ssb_term(0)
+    for i in list(idxs)[1:]:
+        ssb_sum = ssb_sum + ssb_term(i)
+    ssw = ssw_term(0)
+    for i in list(idxs)[1:]:
+        ssw = ssw + ssw_term(i)
+    stage = one.select(
+        n_tot.alias("n_total"),
+        k_present.cast("int").alias("k_groups"),
+        F.when(
+            n_tot > 0,
+            ssb_sum
+            - (s_tot.cast(dec) * s_tot.cast(dec)).cast(dec).cast("double")
+            / n_tot.cast("double"),
+        ).alias("ssb"),
+        ssw.alias("ssw"),
+    )
+    return stage.select(
+        "n_total",
+        "k_groups",
+        "ssb",
+        "ssw",
+        F.when(
+            (F.col("k_groups") > 1)
+            & (F.col("n_total") > F.col("k_groups"))
+            & (F.col("ssw") > 0),
+            (F.col("ssb") / (F.col("k_groups") - 1).cast("double"))
+            / (
+                F.col("ssw")
+                / (F.col("n_total") - F.col("k_groups")).cast("double")
+            ),
+        ).alias("f_stat"),
+        F.when(
+            (F.col("ssb") + F.col("ssw")) > 0,
+            F.col("ssb") / (F.col("ssb") + F.col("ssw")),
+        ).alias("eta_sq"),
+    )
+
+
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Mann–Whitney U (purchase vs error event values)
+    with the tie correction — the nonparametric drift test next to KS
+    (which compares CDF shape; U tests stochastic dominance). Everything
+    until the final z is EXACT integer algebra on the per-distinct-value
+    count frame: 2*U1 = sum_v d1*(2*C2(v-) + d2) where C2 is the group-2
+    count strictly below v, via operators.windows_fn.global_running_sum
+    over the bounded DISTINCT-value axis (no single-task sort); the tie
+    term sum_t (t^3 - t) in DECIMAL(38,0). One pinned float expression
+    yields z = (2U1 - n1*n2) / (2*sqrt(var)) with
+    var = n1*n2*((N^3-N) - T) / (12*N*(N-1))."""
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "error")
+    )
+    o = ev.select(
+        _cents("value").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("g2"),
+    )
+    per_value = o.groupBy("cents").agg(
+        F.sum("g1").cast("long").alias("d1"),
+        F.sum("g2").cast("long").alias("d2"),
+    ).withColumn("r2", F.col("d2"))
+    running = W.global_running_sum(per_value, [F.col("cents").asc()], ["r2"])
+    t = (F.col("d1") + F.col("d2")).cast(dec)
+    sums = running.agg(
+        F.sum(
+            F.col("d1").cast(dec)
+            * (2 * F.col("r2") - F.col("d2")).cast(dec)
+        ).cast(dec).alias("u1_x2"),
+        F.sum((t * t * t - t).cast(dec)).cast(dec).alias("tie_sum"),
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    n = (F.col("n1") + F.col("n2")).cast(dec)
+    a = (F.col("n1").cast(dec) * F.col("n2").cast(dec)).cast(dec)
+    b = ((n * n * n - n).cast(dec) - F.col("tie_sum")).cast(dec)
+    var_u = (
+        a.cast("double")
+        * b.cast("double")
+        / (12.0 * (n * (n - 1)).cast(dec).cast("double"))
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        F.col("u1_x2").cast("double").alias("u1_x2"),
+        F.col("tie_sum").cast("double").alias("tie_sum"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & (var_u > 0),
+            (F.col("u1_x2").cast("double") - a.cast("double"))
+            / (2.0 * F.sqrt(var_u)),
+        ).alias("z_stat"),
+    )
+
+
+_HELLINGER_BINS = 25  # power-of-two value bins 0..24 (cents < 2^24 = $167k)
+
+
+def q_hellinger_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between the purchase and error value
+    distributions over fixed power-of-two bins — the bounded-metric
+    drift score (0..1) next to PSI (which explodes on empty bins) and
+    KS. Bin counts are exact BIGINTs; each Bhattacharyya term
+    sqrt(c1_i*c2_i) is one IEEE-exact sqrt of an exact integer product
+    (DECIMAL first — no wrap), and the 25 terms add in one PINNED
+    left-associative expression, never an engine-ordered float
+    aggregate. BC = sum_i sqrt(c1_i*c2_i)/sqrt(n1*n2),
+    H = sqrt(max(0, 1-BC))."""
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "error")
+    )
+    cents = _cents("value")
+    bin_col = F.when(cents <= 0, F.lit(0)).otherwise(
+        F.least(F.length(F.bin(cents.cast("long"))), F.lit(_HELLINGER_BINS - 1))
+    )
+    o = ev.select(
+        bin_col.cast("int").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("g2"),
+    )
+    per_bin = o.groupBy("bin").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+    )
+    aggs = []
+    for i in range(_HELLINGER_BINS):
+        for col in ("c1", "c2"):
+            aggs.append(
+                F.coalesce(
+                    F.max(F.when(F.col("bin") == i, F.col(col))), F.lit(0)
+                ).cast("long").alias(f"{col}_{i}")
+            )
+    one = per_bin.agg(*aggs)
+
+    def term(i: int) -> Column:
+        prod = (
+            F.col(f"c1_{i}").cast(dec) * F.col(f"c2_{i}").cast(dec)
+        ).cast(dec)
+        return F.sqrt(prod.cast("double"))
+
+    bc_num = term(0)
+    for i in range(1, _HELLINGER_BINS):
+        bc_num = bc_num + term(i)
+    n1 = sum(
+        (F.col(f"c1_{i}") for i in range(_HELLINGER_BINS)),
+        F.lit(0).cast("long"),
+    )
+    n2 = sum(
+        (F.col(f"c2_{i}") for i in range(_HELLINGER_BINS)),
+        F.lit(0).cast("long"),
+    )
+    stage = one.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        F.when(
+            (n1 > 0) & (n2 > 0),
+            bc_num
+            / F.sqrt((n1.cast(dec) * n2.cast(dec)).cast(dec).cast("double")),
+        ).alias("bc"),
+    )
+    return stage.select(
+        "n1",
+        "n2",
+        "bc",
+        F.sqrt(F.greatest(F.lit(0.0), 1.0 - F.col("bc"))).alias("hellinger"),
+    )
+
+
+def _anova_oracle_sql() -> str:
+    """Mirror q_anova_f op-for-op: same pivot to literal-keyed columns,
+    same left-associative float addition order, same guards."""
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    piv = []
+    for i, g in enumerate(_ANOVA_GROUPS):
+        piv += [
+            f"COALESCE(MAX(CASE WHEN g = '{g}' THEN n_g END), 0) AS n{i}",
+            f"COALESCE(MAX(CASE WHEN g = '{g}' THEN s_g END), 0) AS s{i}",
+            f"CAST(COALESCE(MAX(CASE WHEN g = '{g}' THEN q_g END), 0)"
+            f" AS DECIMAL(38,0)) AS q{i}",
+        ]
+    idxs = range(len(_ANOVA_GROUPS))
+    n_tot = " + ".join(f"n{i}" for i in idxs)
+    s_tot = " + ".join(f"s{i}" for i in idxs)
+    k_pres = " + ".join(f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in idxs)
+    ssb_terms = " + ".join(
+        f"(CASE WHEN n{i} > 0 THEN CAST(CAST(CAST(s{i} AS DECIMAL(38,0))"
+        f" * CAST(s{i} AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE)"
+        f" / CAST(n{i} AS DOUBLE) ELSE 0.0 END)"
+        for i in idxs
+    )
+    ssw_terms = " + ".join(
+        f"(CASE WHEN n{i} > 0 THEN CAST(CAST(CAST(n{i} AS DECIMAL(38,0))"
+        f" * q{i} - CAST(s{i} AS DECIMAL(38,0)) * CAST(s{i} AS DECIMAL(38,0))"
+        f" AS DECIMAL(38,0)) AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+        f" ELSE 0.0 END)"
+        for i in idxs
+    )
+    return f"""
+        WITH per AS (
+            SELECT o_orderpriority AS g,
+                   CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum({cents}) AS BIGINT) AS s_g,
+                   CAST(sum(CAST({cents} AS DECIMAL(38,0))
+                            * CAST({cents} AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS q_g
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_orderpriority IS NOT NULL
+            GROUP BY o_orderpriority),
+        one AS (SELECT {', '.join(piv)} FROM per),
+        stage AS (
+            SELECT CAST({n_tot} AS BIGINT) AS n_total,
+                   CAST({k_pres} AS INT) AS k_groups,
+                   CASE WHEN ({n_tot}) > 0 THEN
+                       ({ssb_terms})
+                       - CAST(CAST(CAST(({s_tot}) AS DECIMAL(38,0))
+                              * CAST(({s_tot}) AS DECIMAL(38,0))
+                              AS DECIMAL(38,0)) AS DOUBLE)
+                         / CAST(({n_tot}) AS DOUBLE)
+                   END AS ssb,
+                   ({ssw_terms}) AS ssw
+            FROM one)
+        SELECT n_total, k_groups, ssb, ssw,
+               CASE WHEN k_groups > 1 AND n_total > k_groups AND ssw > 0
+                    THEN (ssb / CAST(k_groups - 1 AS DOUBLE))
+                         / (ssw / CAST(n_total - k_groups AS DOUBLE))
+               END AS f_stat,
+               CASE WHEN (ssb + ssw) > 0 THEN ssb / (ssb + ssw)
+               END AS eta_sq
+        FROM stage
+    """
+
+
+def _hellinger_oracle_sql() -> str:
+    """Mirror q_hellinger_types op-for-op: same fixed bins, same pivot,
+    same left-associative sqrt-term addition order."""
+    piv = []
+    for i in range(_HELLINGER_BINS):
+        for col in ("c1", "c2"):
+            piv.append(
+                f"CAST(COALESCE(MAX(CASE WHEN bin = {i} THEN {col} END), 0)"
+                f" AS BIGINT) AS {col}_{i}"
+            )
+    terms = " + ".join(
+        f"sqrt(CAST(CAST(CAST(c1_{i} AS DECIMAL(38,0))"
+        f" * CAST(c2_{i} AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE))"
+        for i in range(_HELLINGER_BINS)
+    )
+    n1 = " + ".join(f"c1_{i}" for i in range(_HELLINGER_BINS))
+    n2 = " + ".join(f"c2_{i}" for i in range(_HELLINGER_BINS))
+    return f"""
+        WITH ev AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS g1,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS g2
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('purchase', 'error')),
+        b AS (
+            SELECT CASE WHEN cents <= 0 THEN 0
+                        ELSE least(length(bin(cents)),
+                                   {_HELLINGER_BINS - 1}) END AS bin,
+                   g1, g2
+            FROM ev),
+        per AS (
+            SELECT bin, CAST(sum(g1) AS BIGINT) AS c1,
+                   CAST(sum(g2) AS BIGINT) AS c2
+            FROM b GROUP BY bin),
+        one AS (SELECT {', '.join(piv)} FROM per),
+        stage AS (
+            SELECT CAST({n1} AS BIGINT) AS n1,
+                   CAST({n2} AS BIGINT) AS n2,
+                   CASE WHEN ({n1}) > 0 AND ({n2}) > 0 THEN
+                       ({terms})
+                       / sqrt(CAST(CAST(CAST(({n1}) AS DECIMAL(38,0))
+                              * CAST(({n2}) AS DECIMAL(38,0))
+                              AS DECIMAL(38,0)) AS DOUBLE))
+                   END AS bc
+            FROM one)
+        SELECT n1, n2, bc,
+               sqrt(greatest(0.0, 1.0 - bc)) AS hellinger
+        FROM stage
+    """
+
+
+def _fld_sql(expr: str, d: int) -> str:
+    """FLOOR division of a possibly-negative BIGINT expression by the
+    positive literal d, as SQL that matches Python's `//` in engines
+    whose `%` / `//` truncate toward zero (DuckDB): subtract the
+    nonnegative remainder first, then the division is exact."""
+    return (
+        f"(({expr}) - ((({expr}) % {d}) + {d}) % {d}) // {d}"
+    )
+
+
+def _holt_oracle_sql() -> str:
+    """Replay holt_linear_by_group's pinned fixed-point recursion with a
+    genuine WITH RECURSIVE (per-type recursion joined on i = i + 1)."""
+    s = 1 << _HOLT_SCALE_BITS
+    lvl = _fld_sql(f"s.x * {s} + r.level_fp + r.trend_fp", 2)
+    b1 = _fld_sql("t.lvl - t.lp", 4)
+    b2 = _fld_sql("3 * t.tp", 4)
+    return f"""
+        WITH RECURSIVE hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type, date_trunc('hour', ts)),
+        seq AS (
+            SELECT event_type, h, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY h) AS BIGINT) AS i
+            FROM hourly),
+        rec AS (
+            SELECT event_type, h, i, x,
+                   CAST(x * {s} AS BIGINT) AS level_fp,
+                   CAST(0 AS BIGINT) AS trend_fp
+            FROM seq WHERE i = 1
+            UNION ALL
+            SELECT t.event_type, t.h, t.i, t.x,
+                   CAST(t.lvl AS BIGINT) AS level_fp,
+                   CAST(({b1}) + ({b2}) AS BIGINT) AS trend_fp
+            FROM (
+                SELECT s.event_type, s.h, s.i, s.x,
+                       CAST({lvl} AS BIGINT) AS lvl,
+                       r.level_fp AS lp, r.trend_fp AS tp
+                FROM rec r
+                JOIN seq s ON s.event_type = r.event_type
+                          AND s.i = r.i + 1
+            ) t)
+        SELECT event_type, h, i, x, level_fp, trend_fp,
+               CAST(level_fp + trend_fp AS DOUBLE) / {float(s)}
+                   AS forecast_next
+        FROM rec
+    """
+
+
+_HOLT_SCALE_BITS = 20
+
+
+def q_holt_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) of each
+    event type's hourly count series, alpha=1/2 beta=1/4, in PINNED
+    scaled-integer arithmetic (operators/stats.py::holt_linear_by_group
+    — fixed point at 2^20 with floor division) so the whole recursion is
+    exact and the DuckDB oracle replays it with a genuine WITH RECURSIVE
+    (floor division spelled with the nonneg-remainder identity because
+    DuckDB's `//` truncates). The recursion runs per group over the
+    ALREADY-AGGREGATED hourly series via applyInPandas — bounded by the
+    time axis, not the event count, so each group's series fits one
+    worker at any data scale. forecast_next = (L+B)/2^20 is one exact
+    power-of-two float division."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        holt_linear_by_group,
+    )
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    res = holt_linear_by_group(hourly, scale_bits=_HOLT_SCALE_BITS)
+    scale = float(1 << _HOLT_SCALE_BITS)
+    return res.select(
+        "event_type",
+        "h",
+        "i",
+        "x",
+        "level_fp",
+        "trend_fp",
+        (
+            (F.col("level_fp") + F.col("trend_fp")).cast("double") / scale
+        ).alias("forecast_next"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -6691,6 +7139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantile_hourly": streaming_quantile_hourly,
         "q_fd_violations": q_fd_violations,
         "q_ref_integrity": q_ref_integrity,
+        "q_anova_f": q_anova_f,
+        "q_mannwhitney_u": q_mannwhitney_u,
+        "q_hellinger_types": q_hellinger_types,
+        "q_holt_dyadic": q_holt_dyadic,
         # --- no surviving driver artifact (r6 file lost) --------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
@@ -9857,6 +10309,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
             FROM e4
         """,
+        "q_anova_f": _anova_oracle_sql(),
+        "q_mannwhitney_u": """
+            -- exact integer algebra to the last step: 2*U1, tie sum,
+            -- then ONE pinned float expression for z (mirrors the
+            -- engine op-for-op)
+            WITH ev AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS g1,
+                       CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                           AS g2
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('purchase', 'error')),
+            v AS (SELECT cents, CAST(sum(g1) AS BIGINT) AS d1,
+                         CAST(sum(g2) AS BIGINT) AS d2
+                  FROM ev GROUP BY cents),
+            r AS (SELECT cents, d1, d2,
+                         CAST(sum(d2) OVER (ORDER BY cents) AS BIGINT)
+                             AS r2
+                  FROM v),
+            s AS (SELECT
+                      CAST(sum(CAST(d1 AS DECIMAL(38,0))
+                               * CAST(2 * r2 - d2 AS DECIMAL(38,0)))
+                           AS DECIMAL(38,0)) AS u1_x2,
+                      CAST(sum(CAST(d1 + d2 AS DECIMAL(38,0))
+                               * CAST(d1 + d2 AS DECIMAL(38,0))
+                               * CAST(d1 + d2 AS DECIMAL(38,0))
+                               - CAST(d1 + d2 AS DECIMAL(38,0)))
+                           AS DECIMAL(38,0)) AS tie_sum,
+                      CAST(sum(d1) AS BIGINT) AS n1,
+                      CAST(sum(d2) AS BIGINT) AS n2
+                  FROM r)
+            SELECT n1, n2,
+                   CAST(u1_x2 AS DOUBLE) AS u1_x2,
+                   CAST(tie_sum AS DOUBLE) AS tie_sum,
+                   CASE WHEN n1 > 0 AND n2 > 0 AND
+                        (CAST(CAST(n1 AS DECIMAL(38,0))
+                              * CAST(n2 AS DECIMAL(38,0)) AS DOUBLE)
+                         * CAST(CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                 * CAST(n1 + n2 AS DECIMAL(38,0))
+                                 * CAST(n1 + n2 AS DECIMAL(38,0))
+                                 - CAST(n1 + n2 AS DECIMAL(38,0))
+                                 AS DECIMAL(38,0)) - tie_sum AS DOUBLE)
+                         / (12.0 * CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                * CAST(n1 + n2 - 1 AS DECIMAL(38,0))
+                                AS DOUBLE))) > 0
+                   THEN (CAST(u1_x2 AS DOUBLE)
+                         - CAST(CAST(n1 AS DECIMAL(38,0))
+                                * CAST(n2 AS DECIMAL(38,0)) AS DOUBLE))
+                        / (2.0 * sqrt(
+                            CAST(CAST(n1 AS DECIMAL(38,0))
+                                 * CAST(n2 AS DECIMAL(38,0)) AS DOUBLE)
+                            * CAST(CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                    * CAST(n1 + n2 AS DECIMAL(38,0))
+                                    * CAST(n1 + n2 AS DECIMAL(38,0))
+                                    - CAST(n1 + n2 AS DECIMAL(38,0))
+                                    AS DECIMAL(38,0)) - tie_sum AS DOUBLE)
+                            / (12.0
+                               * CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                      * CAST(n1 + n2 - 1 AS DECIMAL(38,0))
+                                      AS DOUBLE))))
+                   END AS z_stat
+            FROM s
+        """,
+        "q_hellinger_types": _hellinger_oracle_sql(),
+        "q_holt_dyadic": _holt_oracle_sql(),
         "dedup_containment": f"""
             -- directed pairs (a <> b), max_df=1000 stop-shingle cap,
             -- containment = n_common / n_a

@@ -195,6 +195,10 @@ HEADLINE = [
     "streaming_quantile_hourly",
     "q_fd_violations",
     "q_ref_integrity",
+    "q_anova_f",
+    "q_mannwhitney_u",
+    "q_hellinger_types",
+    "q_holt_dyadic",
 ]
 
 

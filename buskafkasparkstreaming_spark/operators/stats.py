@@ -653,3 +653,71 @@ def kll_sketch(
             F.expr(f"shiftleft(cast(1 as bigint), {level_col})"),
         )
     )
+
+
+# --- Holt linear-trend smoothing (pinned dyadic fixed point) --------------
+
+HOLT_SCHEMA = (
+    "event_type string, h timestamp, i bigint, x bigint, "
+    "level_fp bigint, trend_fp bigint"
+)
+
+
+def holt_linear_by_group(
+    hourly: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "h",
+    x_col: str = "x",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per group
+    with PINNED dyadic coefficients alpha=1/2, beta=1/4 in scaled-integer
+    arithmetic (fixed point at 2^scale_bits, FLOOR division), so two
+    engines replay the recursion bit-identically:
+
+        Xs_i = x_i * S                         (S = 2^scale_bits)
+        L_1  = Xs_1,  B_1 = 0
+        L_i  = floor((Xs_i + L_{i-1} + B_{i-1}) / 2)
+        B_i  = floor((L_i - L_{i-1}) / 4) + floor(3*B_{i-1} / 4)
+
+    The input is an already-aggregated per-group SERIES frame (one row
+    per group x tick) — bounded by the time axis, not the event count —
+    so the per-group pandas recursion is scale-safe: one shuffle on the
+    group key, each group's series fits one worker by construction.
+    Python ints carry the state (no silent int64 wrap); floor division
+    is pinned (numpy and Python `//` floor; SQL oracles must use the
+    nonneg-remainder identity because e.g. DuckDB's `//` truncates)."""
+    S = 1 << scale_bits
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        xs = [int(v) for v in pdf[x_col]]
+        levels: list[int] = []
+        trends: list[int] = []
+        lvl = trd = 0
+        for idx, x in enumerate(xs):
+            if idx == 0:
+                lvl, trd = x * S, 0
+            else:
+                prev = lvl
+                lvl = (x * S + lvl + trd) // 2
+                trd = (lvl - prev) // 4 + (3 * trd) // 4
+            levels.append(lvl)
+            trends.append(trd)
+        return pd.DataFrame(
+            {
+                "event_type": pdf[group_col].to_numpy(),
+                "h": pdf[ts_col].to_numpy(),
+                "i": np.arange(1, len(xs) + 1, dtype=np.int64),
+                "x": np.asarray(xs, dtype=np.int64),
+                "level_fp": np.asarray(levels, dtype=np.int64),
+                "trend_fp": np.asarray(trends, dtype=np.int64),
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    clean = hourly.filter(
+        F.col(group_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    return clean.groupBy(group_col).applyInPandas(fn, HOLT_SCHEMA)

@@ -374,6 +374,12 @@ def test_null_events_drift(spark, tmp_path):
         # on BOTH sides of the FD profiler
         "streaming_quantile_hourly",
         "q_fd_violations",
+        # NULL value rows must be outside the rank/bin frames and NULL
+        # event_type outside both samples on BOTH sides (U test,
+        # Hellinger bins, Holt's per-type hourly series)
+        "q_mannwhitney_u",
+        "q_hellinger_types",
+        "q_holt_dyadic",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -473,6 +479,9 @@ def test_null_orders_drift(spark, tmp_path):
         # NULL o_orderstatus drops that LHS group from the FD profile on
         # BOTH sides (the o_orderstatus->o_orderpriority pair)
         "q_fd_violations",
+        # NULL o_totalprice rows must be outside every group's exact
+        # moments (n, s, q) identically on both sides
+        "q_anova_f",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

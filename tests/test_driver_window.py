@@ -52,7 +52,7 @@ def test_session4_tail_leads_below_cut():
     """The never-driver-seen session-4/5 tail entries sit immediately
     below the cut, so they lead the round-9 window."""
     qs = list(entrymod.queries().keys())
-    assert qs[50:72] == [
+    assert qs[50:76] == [
         "streaming_psi_drift", "q_ccf_types", "q_histogram_equi_depth",
         "sample_reservoir_stratum", "sketch_kll_quantiles",
         "q_record_linkage_fs", "text_bpe_merges",
@@ -63,7 +63,9 @@ def test_session4_tail_leads_below_cut():
         "q_bootstrap_ci_mean", "graph_kcore", "dedup_containment",
         "sketch_hll_rolling", "streaming_quantile_hourly",
         "q_fd_violations", "q_ref_integrity",
-    ], qs[50:72]
+        "q_anova_f", "q_mannwhitney_u", "q_hellinger_types",
+        "q_holt_dyadic",
+    ], qs[50:76]
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():

@@ -1722,3 +1722,89 @@ def test_gif_lzw_with_table_growth():
     assert (got[0], got[1]) == (3, 3)
     # mean red channel: red (idx 0) appears 3x, white (idx 3) 2x
     assert abs(got[2][0] - ((255 * 3 + 255 * 2) / 9 / 255.0)) < 1e-6
+
+
+def test_holt_converges_on_constant_series(spark):
+    """Constant input: the Holt level must converge to x*S and the trend
+    to ~0 (floor division can leave it pinned at -1), proving the pinned
+    fixed-point recursion tracks the float recursion it stands for."""
+    import datetime as dt
+
+    from buskafkasparkstreaming_spark.operators.stats import (
+        holt_linear_by_group,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(hours=i), 40) for i in range(60)
+    ]
+    hourly = spark.createDataFrame(rows, "event_type string, h timestamp, x long")
+    out = holt_linear_by_group(hourly).orderBy("i").collect()
+    S = 1 << 20
+    assert out[0]["level_fp"] == 40 * S and out[0]["trend_fp"] == 0
+    last = out[-1]
+    assert abs(last["level_fp"] - 40 * S) <= 8
+    assert -2 <= last["trend_fp"] <= 0
+
+
+def test_holt_tracks_linear_ramp(spark):
+    """On x_i = i the fitted trend must approach the true slope S (one
+    unit per tick in fixed point) once the exponential memory warms up."""
+    import datetime as dt
+
+    from buskafkasparkstreaming_spark.operators.stats import (
+        holt_linear_by_group,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(hours=i), 100 + i) for i in range(80)
+    ]
+    hourly = spark.createDataFrame(rows, "event_type string, h timestamp, x long")
+    last = holt_linear_by_group(hourly).orderBy("i").collect()[-1]
+    S = 1 << 20
+    assert abs(last["trend_fp"] - S) < S * 0.05
+    # forecast for the next tick lands near 100 + 80
+    forecast = (last["level_fp"] + last["trend_fp"]) / S
+    assert abs(forecast - 180.0) < 1.0
+
+
+def test_mannwhitney_matches_rank_formula(spark, sf_dir):
+    """2*U1 from the distributed per-value frame must equal the classic
+    rank-sum formula 2*(R1 - n1(n1+1)/2) computed with midranks in
+    numpy on the same filtered sample."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    row = entrymod.q_mannwhitney_u(spark, sf_dir).collect()[0]
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "error")
+        )
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (F.col("event_type") == "purchase").alias("is_p"),
+        )
+        .collect()
+    )
+    cents = np.array([r["cents"] for r in ev], dtype=np.int64)
+    is_p = np.array([r["is_p"] for r in ev])
+    order = np.argsort(cents, kind="mergesort")
+    ranks = np.empty(len(cents), dtype=np.float64)
+    sorted_c = cents[order]
+    i = 0
+    rk = np.arange(1, len(cents) + 1, dtype=np.float64)
+    while i < len(sorted_c):
+        j = i
+        while j + 1 < len(sorted_c) and sorted_c[j + 1] == sorted_c[i]:
+            j += 1
+        ranks[order[i : j + 1]] = rk[i : j + 1].mean()
+        i = j + 1
+    n1 = int(is_p.sum())
+    r1 = float(ranks[is_p].sum())
+    u1_x2_expected = 2.0 * (r1 - n1 * (n1 + 1) / 2.0)
+    assert row["n1"] == n1
+    assert abs(row["u1_x2"] - u1_x2_expected) < 1e-6
