@@ -6995,6 +6995,193 @@ def _holt_oracle_sql() -> str:
     """
 
 
+def layout_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys (operators/layout.py::hilbert_layout)
+    over events (user_id × value-cents) — layout_zorder_events' twin
+    with the locality-tighter curve (no quadrant-diagonal jumps, so
+    consecutive file ranges cover more compact rectangles and row-group
+    min/max pruning is tighter on both dims; Delta's OPTIMIZE ... BY
+    HILBERT rationale). Same min/max scaling to 16 bits, the xy2d walk
+    as one projection stage per bit level (linear expression growth),
+    uniform 64-file bucketing. FULL hash oracle: the walk replays as 16
+    chained CTE stages of identical integer CASE arithmetic; bijectivity
+    and the unit-step adjacency property are pinned by
+    tests/test_operators.py::test_hilbert_bijective_and_unit_steps."""
+    from buskafkasparkstreaming_spark.operators import layout as LY2
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    out = LY2.hilbert_layout(
+        ev, "user_id", "value_cents", bits=16, num_files=64
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "hkey",
+        "file_id",
+    )
+
+
+def _hilbert_oracle_sql(bits: int = 16, num_files: int = 64) -> str:
+    """Replay hilbert_layout as chained CTE stages — one per bit level,
+    mirroring hilbert_stages' CASE structure exactly (integer-exact, so
+    only the structure must match, not float op order)."""
+    stages = []
+    prev = "start"
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = f"(x & {s}) > 0"
+        ry = f"(y & {s}) > 0"
+        stages.append(f"""
+            lvl{level} AS (
+                SELECT event_id,
+                       d + CAST({s * s} AS BIGINT) *
+                           (CASE WHEN ({rx}) AND ({ry}) THEN 2
+                                 WHEN ({rx}) THEN 3
+                                 WHEN ({ry}) THEN 1
+                                 ELSE 0 END) AS d,
+                       CASE WHEN ({ry}) THEN x
+                            WHEN ({rx}) THEN {s - 1} - y
+                            ELSE y END AS x,
+                       CASE WHEN ({ry}) THEN y
+                            WHEN ({rx}) THEN {s - 1} - x
+                            ELSE x END AS y
+                FROM {prev})""")
+        prev = f"lvl{level}"
+    chain = ",".join(stages)
+    mx = (1 << bits) - 1
+    return f"""
+        WITH ev AS (
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM events),
+        bounds AS (
+            SELECT min(user_id) AS amin, max(user_id) AS amax,
+                   min(value_cents) AS bmin, max(value_cents) AS bmax
+            FROM ev),
+        start AS (
+            SELECT event_id,
+                   CAST(floor(CAST((user_id - amin) * {mx} AS DOUBLE)
+                              / CAST(greatest(amax - amin, 1) AS DOUBLE))
+                        AS BIGINT) AS x,
+                   CAST(floor(CAST((value_cents - bmin) * {mx} AS DOUBLE)
+                              / CAST(greatest(bmax - bmin, 1) AS DOUBLE))
+                        AS BIGINT) AS y,
+                   CAST(0 AS BIGINT) AS d
+            FROM ev CROSS JOIN bounds),
+        {chain}
+        SELECT event_id, d AS hkey,
+               CAST((d * {num_files}) >> {2 * bits} AS BIGINT) AS file_id
+        FROM lvl0
+    """
+
+
+def q_ecdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECDF transform / quantile normalization: every distinct purchase
+    value scored by the ERROR sample's empirical CDF — the
+    distribution-alignment map (rank-based normalization) a feature
+    pipeline applies to put two populations on one scale. Exact
+    integers end to end: per-distinct-value counts, the error running
+    count via operators.windows_fn.global_running_sum over the bounded
+    value axis (no single-task ordered window), one float division per
+    row for the CDF."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("purchase", "error")
+    )
+    o = ev.select(
+        _cents("value").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("g2"),
+    )
+    per_value = o.groupBy("cents").agg(
+        F.sum("g1").cast("long").alias("d1"),
+        F.sum("g2").cast("long").alias("d2"),
+    ).withColumn("r2", F.col("d2"))
+    running = W.global_running_sum(per_value, [F.col("cents").asc()], ["r2"])
+    totals = o.agg(F.sum("g2").cast("long").alias("n2"))
+    return (
+        running.filter(F.col("d1") > 0)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("cents").cast("long").alias("cents"),
+            F.col("d1").alias("n_purchases"),
+            F.col("r2").alias("n_errors_le"),
+            F.when(
+                F.col("n2") > 0,
+                F.col("r2").cast("double") / F.col("n2").cast("double"),
+            ).alias("ecdf_error"),
+        )
+    )
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event_type × user-bucket
+    contingency table — the bounded [0,1] companion to
+    q_chi2_independence's raw statistic (and the categorical analog of
+    q_anova_f's eta²): V = sqrt((chi2/n) / min(R-1, C-1)). Reuses the
+    exact integer identity (oN - rc)²/(rcN) per cell with DECIMAL(38,0)
+    operands and the order-independent floor-fixed-point chi2 sum; R
+    and C are the margins PRESENT in the data; the final V is one
+    pinned float expression."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_type", F.pmod(F.col("user_id"), F.lit(4)).alias("bucket")
+        )
+    )
+    obs = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    cols = ev.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    margins = (
+        rows.agg(F.count(F.lit(1)).cast("long").alias("r_levels"))
+        .crossJoin(
+            F.broadcast(
+                cols.agg(F.count(F.lit(1)).cast("long").alias("c_levels"))
+            )
+        )
+    )
+    cells = (
+        rows.crossJoin(cols)
+        .join(obs, ["event_type", "bucket"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = "decimal(38,0)"
+    o_d, n_d = F.col("o").cast(dec), F.col("n").cast(dec)
+    r_d, c_d = F.col("r").cast(dec), F.col("c").cast(dec)
+    num = (o_d * n_d - r_d * c_d).cast(dec)
+    den = (r_d * c_d).cast(dec) * n_d
+    cell_fp = F.floor(
+        (num * num).cast("double") / den.cast("double") * 1e6
+    ).cast("long")
+    agg = cells.select(cell_fp.alias("cfp")).agg(
+        F.sum("cfp").cast("long").alias("chi2_fp")
+    )
+    j = agg.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(margins))
+    mindof = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    return j.select(
+        "chi2_fp",
+        "n",
+        "r_levels",
+        "c_levels",
+        mindof.cast("long").alias("min_dof"),
+        F.when(
+            (F.col("n") > 0) & (mindof > 0),
+            F.sqrt(
+                (F.col("chi2_fp").cast("double") / 1e6)
+                / (F.col("n").cast("double") * mindof.cast("double"))
+            ),
+        ).alias("cramers_v"),
+    )
+
+
 _HOLT_SCALE_BITS = 20
 
 

@@ -110,3 +110,112 @@ def write_zordered(
         .parquet(path)
     )
 
+
+
+def hilbert_stages(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """Hilbert-curve index of two pre-scaled keys in [0, 2^bits) — the
+    locality-preserving alternative to the Morton/Z-order key: Hilbert
+    never takes the long diagonal jumps Z-order takes at quadrant
+    boundaries, so consecutive file ranges cover more compact rectangles
+    and min/max row-group pruning is tighter on BOTH dimensions (the
+    reason Delta Lake added HILBERT to OPTIMIZE ... BY). Standard xy2d
+    walk (Hilbert 1891; the public-domain iterative formulation): one
+    SELECT stage per bit level, each level's reflect/swap expressed as
+    CASE over the level's two key bits — pure integer arithmetic, exact
+    in any engine, replayable as a chained-CTE SQL oracle.
+
+    One projection stage per level keeps the expression tree LINEAR in
+    `bits` (a single collapsed expression would double the x/y subtrees
+    per level). Intermediate x/y may go negative after a reflection;
+    the `& s` bit probes agree across engines because BIGINT is two's
+    complement everywhere (and arbitrary-precision ints in the Python
+    reference share the same low bits).
+    """
+    out = df.withColumn("__hx", F.col(x_col).cast("long")).withColumn(
+        "__hy", F.col(y_col).cast("long")
+    ).withColumn("__hd", F.lit(0).cast("long"))
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = F.when(
+            F.col("__hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        ry = F.when(
+            F.col("__hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        # (3*rx) XOR ry without a XOR primitive (DuckDB's ^ is pow):
+        # (0,0)->0 (0,1)->1 (1,0)->3 (1,1)->2
+        digit = (
+            F.when((rx == 0) & (ry == 0), F.lit(0))
+            .when((rx == 0) & (ry == 1), F.lit(1))
+            .when((rx == 1) & (ry == 0), F.lit(3))
+            .otherwise(F.lit(2))
+        )
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("__hy")).otherwise(
+                F.col("__hy")
+            ),
+        ).otherwise(F.col("__hx"))
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("__hx")).otherwise(
+                F.col("__hx")
+            ),
+        ).otherwise(F.col("__hy"))
+        out = out.select(
+            "*",
+            (
+                F.col("__hd")
+                + F.lit(s * s).cast("long") * digit.cast("long")
+            ).alias("__hd2"),
+            nx.alias("__hx2"),
+            ny.alias("__hy2"),
+        ).drop("__hd", "__hx", "__hy").withColumnsRenamed(
+            {"__hd2": "__hd", "__hx2": "__hx", "__hy2": "__hy"}
+        )
+    return out.withColumnRenamed("__hd", out_col).drop("__hx", "__hy")
+
+
+def hilbert_layout(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    bits: int = 16,
+    num_files: int = 64,
+) -> DataFrame:
+    """Attach (hkey, file_id) for a Hilbert rewrite over two BIGINT
+    dimension columns — zorder_layout's twin with the Hilbert key:
+    min/max scaling via the same broadcast 1-row bounds aggregate, the
+    xy2d stages, then uniform Hilbert-space bucketing
+    (hkey * num_files >> 2*bits). Deterministic and bit-replayable;
+    a size-balanced production rewrite would range-partition on hkey
+    exactly as write_zordered does on zkey."""
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    bounds = df.agg(
+        F.min(a).alias("__amin"),
+        F.max(a).alias("__amax"),
+        F.min(b).alias("__bmin"),
+        F.max(b).alias("__bmax"),
+    )
+    scaled = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__sa", _scale_to_bits(a, F.col("__amin"), F.col("__amax"), bits)
+        )
+        .withColumn(
+            "__sb", _scale_to_bits(b, F.col("__bmin"), F.col("__bmax"), bits)
+        )
+        .drop("__amin", "__amax", "__bmin", "__bmax")
+    )
+    out = hilbert_stages(scaled, "__sa", "__sb", bits=bits, out_col="hkey")
+    return out.withColumn(
+        "file_id",
+        F.shiftrightunsigned(F.col("hkey") * num_files, 2 * bits).cast("long"),
+    ).drop("__sa", "__sb")

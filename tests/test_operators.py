@@ -1808,3 +1808,57 @@ def test_mannwhitney_matches_rank_formula(spark, sf_dir):
     u1_x2_expected = 2.0 * (r1 - n1 * (n1 + 1) / 2.0)
     assert row["n1"] == n1
     assert abs(row["u1_x2"] - u1_x2_expected) < 1e-6
+
+
+def _xy2d_ref(order_bits: int, x: int, y: int) -> int:
+    d = 0
+    s = 1 << (order_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_bijective_and_unit_steps(spark):
+    """On the full 32x32 grid the operator must produce every d in
+    [0, 1024) exactly once AND consecutive d must be Manhattan-adjacent
+    — the defining Hilbert property; any broken rotation fails this."""
+    from buskafkasparkstreaming_spark.operators.layout import hilbert_stages
+
+    n = 32
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    rows = hilbert_stages(grid, "x", "y", bits=5).collect()
+    by_d = {r["hkey"]: (r["x"], r["y"]) for r in rows}
+    assert sorted(by_d) == list(range(n * n))
+    for d in range(n * n - 1):
+        x1, y1 = by_d[d]
+        x2, y2 = by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_matches_reference_at_16_bits(spark):
+    """Random 16-bit points: operator == direct Python xy2d port."""
+    import random
+
+    from buskafkasparkstreaming_spark.operators.layout import hilbert_stages
+
+    rng = random.Random(7)
+    pts = [
+        (rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in hilbert_stages(df, "x", "y", bits=16).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d_ref(16, x, y)
