@@ -7228,85 +7228,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round so every entry gets a driver-verified row regularly, computed
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
-    # semantics/plan changed this round, then artifact-less — the r6 file
-    # was never preserved — then oldest-artifact-first).
-    # Round-8 final rotation: the driver never ran mid-round, so ALL 46
-    # never-seen r8 entries fit the window — 24 first-wave + 15 third-wave
-    # (TPC-H closure, sliding funnel, KS/PSI/rolling-KS, temperature mix,
-    # pinned t-digest) + 7 session-4 additions (PPJoin prefix filter,
-    # bucketed join, GDPR purge, entropy/MI, ACF, seasonal anomaly,
-    # ROUGE-2) — plus the 4 changed entries = exactly 50. The 16
-    # artifact-less r6 entries, the 8 remaining r2-stale and the r4-stale
-    # cohort sit below the cut (all locally green via
-    # tests/test_oracle_parity.py, which checks ALL oracle entries every
-    # run regardless of order) and lead the round-9 window in that order.
+    # semantics/plan changed this round, then artifact-less, then
+    # oldest-artifact-first).
+    # Round-9 rotation (VERDICT r8 item 1, verbatim): the 26 never-seen
+    # r8 session-4/5 tail entries + the 16 artifact-less r6 entries + the
+    # first 8 of the 14 r2-stale = exactly 50. After this round the
+    # never-checked backlog is the newly-registered trio (+ any round-9
+    # additions); round 10 leads with those, then the 6 remaining
+    # r2-stale, then the 33 r4-stale.
     return {
-        # --- new in round 8 (never driver-verified -- must lead) ------
-        "dedup_prefix_filter": dedup_prefix_filter,
-        "lake_bucketed_join": lake_bucketed_join,
-        "cdc_purge_keys": cdc_purge_keys,
-        "q_entropy_mi": q_entropy_mi,
-        "q_acf_hourly": q_acf_hourly,
-        "q_seasonal_anomaly": q_seasonal_anomaly,
-        "text_rouge_overlap": text_rouge_overlap,
-        "sketch_theta_intersection": sketch_theta_intersection,
-        "pack_ffd_bins": pack_ffd_bins,
-        "streaming_session_topk": streaming_session_topk,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q14_promo_share": q14_promo_share,
-        "graph_pagerank_weighted": graph_pagerank_weighted,
-        "q_longest_streak": q_longest_streak,
-        "q7_nation_trade": q7_nation_trade,
-        "cdc_merge_into": cdc_merge_into,
-        "streaming_enrich_asof_static": streaming_enrich_asof_static,
-        "q_cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "q4_late_ship_priority": q4_late_ship_priority,
-        "q_mom_growth": q_mom_growth,
-        "q_event_transitions": q_event_transitions,
-        "q_percentile_cont": q_percentile_cont,
-        "dedup_editdist_rerank": dedup_editdist_rerank,
-        "sketch_hll_sparse": sketch_hll_sparse,
-        "ann_pq_adc_rerank": ann_pq_adc_rerank,
-        "streaming_funnel_timeout": streaming_funnel_timeout,
-        "ann_ivfadc_topk": ann_ivfadc_topk,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q21_sole_late_supplier": q21_sole_late_supplier,
-        "q22_idle_rich_customers": q22_idle_rich_customers,
-        "q_funnel_timeout": q_funnel_timeout,
-        # --- round-8 third wave + session-4 additions (never
-        # driver-verified -- inside the window with the rest) -----------
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_ship_classes": q12_late_ship_classes,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_qty_revenue": q17_small_qty_revenue,
-        "q19_or_predicate_revenue": q19_or_predicate_revenue,
-        "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
-        "q_funnel_sliding_windows": q_funnel_sliding_windows,
-        "q_ks_two_sample": q_ks_two_sample,
-        "q_psi_drift": q_psi_drift,
-        "sample_temperature_mix": sample_temperature_mix,
-        "q_ks_rolling_hourly": q_ks_rolling_hourly,
-        "sketch_tdigest_pinned": sketch_tdigest_pinned,
-        # --- changed this round (r7/r4-green, semantics/plan edited) --
-        "q_regr_slope_exact": q_regr_slope_exact,
-        "q_rfm_segments": q_rfm_segments,
-        "q_chi2_independence": q_chi2_independence,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        # ===== DRIVER WINDOW CUT: entries above are the 50 the sweep
-        # checks (46 never-driver-seen + 4 changed); everything below is
-        # locally green via tests/test_oracle_parity.py and leads the
-        # round-9 window (never-seen session-4/5 tail first, then 16
-        # artifact-less r6, then r2-stale, then r4-stale) ===============
-        # --- session-4 tail: added after the window filled (never
-        # driver-seen -- lead round 9) ----------------------------------
+        # --- round-8 session-4/5 tail: never driver-seen -- lead the
+        # round-9 window (VERDICT r8 item 1) --------------------------
         "streaming_psi_drift": streaming_psi_drift,
         "q_ccf_types": q_ccf_types,
         "q_histogram_equi_depth": q_histogram_equi_depth,
-        # --- session-5 tail: never driver-seen -- lead round 9 with the
-        # three above ---------------------------------------------------
         "sample_reservoir_stratum": sample_reservoir_stratum,
         "sketch_kll_quantiles": sketch_kll_quantiles,
         "q_record_linkage_fs": q_record_linkage_fs,
@@ -7330,7 +7265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mannwhitney_u": q_mannwhitney_u,
         "q_hellinger_types": q_hellinger_types,
         "q_holt_dyadic": q_holt_dyadic,
-        # --- no surviving driver artifact (r6 file lost) --------------
+        # --- artifact-less round-6 cohort (the r6 CORRECTNESS file was
+        # never preserved) -- inside the round-9 window ---------------
         "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
         "q_asof_nearest_purchase": q_asof_nearest_purchase,
@@ -7347,7 +7283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_locf_fill": q_locf_fill,
         "q_funnel_conversion": q_funnel_conversion,
         "q_cohort_retention": q_cohort_retention,
-        # --- last on-disk driver-green: round 2 -----------------------
+        # --- r2-stale, first 8 of 14 (oldest-artifact-first) ---------
         "q_hourly_events": q_hourly_events,
         "q_sliding_window_avg": q_sliding_window_avg,
         "q_pivot_event_types": q_pivot_event_types,
@@ -7356,13 +7292,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_status_priority": q_rollup_status_priority,
         "q_cube_status_priority": q_cube_status_priority,
         "q_string_agg_suppliers": q_string_agg_suppliers,
+        # ===== DRIVER WINDOW CUT: the 50 entries above are the
+        # round-9 sweep (26 never-seen + 16 artifact-less r6 + 8
+        # r2-stale). Below: locally green via
+        # tests/test_oracle_parity.py; ordered for the ROUND-10
+        # window (never-seen first, then oldest artifact).
+        # Round-10 arithmetic (VERDICT r8 item 4): carried debt =
+        # 3 newly-registered never-seen + 6 r2-stale + 33 r4-stale
+        # = 42, leaving at most 8 slots for new round-9 entries
+        # before r5-stale rotation slips another round. =========
+        # --- registered this round (previously unregistered dead code,
+        # VERDICT r8 item 2): never driver-seen -- lead round 10 ------
+        "layout_hilbert_events": layout_hilbert_events,
+        "q_ecdf_transform": q_ecdf_transform,
+        "q_cramers_v": q_cramers_v,
+        # --- r2-stale remainder (6) --------------------------
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
         "q_decimal_and_date": q_decimal_and_date,
         "q_pandas_udf_score": q_pandas_udf_score,
         "q_zscore_by_type": q_zscore_by_type,
         "udtf_split_words": udtf_split_words,
-        # --- last on-disk driver-green: round 4 ------------------------
+        # --- last on-disk driver-green: round 4 ------------------
         "q_orders_of_rich_customers": q_orders_of_rich_customers,
         "q_running_total": q_running_total,
         "q_event_gaps": q_event_gaps,
@@ -7396,7 +7347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_budget": pack_token_budget,
         "corpus_curation": corpus_curation,
         "ann_quantize_int8": ann_quantize_int8,
-        # --- driver-green round 5 -------------------------------------
+        # --- driver-green round 5 --------------------------------
         "q_argmax_events": q_argmax_events,
         "streaming_stateful_running": streaming_stateful_running,
         "streaming_tumbling_counts": streaming_tumbling_counts,
@@ -7447,7 +7398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median_price_by_priority": q_median_price_by_priority,
         "q_asof_purchase_before_error": q_asof_purchase_before_error,
         "q_range_join_value_tiers": q_range_join_value_tiers,
-        # --- driver-green round 7 -------------------------------------
+        # --- driver-green round 7 --------------------------------
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
         "q_variant_props": q_variant_props,
@@ -7495,6 +7446,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders_per_customer": q_topk_orders_per_customer,
         "q_exists_correlated": q_exists_correlated,
         "q_customers_without_orders": q_customers_without_orders,
+        # --- driver-green round 8 (freshest) ---------------------
+        "dedup_prefix_filter": dedup_prefix_filter,
+        "lake_bucketed_join": lake_bucketed_join,
+        "cdc_purge_keys": cdc_purge_keys,
+        "q_entropy_mi": q_entropy_mi,
+        "q_acf_hourly": q_acf_hourly,
+        "q_seasonal_anomaly": q_seasonal_anomaly,
+        "text_rouge_overlap": text_rouge_overlap,
+        "sketch_theta_intersection": sketch_theta_intersection,
+        "pack_ffd_bins": pack_ffd_bins,
+        "streaming_session_topk": streaming_session_topk,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q14_promo_share": q14_promo_share,
+        "graph_pagerank_weighted": graph_pagerank_weighted,
+        "q_longest_streak": q_longest_streak,
+        "q7_nation_trade": q7_nation_trade,
+        "cdc_merge_into": cdc_merge_into,
+        "streaming_enrich_asof_static": streaming_enrich_asof_static,
+        "q_cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "q4_late_ship_priority": q4_late_ship_priority,
+        "q_mom_growth": q_mom_growth,
+        "q_event_transitions": q_event_transitions,
+        "q_percentile_cont": q_percentile_cont,
+        "dedup_editdist_rerank": dedup_editdist_rerank,
+        "sketch_hll_sparse": sketch_hll_sparse,
+        "ann_pq_adc_rerank": ann_pq_adc_rerank,
+        "streaming_funnel_timeout": streaming_funnel_timeout,
+        "ann_ivfadc_topk": ann_ivfadc_topk,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
+        "q_funnel_timeout": q_funnel_timeout,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_ship_classes": q12_late_ship_classes,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q19_or_predicate_revenue": q19_or_predicate_revenue,
+        "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
+        "q_funnel_sliding_windows": q_funnel_sliding_windows,
+        "q_ks_two_sample": q_ks_two_sample,
+        "q_psi_drift": q_psi_drift,
+        "sample_temperature_mix": sample_temperature_mix,
+        "q_ks_rolling_hourly": q_ks_rolling_hourly,
+        "sketch_tdigest_pinned": sketch_tdigest_pinned,
+        "q_regr_slope_exact": q_regr_slope_exact,
+        "q_rfm_segments": q_rfm_segments,
+        "q_chi2_independence": q_chi2_independence,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
     }
 
 STOP_SQL = "('the','a','of','to','and','in')"
@@ -11927,6 +11929,102 @@ def oracle_sql() -> dict[str, str]:
             f"(((za >> {j}) & 1) << {2 * j}) | (((zb >> {j}) & 1) << {2 * j + 1})"
             for j in range(16)
         )),
+        # replay of operators/layout.py::hilbert_layout as 16 chained CTE
+        # stages of identical integer CASE arithmetic (helper above the
+        # queries() registry)
+        "layout_hilbert_events": _hilbert_oracle_sql(bits=16, num_files=64),
+        "q_ecdf_transform": """
+            -- every distinct purchase value scored by the error sample's
+            -- empirical CDF; running count mirrors global_running_sum's
+            -- inclusive frame (cents are distinct per row, so DuckDB's
+            -- default RANGE frame is exact)
+            WITH o AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS g1,
+                       CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                           AS g2
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('purchase', 'error')),
+            v AS (SELECT cents, CAST(sum(g1) AS BIGINT) AS d1,
+                         CAST(sum(g2) AS BIGINT) AS d2
+                  FROM o GROUP BY cents),
+            r AS (SELECT cents, d1,
+                         CAST(sum(d2) OVER (ORDER BY cents) AS BIGINT) AS r2
+                  FROM v),
+            t AS (SELECT CAST(sum(g2) AS BIGINT) AS n2 FROM o)
+            SELECT r.cents,
+                   r.d1 AS n_purchases,
+                   r.r2 AS n_errors_le,
+                   CASE WHEN t.n2 > 0
+                        THEN CAST(r.r2 AS DOUBLE) / CAST(t.n2 AS DOUBLE)
+                        END AS ecdf_error
+            FROM r, t
+            WHERE r.d1 > 0
+        """,
+        "q_cramers_v": """
+            -- q_chi2_independence's exact-integer cell identity, extended
+            -- with the present-margin counts and the single pinned float
+            -- expression V = sqrt((chi2/n) / min(R-1, C-1))
+            WITH ev AS (
+                SELECT event_type,
+                       user_id % 4 AS bucket
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+            obs AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS o
+                    FROM ev GROUP BY 1, 2),
+            r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS r
+                  FROM ev GROUP BY 1),
+            c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c
+                  FROM ev GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+            m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM r)
+                             AS r_levels,
+                         (SELECT CAST(count(*) AS BIGINT) FROM c)
+                             AS c_levels),
+            cells AS (
+                SELECT r.event_type, c.bucket, r.r, c.c, t.n,
+                       coalesce(obs.o, 0) AS o
+                FROM r CROSS JOIN c CROSS JOIN t
+                LEFT JOIN obs ON obs.event_type = r.event_type
+                             AND obs.bucket = c.bucket),
+            terms AS (
+                SELECT n,
+                       CAST(floor(
+                           CAST((CAST(o AS DECIMAL(38,0))
+                                     * CAST(n AS DECIMAL(38,0))
+                                 - CAST(r AS DECIMAL(38,0))
+                                     * CAST(c AS DECIMAL(38,0)))
+                                * (CAST(o AS DECIMAL(38,0))
+                                       * CAST(n AS DECIMAL(38,0))
+                                   - CAST(r AS DECIMAL(38,0))
+                                       * CAST(c AS DECIMAL(38,0)))
+                                AS DOUBLE)
+                           / CAST(CAST(r AS DECIMAL(38,0))
+                                  * CAST(c AS DECIMAL(38,0))
+                                  * CAST(n AS DECIMAL(38,0)) AS DOUBLE)
+                           * 1e6) AS BIGINT) AS cfp
+                FROM cells),
+            agg AS (SELECT CAST(sum(cfp) AS BIGINT) AS chi2_fp,
+                           max(n) AS n
+                    FROM terms)
+            SELECT agg.chi2_fp,
+                   agg.n,
+                   m.r_levels,
+                   m.c_levels,
+                   CAST(least(m.r_levels - 1, m.c_levels - 1) AS BIGINT)
+                       AS min_dof,
+                   CASE WHEN agg.n > 0
+                             AND least(m.r_levels - 1, m.c_levels - 1) > 0
+                        THEN sqrt((CAST(agg.chi2_fp AS DOUBLE) / 1e6)
+                                  / (CAST(agg.n AS DOUBLE)
+                                     * CAST(least(m.r_levels - 1,
+                                                  m.c_levels - 1)
+                                            AS DOUBLE)))
+                        END AS cramers_v
+            FROM agg, m
+        """,
         "pack_chunk_documents": f"""
             -- replay of operators/packing.py::chunk_documents (chunk 64,
             -- overlap 16 -> stride 48): integer chunk count, 1-based

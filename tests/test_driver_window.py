@@ -1,71 +1,59 @@
-"""Guard the round-8 driver-window composition: the correctness sweep
+"""Guard the round-9 driver-window composition: the correctness sweep
 checks the FIRST 50 queries() entries, so an accidental dict reorder
 (a refactor, a merge) silently swaps which entries get driver-verified.
-This pins the committed rotation: all 46 never-driver-seen round-8
-entries plus the 4 changed entries, exactly 50. Update DELIBERATELY
-when the round-9 rotation is computed (staleness-first from the
-CORRECTNESS_r0*.json artifacts)."""
+This pins the committed rotation (VERDICT r8, Next-round item 1): the 26
+never-driver-seen round-8 session-4/5 tail entries, the 16 artifact-less
+round-6 entries, and the first 8 of the 14 r2-stale entries — exactly
+50. Update DELIBERATELY when the round-10 rotation is computed
+(staleness-first from the CORRECTNESS_r0*.json artifacts)."""
 
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-FIRST_WAVE = {
-    "dedup_prefix_filter", "lake_bucketed_join", "cdc_purge_keys",
-    "q_entropy_mi", "q_acf_hourly", "q_seasonal_anomaly",
-    "text_rouge_overlap",
-    "sketch_theta_intersection", "pack_ffd_bins", "streaming_session_topk",
-    "q10_returned_revenue", "q14_promo_share", "graph_pagerank_weighted",
-    "q_longest_streak", "q7_nation_trade", "cdc_merge_into",
-    "streaming_enrich_asof_static", "q_cheapest_supplier_per_part",
-    "q4_late_ship_priority", "q_mom_growth", "q_event_transitions",
-    "q_percentile_cont", "dedup_editdist_rerank", "sketch_hll_sparse",
-    "ann_pq_adc_rerank", "streaming_funnel_timeout", "ann_ivfadc_topk",
-    "q13_customer_distribution", "q21_sole_late_supplier",
-    "q22_idle_rich_customers", "q_funnel_timeout",
-}
-THIRD_WAVE = {
-    "q8_market_share", "q9_product_profit", "q11_important_parts",
-    "q12_late_ship_classes", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_qty_revenue", "q19_or_predicate_revenue",
-    "q20_promo_heavy_suppliers", "q_funnel_sliding_windows",
-    "q_ks_two_sample", "q_psi_drift", "sample_temperature_mix",
-    "q_ks_rolling_hourly", "sketch_tdigest_pinned",
-}
-CHANGED = {
-    "q_regr_slope_exact", "q_rfm_segments", "q_chi2_independence",
-    "dedup_ngram_jaccard",
-}
+TAIL_26 = [
+    "streaming_psi_drift", "q_ccf_types", "q_histogram_equi_depth",
+    "sample_reservoir_stratum", "sketch_kll_quantiles",
+    "q_record_linkage_fs", "text_bpe_merges", "q_winsorized_stats",
+    "text_ngram_novelty", "q_theilsen_hourly", "streaming_hll_hourly",
+    "streaming_cusum_hourly", "q_gini_revenue", "q_herfindahl_segments",
+    "text_zipf_slope", "q_bootstrap_ci_mean", "graph_kcore",
+    "dedup_containment", "sketch_hll_rolling", "streaming_quantile_hourly",
+    "q_fd_violations", "q_ref_integrity", "q_anova_f", "q_mannwhitney_u",
+    "q_hellinger_types", "q_holt_dyadic",
+]
+R6_16 = [
+    "manifest_read_where", "q_asof_next_purchase",
+    "q_asof_nearest_purchase", "text_gopher_rules", "text_c4_rules",
+    "sketch_hll_distinct", "sample_weighted_priority",
+    "streaming_purchase_error_left_join", "sample_dsir_importance",
+    "sketch_hll_incremental", "sketch_quantile_histogram",
+    "q_corr_price_items", "q_gapfill_hourly", "q_locf_fill",
+    "q_funnel_conversion", "q_cohort_retention",
+]
+R2_FIRST8 = [
+    "q_hourly_events", "q_sliding_window_avg", "q_pivot_event_types",
+    "q_pivot_native", "q_grouping_sets", "q_rollup_status_priority",
+    "q_cube_status_priority", "q_string_agg_suppliers",
+]
 
 
-def test_round8_window_composition():
+def test_round9_window_composition():
     qs = list(entrymod.queries().keys())
-    window = set(qs[:50])
-    want = FIRST_WAVE | THIRD_WAVE | CHANGED
+    want = TAIL_26 + R6_16 + R2_FIRST8
     assert len(want) == 50, len(want)
-    assert window == want, (
-        sorted(window - want), sorted(want - window)
-    )
+    assert qs[:50] == want, (qs[:50], want)
 
 
-def test_session4_tail_leads_below_cut():
-    """The never-driver-seen session-4/5 tail entries sit immediately
-    below the cut, so they lead the round-9 window."""
+def test_never_seen_registrations_lead_below_cut():
+    """The trio registered this round (previously unregistered dead code,
+    VERDICT r8 item 2) plus any round-9 additions are never driver-seen
+    and sit immediately below the cut, so they lead the round-10
+    window."""
     qs = list(entrymod.queries().keys())
-    assert qs[50:76] == [
-        "streaming_psi_drift", "q_ccf_types", "q_histogram_equi_depth",
-        "sample_reservoir_stratum", "sketch_kll_quantiles",
-        "q_record_linkage_fs", "text_bpe_merges",
-        "q_winsorized_stats", "text_ngram_novelty", "q_theilsen_hourly",
-        "streaming_hll_hourly",
-        "streaming_cusum_hourly", "q_gini_revenue",
-        "q_herfindahl_segments", "text_zipf_slope",
-        "q_bootstrap_ci_mean", "graph_kcore", "dedup_containment",
-        "sketch_hll_rolling", "streaming_quantile_hourly",
-        "q_fd_violations", "q_ref_integrity",
-        "q_anova_f", "q_mannwhitney_u", "q_hellinger_types",
-        "q_holt_dyadic",
-    ], qs[50:76]
+    assert qs[50:53] == [
+        "layout_hilbert_events", "q_ecdf_transform", "q_cramers_v",
+    ], qs[50:53]
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():
