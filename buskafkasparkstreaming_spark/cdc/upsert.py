@@ -509,6 +509,13 @@ class UpsertTable:
             matched_delete_condition is None
         ):
             raise ValueError("merge_into with every clause ignored is a no-op")
+        if "__del" in source.columns:
+            # the internal routing flag would silently overwrite a source
+            # column of the same name, changing caller data semantics
+            raise ValueError(
+                "source carries the reserved internal column '__del'; "
+                "rename it before merge_into()"
+            )
 
         if self.exists():
             existing_keys = self.read().select(*self.key_cols).distinct()

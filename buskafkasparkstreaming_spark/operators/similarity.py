@@ -479,13 +479,20 @@ def train_pq_codebooks(
         if not vecs:
             return
         x = np.stack(vecs)
+        if len(x) < ksub:
+            # the ADC LUT is indexed as s*ksub + code: every subspace MUST
+            # emit exactly ksub codewords or lookups silently misalign
+            raise ValueError(
+                f"PQ training sample has {len(x)} rows < ksub={ksub}; "
+                "lower ksub or supply more training data"
+            )
         if normalize:
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         out_s, out_c, out_v = [], [], []
         for s in range(m):
             xs = x[:, s * dsub : (s + 1) * dsub]
             rng = np.random.RandomState(seed + s)
-            init = rng.choice(len(xs), size=min(ksub, len(xs)), replace=False)
+            init = rng.choice(len(xs), size=ksub, replace=False)
             cent = xs[np.sort(init)]
             for _ in range(iters):
                 d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)

@@ -75,6 +75,13 @@ def enrich_asof_static(
     """
     from pyspark.sql import Window
 
+    # every dim column except the key is copied into the output verbatim
+    # (dim_ts_col included): a name shared with a stream column would make
+    # the joined output ambiguous — fail loudly instead (the
+    # enrich_with_dimension contract)
+    dupes = (set(stream.columns) & set(dim.columns)) - {key_col}
+    if dupes:
+        raise ValueError(f"ambiguous enrichment columns: {sorted(dupes)}")
     dimc = dim.filter(
         F.col(key_col).isNotNull() & F.col(dim_ts_col).isNotNull()
     )

@@ -426,6 +426,11 @@ def test_merge_into_tri_clause(spark, tmp_path):
     with _pytest.raises(ValueError, match="no-op"):
         table.merge_into(tri, when_matched="ignore", when_not_matched="ignore")
 
+    # a source already carrying the reserved internal routing column is
+    # rejected instead of silently overwritten (ADVICE r8)
+    with _pytest.raises(ValueError, match="__del"):
+        table.merge_into(tri.withColumn("__del", F.lit(False)))
+
 
 def test_purge_keys_physical_erasure(spark, tmp_path):
     """purge_keys is ERASURE, not masking: purged keys vanish from the

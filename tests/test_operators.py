@@ -359,6 +359,25 @@ def test_pq_encode_and_adc_recall(spark, sf_dir):
     assert books.collect() == again.collect()
 
 
+def test_pq_train_rejects_sample_smaller_than_ksub(spark):
+    """The ADC LUT is indexed at stride ksub, so a training sample with
+    fewer rows than ksub must FAIL loudly — a short codebook would
+    silently misalign every lookup (ADVICE r8)."""
+    import pytest as _pytest
+
+    from buskafkasparkstreaming_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(5)],
+        "vec_id int, embedding array<float>",
+    )
+    books = train_pq_codebooks(tiny, "embedding", dim=8, m=2, ksub=16)
+    with _pytest.raises(Exception, match="ksub"):
+        books.collect()
+
+
 def test_ivfadc_recall_and_pruning(spark, sf_dir):
     """IVFADC invariants: (a) every corpus vector gets exactly one
     (bucket, codes) row with valid code bounds; (b) the composed

@@ -475,6 +475,28 @@ def test_enrich_asof_static_semantics(spark):
     assert out.count() == 5  # exactly one row per fact
 
 
+def test_enrich_asof_static_rejects_ambiguous_columns(spark):
+    """Dim payload columns sharing a name with a stream column would make
+    the joined output ambiguous — must fail loudly (ADVICE r8)."""
+    import pytest as _pytest
+
+    from buskafkasparkstreaming_spark.streaming.joins import enrich_asof_static
+
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01 02:00:00", 1)],
+        "user_id int, ts string, p_event_id int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    facts = spark.createDataFrame(
+        [(10, 1, "2024-01-01 03:00:00")],
+        "event_id int, user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pytest.raises(ValueError, match="ambiguous"):
+        enrich_asof_static(
+            facts, dim, key_col="user_id", ts_col="ts",
+            dim_ts_col="ts", tiebreak_col="p_event_id",
+        )
+
+
 def test_streaming_funnel_timeout_batch_boundary_independent(spark, tmp_path):
     """funnel_timeout_per_user's capped-set state is a mergeable
     semilattice: a 2-file backlog paced one file per micro-batch — with a
