@@ -4134,7 +4134,11 @@ def dedup_editdist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivfadc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """IVFADC — the full FAISS-style composition (operators/similarity.py::
     ivfadc_build/ivfadc_topk; Jégou et al. 2011 §IV): IVF coarse
     quantizer prunes to nprobe=4 of 50 buckets, PQ codes of the RESIDUAL
@@ -4144,13 +4148,19 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100% — the closing tier of the ANN family. Self-check oracle:
     `recall_ok` asserts ≥ 20% of the exact top-5 (observed 0.30–0.52
     across sf 0.001–0.1; deterministic — seeded coarse + residual
-    k-means, first-min assignment, neighbor-ASC ties)."""
+    k-means, first-min assignment, neighbor-ASC ties).
+    `index=(cents, codes, books)` lets the bench supply a prebuilt index
+    so its timed row measures the query plan, not the once-per-corpus
+    build (the graph-family fixture pattern)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = S.train_ivf_centroids(emb, "embedding", nlist=50)
-    cents = cents.localCheckpoint(eager=False)
-    codes, books = S.ivfadc_build(emb, cents, "vec_id", "embedding")
-    codes = codes.localCheckpoint(eager=False)
-    books = books.localCheckpoint(eager=False)
+    if index is None:
+        cents = S.train_ivf_centroids(emb, "embedding", nlist=50)
+        cents = cents.localCheckpoint(eager=False)
+        codes, books = S.ivfadc_build(emb, cents, "vec_id", "embedding")
+        codes = codes.localCheckpoint(eager=False)
+        books = books.localCheckpoint(eager=False)
+    else:
+        cents, codes, books = index
     queries = emb.filter(F.col("vec_id") < 10)
     approx = S.ivfadc_topk(
         queries, codes, cents, books, emb, "vec_id", "vec_id",
@@ -4209,7 +4219,11 @@ def streaming_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_adc_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance shortlisting and
     exact rerank (operators/similarity.py::pq_adc_rerank_topk; Jégou et
     al. 2011) — the 64x-compressed scan tier of the retrieval family
@@ -4221,11 +4235,17 @@ def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern): `recall_ok` asserts the ADC-shortlist(50)+rerank pipeline
     recovers ≥ 20% of the exact top-5 set (observed 0.34–0.56 across
     sf 0.001–0.1; deterministic — seeded per-subspace k-means, first-min
-    assignment, neighbor-ASC tie-breaks)."""
+    assignment, neighbor-ASC tie-breaks). `index=(books, codes)` lets the
+    bench supply a prebuilt index so its timed row measures the query
+    plan, not the once-per-corpus build (the graph-family fixture
+    pattern)."""
     emb = _t(spark, sf_dir, "embeddings")
-    books = S.train_pq_codebooks(emb, "embedding", dim=64, m=4, ksub=16)
-    books = books.localCheckpoint(eager=False)
-    codes = S.pq_encode(emb, books, "vec_id", "embedding", dim=64, m=4)
+    if index is None:
+        books = S.train_pq_codebooks(emb, "embedding", dim=64, m=4, ksub=16)
+        books = books.localCheckpoint(eager=False)
+        codes = S.pq_encode(emb, books, "vec_id", "embedding", dim=64, m=4)
+    else:
+        books, codes = index
     queries = emb.filter(F.col("vec_id") < 10)
     approx = S.pq_adc_rerank_topk(
         queries, codes, emb, books, "vec_id", "vec_id", k=5, shortlist=50

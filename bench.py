@@ -146,9 +146,12 @@ HEADLINE = [
     "q22_idle_rich_customers",
     "q_funnel_timeout",
     "sketch_hll_sparse",
-    "ann_pq_adc_rerank",
+    # ann_pq_adc_rerank / ann_ivfadc_topk are benched via bench_ann_family:
+    # per-index build rows (ann_pq_build, ann_ivfadc_build) + query-only
+    # rows, so per-query deltas reflect the query plan, not the
+    # once-per-corpus training/encoding repeated inline (VERDICT r8 item 5,
+    # the graph_pairs_derivation precedent)
     "streaming_funnel_timeout",
-    "ann_ivfadc_topk",
     # round-8 third wave: TPC-H shape closure + sliding-cohort funnel
     "q8_market_share",
     "q9_product_profit",
@@ -268,6 +271,46 @@ def bench_ivf_split(spark, sf_dir: str, timings: dict) -> None:
 
 
 
+def bench_ann_family(spark, sf_dir: str, timings: dict) -> None:
+    """The two PQ-family rows re-trained and re-encoded the corpus inline
+    (5.8 s of the 6.0 s row was index build — amortized once per corpus in
+    any real deployment). Build each index once per round as its own timed
+    row, persist, and time the query-only entry against the prebuilt index
+    (VERDICT r8 item 5; the graph_pairs_derivation precedent)."""
+    from buskafkasparkstreaming_spark.operators import similarity as S
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    t0 = time.perf_counter()
+    books = S.train_pq_codebooks(emb, "embedding", dim=64, m=4, ksub=16)
+    books = books.persist()
+    codes = S.pq_encode(emb, books, "vec_id", "embedding", dim=64, m=4)
+    codes = codes.persist()
+    codes.count()
+    timings["ann_pq_build"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    entrymod.ann_pq_adc_rerank(spark, sf_dir, index=(books, codes)).count()
+    timings["ann_pq_adc_rerank"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    cents = S.train_ivf_centroids(emb, "embedding", nlist=50).persist()
+    icodes, ibooks = S.ivfadc_build(emb, cents, "vec_id", "embedding")
+    icodes, ibooks = icodes.persist(), ibooks.persist()
+    icodes.count()
+    ibooks.count()
+    timings["ann_ivfadc_build"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    entrymod.ann_ivfadc_topk(
+        spark, sf_dir, index=(cents, icodes, ibooks)
+    ).count()
+    timings["ann_ivfadc_topk"] = round(time.perf_counter() - t0, 3)
+    for df in (books, codes, cents, icodes, ibooks):
+        df.unpersist()
+
+
 def bench_graph_family(spark, sf_dir: str, timings: dict) -> None:
     """The three graph-family rows all consume the SAME near-dup pair
     table; a real pipeline materializes it once (exactly what
@@ -332,6 +375,7 @@ def main() -> None:
         bench_minhash_pipeline(spark, sf_dir, round_t)
         bench_incremental_lsh(spark, sf_dir, round_t)
         bench_ivf_split(spark, sf_dir, round_t)
+        bench_ann_family(spark, sf_dir, round_t)
         bench_graph_family(spark, sf_dir, round_t)
         for name, t in round_t.items():
             timings[name] = min(timings.get(name, float("inf")), t)

@@ -1,8 +1,22 @@
 """The correctness gate, run locally: every queries() entry with an
 oracle_sql() twin must match DuckDB on the smoke-scale tables — exactly what
-the driver does at sf0.01."""
+the driver does at sf0.01.
+
+Two-tier invocation (the full sweep is ~15 min and grows with the entry
+count — VERDICT r8 item 6):
+
+- inner loop:   BSS_PARITY_TIER=head python -m pytest tests/test_oracle_parity.py
+                runs only the driver-window prefix (the 50 entries the
+                rotation policy puts first: this round's new, changed, and
+                stalest entries) plus any names in BSS_PARITY_NAMES
+                (comma-separated) — the entries a working session touches.
+- pre-commit:   the default (env unset) runs EVERY oracle entry; this is
+                the gate a commit must pass.
+"""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -11,6 +25,16 @@ from tests.compare import duckdb_conn, run_pair
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
+
+if os.environ.get("BSS_PARITY_TIER") == "head":
+    _extra = {
+        n for n in os.environ.get("BSS_PARITY_NAMES", "").split(",") if n
+    }
+    _unknown = _extra - set(QUERIES)
+    assert not _unknown, f"BSS_PARITY_NAMES not in queries(): {_unknown}"
+    _head = set(list(QUERIES)[:50]) | _extra
+    ORACLES = {n: s for n, s in ORACLES.items() if n in _head}
+    QUERIES = {n: f for n, f in QUERIES.items() if n in _head}
 
 
 @pytest.fixture(scope="module")
