@@ -7242,6 +7242,132 @@ def q_holt_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_ks_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-backed approximate two-sample KS — q_ks_two_sample's scale
+    path: instead of ranking every row of both populations, build one
+    PINNED-compaction KLL sketch per group (operators/stats.py::
+    kll_sketch over a per-group global rank — no single-task sort), then
+    take the max CDF gap over the union of sketch support points with
+    each cumulative sketch weight standing in for the true rank. The
+    gap computation runs over sketch rows only (kcap·log2(n/kcap) per
+    group, config-bounded), so the final max/argmax never sees data
+    scale — the whole reduction from O(n log n) comparison work to
+    O(n) sketch build + O(polylog) statistic is what survives 100 TB.
+    Deterministic end to end (the pinned compaction is a pure integer
+    function of rank), so the DuckDB oracle replays the sketches with
+    the same per-group WITH RECURSIVE level plan and matches exactly.
+    Numerator discipline mirrors q_ks_two_sample: exact DECIMAL
+    |c1·n2 − c2·n1|, one float division at the end."""
+    from buskafkasparkstreaming_spark.operators.stats import kll_sketch
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.year("o_orderdate").isin(1995, 1996)
+    )
+    base = o.select(
+        _cents("o_totalprice").alias("cents"),
+        F.col("o_orderkey").alias("oid"),
+        F.when(F.year("o_orderdate") == 1995, 1).otherwise(2).alias("grp"),
+    )
+
+    def group_sketch(g: int):
+        v = base.filter(F.col("grp") == g).select("cents", "oid")
+        n_g = v.count()  # bounded driver read: folds the level plan into
+        # the plan as literals (the sketch_kll_quantiles precedent)
+        ranked = W.global_rank(
+            v, [F.col("cents").asc(), F.col("oid").asc()], "rn"
+        )
+        sk = kll_sketch(ranked, "rn", n_g, kcap=_KLL_KCAP)
+        return sk.select("cents", "weight", F.lit(g).alias("grp")), n_g
+
+    sk1, n1 = group_sketch(1)
+    sk2, n2 = group_sketch(2)
+    per_value = (
+        sk1.unionByName(sk2)
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("grp") == 1, F.col("weight")).otherwise(0))
+            .cast("long")
+            .alias("d1"),
+            F.sum(F.when(F.col("grp") == 2, F.col("weight")).otherwise(0))
+            .cast("long")
+            .alias("d2"),
+        )
+    )
+    # the union sketch is <= 2·kcap·log2(n/kcap) rows (config-bounded) —
+    # a single-partition cumulative window over it never sees data scale
+    wv = Window.orderBy(F.col("cents").asc())
+    c = per_value.select(
+        "cents",
+        F.sum("d1").over(wv).cast("long").alias("c1"),
+        F.sum("d2").over(wv).cast("long").alias("c2"),
+    )
+    dec = "decimal(38,0)"
+    s = c.select(
+        "cents",
+        F.abs(
+            F.col("c1").cast(dec) * F.lit(n2).cast(dec)
+            - F.col("c2").cast(dec) * F.lit(n1).cast(dec)
+        ).alias("num"),
+    )
+    m = s.agg(F.max("num").alias("d_num"))
+    at = (
+        s.join(F.broadcast(m), F.col("num") == F.col("d_num"))
+        .agg(F.min("cents").cast("long").alias("at_value_cents"))
+    )
+    return (
+        m.crossJoin(F.broadcast(at))
+        .select(
+            F.lit(n1).cast("long").alias("n1"),
+            F.lit(n2).cast("long").alias("n2"),
+            F.col("d_num").cast("double").alias("d_num"),
+            "at_value_cents",
+            (
+                F.col("d_num").cast("double")
+                / (F.lit(n1).cast("double") * F.lit(n2).cast("double"))
+            ).alias("ks_approx"),
+        )
+    )
+
+
+def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard near-dup pairs with a weighted-MinHash
+    recall/accuracy self-check (operators/dedup.py::
+    weighted_jaccard_pairs / weighted_minhash_signatures): shingle
+    overlap is weighted by integer IDF buckets (rare 4x, mid 2x,
+    common 1x), so duplicated discriminative content outweighs shared
+    boilerplate. The exact side is the inverted-index equi-join plan
+    (never all-pairs, max_df-capped fan-out) and IS the SQL oracle; the
+    sketch side replicates each shingle w times and runs plain MinHash
+    (the integer-weight reduction), banded 8x4. Contract columns, the
+    dedup_minhash_lsh pattern (xxhash64 makes the sketch itself
+    SQL-inexpressible, its contract isn't): every exact pair with
+    J_w >= 0.3 must surface as an LSH candidate, and the 32-hash
+    estimate must sit within 0.25 of the exact weighted Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    wt = D.weighted_shingles(docs, "doc_id", k=3, max_df=1000)
+    sigs = D.weighted_minhash_signatures(wt, num_hashes=32)
+    cand = D.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    exact = D.weighted_jaccard_pairs(
+        docs, "doc_id", k=3, threshold=0.3, max_df=1000
+    )
+    joined = exact.join(
+        cand.withColumnRenamed("est_jaccard", "__est"),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "w_jaccard",
+        F.col("__est").isNotNull().alias("found_by_lsh"),
+        F.coalesce(
+            F.abs(F.col("__est") - F.col("w_jaccard")) <= 0.25, F.lit(False)
+        ).alias("est_within_bound"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -7326,6 +7452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_hilbert_events": layout_hilbert_events,
         "q_ecdf_transform": q_ecdf_transform,
         "q_cramers_v": q_cramers_v,
+        # --- new in round 9 (never driver-seen -- lead round 10 with the
+        # trio above; 5 total additions, within the <=8 budget) ----------
+        "sketch_ks_approx": sketch_ks_approx,
+        "dedup_weighted_minhash": dedup_weighted_minhash,
         # --- r2-stale remainder (6) --------------------------
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
@@ -10960,6 +11090,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN cum ON cum.cumw >= ceil(nn.n * qs.q)
             GROUP BY qs.q
         """,
+        "sketch_ks_approx": f"""
+            -- per-group replay of the pinned-compaction KLL sketch (the
+            -- sketch_kll_quantiles recursion, PARTITIONed BY grp), then
+            -- the q_ks_two_sample DECIMAL numerator over the union of
+            -- sketch support points
+            WITH RECURSIVE o AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderkey AS oid,
+                       CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 2 END
+                           AS grp
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+                  AND year(o_orderdate) IN (1995, 1996)),
+            nn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+                   FROM o GROUP BY grp),
+            lv(grp, l, nl) AS (
+                SELECT grp, 0, n FROM nn WHERE n > 0
+                UNION ALL
+                SELECT grp, l + 1, (nl // {_KLL_KCAP}) * {_KLL_KCAP // 2}
+                FROM lv WHERE (nl // {_KLL_KCAP}) * {_KLL_KCAP // 2} > 0),
+            levels AS (
+                SELECT grp, l,
+                       (nl // {_KLL_KCAP}) * {_KLL_KCAP}
+                           * (CAST(1 AS BIGINT) << l) AS lo,
+                       coalesce(
+                           min((nl // {_KLL_KCAP}) * {_KLL_KCAP}
+                               * (CAST(1 AS BIGINT) << l)) OVER (
+                               PARTITION BY grp ORDER BY l
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING),
+                           9223372036854775807) AS rmax
+                FROM lv),
+            r AS (
+                SELECT grp, cents,
+                       row_number() OVER (PARTITION BY grp
+                                          ORDER BY cents ASC, oid ASC)
+                           AS rn
+                FROM o),
+            sk AS (
+                SELECT r.grp, r.cents,
+                       (CAST(1 AS BIGINT) << levels.l) AS weight
+                FROM r JOIN levels
+                  ON levels.grp = r.grp
+                 AND r.rn % (CAST(1 AS BIGINT) << levels.l) = 0
+                 AND r.rn <= levels.rmax AND r.rn > levels.lo),
+            v AS (
+                SELECT cents,
+                       CAST(sum(CASE WHEN grp = 1 THEN weight ELSE 0 END)
+                            AS BIGINT) AS d1,
+                       CAST(sum(CASE WHEN grp = 2 THEN weight ELSE 0 END)
+                            AS BIGINT) AS d2
+                FROM sk GROUP BY cents),
+            c AS (
+                SELECT cents,
+                       CAST(sum(d1) OVER (ORDER BY cents) AS BIGINT) AS c1,
+                       CAST(sum(d2) OVER (ORDER BY cents) AS BIGINT) AS c2
+                FROM v),
+            t AS (SELECT max(CASE WHEN grp = 1 THEN n END) AS n1,
+                         max(CASE WHEN grp = 2 THEN n END) AS n2 FROM nn),
+            s AS (SELECT c.cents,
+                         abs(CAST(c.c1 AS DECIMAL(38,0))
+                                 * CAST(t.n2 AS DECIMAL(38,0))
+                             - CAST(c.c2 AS DECIMAL(38,0))
+                                 * CAST(t.n1 AS DECIMAL(38,0))) AS num
+                  FROM c, t),
+            m AS (SELECT max(num) AS d_num FROM s)
+            SELECT t.n1, t.n2,
+                   CAST(m.d_num AS DOUBLE) AS d_num,
+                   (SELECT CAST(min(cents) AS BIGINT) FROM s
+                    WHERE s.num = m.d_num) AS at_value_cents,
+                   CAST(m.d_num AS DOUBLE)
+                       / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+                       AS ks_approx
+            FROM t, m
+        """,
         "q_histogram_equi_depth": """
             -- ntile over the same UNIQUE ordering (cents, orderkey)
             SELECT CAST(bucket AS BIGINT) AS bucket,
@@ -11230,6 +11435,53 @@ def oracle_sql() -> dict[str, str]:
                    true AS est_within_bound
             FROM ({_ngram_pairs_sql(0.3, 1000)})
             WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+        """,
+        "dedup_weighted_minhash": """
+            -- exact IDF-weighted Jaccard (integer weight buckets: rare
+            -- 4x / mid 2x / common 1x over the max_df-capped vocabulary),
+            -- mirroring operators/dedup.py::weighted_jaccard_pairs; the
+            -- contract booleans assert the weighted-MinHash sketch path
+            -- (dedup_minhash_lsh pattern)
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents
+                       WHERE trim(coalesce(text, '')) <> ''),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS s
+                FROM (SELECT doc_id, ws,
+                             unnest(range(1, greatest(len(ws) - 2, 1) + 1))
+                                 AS g
+                      FROM w)),
+            dfc AS (SELECT s, CAST(count(*) AS BIGINT) AS df
+                    FROM sh GROUP BY s),
+            nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+                   FROM sh),
+            wt AS (
+                SELECT sh.doc_id, sh.s,
+                       CASE WHEN d.df * 256 <= nn.n THEN 4
+                            WHEN d.df * 16 <= nn.n THEN 2
+                            ELSE 1 END AS wgt
+                FROM sh JOIN dfc d USING (s) CROSS JOIN nn
+                WHERE d.df <= 1000),
+            sizes AS (SELECT doc_id, CAST(sum(wgt) AS BIGINT) AS wsize
+                      FROM wt GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(sum(a.wgt) AS BIGINT) AS inter_w
+                FROM wt a JOIN wt b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            p AS (
+                SELECT i.id_a, i.id_b,
+                       CAST(i.inter_w AS DOUBLE)
+                           / CAST(sa.wsize + sb.wsize - i.inter_w AS DOUBLE)
+                           AS w_jaccard
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b)
+            SELECT id_a, id_b, w_jaccard,
+                   true AS found_by_lsh,
+                   true AS est_within_bound
+            FROM p WHERE w_jaccard >= 0.3
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE

@@ -202,6 +202,12 @@ HEADLINE = [
     "q_mannwhitney_u",
     "q_hellinger_types",
     "q_holt_dyadic",
+    # round-9 additions (own BASELINE.md budget family)
+    "layout_hilbert_events",
+    "q_ecdf_transform",
+    "q_cramers_v",
+    "sketch_ks_approx",
+    "dedup_weighted_minhash",
 ]
 
 

@@ -1290,3 +1290,159 @@ def containment_pairs(
             "containment",
         )
     )
+
+
+# --- IDF-weighted Jaccard + weighted MinHash ------------------------------
+#
+# Weighted Jaccard with GLOBAL integer shingle weights: J_w(A, B) =
+# sum_{s in A∩B} w(s) / sum_{s in A∪B} w(s). Weights are IDF buckets —
+# rare shingles count 4x, mid-frequency 2x, common 1x — so overlap on
+# discriminative content outweighs shared boilerplate (the weighted-
+# Jaccard rationale of Ioffe 2010 / Chum et al. 2008, with integer
+# weights so the exact value has a SQL twin). Integer weights admit the
+# classic replication reduction: duplicate each shingle into w copies
+# and run PLAIN MinHash over the replicated set — the Jaccard of the
+# replicated sets IS the weighted Jaccard, so the existing banding /
+# estimation machinery applies unchanged (replication factor bounded by
+# the max bucket weight, 4).
+
+#: (rare_divisor, weight) IDF buckets, rarest first: df*256 <= N -> 4,
+#: df*16 <= N -> 2, else 1. Pure integer comparisons — both engines exact.
+IDF_WEIGHT_BUCKETS = ((256, 4), (16, 2))
+
+
+def _idf_weight(
+    df_col: Column,
+    n_col: Column,
+    buckets: tuple[tuple[int, int], ...] = IDF_WEIGHT_BUCKETS,
+) -> Column:
+    w = F.lit(1)
+    for divisor, weight in reversed(buckets):
+        w = F.when(df_col * divisor <= n_col, F.lit(weight)).otherwise(w)
+    return w
+
+
+def weighted_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int | None = 1000,
+    buckets: tuple[tuple[int, int], ...] = IDF_WEIGHT_BUCKETS,
+) -> DataFrame:
+    """Per-doc distinct word-k-gram shingles with their global IDF-bucket
+    weight: (doc, s, sh, w) — s the shingle string (the weighted-MinHash
+    replication needs it), sh its 8-byte hash (the pair join key), w the
+    integer weight. N = docs with >= 1 shingle; shingles with df > max_df
+    are stop-shingles and DROPPED (the ngram_jaccard_pairs scale
+    rationale: their weight would be the minimum anyway and their df^2
+    join fan-out is what kills corpus growth)."""
+    sh = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, k)).alias("s"),
+    )
+    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    if max_df is not None:
+        dfc = dfc.filter(F.col("__df") <= max_df)
+    ndf = sh.agg(F.count_distinct("doc").cast("long").alias("__n"))
+    # dfc is Zipf-small after the cap; AQE broadcasts it at runtime (the
+    # static-hint-defeats-exchange-reuse rationale of ngram_jaccard_pairs)
+    return (
+        sh.join(dfc, "s")
+        .crossJoin(F.broadcast(ndf))
+        .select(
+            "doc",
+            "s",
+            F.xxhash64("s").alias("sh"),
+            _idf_weight(F.col("__df"), F.col("__n"), buckets)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.3,
+    max_df: int | None = 1000,
+    buckets: tuple[tuple[int, int], ...] = IDF_WEIGHT_BUCKETS,
+) -> DataFrame:
+    """All pairs (a < b) with IDF-weighted Jaccard >= threshold — the
+    inverted-index plan of ngram_jaccard_pairs (equi-join on the shingle
+    hash, never all-pairs; per-shingle fan-out bounded at max_df^2) with
+    weighted intersection/union: inter_w = sum of shared-shingle weights
+    (a.w == b.w by construction — the weight is a global function of the
+    shingle), union_w = W_a + W_b - inter_w. One float division per
+    surviving pair. Output: (id_a, id_b, w_jaccard)."""
+    wt = weighted_shingles(df, id_col, text_col, k, max_df, buckets)
+    sizes = wt.groupBy("doc").agg(F.sum("w").cast("long").alias("wsize"))
+    inter = (
+        wt.alias("a")
+        .join(wt.alias("b"), on="sh")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.sum(F.col("a.w")).cast("long").alias("inter_w"))
+    )
+    # sizes is one row per doc — no static broadcast hint (AQE decides;
+    # the ngram_jaccard_pairs 10^9-doc rationale)
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "id_a"), "id_a")
+        .withColumnRenamed("wsize", "w_a")
+        .join(sizes.withColumnRenamed("doc", "id_b"), "id_b")
+        .withColumnRenamed("wsize", "w_b")
+        .withColumn(
+            "w_jaccard",
+            F.col("inter_w").cast("double")
+            / (F.col("w_a") + F.col("w_b") - F.col("inter_w")).cast("double"),
+        )
+        .filter(F.col("w_jaccard") >= threshold)
+        .select("id_a", "id_b", "w_jaccard")
+    )
+
+
+def weighted_minhash_signatures(
+    weighted: DataFrame,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures over the REPLICATED weighted shingle set: each
+    (doc, s, w) row becomes tokens 's#1' .. 's#w', then the plain
+    minhash_signatures aggregation applies — sig equality estimates the
+    weighted Jaccard exactly as it estimates plain Jaccard on sets.
+    Replication fan-out is bounded by the max bucket weight (4), and the
+    shuffle still carries only (id, num_hashes longs) per doc thanks to
+    the map-side min combine. Output: (id, sig: array<bigint>)."""
+    import random
+
+    rnd = random.Random(seed)
+    m31 = (1 << 31) - 1
+    coeffs = [
+        (rnd.randrange(1, m31), rnd.randrange(0, m31))
+        for _ in range(num_hashes)
+    ]
+    rep = weighted.select(
+        F.col("doc").alias("id"),
+        F.explode(F.sequence(F.lit(1), F.col("w"))).alias("__j"),
+        "s",
+    ).select(
+        "id",
+        F.pmod(
+            F.xxhash64(F.concat_ws("#", "s", F.col("__j").cast("string"))),
+            F.lit(m31),
+        ).alias("x"),
+    )
+    aggs = [
+        F.expr(f"min(pmod({a}L * x + {b}L, {m31}L))").alias(f"__h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return (
+        rep.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"),
+        )
+    )

@@ -416,3 +416,129 @@ def test_bpe_matches_sequential_reference(spark, docs, k):
     ]
     want = _ref_bpe([w for d in docs for w in d.split(" ")], k)
     assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=3, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=14,
+    ),
+    threshold=st.sampled_from([0.2, 0.4, 0.6]),
+)
+def test_weighted_jaccard_equals_brute_force(spark, docs, threshold):
+    """IDF-weighted Jaccard pinned over RANDOM corpora against a
+    driver-side brute force with the same shingle definition and the
+    same integer weight rule. Buckets are scaled down ((4,4),(2,2)) so
+    tiny hypothesis corpora actually exercise the 4x/2x/1x tiers —
+    production buckets never trigger below N=16."""
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        weighted_jaccard_pairs,
+    )
+
+    buckets = ((4, 4), (2, 2))
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], round(r["w_jaccard"], 12))
+        for r in weighted_jaccard_pairs(
+            df, "doc_id", k=3, threshold=threshold, max_df=1000,
+            buckets=buckets,
+        ).collect()
+    }
+
+    def shingles(text):
+        ws = text.split(" ")
+        n = len(ws)
+        return {
+            " ".join(ws[i : i + 3]) for i in range(max(n - 2, 1))
+        } if text.strip() else set()
+
+    sh = {i: shingles(t) for i, t in rows}
+    df_count: dict[str, int] = {}
+    for s in sh.values():
+        for x in s:
+            df_count[x] = df_count.get(x, 0) + 1
+    n_docs = sum(1 for s in sh.values() if s)
+
+    def weight(s):
+        d = df_count[s]
+        for divisor, w in buckets:
+            if d * divisor <= n_docs:
+                return w
+        return 1
+
+    want = set()
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            inter = sum(weight(s) for s in sh[a] & sh[b])
+            union = sum(weight(s) for s in sh[a] | sh[b])
+            if union and inter / union >= threshold:
+                want.add((a, b, round(inter / union, 12)))
+    assert got == want, (got - want, want - got)
+
+
+def test_weighted_minhash_estimates_weighted_jaccard(spark):
+    """The replication reduction, end to end on a deterministic corpus:
+    two near-identical docs sharing one rare shingle must score a HIGHER
+    weighted than plain Jaccard (the IDF boost), and the 32-hash
+    replicated-MinHash estimate must land within 0.25 of the exact
+    weighted value (the entry's contract bound)."""
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        weighted_jaccard_pairs,
+        weighted_minhash_signatures,
+        weighted_shingles,
+    )
+
+    # docs 0 and 1 SHARE a rare block (df=2 -> weight 4) and DIFFER only
+    # in boilerplate carried by many other docs (df=10 -> weight 1), so
+    # the IDF weighting must score them closer than plain Jaccard does
+    rare = "xq zv wk pf jm qt dn rb"
+    boiler1 = "the cat sat on the mat and looked at the red door quietly"
+    boiler2 = "a dog ran in the park and barked at the tall tree loudly"
+    rows = [(0, rare + " " + boiler1), (1, rare + " " + boiler2)]
+    rows += [(i, boiler1) for i in range(2, 11)]
+    rows += [(i, boiler2) for i in range(11, 20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", k=3, threshold=0.0, max_df=None
+        ).collect()
+    }
+    weighted = {
+        (r["id_a"], r["id_b"]): r["w_jaccard"]
+        for r in weighted_jaccard_pairs(
+            df, "doc_id", k=3, threshold=0.0, buckets=((8, 4), (4, 2))
+        ).collect()
+    }
+    assert weighted[(0, 1)] > plain[(0, 1)]
+
+    wt = weighted_shingles(df, "doc_id", k=3, buckets=((8, 4), (4, 2)))
+    sigs = weighted_minhash_signatures(wt, num_hashes=32)
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in lsh_candidate_pairs(sigs, bands=8, rows_per_band=4).collect()
+    }
+    assert (0, 1) in est, "the high-overlap pair must be an LSH candidate"
+    assert abs(est[(0, 1)] - weighted[(0, 1)]) <= 0.25
+
+
+def test_sketch_ks_approx_tracks_exact_ks(spark, sf_dir):
+    """The sketch-backed KS must approximate the exact two-sample KS on
+    the same populations: KLL rank error at kcap=64 keeps the CDF-gap
+    estimate within a few percent (observed diff 0.004-0.013 at
+    sf 0.001-0.01); 0.05 is the alarm bound — a compaction or CDF
+    regression lands far outside it."""
+    import __spark_entry__ as entrymod
+
+    exact = entrymod.q_ks_two_sample(spark, sf_dir).collect()[0]
+    approx = entrymod.sketch_ks_approx(spark, sf_dir).collect()[0]
+    assert approx["n1"] == exact["n1"] and approx["n2"] == exact["n2"]
+    assert abs(approx["ks_approx"] - exact["ks_stat"]) <= 0.05
