@@ -75,6 +75,10 @@ SHOWN = {
     "q_seasonal_anomaly": "seasonal 2-sigma: one groupBy(day,hour); 24-row hour baseline broadcast back; pure-integer variance test, zero floats",
     "text_rouge_overlap": "ROUGE-2: range-partitioned global rank (no per-source window skew) -> rank+1 self-join pair stream -> bigram intersection equi-joins; prints post-checkpoint, range exchange gated in test_plans.py",
     "q_ccf_types": "CCF: one data-sized (hour, type) groupBy; both series on ONE shared dense spine; per-lag joins over the bounded hour axis, DECIMAL moments, one float expression per lag",
+    "sketch_ks_approx": "approximate KS: per-group KLL sketch over global_rank (range exchange + row-local level CASE — no single-task sort); the CDF-gap stage runs over sketch rows only (config-bounded), DECIMAL numerator",
+    "q_ecdf_transform": "ECDF transform: per-distinct-value counts, distributed running count via global_running_sum (range repartition + broadcast prefix offsets), one float division per surviving row",
+    "dedup_weighted_minhash": "weighted Jaccard: the ngram inverted-index equi-join with integer IDF weights riding the index rows (df-capped fan-out); sketch side replicates shingles <=4x into the standard MinHash banding",
+    "layout_hilbert_events": "Hilbert layout: min/max bounds broadcast, the 16-level xy2d walk is ONE row-local projection chain (no shuffle until the optional file bucketing)",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage

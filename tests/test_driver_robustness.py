@@ -258,6 +258,9 @@ def test_null_text_drift(spark, tmp_path):
         # k-core membership, on BOTH sides
         "dedup_containment",
         "graph_kcore",
+        # contentless docs must be absent from the weighted index, the
+        # df/N weight inputs, and the pair stream on BOTH sides
+        "dedup_weighted_minhash",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -380,6 +383,13 @@ def test_null_events_drift(spark, tmp_path):
         "q_mannwhitney_u",
         "q_hellinger_types",
         "q_holt_dyadic",
+        # round-9 registrations: NULL value rows propagate NULL cents
+        # through the Hilbert walk identically (integer CASE arithmetic
+        # is NULL-strict in both engines) and must be outside the ECDF
+        # counts and the chi2/Cramér's V contingency cells on BOTH sides
+        "layout_hilbert_events",
+        "q_ecdf_transform",
+        "q_cramers_v",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -467,6 +477,9 @@ def test_null_orders_drift(spark, tmp_path):
         "q_ks_two_sample",
         "q_psi_drift",
         "sketch_tdigest_pinned",
+        # NULL price/date rows must be outside BOTH groups' n, rank
+        # stream, and KLL level plans identically on both sides
+        "sketch_ks_approx",
         # NULL o_totalprice rows must be outside rank, n, AND k = n div
         # 20 identically on both sides
         "q_winsorized_stats",
