@@ -1344,20 +1344,20 @@ def weighted_shingles(
     dfc = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("__df"))
     if max_df is not None:
         dfc = dfc.filter(F.col("__df") <= max_df)
-    ndf = sh.agg(F.count_distinct("doc").cast("long").alias("__n"))
+    # N read once as a bounded 1-row driver job and folded into the weight
+    # CASE as a literal (the kll_sketch level-plan pattern) — a broadcast
+    # 1-row frame here would put a SinglePartition scalar agg inside
+    # every instantiation of this subtree and defeat plan-gating
+    n_docs = int(sh.agg(F.count_distinct("doc")).first()[0])
     # dfc is Zipf-small after the cap; AQE broadcasts it at runtime (the
     # static-hint-defeats-exchange-reuse rationale of ngram_jaccard_pairs)
-    return (
-        sh.join(dfc, "s")
-        .crossJoin(F.broadcast(ndf))
-        .select(
-            "doc",
-            "s",
-            F.xxhash64("s").alias("sh"),
-            _idf_weight(F.col("__df"), F.col("__n"), buckets)
-            .cast("long")
-            .alias("w"),
-        )
+    return sh.join(dfc, "s").select(
+        "doc",
+        "s",
+        F.xxhash64("s").alias("sh"),
+        _idf_weight(F.col("__df"), F.lit(n_docs), buckets)
+        .cast("long")
+        .alias("w"),
     )
 
 

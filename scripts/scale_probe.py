@@ -119,6 +119,58 @@ def main() -> None:
     t_1x["minhash"] = timed("minhash_lsh 1x", lambda: mh(docs1), results)
     t_10x["minhash"] = timed("minhash_lsh 10x", lambda: mh(docs10), results)
 
+    # IDF-weighted Jaccard: same inverted-index/Σdf² discipline as ngram
+    # (the weight derivation adds one Zipf-small df join + a bounded 1-row
+    # N read); replication is output-quadratic exactly like ngram
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        weighted_jaccard_pairs,
+    )
+
+    t_1x["wjaccard"] = timed(
+        "weighted_jaccard 1x",
+        lambda: weighted_jaccard_pairs(
+            docs1, "doc_id", k=3, threshold=0.05
+        ).count(),
+        results,
+    )
+    t_10x["wjaccard"] = timed(
+        "weighted_jaccard 10x",
+        lambda: weighted_jaccard_pairs(
+            docs10, "doc_id", k=3, threshold=0.05
+        ).count(),
+        results,
+    )
+
+    # KLL sketch build (the data-sized stage of sketch_ks_approx): one
+    # range-shuffle global rank + a row-local level CASE; the statistic
+    # stage above it is sketch-sized (polylog), so the BUILD ratio is the
+    # whole scale story
+    from buskafkasparkstreaming_spark.operators.stats import kll_sketch
+    from buskafkasparkstreaming_spark.operators.windows_fn import global_rank
+
+    li_cents = read_table(spark, SF_DIR, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_orderkey").alias("oid"),
+    ).persist()
+    n_li = li_cents.count()
+    li_cents10 = replicate(
+        li_cents.withColumn("rid", F.monotonically_increasing_id()), "rid", COPIES
+    ).persist()
+    n_li10 = li_cents10.count()
+
+    def kll_build(d, n):
+        ranked = global_rank(d, [F.col("cents").asc(), F.col("oid").asc()], "rn")
+        return kll_sketch(ranked, "rn", n, kcap=64).count()
+
+    t_1x["kll"] = timed(
+        "kll sketch build 1x (600k rows)", lambda: kll_build(li_cents, n_li), results
+    )
+    t_10x["kll"] = timed(
+        "kll sketch build 10x (6M rows)", lambda: kll_build(li_cents10, n_li10), results
+    )
+    li_cents.unpersist()
+    li_cents10.unpersist()
+
     t_1x["simhash"] = timed(
         "simhash 1x", lambda: simhash_pairs(docs1, "doc_id", max_hamming=3).count(), results
     )
@@ -267,6 +319,8 @@ def main() -> None:
         "exact": "hash-groupBy: ~linear",
         "ngram": "output-quadratic workload (each 1x pair → 100 pairs + within-group); see pairs/sec + boilerplate probe below",
         "minhash": "sketch linear; candidate pairs grow with true-dup count (10 copies/doc)",
+        "wjaccard": "IDF-weighted ngram twin: same inverted index + df cap; output-quadratic under replication like ngram, index linear",
+        "kll": "KLL sketch build (approx-KS data stage): one range-shuffle rank + row-local level CASE — ~linear; the statistic stage is sketch-sized",
         "simhash": "banding: same",
         "spans": "counting-based substring dedup: replication makes EVERY window a duplicate (pair-based would do 100× work), but distinct-doc counting stays ~linear",
         "semantic": "assign linear; pair stage bounded by cluster size (nlist scales sqrt-N); output quadratic in copy count like any true-dup finder",

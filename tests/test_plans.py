@@ -835,3 +835,50 @@ def test_prefix_filter_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "SinglePartition" not in p, p
     assert "Window" in p, p  # the per-doc prefix ranking
+
+
+def test_weighted_jaccard_plan_shape(spark, sf_dir):
+    """weighted_jaccard_pairs: inverted-index equi-join only — no
+    cartesian product, no SinglePartition exchange anywhere; the weight
+    derivation joins the Zipf-small df table, the 1-row N frame is the
+    only broadcast-scalar cross."""
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        weighted_jaccard_pairs,
+    )
+
+    docs = entrymod._t(spark, sf_dir, "documents")
+    df = weighted_jaccard_pairs(docs, "doc_id", k=3, threshold=0.3)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_sketch_ks_plan_distributed_rank(spark, sf_dir):
+    """sketch_ks_approx: the only single-partition window is the
+    cumulative sum over the CONFIG-BOUNDED union sketch (<= 2 * kcap *
+    log2(n/kcap) rows); the data-sized rank stage must ride global_rank's
+    range partitioning — gated on the un-checkpointed primitive, the
+    q_ks_two_sample precedent."""
+    from buskafkasparkstreaming_spark.operators.stats import kll_sketch
+    from buskafkasparkstreaming_spark.operators.windows_fn import global_rank
+
+    orders = entrymod._t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderkey").alias("oid"),
+    )
+    rp = explain_str(
+        global_rank(
+            orders, [F.col("cents").asc(), F.col("oid").asc()], "rn",
+            checkpoint=False,
+        )
+    )
+    assert "rangepartitioning" in rp, rp
+    assert "SinglePartition" not in rp, rp
+    # the level assignment on top of the rank adds NO exchange: it is a
+    # row-local CASE (filter + project over the ranked stream)
+    ranked = global_rank(
+        orders, [F.col("cents").asc(), F.col("oid").asc()], "rn",
+        checkpoint=False,
+    )
+    sk = kll_sketch(ranked, "rn", 10_000, kcap=64)
+    assert _fmt_exchanges(sk) == _fmt_exchanges(ranked), explain_str(sk)
