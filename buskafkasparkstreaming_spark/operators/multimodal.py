@@ -10,12 +10,14 @@ sane shape for Python-side media work at 100 TB:
 * output schemas are declared up front so downstream stays Catalyst-planned.
 
 Decode has three REAL tiers plus a test stand-in. PIXEL decode — PNG
-(stdlib zlib inflate + scanline unfilter) and uncompressed BMP — reads
-the actual pixel array and emits real color/luma features; no codec
-library needed. HEADER decode — dimension/mime sniffing for GIF/JPEG/WebP —
-parses the container header (magic bytes + fixed offsets from the
-published specs); JPEG entropy decode genuinely requires libjpeg, so
-its features fall back to the payload-hash embedding. AUDIO decode —
+(stdlib zlib inflate + scanline unfilter), uncompressed BMP, GIF (LZW),
+and baseline-sequential JPEG (stdlib marker/Huffman walk + numpy IDCT,
+any chroma subsampling, restart markers) — reads the actual pixel array
+and emits real color/luma features; no codec library needed. HEADER
+decode — dimension/mime sniffing for progressive JPEG / interlaced GIF /
+WebP — parses the container header (magic bytes + fixed offsets from the
+published specs); those features fall back to the payload-hash
+embedding. AUDIO decode —
 RIFF/WAVE PCM (stdlib struct) — walks the chunk list and computes a
 real 8-segment RMS energy profile over the samples; typed metadata
 maps onto the fixed schema as width=sample_rate, height=n_channels,
@@ -140,12 +142,13 @@ parse_image_header = _make_header_parser()
 def _make_pixel_decoder():
     """Pure-stdlib PIXEL decoder for the formats that need no codec
     library: PNG (zlib IDAT + per-scanline unfilter, 8-bit gray/RGB ±
-    alpha, non-interlaced), uncompressed 24/32-bit BMP, and GIF87a/89a
-    (full LZW decompression + color-table mapping, non-interlaced). Built as a
-    nested function so worker closures pickle it by value. Returns
-    (width, height, feat8) — feat8 = [mean_r, mean_g, mean_b, mean_luma,
-    quadrant lumas] in [0,1] — or None for formats that genuinely need
-    PIL/ffmpeg (JPEG entropy decode, video)."""
+    alpha, non-interlaced), uncompressed 24/32-bit BMP, GIF87a/89a
+    (full LZW decompression + color-table mapping, non-interlaced), and
+    baseline-sequential JPEG (T.81 Huffman entropy decode + numpy IDCT).
+    Built as a nested function so worker closures pickle it by value.
+    Returns (width, height, feat8) — feat8 = [mean_r, mean_g, mean_b,
+    mean_luma, quadrant lumas] in [0,1] — or None for formats that
+    genuinely need PIL/ffmpeg (progressive JPEG, video)."""
 
     def _features(px_rows):
         # px_rows: list of rows, each a list of (r, g, b) tuples
@@ -391,12 +394,256 @@ def _make_pixel_decoder():
                 return None
         return None
 
+    def _decode_jpeg(payload):
+        """Baseline sequential JPEG (ITU T.81) PIXEL decode: marker walk,
+        canonical Huffman tables (Annex C), zigzag dequant, 8x8 IDCT as
+        one orthonormal matrix product (numpy — already a worker
+        dependency), chroma upsampling by pixel replication, JFIF
+        YCbCr->RGB. Handles grayscale and any h/v sampling factors
+        (4:4:4, 4:2:2, 4:2:0) plus restart markers. Progressive (SOF2) /
+        arithmetic coding return None -> header tier."""
+        import struct
+
+        import numpy as np
+
+        if payload[:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, "np.ndarray"] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        sof = None
+        dri = 0
+        scan_comps = None
+        pos = 2
+        n = len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            seg = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    if pq:
+                        vals = struct.unpack(f">{64}H", seg[i : i + 128])
+                        i += 128
+                    else:
+                        vals = tuple(seg[i : i + 64])
+                        i += 64
+                    qt[tq] = np.asarray(vals, dtype=np.float64)
+                pos += 2 + seglen
+            elif marker in (0xC0, 0xC1):  # SOF0/1 baseline/ext sequential
+                _prec, hh, ww = seg[0], *struct.unpack(">HH", seg[1:5])
+                nc = seg[5]
+                comps = []
+                for c in range(nc):
+                    cid = seg[6 + 3 * c]
+                    hs, vs = seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15
+                    comps.append((cid, hs, vs, seg[8 + 3 * c]))
+                sof = (ww, hh, comps)
+                pos += 2 + seglen
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/arithmetic -> header tier
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    bits = seg[i + 1 : i + 17]
+                    nvals = sum(bits)
+                    vals = seg[i + 17 : i + 17 + nvals]
+                    # canonical code assignment (T.81 Annex C)
+                    table, code, k = {}, 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(bits[ln - 1]):
+                            table[(ln, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    i += 17 + nvals
+                pos += 2 + seglen
+            elif marker == 0xDD:  # DRI
+                (dri,) = struct.unpack(">H", seg[:2])
+                pos += 2 + seglen
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan_comps = [
+                    (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)
+                ]
+                pos += 2 + seglen
+                break
+            else:  # APPn / COM / other
+                pos += 2 + seglen
+        if sof is None or scan_comps is None:
+            return None
+        ww, hh, comps = sof
+        if ww == 0 or hh == 0:
+            return None
+
+        # entropy data: unstuff FF00, split at restart markers
+        segments, cur = [], bytearray()
+        i = pos
+        while i < n:
+            b0 = payload[i]
+            if b0 == 0xFF:
+                nxt = payload[i + 1] if i + 1 < n else 0xD9
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+                break  # EOI or next marker
+            cur.append(b0)
+            i += 1
+        segments.append(bytes(cur))
+
+        class _Bits:
+            def __init__(self, data):
+                self.d, self.p = data, 0
+
+            def bit(self):
+                byte = self.d[self.p >> 3]
+                b = (byte >> (7 - (self.p & 7))) & 1
+                self.p += 1
+                return b
+
+            def receive(self, cnt):
+                v = 0
+                for _ in range(cnt):
+                    v = (v << 1) | self.bit()
+                return v
+
+        def hdecode(bits, table):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | bits.bit()
+                ln += 1
+                sym = table.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("bad huffman code")
+
+        def extend(v, t):
+            # T.81 EXTEND: low-half codes map to negative values
+            return v if t == 0 or v >= (1 << (t - 1)) else v - ((1 << t) - 1)
+
+        zz = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+        x8 = np.arange(8)
+        A = np.cos((2 * x8[None, :] + 1) * x8[:, None] * np.pi / 16)
+        A[0, :] *= 1 / np.sqrt(2)
+        A *= 0.5  # orthonormal DCT-II basis; IDCT f = A.T @ F @ A
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-ww // (8 * hmax))
+        mcus_y = -(-hh // (8 * vmax))
+        by_id = {c[0]: c for c in comps}
+        planes = {}
+        for cid, hs, vs, _tq in comps:
+            planes[cid] = np.zeros(
+                (mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64
+            )
+
+        seg_idx = 0
+        bits = _Bits(segments[0])
+        preds = {c[0]: 0 for c in comps}
+        mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and mcu and mcu % dri == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        return None
+                    bits = _Bits(segments[seg_idx])
+                    preds = {c[0]: 0 for c in comps}
+                for cid, td, ta in scan_comps:
+                    _cid, hs, vs, tq = by_id[cid]
+                    for bv in range(vs):
+                        for bhn in range(hs):
+                            coef = np.zeros(64, dtype=np.float64)
+                            t = hdecode(bits, huff[(0, td)])
+                            diff = extend(bits.receive(t), t)
+                            preds[cid] += diff
+                            coef[0] = preds[cid]
+                            k = 1
+                            while k < 64:
+                                rs = hdecode(bits, huff[(1, ta)])
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[k] = extend(bits.receive(s), s)
+                                k += 1
+                            block = np.zeros(64, dtype=np.float64)
+                            dq = coef * qt[tq]
+                            for j in range(64):
+                                block[zz[j]] = dq[j]
+                            f = A.T @ block.reshape(8, 8) @ A + 128.0
+                            y0 = (my * vs + bv) * 8
+                            x0 = (mx * hs + bhn) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = f
+                mcu += 1
+
+        # upsample to full resolution, crop, color-convert
+        full = {}
+        for cid, hs, vs, _tq in comps:
+            p = np.repeat(
+                np.repeat(planes[cid], vmax // vs, axis=0), hmax // hs, axis=1
+            )
+            full[cid] = p[:hh, :ww]
+        if len(comps) == 1:
+            y = np.clip(full[comps[0][0]], 0, 255)
+            rgb = np.stack([y, y, y], axis=-1)
+        elif len(comps) == 3:
+            y = full[comps[0][0]]
+            cb = full[comps[1][0]] - 128.0
+            cr = full[comps[2][0]] - 128.0
+            rgb = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            )
+            rgb = np.clip(rgb, 0, 255)
+        else:
+            return None
+        px = np.rint(rgb).astype(np.int64)
+        rows = [
+            [tuple(int(v) for v in px[y, x]) for x in range(ww)]
+            for y in range(hh)
+        ]
+        return (ww, hh, _features(rows))
+
     def decode_pixels(payload: bytes):
         try:
             return (
                 _decode_png(payload)
                 or _decode_bmp(payload)
                 or _decode_gif(payload)
+                or _decode_jpeg(payload)
             )
         except Exception:
             return None
@@ -484,15 +731,15 @@ parse_wav_header, wav_features = _make_wav_decoder()
 def _real_decode(payload: bytes) -> dict:
     """Real media decode in two tiers, no codec library needed for either:
 
-    * PIXEL tier (PNG, uncompressed BMP, non-interlaced GIF — stdlib
-      zlib/struct and a ~60-line LZW decoder suffice): dimensions from
-      the actual pixel array plus a real 8-dim color/luma feature vector
-      (mean RGB, mean luma, quadrant lumas) — the shape a CNN/CLIP
-      embedding would take at cluster scale.
-    * HEADER tier (JPEG, interlaced GIF): dimensions + mime from the
-      container header; the feature vector falls back to the
-      deterministic payload-hash embedding (JPEG entropy decode
-      genuinely requires libjpeg).
+    * PIXEL tier (PNG, uncompressed BMP, non-interlaced GIF, baseline
+      JPEG — stdlib zlib/struct, a ~60-line LZW decoder, and a T.81
+      Huffman+IDCT decoder riding numpy, already a worker dependency):
+      dimensions from the actual pixel array plus a real 8-dim
+      color/luma feature vector (mean RGB, mean luma, quadrant lumas) —
+      the shape a CNN/CLIP embedding would take at cluster scale.
+    * HEADER tier (progressive JPEG, interlaced GIF): dimensions + mime
+      from the container header; the feature vector falls back to the
+      deterministic payload-hash embedding.
 
     Raises only for formats with neither tier (video/audio), where
     PIL/ffmpeg on the cluster image is the real dependency."""

@@ -1881,3 +1881,269 @@ def test_hilbert_matches_reference_at_16_bits(spark):
     }
     for x, y in pts:
         assert got[(x, y)] == _xy2d_ref(16, x, y)
+
+
+# --- JPEG pixel tier -------------------------------------------------------
+
+_JPEG_GRAY_2X2 = (  # real libjpeg-produced file (CPython/IPython test data)
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRof"
+    "Hh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA/8QAHwAA"
+    "AQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQR"
+    "BRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RF"
+    "RkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ip"
+    "qrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEB"
+    "AAA/ACv/2Q=="
+)
+_JPEG_LOGO_16X16 = (  # real 4:2:0 color baseline file (CPython test data)
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgK"
+    "CgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkL"
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAAR"
+    "CAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAA"
+    "AAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAEC"
+    "BQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLU"
+    "lRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks5"
+    "1+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5"
+    "SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ"
+    "/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwet"
+    "f//Z"
+)
+
+_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _encode_jpeg(rgb, subsample=False, restart_rows=False):
+    """Minimal baseline JPEG ENCODER for round-trip validation only:
+    flat all-ones quant tables (near-lossless — residual error is DCT
+    float rounding), custom canonical Huffman tables (DC cats at one
+    length, all 256 AC symbols split over two lengths), optional 2x2
+    chroma subsampling and per-MCU-row restart markers. Independent of
+    the decoder: they share only the published T.81 format."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    x8 = np.arange(8)
+    A = np.cos((2 * x8[None, :] + 1) * x8[:, None] * np.pi / 16)
+    A[0, :] *= 1 / np.sqrt(2)
+    A *= 0.5
+
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    # canonical tables: DC cats 0..11 @ len 4; AC 0x00-0x7F @ 9, 0x80-0xFF @ 10
+    dc_bits = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_bits = [0] * 16
+    ac_bits[8], ac_bits[9] = 128, 128
+    ac_vals = list(range(256))
+
+    def canonical(bits, vals):
+        codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                codes[vals[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    dc_codes, ac_codes = canonical(dc_bits, dc_vals), canonical(ac_bits, ac_vals)
+
+    out = bytearray()
+    bitbuf, bitcnt = 0, 0
+
+    def put(ln, code):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << ln) | code
+        bitcnt += ln
+        while bitcnt >= 8:
+            byte = (bitbuf >> (bitcnt - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            bitcnt -= 8
+        bitbuf &= (1 << bitcnt) - 1
+
+    def flush():
+        nonlocal bitbuf, bitcnt
+        if bitcnt:
+            put(8 - bitcnt, (1 << (8 - bitcnt)) - 1)
+
+    def cat(v):
+        return 0 if v == 0 else int(v).bit_length()
+
+    def emit_block(plane, y0, x0, pred):
+        blk = np.zeros((8, 8))
+        ph, pw = plane.shape
+        ys, xs = min(8, ph - y0), min(8, pw - x0)
+        blk[:ys, :xs] = plane[y0 : y0 + ys, x0 : x0 + xs]
+        if ys < 8:
+            blk[ys:, :] = blk[ys - 1, :]
+        if xs < 8:
+            blk[:, xs:] = blk[:, xs - 1 : xs]
+        F = A @ (blk - 128.0) @ A.T
+        q = np.rint(F).astype(int)
+        zzv = [q.flat[_ZZ[i]] for i in range(64)]
+        diff = zzv[0] - pred
+        t = cat(diff)
+        put(*dc_codes[t])
+        if t:
+            put(t, diff if diff >= 0 else diff + (1 << t) - 1)
+        run = 0
+        for kk in range(1, 64):
+            v = zzv[kk]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(*ac_codes[0xF0])
+                run -= 16
+            s = cat(v)
+            put(*ac_codes[(run << 4) | s])
+            put(s, v if v >= 0 else v + (1 << s) - 1)
+            run = 0
+        if run:
+            put(*ac_codes[0x00])
+        return zzv[0]
+
+    hdr = bytearray(b"\xff\xd8")
+    hdr += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    hs = 2 if subsample else 1
+    hdr += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    hdr += bytes([1, (hs << 4) | hs, 0, 2, 0x11, 0, 3, 0x11, 0])
+    for tc in (0, 1):
+        bits = dc_bits if tc == 0 else ac_bits
+        vals = dc_vals if tc == 0 else ac_vals
+        hdr += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        hdr += bytes([tc << 4]) + bytes(bits) + bytes(vals)
+    mcus_x = -(-w // (8 * hs))
+    mcus_y = -(-h // (8 * hs))
+    dri = mcus_x if restart_rows else 0
+    if dri:
+        hdr += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    hdr += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    hdr += bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    if subsample:
+        ph, pw = mcus_y * 16, mcus_x * 16
+        yp = np.full((ph, pw), 0.0)
+        yp[:h, :w] = y
+        yp[h:, :] = yp[h - 1 : h, :]
+        yp[:, w:] = yp[:, w - 1 : w]
+        cbs = (yp * 0).copy()[: ph // 2, : pw // 2]
+        crs = cbs.copy()
+        cbf = np.full((ph, pw), 128.0)
+        crf = np.full((ph, pw), 128.0)
+        cbf[:h, :w], crf[:h, :w] = cb, cr
+        cbf[h:, :], crf[h:, :] = cbf[h - 1 : h, :], crf[h - 1 : h, :]
+        cbf[:, w:], crf[:, w:] = cbf[:, w - 1 : w], crf[:, w - 1 : w]
+        cbs = cbf.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        crs = crf.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [(yp, 2), (cbs, 1), (crs, 1)]
+    else:
+        planes = [(y, 1), (cb, 1), (cr, 1)]
+
+    preds = [0, 0, 0]
+    mcu, rst = 0, 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu and mcu % dri == 0:
+                flush()
+                out.append(0xFF)
+                out.append(0xD0 + (rst % 8))
+                rst += 1
+                preds = [0, 0, 0]
+            for ci, (plane, chs) in enumerate(planes):
+                for bv in range(chs):
+                    for bh in range(chs):
+                        preds[ci] = emit_block(
+                            plane, (my * chs + bv) * 8, (mx * chs + bh) * 8,
+                            preds[ci],
+                        )
+            mcu += 1
+    flush()
+    return bytes(hdr) + bytes(out) + b"\xff\xd9"
+
+
+def test_jpeg_pixel_tier_roundtrip():
+    """Decoder validated against an INDEPENDENT in-test encoder with flat
+    (all-ones) quant tables: 4:4:4 and 4:2:0 solid color must round-trip
+    to within integer rounding; a smooth gradient within a few levels;
+    restart-marker streams decode identically."""
+    import numpy as np
+
+    from buskafkasparkstreaming_spark.operators.multimodal import (
+        decode_pixels,
+    )
+
+    def mean_rgb(feat):
+        return [v * 255.0 for v in feat[:3]]
+
+    solid = np.zeros((16, 16, 3), dtype=np.int64)
+    solid[..., 0], solid[..., 1], solid[..., 2] = 200, 60, 120
+    for sub in (False, True):
+        w, h, feat = decode_pixels(_encode_jpeg(solid, subsample=sub))
+        assert (w, h) == (16, 16)
+        got = mean_rgb(feat)
+        for gi, want in zip(got, (200, 60, 120)):
+            assert abs(gi - want) <= 2.0, (sub, got)
+
+    yy, xx = np.mgrid[0:24, 0:17]
+    grad = np.stack(
+        [
+            (xx * 255 // 16),
+            (yy * 255 // 23),
+            ((xx + yy) * 255 // 39),
+        ],
+        axis=-1,
+    ).astype(np.int64)
+    w, h, feat = decode_pixels(_encode_jpeg(grad))
+    assert (w, h) == (17, 24)
+    want = [grad[..., i].mean() for i in range(3)]
+    got = mean_rgb(feat)
+    for gi, wi in zip(got, want):
+        assert abs(gi - wi) <= 4.0, (got, want)
+
+    with_rst = _encode_jpeg(grad, restart_rows=True)
+    assert b"\xff\xdd" in with_rst  # DRI present
+    assert decode_pixels(with_rst) == (w, h, feat)
+
+
+def test_jpeg_pixel_tier_real_fixtures():
+    """Real libjpeg-produced files (embedded from public CPython/IPython
+    test data): the 2x2 grayscale decodes to uniform mid-gray through
+    the single-component path; the 16x16 4:2:0 color logo decodes with
+    non-uniform quadrants through the multi-block-MCU + upsample path.
+    Both deterministic across calls."""
+    import base64
+
+    from buskafkasparkstreaming_spark.operators.multimodal import (
+        decode_pixels,
+        extract_features,
+        parse_image_header,
+    )
+
+    gray = base64.b64decode(_JPEG_GRAY_2X2)
+    logo = base64.b64decode(_JPEG_LOGO_16X16)
+    assert parse_image_header(gray) == ("image/jpeg", 2, 2)
+    assert parse_image_header(logo) == ("image/jpeg", 16, 16)
+
+    wg, hg, fg = decode_pixels(gray)
+    assert (wg, hg) == (2, 2)
+    assert len(set(fg[:4])) == 1  # grayscale: r == g == b == luma
+    assert abs(fg[3] - 128 / 255) < 0.02  # uniform mid-gray
+
+    wl, hl, fl = decode_pixels(logo)
+    assert (wl, hl) == (16, 16)
+    assert all(0.0 <= v <= 1.0 for v in fl)
+    assert len(set(fl[4:])) > 1  # real image content: quadrants differ
+
+    assert decode_pixels(logo) == (wl, hl, fl)  # deterministic
