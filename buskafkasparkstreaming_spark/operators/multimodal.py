@@ -11,11 +11,13 @@ sane shape for Python-side media work at 100 TB:
 
 Decode has three REAL tiers plus a test stand-in. PIXEL decode — PNG
 (stdlib zlib inflate + scanline unfilter), uncompressed BMP, GIF (LZW),
-and baseline-sequential JPEG (stdlib marker/Huffman walk + numpy IDCT,
-any chroma subsampling, restart markers) — reads the actual pixel array
-and emits real color/luma features; no codec library needed. HEADER
-decode — dimension/mime sniffing for progressive JPEG / interlaced GIF /
-WebP — parses the container header (magic bytes + fixed offsets from the
+and Huffman JPEG — baseline AND progressive (stdlib marker/Huffman
+walk + numpy IDCT, any chroma subsampling, restart markers,
+spectral-selection/successive-approximation scans; validated against the
+independent JVM ImageIO decoder) — reads the actual pixel array and
+emits real color/luma features; no codec library needed. HEADER decode —
+dimension/mime sniffing for interlaced GIF / WebP / arithmetic-coded
+JPEG — parses the container header (magic bytes + fixed offsets from the
 published specs); those features fall back to the payload-hash
 embedding. AUDIO decode —
 RIFF/WAVE PCM (stdlib struct) — walks the chunk list and computes a
@@ -144,11 +146,11 @@ def _make_pixel_decoder():
     library: PNG (zlib IDAT + per-scanline unfilter, 8-bit gray/RGB ±
     alpha, non-interlaced), uncompressed 24/32-bit BMP, GIF87a/89a
     (full LZW decompression + color-table mapping, non-interlaced), and
-    baseline-sequential JPEG (T.81 Huffman entropy decode + numpy IDCT).
-    Built as a nested function so worker closures pickle it by value.
-    Returns (width, height, feat8) — feat8 = [mean_r, mean_g, mean_b,
-    mean_luma, quadrant lumas] in [0,1] — or None for formats that
-    genuinely need PIL/ffmpeg (progressive JPEG, video)."""
+    Huffman JPEG, baseline AND progressive (T.81 entropy decode + numpy
+    IDCT). Built as a nested function so worker closures pickle it by
+    value. Returns (width, height, feat8) — feat8 = [mean_r, mean_g,
+    mean_b, mean_luma, quadrant lumas] in [0,1] — or None for formats
+    that genuinely need PIL/ffmpeg (arithmetic-coded JPEG, video)."""
 
     def _features(px_rows):
         # px_rows: list of rows, each a list of (r, g, b) tuples
@@ -395,13 +397,19 @@ def _make_pixel_decoder():
         return None
 
     def _decode_jpeg(payload):
-        """Baseline sequential JPEG (ITU T.81) PIXEL decode: marker walk,
-        canonical Huffman tables (Annex C), zigzag dequant, 8x8 IDCT as
-        one orthonormal matrix product (numpy — already a worker
-        dependency), chroma upsampling by pixel replication, JFIF
-        YCbCr->RGB. Handles grayscale and any h/v sampling factors
-        (4:4:4, 4:2:2, 4:2:0) plus restart markers. Progressive (SOF2) /
-        arithmetic coding return None -> header tier."""
+        """JPEG PIXEL decode, stdlib + numpy (already a worker
+        dependency): baseline sequential (SOF0/1) AND progressive (SOF2)
+        Huffman JPEG per ITU T.81 — marker walk, canonical Huffman
+        tables (Annex C), spectral-selection / successive-approximation
+        scan accumulation for progressive (Annex G incl. EOB runs and
+        the correction-bit refinement), zigzag dequant, 8x8 IDCT as one
+        orthonormal matrix product, chroma upsampling by pixel
+        replication, JFIF YCbCr->RGB. Handles grayscale, any h/v
+        sampling factors (4:4:4, 4:2:2, 4:2:0), restart markers, and
+        tables redefined between scans. Arithmetic-coded and
+        hierarchical files return None -> header tier. Validated
+        against the independent JVM ImageIO decoder (Spark's `image`
+        source) on real baseline AND progressive files."""
         import struct
 
         import numpy as np
@@ -411,15 +419,18 @@ def _make_pixel_decoder():
         qt: dict[int, "np.ndarray"] = {}
         huff: dict[tuple[int, int], dict] = {}
         sof = None
+        progressive = False
         dri = 0
-        scan_comps = None
+        scans = []  # (scan_comps, ss, se, ah, al, segments, dri)
         pos = 2
         n = len(payload)
         while pos + 4 <= n:
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
-            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
+                if marker == 0xD9:
+                    break
                 pos += 2
                 continue
             (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
@@ -437,7 +448,8 @@ def _make_pixel_decoder():
                         i += 64
                     qt[tq] = np.asarray(vals, dtype=np.float64)
                 pos += 2 + seglen
-            elif marker in (0xC0, 0xC1):  # SOF0/1 baseline/ext sequential
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                progressive = marker == 0xC2
                 _prec, hh, ww = seg[0], *struct.unpack(">HH", seg[1:5])
                 nc = seg[5]
                 comps = []
@@ -447,17 +459,18 @@ def _make_pixel_decoder():
                     comps.append((cid, hs, vs, seg[8 + 3 * c]))
                 sof = (ww, hh, comps)
                 pos += 2 + seglen
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive/arithmetic -> header tier
-            elif marker == 0xC4:  # DHT
+                return None  # lossless/arithmetic/hierarchical -> header tier
+            elif marker == 0xC4:  # DHT (may be redefined between scans)
                 i = 0
                 while i < len(seg):
                     tc, th = seg[i] >> 4, seg[i] & 15
                     bits = seg[i + 1 : i + 17]
                     nvals = sum(bits)
                     vals = seg[i + 17 : i + 17 + nvals]
-                    # canonical code assignment (T.81 Annex C)
+                    # canonical code assignment (T.81 Annex C); REBIND so
+                    # earlier scans keep their snapshot reference
                     table, code, k = {}, 0, 0
                     for ln in range(1, 17):
                         for _ in range(bits[ln - 1]):
@@ -471,42 +484,46 @@ def _make_pixel_decoder():
             elif marker == 0xDD:  # DRI
                 (dri,) = struct.unpack(">H", seg[:2])
                 pos += 2 + seglen
-            elif marker == 0xDA:  # SOS
+            elif marker == 0xDA:  # SOS — snapshot tables + entropy data
                 ns = seg[0]
-                scan_comps = [
-                    (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
-                    for c in range(ns)
-                ]
+                scomps = []
+                for c in range(ns):
+                    cs = seg[1 + 2 * c]
+                    td, ta = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15
+                    scomps.append(
+                        (cs, huff.get((0, td)), huff.get((1, ta)))
+                    )
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                a = seg[3 + 2 * ns]
                 pos += 2 + seglen
-                break
+                segments, cur = [], bytearray()
+                i = pos
+                while i < n:
+                    b0 = payload[i]
+                    if b0 == 0xFF:
+                        nxt = payload[i + 1] if i + 1 < n else 0xD9
+                        if nxt == 0x00:
+                            cur.append(0xFF)
+                            i += 2
+                            continue
+                        if 0xD0 <= nxt <= 0xD7:
+                            segments.append(bytes(cur))
+                            cur = bytearray()
+                            i += 2
+                            continue
+                        break  # EOI or next marker
+                    cur.append(b0)
+                    i += 1
+                segments.append(bytes(cur))
+                scans.append((scomps, ss, se, a >> 4, a & 15, segments, dri))
+                pos = i
             else:  # APPn / COM / other
                 pos += 2 + seglen
-        if sof is None or scan_comps is None:
+        if sof is None or not scans:
             return None
         ww, hh, comps = sof
         if ww == 0 or hh == 0:
             return None
-
-        # entropy data: unstuff FF00, split at restart markers
-        segments, cur = [], bytearray()
-        i = pos
-        while i < n:
-            b0 = payload[i]
-            if b0 == 0xFF:
-                nxt = payload[i + 1] if i + 1 < n else 0xD9
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    i += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    segments.append(bytes(cur))
-                    cur = bytearray()
-                    i += 2
-                    continue
-                break  # EOI or next marker
-            cur.append(b0)
-            i += 1
-        segments.append(bytes(cur))
 
         class _Bits:
             def __init__(self, data):
@@ -544,68 +561,242 @@ def _make_pixel_decoder():
             35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
             58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
         ]
-        x8 = np.arange(8)
-        A = np.cos((2 * x8[None, :] + 1) * x8[:, None] * np.pi / 16)
-        A[0, :] *= 1 / np.sqrt(2)
-        A *= 0.5  # orthonormal DCT-II basis; IDCT f = A.T @ F @ A
 
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         mcus_x = -(-ww // (8 * hmax))
         mcus_y = -(-hh // (8 * vmax))
         by_id = {c[0]: c for c in comps}
-        planes = {}
-        for cid, hs, vs, _tq in comps:
-            planes[cid] = np.zeros(
-                (mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64
-            )
+        # coefficient store (zigzag index space, int64 for the
+        # refinement bit tests), allocated at interleaved coverage
+        coefs = {
+            cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+            for cid, hs, vs, _tq in comps
+        }
 
-        seg_idx = 0
-        bits = _Bits(segments[0])
-        preds = {c[0]: 0 for c in comps}
-        mcu = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if dri and mcu and mcu % dri == 0:
+        def decode_scan(scomps, ss, se, ah, al, segments, sdri):
+            interleaved = len(scomps) > 1
+            if interleaved and ss != 0:
+                raise ValueError("interleaved AC scan")
+            # per-scan state
+            preds = {cs: 0 for cs, _d, _a in scomps}
+            eobrun = 0
+            seg_idx = 0
+            bits = _Bits(segments[0])
+
+            def dc_unit(cs, dct, row, col):
+                nonlocal bits
+                c = coefs[cs]
+                if ah == 0:
+                    t = hdecode(bits, dct)
+                    diff = extend(bits.receive(t), t)
+                    preds[cs] += diff
+                    c[row, col, 0] = preds[cs] << al
+                else:  # refinement: one bit
+                    if bits.bit():
+                        c[row, col, 0] |= 1 << al
+
+            def ac_first(cs, act, row, col):
+                nonlocal bits, eobrun
+                c = coefs[cs]
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                k = ss
+                while k <= se:
+                    rs = hdecode(bits, act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += bits.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band")
+                    c[row, col, k] = extend(bits.receive(s), s) << al
+                    k += 1
+
+            def ac_refine(cs, act, row, col):
+                nonlocal bits, eobrun
+                c = coefs[cs]
+                p1, m1 = 1 << al, -(1 << al)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = hdecode(bits, act)
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += bits.receive(r)
+                                break
+                            # r == 15: skip 16 zero-history coefs
+                        else:  # s == 1 by spec
+                            val = p1 if bits.bit() else m1
+                        while k <= se:
+                            if c[row, col, k] != 0:
+                                if bits.bit() and not (c[row, col, k] & p1):
+                                    c[row, col, k] += (
+                                        p1 if c[row, col, k] > 0 else m1
+                                    )
+                            else:
+                                if r == 0:
+                                    if val:
+                                        c[row, col, k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if c[row, col, k] != 0:
+                            if bits.bit() and not (c[row, col, k] & p1):
+                                c[row, col, k] += (
+                                    p1 if c[row, col, k] > 0 else m1
+                                )
+                        k += 1
+                    eobrun -= 1
+
+            def baseline_unit(cs, dct, act, row, col, tq):
+                nonlocal bits
+                c = coefs[cs]
+                t = hdecode(bits, dct)
+                diff = extend(bits.receive(t), t)
+                preds[cs] += diff
+                c[row, col, 0] = preds[cs]
+                k = 1
+                while k < 64:
+                    rs = hdecode(bits, act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block")
+                    c[row, col, k] = extend(bits.receive(s), s)
+                    k += 1
+
+            def restart(unit_no):
+                nonlocal bits, seg_idx, eobrun
+                if sdri and unit_no and unit_no % sdri == 0:
                     seg_idx += 1
                     if seg_idx >= len(segments):
-                        return None
+                        raise ValueError("missing restart segment")
                     bits = _Bits(segments[seg_idx])
-                    preds = {c[0]: 0 for c in comps}
-                for cid, td, ta in scan_comps:
-                    _cid, hs, vs, tq = by_id[cid]
-                    for bv in range(vs):
-                        for bhn in range(hs):
-                            coef = np.zeros(64, dtype=np.float64)
-                            t = hdecode(bits, huff[(0, td)])
-                            diff = extend(bits.receive(t), t)
-                            preds[cid] += diff
-                            coef[0] = preds[cid]
-                            k = 1
-                            while k < 64:
-                                rs = hdecode(bits, huff[(1, ta)])
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    return None
-                                coef[k] = extend(bits.receive(s), s)
-                                k += 1
-                            block = np.zeros(64, dtype=np.float64)
-                            dq = coef * qt[tq]
-                            for j in range(64):
-                                block[zz[j]] = dq[j]
-                            f = A.T @ block.reshape(8, 8) @ A + 128.0
-                            y0 = (my * vs + bv) * 8
-                            x0 = (mx * hs + bhn) * 8
-                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = f
-                mcu += 1
+                    for cs in preds:
+                        preds[cs] = 0
+                    eobrun = 0
 
-        # upsample to full resolution, crop, color-convert
+            full_band = ss == 0 and se == 63 and ah == 0 and al == 0
+
+            def comp_blocks(cs):
+                _cid, hs, vs, _tq = by_id[cs]
+                bx = -(-((ww * hs + hmax - 1) // hmax) // 8)
+                by = -(-((hh * vs + vmax - 1) // vmax) // 8)
+                return bx, by
+
+            if full_band:
+                # baseline single scan. A non-interleaved baseline scan
+                # of a SUBSAMPLED component of a multi-component image
+                # would need its own block-raster order — unsupported
+                # (never produced by common encoders) -> header tier.
+                if not interleaved and len(comps) > 1:
+                    cs = scomps[0][0]
+                    if (by_id[cs][1], by_id[cs][2]) != (hmax, vmax):
+                        raise ValueError("non-interleaved subsampled scan")
+                unit = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        restart(unit)
+                        for cs, dct, act in scomps:
+                            _cid, hs, vs, tq = by_id[cs]
+                            for bv in range(vs):
+                                for bh in range(hs):
+                                    baseline_unit(
+                                        cs, dct, act,
+                                        my * vs + bv, mx * hs + bh, tq,
+                                    )
+                        unit += 1
+            elif ss == 0:
+                # progressive DC scan (first or refinement)
+                if interleaved:
+                    unit = 0
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            restart(unit)
+                            for cs, dct, _act in scomps:
+                                _cid, hs, vs, _tq = by_id[cs]
+                                for bv in range(vs):
+                                    for bh in range(hs):
+                                        dc_unit(
+                                            cs, dct,
+                                            my * vs + bv, mx * hs + bh,
+                                        )
+                            unit += 1
+                else:
+                    cs, dct, _act = scomps[0]
+                    bx, by = comp_blocks(cs)
+                    unit = 0
+                    for row in range(by):
+                        for col in range(bx):
+                            restart(unit)
+                            dc_unit(cs, dct, row, col)
+                            unit += 1
+            else:
+                # progressive AC scan: single component, raster over its
+                # own block grid
+                cs, _dct, act = scomps[0]
+                bx, by = comp_blocks(cs)
+                unit = 0
+                for row in range(by):
+                    for col in range(bx):
+                        restart(unit)
+                        if ah == 0:
+                            ac_first(cs, act, row, col)
+                        else:
+                            ac_refine(cs, act, row, col)
+                        unit += 1
+
+        for scomps, ss, se, ah, al, segments, sdri in scans:
+            if any(d is None or a is None for _c, d, a in scomps):
+                # a scan may legitimately omit the unused table (DC-only
+                # scans carry no AC table and vice versa)
+                scomps = [
+                    (c, d or {}, a or {}) for c, d, a in scomps
+                ]
+            decode_scan(scomps, ss, se, ah, al, segments, sdri)
+
+        # reconstruction: dequant + IDCT every allocated block
+        x8 = np.arange(8)
+        A = np.cos((2 * x8[None, :] + 1) * x8[:, None] * np.pi / 16)
+        A[0, :] *= 1 / np.sqrt(2)
+        A *= 0.5  # orthonormal DCT-II basis; IDCT f = A.T @ F @ A
+        inv_zz = np.zeros(64, dtype=np.int64)
+        for j in range(64):
+            inv_zz[zz[j]] = j
+        planes = {}
+        for cid, hs, vs, tq in comps:
+            c = coefs[cid]
+            nby, nbx = c.shape[0], c.shape[1]
+            # vectorized over all blocks: dequant in zigzag space,
+            # de-zigzag, batched IDCT
+            dq = c.astype(np.float64) * qt[tq][None, None, :]
+            blocks = dq[:, :, inv_zz].reshape(nby, nbx, 8, 8)
+            recon = (
+                np.einsum("ux,rcuv,vy->rcxy", A, blocks, A) + 128.0
+            )
+            plane = recon.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+            planes[cid] = plane
+
         full = {}
         for cid, hs, vs, _tq in comps:
             p = np.repeat(
@@ -732,14 +923,15 @@ def _real_decode(payload: bytes) -> dict:
     """Real media decode in two tiers, no codec library needed for either:
 
     * PIXEL tier (PNG, uncompressed BMP, non-interlaced GIF, baseline
-      JPEG — stdlib zlib/struct, a ~60-line LZW decoder, and a T.81
-      Huffman+IDCT decoder riding numpy, already a worker dependency):
+      AND progressive JPEG — stdlib zlib/struct, a ~60-line LZW decoder,
+      and a T.81 Huffman+IDCT decoder riding numpy, already a worker
+      dependency):
       dimensions from the actual pixel array plus a real 8-dim
       color/luma feature vector (mean RGB, mean luma, quadrant lumas) —
       the shape a CNN/CLIP embedding would take at cluster scale.
-    * HEADER tier (progressive JPEG, interlaced GIF): dimensions + mime
-      from the container header; the feature vector falls back to the
-      deterministic payload-hash embedding.
+    * HEADER tier (arithmetic-coded/hierarchical JPEG, interlaced GIF):
+      dimensions + mime from the container header; the feature vector
+      falls back to the deterministic payload-hash embedding.
 
     Raises only for formats with neither tier (video/audio), where
     PIL/ffmpeg on the cluster image is the real dependency."""
