@@ -16,7 +16,7 @@ walk + numpy IDCT, any chroma subsampling, restart markers,
 spectral-selection/successive-approximation scans; validated against the
 independent JVM ImageIO decoder) — reads the actual pixel array and
 emits real color/luma features; no codec library needed. HEADER decode —
-dimension/mime sniffing for interlaced GIF / WebP / arithmetic-coded
+dimension/mime sniffing for interlaced PNG / WebP / arithmetic-coded
 JPEG — parses the container header (magic bytes + fixed offsets from the
 published specs); those features fall back to the payload-hash
 embedding. AUDIO decode —
@@ -145,7 +145,8 @@ def _make_pixel_decoder():
     """Pure-stdlib PIXEL decoder for the formats that need no codec
     library: PNG (zlib IDAT + per-scanline unfilter, 8-bit gray/RGB ±
     alpha, non-interlaced), uncompressed 24/32-bit BMP, GIF87a/89a
-    (full LZW decompression + color-table mapping, non-interlaced), and
+    (full LZW decompression + color-table mapping, incl. the 4-pass
+    interlace), and
     Huffman JPEG, baseline AND progressive (T.81 entropy decode + numpy
     IDCT). Built as a nested function so worker closures pickle it by
     value. Returns (width, height, feat8) — feat8 = [mean_r, mean_g,
@@ -332,8 +333,8 @@ def _make_pixel_decoder():
         """GIF87a/89a PIXEL decode, stdlib-only: logical screen
         descriptor, global/local color table, extension-block walk,
         first image descriptor, LZW-decompressed indices mapped through
-        the color table. Non-interlaced only (interlaced falls back to
-        the header tier)."""
+        the color table, deinterlacing the 4-pass row order when the
+        interlace flag is set."""
         import struct
 
         if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -375,8 +376,9 @@ def _make_pixel_decoder():
                         for i in range(n)
                     ]
                     pos += 3 * n
-                if ct is None or (ipacked >> 6) & 1 or iw == 0 or ih == 0:
-                    return None  # no palette / interlaced -> header tier
+                if ct is None or iw == 0 or ih == 0:
+                    return None  # no palette -> header tier
+                interlaced = (ipacked >> 6) & 1
                 min_code_size = payload[pos]
                 pos += 1
                 data = b""
@@ -387,10 +389,22 @@ def _make_pixel_decoder():
                 idx = _gif_lzw(data, min_code_size)
                 if idx is None or len(idx) < iw * ih:
                     return None
-                rows = [
-                    [ct[idx[y * iw + x] % len(ct)] for x in range(iw)]
-                    for y in range(ih)
-                ]
+                if interlaced:
+                    # GIF89a 4-pass interlace: the stream carries rows
+                    # 0,8,16.. then 4,12.. then 2,6.. then 1,3,5..
+                    order = (
+                        list(range(0, ih, 8))
+                        + list(range(4, ih, 8))
+                        + list(range(2, ih, 4))
+                        + list(range(1, ih, 2))
+                    )
+                else:
+                    order = list(range(ih))
+                rows = [None] * ih
+                for sy, ty in enumerate(order):
+                    rows[ty] = [
+                        ct[idx[sy * iw + x] % len(ct)] for x in range(iw)
+                    ]
                 return (iw, ih, _features(rows))
             else:  # trailer (0x3B) or junk
                 return None
@@ -929,9 +943,9 @@ def _real_decode(payload: bytes) -> dict:
       dimensions from the actual pixel array plus a real 8-dim
       color/luma feature vector (mean RGB, mean luma, quadrant lumas) —
       the shape a CNN/CLIP embedding would take at cluster scale.
-    * HEADER tier (arithmetic-coded/hierarchical JPEG, interlaced GIF):
-      dimensions + mime from the container header; the feature vector
-      falls back to the deterministic payload-hash embedding.
+    * HEADER tier (arithmetic-coded/hierarchical JPEG, interlaced PNG,
+      WebP): dimensions + mime from the container header; the feature
+      vector falls back to the deterministic payload-hash embedding.
 
     Raises only for formats with neither tier (video/audio), where
     PIL/ffmpeg on the cluster image is the real dependency."""

@@ -1689,7 +1689,12 @@ def test_gif_pixel_decode_tier():
     ]
     for q, want in zip(feat[4:8], lum):
         assert abs(q - want) < 1e-5, (feat[4:8], lum)
-    assert decode_pixels(_tiny_gif([0, 1, 2, 3], 2, 2, interlaced=True)) is None
+    # interlaced: a 1x4 image whose display rows are 0,1,2,3 arrives in
+    # the GIF 4-pass stream order 0,2,1,3 — the deinterlaced result must
+    # equal the plain decode of the same display image
+    plain = decode_pixels(_tiny_gif([0, 1, 2, 3], 1, 4))
+    inter = decode_pixels(_tiny_gif([0, 2, 1, 3], 1, 4, interlaced=True))
+    assert plain is not None and inter == plain
 
 
 def test_gif_lzw_with_table_growth():
