@@ -16,7 +16,7 @@ walk + numpy IDCT, any chroma subsampling, restart markers,
 spectral-selection/successive-approximation scans; validated against the
 independent JVM ImageIO decoder) — reads the actual pixel array and
 emits real color/luma features; no codec library needed. HEADER decode —
-dimension/mime sniffing for interlaced PNG / WebP / arithmetic-coded
+dimension/mime sniffing for WebP / arithmetic-coded
 JPEG — parses the container header (magic bytes + fixed offsets from the
 published specs); those features fall back to the payload-hash
 embedding. AUDIO decode —
@@ -144,7 +144,8 @@ parse_image_header = _make_header_parser()
 def _make_pixel_decoder():
     """Pure-stdlib PIXEL decoder for the formats that need no codec
     library: PNG (zlib IDAT + per-scanline unfilter, 8-bit gray/RGB ±
-    alpha, non-interlaced), uncompressed 24/32-bit BMP, GIF87a/89a
+    alpha, plain AND Adam7 interlaced), uncompressed 24/32-bit BMP,
+    GIF87a/89a
     (full LZW decompression + color-table mapping, incl. the 4-pass
     interlace), and
     Huffman JPEG, baseline AND progressive (T.81 entropy decode + numpy
@@ -198,53 +199,88 @@ def _make_pixel_decoder():
         if ihdr is None or not idat:
             return None
         w, h, depth, color, _comp, _filt, interlace = ihdr
-        # 8-bit, non-interlaced; color 0=gray, 2=RGB, 4=gray+A, 6=RGBA
+        # 8-bit; color 0=gray, 2=RGB, 4=gray+A, 6=RGBA
         channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-        if depth != 8 or interlace != 0 or channels is None:
+        if depth != 8 or interlace not in (0, 1) or channels is None:
             return None
         raw = zlib.decompress(idat)
-        stride = w * channels
-        rows, prev = [], bytearray(stride)
-        off = 0
-        for _y in range(h):
-            ftype = raw[off]
-            line = bytearray(raw[off + 1 : off + 1 + stride])
-            off += 1 + stride
-            if ftype == 1:  # Sub
-                for i in range(channels, stride):
-                    line[i] = (line[i] + line[i - channels]) & 0xFF
-            elif ftype == 2:  # Up
-                for i in range(stride):
-                    line[i] = (line[i] + prev[i]) & 0xFF
-            elif ftype == 3:  # Average
-                for i in range(stride):
-                    left = line[i - channels] if i >= channels else 0
-                    line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
-            elif ftype == 4:  # Paeth
-                for i in range(stride):
-                    a = line[i - channels] if i >= channels else 0
-                    b = prev[i]
-                    c = prev[i - channels] if i >= channels else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    line[i] = (line[i] + pr) & 0xFF
-            elif ftype != 0:
-                return None
-            prev = line
+
+        def to_pixels(line):
             if channels == 1:
-                rows.append([(v, v, v) for v in line])
-            elif channels == 2:
-                rows.append([(line[i], line[i], line[i]) for i in range(0, stride, 2)])
-            elif channels == 3:
-                rows.append(
-                    [tuple(line[i : i + 3]) for i in range(0, stride, 3)]
-                )
-            else:
-                rows.append(
-                    [tuple(line[i : i + 3]) for i in range(0, stride, 4)]
-                )
-        return (w, h, _features(rows))
+                return [(v, v, v) for v in line]
+            if channels == 2:
+                return [
+                    (line[i], line[i], line[i])
+                    for i in range(0, len(line), 2)
+                ]
+            step = channels
+            return [tuple(line[i : i + 3]) for i in range(0, len(line), step)]
+
+        def unfilter(off, n_rows, px_w):
+            """Unfilter `n_rows` scanlines of `px_w` pixels starting at
+            `off` in the inflated stream (RFC 2083 filters 0-4; `prev`
+            resets per call, as each Adam7 pass filters independently).
+            Returns (pixel rows, new offset) or None on a bad filter."""
+            stride = px_w * channels
+            rows, prev = [], bytearray(stride)
+            for _y in range(n_rows):
+                ftype = raw[off]
+                line = bytearray(raw[off + 1 : off + 1 + stride])
+                off += 1 + stride
+                if ftype == 1:  # Sub
+                    for i in range(channels, stride):
+                        line[i] = (line[i] + line[i - channels]) & 0xFF
+                elif ftype == 2:  # Up
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) & 0xFF
+                elif ftype == 3:  # Average
+                    for i in range(stride):
+                        left = line[i - channels] if i >= channels else 0
+                        line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+                elif ftype == 4:  # Paeth
+                    for i in range(stride):
+                        a = line[i - channels] if i >= channels else 0
+                        b = prev[i]
+                        c = prev[i - channels] if i >= channels else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pr = (
+                            a if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c)
+                        )
+                        line[i] = (line[i] + pr) & 0xFF
+                elif ftype != 0:
+                    return None
+                prev = line
+                rows.append(to_pixels(line))
+            return rows, off
+
+        if interlace == 0:
+            got = unfilter(0, h, w)
+            if got is None:
+                return None
+            return (w, h, _features(got[0]))
+
+        # Adam7: 7 independently-filtered passes scattered onto the grid
+        grid = [[(0, 0, 0)] * w for _ in range(h)]
+        off = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            got = unfilter(off, ph, pw)
+            if got is None:
+                return None
+            prows, off = got
+            for r, row in enumerate(prows):
+                y = y0 + r * dy
+                for c, px in enumerate(row):
+                    grid[y][x0 + c * dx] = px
+        return (w, h, _features(grid))
 
     def _decode_bmp(payload):
         import struct
@@ -943,9 +979,9 @@ def _real_decode(payload: bytes) -> dict:
       dimensions from the actual pixel array plus a real 8-dim
       color/luma feature vector (mean RGB, mean luma, quadrant lumas) —
       the shape a CNN/CLIP embedding would take at cluster scale.
-    * HEADER tier (arithmetic-coded/hierarchical JPEG, interlaced PNG,
-      WebP): dimensions + mime from the container header; the feature
-      vector falls back to the deterministic payload-hash embedding.
+    * HEADER tier (arithmetic-coded/hierarchical JPEG, WebP):
+      dimensions + mime from the container header; the feature vector
+      falls back to the deterministic payload-hash embedding.
 
     Raises only for formats with neither tier (video/audio), where
     PIL/ffmpeg on the cluster image is the real dependency."""

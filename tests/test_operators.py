@@ -2271,3 +2271,63 @@ def test_jpeg_progressive_matches_jvm_imageio(spark):
         ]
         dmax = max(abs(a - b) for a, b in zip(feat, ref))
         assert dmax <= 0.002, (path, dmax)
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 interlaced PNG decodes identically to the plain encoding of
+    the same image — pixels scattered across the 7 passes, each pass
+    independently filtered. Encoder side is built in-test (filter-0
+    scanlines per pass), independent of the decoder."""
+    import struct
+    import zlib
+
+    from buskafkasparkstreaming_spark.operators.multimodal import (
+        decode_pixels,
+    )
+
+    w, h = 9, 10  # non-multiples of 8 exercise partial passes
+    img = [
+        [((x * 31) % 256, (y * 53) % 256, ((x + y) * 17) % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def png(interlaced):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlaced else 0)
+        raw = bytearray()
+        if interlaced:
+            passes = (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            )
+            for x0, y0, dx, dy in passes:
+                pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                for r in range(ph):
+                    raw.append(0)  # filter 0
+                    for c in range(pw):
+                        raw += bytes(img[y0 + r * dy][x0 + c * dx])
+        else:
+            for y in range(h):
+                raw.append(0)
+                for x in range(w):
+                    raw += bytes(img[y][x])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    plain = decode_pixels(png(False))
+    inter = decode_pixels(png(True))
+    assert plain is not None and plain[:2] == (w, h)
+    assert inter == plain
