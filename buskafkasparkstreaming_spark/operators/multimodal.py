@@ -23,7 +23,10 @@ embedding. AUDIO decode —
 RIFF/WAVE PCM (stdlib struct) — walks the chunk list and computes a
 real 8-segment RMS energy profile over the samples; typed metadata
 maps onto the fixed schema as width=sample_rate, height=n_channels,
-n_frames=audio frames. Formats with no tier (video, compressed audio)
+n_frames=audio frames. VIDEO HEADER decode — ISO-BMFF (MP4/MOV) box
+walk (stdlib struct) — yields real typed metadata (dims from tkhd,
+frame count from the video trak's stsz, duration from mvhd); frame
+decode and the remaining formats (compressed audio, non-MP4 video)
 raise NotImplementedError behind an import-try on PIL/ffmpeg; a
 deterministic fake decoder (seeded by sha2 of the payload) stands in
 for unrecognized payloads and exercises the identical Spark plumbing —
@@ -966,6 +969,92 @@ def _make_wav_decoder():
     return parse_wav_header, wav_features
 
 
+def _make_mp4_parser():
+    """VIDEO HEADER tier: ISO-BMFF (MP4/MOV) metadata needs only struct —
+    box walk to moov/mvhd (timescale+duration), the video trak's tkhd
+    (16.16 fixed-point width/height), and its stbl/stsz sample count
+    (frame count). No codec work: decode stays ffmpeg-gated, but the
+    typed metadata a video pipeline partitions/filters on is real.
+    Nested-builder for the same pickle-by-value reason as the image
+    parser."""
+    import struct
+
+    _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+    def _boxes(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            typ = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:
+                size = end - pos
+            if size < 8 or pos + size > end:
+                return
+            yield typ, body, pos + size
+            pos += size
+
+    def parse_mp4_header(payload: bytes):
+        """(mime, width, height, duration_ms, n_frames) or None."""
+        if len(payload) < 16 or payload[4:8] != b"ftyp":
+            return None
+        timescale = duration = 0
+        width = height = 0
+        n_frames = 0
+
+        def walk(start, end, in_video_trak):
+            nonlocal timescale, duration, width, height, n_frames
+            for typ, body, bend in _boxes(payload, start, end):
+                if typ == b"mvhd":
+                    ver = payload[body]
+                    if ver == 1:
+                        timescale, duration = struct.unpack(
+                            ">IQ", payload[body + 20 : body + 32]
+                        )
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", payload[body + 12 : body + 20]
+                        )
+                elif typ == b"tkhd":
+                    # width/height (16.16 fixed) follow the 36-byte
+                    # matrix: body offset 76 for v0, 88 for v1
+                    ver = payload[body]
+                    off = body + (88 if ver == 1 else 76)
+                    if off + 8 <= bend:
+                        w_fp, h_fp = struct.unpack(
+                            ">II", payload[off : off + 8]
+                        )
+                        if w_fp and h_fp:
+                            width, height = w_fp >> 16, h_fp >> 16
+                            in_video_trak[0] = True
+                elif typ == b"stsz" and in_video_trak[0]:
+                    (cnt,) = struct.unpack(
+                        ">I", payload[body + 8 : body + 12]
+                    )
+                    if n_frames == 0:
+                        n_frames = cnt
+                elif typ == b"trak":
+                    walk(body, bend, [False])
+                elif typ in _CONTAINERS:
+                    walk(body, bend, in_video_trak)
+
+        walk(0, len(payload), [False])
+        if width == 0 or height == 0:
+            return None
+        dur_ms = (duration * 1000) // timescale if timescale else 0
+        return ("video/mp4", width, height, dur_ms, n_frames)
+
+    return parse_mp4_header
+
+
+parse_mp4_header = _make_mp4_parser()
+
+
 parse_wav_header, wav_features = _make_wav_decoder()
 
 
@@ -983,8 +1072,9 @@ def _real_decode(payload: bytes) -> dict:
       dimensions + mime from the container header; the feature vector
       falls back to the deterministic payload-hash embedding.
 
-    Raises only for formats with neither tier (video/audio), where
-    PIL/ffmpeg on the cluster image is the real dependency."""
+    Raises only for formats with neither tier (compressed audio, non-MP4
+    video), where PIL/ffmpeg on the cluster image is the real
+    dependency."""
     hdr = parse_image_header(payload)
     if hdr is None:
         wv = wav_features(payload)
@@ -1000,6 +1090,23 @@ def _real_decode(payload: bytes) -> dict:
                 "height": nch,
                 "n_frames": n_frames,
                 "feat": feat,
+            }
+        mp4 = parse_mp4_header(payload)
+        if mp4 is not None:
+            # VIDEO HEADER tier (ISO-BMFF, stdlib struct): real typed
+            # metadata (dims, frame count from the video trak's stsz);
+            # frame DECODE stays ffmpeg-gated, so the feature vector is
+            # the deterministic payload-hash embedding
+            import hashlib
+
+            mime, vw, vh, _dur_ms, vframes = mp4
+            digest = hashlib.sha256(payload).digest()
+            return {
+                "mime": mime,
+                "width": vw,
+                "height": vh,
+                "n_frames": max(vframes, 1),
+                "feat": [round(b / 255.0, 6) for b in digest[3:11]],
             }
         try:
             from PIL import Image  # noqa: PLC0415, F401

@@ -2331,3 +2331,50 @@ def test_png_adam7_interlaced_decode():
     inter = decode_pixels(png(True))
     assert plain is not None and plain[:2] == (w, h)
     assert inter == plain
+
+
+def test_mp4_video_header_tier():
+    """ISO-BMFF VIDEO header tier: a hand-assembled minimal MP4 (ftyp +
+    moov{mvhd, trak{tkhd(640x360), mdia{minf{stbl{stsz(42 samples)}}}}})
+    yields real typed metadata through _real_decode — dims from tkhd's
+    16.16 fixed point, frame count from the video trak's stsz, duration
+    from mvhd — with the hash-embedding feature fallback (decode itself
+    stays ffmpeg-gated)."""
+    import struct
+
+    from buskafkasparkstreaming_spark.operators.multimodal import (
+        _real_decode,
+        parse_mp4_header,
+    )
+
+    def box(typ, payload_bytes):
+        return struct.pack(">I", 8 + len(payload_bytes)) + typ + payload_bytes
+
+    mvhd = box(
+        b"mvhd",
+        # v0: version/flags, creation+modification, timescale, duration
+        bytes(4) + bytes(8) + struct.pack(">II", 1000, 7500) + bytes(80),
+    )
+    tkhd = box(
+        b"tkhd",
+        # v0: version/flags + 72 bytes of fields/matrix, then 16.16 dims
+        bytes(4) + bytes(72) + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, 42))
+    stbl = box(b"stbl", stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    mp4 = box(b"ftyp", b"isom" + bytes(8)) + moov
+
+    assert parse_mp4_header(mp4) == ("video/mp4", 640, 360, 7500, 42)
+    d = _real_decode(mp4)
+    assert d["mime"] == "video/mp4"
+    assert (d["width"], d["height"], d["n_frames"]) == (640, 360, 42)
+    assert len(d["feat"]) == 8 and all(0.0 <= v <= 1.0 for v in d["feat"])
+    # non-MP4 garbage still raises (the documented ffmpeg gate)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _real_decode(b"\x00\x01\x02this is not media")
