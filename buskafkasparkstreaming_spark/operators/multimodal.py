@@ -20,8 +20,9 @@ dimension/mime sniffing for WebP / arithmetic-coded
 JPEG — parses the container header (magic bytes + fixed offsets from the
 published specs); those features fall back to the payload-hash
 embedding. AUDIO decode —
-RIFF/WAVE PCM (stdlib struct) — walks the chunk list and computes a
-real 8-segment RMS energy profile over the samples; typed metadata
+RIFF/WAVE PCM and G.711 mu-law/A-law (stdlib struct + the published
+ITU expansion tables) — walks the chunk list and computes a real
+8-segment RMS energy profile over the samples; typed metadata
 maps onto the fixed schema as width=sample_rate, height=n_channels,
 n_frames=audio frames. VIDEO HEADER decode — ISO-BMFF (MP4/MOV) box
 walk (stdlib struct) — yields real typed metadata (dims from tkhd,
@@ -899,16 +900,44 @@ decode_pixels = _make_pixel_decoder()
 
 
 def _make_wav_decoder():
-    """AUDIO tier: RIFF/WAVE PCM needs only struct — no codec library.
-    Nested-builder for the same pickle-by-value reason as the image
-    parser. Returns (header_fn, features_fn)."""
+    """AUDIO tier: RIFF/WAVE PCM plus G.711 mu-law/A-law (the published
+    ITU expansion formulas — 256-entry tables built here) need only
+    struct. Nested-builder for the same pickle-by-value reason as the
+    image parser. Returns (header_fn, features_fn)."""
     import struct
+
+    def _ulaw_table():
+        out = []
+        for u in range(256):
+            v = ~u & 0xFF
+            exp, mant = (v >> 4) & 7, v & 0x0F
+            x = (((mant << 3) + 0x84) << exp) - 0x84
+            out.append(-x if v & 0x80 else x)
+        return out
+
+    def _alaw_table():
+        out = []
+        for a in range(256):
+            v = a ^ 0x55
+            exp, mant = (v >> 4) & 7, v & 0x0F
+            if exp == 0:
+                x = (mant << 4) + 8
+            else:
+                x = ((mant << 4) + 0x108) << (exp - 1)
+            # A-law: the (toggled) sign bit SET means positive — the
+            # opposite convention from mu-law
+            out.append(x if v & 0x80 else -x)
+        return out
+
+    ULAW, ALAW = _ulaw_table(), _alaw_table()
 
     def parse_wav_header(payload: bytes):
         """RIFF/WAVE chunk walk (the published container spec): locate
-        'fmt ' (PCM format code 1, 8- or 16-bit) and 'data'. Returns
+        'fmt ' (format code 1 = PCM 8/16-bit, 6 = G.711 A-law,
+        7 = G.711 mu-law) and 'data'. Returns
         ("audio/wav", sample_rate, n_channels, bits, n_frames,
-        data_offset, data_len) or None."""
+        data_offset, data_len) or None; `bits` is -6/-7 for the law
+        codecs (8-bit stored, 13/14-bit linear range)."""
         if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             return None
         pos, fmt, data = 12, None, None
@@ -928,9 +957,15 @@ def _make_wav_decoder():
         if fmt is None or data is None:
             return None
         code, nch, rate, bits = fmt
-        if code != 1 or bits not in (8, 16) or nch < 1 or rate < 1:
+        if nch < 1 or rate < 1:
             return None
-        frame_bytes = nch * (bits // 8)
+        if code in (6, 7):
+            if bits != 8:
+                return None
+            bits = -code  # law codecs: 8-bit stored, flagged negative
+        elif code != 1 or bits not in (8, 16):
+            return None
+        frame_bytes = nch * (1 if bits < 0 else bits // 8)
         n_frames = data[1] // frame_bytes if frame_bytes else 0
         return ("audio/wav", rate, nch, bits, n_frames, data[0], data[1])
 
@@ -945,15 +980,19 @@ def _make_wav_decoder():
         _, rate, nch, bits, n_frames, off, dlen = hdr
         if n_frames == 0:
             return hdr, 0, [0.0] * 8
-        width = bits // 8
+        width = 1 if bits < 0 else bits // 8
         stride = nch * width
-        full_scale = 32768.0 if bits == 16 else 128.0
+        full_scale = 32768.0 if bits in (16, -6, -7) else 128.0
         seg_sums = [0] * 8
         seg_counts = [0] * 8
         for i in range(n_frames):
             base = off + i * stride
             if bits == 16:
                 (s,) = struct.unpack_from("<h", payload, base)
+            elif bits == -7:
+                s = ULAW[payload[base]]
+            elif bits == -6:
+                s = ALAW[payload[base]]
             else:
                 s = payload[base] - 128
             seg = min(7, i * 8 // n_frames)

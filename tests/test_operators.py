@@ -2378,3 +2378,62 @@ def test_mp4_video_header_tier():
 
     with _pytest.raises(NotImplementedError):
         _real_decode(b"\x00\x01\x02this is not media")
+
+
+def test_wav_g711_law_tiers():
+    """G.711 mu-law/A-law WAV decode: expansion tables are validated
+    sample-exactly against the stdlib audioop reference (all 256 codes,
+    both laws), and a companded 440 Hz sine's RMS profile must land
+    within 0.5% of the PCM16 original's (companding quantization
+    error only)."""
+    import math
+    import struct
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from buskafkasparkstreaming_spark.operators.multimodal import (
+        parse_wav_header,
+        wav_features,
+    )
+
+    rate, n = 8000, 800
+    pcm = [
+        int(12000 * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)
+    ]
+    pcm_bytes = b"".join(struct.pack("<h", s) for s in pcm)
+
+    def wav(code, bits, data):
+        fmt = struct.pack(
+            "<HHIIHH", code, 1, rate, rate * (bits // 8), bits // 8, bits
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    h16, _, f16 = wav_features(wav(1, 16, pcm_bytes))
+    hu, du, fu = wav_features(wav(7, 8, audioop.lin2ulaw(pcm_bytes, 2)))
+    ha, da, fa = wav_features(wav(6, 8, audioop.lin2alaw(pcm_bytes, 2)))
+    assert hu[:3] == ("audio/wav", rate, 1) and hu[3] == -7
+    assert ha[3] == -6 and hu[4] == ha[4] == n
+    assert du == da == n * 1000 // rate
+    for ref, got in zip(f16, fu):
+        assert abs(got - ref) <= 0.005 * max(ref, 0.01), (f16, fu)
+    for ref, got in zip(f16, fa):
+        assert abs(got - ref) <= 0.005 * max(ref, 0.01), (f16, fa)
+
+    # table-exactness vs the stdlib reference decoder: a 256-sample ramp
+    # (every code, both laws) must produce IDENTICAL segment features to
+    # the audioop-expanded PCM16 of the same ramp
+    ramp = bytes(range(256))
+    for law, lin in (
+        (7, audioop.ulaw2lin(ramp, 2)),
+        (6, audioop.alaw2lin(ramp, 2)),
+    ):
+        _, _, f_law = wav_features(wav(law, 8, ramp))
+        _, _, f_ref = wav_features(wav(1, 16, lin))
+        assert f_law == f_ref, (law, f_law, f_ref)
