@@ -202,12 +202,15 @@ HEADLINE = [
     "q_mannwhitney_u",
     "q_hellinger_types",
     "q_holt_dyadic",
-    # round-9 additions (own BASELINE.md budget family)
+    # round-9 additions (own BASELINE.md budget family);
+    # dedup_weighted_minhash is benched via bench_weighted_minhash — the
+    # PRODUCTION sketch path only, the dedup_minhash_lsh precedent (the
+    # queries() entry additionally computes the exhaustive weighted-
+    # Jaccard verification join, which is oracle-side work)
     "layout_hilbert_events",
     "q_ecdf_transform",
     "q_cramers_v",
     "sketch_ks_approx",
-    "dedup_weighted_minhash",
 ]
 
 
@@ -275,6 +278,24 @@ def bench_ivf_split(spark, sf_dir: str, timings: dict) -> None:
     timings["ann_ivf_query"] = round(time.perf_counter() - t0, 3)
     index.unpersist()
 
+
+
+def bench_weighted_minhash(spark, sf_dir: str, timings: dict) -> None:
+    """Bench the PRODUCTION weighted-MinHash path only: IDF-weighted
+    shingles + replicated signatures + banded candidate join. The
+    `dedup_weighted_minhash` queries() entry additionally computes the
+    exhaustive weighted-Jaccard verification join — oracle-side work
+    that belongs in the correctness gate, not the bench (the
+    dedup_minhash_lsh precedent, VERDICT r4 §wrong 4)."""
+    from buskafkasparkstreaming_spark.operators import dedup as D
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    wt = D.weighted_shingles(docs, "doc_id", k=3, max_df=1000)
+    sigs = D.weighted_minhash_signatures(wt, num_hashes=32)
+    D.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4).count()
+    timings["dedup_weighted_minhash"] = round(time.perf_counter() - t0, 3)
 
 
 def bench_ann_family(spark, sf_dir: str, timings: dict) -> None:
@@ -380,6 +401,7 @@ def main() -> None:
             round_t[name] = round(time.perf_counter() - t0, 3)
         bench_minhash_pipeline(spark, sf_dir, round_t)
         bench_incremental_lsh(spark, sf_dir, round_t)
+        bench_weighted_minhash(spark, sf_dir, round_t)
         bench_ivf_split(spark, sf_dir, round_t)
         bench_ann_family(spark, sf_dir, round_t)
         bench_graph_family(spark, sf_dir, round_t)
