@@ -7704,6 +7704,27 @@ def _pcont_cols_sql() -> str:
 _HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * float(1 << 53)
 
 
+def _hll_lc_sql(empty_expr: str) -> str:
+    """Linear-counting correction 256*ln(256/empty) as a DuckDB lookup
+    into the SAME 256-double table the Spark plan uses
+    (operators/stats.py::hll_linear_counting_table) — DuckDB's ln and JVM
+    Math.log disagree by 1 ulp on some of the 256 arguments (observed:
+    sketch_hll_rolling at sf0.01), so neither engine may call libm here.
+    repr() doubles round-trip exactly through DuckDB's decimal parser."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        hll_linear_counting_table,
+    )
+
+    # the e0 exponent suffix forces DuckDB to parse each element as
+    # DOUBLE — a bare decimal literal becomes DECIMAL(18,16) and the
+    # DECIMAL->DOUBLE conversion lands on a different neighboring double
+    table = ", ".join(f"{v!r}e0" for v in hll_linear_counting_table(8))
+    return (
+        f"list_extract([{table}], "
+        f"CAST(greatest({empty_expr}, 1) AS INT))"
+    )
+
+
 def _hll_reg_sql() -> str:
     """Shared oracle CTE chain: per-event_type HyperLogLog register table
     (bucket = first 8 md5 bits, rank = 1 + leading zeros of the next 52)
@@ -8230,7 +8251,7 @@ def oracle_sql() -> dict[str, str]:
                    b.sum_fp AS b_sum_fp, b.empty AS b_empty,
                    u.sum_fp AS u_sum_fp, u.empty AS u_empty,
                    ex.exact_overlap,
-                   (CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(a.sum_fp AS DOUBLE) <= 640.0 AND a.empty > 0 THEN 256.0 * ln(256.0 / CAST(a.empty AS DOUBLE)) ELSE {_HLL_ALPHA_NUM!r} / CAST(a.sum_fp AS DOUBLE) END) + (CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(b.sum_fp AS DOUBLE) <= 640.0 AND b.empty > 0 THEN 256.0 * ln(256.0 / CAST(b.empty AS DOUBLE)) ELSE {_HLL_ALPHA_NUM!r} / CAST(b.sum_fp AS DOUBLE) END) - (CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(u.sum_fp AS DOUBLE) <= 640.0 AND u.empty > 0 THEN 256.0 * ln(256.0 / CAST(u.empty AS DOUBLE)) ELSE {_HLL_ALPHA_NUM!r} / CAST(u.sum_fp AS DOUBLE) END) AS est_overlap
+                   (CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(a.sum_fp AS DOUBLE) <= 640.0 AND a.empty > 0 THEN {_hll_lc_sql('a.empty')} ELSE {_HLL_ALPHA_NUM!r} / CAST(a.sum_fp AS DOUBLE) END) + (CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(b.sum_fp AS DOUBLE) <= 640.0 AND b.empty > 0 THEN {_hll_lc_sql('b.empty')} ELSE {_HLL_ALPHA_NUM!r} / CAST(b.sum_fp AS DOUBLE) END) - (CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(u.sum_fp AS DOUBLE) <= 640.0 AND u.empty > 0 THEN {_hll_lc_sql('u.empty')} ELSE {_HLL_ALPHA_NUM!r} / CAST(u.sum_fp AS DOUBLE) END) AS est_overlap
             FROM (SELECT sum_fp, empty FROM st WHERE lbl = 'a') a,
                  (SELECT sum_fp, empty FROM st WHERE lbl = 'b') b,
                  (SELECT sum_fp, empty FROM st WHERE lbl = 'u') u,
@@ -8923,8 +8944,7 @@ def oracle_sql() -> dict[str, str]:
                                            / CAST(st.hll_sum_fp AS DOUBLE)
                                            <= 640.0
                                            AND st.empty_buckets > 0
-                                      THEN 256.0 * ln(256.0
-                                           / CAST(st.empty_buckets AS DOUBLE))
+                                      THEN {_hll_lc_sql('st.empty_buckets')}
                                       ELSE {_HLL_ALPHA_NUM!r}
                                            / CAST(st.hll_sum_fp AS DOUBLE)
                                  END - CAST(ex.exact_members AS DOUBLE))
@@ -10519,7 +10539,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT h, sum_fp, empty_buckets,
                    CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(sum_fp AS DOUBLE)
                              <= 640.0 AND empty_buckets > 0
-                        THEN 256.0 * ln(256.0 / CAST(empty_buckets AS DOUBLE))
+                        THEN {_hll_lc_sql('empty_buckets')}
                         ELSE {_HLL_ALPHA_NUM!r} / CAST(sum_fp AS DOUBLE)
                    END AS est_users_3h
             FROM st
@@ -10987,7 +11007,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT h AS hour_start, sum_fp, empty_buckets,
                    CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(sum_fp AS DOUBLE)
                              <= 640.0 AND empty_buckets > 0
-                        THEN 256.0 * ln(256.0 / CAST(empty_buckets AS DOUBLE))
+                        THEN {_hll_lc_sql('empty_buckets')}
                         ELSE {_HLL_ALPHA_NUM!r} / CAST(sum_fp AS DOUBLE)
                    END AS est_users
             FROM st
@@ -12967,7 +12987,7 @@ def oracle_sql() -> dict[str, str]:
                    st.empty_buckets,
                    abs(CASE WHEN {_HLL_ALPHA_NUM!r} / CAST(st.hll_sum_fp AS DOUBLE)
                                  <= 640.0 AND st.empty_buckets > 0
-                            THEN 256.0 * ln(256.0 / CAST(st.empty_buckets AS DOUBLE))
+                            THEN {_hll_lc_sql('st.empty_buckets')}
                             ELSE {_HLL_ALPHA_NUM!r} / CAST(st.hll_sum_fp AS DOUBLE)
                        END - CAST(ex.exact_users AS DOUBLE))
                        / CAST(ex.exact_users AS DOUBLE) <= 0.2

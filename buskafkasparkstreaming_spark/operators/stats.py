@@ -242,11 +242,25 @@ def hll_stats(sketch: DataFrame, group_cols: list[str] | None = None, b: int = 8
     )
 
 
+def hll_linear_counting_table(b: int = 8) -> list[float]:
+    """The linear-counting correction m*ln(m/empty) takes only m possible
+    values (empty in 1..m) — precompute them ONCE in Python and inline the
+    same doubles into every engine. JVM Math.log and DuckDB ln disagree by
+    1 ulp on some of these arguments (observed at sf0.01 on
+    sketch_hll_rolling), so computing ln at query time is not replayable
+    bit-for-bit; a shared table is."""
+    import math
+
+    m = float(1 << b)
+    return [m * math.log(m / e) for e in range(1, (1 << b) + 1)]
+
+
 def hll_estimate_col(sum_fp: "Column", empty_buckets: "Column", b: int = 8) -> "Column":
     """Cardinality estimate from the exact integer stats: raw HLL with the
     small-range linear-counting correction (Flajolet et al. 2007). All
     float ops are a fixed scalar expression over two integers — identical
-    operation order in any engine."""
+    operation order in any engine; the only transcendental (ln) comes from
+    the shared `hll_linear_counting_table` lookup, never engine libm."""
     from pyspark.sql import functions as F
 
     m = float(1 << b)
@@ -254,7 +268,12 @@ def hll_estimate_col(sum_fp: "Column", empty_buckets: "Column", b: int = 8) -> "
     raw = (
         F.lit(alpha * m * m * float(1 << 53)) / sum_fp.cast("double")
     )
-    lc = F.lit(m) * F.log(F.lit(m) / empty_buckets.cast("double"))
+    # greatest(empty,1): keeps the 1-indexed lookup in bounds under ANSI
+    # even though the branch is only taken when empty > 0
+    lc = F.element_at(
+        F.lit(hll_linear_counting_table(b)),
+        F.greatest(empty_buckets.cast("int"), F.lit(1)),
+    )
     return F.when((raw <= 2.5 * m) & (empty_buckets > 0), lc).otherwise(raw)
 
 
