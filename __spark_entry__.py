@@ -7368,6 +7368,26 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine near-dup pairs (operators/dedup.py::
+    tfidf_cosine_pairs) — the token-space twin of the embedding cosine
+    join, and the third point in the set-similarity design space next to
+    weighted Jaccard (dedup_weighted_minhash) and PPJoin: term weights
+    are exact BIGINTs (tf x integer IDF bucket), so the inverted-index
+    dot product and both norms are order-independent integer sums; the
+    cosine itself is one multiply + one IEEE-exact sqrt + one division.
+    Stop terms (df > 1000) are dropped before the pair join — the Zipf
+    head whose df^2 fan-out is the 100 TB scale killer. FULL SQL oracle
+    replays tokenization, bucket weights, and the one float expression."""
+    docs = _t(spark, sf_dir, "documents")
+    # 0.9: the synthetic corpus is drawn from a small vocabulary, so
+    # moderate cosine is ubiquitous (0.5 admits ~1% of ALL pairs); the
+    # planted near-dups live at >= 0.9
+    return D.tfidf_cosine_pairs(
+        docs, "doc_id", threshold=0.9, max_df=1000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -7453,9 +7473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ecdf_transform": q_ecdf_transform,
         "q_cramers_v": q_cramers_v,
         # --- new in round 9 (never driver-seen -- lead round 10 with the
-        # trio above; 5 total additions, within the <=8 budget) ----------
+        # trio above; 6 total additions, within the <=8 budget) ----------
         "sketch_ks_approx": sketch_ks_approx,
         "dedup_weighted_minhash": dedup_weighted_minhash,
+        "dedup_tfidf_cosine": dedup_tfidf_cosine,
         # --- r2-stale remainder (6) --------------------------
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
@@ -11502,6 +11523,49 @@ def oracle_sql() -> dict[str, str]:
                    true AS found_by_lsh,
                    true AS est_within_bound
             FROM p WHERE w_jaccard >= 0.3
+        """,
+        "dedup_tfidf_cosine": """
+            -- sparse tf-idf cosine pairs, mirroring operators/dedup.py::
+            -- tfidf_cosine_pairs: integer term weights (tf x IDF bucket
+            -- rare 4x / mid 2x / common 1x over the max_df<=1000 capped
+            -- vocabulary), BIGINT dot product and norms, and the single
+            -- float expression dot / sqrt(n2_a * n2_b) — sqrt is IEEE
+            -- correctly-rounded, so both engines land the same double
+            WITH tok AS (
+                SELECT doc, t FROM (
+                    SELECT doc_id AS doc,
+                           unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+                WHERE t <> ''),
+            tf AS (SELECT doc, t, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfc AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY t),
+            nn AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n FROM tf),
+            w AS (
+                SELECT tf.doc, tf.t,
+                       tf.tf * (CASE WHEN d.df * 256 <= nn.n THEN 4
+                                     WHEN d.df * 16 <= nn.n THEN 2
+                                     ELSE 1 END) AS w
+                FROM tf JOIN dfc d USING (t) CROSS JOIN nn
+                WHERE d.df <= 1000),
+            norms AS (SELECT doc, CAST(sum(w * w) AS BIGINT) AS n2
+                      FROM w GROUP BY doc),
+            dots AS (
+                SELECT a.doc AS id_a, b.doc AS id_b,
+                       CAST(sum(a.w * b.w) AS BIGINT) AS dot
+                FROM w a JOIN w b ON a.t = b.t AND a.doc < b.doc
+                GROUP BY 1, 2)
+            SELECT d.id_a, d.id_b, d.dot,
+                   CAST(d.dot AS DOUBLE)
+                       / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                       AS cosine
+            FROM dots d
+            JOIN norms na ON na.doc = d.id_a
+            JOIN norms nb ON nb.doc = d.id_b
+            WHERE CAST(d.dot AS DOUBLE)
+                      / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                  >= 0.9
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE

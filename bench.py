@@ -211,6 +211,7 @@ HEADLINE = [
     "q_ecdf_transform",
     "q_cramers_v",
     "sketch_ks_approx",
+    "dedup_tfidf_cosine",
 ]
 
 

@@ -1403,6 +1403,86 @@ def weighted_jaccard_pairs(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    buckets: tuple[tuple[int, int], ...] = IDF_WEIGHT_BUCKETS,
+) -> DataFrame:
+    """All pairs (a < b) with cosine similarity >= threshold over SPARSE
+    integer tf-idf term vectors — the token-space twin of the embedding
+    cosine join: w(d,t) = tf(d,t) * idf_bucket_weight(df(t)), an exact
+    BIGINT, so the pair dot product and both squared norms are
+    order-independent integer sums. The only float ops are one multiply,
+    one sqrt, and one division — sqrt is IEEE-correctly-rounded (unlike
+    the libm transcendentals the HLL estimator had to table out), so the
+    cosine is bit-replayable in any engine.
+
+    Plan: inverted-index equi-join on the term (never all-pairs); terms
+    with df > max_df are stop terms and DROPPED (the ngram_jaccard_pairs
+    scale rationale — their df^2 join fan-out is what kills corpus
+    growth, and their idf weight is the minimum anyway); both the tf and
+    the dot-product groupBys partial-aggregate map-side. Output:
+    (id_a, id_b, dot, cosine).
+    """
+    tok = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(words(text_col)).alias("t"),
+        )
+        # split-on-space yields '' tokens on runs of whitespace; both
+        # engines drop them (DuckDB's unnest already drops the NULL-text
+        # rows Spark's explode never produces)
+        .filter(F.col("t") != "")
+    )
+    tf = tok.groupBy("doc", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfc = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    if max_df is not None:
+        dfc = dfc.filter(F.col("__df") <= max_df)
+    # N as a bounded 1-row driver job folded into the weight CASE as a
+    # literal (the weighted_shingles pattern)
+    n_docs = int(tf.agg(F.count_distinct("doc")).first()[0])
+    w = tf.join(dfc, "t").select(
+        "doc",
+        "t",
+        (F.col("tf") * _idf_weight(F.col("__df"), F.lit(n_docs), buckets))
+        .cast("long")
+        .alias("w"),
+    )
+    norms = w.groupBy("doc").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    dots = (
+        w.alias("a")
+        .join(w.alias("b"), on="t")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"))
+    )
+    # norms is one row per doc — no static broadcast hint (AQE decides;
+    # the ngram_jaccard_pairs 10^9-doc rationale)
+    return (
+        dots.join(norms.withColumnRenamed("doc", "id_a"), "id_a")
+        .withColumnRenamed("n2", "n2_a")
+        .join(norms.withColumnRenamed("doc", "id_b"), "id_b")
+        .withColumnRenamed("n2", "n2_b")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / F.sqrt(
+                F.col("n2_a").cast("double") * F.col("n2_b").cast("double")
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "dot", "cosine")
+    )
+
+
 def weighted_minhash_signatures(
     weighted: DataFrame,
     num_hashes: int = 32,

@@ -141,6 +141,26 @@ def main() -> None:
         results,
     )
 
+    # sparse tf-idf cosine: the same inverted-index discipline, joined on
+    # single WORDS (Zipf-denser than 3-gram shingles, so the max_df cap
+    # carries more of the load — at 10x every mid-frequency word's df
+    # crosses the cap and leaves the index, which is the contract);
+    # replication output is copy-quadratic like every true-dup finder
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    t_1x["tfidf"] = timed(
+        "tfidf_cosine 1x",
+        lambda: tfidf_cosine_pairs(docs1, "doc_id", threshold=0.9).count(),
+        results,
+    )
+    t_10x["tfidf"] = timed(
+        "tfidf_cosine 10x",
+        lambda: tfidf_cosine_pairs(docs10, "doc_id", threshold=0.9).count(),
+        results,
+    )
+
     # KLL sketch build (the data-sized stage of sketch_ks_approx): one
     # range-shuffle global rank + a row-local level CASE; the statistic
     # stage above it is sketch-sized (polylog), so the BUILD ratio is the
@@ -320,6 +340,7 @@ def main() -> None:
         "ngram": "output-quadratic workload (each 1x pair → 100 pairs + within-group); see pairs/sec + boilerplate probe below",
         "minhash": "sketch linear; candidate pairs grow with true-dup count (10 copies/doc)",
         "wjaccard": "IDF-weighted ngram twin: same inverted index + df cap; output-quadratic under replication like ngram, index linear",
+        "tfidf": "single-WORD inverted index: Zipf-denser than shingles, so the df cap sheds most mid-frequency terms at 10x (the cap IS the scale contract); output copy-quadratic like ngram",
         "kll": "KLL sketch build (approx-KS data stage): one range-shuffle rank + row-local level CASE — ~linear; the statistic stage is sketch-sized",
         "simhash": "banding: same",
         "spans": "counting-based substring dedup: replication makes EVERY window a duplicate (pair-based would do 100× work), but distinct-doc counting stays ~linear",

@@ -261,6 +261,9 @@ def test_null_text_drift(spark, tmp_path):
         # contentless docs must be absent from the weighted index, the
         # df/N weight inputs, and the pair stream on BOTH sides
         "dedup_weighted_minhash",
+        # contentless docs contribute no terms: absent from tf, df, the
+        # N count, the norms, and the pair stream on BOTH sides
+        "dedup_tfidf_cosine",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

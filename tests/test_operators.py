@@ -1299,6 +1299,40 @@ def test_theta_sketch_merge_setops_accuracy(spark):
     assert theta_estimate(theta_intersect(c, d)).first()["n_retained"] == 0
 
 
+def test_tfidf_cosine_hand_computed(spark):
+    """Hand-checked sparse cosine: integer weights, exact dot/norms,
+    no pair for docs sharing no term, and the max_df stop-term cap."""
+    import math
+
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple banana"),
+            (3, "cherry cherry cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    # N=3: every df is too common for a >1 IDF bucket, so w == tf.
+    # dot(1,2) = 2*1 + 1*1 = 3; n2 = 5 and 2; cos = 3/sqrt(10)
+    rows = tfidf_cosine_pairs(docs, "doc_id", threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["dot"]) == (1, 2, 3)
+    assert r["cosine"] == 3.0 / math.sqrt(5.0 * 2.0)
+    # doc 3 shares no term: the inverted index never emits the pair
+    assert all(row["id_a"] != 3 and row["id_b"] != 3 for row in rows)
+
+    # max_df=1 drops every shared term -> no pairs at all
+    assert (
+        tfidf_cosine_pairs(docs, "doc_id", threshold=0.0, max_df=1).count()
+        == 0
+    )
+
+
 def test_weighted_sample_bias_and_determinism(spark):
     """A-ES sample is a pure function of (id, salt) — identical across
     runs — and inclusion probability tracks the weight: with 100 rows at

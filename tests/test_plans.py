@@ -853,6 +853,21 @@ def test_weighted_jaccard_plan_shape(spark, sf_dir):
     assert "SinglePartition" not in p, p
 
 
+def test_tfidf_cosine_plan_shape(spark, sf_dir):
+    """tfidf_cosine_pairs: inverted-index equi-join on the term — no
+    cartesian product, no SinglePartition exchange; the df table is
+    Zipf-small after the max_df cap and AQE decides its join strategy."""
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = entrymod._t(spark, sf_dir, "documents")
+    df = tfidf_cosine_pairs(docs, "doc_id", threshold=0.9)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p, p
+    assert "SinglePartition" not in p, p
+
+
 def test_sketch_ks_plan_distributed_rank(spark, sf_dir):
     """sketch_ks_approx: the only single-partition window is the
     cumulative sum over the CONFIG-BOUNDED union sketch (<= 2 * kcap *
