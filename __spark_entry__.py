@@ -7376,15 +7376,67 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact BIGINTs (tf x integer IDF bucket), so the inverted-index
     dot product and both norms are order-independent integer sums; the
     cosine itself is one multiply + one IEEE-exact sqrt + one division.
-    Stop terms (df > 1000) are dropped before the pair join — the Zipf
-    head whose df^2 fan-out is the 100 TB scale killer. FULL SQL oracle
-    replays tokenization, bucket weights, and the one float expression."""
+    Stop terms are dropped by a RELATIVE df cap (df/N <= 1/5) before the
+    pair join — single-word df is proportional to corpus size, so an
+    absolute cap silently empties the index as the corpus grows (the 10x
+    scale probe measured exactly that); the relative cap is the
+    scale-invariant form of the Zipf-head df^2 fan-out bound. FULL SQL
+    oracle replays tokenization, the cap, bucket weights, and the one
+    float expression."""
     docs = _t(spark, sf_dir, "documents")
     # 0.9: the synthetic corpus is drawn from a small vocabulary, so
-    # moderate cosine is ubiquitous (0.5 admits ~1% of ALL pairs); the
-    # planted near-dups live at >= 0.9
-    return D.tfidf_cosine_pairs(
-        docs, "doc_id", threshold=0.9, max_df=1000
+    # moderate cosine over the full vocabulary is ubiquitous; with the
+    # df/N <= 1/5 cap the surviving rare-term vectors put every planted
+    # near-dup pair at >= 0.9
+    return D.tfidf_cosine_pairs(docs, "doc_id", threshold=0.9)
+
+
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order line items: part pairs
+    co-purchased in >= 3 orders, with exact-integer support counts and
+    lift = (c_ab * n_orders) / (c_a * c_b) as the ONE float expression
+    (IEEE-exact division of two exact integer products, the q14 idiom).
+    The pair stream is a self-equi-join on the order key — fan-out
+    bounded by order size (TPC-H <= 7 items, <= 21 pairs per order), so
+    the join is linear in line items at any corpus scale; the min-support
+    filter bounds the output; per-part counts are a Zipf-small frame AQE
+    joins back (no static hint), and the order total is the bounded
+    1-row broadcast-scalar cross."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    total = items.agg(
+        F.count_distinct("o").cast("long").alias("n_orders")
+    )
+    cnt = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), on="o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    return (
+        pairs.join(cnt.withColumnRenamed("p", "part_a"), "part_a")
+        .withColumnRenamed("c", "c_a")
+        .join(cnt.withColumnRenamed("p", "part_b"), "part_b")
+        .withColumnRenamed("c", "c_b")
+        .crossJoin(F.broadcast(total))  # bounded: 1-row scalar
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            "n_orders",
+            (
+                (F.col("c_ab") * F.col("n_orders")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
     )
 
 
@@ -7473,10 +7525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ecdf_transform": q_ecdf_transform,
         "q_cramers_v": q_cramers_v,
         # --- new in round 9 (never driver-seen -- lead round 10 with the
-        # trio above; 6 total additions, within the <=8 budget) ----------
+        # trio above; 7 total additions, within the <=8 budget) ----------
         "sketch_ks_approx": sketch_ks_approx,
         "dedup_weighted_minhash": dedup_weighted_minhash,
         "dedup_tfidf_cosine": dedup_tfidf_cosine,
+        "q_market_basket_lift": q_market_basket_lift,
         # --- r2-stale remainder (6) --------------------------
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
@@ -11527,7 +11580,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_tfidf_cosine": """
             -- sparse tf-idf cosine pairs, mirroring operators/dedup.py::
             -- tfidf_cosine_pairs: integer term weights (tf x IDF bucket
-            -- rare 4x / mid 2x / common 1x over the max_df<=1000 capped
+            -- rare 4x / mid 2x / common 1x over the df/N <= 1/5 capped
             -- vocabulary), BIGINT dot product and norms, and the single
             -- float expression dot / sqrt(n2_a * n2_b) — sqrt is IEEE
             -- correctly-rounded, so both engines land the same double
@@ -11548,7 +11601,7 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN d.df * 16 <= nn.n THEN 2
                                      ELSE 1 END) AS w
                 FROM tf JOIN dfc d USING (t) CROSS JOIN nn
-                WHERE d.df <= 1000),
+                WHERE d.df * 5 <= nn.n),
             norms AS (SELECT doc, CAST(sum(w * w) AS BIGINT) AS n2
                       FROM w GROUP BY doc),
             dots AS (
@@ -11566,6 +11619,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(d.dot AS DOUBLE)
                       / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
                   >= 0.9
+        """,
+        "q_market_basket_lift": """
+            -- co-purchased part pairs with support >= 3 and exact-integer
+            -- lift inputs, mirroring q_market_basket_lift: one float
+            -- division of two BIGINT products
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+            n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders
+                  FROM items),
+            cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c
+                    FROM items GROUP BY p),
+            pairs AS (
+                SELECT a.p AS part_a, b.p AS part_b,
+                       CAST(count(*) AS BIGINT) AS c_ab
+                FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2
+                HAVING count(*) >= 3)
+            SELECT pr.part_a, pr.part_b, pr.c_ab,
+                   ca.c AS c_a, cb.c AS c_b, n.n_orders,
+                   CAST(pr.c_ab * n.n_orders AS DOUBLE)
+                       / CAST(ca.c * cb.c AS DOUBLE) AS lift
+            FROM pairs pr
+            JOIN cnt ca ON ca.p = pr.part_a
+            JOIN cnt cb ON cb.p = pr.part_b
+            CROSS JOIN n
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE

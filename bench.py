@@ -212,6 +212,7 @@ HEADLINE = [
     "q_cramers_v",
     "sketch_ks_approx",
     "dedup_tfidf_cosine",
+    "q_market_basket_lift",
 ]
 
 

@@ -1408,7 +1408,7 @@ def tfidf_cosine_pairs(
     id_col: str,
     text_col: str = "text",
     threshold: float = 0.5,
-    max_df: int | None = 1000,
+    max_df_frac: tuple[int, int] = (1, 5),
     buckets: tuple[tuple[int, int], ...] = IDF_WEIGHT_BUCKETS,
 ) -> DataFrame:
     """All pairs (a < b) with cosine similarity >= threshold over SPARSE
@@ -1420,12 +1420,17 @@ def tfidf_cosine_pairs(
     the libm transcendentals the HLL estimator had to table out), so the
     cosine is bit-replayable in any engine.
 
-    Plan: inverted-index equi-join on the term (never all-pairs); terms
-    with df > max_df are stop terms and DROPPED (the ngram_jaccard_pairs
-    scale rationale — their df^2 join fan-out is what kills corpus
-    growth, and their idf weight is the minimum anyway); both the tf and
-    the dot-product groupBys partial-aggregate map-side. Output:
-    (id_a, id_b, dot, cosine).
+    Plan: inverted-index equi-join on the term (never all-pairs); stop
+    terms are DROPPED by a RELATIVE document-frequency cap — keep t iff
+    df(t) * den <= N * num, default df/N <= 1/5 — because single words
+    (unlike k-gram shingles) have df proportional to corpus size: an
+    absolute cap silently empties the whole index as the corpus grows
+    (measured: 10x replication at max_df=1000 -> ZERO surviving terms),
+    while the relative cap is scale-invariant and is what bounds the
+    df^2 join fan-out to a corpus fraction. The cap test is pure integer
+    arithmetic, exact in any engine. Both the tf and the dot-product
+    groupBys partial-aggregate map-side. Output: (id_a, id_b, dot,
+    cosine).
     """
     tok = (
         _spread(df, id_col)
@@ -1441,12 +1446,15 @@ def tfidf_cosine_pairs(
     tf = tok.groupBy("doc", "t").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    dfc = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("__df"))
-    if max_df is not None:
-        dfc = dfc.filter(F.col("__df") <= max_df)
-    # N as a bounded 1-row driver job folded into the weight CASE as a
-    # literal (the weighted_shingles pattern)
+    # N as a bounded 1-row driver job folded into the cap filter and the
+    # weight CASE as literals (the weighted_shingles pattern)
     n_docs = int(tf.agg(F.count_distinct("doc")).first()[0])
+    num, den = max_df_frac
+    dfc = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+        .filter(F.col("__df") * den <= n_docs * num)
+    )
     w = tf.join(dfc, "t").select(
         "doc",
         "t",

@@ -142,10 +142,12 @@ def main() -> None:
     )
 
     # sparse tf-idf cosine: the same inverted-index discipline, joined on
-    # single WORDS (Zipf-denser than 3-gram shingles, so the max_df cap
-    # carries more of the load — at 10x every mid-frequency word's df
-    # crosses the cap and leaves the index, which is the contract);
-    # replication output is copy-quadratic like every true-dup finder
+    # single WORDS. Words (unlike 3-gram shingles) have df proportional
+    # to corpus size, so the stop-term cap is RELATIVE (df/N <= 1/5):
+    # the first probe of this op ran an absolute max_df=1000 cap and
+    # measured ZERO surviving terms at 10x — the bug the relative cap
+    # fixed. Replication output is copy-quadratic like every true-dup
+    # finder; the index join stays a corpus-fraction bound at any scale.
     from buskafkasparkstreaming_spark.operators.dedup import (
         tfidf_cosine_pairs,
     )
@@ -340,7 +342,7 @@ def main() -> None:
         "ngram": "output-quadratic workload (each 1x pair → 100 pairs + within-group); see pairs/sec + boilerplate probe below",
         "minhash": "sketch linear; candidate pairs grow with true-dup count (10 copies/doc)",
         "wjaccard": "IDF-weighted ngram twin: same inverted index + df cap; output-quadratic under replication like ngram, index linear",
-        "tfidf": "single-WORD inverted index: Zipf-denser than shingles, so the df cap sheds most mid-frequency terms at 10x (the cap IS the scale contract); output copy-quadratic like ngram",
+        "tfidf": "single-WORD inverted index with a RELATIVE df/N <= 1/5 stop-term cap (an absolute cap measured 0 surviving terms at 10x — words' df grows with N); output copy-quadratic like ngram",
         "kll": "KLL sketch build (approx-KS data stage): one range-shuffle rank + row-local level CASE — ~linear; the statistic stage is sketch-sized",
         "simhash": "banding: same",
         "spans": "counting-based substring dedup: replication makes EVERY window a duplicate (pair-based would do 100× work), but distinct-doc counting stays ~linear",

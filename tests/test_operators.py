@@ -1317,8 +1317,11 @@ def test_tfidf_cosine_hand_computed(spark):
         ["doc_id", "text"],
     )
     # N=3: every df is too common for a >1 IDF bucket, so w == tf.
-    # dot(1,2) = 2*1 + 1*1 = 3; n2 = 5 and 2; cos = 3/sqrt(10)
-    rows = tfidf_cosine_pairs(docs, "doc_id", threshold=0.5).collect()
+    # dot(1,2) = 2*1 + 1*1 = 3; n2 = 5 and 2; cos = 3/sqrt(10).
+    # max_df_frac=(1,1) keeps the full tiny vocabulary.
+    rows = tfidf_cosine_pairs(
+        docs, "doc_id", threshold=0.5, max_df_frac=(1, 1)
+    ).collect()
     assert len(rows) == 1
     r = rows[0]
     assert (r["id_a"], r["id_b"], r["dot"]) == (1, 2, 3)
@@ -1326,9 +1329,13 @@ def test_tfidf_cosine_hand_computed(spark):
     # doc 3 shares no term: the inverted index never emits the pair
     assert all(row["id_a"] != 3 and row["id_b"] != 3 for row in rows)
 
-    # max_df=1 drops every shared term -> no pairs at all
+    # relative cap df/N <= 1/3: apple/banana (df=2, 2*3 > 3) become stop
+    # terms; only cherry (df=1) survives and it lives in one doc -> no
+    # pairs at all
     assert (
-        tfidf_cosine_pairs(docs, "doc_id", threshold=0.0, max_df=1).count()
+        tfidf_cosine_pairs(
+            docs, "doc_id", threshold=0.0, max_df_frac=(1, 3)
+        ).count()
         == 0
     )
 

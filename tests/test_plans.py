@@ -868,6 +868,17 @@ def test_tfidf_cosine_plan_shape(spark, sf_dir):
     assert "SinglePartition" not in p, p
 
 
+def test_market_basket_plan_shape(spark, sf_dir):
+    """q_market_basket_lift: the pair stream is an equi-join on the order
+    key (fan-out bounded by order size); the only nested-loop is the
+    1-row n_orders broadcast-scalar cross (formatted mode prints each
+    operator twice: tree + detail)."""
+    df = entrymod.q_market_basket_lift(spark, sf_dir)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p
+
+
 def test_sketch_ks_plan_distributed_rank(spark, sf_dir):
     """sketch_ks_approx: the only single-partition window is the
     cumulative sum over the CONFIG-BOUNDED union sketch (<= 2 * kcap *
