@@ -7401,42 +7401,15 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join is linear in line items at any corpus scale; the min-support
     filter bounds the output; per-part counts are a Zipf-small frame AQE
     joins back (no static hint), and the order total is the bounded
-    1-row broadcast-scalar cross."""
-    items = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    1-row broadcast-scalar cross (operators/stats.py::basket_lift_pairs,
+    brute-force hypothesis property in test_pipeline_ops_property)."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        basket_lift_pairs,
     )
-    total = items.agg(
-        F.count_distinct("o").cast("long").alias("n_orders")
-    )
-    cnt = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    pairs = (
-        items.alias("a")
-        .join(items.alias("b"), on="o")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-        .filter(F.col("c_ab") >= 3)
-    )
-    return (
-        pairs.join(cnt.withColumnRenamed("p", "part_a"), "part_a")
-        .withColumnRenamed("c", "c_a")
-        .join(cnt.withColumnRenamed("p", "part_b"), "part_b")
-        .withColumnRenamed("c", "c_b")
-        .crossJoin(F.broadcast(total))  # bounded: 1-row scalar
-        .select(
-            "part_a",
-            "part_b",
-            "c_ab",
-            "c_a",
-            "c_b",
-            "n_orders",
-            (
-                (F.col("c_ab") * F.col("n_orders")).cast("double")
-                / (F.col("c_a") * F.col("c_b")).cast("double")
-            ).alias("lift"),
-        )
+
+    return basket_lift_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=3,
     )
 
 

@@ -740,3 +740,59 @@ def holt_linear_by_group(
         F.col(group_col).isNotNull() & F.col(ts_col).isNotNull()
     )
     return clean.groupBy(group_col).applyInPandas(fn, HOLT_SCHEMA)
+
+
+# --- market-basket association (support + lift) ----------------------------
+
+
+def basket_lift_pairs(
+    df: DataFrame,
+    order_col: str,
+    item_col: str,
+    min_support: int = 3,
+) -> DataFrame:
+    """Item pairs co-occurring in >= min_support baskets, with
+    exact-integer support counts and lift = (c_ab * n_orders) /
+    (c_a * c_b) as the ONE float expression (an IEEE-exact division of
+    two exact BIGINT products).
+
+    Plan: the pair stream is a self-equi-join on the basket key —
+    fan-out bounded by basket size, so the join is linear in item rows
+    at any scale; the min-support filter bounds the output; per-item
+    counts are a Zipf-small frame AQE joins back (no static hint), and
+    the basket total is the bounded 1-row broadcast-scalar cross.
+    Output: (part_a, part_b, c_ab, c_a, c_b, n_orders, lift)."""
+    from pyspark.sql import functions as F
+
+    items = df.select(
+        F.col(order_col).alias("o"), F.col(item_col).alias("p")
+    ).distinct()
+    total = items.agg(F.count_distinct("o").cast("long").alias("n_orders"))
+    cnt = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), on="o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_support)
+    )
+    return (
+        pairs.join(cnt.withColumnRenamed("p", "part_a"), "part_a")
+        .withColumnRenamed("c", "c_a")
+        .join(cnt.withColumnRenamed("p", "part_b"), "part_b")
+        .withColumnRenamed("c", "c_b")
+        .crossJoin(F.broadcast(total))  # bounded: 1-row scalar
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            "n_orders",
+            (
+                (F.col("c_ab") * F.col("n_orders")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -542,3 +542,121 @@ def test_sketch_ks_approx_tracks_exact_ks(spark, sf_dir):
     approx = entrymod.sketch_ks_approx(spark, sf_dir).collect()[0]
     assert approx["n1"] == exact["n1"] and approx["n2"] == exact["n2"]
     assert abs(approx["ks_approx"] - exact["ks_stat"]) <= 0.05
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=10
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=12,
+    ),
+    frac=st.sampled_from([(1, 1), (1, 2), (1, 3)]),
+)
+def test_tfidf_cosine_equals_brute_force(spark, docs, frac):
+    """The sparse tf-idf cosine join equals a driver-side brute force —
+    same tokenization, relative df cap, integer IDF-bucket weights, and
+    the one float expression — over RANDOM corpora, including all-hot
+    vocabularies where the cap drops everything."""
+    import math
+
+    from buskafkasparkstreaming_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["dot"], round(r["cosine"], 12))
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", threshold=0.0, max_df_frac=frac
+        ).collect()
+    }
+
+    tf: dict[int, dict[str, int]] = {}
+    for i, t in rows:
+        for w in t.split(" "):
+            if w:
+                tf.setdefault(i, {})[w] = tf.get(i, {}).get(w, 0) + 1
+    n_docs = len(tf)
+    dfreq: dict[str, int] = {}
+    for terms in tf.values():
+        for w in terms:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    num, den = frac
+    keep = {w for w, d in dfreq.items() if d * den <= n_docs * num}
+
+    def weight(w):
+        d = dfreq[w]
+        return 4 if d * 256 <= n_docs else (2 if d * 16 <= n_docs else 1)
+
+    vec = {
+        i: {w: c * weight(w) for w, c in terms.items() if w in keep}
+        for i, terms in tf.items()
+    }
+    want = set()
+    ids = sorted(vec)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            shared = set(vec[a]) & set(vec[b])
+            if not shared:
+                continue
+            dot = sum(vec[a][w] * vec[b][w] for w in shared)
+            n2a = sum(v * v for v in vec[a].values())
+            n2b = sum(v * v for v in vec[b].values())
+            cos = float(dot) / math.sqrt(float(n2a) * float(n2b))
+            want.add((a, b, dot, round(cos, 12)))
+    assert got == want, (got - want, want - got)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    baskets=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=6), min_size=1, max_size=5
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    minsup=st.sampled_from([1, 2, 3]),
+)
+def test_basket_lift_equals_brute_force(spark, baskets, minsup):
+    """basket_lift_pairs equals a driver-side reference (distinct items
+    per basket, pair supports, exact-integer lift inputs) over random
+    basket sets, including duplicate items within a basket."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        basket_lift_pairs,
+    )
+
+    rows = [(o, p) for o, items in enumerate(baskets) for p in items]
+    df = spark.createDataFrame(rows, "o long, p long")
+    got = {
+        (r["part_a"], r["part_b"], r["c_ab"], r["c_a"], r["c_b"],
+         r["n_orders"], round(r["lift"], 12))
+        for r in basket_lift_pairs(df, "o", "p", min_support=minsup).collect()
+    }
+
+    sets = [set(items) for items in baskets]
+    n_orders = len(sets)
+    cnt: dict[int, int] = {}
+    for s in sets:
+        for p in s:
+            cnt[p] = cnt.get(p, 0) + 1
+    from collections import Counter
+
+    c_ab: Counter = Counter()
+    for s in sets:
+        ss = sorted(s)
+        for x in range(len(ss)):
+            for y in range(x + 1, len(ss)):
+                c_ab[(ss[x], ss[y])] += 1
+    want = {
+        (a, b, c, cnt[a], cnt[b], n_orders,
+         round(float(c * n_orders) / float(cnt[a] * cnt[b]), 12))
+        for (a, b), c in c_ab.items()
+        if c >= minsup
+    }
+    assert got == want, (got - want, want - got)
