@@ -7424,9 +7424,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-9 rotation (VERDICT r8 item 1, verbatim): the 26 never-seen
     # r8 session-4/5 tail entries + the 16 artifact-less r6 entries + the
     # first 8 of the 14 r2-stale = exactly 50. After this round the
-    # never-checked backlog is the newly-registered trio (+ any round-9
-    # additions); round 10 leads with those, then the 6 remaining
-    # r2-stale, then the 33 r4-stale.
+    # never-checked backlog is the newly-registered trio + the 4 new r9
+    # entries (approx-KS, weighted MinHash, tf-idf cosine, basket lift)
+    # = 7; round 10 leads with those, then the 6 remaining r2-stale, then
+    # the 33 r4-stale — 46 of 50 slots, leaving 4 for round-10 additions
+    # with zero rotation slippage.
     return {
         # --- round-8 session-4/5 tail: never driver-seen -- lead the
         # round-9 window (VERDICT r8 item 1) --------------------------
@@ -7491,7 +7493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-10 arithmetic (VERDICT r8 item 4): carried debt =
         # 3 newly-registered never-seen + 6 r2-stale + 33 r4-stale
         # = 42, leaving at most 8 slots for new round-9 entries
-        # before r5-stale rotation slips another round. =========
+        # before r5-stale rotation slips another round. FINAL: 4
+        # new entries landed (approx-KS, weighted MinHash, tf-idf
+        # cosine, basket lift) -> r10 debt = 7 never-seen + 6 + 33
+        # = 46 of 50; 4 slots spare. =========
         # --- registered this round (previously unregistered dead code,
         # VERDICT r8 item 2): never driver-seen -- lead round 10 ------
         "layout_hilbert_events": layout_hilbert_events,
