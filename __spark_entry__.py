@@ -7413,6 +7413,33 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average value per (event_type, hour) — the
+    TimescaleDB `time_weight` / LOCF-integral analog, and the query the
+    reference's bus-telemetry domain actually needs: mean kph weighted
+    by how LONG each report held, not by sample count (a stopped bus
+    reporting once a minute must not drown a moving bus reporting every
+    5 s; ref spark-kafka.py's per-route value stream). Each report's
+    value holds until the type's next report (LOCF step function);
+    segments clamp to clock hours by exploding the hour span (bounded by
+    corpus duration, ~1 for telemetry cadences); weights are exact
+    BIGINT milliseconds, the numerator an exact DECIMAL(38,0) sum
+    (cents x ms summed fleet-wide overflows int64 — the q_ks_two_sample
+    precedent, double-cast only at the output boundary), and the TWAP
+    itself is ONE float division. Zero-length segments (duplicate
+    timestamps) drop deterministically under the (ms, event_id) order;
+    each type's last report has no successor and defines no segment
+    (operators/timeseries.py::twap_hourly, brute-force hypothesis
+    property in test_pipeline_ops_property)."""
+    from buskafkasparkstreaming_spark.operators.timeseries import (
+        twap_hourly,
+    )
+
+    return twap_hourly(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -7424,11 +7451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-9 rotation (VERDICT r8 item 1, verbatim): the 26 never-seen
     # r8 session-4/5 tail entries + the 16 artifact-less r6 entries + the
     # first 8 of the 14 r2-stale = exactly 50. After this round the
-    # never-checked backlog is the newly-registered trio + the 4 new r9
-    # entries (approx-KS, weighted MinHash, tf-idf cosine, basket lift)
-    # = 7; round 10 leads with those, then the 6 remaining r2-stale, then
-    # the 33 r4-stale — 46 of 50 slots, leaving 4 for round-10 additions
-    # with zero rotation slippage.
+    # never-checked backlog is the newly-registered trio + the 5 new r9
+    # entries (approx-KS, weighted MinHash, tf-idf cosine, basket lift,
+    # hourly TWAP) = 8; round 10 leads with those, then the 6 remaining
+    # r2-stale, then the 33 r4-stale — 47 of 50 slots, leaving 3 for
+    # round-10 additions with zero rotation slippage.
     return {
         # --- round-8 session-4/5 tail: never driver-seen -- lead the
         # round-9 window (VERDICT r8 item 1) --------------------------
@@ -7493,21 +7520,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-10 arithmetic (VERDICT r8 item 4): carried debt =
         # 3 newly-registered never-seen + 6 r2-stale + 33 r4-stale
         # = 42, leaving at most 8 slots for new round-9 entries
-        # before r5-stale rotation slips another round. FINAL: 4
+        # before r5-stale rotation slips another round. FINAL: 5
         # new entries landed (approx-KS, weighted MinHash, tf-idf
-        # cosine, basket lift) -> r10 debt = 7 never-seen + 6 + 33
-        # = 46 of 50; 4 slots spare. =========
+        # cosine, basket lift, hourly TWAP) -> r10 debt = 8
+        # never-seen + 6 + 33 = 47 of 50; 3 slots spare. =========
         # --- registered this round (previously unregistered dead code,
         # VERDICT r8 item 2): never driver-seen -- lead round 10 ------
         "layout_hilbert_events": layout_hilbert_events,
         "q_ecdf_transform": q_ecdf_transform,
         "q_cramers_v": q_cramers_v,
         # --- new in round 9 (never driver-seen -- lead round 10 with the
-        # trio above; 7 total additions, within the <=8 budget) ----------
+        # trio above; 8 total additions, at the <=8 budget) ----------
         "sketch_ks_approx": sketch_ks_approx,
         "dedup_weighted_minhash": dedup_weighted_minhash,
         "dedup_tfidf_cosine": dedup_tfidf_cosine,
         "q_market_basket_lift": q_market_basket_lift,
+        "q_twap_hourly": q_twap_hourly,
         # --- r2-stale remainder (6) --------------------------
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
@@ -11623,6 +11651,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.p = pr.part_a
             JOIN cnt cb ON cb.p = pr.part_b
             CROSS JOIN n
+        """,
+        "q_twap_hourly": """
+            -- LOCF time-weighted hourly average, mirroring q_twap_hourly:
+            -- segments from lead(ms) under the (ms, event_id) order,
+            -- clamped to hours; BIGINT millisecond weights, DECIMAL(38,0)
+            -- numerator, double-cast only at the output boundary
+            WITH e AS (
+                SELECT event_type, event_id, epoch_ms(ts) AS ms,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL),
+            seg AS (
+                SELECT event_type, cents, ms,
+                       lead(ms) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ms, event_id) AS next_ms
+                FROM e),
+            hr AS (
+                SELECT event_type, cents, ms, next_ms,
+                       unnest(range(ms // 3600000,
+                                    (next_ms - 1) // 3600000 + 1)) AS h
+                FROM seg WHERE next_ms > ms),
+            ov AS (
+                SELECT event_type, h, cents,
+                       least(next_ms, (h + 1) * 3600000)
+                           - greatest(ms, h * 3600000) AS w_ms
+                FROM hr)
+            SELECT event_type, h,
+                   CAST(sum(w_ms) AS BIGINT) AS w_ms,
+                   CAST(CAST(sum(CAST(cents * w_ms AS DECIMAL(38,0)))
+                             AS DECIMAL(38,0)) AS DOUBLE) AS num_fp,
+                   CAST(CAST(sum(CAST(cents * w_ms AS DECIMAL(38,0)))
+                             AS DECIMAL(38,0)) AS DOUBLE)
+                       / CAST(sum(w_ms) AS DOUBLE) AS twap_cents
+            FROM ov GROUP BY 1, 2
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE

@@ -213,6 +213,7 @@ HEADLINE = [
     "sketch_ks_approx",
     "dedup_tfidf_cosine",
     "q_market_basket_lift",
+    "q_twap_hourly",
 ]
 
 

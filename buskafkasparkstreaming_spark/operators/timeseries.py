@@ -106,3 +106,82 @@ def sax_words(
         )
         .alias("sax_word"),
     )
+
+
+def twap_hourly(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """TIME-weighted average value per (group, clock hour) — the
+    TimescaleDB `time_weight` / LOCF-integral analog: each report's
+    value holds until the group's next report (LOCF step function), so
+    the hourly mean weights each value by how LONG it held, not by how
+    often it was sampled.
+
+    Exactness contract: weights are exact BIGINT millisecond overlaps,
+    the numerator an exact DECIMAL(38,0) sum (cents x ms summed
+    fleet-wide overflows int64), double-cast only at the output
+    boundary; the TWAP is ONE float division. Zero-length segments
+    (duplicate timestamps) drop deterministically under the
+    (ms, id) order; each group's last report defines no segment.
+
+    Scale shape: one window shuffle keyed on the group (a fleet has
+    many groups — partition-parallel), then an hour-span explode
+    bounded by segment length (~1 row for telemetry cadences; a
+    fully-idle group costs corpus-duration/1h rows), then one
+    (group, hour) hash aggregation with map-side partials.
+    Output: (group, h, w_ms, num_fp, twap_cents)."""
+    from buskafkasparkstreaming_spark.functions import ts_millis
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("ms").asc(), F.col(id_col).asc()
+    )
+    dec = "decimal(38,0)"
+    seg = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            group_col,
+            id_col,
+            ts_millis(F.col(ts_col)).alias("ms"),
+            F.round(F.col(value_col) * 100, 0).cast("long").alias("cents"),
+        )
+        .withColumn("next_ms", F.lead("ms").over(w))
+        .filter(F.col("next_ms") > F.col("ms"))
+    )
+    hours = seg.select(
+        group_col,
+        "cents",
+        "ms",
+        "next_ms",
+        F.explode(
+            F.sequence(
+                F.expr("ms DIV 3600000"),
+                F.expr("(next_ms - 1) DIV 3600000"),
+            )
+        ).alias("h"),
+    )
+    overlap = F.least(
+        F.col("next_ms"), (F.col("h") + 1) * F.lit(3600000)
+    ) - F.greatest(F.col("ms"), F.col("h") * F.lit(3600000))
+    return (
+        hours.withColumn("w_ms", overlap.cast("long"))
+        .groupBy(group_col, "h")
+        .agg(
+            F.sum("w_ms").cast("long").alias("w_ms"),
+            F.sum((F.col("cents") * F.col("w_ms")).cast(dec))
+            .cast(dec)
+            .alias("__num"),
+        )
+        .select(
+            group_col,
+            "h",
+            "w_ms",
+            F.col("__num").cast("double").alias("num_fp"),
+            (
+                F.col("__num").cast("double") / F.col("w_ms").cast("double")
+            ).alias("twap_cents"),
+        )
+    )

@@ -393,6 +393,10 @@ def test_null_events_drift(spark, tmp_path):
         "layout_hilbert_events",
         "q_ecdf_transform",
         "q_cramers_v",
+        # NULL ts/value rows define no LOCF segment; NULL event_type
+        # rows form their own window partition and (group, hour) cell
+        # identically in both engines
+        "q_twap_hourly",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

@@ -660,3 +660,61 @@ def test_basket_lift_equals_brute_force(spark, baskets, minsup):
         if c >= minsup
     }
     assert got == want, (got - want, want - got)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                   # group
+            st.integers(min_value=0, max_value=4 * 3600_000),  # epoch ms
+            st.integers(min_value=-500, max_value=500),    # cents
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_twap_hourly_equals_brute_force(spark, events):
+    """twap_hourly equals a driver-side LOCF integral over random event
+    sets — duplicate timestamps, hour-straddling and multi-hour
+    segments, negative values, and single-event groups included. Also
+    pins the invariant that per-(group, hour) weights sum to exactly
+    the covered milliseconds."""
+    import datetime as dt
+
+    from buskafkasparkstreaming_spark.operators.timeseries import (
+        twap_hourly,
+    )
+
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        (i, g, epoch + dt.timedelta(milliseconds=ms), c / 100.0)
+        for i, (g, ms, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, grp string, ts timestamp, value double"
+    )
+    got = {
+        (r["grp"], r["h"], r["w_ms"], r["num_fp"], round(r["twap_cents"], 12))
+        for r in twap_hourly(df, "grp", "ts", "value", "event_id").collect()
+    }
+
+    # driver-side reference: same (ms, id) order, LOCF segments, hour clamp
+    by_grp: dict[str, list[tuple[int, int, int]]] = {}
+    for i, (g, ms, c) in enumerate(events):
+        by_grp.setdefault(g, []).append((ms, i, c))
+    want_acc: dict[tuple[str, int], tuple[int, int]] = {}
+    for g, evs in by_grp.items():
+        evs.sort()
+        for (ms, _i, c), (nxt, _j, _c2) in zip(evs, evs[1:]):
+            if nxt <= ms:
+                continue
+            for h in range(ms // 3600_000, (nxt - 1) // 3600_000 + 1):
+                w = min(nxt, (h + 1) * 3600_000) - max(ms, h * 3600_000)
+                pw, pn = want_acc.get((g, h), (0, 0))
+                want_acc[(g, h)] = (pw + w, pn + c * w)
+    want = {
+        (g, h, w, float(n), round(float(n) / float(w), 12))
+        for (g, h), (w, n) in want_acc.items()
+    }
+    assert got == want, (got - want, want - got)

@@ -879,6 +879,16 @@ def test_market_basket_plan_shape(spark, sf_dir):
     assert p.count("BroadcastNestedLoopJoin") <= 2, p
 
 
+def test_twap_plan_shape(spark, sf_dir):
+    """q_twap_hourly: the LOCF window shuffles on the group key (a fleet
+    has many groups — partition-parallel, never SinglePartition); the
+    hour explode is a narrow Generate; one hash aggregation after."""
+    df = entrymod.q_twap_hourly(spark, sf_dir)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p, p
+    assert "SinglePartition" not in p, p
+
+
 def test_sketch_ks_plan_distributed_rank(spark, sf_dir):
     """sketch_ks_approx: the only single-partition window is the
     cumulative sum over the CONFIG-BOUNDED union sketch (<= 2 * kcap *
