@@ -78,7 +78,9 @@ SHOWN = {
     "sketch_ks_approx": "approximate KS: per-group KLL sketch over global_rank (range exchange + row-local level CASE — no single-task sort); the CDF-gap stage runs over sketch rows only (config-bounded), DECIMAL numerator",
     "q_ecdf_transform": "ECDF transform: per-distinct-value counts, distributed running count via global_running_sum (range repartition + broadcast prefix offsets), one float division per surviving row",
     "dedup_weighted_minhash": "weighted Jaccard: the ngram inverted-index equi-join with integer IDF weights riding the index rows (df-capped fan-out); sketch side replicates shingles <=4x into the standard MinHash banding",
-    "dedup_tfidf_cosine": "sparse tf-idf cosine: single-WORD inverted-index equi-join (df-capped), BIGINT dot/norm partial aggs map-side; the one float expression (dot / sqrt(n2_a*n2_b)) is IEEE-exact in any engine",
+    "dedup_tfidf_cosine": "sparse tf-idf cosine: single-WORD inverted-index equi-join (relative df/N cap), BIGINT dot/norm partial aggs map-side; the one float expression (dot / sqrt(n2_a*n2_b)) is IEEE-exact in any engine",
+    "q_market_basket_lift": "basket lift: pair self-join on the order key (fan-out bounded by basket size), BIGINT support counts with map-side partials, Zipf-small item-count joins, 1-row total broadcast cross",
+    "q_twap_hourly": "hourly LOCF TWAP: one window shuffle on the group key, bounded hour-span Generate, one (group,hour) hash agg; DECIMAL(38,0) numerator double-cast at the boundary",
     "layout_hilbert_events": "Hilbert layout: min/max bounds broadcast, the 16-level xy2d walk is ONE row-local projection chain (no shuffle until the optional file bucketing)",
 }
 
