@@ -317,6 +317,84 @@ def main() -> None:
     t_1x["ivf"] = t_1x["ann"]  # anchor: brute-force 1x
     t_10x["ivf"] = timed("ivf QUERY 10x (index pre-built)", ivf_query, results)
 
+    # market-basket lift: the pair stream is a self-equi-join on the
+    # basket key, so cost is Σ(basket_size²) — replicating ORDERS (not
+    # items) multiplies basket count 10x at constant basket size: the
+    # honest linear case. Each copy repeats its source basket, so pair
+    # SUPPORTS also 10x (min_support filters proportionally).
+    from buskafkasparkstreaming_spark.operators.stats import (
+        basket_lift_pairs,
+    )
+
+    li_items = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).persist()
+    li_items.count()
+    li_items10 = replicate(li_items, "l_orderkey", COPIES).persist()
+    li_items10.count()
+    t_1x["basket"] = timed(
+        "basket_lift 1x",
+        lambda: basket_lift_pairs(
+            li_items, "l_orderkey", "l_partkey", min_support=3
+        ).count(),
+        results,
+    )
+    t_10x["basket"] = timed(
+        "basket_lift 10x (10x orders, same basket sizes)",
+        lambda: basket_lift_pairs(
+            li_items10, "l_orderkey", "l_partkey", min_support=30
+        ).count(),
+        results,
+    )
+    li_items.unpersist()
+    li_items10.unpersist()
+
+    # hourly LOCF TWAP: one window shuffle keyed on the group + a
+    # bounded hour explode — replicating GROUPS (event_type x copy)
+    # holds per-group series length constant, the partition-parallel
+    # case a fleet presents (10x groups, 10x rows, flat per-row cost)
+    from buskafkasparkstreaming_spark.operators.timeseries import (
+        twap_hourly,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).persist()
+    ev.count()
+    ev10 = (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("__c"),
+        )
+        .select(
+            "event_id",
+            F.concat_ws(
+                "#", F.col("event_type"), F.col("__c").cast("string")
+            ).alias("event_type"),
+            "ts",
+            "value",
+        )
+        .persist()
+    )
+    ev10.count()
+    t_1x["twap"] = timed(
+        "twap_hourly 1x",
+        lambda: twap_hourly(ev, "event_type", "ts", "value", "event_id").count(),
+        results,
+    )
+    t_10x["twap"] = timed(
+        "twap_hourly 10x (10x groups, same series length)",
+        lambda: twap_hourly(
+            ev10, "event_type", "ts", "value", "event_id"
+        ).count(),
+        results,
+    )
+    ev.unpersist()
+    ev10.unpersist()
+
     # skew probe: hot key = 50% of a 600k-row fact; salted vs plain
     li = read_table(spark, SF_DIR, "lineitem")
     skewed = li.withColumn(
@@ -349,6 +427,8 @@ def main() -> None:
         "semantic": "assign linear; pair stage bounded by cluster size (nlist scales sqrt-N); output quadratic in copy count like any true-dup finder",
         "chunks": "CCNet chunk removal: chunk-keyed counting + broadcast boiler set — linear even when replication makes EVERY chunk boilerplate",
         "pagerank": "join-based power iteration: cost tracks the EDGE list (~100x under replication — every 1x pair becomes a copy-pair clique), per-iteration plan shape constant",
+        "basket": "pair self-join on the basket key: Σ(basket_size²) — 10x ORDERS at constant basket size is the honest linear case (min_support scaled 3→30 to match the 10x supports)",
+        "twap": "one group-keyed window shuffle + bounded hour explode: 10x GROUPS at constant series length is the fleet case — partition-parallel, ~linear",
         "ann": "brute force is O(|Q|×|C|): 100× work at 10×/10× — the IVF path exists for this",
         "ivf": "same 10×/10× workload, query path only (index pre-built & amortized)",
     }
