@@ -984,6 +984,11 @@ def test_null_user_drift(spark, tmp_path):
         "streaming_funnel_timeout",
         "q_funnel_sliding_windows",
         "q_ks_rolling_hourly",
+        # NULL user_id must be outside every HLL register table (the
+        # hashed ITEM, not just a group key) on BOTH sides
+        "sketch_hll_rolling",
+        "streaming_hll_hourly",
+        "sketch_hll_sparse",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
