@@ -7376,13 +7376,13 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact BIGINTs (tf x integer IDF bucket), so the inverted-index
     dot product and both norms are order-independent integer sums; the
     cosine itself is one multiply + one IEEE-exact sqrt + one division.
-    Stop terms are dropped by a RELATIVE df cap (df/N <= 1/5) before the
-    pair join — single-word df is proportional to corpus size, so an
-    absolute cap silently empties the index as the corpus grows (the 10x
-    scale probe measured exactly that); the relative cap is the
-    scale-invariant form of the Zipf-head df^2 fan-out bound. FULL SQL
-    oracle replays tokenization, the cap, bucket weights, and the one
-    float expression."""
+    Stop terms are dropped by MIN of a RELATIVE df cap (df/N <= 1/5 —
+    word df grows with corpus size, so a tight absolute cap alone
+    empties the index at scale; measured by the 10x probe) and an
+    ABSOLUTE cap (df <= 10,000 — bounds the worst-case per-term
+    posting join at max_df^2 regardless of N). FULL SQL oracle replays
+    tokenization, both caps, bucket weights, and the one float
+    expression."""
     docs = _t(spark, sf_dir, "documents")
     # 0.9: the synthetic corpus is drawn from a small vocabulary, so
     # moderate cosine over the full vocabulary is ubiquitous; with the
@@ -11607,7 +11607,7 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN d.df * 16 <= nn.n THEN 2
                                      ELSE 1 END) AS w
                 FROM tf JOIN dfc d USING (t) CROSS JOIN nn
-                WHERE d.df * 5 <= nn.n),
+                WHERE d.df * 5 <= nn.n AND d.df <= 10000),
             norms AS (SELECT doc, CAST(sum(w * w) AS BIGINT) AS n2
                       FROM w GROUP BY doc),
             dots AS (
@@ -11632,7 +11632,8 @@ def oracle_sql() -> dict[str, str]:
             -- division of two BIGINT products
             WITH items AS (
                 SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-                FROM lineitem),
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
             n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders
                   FROM items),
             cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c
@@ -11666,12 +11667,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, cents, ms,
                        lead(ms) OVER (
                            PARTITION BY event_type
-                           ORDER BY ms, event_id) AS next_ms
+                           ORDER BY ms, event_id NULLS LAST) AS next_ms
                 FROM e),
             hr AS (
+                -- FLOOR division via the pmod identity: // truncates
+                -- toward zero, which mis-buckets negative epochs
                 SELECT event_type, cents, ms, next_ms,
-                       unnest(range(ms // 3600000,
-                                    (next_ms - 1) // 3600000 + 1)) AS h
+                       unnest(range(
+                           (ms - ((ms % 3600000) + 3600000) % 3600000)
+                               // 3600000,
+                           ((next_ms - 1)
+                            - (((next_ms - 1) % 3600000) + 3600000)
+                              % 3600000) // 3600000 + 1)) AS h
                 FROM seg WHERE next_ms > ms),
             ov AS (
                 SELECT event_type, h, cents,

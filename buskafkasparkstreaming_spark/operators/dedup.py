@@ -1409,6 +1409,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_df_frac: tuple[int, int] = (1, 5),
+    max_df: int | None = 10_000,
     buckets: tuple[tuple[int, int], ...] = IDF_WEIGHT_BUCKETS,
 ) -> DataFrame:
     """All pairs (a < b) with cosine similarity >= threshold over SPARSE
@@ -1421,16 +1422,27 @@ def tfidf_cosine_pairs(
     cosine is bit-replayable in any engine.
 
     Plan: inverted-index equi-join on the term (never all-pairs); stop
-    terms are DROPPED by a RELATIVE document-frequency cap — keep t iff
-    df(t) * den <= N * num, default df/N <= 1/5 — because single words
-    (unlike k-gram shingles) have df proportional to corpus size: an
-    absolute cap silently empties the whole index as the corpus grows
-    (measured: 10x replication at max_df=1000 -> ZERO surviving terms),
-    while the relative cap is scale-invariant and is what bounds the
-    df^2 join fan-out to a corpus fraction. The cap test is pure integer
-    arithmetic, exact in any engine. Both the tf and the dot-product
-    groupBys partial-aggregate map-side. Output: (id_a, id_b, dot,
-    cosine).
+    terms are DROPPED by the MIN of two document-frequency caps, each
+    covering the other's failure mode (review catch — the relative cap
+    alone reintroduced quadratic fan-out):
+
+    * RELATIVE (df * den <= N * num, default df/N <= 1/5): single words
+      (unlike k-gram shingles) have df proportional to corpus size, so
+      a tight absolute cap alone silently empties the whole index as
+      the corpus grows (measured: 10x replication at max_df=1000 ->
+      ZERO surviving terms). The relative cap keeps idf meaningful at
+      any N.
+    * ABSOLUTE (df <= max_df, default 10,000): a term at df just under
+      N/5 would alone emit (N/5)^2 join rows — ~4e16 at the 1e9-doc
+      design point. The absolute cap bounds the worst-case per-term
+      posting join at max_df^2 regardless of N, the same discipline as
+      ngram_jaccard_pairs (set higher than ngram's 1000 because real
+      Heaps-law vocabularies keep plenty of sub-10k-df words at any
+      corpus size, where 3-gram shingles are far rarer).
+
+    Both cap tests are pure integer arithmetic, exact in any engine.
+    Both the tf and the dot-product groupBys partial-aggregate
+    map-side. Output: (id_a, id_b, dot, cosine).
     """
     tok = (
         _spread(df, id_col)
@@ -1455,6 +1467,8 @@ def tfidf_cosine_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("__df"))
         .filter(F.col("__df") * den <= n_docs * num)
     )
+    if max_df is not None:
+        dfc = dfc.filter(F.col("__df") <= max_df)
     w = tf.join(dfc, "t").select(
         "doc",
         "t",

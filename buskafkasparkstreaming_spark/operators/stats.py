@@ -761,12 +761,19 @@ def basket_lift_pairs(
     at any scale; the min-support filter bounds the output; per-item
     counts are a Zipf-small frame AQE joins back (no static hint), and
     the basket total is the bounded 1-row broadcast-scalar cross.
-    Output: (part_a, part_b, c_ab, c_a, c_b, n_orders, lift)."""
+    Output: (part_a, part_b, c_ab, c_a, c_b, n_orders, lift).
+
+    NULL basket keys and NULL items are dropped up front (review
+    catch): a NULL-key row would inflate the per-item counts c_a/c_b
+    while never reaching n_orders (count_distinct skips NULL) or the
+    pair join (equi-join drops NULL) — silently deflating lift."""
     from pyspark.sql import functions as F
 
-    items = df.select(
-        F.col(order_col).alias("o"), F.col(item_col).alias("p")
-    ).distinct()
+    items = (
+        df.select(F.col(order_col).alias("o"), F.col(item_col).alias("p"))
+        .filter(F.col("o").isNotNull() & F.col("p").isNotNull())
+        .distinct()
+    )
     total = items.agg(F.count_distinct("o").cast("long").alias("n_orders"))
     cnt = items.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("c"))
     pairs = (

@@ -133,11 +133,19 @@ def twap_hourly(
     bounded by segment length (~1 row for telemetry cadences; a
     fully-idle group costs corpus-duration/1h rows), then one
     (group, hour) hash aggregation with map-side partials.
-    Output: (group, h, w_ms, num_fp, twap_cents)."""
+    Output: (group, h, w_ms, num_fp, twap_cents).
+
+    Hour bucketing is FLOOR division (ms - pmod(ms, 1h)) DIV 1h, not
+    the engines' truncate-toward-zero DIV: a pre-1970 (negative-epoch)
+    timestamp under truncation lands in the wrong hour and emits
+    NEGATIVE overlap weights that corrupt the aggregate (review catch).
+    The id tie-break is asc_nulls_last to match SQL's default NULLS
+    LAST — Spark's bare asc() is NULLS FIRST, which would pick a
+    different surviving segment than the oracle on a NULL id."""
     from buskafkasparkstreaming_spark.functions import ts_millis
 
     w = Window.partitionBy(group_col).orderBy(
-        F.col("ms").asc(), F.col(id_col).asc()
+        F.col("ms").asc(), F.col(id_col).asc_nulls_last()
     )
     dec = "decimal(38,0)"
     seg = (
@@ -158,8 +166,11 @@ def twap_hourly(
         "next_ms",
         F.explode(
             F.sequence(
-                F.expr("ms DIV 3600000"),
-                F.expr("(next_ms - 1) DIV 3600000"),
+                F.expr("(ms - pmod(ms, 3600000)) DIV 3600000"),
+                F.expr(
+                    "((next_ms - 1) - pmod(next_ms - 1, 3600000))"
+                    " DIV 3600000"
+                ),
             )
         ).alias("h"),
     )

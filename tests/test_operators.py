@@ -2478,3 +2478,58 @@ def test_wav_g711_law_tiers():
         _, _, f_law = wav_features(wav(law, 8, ramp))
         _, _, f_ref = wav_features(wav(1, 16, lin))
         assert f_law == f_ref, (law, f_law, f_ref)
+
+
+def test_twap_negative_epoch_and_null_id(spark):
+    """Review repros: (1) a pre-1970 segment must bucket by FLOOR
+    division — truncation emits a negative-weight phantom hour-0 row
+    and misses hour -2; (2) a NULL id tied on ms must lose the
+    tie-break (NULLS LAST) exactly as the SQL oracle's default."""
+    import datetime as dt
+
+    from buskafkasparkstreaming_spark.operators.timeseries import (
+        twap_hourly,
+    )
+
+    epoch = dt.datetime(1970, 1, 1)
+    ts = lambda ms: epoch + dt.timedelta(milliseconds=ms)  # noqa: E731
+
+    # segment -5400000 .. -1800000 covers hour -2 fully (1.8e6 ms) and
+    # hour -1 half (1.8e6 ms); hour 0 is never touched
+    neg = spark.createDataFrame(
+        [(1, "g", ts(-5400000), 1.0), (2, "g", ts(-1800000), 9.0)],
+        "event_id long, grp string, ts timestamp, value double",
+    )
+    rows = {
+        r["h"]: (r["w_ms"], r["twap_cents"])
+        for r in twap_hourly(neg, "grp", "ts", "value", "event_id").collect()
+    }
+    assert rows == {-2: (1800000, 100.0), -1: (1800000, 100.0)}, rows
+
+    # NULL id ties with id=5 at ms=1000: NULLS LAST makes id=5 the
+    # zero-length dropped segment and the NULL-id row the survivor
+    dup = spark.createDataFrame(
+        [(None, "g", ts(1000), 1.0), (5, "g", ts(1000), 2.0),
+         (6, "g", ts(7000), 3.0)],
+        "event_id long, grp string, ts timestamp, value double",
+    )
+    out = twap_hourly(dup, "grp", "ts", "value", "event_id").collect()
+    assert len(out) == 1 and out[0]["twap_cents"] == 100.0, out
+
+
+def test_basket_lift_null_keys_excluded(spark):
+    """Review repro: a NULL basket key must not inflate c_a/c_b — with
+    it counted, lift for a perfectly-associated pair deflates from 1.0
+    to 0.75."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        basket_lift_pairs,
+    )
+
+    rows = [(None, 1), (10, 1), (10, 2), (20, 1), (20, 2), (30, 1),
+            (30, 2), (40, None)]
+    df = spark.createDataFrame(rows, "o long, p long")
+    out = basket_lift_pairs(df, "o", "p", min_support=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["c_ab"], r["c_a"], r["c_b"], r["n_orders"]) == (3, 3, 3, 3)
+    assert r["lift"] == 1.0

@@ -667,7 +667,9 @@ def test_basket_lift_equals_brute_force(spark, baskets, minsup):
     events=st.lists(
         st.tuples(
             st.sampled_from(["a", "b"]),                   # group
-            st.integers(min_value=0, max_value=4 * 3600_000),  # epoch ms
+            st.integers(                                    # epoch ms,
+                min_value=-2 * 3600_000, max_value=4 * 3600_000
+            ),                                              # incl. pre-1970
             st.integers(min_value=-500, max_value=500),    # cents
         ),
         min_size=1,
@@ -677,9 +679,11 @@ def test_basket_lift_equals_brute_force(spark, baskets, minsup):
 def test_twap_hourly_equals_brute_force(spark, events):
     """twap_hourly equals a driver-side LOCF integral over random event
     sets — duplicate timestamps, hour-straddling and multi-hour
-    segments, negative values, and single-event groups included. Also
-    pins the invariant that per-(group, hour) weights sum to exactly
-    the covered milliseconds."""
+    segments, negative values, NEGATIVE EPOCHS (floor vs truncate hour
+    bucketing — Python // is floor, the reference is authoritative),
+    and single-event groups included. Also pins the invariant that
+    per-(group, hour) weights sum to exactly the covered
+    milliseconds."""
     import datetime as dt
 
     from buskafkasparkstreaming_spark.operators.timeseries import (
