@@ -1042,15 +1042,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with a recall/accuracy self-check oracle (xxhash64 makes
-    the sketch itself SQL-inexpressible, but its CONTRACT isn't): every
-    exact pair with Jaccard ≥ 0.3 — which the oracle computes in SQL — must
-    be surfaced as an LSH candidate (8 bands × 4 rows: P(miss) < 1e-3 at
-    J = 0.3 even before the corpus's actual near-dups, which all sit far
-    above it), and the 32-hash estimate must sit within 0.25 of the exact
-    value (observed max error ≤ 0.11 at sf 0.001–0.1; Hoeffding bound
-    P > 0.25 ≈ 0.04 per pair — deterministic here, the hashes are seeded).
-    A banding or signature regression flips `found_by_lsh`/`est_within_bound`
-    to false and hash-fails."""
+    the sketch itself SQL-inexpressible, but its CONTRACT isn't), asserted
+    ONLY where detection is near-certain (the dedup_weighted_minhash
+    advisor catch, applied family-wide): contract_binding marks exact
+    pairs at J >= 0.9 — 8 bands × 4 rows surface a pair with probability
+    1-(1-J^4)^8, which is just ~6% at the 0.3 candidate threshold but
+    ~1 - 1.4e-6 at the 0.9 gate (the corpus's planted near-dups all sit
+    far above it) — and the *_ok columns are IMPLICATION booleans (NOT
+    binding OR satisfied; never NULL, so both engines sort identically):
+    above the gate the pair must be an LSH candidate with its 32-hash
+    estimate within 0.25 of the exact value (observed max error ≤ 0.11 at
+    sf 0.001–0.1; ±0.25 is ~4.7σ at the gate — deterministic here, the
+    hashes are seeded). A banding or signature regression flips the *_ok
+    columns to false and hash-fails; a borderline exact pair appearing in
+    a future dataset cannot."""
     docs = _t(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", k=3, num_hashes=32)
     cand = D.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
@@ -1061,14 +1066,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = exact.join(
         cand.withColumnRenamed("est_jaccard", "__est"), ["id_a", "id_b"], "left"
     )
+    binding = F.col("jaccard") >= 0.9
     return joined.select(
         "id_a",
         "id_b",
         "jaccard",
-        F.col("__est").isNotNull().alias("found_by_lsh"),
-        F.coalesce(
-            F.abs(F.col("__est") - F.col("jaccard")) <= 0.25, F.lit(False)
-        ).alias("est_within_bound"),
+        binding.alias("contract_binding"),
+        (~binding | F.col("__est").isNotNull()).alias("lsh_found_ok"),
+        (
+            ~binding
+            | F.coalesce(
+                F.abs(F.col("__est") - F.col("jaccard")) <= 0.25, F.lit(False)
+            )
+        ).alias("est_within_bound_ok"),
     )
 
 
@@ -1076,9 +1086,12 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup (operators/dedup.py:
     lsh_candidate_pairs_incremental): every 10th doc is "today's batch",
     the rest the standing corpus; candidates cross batch x corpus only.
-    Recall/accuracy self-check oracle like dedup_minhash_lsh: every exact
-    crossing pair with Jaccard >= 0.3 must be surfaced by the incremental
-    join with its estimate within 0.25."""
+    Recall/accuracy self-check oracle like dedup_minhash_lsh, with the
+    same J >= 0.9 detectability gate + implication booleans (the
+    dedup_weighted_minhash advisor catch, applied family-wide): every
+    exact crossing pair at J >= 0.9 must be surfaced by the incremental
+    join with its estimate within 0.25; borderline pairs keep their
+    exact row with a vacuous contract."""
     docs = _t(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
@@ -1099,14 +1112,19 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = crossing.join(
         cand.withColumnRenamed("est_jaccard", "__est"), ["id_a", "id_b"], "left"
     )
+    binding = F.col("jaccard") >= 0.9
     return joined.select(
         "id_a",
         "id_b",
         "jaccard",
-        F.col("__est").isNotNull().alias("found_by_lsh"),
-        F.coalesce(
-            F.abs(F.col("__est") - F.col("jaccard")) <= 0.25, F.lit(False)
-        ).alias("est_within_bound"),
+        binding.alias("contract_binding"),
+        (~binding | F.col("__est").isNotNull()).alias("lsh_found_ok"),
+        (
+            ~binding
+            | F.coalesce(
+                F.abs(F.col("__est") - F.col("jaccard")) <= 0.25, F.lit(False)
+            )
+        ).alias("est_within_bound_ok"),
     )
 
 
@@ -7342,9 +7360,20 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch side replicates each shingle w times and runs plain MinHash
     (the integer-weight reduction), banded 8x4. Contract columns, the
     dedup_minhash_lsh pattern (xxhash64 makes the sketch itself
-    SQL-inexpressible, its contract isn't): every exact pair with
-    J_w >= 0.3 must surface as an LSH candidate, and the 32-hash
-    estimate must sit within 0.25 of the exact weighted Jaccard."""
+    SQL-inexpressible, its contract isn't) — but asserted ONLY where
+    detection is near-certain (advisor catch, round 9): contract_binding
+    marks pairs at J_w >= 0.9, and the two *_ok columns are IMPLICATION
+    booleans (NOT binding OR satisfied — never NULL, so both engines
+    sort rows identically), because an 8x4-banded sketch surfaces a
+    pair with probability 1-(1-J^4)^8 — just ~6% at the 0.3 threshold,
+    40% at 0.5, and only ~1 - 1.4e-6 at the 0.9 gate; likewise the
+    +-0.25 estimate bound is ~2.8 sigma at J=0.5 (a ~5e-3 per-pair
+    flake) but ~4.7 sigma at 0.9. Above the gate: the pair must surface
+    as an LSH candidate and the 32-hash estimate must sit within 0.25
+    of the exact weighted Jaccard. Borderline pairs keep their exact
+    J_w row; only the sketch contract goes vacuous there, so a
+    drift-sweep dataset that plants a borderline pair cannot flip the
+    gate into a spurious hard failure."""
     docs = _t(spark, sf_dir, "documents")
     wt = D.weighted_shingles(docs, "doc_id", k=3, max_df=1000)
     sigs = D.weighted_minhash_signatures(wt, num_hashes=32)
@@ -7357,14 +7386,20 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["id_a", "id_b"],
         "left",
     )
+    binding = F.col("w_jaccard") >= 0.9
     return joined.select(
         "id_a",
         "id_b",
         "w_jaccard",
-        F.col("__est").isNotNull().alias("found_by_lsh"),
-        F.coalesce(
-            F.abs(F.col("__est") - F.col("w_jaccard")) <= 0.25, F.lit(False)
-        ).alias("est_within_bound"),
+        binding.alias("contract_binding"),
+        (~binding | F.col("__est").isNotNull()).alias("lsh_found_ok"),
+        (
+            ~binding
+            | F.coalesce(
+                F.abs(F.col("__est") - F.col("w_jaccard")) <= 0.25,
+                F.lit(False),
+            )
+        ).alias("est_within_bound_ok"),
     )
 
 
@@ -11524,15 +11559,21 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
         """,
         "dedup_minhash_lsh": f"""
+            -- contract asserted only above the J >= 0.9 detectability
+            -- gate (8x4 banding misses with prob (1-J^4)^8 ~ 1.4e-6
+            -- there vs ~94% at 0.3); implication booleans, never NULL
             SELECT id_a, id_b, jaccard,
-                   true AS found_by_lsh,
-                   true AS est_within_bound
+                   jaccard >= 0.9 AS contract_binding,
+                   true AS lsh_found_ok,
+                   true AS est_within_bound_ok
             FROM ({_ngram_pairs_sql(0.3, 1000)})
         """,
         "dedup_incremental_lsh": f"""
+            -- same J >= 0.9 detectability gate as dedup_minhash_lsh
             SELECT id_a, id_b, jaccard,
-                   true AS found_by_lsh,
-                   true AS est_within_bound
+                   jaccard >= 0.9 AS contract_binding,
+                   true AS lsh_found_ok,
+                   true AS est_within_bound_ok
             FROM ({_ngram_pairs_sql(0.3, 1000)})
             WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
         """,
@@ -11541,7 +11582,13 @@ def oracle_sql() -> dict[str, str]:
             -- 4x / mid 2x / common 1x over the max_df-capped vocabulary),
             -- mirroring operators/dedup.py::weighted_jaccard_pairs; the
             -- contract booleans assert the weighted-MinHash sketch path
-            -- (dedup_minhash_lsh pattern)
+            -- (dedup_minhash_lsh pattern) ONLY above the J_w >= 0.9
+            -- detectability gate, where an 8x4-banded sketch misses with
+            -- probability (1-J^4)^8 ~ 1.4e-6 and +-0.25 is ~4.7 sigma of
+            -- the 32-hash estimate; below the gate detection is genuinely
+            -- probabilistic (~6% at 0.3) and the implication booleans are
+            -- vacuously true — never NULL, so both engines sort rows
+            -- identically (advisor catch, round 9)
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents
                        WHERE trim(coalesce(text, '')) <> ''),
@@ -11579,8 +11626,9 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sa ON sa.doc_id = i.id_a
                 JOIN sizes sb ON sb.doc_id = i.id_b)
             SELECT id_a, id_b, w_jaccard,
-                   true AS found_by_lsh,
-                   true AS est_within_bound
+                   w_jaccard >= 0.9 AS contract_binding,
+                   true AS lsh_found_ok,
+                   true AS est_within_bound_ok
             FROM p WHERE w_jaccard >= 0.3
         """,
         "dedup_tfidf_cosine": """
@@ -11657,7 +11705,10 @@ def oracle_sql() -> dict[str, str]:
             -- LOCF time-weighted hourly average, mirroring q_twap_hourly:
             -- segments from lead(ms) under the (ms, event_id) order,
             -- clamped to hours; BIGINT millisecond weights, DECIMAL(38,0)
-            -- numerator, double-cast only at the output boundary
+            -- numerator, double-cast only at the output boundary.
+            -- cents is DECIMAL-cast BEFORE the multiply (both engines):
+            -- a BIGINT cents*w_ms product wraps in Spark / raises in
+            -- DuckDB above |cents|*3.6e6 > int64 max (advisor catch)
             WITH e AS (
                 SELECT event_type, event_id, epoch_ms(ts) AS ms,
                        CAST(round(value * 100) AS BIGINT) AS cents
@@ -11687,9 +11738,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM hr)
             SELECT event_type, h,
                    CAST(sum(w_ms) AS BIGINT) AS w_ms,
-                   CAST(CAST(sum(CAST(cents * w_ms AS DECIMAL(38,0)))
+                   CAST(CAST(sum(CAST(cents AS DECIMAL(20,0))
+                                 * CAST(w_ms AS DECIMAL(18,0)))
                              AS DECIMAL(38,0)) AS DOUBLE) AS num_fp,
-                   CAST(CAST(sum(CAST(cents * w_ms AS DECIMAL(38,0)))
+                   CAST(CAST(sum(CAST(cents AS DECIMAL(20,0))
+                                 * CAST(w_ms AS DECIMAL(18,0)))
                              AS DECIMAL(38,0)) AS DOUBLE)
                        / CAST(sum(w_ms) AS DOUBLE) AS twap_cents
             FROM ov GROUP BY 1, 2

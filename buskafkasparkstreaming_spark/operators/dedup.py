@@ -1371,17 +1371,26 @@ def weighted_jaccard_pairs(
     buckets: tuple[tuple[int, int], ...] = IDF_WEIGHT_BUCKETS,
 ) -> DataFrame:
     """All pairs (a < b) with IDF-weighted Jaccard >= threshold — the
-    inverted-index plan of ngram_jaccard_pairs (equi-join on the shingle
-    hash, never all-pairs; per-shingle fan-out bounded at max_df^2) with
+    inverted-index plan of ngram_jaccard_pairs (equi-join on the shingle,
+    never all-pairs; per-shingle fan-out bounded at max_df^2) with
     weighted intersection/union: inter_w = sum of shared-shingle weights
     (a.w == b.w by construction — the weight is a global function of the
     shingle), union_w = W_a + W_b - inter_w. One float division per
-    surviving pair. Output: (id_a, id_b, w_jaccard)."""
+    surviving pair. Output: (id_a, id_b, w_jaccard).
+
+    The EXACT path joins on the shingle STRING `s`, not its 64-bit
+    xxhash64 `sh`: at the 1e9-doc design point the corpus holds ~1e9
+    distinct capped shingles, where the birthday bound puts 64-bit
+    collision probability at percent level — a collision would create a
+    phantom intersection and break the a.w == b.w invariant on the Spark
+    side only (the oracle joins on the string). The hash exists solely
+    for the SKETCH path (weighted_minhash_signatures), where a collision
+    costs estimator noise, not correctness (advisor catch, round 9)."""
     wt = weighted_shingles(df, id_col, text_col, k, max_df, buckets)
     sizes = wt.groupBy("doc").agg(F.sum("w").cast("long").alias("wsize"))
     inter = (
         wt.alias("a")
-        .join(wt.alias("b"), on="sh")
+        .join(wt.alias("b"), on="s")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.sum(F.col("a.w")).cast("long").alias("inter_w"))

@@ -182,7 +182,16 @@ def twap_hourly(
         .groupBy(group_col, "h")
         .agg(
             F.sum("w_ms").cast("long").alias("w_ms"),
-            F.sum((F.col("cents") * F.col("w_ms")).cast(dec))
+            # cents is cast to DECIMAL *before* the multiply: a BIGINT
+            # product cents*w_ms silently wraps in Spark above
+            # |value| ~ $2.6e10 (|cents|*3.6e6 > int64 max) while DuckDB
+            # raises, so the whole numerator — per-term product AND sum —
+            # must be decimal-exact. DECIMAL(20,0)*DECIMAL(18,0) →
+            # DECIMAL(38,0) in both engines (advisor catch, round 9).
+            F.sum(
+                F.col("cents").cast("decimal(20,0)")
+                * F.col("w_ms").cast("decimal(18,0)")
+            )
             .cast(dec)
             .alias("__num"),
         )
