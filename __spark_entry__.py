@@ -7475,110 +7475,109 @@ def q_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over parts: minimize retail price,
+    maximize size — every part not dominated by a (cheaper-or-equal,
+    larger-or-equal, one strict) rival (operators/windows_fn.py::
+    skyline_2d). The Spark plan is the STAIRCASE decomposition: one
+    map-side-partial hash agg to min-price-per-size (|distinct size|
+    rows, domain-bounded), a running min over that tiny frame, and a
+    broadcast join back — no base-data shuffle, no pair expansion, where
+    the textbook formulation is an O(n^2) NOT EXISTS. The oracle runs
+    that brute-force dominance anti-join — a genuinely INDEPENDENT plan,
+    so any strictness/tie bug in the staircase diverges. Price compared
+    in exact BIGINT cents; NULL size/price rows are non-frontier on both
+    sides (three-valued dominance)."""
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        skyline_2d,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return skyline_2d(p, "price_cents", "p_size").select(
+        "p_partkey", "p_size", "price_cents"
+    )
+
+
+def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution over the event stream
+    (operators/windows_fn.py::attribute_touches): every non-purchase
+    event is attributed to the user's NEXT purchase in strict
+    (ts, event_id) order when it falls within the 7-day lookback, and
+    the conversion's credit is split linearly with EXACT arithmetic —
+    one row per (conversion, touch type) carrying integer counts and the
+    single float division n_type/n_touches, never a float sum across
+    conversions. First/last-touch flags come from integer window
+    min/max on the (ms, id) key (ties keep every tied type flagged, so
+    the result is deterministic in any engine). One user-key shuffle;
+    the touch->conversion join reuses that partitioning. FULL SQL
+    oracle replays the DESC running conversion count, the index join,
+    and the credit split."""
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        attribute_touches,
+    )
+
+    return attribute_touches(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "purchase",
+        7 * 24 * 3600 * 1000,
+    )
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
     # round so every entry gets a driver-verified row regularly, computed
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
-    # semantics/plan changed this round, then artifact-less, then
-    # oldest-artifact-first).
-    # Round-9 rotation (VERDICT r8 item 1, verbatim): the 26 never-seen
-    # r8 session-4/5 tail entries + the 16 artifact-less r6 entries + the
-    # first 8 of the 14 r2-stale = exactly 50. After this round the
-    # never-checked backlog is the newly-registered trio + the 5 new r9
-    # entries (approx-KS, weighted MinHash, tf-idf cosine, basket lift,
-    # hourly TWAP) = 8; round 10 leads with those, then the 6 remaining
-    # r2-stale, then the 33 r4-stale — 47 of 50 slots, leaving 3 for
-    # round-10 additions with zero rotation slippage.
+    # semantics/plan changed this round, then oldest-artifact-first).
+    # Round-10 rotation (the arithmetic the round-9 NOTE precomputed):
+    # 8 never-seen (the 3 operators registered in round 9 + the 5 new
+    # round-9 entries) + 1 contract-changed (dedup_incremental_lsh --
+    # the advisor's LSH-gate fix; dedup_weighted_minhash and
+    # q_twap_hourly also changed but already hold never-seen slots, and
+    # dedup_minhash_lsh rides its r4-stale slot below) + 2 new round-10
+    # entries (skyline, attribution -- additions kept == spare slots,
+    # VERDICT r8 item 4) + the 6 remaining r2-stale + all 33 r4-stale
+    # = exactly 50. After this round nothing is older than round 5;
+    # round-11 arithmetic: 0 never-seen carried, 50 r5-stale -- the r5
+    # cohort alone fills the window, so round-11 additions must either
+    # be 0 or explicitly displace r5 entries in this NOTE.
     return {
-        # --- round-8 session-4/5 tail: never driver-seen -- lead the
-        # round-9 window (VERDICT r8 item 1) --------------------------
-        "streaming_psi_drift": streaming_psi_drift,
-        "q_ccf_types": q_ccf_types,
-        "q_histogram_equi_depth": q_histogram_equi_depth,
-        "sample_reservoir_stratum": sample_reservoir_stratum,
-        "sketch_kll_quantiles": sketch_kll_quantiles,
-        "q_record_linkage_fs": q_record_linkage_fs,
-        "text_bpe_merges": text_bpe_merges,
-        "q_winsorized_stats": q_winsorized_stats,
-        "text_ngram_novelty": text_ngram_novelty,
-        "q_theilsen_hourly": q_theilsen_hourly,
-        "streaming_hll_hourly": streaming_hll_hourly,
-        "streaming_cusum_hourly": streaming_cusum_hourly,
-        "q_gini_revenue": q_gini_revenue,
-        "q_herfindahl_segments": q_herfindahl_segments,
-        "text_zipf_slope": text_zipf_slope,
-        "q_bootstrap_ci_mean": q_bootstrap_ci_mean,
-        "graph_kcore": graph_kcore,
-        "dedup_containment": dedup_containment,
-        "sketch_hll_rolling": sketch_hll_rolling,
-        "streaming_quantile_hourly": streaming_quantile_hourly,
-        "q_fd_violations": q_fd_violations,
-        "q_ref_integrity": q_ref_integrity,
-        "q_anova_f": q_anova_f,
-        "q_mannwhitney_u": q_mannwhitney_u,
-        "q_hellinger_types": q_hellinger_types,
-        "q_holt_dyadic": q_holt_dyadic,
-        # --- artifact-less round-6 cohort (the r6 CORRECTNESS file was
-        # never preserved) -- inside the round-9 window ---------------
-        "manifest_read_where": manifest_read_where,
-        "q_asof_next_purchase": q_asof_next_purchase,
-        "q_asof_nearest_purchase": q_asof_nearest_purchase,
-        "text_gopher_rules": text_gopher_rules,
-        "text_c4_rules": text_c4_rules,
-        "sketch_hll_distinct": sketch_hll_distinct,
-        "sample_weighted_priority": sample_weighted_priority,
-        "streaming_purchase_error_left_join": streaming_purchase_error_left_join,
-        "sample_dsir_importance": sample_dsir_importance,
-        "sketch_hll_incremental": sketch_hll_incremental,
-        "sketch_quantile_histogram": sketch_quantile_histogram,
-        "q_corr_price_items": q_corr_price_items,
-        "q_gapfill_hourly": q_gapfill_hourly,
-        "q_locf_fill": q_locf_fill,
-        "q_funnel_conversion": q_funnel_conversion,
-        "q_cohort_retention": q_cohort_retention,
-        # --- r2-stale, first 8 of 14 (oldest-artifact-first) ---------
-        "q_hourly_events": q_hourly_events,
-        "q_sliding_window_avg": q_sliding_window_avg,
-        "q_pivot_event_types": q_pivot_event_types,
-        "q_pivot_native": q_pivot_native,
-        "q_grouping_sets": q_grouping_sets,
-        "q_rollup_status_priority": q_rollup_status_priority,
-        "q_cube_status_priority": q_cube_status_priority,
-        "q_string_agg_suppliers": q_string_agg_suppliers,
-        # ===== DRIVER WINDOW CUT: the 50 entries above are the
-        # round-9 sweep (26 never-seen + 16 artifact-less r6 + 8
-        # r2-stale). Below: locally green via
-        # tests/test_oracle_parity.py; ordered for the ROUND-10
-        # window (never-seen first, then oldest artifact).
-        # Round-10 arithmetic (VERDICT r8 item 4): carried debt =
-        # 3 newly-registered never-seen + 6 r2-stale + 33 r4-stale
-        # = 42, leaving at most 8 slots for new round-9 entries
-        # before r5-stale rotation slips another round. FINAL: 5
-        # new entries landed (approx-KS, weighted MinHash, tf-idf
-        # cosine, basket lift, hourly TWAP) -> r10 debt = 8
-        # never-seen + 6 + 33 = 47 of 50; 3 slots spare. =========
-        # --- registered this round (previously unregistered dead code,
-        # VERDICT r8 item 2): never driver-seen -- lead round 10 ------
+        # --- never driver-seen: the 3 operators registered in round 9
+        # (VERDICT r8 item 2) + the 5 new round-9 entries -- lead the
+        # round-10 window ----------------------------------------------
         "layout_hilbert_events": layout_hilbert_events,
         "q_ecdf_transform": q_ecdf_transform,
         "q_cramers_v": q_cramers_v,
-        # --- new in round 9 (never driver-seen -- lead round 10 with the
-        # trio above; 8 total additions, at the <=8 budget) ----------
         "sketch_ks_approx": sketch_ks_approx,
         "dedup_weighted_minhash": dedup_weighted_minhash,
         "dedup_tfidf_cosine": dedup_tfidf_cosine,
         "q_market_basket_lift": q_market_basket_lift,
         "q_twap_hourly": q_twap_hourly,
-        # --- r2-stale remainder (6) --------------------------
+        # --- output contract changed this round (advisor LSH-gate fix
+        # applied family-wide): needs a fresh driver row ---------------
+        "dedup_incremental_lsh": dedup_incremental_lsh,
+        # --- new in round 10 (never driver-seen; 2 == the spare slots) -
+        "q_skyline_parts": q_skyline_parts,
+        "q_attribution_credit": q_attribution_credit,
+        # --- r2-stale remainder (6 -- clears round 2) ------------------
         "q_map_explode_props": q_map_explode_props,
         "q_array_ops_embeddings": q_array_ops_embeddings,
         "q_decimal_and_date": q_decimal_and_date,
         "q_pandas_udf_score": q_pandas_udf_score,
         "q_zscore_by_type": q_zscore_by_type,
         "udtf_split_words": udtf_split_words,
-        # --- last on-disk driver-green: round 4 ------------------
+        # --- r4-stale (all 33 -- clears round 4; dedup_minhash_lsh also
+        # carries this round's LSH contract change) ---------------------
         "q_orders_of_rich_customers": q_orders_of_rich_customers,
         "q_running_total": q_running_total,
         "q_event_gaps": q_event_gaps,
@@ -7612,7 +7611,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_budget": pack_token_budget,
         "corpus_curation": corpus_curation,
         "ann_quantize_int8": ann_quantize_int8,
-        # --- driver-green round 5 --------------------------------
+        # ===== DRIVER WINDOW CUT: the 50 entries above are the
+        # round-10 sweep (8 never-seen + 1 changed + 2 new + 6 r2-stale
+        # + 33 r4-stale). Below: locally green via
+        # tests/test_oracle_parity.py; ordered for the ROUND-11 window
+        # (oldest artifact first: the 50-entry r5 cohort exactly fills
+        # it, then r7, r8, r9). =========================================
+        # --- driver-green round 5 --------------------------------------
         "q_argmax_events": q_argmax_events,
         "streaming_stateful_running": streaming_stateful_running,
         "streaming_tumbling_counts": streaming_tumbling_counts,
@@ -7648,7 +7653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunk_documents": pack_chunk_documents,
         "layout_zorder_events": layout_zorder_events,
         "stats_profile_documents": stats_profile_documents,
-        "dedup_incremental_lsh": dedup_incremental_lsh,
         "sample_curriculum_stages": sample_curriculum_stages,
         "text_lm_bigram_score": text_lm_bigram_score,
         "text_quality_classifier": text_quality_classifier,
@@ -7663,7 +7667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median_price_by_priority": q_median_price_by_priority,
         "q_asof_purchase_before_error": q_asof_purchase_before_error,
         "q_range_join_value_tiers": q_range_join_value_tiers,
-        # --- driver-green round 7 --------------------------------
+        # --- driver-green round 7 --------------------------------------
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
         "q_variant_props": q_variant_props,
@@ -7711,7 +7715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders_per_customer": q_topk_orders_per_customer,
         "q_exists_correlated": q_exists_correlated,
         "q_customers_without_orders": q_customers_without_orders,
-        # --- driver-green round 8 (freshest) ---------------------
+        # --- driver-green round 8 --------------------------------------
         "dedup_prefix_filter": dedup_prefix_filter,
         "lake_bucketed_join": lake_bucketed_join,
         "cdc_purge_keys": cdc_purge_keys,
@@ -7762,6 +7766,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rfm_segments": q_rfm_segments,
         "q_chi2_independence": q_chi2_independence,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        # --- driver-green round 9 (freshest) ---------------------------
+        "streaming_psi_drift": streaming_psi_drift,
+        "q_ccf_types": q_ccf_types,
+        "q_histogram_equi_depth": q_histogram_equi_depth,
+        "sample_reservoir_stratum": sample_reservoir_stratum,
+        "sketch_kll_quantiles": sketch_kll_quantiles,
+        "q_record_linkage_fs": q_record_linkage_fs,
+        "text_bpe_merges": text_bpe_merges,
+        "q_winsorized_stats": q_winsorized_stats,
+        "text_ngram_novelty": text_ngram_novelty,
+        "q_theilsen_hourly": q_theilsen_hourly,
+        "streaming_hll_hourly": streaming_hll_hourly,
+        "streaming_cusum_hourly": streaming_cusum_hourly,
+        "q_gini_revenue": q_gini_revenue,
+        "q_herfindahl_segments": q_herfindahl_segments,
+        "text_zipf_slope": text_zipf_slope,
+        "q_bootstrap_ci_mean": q_bootstrap_ci_mean,
+        "graph_kcore": graph_kcore,
+        "dedup_containment": dedup_containment,
+        "sketch_hll_rolling": sketch_hll_rolling,
+        "streaming_quantile_hourly": streaming_quantile_hourly,
+        "q_fd_violations": q_fd_violations,
+        "q_ref_integrity": q_ref_integrity,
+        "q_anova_f": q_anova_f,
+        "q_mannwhitney_u": q_mannwhitney_u,
+        "q_hellinger_types": q_hellinger_types,
+        "q_holt_dyadic": q_holt_dyadic,
+        "manifest_read_where": manifest_read_where,
+        "q_asof_next_purchase": q_asof_next_purchase,
+        "q_asof_nearest_purchase": q_asof_nearest_purchase,
+        "text_gopher_rules": text_gopher_rules,
+        "text_c4_rules": text_c4_rules,
+        "sketch_hll_distinct": sketch_hll_distinct,
+        "sample_weighted_priority": sample_weighted_priority,
+        "streaming_purchase_error_left_join": streaming_purchase_error_left_join,
+        "sample_dsir_importance": sample_dsir_importance,
+        "sketch_hll_incremental": sketch_hll_incremental,
+        "sketch_quantile_histogram": sketch_quantile_histogram,
+        "q_corr_price_items": q_corr_price_items,
+        "q_gapfill_hourly": q_gapfill_hourly,
+        "q_locf_fill": q_locf_fill,
+        "q_funnel_conversion": q_funnel_conversion,
+        "q_cohort_retention": q_cohort_retention,
+        "q_hourly_events": q_hourly_events,
+        "q_sliding_window_avg": q_sliding_window_avg,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_pivot_native": q_pivot_native,
+        "q_grouping_sets": q_grouping_sets,
+        "q_rollup_status_priority": q_rollup_status_priority,
+        "q_cube_status_priority": q_cube_status_priority,
+        "q_string_agg_suppliers": q_string_agg_suppliers,
     }
 
 STOP_SQL = "('the','a','of','to','and','in')"
@@ -11746,6 +11801,89 @@ def oracle_sql() -> dict[str, str]:
                              AS DECIMAL(38,0)) AS DOUBLE)
                        / CAST(sum(w_ms) AS DOUBLE) AS twap_cents
             FROM ov GROUP BY 1, 2
+        """,
+        "q_skyline_parts": """
+            -- brute-force dominance anti-join: deliberately a DIFFERENT
+            -- plan than the Spark staircase (same semantics, independent
+            -- derivation), so strictness/tie bugs diverge
+            WITH p AS (
+                SELECT p_partkey, p_size,
+                       CAST(round(p_retailprice * 100) AS BIGINT)
+                           AS price_cents
+                FROM part
+                WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL)
+            SELECT a.p_partkey, a.p_size, a.price_cents
+            FROM p a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.price_cents <= a.price_cents
+                  AND b.p_size >= a.p_size
+                  AND (b.price_cents < a.price_cents
+                       OR b.p_size > a.p_size))
+        """,
+        "q_attribution_credit": """
+            -- linear multi-touch attribution, mirroring
+            -- q_attribution_credit: DESC running conversion count ->
+            -- next-conversion index, 7-day lookback, exact integer
+            -- credit split (one division per output row); NULL ids
+            -- order as LONG_MIN, ties flag every tied type
+            WITH e AS (
+                SELECT user_id AS u, event_type AS etype,
+                       epoch_ms(ts) AS ms, event_id AS eid,
+                       coalesce(event_id, -9223372036854775808) AS ck,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS is_conv
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            seq AS (
+                SELECT *,
+                       sum(is_conv) OVER (
+                           PARTITION BY u
+                           ORDER BY ms DESC, ck DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS remaining,
+                       sum(is_conv) OVER (PARTITION BY u) AS n_conv
+                FROM e),
+            convs AS (
+                SELECT u, n_conv - remaining + 1 AS conv_idx,
+                       eid AS conv_id, ms AS conv_ms
+                FROM seq WHERE is_conv = 1),
+            touches AS (
+                SELECT u, n_conv - remaining + 1 AS conv_idx,
+                       etype, ms, ck
+                FROM seq WHERE is_conv = 0 AND remaining >= 1),
+            att AS (
+                SELECT t.u, t.conv_idx, t.etype, t.ms, t.ck,
+                       c.conv_id, c.conv_ms
+                FROM touches t
+                JOIN convs c ON c.u = t.u AND c.conv_idx = t.conv_idx
+                WHERE c.conv_ms - t.ms <= 604800000),
+            pt AS (
+                SELECT *,
+                       count(*) OVER w AS n_touches,
+                       min(ms) OVER w AS min_ms,
+                       max(ms) OVER w AS max_ms
+                FROM att
+                WINDOW w AS (PARTITION BY u, conv_idx)),
+            pt2 AS (
+                SELECT *,
+                       min(CASE WHEN ms = min_ms THEN ck END) OVER w
+                           AS min_ck,
+                       max(CASE WHEN ms = max_ms THEN ck END) OVER w
+                           AS max_ck
+                FROM pt
+                WINDOW w AS (PARTITION BY u, conv_idx))
+            SELECT u AS user_id, conv_idx, conv_id,
+                   conv_ms AS conv_ts_ms, etype AS touch_type,
+                   CAST(count(*) AS BIGINT) AS n_type,
+                   CAST(max(n_touches) AS BIGINT) AS n_touches,
+                   CAST(count(*) AS DOUBLE)
+                       / CAST(max(n_touches) AS DOUBLE) AS linear_credit,
+                   max(CASE WHEN ms = min_ms AND ck = min_ck
+                            THEN 1 ELSE 0 END) = 1 AS is_first_touch,
+                   max(CASE WHEN ms = max_ms AND ck = max_ck
+                            THEN 1 ELSE 0 END) = 1 AS is_last_touch
+            FROM pt2 GROUP BY 1, 2, 3, 4, 5
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE

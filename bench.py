@@ -214,6 +214,9 @@ HEADLINE = [
     "dedup_tfidf_cosine",
     "q_market_basket_lift",
     "q_twap_hourly",
+    # round-10 additions (own BASELINE.md budget family)
+    "q_skyline_parts",
+    "q_attribution_credit",
 ]
 
 

@@ -245,3 +245,208 @@ def sessionize(
     )
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(is_break).over(w_cum))
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+) -> DataFrame:
+    """Exact 2-D skyline (Pareto frontier): rows not DOMINATED by any
+    other row, where b dominates a iff b.minimize <= a.minimize AND
+    b.maximize >= a.maximize with at least one strict. Ties on both
+    dimensions survive together (neither dominates).
+
+    The naive formulation is an all-pairs NOT EXISTS anti-join — O(n^2)
+    and a scale-killer. In 2-D the frontier is a STAIRCASE, which makes
+    the operator expressible as one hash aggregation plus a window over
+    the aggregate:
+
+      1. best(m) = min(minimize) per maximize-value — a map-side-partial
+         hash agg; the result frame has |distinct maximize| rows, a
+         DOMAIN-bounded cardinality (e.g. 50 part sizes), not a
+         data-bounded one.
+      2. prev_best(m) = running min of best over strictly larger
+         maximize values — a window over that tiny frame (its
+         SinglePartition sort is bounded by the domain, never by rows).
+      3. a row survives iff its minimize == best(own m) — anything
+         pricier at the same m is dominated (same m, lower minimize,
+         one strict) — AND minimize < prev_best (any larger m at <=
+         minimize dominates via the strict maximize).
+
+    The join back to the base data broadcasts the staircase (AQE sizes
+    it; it is domain-bounded), so the full-data path is scan + partial
+    agg + broadcast-join — no base-data shuffle, no global sort, no
+    pair expansion. NULL in either dimension is excluded: NULL never
+    dominates and is never on the frontier (mirrors SQL three-valued
+    comparison semantics).
+
+    Output: the input columns of surviving rows.
+    """
+    base = df.filter(
+        F.col(minimize_col).isNotNull() & F.col(maximize_col).isNotNull()
+    )
+    best = base.groupBy(maximize_col).agg(
+        F.min(minimize_col).alias("__best")
+    )
+    w = (
+        Window.orderBy(F.col(maximize_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stairs = best.withColumn("__prev_best", F.min("__best").over(w))
+    return (
+        base.join(F.broadcast(stairs), maximize_col)
+        .filter(
+            (F.col(minimize_col) == F.col("__best"))
+            & (
+                F.col("__prev_best").isNull()
+                | (F.col(minimize_col) < F.col("__prev_best"))
+            )
+        )
+        .drop("__best", "__prev_best")
+    )
+
+
+def attribute_touches(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    conversion_type: str,
+    window_ms: int,
+) -> DataFrame:
+    """Multi-touch attribution: credit each conversion's preceding touch
+    events (same user, within `window_ms` before the conversion, and not
+    already past a nearer conversion) and split the credit exactly.
+
+    Every event is attributed to its user's NEXT conversion in strict
+    (ts, id) order — the (ts, id) tie-break keeps the assignment
+    deterministic on both engines even under colliding timestamps, with
+    a NULL id ordering as LONG_MIN so the tie-break itself never leans
+    on engine-specific NULL placement. The
+    assignment is pure integer window arithmetic on ONE user-key
+    shuffle: a DESC running count of conversions gives, for every row,
+    how many conversions remain at-or-after it; `n_conv - remaining + 1`
+    is the index of the next conversion, so touches join their
+    conversion on (user, conv_idx) — the window output is already hash
+    partitioned on the user key, so the self-join reuses that
+    partitioning and never reshuffles the fact stream. No global sort,
+    no driver collect; parallel across users at any scale.
+
+    Credit is kept EXACT: one output row per (conversion, touch type)
+    with integer counts and a single float division
+    `credit = n_type / n_touches` (linear attribution) — never a float
+    sum across conversions, so the result is bit-replayable in SQL.
+    First/last-touch attribution falls out of the same frame: the
+    booleans mark whether this type owns the first / the last touch in
+    the conversion's window, under the (ts_ms, id) tuple order computed
+    as two sequential integer window mins/maxes (min ms, then min id at
+    that ms) — pure BIGINT comparisons, no struct ordering, identical
+    in any engine. A NULL id orders as LONG_MIN (before every real id
+    at the same millisecond) on both sides; if several touches tie on
+    the full (ms, id) key, every tied type gets the flag — equality
+    against the extreme key, not row_number, so ties stay
+    deterministic.
+
+    Output: (user, conv_idx, conv_id, conv_ts_ms, touch_type, n_type,
+    n_touches, linear_credit, is_first_touch, is_last_touch) — conv_idx
+    is the per-user conversion ordinal, the grouping key that stays
+    unique even if the conversion's id is NULL.
+    """
+    long_min = -(2**63)
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("etype"),
+        ts_millis(F.col(ts_col)).alias("ms"),
+        F.col(id_col).alias("eid"),
+        F.coalesce(F.col(id_col), F.lit(long_min)).alias("ck"),
+        (F.col(type_col) == conversion_type).cast("int").alias("is_conv"),
+    )
+    w_desc = (
+        Window.partitionBy("u")
+        .orderBy(F.col("ms").desc(), F.col("ck").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_user = Window.partitionBy("u")
+    seq = base.withColumn("remaining", F.sum("is_conv").over(w_desc)).withColumn(
+        "n_conv", F.sum("is_conv").over(w_user)
+    )
+    convs = seq.filter(F.col("is_conv") == 1).select(
+        "u",
+        (F.col("n_conv") - F.col("remaining") + 1).alias("conv_idx"),
+        F.col("eid").alias("conv_id"),
+        F.col("ms").alias("conv_ms"),
+    )
+    touches = seq.filter(
+        (F.col("is_conv") == 0) & (F.col("remaining") >= 1)
+    ).select(
+        "u",
+        (F.col("n_conv") - F.col("remaining") + 1).alias("conv_idx"),
+        "etype",
+        "ms",
+        "ck",
+    )
+    attributed = touches.join(convs, ["u", "conv_idx"]).filter(
+        F.col("conv_ms") - F.col("ms") <= window_ms
+    )
+    # conv_idx (not conv_id) keys the per-conversion frame: it is unique
+    # per user BY CONSTRUCTION, where a NULL conversion id would merge
+    # distinct conversions under NULL-equal grouping
+    w_conv = Window.partitionBy("u", "conv_idx")
+    per_touch = (
+        attributed
+        .withColumn("n_touches", F.count(F.lit(1)).over(w_conv))
+        .withColumn("min_ms", F.min("ms").over(w_conv))
+        .withColumn("max_ms", F.max("ms").over(w_conv))
+        .withColumn(
+            "min_ck",
+            F.min(
+                F.when(F.col("ms") == F.col("min_ms"), F.col("ck"))
+            ).over(w_conv),
+        )
+        .withColumn(
+            "max_ck",
+            F.max(
+                F.when(F.col("ms") == F.col("max_ms"), F.col("ck"))
+            ).over(w_conv),
+        )
+    )
+    is_first = (F.col("ms") == F.col("min_ms")) & (
+        F.col("ck") == F.col("min_ck")
+    )
+    is_last = (F.col("ms") == F.col("max_ms")) & (
+        F.col("ck") == F.col("max_ck")
+    )
+    return (
+        per_touch.groupBy(
+            F.col("u").alias("user_id"),
+            "conv_idx",
+            "conv_id",
+            F.col("conv_ms").alias("conv_ts_ms"),
+            F.col("etype").alias("touch_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_type"),
+            F.max("n_touches").cast("long").alias("n_touches"),
+            F.max(is_first.cast("int")).alias("__first"),
+            F.max(is_last.cast("int")).alias("__last"),
+        )
+        .select(
+            "user_id",
+            "conv_idx",
+            "conv_id",
+            "conv_ts_ms",
+            "touch_type",
+            "n_type",
+            "n_touches",
+            (
+                F.col("n_type").cast("double")
+                / F.col("n_touches").cast("double")
+            ).alias("linear_credit"),
+            (F.col("__first") == 1).alias("is_first_touch"),
+            (F.col("__last") == 1).alias("is_last_touch"),
+        )
+    )

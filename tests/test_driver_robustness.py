@@ -397,6 +397,9 @@ def test_null_events_drift(spark, tmp_path):
         # rows form their own window partition and (group, hour) cell
         # identically in both engines
         "q_twap_hourly",
+        # NULL event_type rows are excluded from the touch stream on
+        # BOTH sides (neither touch nor conversion)
+        "q_attribution_credit",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -800,6 +803,9 @@ def test_null_part_supplier_drift(spark, tmp_path):
         "q9_product_profit",
         "q15_top_supplier",
         "q20_promo_heavy_suppliers",
+        # NULL p_retailprice rows are non-frontier on BOTH sides
+        # (three-valued dominance)
+        "q_skyline_parts",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -989,6 +995,9 @@ def test_null_user_drift(spark, tmp_path):
         "sketch_hll_rolling",
         "streaming_hll_hourly",
         "sketch_hll_sparse",
+        # NULL user forms its own attribution partition (window + join
+        # both key on it) identically in both engines
+        "q_attribution_credit",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

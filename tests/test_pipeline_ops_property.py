@@ -722,3 +722,134 @@ def test_twap_hourly_equals_brute_force(spark, events):
         for (g, h), (w, n) in want_acc.items()
     }
     assert got == want, (got - want, want - got)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # minimize dim
+            st.integers(min_value=0, max_value=8),   # maximize dim
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_skyline_matches_brute_force(spark, pts):
+    """The staircase skyline equals the O(n^2) dominance definition on
+    random point sets with heavy duplication (coords in 0..8, so ties on
+    one and both dimensions are common — the strictness edge cases)."""
+    from buskafkasparkstreaming_spark.operators.windows_fn import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, cost long, gain long")
+    got = {r["id"] for r in skyline_2d(df, "cost", "gain").collect()}
+    want = {
+        i
+        for i, x, y in rows
+        if not any(
+            bx <= x and by >= y and (bx < x or by > y)
+            for _, bx, by in rows
+        )
+    }
+    assert got == want, (sorted(got), sorted(want), rows)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # user
+            st.integers(min_value=0, max_value=40),    # seconds offset
+            st.sampled_from(["conv", "a", "b"]),       # type
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    window_s=st.sampled_from([5, 15, 100]),
+)
+def test_attribution_matches_brute_force(spark, events, window_s):
+    """attribute_touches equals a sequential per-user reference walk on
+    random event streams: same touch->conversion assignment under the
+    (ts, id) order, same lookback filter, same credit split, same
+    first/last flags (timestamp collisions are frequent by design —
+    the id tie-break must resolve them identically)."""
+    import datetime as dt
+
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        attribute_touches,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=s), t)
+        for i, (u, s, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = attribute_touches(
+        df, "user_id", "event_type", "ts", "event_id", "conv", window_s * 1000
+    )
+    got = {
+        (
+            r["user_id"],
+            r["conv_idx"],
+            r["conv_id"],
+            r["touch_type"],
+            r["n_type"],
+            r["n_touches"],
+            round(r["linear_credit"], 12),
+            r["is_first_touch"],
+            r["is_last_touch"],
+        )
+        for r in out.collect()
+    }
+
+    # sequential reference: per user in (ms, id) order
+    want = set()
+    for u in {r[1] for r in rows}:
+        evs = sorted(
+            ((int(r[2].timestamp() * 1000), r[0], r[3]) for r in rows if r[1] == u)
+        )
+        convs = [
+            (idx + 1, ms, eid)
+            for idx, (ms, eid, t) in enumerate(
+                e for e in evs if e[2] == "conv"
+            )
+        ]
+        for conv_idx, cms, cid in convs:
+            # a touch belongs to conv_idx iff that conv is the FIRST one
+            # after it in (ms, id) order and it passes the lookback
+            touches = []
+            for ms, eid, t in evs:
+                if t == "conv":
+                    continue
+                nxt = next(
+                    (c for c in convs if (ms, eid) < (c[1], c[2])), None
+                )
+                if nxt and nxt[0] == conv_idx and cms - ms <= window_s * 1000:
+                    touches.append((ms, eid, t))
+            if not touches:
+                continue
+            n_tot = len(touches)
+            first = min(touches)[:2]
+            last = max(touches)[:2]
+            by_type: dict[str, list] = {}
+            for ms, eid, t in touches:
+                by_type.setdefault(t, []).append((ms, eid))
+            for t, ks in by_type.items():
+                want.add(
+                    (
+                        u,
+                        conv_idx,
+                        cid,
+                        t,
+                        len(ks),
+                        n_tot,
+                        round(len(ks) / n_tot, 12),
+                        first in ks,
+                        last in ks,
+                    )
+                )
+    assert got == want, (sorted(got), sorted(want))

@@ -918,3 +918,31 @@ def test_sketch_ks_plan_distributed_rank(spark, sf_dir):
     )
     sk = kll_sketch(ranked, "rn", 10_000, kcap=64)
     assert _fmt_exchanges(sk) == _fmt_exchanges(ranked), explain_str(sk)
+
+
+def test_skyline_plan_shape(spark, sf_dir):
+    """q_skyline_parts: the staircase decomposition — the ONLY
+    SinglePartition work is the window over the per-size aggregate
+    (domain-bounded: |distinct p_size| rows), the base data never
+    shuffles (no hashpartitioning exchange on the fact side), the
+    staircase joins back as a broadcast, and there is no pair expansion
+    (the oracle's NOT EXISTS brute force would be a nested-loop)."""
+    df = entrymod.q_skyline_parts(spark, sf_dir)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # exactly one shuffle: the partial->final hash agg to per-size mins;
+    # the window runs on that aggregated frame, never on the base scan
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_attribution_plan_shape(spark, sf_dir):
+    """q_attribution_credit: every window and the touch->conversion join
+    key on the user — one user-key shuffle family, no SinglePartition
+    stage, no global sort, no nested-loop join anywhere."""
+    df = entrymod.q_attribution_credit(spark, sf_dir)
+    p = explain_str(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SinglePartition" not in p, p
