@@ -1001,3 +1001,88 @@ def test_null_user_drift(spark, tmp_path):
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
+
+
+def test_ts_collision_drift(spark, tmp_path):
+    """events.ts truncated to a coarse grid for 2/3 of rows — MANY exact
+    (user, ts) and (event_type, ts) timestamp collisions. This is the
+    ordering-determinism class: any entry that ranks, lags, sessionizes,
+    as-of matches, or keeps-first over a ts order WITHOUT a total
+    tie-break lets each engine pick a different peer permutation and
+    silently diverges. Entries must either aggregate tie-insensitively
+    (lag/gap over equal VALUES is permutation-stable) or carry a unique
+    (ts, id) tie-break all the way through (the q_twap_hourly /
+    q_attribution_credit discipline)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "tscol")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT event_id,
+                     CASE WHEN event_id % 3 = 0
+                          THEN time_bucket(INTERVAL '6 hours', ts)
+                          WHEN event_id % 3 = 1
+                          THEN time_bucket(INTERVAL '1 day', ts)
+                          ELSE ts END AS ts,
+                     user_id, event_type, value, props
+              FROM '{src}/events.parquet')
+        TO '{drift}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name in (
+        # ordering-exposed window entries
+        "q_sessionize_events",
+        "q_event_gaps",
+        "q_running_total",
+        "q_range_frame_events",
+        "q_window_ignore_nulls",
+        "q_dense_rank_first_last",
+        "q_longest_streak",
+        "q_event_transitions",
+        # event-time keyed state / precombine
+        "cdc_latest_state",
+        "cdc_scd2_history",
+        "cdc_diff_versions",
+        # as-of joins (backward/forward/nearest all break ties on ts)
+        "q_asof_purchase_before_error",
+        "q_asof_next_purchase",
+        "q_asof_nearest_purchase",
+        # hourly/gapfill aggregation over colliding buckets
+        "q_hourly_events",
+        "q_gapfill_hourly",
+        "q_locf_fill",
+        "q_twap_hourly",
+        # funnels / attribution walk the per-user event order
+        "q_funnel_conversion",
+        "q_funnel_timeout",
+        "q_attribution_credit",
+        # streaming drains re-order by arrival; watermarks see ties
+        "streaming_tumbling_counts",
+        "streaming_session_windows",
+        "streaming_dedup_keys",
+    ):
+        try:
+            run_pair(spark, con, qs[name], oracles[name], drift, name)
+        except AssertionError as e:
+            failures.append(f"{name}: {str(e)[:300]}")
+    con.close()
+    assert not failures, "\n".join(failures)
