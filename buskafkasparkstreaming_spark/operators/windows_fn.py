@@ -324,15 +324,17 @@ def attribute_touches(
     (ts, id) order — the (ts, id) tie-break keeps the assignment
     deterministic on both engines even under colliding timestamps, with
     a NULL id ordering as LONG_MIN so the tie-break itself never leans
-    on engine-specific NULL placement. The
-    assignment is pure integer window arithmetic on ONE user-key
-    shuffle: a DESC running count of conversions gives, for every row,
-    how many conversions remain at-or-after it; `n_conv - remaining + 1`
-    is the index of the next conversion, so touches join their
-    conversion on (user, conv_idx) — the window output is already hash
-    partitioned on the user key, so the self-join reuses that
-    partitioning and never reshuffles the fact stream. No global sort,
-    no driver collect; parallel across users at any scale.
+    on engine-specific NULL placement. The assignment is pure window
+    arithmetic on ONE user-key shuffle and ONE scan — there is NO
+    self-join: walking the user's events in DESC (ms, id) order, a
+    running `last(..., ignorenulls)` carries the nearest following
+    conversion's (ms, key) onto every touch, and a DESC running count
+    of conversions yields `conv_idx = n_conv - remaining + 1`, the
+    per-user conversion ordinal that keys the credit frame. Every
+    later window and the final aggregation cluster on (u, ...) —
+    hashpartitioning(u) already satisfies them, so the plan holds ONE
+    Exchange total (gated). No global sort, no driver collect;
+    parallel across users at any scale.
 
     Credit is kept EXACT: one output row per (conversion, touch type)
     with integer counts and a single float division
@@ -371,26 +373,42 @@ def attribute_touches(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_user = Window.partitionBy("u")
-    seq = base.withColumn("remaining", F.sum("is_conv").over(w_desc)).withColumn(
-        "n_conv", F.sum("is_conv").over(w_user)
+    is_conv1 = F.col("is_conv") == 1
+    seq = (
+        base.withColumn("remaining", F.sum("is_conv").over(w_desc))
+        .withColumn("n_conv", F.sum("is_conv").over(w_user))
+        .withColumn(
+            "conv_ms",
+            F.last(F.when(is_conv1, F.col("ms")), ignorenulls=True).over(
+                w_desc
+            ),
+        )
+        # the conversion's tie-break key, never NULL (LONG_MIN stands in
+        # for a NULL id) — carrying eid directly would make
+        # last(ignorenulls) skip a NULL-id conversion and mis-attribute
+        # to an older one
+        .withColumn(
+            "conv_ck",
+            F.last(F.when(is_conv1, F.col("ck")), ignorenulls=True).over(
+                w_desc
+            ),
+        )
     )
-    convs = seq.filter(F.col("is_conv") == 1).select(
-        "u",
-        (F.col("n_conv") - F.col("remaining") + 1).alias("conv_idx"),
-        F.col("eid").alias("conv_id"),
-        F.col("ms").alias("conv_ms"),
-    )
-    touches = seq.filter(
-        (F.col("is_conv") == 0) & (F.col("remaining") >= 1)
+    long_min_lit = F.lit(long_min)
+    attributed = seq.filter(
+        (F.col("is_conv") == 0)
+        & (F.col("remaining") >= 1)
+        & (F.col("conv_ms") - F.col("ms") <= window_ms)
     ).select(
         "u",
         (F.col("n_conv") - F.col("remaining") + 1).alias("conv_idx"),
+        F.when(F.col("conv_ck") != long_min_lit, F.col("conv_ck")).alias(
+            "conv_id"
+        ),
+        "conv_ms",
         "etype",
         "ms",
         "ck",
-    )
-    attributed = touches.join(convs, ["u", "conv_idx"]).filter(
-        F.col("conv_ms") - F.col("ms") <= window_ms
     )
     # conv_idx (not conv_id) keys the per-conversion frame: it is unique
     # per user BY CONSTRUCTION, where a NULL conversion id would merge

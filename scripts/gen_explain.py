@@ -83,7 +83,7 @@ SHOWN = {
     "q_twap_hourly": "hourly LOCF TWAP: one window shuffle on the group key, bounded hour-span Generate, one (group,hour) hash agg; DECIMAL(38,0) numerator double-cast at the boundary",
     "layout_hilbert_events": "Hilbert layout: min/max bounds broadcast, the 16-level xy2d walk is ONE row-local projection chain (no shuffle until the optional file bucketing)",
     "q_skyline_parts": "2-D skyline: staircase decomposition — ONE partial+final hash agg to per-size mins (domain-bounded frame), running min over that tiny frame, broadcast join back; no base-data shuffle, no O(n^2) dominance pairing",
-    "q_attribution_credit": "multi-touch attribution: DESC running conversion count + index join + credit split, every stage keyed on the user — one shuffle family, exact integer credit inputs, one division per output row",
+    "q_attribution_credit": "multi-touch attribution: join-free — the nearest following conversion rides a last(ignorenulls) window over the DESC (ms,id) walk; every later window + the final agg cluster on (u,...), satisfied by the ONE hashpartitioning(u) exchange; exact integer credit inputs, one division per output row",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage

@@ -928,21 +928,28 @@ def test_skyline_plan_shape(spark, sf_dir):
     staircase joins back as a broadcast, and there is no pair expansion
     (the oracle's NOT EXISTS brute force would be a nested-loop)."""
     df = entrymod.q_skyline_parts(spark, sf_dir)
-    p = explain_str(df)
+    p = physical_plan(df)
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
     # exactly one shuffle: the partial->final hash agg to per-size mins;
     # the window runs on that aggregated frame, never on the base scan
-    assert p.count("Exchange hashpartitioning") <= 1, p
+    # (raw executedPlan string — formatted mode prints exchange args in
+    # a separate detail section and would make this count vacuous)
+    assert p.count("Exchange hashpartitioning") == 1, p
 
 
 def test_attribution_plan_shape(spark, sf_dir):
-    """q_attribution_credit: every window and the touch->conversion join
-    key on the user — one user-key shuffle family, no SinglePartition
-    stage, no global sort, no nested-loop join anywhere."""
+    """q_attribution_credit: join-free — the nearest following
+    conversion rides a last(ignorenulls) window, and every later window
+    plus the final aggregation cluster on (u, ...), which
+    hashpartitioning(u) already satisfies. EXACTLY ONE Exchange, no
+    SinglePartition stage, no join operator of any kind (a naive
+    touches x conversions self-join costs a second scan + shuffle of
+    the fact stream — measured 3 exchanges before this rewrite)."""
     df = entrymod.q_attribution_credit(spark, sf_dir)
-    p = explain_str(df)
+    p = physical_plan(df)
     assert "CartesianProduct" not in p, p
-    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" not in p, p
     assert "SinglePartition" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
