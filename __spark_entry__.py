@@ -11790,17 +11790,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, h, cents,
                        least(next_ms, (h + 1) * 3600000)
                            - greatest(ms, h * 3600000) AS w_ms
-                FROM hr)
-            SELECT event_type, h,
-                   CAST(sum(w_ms) AS BIGINT) AS w_ms,
-                   CAST(CAST(sum(CAST(cents AS DECIMAL(20,0))
-                                 * CAST(w_ms AS DECIMAL(18,0)))
-                             AS DECIMAL(38,0)) AS DOUBLE) AS num_fp,
-                   CAST(CAST(sum(CAST(cents AS DECIMAL(20,0))
-                                 * CAST(w_ms AS DECIMAL(18,0)))
-                             AS DECIMAL(38,0)) AS DOUBLE)
-                       / CAST(sum(w_ms) AS DOUBLE) AS twap_cents
-            FROM ov GROUP BY 1, 2
+                FROM hr),
+            agg AS (
+                SELECT event_type, h,
+                       CAST(sum(w_ms) AS BIGINT) AS w_ms,
+                       -- HUGEINT numerator (exact int128, the DECIMAL
+                       -- twin); never cast to DOUBLE: DuckDB's
+                       -- int128->double mis-rounds exact ties above
+                       -- 2^53 (measured: -53560554100741004), so the
+                       -- float is built from BIGINT halves below
+                       sum(CAST(cents AS HUGEINT) * w_ms) AS num
+                FROM ov GROUP BY 1, 2),
+            dm AS (
+                SELECT event_type, h, w_ms,
+                       -- floor divmod via the nonneg-remainder
+                       -- identity (// truncates toward zero)
+                       CAST(((num % w_ms) + w_ms) % w_ms AS BIGINT)
+                           AS num_mod,
+                       CAST((num - (((num % w_ms) + w_ms) % w_ms))
+                            // w_ms AS BIGINT) AS num_div
+                FROM agg)
+            SELECT event_type, h, w_ms, num_div, num_mod,
+                   CAST(num_div AS DOUBLE)
+                       + CAST(num_mod AS DOUBLE) / CAST(w_ms AS DOUBLE)
+                       AS twap_cents
+            FROM dm
         """,
         "q_skyline_parts": """
             -- brute-force dominance anti-join: deliberately a DIFFERENT
@@ -12969,20 +12983,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         "q_zscore_by_type": """
-            WITH g AS (
-                SELECT event_type,
-                       CAST(count(*) AS DOUBLE) AS n,
-                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s,
-                       CAST(sum(CAST(round(value * 100) AS BIGINT)
-                                * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS ss
+            -- exact HUGEINT moments; ss rebuilt from BIGINT halves
+            -- (double(hi)*2^62 + double(lo)) because int128->double
+            -- mis-rounds exact ties above 2^53 where BIGINT->double is
+            -- correctly rounded (round-10 extreme-magnitude sweep);
+            -- degenerate variance guarded BEFORE sqrt (DuckDB raises on
+            -- a negative argument, numpy yields NaN)
+            WITH e AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
                 FROM events
-                WHERE event_type IS NOT NULL AND value IS NOT NULL
-                GROUP BY event_type)
+                WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            g AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_i,
+                       CAST(sum(c) AS BIGINT) AS s_i,
+                       sum(CAST(c AS HUGEINT) * c) AS ssq
+                FROM e GROUP BY event_type),
+            gf AS (
+                SELECT event_type, n_i,
+                       CAST(n_i AS DOUBLE) AS n,
+                       CAST(s_i AS DOUBLE) AS s,
+                       CAST(CAST(ssq // 4611686018427387904 AS BIGINT)
+                            AS DOUBLE) * 4611686018427387904e0
+                       + CAST(CAST(ssq % 4611686018427387904 AS BIGINT)
+                              AS DOUBLE) AS ss
+                FROM g)
             SELECT e.event_id, e.event_type,
-                   (CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE) - g.s / g.n)
-                       / sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1.0)) AS zscore
-            FROM events e JOIN g USING (event_type)
-            WHERE e.value IS NOT NULL
+                   CASE WHEN gf.n_i > 1
+                             AND (gf.ss - gf.s * gf.s / gf.n)
+                                 / (gf.n - 1e0) > 0e0
+                        THEN (CAST(e.c AS DOUBLE) - gf.s / gf.n)
+                             / sqrt((gf.ss - gf.s * gf.s / gf.n)
+                                    / (gf.n - 1e0))
+                   END AS zscore
+            FROM e JOIN gf USING (event_type)
         """,
         "streaming_purchase_error_left_join": """
             -- inner pairs + watermark-evicted unmatched purchases:

@@ -33,16 +33,34 @@ def zscore_by_group(
     Rows with a NULL group or NULL value are excluded — a null can neither
     be standardized nor define a group, and leaving them in diverges
     between engines (pandas int64 coercion of NaN vs SQL inner-join
-    dropping NULL keys; caught by the events drift probe)."""
+    dropping NULL keys; caught by the events drift probe).
+
+    Exactness at extreme magnitudes (round-10 sweep): the sum of squares
+    wraps numpy int64 at |cents| > ~3e9, so the moments are computed as
+    arbitrary-precision Python ints (the object-dtype sum is the price
+    of the applyInPandas showcase staying correct at any magnitude). The
+    float `ss` is then built from BIGINT-halves — double(ssq DIV 2^62) *
+    2^62 + double(ssq MOD 2^62) — because int128→double conversion
+    mis-rounds exact ties in some engines while BIGINT→double is
+    correctly rounded everywhere; the oracle replays the identical
+    construction. Degenerate groups (n == 1, or zero/negative variance
+    term after float cancellation) yield NULL on BOTH sides — DuckDB
+    raises on sqrt of a negative where numpy yields NaN, so the guard
+    must run before the sqrt."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         c = pdf[cents_col].to_numpy(dtype=np.int64)
-        n = float(len(c))
-        s = float(c.sum())
-        ss = float((c * c).sum())
-        cd = c.astype(np.float64)
-        denom = np.sqrt((ss - s * s / n) / (n - 1.0)) if n > 1 else np.nan
-        z = (cd - s / n) / denom
+        n_i = len(c)
+        obj = c.astype(object)
+        s_i = int(obj.sum())
+        ssq_i = int((obj * obj).sum())
+        hi, lo = divmod(ssq_i, 1 << 62)
+        n = float(n_i)
+        s = float(s_i)
+        ss = float(hi) * float(1 << 62) + float(lo)
+        term = (ss - s * s / n) / (n - 1.0) if n_i > 1 else float("nan")
+        denom = np.sqrt(term) if term > 0 else np.nan
+        z = (c.astype(np.float64) - s / n) / denom
         return pd.DataFrame(
             {
                 "event_id": pdf[id_col].to_numpy(dtype=np.int64),

@@ -123,9 +123,20 @@ def twap_hourly(
 
     Exactness contract: weights are exact BIGINT millisecond overlaps,
     the numerator an exact DECIMAL(38,0) sum (cents x ms summed
-    fleet-wide overflows int64), double-cast only at the output
-    boundary; the TWAP is ONE float division. Zero-length segments
-    (duplicate timestamps) drop deterministically under the
+    fleet-wide overflows int64 — and the per-term product is
+    decimal-cast BEFORE the multiply, since a BIGINT product silently
+    wraps in Spark and raises in DuckDB). The numerator leaves the
+    operator as the exact integer pair
+    (num_div, num_mod) = divmod(numerator, w_ms) under FLOOR division:
+    both halves fit BIGINT for any int64 cents (num_div is a weighted
+    MEAN of cents, so |num_div| <= max|cents|; 0 <= num_mod < w_ms),
+    and twap_cents = toDouble(num_div) + toDouble(num_mod)/toDouble(
+    w_ms) touches floats only through BIGINT→DOUBLE conversions —
+    which ARE correctly rounded in both engines, where
+    DECIMAL(38,0)/int128→DOUBLE is NOT (DuckDB composes the halves
+    and mis-rounds exact ties above 2^53; measured on
+    -53560554100741004, round-10 extreme-magnitude sweep). Zero-length
+    segments (duplicate timestamps) drop deterministically under the
     (ms, id) order; each group's last report defines no segment.
 
     Scale shape: one window shuffle keyed on the group (a fleet has
@@ -133,7 +144,7 @@ def twap_hourly(
     bounded by segment length (~1 row for telemetry cadences; a
     fully-idle group costs corpus-duration/1h rows), then one
     (group, hour) hash aggregation with map-side partials.
-    Output: (group, h, w_ms, num_fp, twap_cents).
+    Output: (group, h, w_ms, num_div, num_mod, twap_cents).
 
     Hour bucketing is FLOOR division (ms - pmod(ms, 1h)) DIV 1h, not
     the engines' truncate-toward-zero DIV: a pre-1970 (negative-epoch)
@@ -195,13 +206,29 @@ def twap_hourly(
             .cast(dec)
             .alias("__num"),
         )
+        .withColumn(
+            "__r",
+            F.expr(
+                "CAST(pmod(__num, CAST(w_ms AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "__q",
+            F.expr(
+                "CAST((__num - __r) / CAST(w_ms AS DECIMAL(38,0))"
+                " AS BIGINT)"
+            ),
+        )
         .select(
             group_col,
             "h",
             "w_ms",
-            F.col("__num").cast("double").alias("num_fp"),
+            F.col("__q").alias("num_div"),
+            F.col("__r").alias("num_mod"),
             (
-                F.col("__num").cast("double") / F.col("w_ms").cast("double")
+                F.col("__q").cast("double")
+                + F.col("__r").cast("double") / F.col("w_ms").cast("double")
             ).alias("twap_cents"),
         )
     )

@@ -80,7 +80,7 @@ SHOWN = {
     "dedup_weighted_minhash": "weighted Jaccard: the ngram inverted-index equi-join with integer IDF weights riding the index rows (df-capped fan-out); sketch side replicates shingles <=4x into the standard MinHash banding",
     "dedup_tfidf_cosine": "sparse tf-idf cosine: single-WORD inverted-index equi-join (relative df/N cap), BIGINT dot/norm partial aggs map-side; the one float expression (dot / sqrt(n2_a*n2_b)) is IEEE-exact in any engine",
     "q_market_basket_lift": "basket lift: pair self-join on the order key (fan-out bounded by basket size), BIGINT support counts with map-side partials, Zipf-small item-count joins, 1-row total broadcast cross",
-    "q_twap_hourly": "hourly LOCF TWAP: one window shuffle on the group key, bounded hour-span Generate, one (group,hour) hash agg; DECIMAL(38,0) numerator double-cast at the boundary",
+    "q_twap_hourly": "hourly LOCF TWAP: one window shuffle on the group key, bounded hour-span Generate, one (group,hour) hash agg; DECIMAL(38,0) numerator emitted as exact BIGINT divmod halves (int128->double mis-rounds ties above 2^53), float built from BIGINT->double only",
     "layout_hilbert_events": "Hilbert layout: min/max bounds broadcast, the 16-level xy2d walk is ONE row-local projection chain (no shuffle until the optional file bucketing)",
     "q_skyline_parts": "2-D skyline: staircase decomposition — ONE partial+final hash agg to per-size mins (domain-bounded frame), running min over that tiny frame, broadcast join back; no base-data shuffle, no O(n^2) dominance pairing",
     "q_attribution_credit": "multi-touch attribution: join-free — the nearest following conversion rides a last(ignorenulls) window over the DESC (ms,id) walk; every later window + the final agg cluster on (u,...), satisfied by the ONE hashpartitioning(u) exchange; exact integer credit inputs, one division per output row",

@@ -1086,3 +1086,75 @@ def test_ts_collision_drift(spark, tmp_path):
             failures.append(f"{name}: {str(e)[:300]}")
     con.close()
     assert not failures, "\n".join(failures)
+
+
+def test_extreme_magnitude_drift(spark, tmp_path):
+    """events.value scaled by ±1e9 for ~1/4 of rows — cents up to ~1e14,
+    squares ~1e28, cents×w_ms products ~1e20: every BIGINT intermediate
+    that silently wraps in Spark (or raises in DuckDB) at fleet-scale
+    money magnitudes. Caught in round 10: the TWAP numerator product
+    wrapping int64 (the advisor's scenario — fixed by the DECIMAL
+    pre-cast), DuckDB's int128→double conversion mis-rounding exact
+    ties above 2^53 (fixed by emitting divmod BIGINT pairs and building
+    floats from BIGINT→double only), the z-score UDF's numpy int64
+    sum-of-squares wrap + its oracle's BIGINT overflow (fixed by
+    arbitrary-precision moments + the BIGINT-halves float build), and
+    DuckDB raising on sqrt of a cancellation-negative variance where
+    numpy yields NaN (fixed by guarding before the sqrt)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "mag")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT event_id, ts, user_id, event_type,
+                     CASE WHEN event_id % 7 = 0 THEN value * 1e9
+                          WHEN event_id % 11 = 0 THEN value * -1e9
+                          ELSE value END AS value,
+                     props
+              FROM '{src}/events.parquet')
+        TO '{drift}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name in (
+        "q_twap_hourly",
+        "q_zscore_by_type",
+        "q_mad_outliers",
+        "q_histogram_equi_width",
+        "q_sliding_window_avg",
+        "q_range_frame_events",
+        "q_cusum_changepoint",
+        "q_argmax_events",
+        "q_locf_fill",
+        "q_gapfill_hourly",
+        "q_ewma_dyadic",
+        "streaming_sliding_avg",
+        "q_pandas_udf_score",
+        "q_running_total",
+        "sketch_quantile_histogram",
+        "q_weighted_median",
+    ):
+        try:
+            run_pair(spark, con, qs[name], oracles[name], drift, name)
+        except AssertionError as e:
+            failures.append(f"{name}: {str(e)[:300]}")
+    con.close()
+    assert not failures, "\n".join(failures)

@@ -699,7 +699,14 @@ def test_twap_hourly_equals_brute_force(spark, events):
         rows, "event_id long, grp string, ts timestamp, value double"
     )
     got = {
-        (r["grp"], r["h"], r["w_ms"], r["num_fp"], round(r["twap_cents"], 12))
+        (
+            r["grp"],
+            r["h"],
+            r["w_ms"],
+            r["num_div"],
+            r["num_mod"],
+            round(r["twap_cents"], 12),
+        )
         for r in twap_hourly(df, "grp", "ts", "value", "event_id").collect()
     }
 
@@ -717,8 +724,9 @@ def test_twap_hourly_equals_brute_force(spark, events):
                 w = min(nxt, (h + 1) * 3600_000) - max(ms, h * 3600_000)
                 pw, pn = want_acc.get((g, h), (0, 0))
                 want_acc[(g, h)] = (pw + w, pn + c * w)
+    # the reference divmod is Python's own floor divmod — exact bigints
     want = {
-        (g, h, w, float(n), round(float(n) / float(w), 12))
+        (g, h, w, n // w, n % w, round(float(n // w) + float(n % w) / float(w), 12))
         for (g, h), (w, n) in want_acc.items()
     }
     assert got == want, (got - want, want - got)
