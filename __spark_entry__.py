@@ -401,22 +401,35 @@ def q_corr_price_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_items").alias("y"),
     )
     # second moments overflow BIGINT at bench scale (sum of x^2 over
-    # cents is ~2.5e19 per group at sf0.1 > 2^63); the per-row products
-    # fit a long, the SUMS accumulate in DECIMAL(38,0) — exact to 1e38 in
-    # both engines (the cents technique, widened for second moments)
+    # cents is ~2.5e19 per group at sf0.1 > 2^63) — and the per-row
+    # PRODUCT x*x wraps int64 at fleet-scale cents (~1e14 -> 1e28), so
+    # the operand is decimal-cast BEFORE the multiply (the twap advisor
+    # idiom); the SUMS accumulate in DECIMAL(38,0) — exact to 1e38 in
+    # both engines. The moment doubles are built through
+    # functions.fp_from_decimal (BIGINT halves), and the variance terms
+    # are guarded > 0 before the sqrt (float cancellation at extreme
+    # magnitudes can turn them negative: DuckDB raises, numpy NaNs).
+    from buskafkasparkstreaming_spark.functions import fp_from_decimal
+
     dec = "decimal(38,0)"
+    xd = F.col("x").cast("decimal(20,0)")
     mom = j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((xd * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((xd * xd).cast(dec)).cast(dec).alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast(dec)).cast(dec).alias("syy"),
     )
     n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    sxy = fp_from_decimal(F.col("sxy"))
+    sxx = fp_from_decimal(F.col("sxx"))
+    syy = fp_from_decimal(F.col("syy"))
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)),
     )
     return mom.select("o_orderpriority", "n", corr.alias("corr_price_items"))
 
@@ -859,15 +872,23 @@ def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decimal_and_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DecimalType + DateType surface: exact decimal money sum (2-decimal
-    doubles cast losslessly to DECIMAL(12,2)) and a DATE-typed group key."""
+    doubles cast losslessly to DECIMAL(28,2) — wide enough for
+    fleet-scale prices; DECIMAL(12,2) overflowed under the round-10
+    extreme-magnitude sweep) and a DATE-typed group key. The output
+    double goes through functions.fp_from_decimal on the exact cent
+    total (int128->double mis-rounds ties above 2^53), then one IEEE
+    division by 100."""
+    from buskafkasparkstreaming_spark.functions import fp_from_decimal
+
     orders = _t(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    dec = F.col("o_totalprice").cast("decimal(28,2)")
+    total_cents = (F.sum(dec) * 100).cast("decimal(38,0)")
     return (
         orders.groupBy(
             F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month_date")
         )
         .agg(
-            F.sum(dec).cast("double").alias("sum_dec"),
+            (fp_from_decimal(total_cents) / 100.0).alias("sum_dec"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -7849,6 +7870,20 @@ def _hex_int_sql(expr: str, start: int, n: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _fp62_sql(x: str) -> str:
+    """DuckDB twin of functions.fp_from_decimal over a HUGEINT/DECIMAL
+    expression: truncated divmod by 2^62 into BIGINT halves, each
+    converted through the correctly-rounded int64->double path, then
+    one exact power-of-two multiply + one IEEE addition. int128->double
+    itself mis-rounds exact ties above 2^53 (round-10 sweep)."""
+    P = 4611686018427387904
+    return (
+        f"(CAST(CAST((({x}) - (({x}) % {P})) // {P} AS BIGINT) AS DOUBLE)"
+        f" * 4611686018427387904e0"
+        f" + CAST(CAST(({x}) % {P} AS BIGINT) AS DOUBLE))"
+    )
+
+
 def _pcont_cols_sql() -> str:
     """The three interpolated-quartile aggregate expressions for the
     q_percentile_cont oracle — generated so the float operation order
@@ -10303,29 +10338,39 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.o_totalprice IS NOT NULL
             ),
             mom AS (
-                -- second moments in DECIMAL(38,0): BIGINT overflows at
-                -- sf0.1 (sum x^2 ~ 2.5e19 per group)
+                -- second moments in HUGEINT (the DECIMAL(38,0) twin):
+                -- BIGINT overflows at sf0.1 (sum x^2 ~ 2.5e19 per
+                -- group) and the per-row PRODUCT x*x wraps int64 at
+                -- fleet-scale cents — HUGEINT-cast BEFORE the multiply
                 SELECT o_orderpriority,
                        CAST(count(*) AS BIGINT) AS n,
                        CAST(sum(x) AS BIGINT) AS sx,
                        CAST(sum(y) AS BIGINT) AS sy,
-                       CAST(sum(CAST(x * y AS DECIMAL(38,0)))
-                            AS DECIMAL(38,0)) AS sxy,
-                       CAST(sum(CAST(x * x AS DECIMAL(38,0)))
-                            AS DECIMAL(38,0)) AS sxx,
-                       CAST(sum(CAST(y * y AS DECIMAL(38,0)))
-                            AS DECIMAL(38,0)) AS syy
+                       sum(CAST(x AS HUGEINT) * y) AS sxy,
+                       sum(CAST(x AS HUGEINT) * x) AS sxx,
+                       sum(CAST(y AS HUGEINT) * y) AS syy
                 FROM j GROUP BY o_orderpriority
+            ),
+            momf AS (
+                -- moment doubles via the BIGINT-halves build
+                -- (int128->double mis-rounds ties above 2^53)
+                SELECT o_orderpriority, n,
+                       CAST(n AS DOUBLE) AS nf,
+                       CAST(sx AS DOUBLE) AS sxf,
+                       CAST(sy AS DOUBLE) AS syf,
+                       {_fp62_sql('sxy')} AS sxyf,
+                       {_fp62_sql('sxx')} AS sxxf,
+                       {_fp62_sql('syy')} AS syyf
+                FROM mom
             )
             SELECT o_orderpriority, n,
-                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-                       AS corr_price_items
-            FROM mom
+                   CASE WHEN nf * sxxf - sxf * sxf > 0e0
+                             AND nf * syyf - syf * syf > 0e0
+                        THEN (nf * sxyf - sxf * syf)
+                             / (sqrt(nf * sxxf - sxf * sxf)
+                                * sqrt(nf * syyf - syf * syf))
+                   END AS corr_price_items
+            FROM momf
         """,
         "q_gapfill_hourly": """
             -- dense hourly spine per type (generate_series), zero-filled
@@ -12890,11 +12935,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
             GROUP BY event_type
         """,
-        "q_decimal_and_date": """
-            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_date,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_dec,
-                   count(*) AS n
-            FROM orders GROUP BY 1
+        "q_decimal_and_date": f"""
+            -- exact cent total in HUGEINT (the DECIMAL(28,2)*100 twin);
+            -- double built from BIGINT halves, one IEEE /100
+            WITH g AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                           AS month_date,
+                       sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                           AS cents,
+                       count(*) AS n
+                FROM orders GROUP BY 1)
+            SELECT month_date,
+                   {_fp62_sql('cents')} / 100e0 AS sum_dec,
+                   n
+            FROM g
         """,
         "q_date_parts": """
             SELECT o_orderkey,

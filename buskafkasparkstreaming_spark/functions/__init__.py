@@ -76,3 +76,36 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 def l2_norm_sq(a: Column | str) -> Column:
     """Squared L2 norm of an array<numeric> column (double)."""
     return dot_product(a, a)
+
+
+#: 2^62 — the BIGINT-halves radix for cross-engine exact->double builds
+FP62 = 4611686018427387904
+
+
+def fp_from_decimal(col: Column) -> Column:
+    """Deterministic cross-engine DOUBLE from an exact DECIMAL(38,0).
+
+    A decimal (int128-backed) cast straight to double is NOT portable:
+    engines that compose the conversion from two 64-bit halves mis-round
+    exact ties above 2^53 (measured in DuckDB on -53560554100741004,
+    round-10 extreme-magnitude sweep), while int64->double is correctly
+    rounded everywhere. So: floor-divmod the value by 2^62 into BIGINT
+    halves, convert each through the correct int64 path, and recombine
+    with one exact power-of-two multiply and one IEEE addition —
+    identical bits in any IEEE-754 engine. The divmod is TRUNCATED
+    (dividend-signed remainder, the engines' native %), not floored: a
+    floored split represents -9 as (-1)*2^62 + (2^62 - 9), and the low
+    half's own double rounding then cancels the value to 0.0 — with a
+    dividend-signed remainder the halves never straddle zero, so the
+    result is within ~1 ulp of the true value (not necessarily the
+    correctly-rounded one — portability is the contract, the SQL twin
+    replays the identical construction). Valid for |value| < 2^125
+    (hi must fit BIGINT).
+    """
+    p = F.lit(FP62).cast("decimal(38,0)")
+    lo = col % p
+    hi = ((col - lo) / p).cast("decimal(38,0)")
+    return (
+        hi.cast("long").cast("double") * float(FP62)
+        + lo.cast("long").cast("double")
+    )

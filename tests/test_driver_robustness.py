@@ -1158,3 +1158,91 @@ def test_extreme_magnitude_drift(spark, tmp_path):
             failures.append(f"{name}: {str(e)[:300]}")
     con.close()
     assert not failures, "\n".join(failures)
+
+
+def test_money_magnitude_drift(spark, tmp_path):
+    """o_totalprice / l_extendedprice scaled by 1e7 for ~1/7 of rows —
+    cents ~1e14, second-moment products ~1e28, group revenue sums past
+    int64: the fleet-scale money magnitudes every TPC-H-analog entry
+    claims to handle. 28/30 passed on first contact (the DECIMAL
+    product/sum discipline held); the sweep caught q_corr_price_items
+    multiplying cents^2 in BIGINT (ANSI overflow) and
+    q_decimal_and_date's DECIMAL(12,2) showcase width — both now use
+    the decimal pre-cast + fp_from_decimal BIGINT-halves build."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "money")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT * REPLACE (
+                CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1e7
+                     ELSE o_totalprice END AS o_totalprice)
+              FROM '{src}/orders.parquet')
+        TO '{drift}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.execute(
+        f"""
+        COPY (SELECT * REPLACE (
+                CASE WHEN l_orderkey % 7 = 0 THEN l_extendedprice * 1e7
+                     ELSE l_extendedprice END AS l_extendedprice)
+              FROM '{src}/lineitem.parquet')
+        TO '{drift}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part events documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q7_nation_trade",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_revenue",
+        "q14_promo_share",
+        "q15_top_supplier",
+        "q17_small_qty_revenue",
+        "q18_large_orders",
+        "q19_or_predicate_revenue",
+        "q_median_price_by_priority",
+        "q_percentile_cont",
+        "q_percentile_disc",
+        "q_weighted_median",
+        "q_top_percent_orders",
+        "q_gini_revenue",
+        "q_herfindahl_segments",
+        "q_rfm_segments",
+        "q_ks_two_sample",
+        "q_regr_slope_exact",
+        "q_spearman_corr",
+        "q_corr_price_items",
+        "q_mom_growth",
+        "q_monthly_orders",
+        "q_running_total",
+        "q_percentile_bands",
+        "q_decimal_and_date",
+    ):
+        try:
+            run_pair(spark, con, qs[name], oracles[name], drift, name)
+        except AssertionError as e:
+            failures.append(f"{name}: {str(e)[:300]}")
+    con.close()
+    assert not failures, "\n".join(failures)
