@@ -42,13 +42,24 @@ def running_per_user(
             )
             return
         n, total, max_ts = state.get if state.exists else (0, 0.0, None)
+        batch_ms = 0
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
             batch_max = pdf["ts"].max()
             max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+            if batch_max is not None:
+                batch_ms = max(batch_ms, int(batch_max.value // 1_000_000))
         state.update((n, total, max_ts))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_ms)
+        # anchor the timeout at max(watermark, batch event time): the
+        # watermark alone is 0 on the first batch, which would expire
+        # EVERY group the first time it sits out a batch — resetting its
+        # accumulator and making the final state depend on batch
+        # boundaries (caught by the funnel kill/restart equivalence
+        # test, round 10)
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), batch_ms) + timeout_ms
+        )
         yield pd.DataFrame(
             [{"user_id": user_id, "n_events": n, "total_value": total, "last_ts": max_ts}]
         )
@@ -247,8 +258,12 @@ def funnel_timeout_per_user(
             state.get if state.exists else ([], [], [], 0)
         )
         views, clicks, purchases = list(views), list(clicks), list(purchases)
+        batch_ms = 0
         for pdf in pdfs:
             n_seen += len(pdf)
+            ms_all = pdf["ms"].dropna()
+            if len(ms_all):
+                batch_ms = max(batch_ms, int(ms_all.max()))
             for stage, bucket in (
                 ("view", views),
                 ("click", clicks),
@@ -260,8 +275,12 @@ def funnel_timeout_per_user(
         clicks = sorted(set(clicks))[:cap]
         purchases = sorted(set(purchases))[:cap]
         state.update((views, clicks, purchases, n_seen))
+        # max(watermark, batch event time): the bare watermark is 0 on
+        # the first batch, so every group expired (and lost n_seen) the
+        # first time it sat out a batch — batch-boundary-dependent final
+        # state, caught by the kill/restart equivalence test
         state.setTimeoutTimestamp(
-            state.getCurrentWatermarkMs() + state_timeout_ms
+            max(state.getCurrentWatermarkMs(), batch_ms) + state_timeout_ms
         )
         t1, t2, t3 = _fold(views, clicks, purchases)
         yield pd.DataFrame(
@@ -375,9 +394,13 @@ def cusum_hourly_per_type(
             state.get if state.exists else ([], [], 0)
         )
         hist = dict(zip(hours, counts))
+        batch_ms = 0
         for pdf in pdfs:
             n_seen += len(pdf)
-            hr = (pdf["ms"].dropna().astype("int64") // 3_600_000) * 3_600_000
+            ms_all = pdf["ms"].dropna().astype("int64")
+            if len(ms_all):
+                batch_ms = max(batch_ms, int(ms_all.max()))
+            hr = (ms_all // 3_600_000) * 3_600_000
             for h, c in hr.value_counts().items():
                 hist[int(h)] = hist.get(int(h), 0) + int(c)
         if len(hist) > cap_hours:  # age out the OLDEST hours first
@@ -386,8 +409,9 @@ def cusum_hourly_per_type(
         hours = sorted(hist)
         counts = [hist[h] for h in hours]
         state.update((hours, counts, n_seen))
+        # max(watermark, batch event time) — see funnel_timeout_per_user
         state.setTimeoutTimestamp(
-            state.getCurrentWatermarkMs() + state_timeout_ms
+            max(state.getCurrentWatermarkMs(), batch_ms) + state_timeout_ms
         )
         m, t, max_s, cp_ms, n_alarms = _fold(hours, counts)
         yield pd.DataFrame(

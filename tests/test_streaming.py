@@ -609,3 +609,106 @@ def test_streaming_funnel_timeout_cap_overflow(spark, tmp_path):
     assert final["t2_ms"] == base + 10 * minute  # smallest kept click
     assert final["t3_ms"] == base + 40 * minute
     assert final["converted"] is True
+
+
+def test_funnel_timeout_kill_restart_equivalence(spark, tmp_path):
+    """The stateful funnel's capped state is commutative + idempotent
+    across micro-batches, so a KILLED and RESTARTED query (same
+    checkpoint, remaining files drained after resume) must land the
+    exact same final per-user funnel state as one uninterrupted drain —
+    the SURVEY §5.4 kill/restart property for applyInPandasWithState,
+    previously pinned only for the CDC merge sink."""
+    import os
+    import shutil
+
+    from buskafkasparkstreaming_spark.streaming.state import (
+        funnel_timeout_per_user,
+    )
+
+    ts0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def ev(eid, user, etype, minute):
+        t = (ts0 + pd.Timedelta(minutes=minute)).to_pydatetime()
+        return (eid, user, etype, int(t.timestamp() * 1000), t)
+
+    # user 1 converts inside the 5-min stage timeout; user 2's click is
+    # too late (timeout); user 3 never purchases. Events are spread over
+    # four files so batch boundaries cut through every funnel.
+    files = [
+        [ev(1, 1, "view", 0), ev(2, 2, "view", 0), ev(3, 3, "view", 1)],
+        [ev(4, 1, "click", 2), ev(5, 2, "click", 9)],
+        [ev(6, 1, "purchase", 4), ev(7, 3, "click", 3)],
+        [ev(8, 2, "purchase", 10), ev(9, 1, "view", 30)],
+    ]
+    schema = "event_id bigint, user_id bigint, event_type string, ms bigint, ts timestamp"
+
+    def write_file(dirname, i, rows):
+        path = str(tmp_path / dirname / f"f{i}.parquet")
+        staging = path + ".staging"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        import glob
+
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(part, path)
+        shutil.rmtree(staging)
+        os.utime(path, (1700000000 + i, 1700000000 + i))  # pin mtime order
+
+    def drain(in_dir, ckpt, out_dir):
+        stream = read_stream(
+            spark, str(tmp_path / in_dir), spark.read.parquet(
+                str(tmp_path / in_dir)
+            ).schema, max_files=1,
+        )
+        funnel = funnel_timeout_per_user(
+            stream, timeout_ms=5 * 60_000, watermark="10 minutes",
+            state_timeout_ms=5 * 60_000,
+        )
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(str(tmp_path / out_dir))
+
+        q = (
+            funnel.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    def final_state(out_dir):
+        rows = spark.read.parquet(str(tmp_path / out_dir)).collect()
+        best = {}
+        for r in rows:
+            k = r["user_id"]
+            if k not in best or r["n_seen"] > best[k]["n_seen"]:
+                best[k] = r
+        return {
+            k: (r["n_seen"], r["t1_ms"], r["t2_ms"], r["t3_ms"], r["converted"])
+            for k, r in best.items()
+        }
+
+    # run A: uninterrupted drain over all four files
+    for i, rows in enumerate(files):
+        write_file("in_a", i, rows)
+    drain("in_a", "ckpt_a", "out_a")
+
+    # run B: drain files 0-1, KILL (query stopped), add files 2-3,
+    # resume from the same checkpoint
+    for i, rows in enumerate(files[:2]):
+        write_file("in_b", i, rows)
+    drain("in_b", "ckpt_b", "out_b")
+    for i, rows in enumerate(files[2:], start=2):
+        write_file("in_b", i, rows)
+    drain("in_b", "ckpt_b", "out_b")
+
+    a, b = final_state("out_a"), final_state("out_b")
+    assert a == b, (a, b)
+    # and the funnel itself folded correctly: 1 converted, 2 timed out
+    # at the click stage (9 > 0+5), 3 never purchased
+    assert a[1][4] is True and a[1][1] is not None
+    assert a[2][4] is False
+    assert a[3][4] is False and a[3][3] is None
