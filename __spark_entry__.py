@@ -11893,7 +11893,8 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                            AS is_conv
                 FROM events
-                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                  AND user_id IS NOT NULL),
             seq AS (
                 SELECT *,
                        sum(is_conv) OVER (

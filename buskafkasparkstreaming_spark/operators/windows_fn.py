@@ -357,8 +357,15 @@ def attribute_touches(
     unique even if the conversion's id is NULL.
     """
     long_min = -(2**63)
+    # NULL user rows are excluded: an anonymous event can't be credited
+    # to anyone's conversion. This must be EXPLICIT — the join-free
+    # window formulation would otherwise happily attribute inside a
+    # NULL-user partition, where any SQL-join replay drops the rows
+    # (NULL never equi-joins); caught by the NULL-user drift sweep.
     base = df.filter(
-        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+        F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(user_col).isNotNull()
     ).select(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("etype"),

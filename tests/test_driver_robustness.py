@@ -995,8 +995,9 @@ def test_null_user_drift(spark, tmp_path):
         "sketch_hll_rolling",
         "streaming_hll_hourly",
         "sketch_hll_sparse",
-        # NULL user forms its own attribution partition (window + join
-        # both key on it) identically in both engines
+        # NULL-user rows are EXPLICITLY excluded on both sides — the
+        # join-free window formulation would otherwise attribute inside
+        # a NULL-user partition where a SQL join replay drops the rows
         "q_attribution_credit",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
