@@ -6673,10 +6673,13 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").isNotNull() & F.col("o_orderpriority").isNotNull()
     )
     c = _cents("o_totalprice")
+    # the square is decimal-cast BEFORE the multiply: a BIGINT c*c wraps
+    # at fleet-scale cents (~1e14 -> 1e28; money-magnitude sweep catch)
+    cd = c.cast("decimal(20,0)")
     per = orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
         F.sum(c).cast("long").alias("s_g"),
-        F.sum((c * c).cast(dec)).cast(dec).alias("q_g"),
+        F.sum((cd * cd).cast(dec)).cast(dec).alias("q_g"),
     )
 
     def piv(col: str, g: str, typ: str) -> Column:

@@ -1152,6 +1152,23 @@ def test_extreme_magnitude_drift(spark, tmp_path):
         "q_running_total",
         "sketch_quantile_histogram",
         "q_weighted_median",
+        # the value-based statistics family: every fixed-point/DECIMAL
+        # exactness claim re-proved at ~1e14-cent magnitudes
+        "q_mannwhitney_u",
+        "q_hellinger_types",
+        "q_bootstrap_ci_mean",
+        "sketch_tdigest_pinned",
+        "q_ks_rolling_hourly",
+        "sketch_ks_approx",
+        "q_theilsen_hourly",
+        "q_seasonal_anomaly",
+        "q_chi2_independence",
+        "q_entropy_mi",
+        "q_ccf_types",
+        "q_acf_hourly",
+        "q_holt_dyadic",
+        "streaming_psi_drift",
+        "q_psi_drift",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)
@@ -1240,6 +1257,15 @@ def test_money_magnitude_drift(spark, tmp_path):
         "q_running_total",
         "q_percentile_bands",
         "q_decimal_and_date",
+        # the money-based statistics family at ~1e14-cent magnitudes;
+        # q_anova_f's c*c square was the one BIGINT wrap caught here
+        "q_anova_f",
+        "q_winsorized_stats",
+        "q_benford_digits",
+        "q_histogram_equi_depth",
+        "sketch_kll_quantiles",
+        "q_approx_quantile_bound",
+        "q_mode_deterministic",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)
