@@ -712,3 +712,100 @@ def test_funnel_timeout_kill_restart_equivalence(spark, tmp_path):
     assert a[1][4] is True and a[1][1] is not None
     assert a[2][4] is False
     assert a[3][4] is False and a[3][3] is None
+
+
+def test_running_and_cusum_kill_restart_equivalence(spark, tmp_path):
+    """The other two applyInPandasWithState trackers get the same
+    kill/restart equivalence pin as the funnel: resuming a stopped
+    query from its checkpoint over the remaining files must land the
+    same final state as one uninterrupted drain (both merges are
+    commutative and idempotent; the timeout-anchoring fix made expiry
+    event-time-driven rather than batch-layout-driven)."""
+    import glob
+    import os
+    import shutil
+
+    from buskafkasparkstreaming_spark.streaming.state import (
+        cusum_hourly_per_type,
+        running_per_user,
+    )
+
+    ts0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def ev(eid, user, etype, minute, value):
+        t = (ts0 + pd.Timedelta(minutes=minute)).to_pydatetime()
+        return (eid, user, etype, int(t.timestamp() * 1000), t, float(value))
+
+    files = [
+        [ev(1, 1, "click", 0, 1.0), ev(2, 2, "view", 1, 2.0)],
+        [ev(3, 1, "click", 70, 4.0), ev(4, 3, "error", 71, 8.0)],
+        [ev(5, 2, "click", 140, 16.0), ev(6, 1, "view", 141, 32.0)],
+        [ev(7, 3, "click", 300, 64.0), ev(8, 2, "click", 301, 128.0)],
+    ]
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, ms bigint, "
+        "ts timestamp, value double"
+    )
+
+    def write_file(dirname, i, rows):
+        path = str(tmp_path / dirname / f"f{i}.parquet")
+        staging = path + ".staging"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(part, path)
+        shutil.rmtree(staging)
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    def drain(op, in_dir, ckpt, out_dir):
+        stream = read_stream(
+            spark,
+            str(tmp_path / in_dir),
+            spark.read.parquet(str(tmp_path / in_dir)).schema,
+            max_files=1,
+        )
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(str(tmp_path / out_dir))
+
+        q = (
+            op(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    def final(out_dir, key, seen):
+        rows = spark.read.parquet(str(tmp_path / out_dir)).collect()
+        best = {}
+        for r in rows:
+            k = r[key]
+            if k not in best or r[seen] > best[k][seen]:
+                best[k] = r
+        return {k: tuple(r.asDict().values()) for k, r in best.items()}
+
+    for case, op, key in (
+        ("run", lambda s: running_per_user(s, watermark="30 minutes",
+                                           timeout_ms=30 * 60_000), "user_id"),
+        ("cus", lambda s: cusum_hourly_per_type(s, watermark="30 minutes",
+                                                state_timeout_ms=30 * 60_000),
+         "event_type"),
+    ):
+        for i, rows in enumerate(files):
+            write_file(f"{case}_in_a", i, rows)
+        drain(op, f"{case}_in_a", f"{case}_ckpt_a", f"{case}_out_a")
+        for i, rows in enumerate(files[:2]):
+            write_file(f"{case}_in_b", i, rows)
+        drain(op, f"{case}_in_b", f"{case}_ckpt_b", f"{case}_out_b")
+        for i, rows in enumerate(files[2:], start=2):
+            write_file(f"{case}_in_b", i, rows)
+        drain(op, f"{case}_in_b", f"{case}_ckpt_b", f"{case}_out_b")
+        seen = "n_events" if case == "run" else "n_seen"
+        a = final(f"{case}_out_a", key, seen)
+        b = final(f"{case}_out_b", key, seen)
+        assert a == b, (case, a, b)
