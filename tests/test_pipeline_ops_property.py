@@ -861,3 +861,51 @@ def test_attribution_matches_brute_force(spark, events, window_s):
                     )
                 )
     assert got == want, (sorted(got), sorted(want))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-(10**30), max_value=10**30),
+            st.integers(min_value=-(2**64), max_value=2**64),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+)
+def test_fp_from_decimal_matches_duckdb_twin_bitwise(spark, vals):
+    """functions.fp_from_decimal is the portable exact->double build
+    (int128->double mis-rounds exact ties above 2^53 in some engines).
+    Property: for ANY decimal magnitude up to ~1e30, the Spark column
+    expression and the DuckDB _fp62_sql twin produce BIT-IDENTICAL
+    doubles, and the value is within 1 ulp of Python's correctly
+    rounded float()."""
+    import math
+
+    import duckdb
+
+    from buskafkasparkstreaming_spark.functions import fp_from_decimal
+    from pyspark.sql import functions as F
+    from __spark_entry__ import _fp62_sql
+
+    df = spark.createDataFrame([(i, str(v)) for i, v in enumerate(vals)], "i long, v string")
+    got = {
+        r["i"]: r["fp"]
+        for r in df.select(
+            "i", fp_from_decimal(F.col("v").cast("decimal(38,0)")).alias("fp")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        twin = con.sql(
+            f"SELECT {_fp62_sql(f'CAST({v!r} AS HUGEINT)')}"
+        ).fetchone()[0]
+        assert got[i].hex() == twin.hex(), (v, got[i].hex(), twin.hex())
+        exact = float(v)
+        if exact != 0.0:
+            assert abs(got[i] - exact) <= math.ulp(exact), (v, got[i], exact)
+        else:
+            assert got[i] == 0.0, (v, got[i])
+    con.close()
