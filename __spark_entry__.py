@@ -254,9 +254,17 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead over event time. Timeless rows are excluded — neighbor
     relationships over a NULL-ordered column differ between engines
-    (NULLS FIRST vs LAST), so they cannot be deterministic."""
+    (NULLS FIRST vs LAST), so they cannot be deterministic. The
+    event_id TIE key gets the same care: asc_nulls_last matches the
+    oracle's SQL-default NULLS LAST where Spark's bare asc() is NULLS
+    FIRST — on a NULL-id row tied with real ids the two engines would
+    otherwise pick different lag/lead neighbors (round-11 NULL-id
+    ts-collision sweep); ties among NULL-id rows only are
+    multiset-invariant in this output."""
     events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc_nulls_last()
+    )
     ms = bssf.ts_millis("ts")
     prev_ms = F.lag(ms).over(w)
     nxt = F.lead("event_id").over(w)
@@ -871,18 +879,25 @@ def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decimal_and_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DecimalType + DateType surface: exact decimal money sum (2-decimal
-    doubles cast losslessly to DECIMAL(28,2) — wide enough for
-    fleet-scale prices; DECIMAL(12,2) overflowed under the round-10
-    extreme-magnitude sweep) and a DATE-typed group key. The output
-    double goes through functions.fp_from_decimal on the exact cent
-    total (int128->double mis-rounds ties above 2^53), then one IEEE
+    """DecimalType + DateType surface: exact decimal money sum (cents in
+    DECIMAL(38,0) — DECIMAL(12,2) overflowed under the round-10
+    extreme-magnitude sweep) and a DATE-typed group key. Cents are
+    derived with the fleet-wide _cents idiom — F.round(x*100) on the
+    BINARY product, mirrored by the oracle's round(o_totalprice*100) —
+    not a cast to DECIMAL(x,2): Spark's double->decimal cast rounds the
+    SHORTEST-REPR decimal string HALF_UP while DuckDB rounds the binary
+    product, and the two can disagree by one cent for doubles near a
+    half-cent boundary (r10 advisor; TPC-H prices are 2-decimal clean
+    so both derivations agree on driver data, but drift data with
+    >2-decimal values would hash-split them). The output double goes
+    through functions.fp_from_decimal on the exact cent total
+    (int128->double mis-rounds ties above 2^53), then one IEEE
     division by 100."""
     from buskafkasparkstreaming_spark.functions import fp_from_decimal
 
     orders = _t(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(28,2)")
-    total_cents = (F.sum(dec) * 100).cast("decimal(38,0)")
+    dec_cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    total_cents = F.sum(dec_cents).cast("decimal(38,0)")
     return (
         orders.groupBy(
             F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month_date")
@@ -1897,18 +1912,67 @@ def pack_ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-Fit-Decreasing packing (operators/packing.py::pack_ffd):
     per-pack-group FFD inside applyInPandas — every bin ≤ budget (vs the
     streaming pack's boundary straddle), FFD's 11/9·OPT bin bound. The
-    sequential placement loop is not SQL-expressible, so this is a
-    rows-only driver check; the FULL invariants (capacity, bin count vs
-    first-fit, determinism) are property-tested in
-    test_operators.py::test_pack_ffd_invariants."""
+    sequential placement loop is not SQL-expressible, so the entry
+    returns the per-group INVARIANT summary instead of raw placements
+    (VERDICT r10 item 5 — this was the one `no_oracle` entry of the
+    fleet): oracle-computable facts (n_docs, n_over, sum_small,
+    lb_small) checked by value, and contract booleans the oracle emits
+    as TRUE literals — capacity (every non-overflow bin ≤ budget),
+    overflow bins are singletons and one per oversized doc, the output
+    partitions the input (no doc duplicated/dropped), and the bin count
+    sits inside [ceil(sum_small/budget), floor(2·sum_small/budget)+1] —
+    the lower bound is volume, the upper is the any-fit theorem (at
+    most one bin ≤ half full, Johnson 1973). A placement that violates
+    ANY invariant flips a boolean and fails the driver hash. Raw
+    placement determinism stays property-tested in
+    test_pipeline_ops_property.py::test_pack_ffd_invariants."""
     docs = _t(spark, sf_dir, "documents")
     with_tok = TX.with_token_count(docs)
-    out = PK.pack_ffd(with_tok, "doc_id", "n_words", budget=512, num_groups=32)
-    return out.select(
-        F.col("id").alias("doc_id"),
-        F.col("tokens").alias("n_tokens_used"),
+    budget = 512
+    out = PK.pack_ffd(with_tok, "doc_id", "n_words", budget=budget, num_groups=32)
+    doc_over = F.col("tokens") >= budget
+    per_docs = out.groupBy("pack_group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("id").cast("long").alias("__n_distinct"),
+        F.sum(doc_over.cast("int")).cast("long").alias("n_over"),
+        F.sum(F.when(~doc_over, F.col("tokens")).otherwise(0))
+        .cast("long")
+        .alias("sum_small"),
+    )
+    per_bin = out.groupBy("pack_group", "bin_in_group").agg(
+        F.sum("tokens").alias("load"),
+        F.count(F.lit(1)).alias("n_in_bin"),
+        F.max("tokens").alias("bin_max"),
+    )
+    bin_over = F.col("bin_max") >= budget
+    per_bins = per_bin.groupBy("pack_group").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_bins"),
+        F.sum(bin_over.cast("int")).cast("long").alias("__n_over_bins"),
+        F.max(F.when(~bin_over, F.col("load")).otherwise(0)).alias(
+            "__max_small_load"
+        ),
+        F.max(F.when(bin_over, F.col("n_in_bin")).otherwise(1)).alias(
+            "__max_over_sz"
+        ),
+    )
+    j = per_docs.join(per_bins, "pack_group")
+    n_small_bins = F.col("__n_bins") - F.col("__n_over_bins")
+    lb_small = F.expr(f"(sum_small + {budget - 1}) DIV {budget}")
+    anyfit_ub = F.expr(f"(2 * sum_small) DIV {budget} + 1")
+    return j.select(
         "pack_group",
-        "bin_in_group",
+        "n_docs",
+        "n_over",
+        "sum_small",
+        lb_small.cast("long").alias("lb_small"),
+        (F.col("__max_small_load") <= budget).alias("capacity_ok"),
+        (
+            (F.col("__max_over_sz") == 1)
+            & (F.col("__n_over_bins") == F.col("n_over"))
+        ).alias("overflow_singletons_ok"),
+        (F.col("__n_distinct") == F.col("n_docs")).alias("partition_ok"),
+        (n_small_bins >= lb_small).alias("bins_ge_lb"),
+        (n_small_bins <= anyfit_ub).alias("bins_le_anyfit"),
     )
 
 
@@ -11818,10 +11882,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WHERE ts IS NOT NULL AND value IS NOT NULL),
             seg AS (
+                -- cents is the FINAL tie key: two NULL-id reports tied
+                -- on ms need a total order for the zero-length-segment
+                -- drop to pick the same survivor in both engines
+                -- (round-11 NULL-id ts-collision sweep)
                 SELECT event_type, cents, ms,
                        lead(ms) OVER (
                            PARTITION BY event_type
-                           ORDER BY ms, event_id NULLS LAST) AS next_ms
+                           ORDER BY ms, event_id NULLS LAST, cents)
+                           AS next_ms
                 FROM e),
             hr AS (
                 -- FLOOR division via the pmod identity: // truncates
@@ -11888,7 +11957,15 @@ def oracle_sql() -> dict[str, str]:
             -- q_attribution_credit: DESC running conversion count ->
             -- next-conversion index, 7-day lookback, exact integer
             -- credit split (one division per output row); NULL ids
-            -- order as LONG_MIN, ties flag every tied type
+            -- order as LONG_MIN, ties flag every tied type. The walk
+            -- order is TOTAL where it matters: is_conv DESC breaks a
+            -- (ms, ck) tie so a conversion sorts as the LATER event and
+            -- a same-key touch attributes to it identically in both
+            -- engines. conv_idx is CAST to BIGINT at its derivation:
+            -- DuckDB's windowed sum() is HUGEINT, and HUGEINT
+            -- arithmetic materializes as float64 in pandas, which the
+            -- driver's dtype-faithful hash distinguishes from the
+            -- engine's int64 (the r10 red row).
             WITH e AS (
                 SELECT user_id AS u, event_type AS etype,
                        epoch_ms(ts) AS ms, event_id AS eid,
@@ -11902,17 +11979,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *,
                        sum(is_conv) OVER (
                            PARTITION BY u
-                           ORDER BY ms DESC, ck DESC
+                           ORDER BY ms DESC, ck DESC, is_conv DESC
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW) AS remaining,
                        sum(is_conv) OVER (PARTITION BY u) AS n_conv
                 FROM e),
             convs AS (
-                SELECT u, n_conv - remaining + 1 AS conv_idx,
+                SELECT u, CAST(n_conv - remaining + 1 AS BIGINT) AS conv_idx,
                        eid AS conv_id, ms AS conv_ms
                 FROM seq WHERE is_conv = 1),
             touches AS (
-                SELECT u, n_conv - remaining + 1 AS conv_idx,
+                SELECT u, CAST(n_conv - remaining + 1 AS BIGINT) AS conv_idx,
                        etype, ms, ck
                 FROM seq WHERE is_conv = 0 AND remaining >= 1),
             att AS (
@@ -12331,6 +12408,35 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                          - n) // 512 AS BIGINT) AS bin_in_group
             FROM t
+        """,
+        "pack_ffd_bins": f"""
+            -- FFD invariant oracle (VERDICT r10 item 5): the numeric
+            -- columns are recomputed from the input alone; the booleans
+            -- are TRUE literals — the engine flips one (and fails the
+            -- hash) iff the placement violates capacity / overflow
+            -- singleton-ness / input partitioning / the
+            -- [ceil(sum/budget), floor(2*sum/budget)+1] bin-count
+            -- bracket (volume lower bound; any-fit upper bound: at
+            -- most one bin <= half full)
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({WORDS}) AS BIGINT) AS n,
+                       CAST(doc_id % 32 AS BIGINT) AS g
+                FROM documents)
+            SELECT g AS pack_group,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN n >= 512 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_over,
+                   CAST(sum(CASE WHEN n < 512 THEN n ELSE 0 END)
+                        AS BIGINT) AS sum_small,
+                   CAST((sum(CASE WHEN n < 512 THEN n ELSE 0 END) + 511)
+                        // 512 AS BIGINT) AS lb_small,
+                   true AS capacity_ok,
+                   true AS overflow_singletons_ok,
+                   true AS partition_ok,
+                   true AS bins_ge_lb,
+                   true AS bins_le_anyfit
+            FROM t GROUP BY g
         """,
         "corpus_curation": f"""
             WITH f AS (
@@ -12940,7 +13046,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "q_decimal_and_date": f"""
-            -- exact cent total in HUGEINT (the DECIMAL(28,2)*100 twin);
+            -- exact cent total in HUGEINT; cents via round(x*100) on
+            -- the binary product — the SAME derivation the engine uses
+            -- (the fleet _cents idiom), so >2-decimal drift data can't
+            -- split the two sides one cent apart (r10 advisor);
             -- double built from BIGINT halves, one IEEE /100
             WITH g AS (
                 SELECT CAST(date_trunc('month', o_orderdate) AS DATE)

@@ -99,8 +99,15 @@ def fp_from_decimal(col: Column) -> Column:
     dividend-signed remainder the halves never straddle zero, so the
     result is within ~1 ulp of the true value (not necessarily the
     correctly-rounded one — portability is the contract, the SQL twin
-    replays the identical construction). Valid for |value| < 2^125
-    (hi must fit BIGINT).
+    replays the identical construction).
+
+    CALLER CONTRACT: |value| < 2^125 (~4.3e37), strictly narrower than
+    DECIMAL(38,0)'s ~1e38 range — the hi half must fit BIGINT. Inputs
+    in (2^125, 10^38) raise under ANSI mode and silently NULL with ANSI
+    off; there is no runtime guard (a Column can't assert). Current
+    callers are cent/value totals bounded far below 2^125 even under
+    the 1e9/1e7 magnitude sweeps; a new caller that can exceed it needs
+    a two-level split (divmod by 2^62 twice) instead.
     """
     p = F.lit(FP62).cast("decimal(38,0)")
     lo = col % p

@@ -152,11 +152,19 @@ def twap_hourly(
     NEGATIVE overlap weights that corrupt the aggregate (review catch).
     The id tie-break is asc_nulls_last to match SQL's default NULLS
     LAST — Spark's bare asc() is NULLS FIRST, which would pick a
-    different surviving segment than the oracle on a NULL id."""
+    different surviving segment than the oracle on a NULL id. cents is
+    the FINAL tie key: two NULL-id reports tied on ms still need a
+    total order wherever the output depends on it (the zero-length
+    segment drop keeps exactly one survivor per ms — which VALUE
+    survives must not be an engine coin flip; caught by the round-11
+    NULL-id ts-collision sweep). Rows identical in (ms, id, cents) are
+    interchangeable — same value, same integral."""
     from buskafkasparkstreaming_spark.functions import ts_millis
 
     w = Window.partitionBy(group_col).orderBy(
-        F.col("ms").asc(), F.col(id_col).asc_nulls_last()
+        F.col("ms").asc(),
+        F.col(id_col).asc_nulls_last(),
+        F.col("cents").asc(),
     )
     dec = "decimal(38,0)"
     seg = (

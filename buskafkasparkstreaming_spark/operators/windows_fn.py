@@ -349,7 +349,17 @@ def attribute_touches(
     at the same millisecond) on both sides; if several touches tie on
     the full (ms, id) key, every tied type gets the flag — equality
     against the extreme key, not row_number, so ties stay
-    deterministic.
+    deterministic. At a full (ms, id) tie between a conversion and a
+    touch, `is_conv` breaks the tie (the conversion sorts as the later
+    event, so the touch attributes to it), keeping the walk order total
+    wherever the output depends on it.
+
+    OUT OF CONTRACT: a legitimate id of exactly LONG_MIN (-2^63) is
+    indistinguishable from a NULL id — its conversion reports conv_id
+    NULL and it shares first/last tie-flags with NULL-id peers at the
+    same millisecond. Ids are assumed to come from sequences /
+    snowflakes / hashes into [-2^63+1, 2^63); pre-shift ids that can
+    take LONG_MIN.
 
     Output: (user, conv_idx, conv_id, conv_ts_ms, touch_type, n_type,
     n_touches, linear_credit, is_first_touch, is_last_touch) — conv_idx
@@ -376,7 +386,14 @@ def attribute_touches(
     )
     w_desc = (
         Window.partitionBy("u")
-        .orderBy(F.col("ms").desc(), F.col("ck").desc())
+        # is_conv desc makes the walk order TOTAL where the output
+        # depends on it: at a full (ms, ck) tie the conversion sorts as
+        # the LATER event, so a touch sharing the key attributes to it
+        # — without this key, two NULL-id events (conversion + touch)
+        # at the same millisecond order arbitrarily and the engine and
+        # a SQL replay can disagree. Ties among touches only are
+        # output-invariant (their remaining/conv_* are identical).
+        .orderBy(F.col("ms").desc(), F.col("ck").desc(), F.col("is_conv").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_user = Window.partitionBy("u")

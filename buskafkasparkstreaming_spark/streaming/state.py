@@ -47,8 +47,12 @@ def running_per_user(
             n += len(pdf)
             total += float(pdf["value"].sum())
             batch_max = pdf["ts"].max()
-            max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
-            if batch_max is not None:
+            # Series.max() on an empty/all-NaT ts column returns NaT,
+            # never None — pd.notna is the guard that actually holds,
+            # and it keeps NaT out of BOTH the persisted max_ts and the
+            # timeout anchor (r10 advisor)
+            if pd.notna(batch_max):
+                max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
                 batch_ms = max(batch_ms, int(batch_max.value // 1_000_000))
         state.update((n, total, max_ts))
         # anchor the timeout at max(watermark, batch event time): the

@@ -47,7 +47,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("float64")  # unify int widths; exact ints < 2^53
+            # unify int WIDTHS only — an int column must stay int. The
+            # driver's value hash is dtype-faithful (int64 13 != float64
+            # 13.0), so coercing ints to float here masked exactly the
+            # failure class that made q_attribution_credit's r10 driver
+            # row red while the local parity run stayed green (DuckDB
+            # HUGEINT window arithmetic -> pandas float64).
+            df[c] = s.astype("int64")
         elif s.dtype == object:
             df[c] = s.astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -69,6 +75,18 @@ def assert_frames_match(
     a = _normalize(spark_pdf)
     b = _normalize(oracle_pdf)
     for c in a.columns:
+        a_num = pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_integer_dtype(a[c])
+        b_num = pd.api.types.is_float_dtype(b[c]) or pd.api.types.is_integer_dtype(b[c])
+        if a_num and b_num and a[c].dtype != b[c].dtype:
+            # int-vs-float is a driver-hash mismatch even when the
+            # values are numerically equal — fail loudly with the class
+            raise AssertionError(
+                f"{name}: column {c} dtype drift: spark={a[c].dtype} "
+                f"oracle={b[c].dtype} (the driver's hash is "
+                f"dtype-faithful; CAST the oracle/engine side so both "
+                f"agree — usually a DuckDB sum()/window HUGEINT "
+                f"materializing as float64)"
+            )
         if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
             sa, sb = a[c], b[c]
             both_nan = sa.isna() & sb.isna()

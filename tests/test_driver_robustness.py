@@ -1089,6 +1089,65 @@ def test_ts_collision_drift(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def test_null_id_ts_collision_drift(spark, tmp_path):
+    """NULL event_ids colliding on a coarse ts grid (r10 advisor sweep):
+    entries that break ts ties on event_id see the tie-break key itself
+    go NULL — the LONG_MIN sentinel makes all NULL ids EQUAL, so a
+    NULL-id conversion and a NULL-id touch at the same millisecond have
+    no (ms, ck) order at all. attribute_touches adds is_conv as the
+    third walk key (the conversion sorts later, the touch attributes to
+    it) so the order is total wherever the output depends on it; ties
+    among same-key touches are output-invariant. This sweep pins that
+    engine and oracle agree under the worst case: day-truncated ts ×
+    every-7th id NULLed, so NULL-id purchases and NULL-id touches
+    collide inside user partitions."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "nidcol")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+                          ELSE event_id END AS event_id,
+                     CASE WHEN event_id % 3 < 2
+                          THEN time_bucket(INTERVAL '1 day', ts)
+                          ELSE ts END AS ts,
+                     user_id, event_type, value, props
+              FROM '{src}/events.parquet')
+        TO '{drift}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name in (
+        "q_attribution_credit",
+        "q_twap_hourly",
+        "q_event_gaps",
+    ):
+        try:
+            run_pair(spark, con, qs[name], oracles[name], drift, name)
+        except AssertionError as e:
+            failures.append(f"{name}: {str(e)[:300]}")
+    con.close()
+    assert not failures, "\n".join(failures)
+
+
 def test_extreme_magnitude_drift(spark, tmp_path):
     """events.value scaled by ±1e9 for ~1/4 of rows — cents up to ~1e14,
     squares ~1e28, cents×w_ms products ~1e20: every BIGINT intermediate

@@ -54,7 +54,10 @@ def test_round11_lead_is_r5_cohort():
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():
+    """Round 11 closed the last gap: pack_ffd_bins now returns an
+    invariant summary with a full DuckDB oracle (VERDICT r10 item 5),
+    so EVERY queries() entry has an oracle_sql() twin."""
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"pack_ffd_bins"}, rows_only
+    assert rows_only == set(), rows_only
     assert set(oracles) <= set(qs)
