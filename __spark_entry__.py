@@ -7620,6 +7620,140 @@ def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         7 * 24 * 3600 * 1000,
     )
 
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table — the model-evaluation query
+    every targeting/propensity pipeline runs (round-11 candidate from
+    the SURVEY list): customers ranked by total spend, cut into 10 EXACT
+    global deciles (operators/windows_fn.py::global_ntile — range
+    repartition + broadcast offsets, bit-identical to SQL ntile(10) for
+    a unique ordering, never a single-task global sort), then per-decile
+    response rate against the urgent-order response flag, lift vs the
+    base rate, and cumulative gains. All rates/lift derive from exact
+    BIGINT counts by pinned float divisions: rate = resp/n,
+    lift = rate / (tot_resp/tot_n), gain = cum_resp/tot_resp — each
+    operand an int64→double conversion (correctly rounded in any
+    engine), so the oracle matches hash-exact. The totals/cumsum windows
+    run over the 10-row decile frame — post-aggregation, never data
+    scale."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("spend_cents"),
+        F.max(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        ).alias("resp"),
+    )
+    ranked = W.global_ntile(
+        per_cust,
+        [F.col("spend_cents").desc(), F.col("custkey").asc()],
+        10,
+        "decile",
+    )
+    per_dec = ranked.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("resp").cast("long").alias("n_resp"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_n = F.sum("n_customers").over(w_all).cast("long")
+    tot_r = F.sum("n_resp").over(w_all).cast("long")
+    cum_r = F.sum("n_resp").over(w_cum).cast("long")
+    rate = F.col("n_resp").cast("double") / F.col("n_customers").cast("double")
+    return per_dec.select(
+        "decile",
+        "n_customers",
+        "n_resp",
+        rate.alias("resp_rate"),
+        (rate / (tot_r.cast("double") / tot_n.cast("double"))).alias("lift"),
+        cum_r.alias("cum_resp"),
+        (cum_r.cast("double") / tot_r.cast("double")).alias("cum_gain"),
+    )
+
+
+def q_allen_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra join (operators/joins.py::allen_join,
+    round-11 candidate): each user's engagement span (click/view
+    min..max event time) classified against their outcome span
+    (purchase/error) into one of Allen's 13 relations — the
+    temporal-reasoning query interval stores ship natively. The span
+    derivation is one (user, type) hash agg; the pairing is ONE keyed
+    equi-join with bounded per-key fanout (≤2×2 spans per user), never
+    a time cross-join. The relation is a fixed integer-comparison
+    cascade shared verbatim with the SQL oracle
+    (joins.ALLEN_RELATIONS / allen_relation_sql), so degenerate point
+    spans (single-event types, s == e) classify identically in both
+    engines."""
+    from buskafkasparkstreaming_spark.operators.joins import allen_join
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    spans = events.groupBy("user_id", "event_type").agg(
+        F.min(bssf.ts_millis(F.col("ts"))).alias("s"),
+        F.max(bssf.ts_millis(F.col("ts"))).alias("e"),
+    )
+    left = spans.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    right = spans.filter(
+        F.col("event_type").isin("purchase", "error")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    return allen_join(left, right, "user_id").select(
+        "user_id", "type_a", "type_b", "s_a", "e_a", "s_b", "e_b", "relation"
+    )
+
+
+def streaming_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING 2-D skyline (streaming/state.py::skyline_per_key,
+    round-11 candidate): the Pareto frontier of (minimize value cents,
+    maximize event time) per event type, maintained incrementally in
+    applyInPandasWithState — state is only the current frontier
+    (dominated points can never rejoin), every batch re-emits it tagged
+    with the monotone n_seen count, and the drained memory sink
+    recovers the FINAL frontier as the max-n_seen rows per key, so the
+    result is batch-layout-independent by construction. FULL oracle:
+    the batch NOT-EXISTS dominance anti-join over the same distinct
+    points."""
+    from buskafkasparkstreaming_spark.streaming.state import skyline_per_key
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    pts = stream.filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        bssf.ts_millis(F.col("ts")).alias("y"),
+    )
+    out = skyline_per_key(pts, key_col="event_type")
+    res = SW.run_to_memory(out, spark, output_mode="update")
+    w = Window.partitionBy("event_type")
+    return (
+        res.withColumn("__mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select(
+            "event_type",
+            F.col("x").alias("value_cents"),
+            F.col("y").alias("ts_ms"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -7627,85 +7761,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
     # semantics/plan changed this round, then oldest-artifact-first).
-    # Round-10 rotation (the arithmetic the round-9 NOTE precomputed):
-    # 8 never-seen (the 3 operators registered in round 9 + the 5 new
-    # round-9 entries) + 1 contract-changed (dedup_incremental_lsh --
-    # the advisor's LSH-gate fix; dedup_weighted_minhash and
-    # q_twap_hourly also changed but already hold never-seen slots, and
-    # dedup_minhash_lsh rides its r4-stale slot below) + 2 new round-10
-    # entries (skyline, attribution -- additions kept == spare slots,
-    # VERDICT r8 item 4) + the 6 remaining r2-stale + all 33 r4-stale
-    # = exactly 50. After this round nothing is older than round 5;
-    # round-11 arithmetic: 0 never-seen carried, 50 r5-stale -- the r5
-    # cohort alone fills the window, so round-11 additions must either
-    # be 0 or explicitly displace r5 entries in this NOTE.
+    # Round-11 rotation: 3 new (q_decile_lift, q_allen_spans,
+    # streaming_skyline -- SURVEY round-11 candidates) + 5 changed
+    # (q_attribution_credit: the r10 red row -- oracle conv_idx BIGINT
+    # cast + is_conv walk-tie key; pack_ffd_bins: rows-only -> invariant
+    # oracle, VERDICT r10 item 5; q_twap_hourly + q_event_gaps: NULL-id
+    # ts-collision ordering fixes from the new advisor sweep;
+    # q_decimal_and_date: cents-idiom alignment) + 42 of the 49-entry
+    # r5-stale cohort = exactly 50. The 7 displaced r5 entries sit
+    # first below the cut (the r9 NOTE precomputed a pure block move;
+    # additions/changes displace explicitly, as that NOTE required).
+    # Round-12 arithmetic: 7 r5-stale + 43 of the 47-entry r7 cohort
+    # fill the window; round-12 additions displace r7 slots.
     return {
-        # --- never driver-seen: the 3 operators registered in round 9
-        # (VERDICT r8 item 2) + the 5 new round-9 entries -- lead the
-        # round-10 window ----------------------------------------------
-        "layout_hilbert_events": layout_hilbert_events,
-        "q_ecdf_transform": q_ecdf_transform,
-        "q_cramers_v": q_cramers_v,
-        "sketch_ks_approx": sketch_ks_approx,
-        "dedup_weighted_minhash": dedup_weighted_minhash,
-        "dedup_tfidf_cosine": dedup_tfidf_cosine,
-        "q_market_basket_lift": q_market_basket_lift,
-        "q_twap_hourly": q_twap_hourly,
-        # --- output contract changed this round (advisor LSH-gate fix
-        # applied family-wide): needs a fresh driver row ---------------
-        "dedup_incremental_lsh": dedup_incremental_lsh,
-        # --- new in round 10 (never driver-seen; 2 == the spare slots) -
-        "q_skyline_parts": q_skyline_parts,
+        # --- new in round 11 (never driver-seen): decile lift/gains,
+        # Allen interval-algebra join, streaming skyline — the SURVEY
+        # round-11 candidates; each explicitly displaces one r5 slot ----
+        "q_decile_lift": q_decile_lift,
+        "q_allen_spans": q_allen_spans,
+        "streaming_skyline": streaming_skyline,
+        # --- changed in round 11 (window-head hygiene): the r10 red row
+        # (oracle conv_idx BIGINT cast + is_conv walk-tie key), the FFD
+        # entry rewritten from rows-only to an invariant oracle, the two
+        # NULL-id ts-collision ordering fixes the new sweep exposed, and
+        # the cents-idiom alignment -------------------------------------
         "q_attribution_credit": q_attribution_credit,
-        # --- r2-stale remainder (6 -- clears round 2) ------------------
-        "q_map_explode_props": q_map_explode_props,
-        "q_array_ops_embeddings": q_array_ops_embeddings,
-        "q_decimal_and_date": q_decimal_and_date,
-        "q_pandas_udf_score": q_pandas_udf_score,
-        "q_zscore_by_type": q_zscore_by_type,
-        "udtf_split_words": udtf_split_words,
-        # --- r4-stale (all 33 -- clears round 4; dedup_minhash_lsh also
-        # carries this round's LSH contract change) ---------------------
-        "q_orders_of_rich_customers": q_orders_of_rich_customers,
-        "q_running_total": q_running_total,
+        "pack_ffd_bins": pack_ffd_bins,
+        "q_twap_hourly": q_twap_hourly,
         "q_event_gaps": q_event_gaps,
-        "q_setops_high_value": q_setops_high_value,
-        "q_distinct_counts": q_distinct_counts,
-        "q_string_funcs": q_string_funcs,
-        "q_monthly_orders": q_monthly_orders,
-        "q_json_extract": q_json_extract,
-        "q_explode_words": q_explode_words,
-        "q_intersect_segments": q_intersect_segments,
-        "q_right_join_customers": q_right_join_customers,
-        "q_dense_rank_first_last": q_dense_rank_first_last,
-        "q_union_by_name": q_union_by_name,
-        "q_multiset_setops": q_multiset_setops,
-        "q_date_parts": q_date_parts,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "cdc_latest_state": cdc_latest_state,
-        "dedup_exact": dedup_exact,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_clusters": dedup_clusters,
-        "dedup_embedding_blocked": dedup_embedding_blocked,
-        "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
-        "dedup_contamination": dedup_contamination,
-        "ann_ivf_topk": ann_ivf_topk,
-        "doc_winnow_sketch": doc_winnow_sketch,
-        "sample_stratified_lang": sample_stratified_lang,
-        "text_pii_redact": text_pii_redact,
-        "pack_token_budget": pack_token_budget,
-        "corpus_curation": corpus_curation,
-        "ann_quantize_int8": ann_quantize_int8,
-        # ===== DRIVER WINDOW CUT: the 50 entries above are the
-        # round-10 sweep (8 never-seen + 1 changed + 2 new + 6 r2-stale
-        # + 33 r4-stale). Below: locally green via
-        # tests/test_oracle_parity.py; ordered for the ROUND-11 window
-        # (oldest artifact first: the 50-entry r5 cohort exactly fills
-        # it, then r7, r8, r9). =========================================
-        # --- driver-green round 5 --------------------------------------
+        "q_decimal_and_date": q_decimal_and_date,
+        # --- r5-stale (42 of the 49-entry r5 cohort; the last 7 sit
+        # just below the cut and lead round 12) --------------------------
         "q_argmax_events": q_argmax_events,
         "streaming_stateful_running": streaming_stateful_running,
         "streaming_tumbling_counts": streaming_tumbling_counts,
@@ -7748,6 +7834,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_tfidf_top_terms": text_tfidf_top_terms,
         "doc_fingerprint": doc_fingerprint,
+        # ===== DRIVER WINDOW CUT: the 50 entries above are the
+        # round-11 sweep (3 new + 5 changed + 42 r5-stale). Below:
+        # locally green via tests/test_oracle_parity.py every round;
+        # ordered for the ROUND-12 window (oldest artifact first: the 7
+        # displaced r5 entries, then the 47-entry r7 cohort fills it —
+        # 7 + 43 of 47; round-12 additions displace r7 slots). ===========
+        # --- r5-stale, displaced by the round-11 additions/changes ------
         "multimodal_bytes_meta": multimodal_bytes_meta,
         "multimodal_features": multimodal_features,
         "multimodal_frames": multimodal_frames,
@@ -7812,7 +7905,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_anomaly": q_seasonal_anomaly,
         "text_rouge_overlap": text_rouge_overlap,
         "sketch_theta_intersection": sketch_theta_intersection,
-        "pack_ffd_bins": pack_ffd_bins,
         "streaming_session_topk": streaming_session_topk,
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_share": q14_promo_share,
@@ -7905,6 +7997,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_status_priority": q_rollup_status_priority,
         "q_cube_status_priority": q_cube_status_priority,
         "q_string_agg_suppliers": q_string_agg_suppliers,
+        # --- driver-green round 10 (freshest — the r10 window minus the
+        # four entries moved to the round-11 changed head) ---------------
+        "layout_hilbert_events": layout_hilbert_events,
+        "q_ecdf_transform": q_ecdf_transform,
+        "q_cramers_v": q_cramers_v,
+        "sketch_ks_approx": sketch_ks_approx,
+        "dedup_weighted_minhash": dedup_weighted_minhash,
+        "dedup_tfidf_cosine": dedup_tfidf_cosine,
+        "q_market_basket_lift": q_market_basket_lift,
+        "dedup_incremental_lsh": dedup_incremental_lsh,
+        "q_skyline_parts": q_skyline_parts,
+        "q_map_explode_props": q_map_explode_props,
+        "q_array_ops_embeddings": q_array_ops_embeddings,
+        "q_pandas_udf_score": q_pandas_udf_score,
+        "q_zscore_by_type": q_zscore_by_type,
+        "udtf_split_words": udtf_split_words,
+        "q_orders_of_rich_customers": q_orders_of_rich_customers,
+        "q_running_total": q_running_total,
+        "q_setops_high_value": q_setops_high_value,
+        "q_distinct_counts": q_distinct_counts,
+        "q_string_funcs": q_string_funcs,
+        "q_monthly_orders": q_monthly_orders,
+        "q_json_extract": q_json_extract,
+        "q_explode_words": q_explode_words,
+        "q_intersect_segments": q_intersect_segments,
+        "q_right_join_customers": q_right_join_customers,
+        "q_dense_rank_first_last": q_dense_rank_first_last,
+        "q_union_by_name": q_union_by_name,
+        "q_multiset_setops": q_multiset_setops,
+        "q_date_parts": q_date_parts,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "cdc_latest_state": cdc_latest_state,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_clusters": dedup_clusters,
+        "dedup_embedding_blocked": dedup_embedding_blocked,
+        "dedup_rp_lsh_embeddings": dedup_rp_lsh_embeddings,
+        "dedup_contamination": dedup_contamination,
+        "ann_ivf_topk": ann_ivf_topk,
+        "doc_winnow_sketch": doc_winnow_sketch,
+        "sample_stratified_lang": sample_stratified_lang,
+        "text_pii_redact": text_pii_redact,
+        "pack_token_budget": pack_token_budget,
+        "corpus_curation": corpus_curation,
+        "ann_quantize_int8": ann_quantize_int8,
     }
 
 STOP_SQL = "('the','a','of','to','and','in')"
@@ -12024,6 +12164,90 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN ms = max_ms AND ck = max_ck
                             THEN 1 ELSE 0 END) = 1 AS is_last_touch
             FROM pt2 GROUP BY 1, 2, 3, 4, 5
+        """,
+        "q_decile_lift": """
+            -- exact global deciles by spend (SQL ntile(10) — the
+            -- global_ntile twin, bit-identical for the unique
+            -- (spend DESC, custkey ASC) order), then exact BIGINT
+            -- counts and the SAME pinned float divisions as the engine:
+            -- rate = resp/n, lift = rate/(tot_r/tot_n),
+            -- gain = cum/tot_r — every operand int64->double
+            WITH c AS (
+                SELECT o_custkey AS custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS spend_cents,
+                       max(CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN 1 ELSE 0 END) AS resp
+                FROM orders GROUP BY 1),
+            r AS (
+                SELECT resp,
+                       CAST(ntile(10) OVER (
+                           ORDER BY spend_cents DESC, custkey ASC)
+                           AS BIGINT) AS decile
+                FROM c),
+            d AS (
+                SELECT decile, count(*) AS n_customers,
+                       CAST(sum(resp) AS BIGINT) AS n_resp
+                FROM r GROUP BY 1),
+            t AS (
+                SELECT decile, n_customers, n_resp,
+                       CAST(sum(n_customers) OVER () AS BIGINT) AS tot_n,
+                       CAST(sum(n_resp) OVER () AS BIGINT) AS tot_r,
+                       CAST(sum(n_resp) OVER (
+                           ORDER BY decile
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_resp
+                FROM d)
+            SELECT decile, n_customers, n_resp,
+                   CAST(n_resp AS DOUBLE) / CAST(n_customers AS DOUBLE)
+                       AS resp_rate,
+                   (CAST(n_resp AS DOUBLE) / CAST(n_customers AS DOUBLE))
+                       / (CAST(tot_r AS DOUBLE) / CAST(tot_n AS DOUBLE))
+                       AS lift,
+                   cum_resp,
+                   CAST(cum_resp AS DOUBLE) / CAST(tot_r AS DOUBLE)
+                       AS cum_gain
+            FROM t
+        """,
+        "q_allen_spans": f"""
+            -- Allen classification CASE generated from the SAME
+            -- ALLEN_RELATIONS cascade the engine evaluates
+            -- (operators/joins.py::allen_relation_sql), so degenerate
+            -- point spans classify identically
+            WITH sp AS (
+                SELECT user_id, event_type,
+                       min(epoch_ms(ts)) AS s, max(epoch_ms(ts)) AS e
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                  AND user_id IS NOT NULL
+                GROUP BY 1, 2)
+            SELECT a.user_id, a.event_type AS type_a,
+                   b.event_type AS type_b,
+                   a.s AS s_a, a.e AS e_a, b.s AS s_b, b.e AS e_b,
+                   {J.allen_relation_sql('a.s', 'a.e', 'b.s', 'b.e')}
+                       AS relation
+            FROM sp a JOIN sp b ON a.user_id = b.user_id
+            WHERE a.event_type IN ('click', 'view')
+              AND b.event_type IN ('purchase', 'error')
+        """,
+        "streaming_skyline": """
+            -- batch NOT-EXISTS dominance skyline over the same distinct
+            -- (cents, ms) points: the streaming frontier's final state
+            -- must equal it for any batch layout
+            WITH p AS (
+                SELECT DISTINCT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS x,
+                       epoch_ms(ts) AS y
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL)
+            SELECT p.event_type, p.x AS value_cents, p.y AS ts_ms
+            FROM p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.event_type = p.event_type
+                  AND b.x <= p.x AND b.y >= p.y
+                  AND (b.x < p.x OR b.y > p.y))
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE

@@ -217,7 +217,31 @@ HEADLINE = [
     # round-10 additions (own BASELINE.md budget family)
     "q_skyline_parts",
     "q_attribution_credit",
+    # round-11 additions (own BASELINE.md budget family); pack_ffd_bins
+    # above now times the invariant-summary formulation (the FFD pack
+    # itself plus two bounded aggregations)
+    "q_decile_lift",
+    "q_allen_spans",
+    "streaming_skyline",
 ]
+
+
+def bench_calibration(spark, timings: dict) -> None:
+    """Fixed plan-trivial CPU row (VERDICT r10 item 4): a 50M-row
+    whole-stage-codegen range sum — no IO, no Python boundary, no data
+    dependence, one 32-slice scan + final agg. Its runtime tracks BOX
+    state (CPU clock, GC/code-cache pressure, co-tenancy), not the
+    engine, so cross-round per-query ratios can be divided by this
+    row's ratio to separate box drift from plan regressions — rounds
+    8-10 each claimed 'uniform box drift' without a way to prove it.
+    Excluded from the suite total so the headline stays comparable with
+    the pre-r11 roofs; compare it only against its own history in
+    BASELINE.md."""
+    t0 = time.perf_counter()
+    spark.range(0, 50_000_000, 1, 32).selectExpr(
+        "sum(id * 2 + 1) AS s"
+    ).collect()
+    timings["calibration_fixed"] = round(time.perf_counter() - t0, 3)
 
 
 def bench_minhash_pipeline(spark, sf_dir: str, timings: dict) -> None:
@@ -400,6 +424,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(3):
         round_t: dict[str, float] = {}
+        bench_calibration(spark, round_t)
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()
@@ -414,7 +439,11 @@ def main() -> None:
         for name, t in round_t.items():
             timings[name] = min(timings.get(name, float("inf")), t)
 
-    total = round(sum(timings.values()), 3)
+    # calibration_fixed measures the box, not the engine — reported per
+    # query for drift normalization but excluded from the headline total
+    total = round(
+        sum(t for n, t in timings.items() if n != "calibration_fixed"), 3
+    )
     print(
         json.dumps(
             {

@@ -287,3 +287,107 @@ def point_in_interval_join(
         )
         .drop("__b")
     )
+
+
+#: Allen's 13 interval relations, in the CASE-cascade order both the
+#: engine and the SQL oracle evaluate them (first match wins — the order
+#: only matters for DEGENERATE point intervals s == e, where several
+#: relations can hold simultaneously; for proper intervals the 13 are
+#: mutually exclusive and exhaustive, Allen 1983).
+ALLEN_RELATIONS = (
+    ("equals", "sa = sb AND ea = eb"),
+    ("starts", "sa = sb AND ea < eb"),
+    ("started_by", "sa = sb AND ea > eb"),
+    ("finishes", "ea = eb AND sa > sb"),
+    ("finished_by", "ea = eb AND sa < sb"),
+    ("meets", "ea = sb"),
+    ("met_by", "sa = eb"),
+    ("precedes", "ea < sb"),
+    ("preceded_by", "sa > eb"),
+    ("during", "sa > sb AND ea < eb"),
+    ("contains", "sa < sb AND ea > eb"),
+    ("overlaps", "sa < sb AND sb < ea AND ea < eb"),
+    ("overlapped_by", "sb < sa AND sa < eb AND eb < ea"),
+)
+
+
+def allen_relation(sa: Column, ea: Column, sb: Column, eb: Column) -> Column:
+    """Classify interval a = [sa, ea] against b = [sb, eb] into one of
+    Allen's 13 relations (Allen 1983, "Maintaining Knowledge about
+    Temporal Intervals"). Pure integer comparisons in a FIXED cascade —
+    identical in any engine; the SQL twin is built from the same
+    ALLEN_RELATIONS table, so engine and oracle agree even on degenerate
+    point intervals, where the cascade order is the tie-break."""
+    cols = {"sa": sa, "ea": ea, "sb": sb, "eb": eb}
+
+    def cond(expr: str) -> Column:
+        out = None
+        for clause in expr.split(" AND "):
+            lhs, op, rhs = clause.split(" ")
+            a, b = cols[lhs], cols[rhs]
+            c = {"=": a == b, "<": a < b, ">": a > b}[op]
+            out = c if out is None else (out & c)
+        return out
+
+    out = None
+    for name, e in ALLEN_RELATIONS:
+        c = F.when(cond(e), F.lit(name))
+        out = c if out is None else out.when(cond(e), F.lit(name))
+    return out
+
+
+def allen_relation_sql(sa: str, ea: str, sb: str, eb: str) -> str:
+    """The DuckDB twin of allen_relation: a CASE built from the SAME
+    ALLEN_RELATIONS cascade, so both engines classify identically."""
+    import re
+
+    subst = {"sa": sa, "ea": ea, "sb": sb, "eb": eb}
+    arms = []
+    for name, e in ALLEN_RELATIONS:
+        # one-pass word-boundary substitution: a caller's column name may
+        # itself contain 'sa'/'ea' etc., so sequential str.replace could
+        # corrupt already-substituted text
+        cond = re.sub(r"\b(sa|ea|sb|eb)\b", lambda m: subst[m.group(1)], e)
+        arms.append(f"WHEN {cond} THEN '{name}'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+def allen_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    start_a: str = "s_a",
+    end_a: str = "e_a",
+    start_b: str = "s_b",
+    end_b: str = "e_b",
+) -> DataFrame:
+    """Allen interval-algebra join: keyed equi-join of two interval sets,
+    each output pair labeled with its Allen relation
+    (`allen_relation`). Both inputs carry (key_col, start, end) with the
+    column names given; NULL keys/bounds are dropped on both sides (an
+    unbounded interval has no Allen class; NULL keys never equi-join in
+    SQL and must not pair here either — the attribution lesson).
+
+    Scale shape: ONE hash equi-join on key_col (AQE may broadcast a
+    small side) — never a time cross-join; the per-key pair fanout is
+    the caller's contract (bounded key groups, e.g. activity-type spans
+    per user). For UN-keyed interval sets, bucketize time first
+    (range_join's machinery) and feed the bucket as key_col — only
+    intersecting relations survive bucket-local pairing then.
+    """
+    lf = left.filter(
+        F.col(key_col).isNotNull()
+        & F.col(start_a).isNotNull()
+        & F.col(end_a).isNotNull()
+    )
+    rf = right.filter(
+        F.col(key_col).isNotNull()
+        & F.col(start_b).isNotNull()
+        & F.col(end_b).isNotNull()
+    )
+    return lf.join(rf, key_col).withColumn(
+        "relation",
+        allen_relation(
+            F.col(start_a), F.col(end_a), F.col(start_b), F.col(end_b)
+        ),
+    )

@@ -443,3 +443,81 @@ def cusum_hourly_per_type(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+SKYLINE_STATE_SCHEMA = "xs array<bigint>, ys array<bigint>, n_seen bigint"
+
+
+def _skyline_output_schema(key_col: str) -> str:
+    return f"{key_col} string, x bigint, y bigint, n_seen bigint"
+
+
+def skyline_per_key(
+    points: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """STREAMING 2-D skyline (Pareto frontier — minimize x, maximize y)
+    per key, maintained incrementally in applyInPandasWithState (the
+    round-10 batch `skyline_2d`'s streaming sibling, SURVEY round-11
+    candidate list). Input: (key_col string, x bigint, y bigint), NULLs
+    pre-filtered by the caller.
+
+    State is ONLY the current frontier: once a point is dominated it can
+    never rejoin (points only accumulate, so its dominator persists) —
+    the merge `frontier(state ∪ batch) == frontier(all points seen)` is
+    associative in the input split, making the FINAL emission
+    batch-layout-independent. Frontier size for exchangeable random
+    points is O(log n) expected — bounded state without a cap.
+
+    Every batch re-emits the full current frontier (update mode) tagged
+    with n_seen, the total points consumed for the key — a monotone
+    batch clock, so a drained memory sink recovers the FINAL frontier as
+    the rows with max(n_seen) per key, regardless of how the source
+    paced its batches. No timeout: the frontier never expires (a skyline
+    has no event-time horizon), so there is no timeout-anchoring
+    sensitivity here (the round-10 lesson stays confined to the
+    expiring trackers).
+
+    Frontier walk: sort points by (x asc, y desc), keep a point iff its
+    y strictly exceeds the best y so far — equal-x lower-y and equal-y
+    higher-x points are dominated (one strict coordinate), duplicate
+    (x, y) points collapse via the set. The SQL twin is the NOT-EXISTS
+    dominance anti-join over DISTINCT points.
+    """
+
+    def tracker(key, pdfs, state):
+        import pandas as pd
+
+        (k,) = key
+        xs, ys, n_seen = state.get if state.exists else ([], [], 0)
+        pts = set(zip(xs, ys))
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for x, y in zip(pdf["x"].tolist(), pdf["y"].tolist()):
+                pts.add((int(x), int(y)))
+        frontier = []
+        best_y = None
+        for x, y in sorted(pts, key=lambda p: (p[0], -p[1])):
+            if best_y is None or y > best_y:
+                frontier.append((x, y))
+                best_y = y
+        state.update(
+            (
+                [p[0] for p in frontier],
+                [p[1] for p in frontier],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            [
+                {key_col: k, "x": x, "y": y, "n_seen": n_seen}
+                for x, y in frontier
+            ]
+        )
+
+    return points.groupBy(key_col).applyInPandasWithState(
+        tracker,
+        outputStructType=_skyline_output_schema(key_col),
+        stateStructType=SKYLINE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

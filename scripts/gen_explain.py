@@ -83,7 +83,10 @@ SHOWN = {
     "q_twap_hourly": "hourly LOCF TWAP: one window shuffle on the group key, bounded hour-span Generate, one (group,hour) hash agg; DECIMAL(38,0) numerator emitted as exact BIGINT divmod halves (int128->double mis-rounds ties above 2^53), float built from BIGINT->double only",
     "layout_hilbert_events": "Hilbert layout: min/max bounds broadcast, the 16-level xy2d walk is ONE row-local projection chain (no shuffle until the optional file bucketing)",
     "q_skyline_parts": "2-D skyline: staircase decomposition — ONE partial+final hash agg to per-size mins (domain-bounded frame), running min over that tiny frame, broadcast join back; no base-data shuffle, no O(n^2) dominance pairing",
-    "q_attribution_credit": "multi-touch attribution: join-free — the nearest following conversion rides a last(ignorenulls) window over the DESC (ms,id) walk; every later window + the final agg cluster on (u,...), satisfied by the ONE hashpartitioning(u) exchange; exact integer credit inputs, one division per output row",
+    "q_attribution_credit": "multi-touch attribution: join-free — the nearest following conversion rides a last(ignorenulls) window over the DESC (ms,id,is_conv) walk; every later window + the final agg cluster on (u,...), satisfied by the ONE hashpartitioning(u) exchange; exact integer credit inputs, one division per output row",
+    "q_decile_lift": "decile lift/gains: distributed exact ntile(10) (range repartition + broadcast offsets — prints post-checkpoint), ONE per-customer hash agg of the orders scan; the only SinglePartition stage is the constant 10-row decile frame (totals/cumsum post-aggregation)",
+    "q_allen_spans": "Allen interval join: one (user,type) hash agg to spans, one keyed equi-join (AQE broadcasts the small side), the 13-relation classification a row-local CASE projection — never a time cross-join",
+    "pack_ffd_bins": "FFD invariant summary: the per-group applyInPandas pack (ONE pack_group shuffle), then two bounded aggregations (per-bin, per-group) joined on pack_group — the invariant booleans are row-local comparisons over the tiny per-group frame",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage

@@ -361,6 +361,10 @@ def test_null_events_drift(spark, tmp_path):
         "streaming_funnel_timeout",
         "q_funnel_sliding_windows",
         "q_ks_rolling_hourly",
+        # r11: NULL type/value rows must drop from the spans / the
+        # frontier point set identically on both sides
+        "q_allen_spans",
+        "streaming_skyline",
         # NULL event_type rows must drop from the (type, hour) cells /
         # the purge table build identically on both sides; the hour axis
         # and seasonal cells only need ts
@@ -999,6 +1003,9 @@ def test_null_user_drift(spark, tmp_path):
         # join-free window formulation would otherwise attribute inside
         # a NULL-user partition where a SQL join replay drops the rows
         "q_attribution_credit",
+        # r11: NULL span keys must pair in NEITHER engine (allen_join
+        # filters them; SQL equi-join drops them)
+        "q_allen_spans",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -1080,6 +1087,10 @@ def test_ts_collision_drift(spark, tmp_path):
         "streaming_tumbling_counts",
         "streaming_session_windows",
         "streaming_dedup_keys",
+        # r11: span mins/maxes and the dedup'd frontier are
+        # tie-insensitive BY CONSTRUCTION — pin that they stay so
+        "q_allen_spans",
+        "streaming_skyline",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)
@@ -1316,6 +1327,9 @@ def test_money_magnitude_drift(spark, tmp_path):
         "q_running_total",
         "q_percentile_bands",
         "q_decimal_and_date",
+        # r11: spend-ranked deciles — spend_cents per customer stays
+        # BIGINT-exact at 1e7-scaled prices; rates/lift are count-based
+        "q_decile_lift",
         # the money-based statistics family at ~1e14-cent magnitudes;
         # q_anova_f's c*c square was the one BIGINT wrap caught here
         "q_anova_f",

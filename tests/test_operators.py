@@ -2533,3 +2533,65 @@ def test_basket_lift_null_keys_excluded(spark):
     r = out[0]
     assert (r["c_ab"], r["c_a"], r["c_b"], r["n_orders"]) == (3, 3, 3, 3)
     assert r["lift"] == 1.0
+
+
+def test_allen_relations_exhaustive(spark):
+    """Allen cascade ground truth, exhaustively over every interval pair
+    on a 5-point grid (sa<=ea, sb<=eb — 225 pairs, degenerate points
+    included): (1) for PROPER intervals (s<e both) exactly ONE of the 13
+    conditions holds — Allen 1983's mutual exclusivity/exhaustiveness;
+    (2) for every pair (degenerate too) the first-match cascade picks
+    the same label in pure Python, in DuckDB through allen_relation_sql,
+    and in Spark through allen_relation — the three evaluation paths
+    can never disagree."""
+    import duckdb
+
+    from buskafkasparkstreaming_spark.operators.joins import (
+        ALLEN_RELATIONS,
+        allen_relation,
+        allen_relation_sql,
+    )
+
+    def holds(expr, sa, ea, sb, eb):
+        env = {"sa": sa, "ea": ea, "sb": sb, "eb": eb}
+        ok = True
+        for clause in expr.split(" AND "):
+            lhs, op, rhs = clause.split(" ")
+            a, b = env[lhs], env[rhs]
+            ok = ok and {"=": a == b, "<": a < b, ">": a > b}[op]
+        return ok
+
+    pairs = [
+        (sa, ea, sb, eb)
+        for sa in range(5)
+        for ea in range(sa, 5)
+        for sb in range(5)
+        for eb in range(sb, 5)
+    ]
+    py_label = {}
+    for sa, ea, sb, eb in pairs:
+        matches = [n for n, e in ALLEN_RELATIONS if holds(e, sa, ea, sb, eb)]
+        if sa < ea and sb < eb:
+            assert len(matches) == 1, (sa, ea, sb, eb, matches)
+        assert matches, (sa, ea, sb, eb)  # exhaustive even for points
+        py_label[(sa, ea, sb, eb)] = matches[0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p (sa BIGINT, ea BIGINT, sb BIGINT, eb BIGINT)"
+    )
+    con.executemany("INSERT INTO p VALUES (?, ?, ?, ?)", pairs)
+    sql_case = allen_relation_sql("sa", "ea", "sb", "eb")
+    for sa, ea, sb, eb, rel in con.execute(
+        f"SELECT sa, ea, sb, eb, {sql_case} FROM p"
+    ).fetchall():
+        assert rel == py_label[(sa, ea, sb, eb)], (sa, ea, sb, eb, rel)
+    con.close()
+
+    sdf = spark.createDataFrame(pairs, "sa long, ea long, sb long, eb long")
+    out = sdf.withColumn(
+        "rel",
+        allen_relation(F.col("sa"), F.col("ea"), F.col("sb"), F.col("eb")),
+    )
+    for r in out.collect():
+        assert r["rel"] == py_label[(r["sa"], r["ea"], r["sb"], r["eb"])], r

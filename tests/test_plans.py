@@ -953,3 +953,60 @@ def test_attribution_plan_shape(spark, sf_dir):
     assert "Join" not in p, p
     assert "SinglePartition" not in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_decile_lift_plan_shape(spark, sf_dir):
+    """q_decile_lift: the customer ranking must ride the distributed
+    global_ntile (range repartition + broadcast offsets — never a
+    single-task ntile over every customer, the RFM discipline). The
+    ONLY SinglePartition exchange in the final plan carries the
+    10-row per-decile aggregate (the totals/cumsum frame is
+    post-aggregation, constant-size at any data scale); the base
+    orders scan shuffles exactly once (the per-customer hash agg)."""
+    df = entrymod.q_decile_lift(spark, sf_dir)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # exactly one constant-size single-partition stage (the 10-row
+    # decile frame), not a data-scale global sort
+    assert p.count("Exchange SinglePartition") == 1, p
+    # the checkpoint inside global_ntile truncates lineage in the final
+    # plan; inspect the un-checkpointed ranking for the range exchange
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        global_ntile,
+    )
+
+    per_cust = (
+        entrymod._t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .count()
+    )
+    ranked = global_ntile(
+        per_cust,
+        [F.col("count").desc(), F.col("custkey").asc()],
+        10,
+        "decile",
+        checkpoint=False,
+    )
+    rplan = explain_str(ranked)
+    assert "rangepartitioning" in rplan, rplan
+    assert "SinglePartition" not in rplan, rplan
+
+
+def test_allen_spans_plan_shape(spark, sf_dir):
+    """q_allen_spans: the Allen classification must be ONE keyed hash
+    equi-join over the per-(user, type) span aggregates — never a time
+    cross-join or nested loop (the relation predicate is a projection
+    ON TOP of the equi-join, not the join condition), and no
+    single-partition stage anywhere: spans and pairs stay
+    user-partitioned at any scale."""
+    df = entrymod.q_allen_spans(spark, sf_dir)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SinglePartition" not in p, p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p), p
+    # span agg on each side of the join: at most the two hash
+    # exchanges for the (user, type) aggregates; the join itself rides
+    # an AQE broadcast (small side) or those same partitionings
+    assert p.count("Exchange hashpartitioning") <= 2, p

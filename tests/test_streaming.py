@@ -823,3 +823,79 @@ def test_running_and_cusum_kill_restart_equivalence(spark, tmp_path):
         a = final(f"{case}_out_a", key, seen)
         b = final(f"{case}_out_b", key, seen)
         assert a == b, (case, a, b)
+
+
+def test_streaming_skyline_batch_layout_independent(spark, tmp_path):
+    """skyline_per_key's FINAL frontier is batch-layout-independent: the
+    frontier merge frontier(state ∪ batch) == frontier(all points) is
+    associative in the input split, and every emission carries the
+    monotone n_seen clock so max-n_seen rows per key ARE the final
+    state. Two files arranged so batch 2 DOMINATES part of batch 1's
+    frontier (the frontier must shrink, not only grow), drained paced
+    (1 file/trigger) and unpaced — both must equal the brute-force
+    frontier of the union."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from buskafkasparkstreaming_spark.streaming.state import skyline_per_key
+    from buskafkasparkstreaming_spark.streaming.windows import run_to_memory
+
+    # minimize x, maximize y; key 'a': (5,50) survives b1, then (3,60)
+    # in b2 dominates it; duplicates and an equal-x-lower-y point mixed
+    b1 = [("a", 5, 50), ("a", 7, 40), ("a", 5, 45), ("b", 1, 10)]
+    b2 = [("a", 3, 60), ("a", 9, 70), ("a", 3, 60), ("b", 2, 5)]
+    d = tmp_path / "pts"
+    d.mkdir()
+    for i, rows in enumerate((b1, b2)):
+        tbl = pa.table(
+            {
+                "event_type": pa.array([k for (k, _, _) in rows]),
+                "x": pa.array([x for (_, x, _) in rows], pa.int64()),
+                "y": pa.array([y for (_, _, y) in rows], pa.int64()),
+            }
+        )
+        path = str(d / f"b{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def brute(points):
+        out = set()
+        for p in set(points):
+            if not any(
+                q[0] <= p[0] and q[1] >= p[1] and q != p
+                for q in set(points)
+                if (q[0] < p[0] or q[1] > p[1])
+            ):
+                out.add(p)
+        return out
+
+    expected = {
+        k: brute([(x, y) for (kk, x, y) in b1 + b2 if kk == k])
+        for k in ("a", "b")
+    }
+
+    schema = spark.read.parquet(str(d)).schema
+
+    def drain(paced: bool):
+        reader = spark.readStream.schema(schema).format("parquet")
+        if paced:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        out = skyline_per_key(reader.load(str(d)), key_col="event_type")
+        res = run_to_memory(out, spark, output_mode="update").collect()
+        best = {}
+        for r in res:
+            best.setdefault(r["event_type"], 0)
+            best[r["event_type"]] = max(best[r["event_type"]], r["n_seen"])
+        return {
+            k: {
+                (r["x"], r["y"])
+                for r in res
+                if r["event_type"] == k and r["n_seen"] == best[k]
+            }
+            for k in best
+        }
+
+    assert drain(paced=True) == expected
+    assert drain(paced=False) == expected
