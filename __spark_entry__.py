@@ -7754,6 +7754,72 @@ def streaming_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_allen_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen join over UN-keyed interval sets
+    (operators/joins.py::allen_join_bucketed — the bucketized
+    generalization q_allen_spans' keyed form can't express): which user
+    sessions overlapped a system incident, and HOW (during / overlaps /
+    contains / meets / ...). Incidents are data-derived: hours whose
+    error count clears 1.5× the per-error-hour average (exact integer
+    test 2·cnt·nh >= 3·tot — scale-invariant where an absolute
+    threshold would go empty or saturate across SFs), merged into
+    maximal windows by the gaps-and-islands trick over the bounded hour
+    axis. Sessions are the proven q_sessionize_events derivation (6 h
+    gap). The join explodes both interval sets to hour buckets and
+    hash-joins the bucket — only intersecting-or-touching pairs
+    survive (disjoint pairs are unbounded and excluded by contract),
+    never a cross-join. The incident frame is hour-axis-bounded, so its
+    global island window is constant-size, not data-scale."""
+    from buskafkasparkstreaming_spark.operators.joins import (
+        allen_join_bucketed,
+    )
+    from buskafkasparkstreaming_spark.operators.windows_fn import sessionize
+
+    H = 3600000
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    sess = sessionize(base, "user_id", "ts", 21600)
+    spans = sess.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_id")
+    ).agg(
+        F.min(bssf.ts_millis(F.col("ts"))).alias("s_a"),
+        F.max(bssf.ts_millis(F.col("ts"))).alias("e_a"),
+    )
+    err_ms = ev.filter(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select(bssf.ts_millis(F.col("ts")).alias("ms"))
+    hours = err_ms.select(
+        F.expr(f"(ms - pmod(ms, {H})) DIV {H}").alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = Window.partitionBy(F.lit(1)).orderBy("h")
+    qual = (
+        hours.withColumn("tot", F.sum("cnt").over(w_all))
+        .withColumn("nh", F.count(F.lit(1)).over(w_all))
+        .filter(2 * F.col("cnt") * F.col("nh") >= 3 * F.col("tot"))
+    )
+    inc = (
+        qual.withColumn("grp", F.col("h") - F.row_number().over(w_ord))
+        .groupBy("grp")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            F.col("h0").cast("long").alias("incident_id"),
+            (F.col("h0") * H).cast("long").alias("s_b"),
+            ((F.col("h1") + 1) * H - 1).cast("long").alias("e_b"),
+        )
+    )
+    return allen_join_bucketed(spans, inc, H).select(
+        "user_id",
+        "session_id",
+        "s_a",
+        "e_a",
+        "incident_id",
+        "s_b",
+        "e_b",
+        "relation",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -7761,17 +7827,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
     # semantics/plan changed this round, then oldest-artifact-first).
-    # Round-11 rotation: 3 new (q_decile_lift, q_allen_spans,
-    # streaming_skyline -- SURVEY round-11 candidates) + 5 changed
+    # Round-11 rotation: 4 new (q_decile_lift, q_allen_spans,
+    # q_allen_incidents, streaming_skyline -- SURVEY round-11
+    # candidates) + 5 changed
     # (q_attribution_credit: the r10 red row -- oracle conv_idx BIGINT
     # cast + is_conv walk-tie key; pack_ffd_bins: rows-only -> invariant
     # oracle, VERDICT r10 item 5; q_twap_hourly + q_event_gaps: NULL-id
     # ts-collision ordering fixes from the new advisor sweep;
-    # q_decimal_and_date: cents-idiom alignment) + 42 of the 49-entry
-    # r5-stale cohort = exactly 50. The 7 displaced r5 entries sit
+    # q_decimal_and_date: cents-idiom alignment) + 41 of the 49-entry
+    # r5-stale cohort = exactly 50. The 8 displaced r5 entries sit
     # first below the cut (the r9 NOTE precomputed a pure block move;
     # additions/changes displace explicitly, as that NOTE required).
-    # Round-12 arithmetic: 7 r5-stale + 43 of the 47-entry r7 cohort
+    # Round-12 arithmetic: 8 r5-stale + 42 of the 47-entry r7 cohort
     # fill the window; round-12 additions displace r7 slots.
     return {
         # --- new in round 11 (never driver-seen): decile lift/gains,
@@ -7779,6 +7846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-11 candidates; each explicitly displaces one r5 slot ----
         "q_decile_lift": q_decile_lift,
         "q_allen_spans": q_allen_spans,
+        "q_allen_incidents": q_allen_incidents,
         "streaming_skyline": streaming_skyline,
         # --- changed in round 11 (window-head hygiene): the r10 red row
         # (oracle conv_idx BIGINT cast + is_conv walk-tie key), the FFD
@@ -7790,7 +7858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_twap_hourly": q_twap_hourly,
         "q_event_gaps": q_event_gaps,
         "q_decimal_and_date": q_decimal_and_date,
-        # --- r5-stale (42 of the 49-entry r5 cohort; the last 7 sit
+        # --- r5-stale (41 of the 49-entry r5 cohort; the last 8 sit
         # just below the cut and lead round 12) --------------------------
         "q_argmax_events": q_argmax_events,
         "streaming_stateful_running": streaming_stateful_running,
@@ -7833,14 +7901,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": text_token_count,
         "text_langid": text_langid,
         "text_tfidf_top_terms": text_tfidf_top_terms,
-        "doc_fingerprint": doc_fingerprint,
         # ===== DRIVER WINDOW CUT: the 50 entries above are the
-        # round-11 sweep (3 new + 5 changed + 42 r5-stale). Below:
+        # round-11 sweep (4 new + 5 changed + 41 r5-stale). Below:
         # locally green via tests/test_oracle_parity.py every round;
-        # ordered for the ROUND-12 window (oldest artifact first: the 7
+        # ordered for the ROUND-12 window (oldest artifact first: the 8
         # displaced r5 entries, then the 47-entry r7 cohort fills it —
-        # 7 + 43 of 47; round-12 additions displace r7 slots). ===========
+        # 8 + 42 of 47; round-12 additions displace r7 slots). ===========
         # --- r5-stale, displaced by the round-11 additions/changes ------
+        "doc_fingerprint": doc_fingerprint,
         "multimodal_bytes_meta": multimodal_bytes_meta,
         "multimodal_features": multimodal_features,
         "multimodal_frames": multimodal_frames,
@@ -12229,6 +12297,65 @@ def oracle_sql() -> dict[str, str]:
             FROM sp a JOIN sp b ON a.user_id = b.user_id
             WHERE a.event_type IN ('click', 'view')
               AND b.event_type IN ('purchase', 'error')
+        """,
+        "q_allen_incidents": f"""
+            -- sessions from the PROVEN q_sessionize_events derivation;
+            -- incidents from the exact integer 1.5x-average hour test
+            -- (2*cnt*nh >= 3*tot) + gaps-and-islands merge; the join
+            -- condition is intersect-or-touch (s_a <= e_b AND
+            -- s_b <= e_a) — exactly the non-disjoint Allen relations
+            -- the bucketized engine plan emits; the CASE comes from
+            -- the SAME ALLEN_RELATIONS cascade
+            WITH ev AS (
+                SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+                       event_type
+                FROM events WHERE ts IS NOT NULL),
+            g AS (
+                -- BOTH windows share one total (ts, event_id) order:
+                -- the brk flag and the cumulative sum must see the
+                -- SAME tie permutation or a tied row can land in the
+                -- previous session (q_sessionize_events discipline)
+                SELECT user_id, ms, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                                    > 21600000
+                            THEN 1 ELSE 0 END AS brk
+                FROM ev WHERE user_id IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)),
+            s AS (
+                SELECT user_id, ms,
+                       CAST(sum(brk) OVER (PARTITION BY user_id
+                            ORDER BY ms ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS session_id
+                FROM g),
+            spans AS (
+                SELECT user_id, session_id,
+                       CAST(min(ms) AS BIGINT) AS s_a,
+                       CAST(max(ms) AS BIGINT) AS e_a
+                FROM s GROUP BY 1, 2),
+            err AS (
+                SELECT (ms - ((ms % 3600000) + 3600000) % 3600000)
+                           // 3600000 AS h
+                FROM ev WHERE event_type = 'error'),
+            c AS (SELECT h, count(*) AS cnt FROM err GROUP BY h),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+                         count(*) AS nh FROM c),
+            k AS (SELECT h FROM c, t WHERE 2 * cnt * nh >= 3 * tot),
+            isl AS (SELECT h, h - row_number() OVER (ORDER BY h) AS grp
+                    FROM k),
+            inc AS (
+                SELECT CAST(min(h) AS BIGINT) AS incident_id,
+                       CAST(min(h) * 3600000 AS BIGINT) AS s_b,
+                       CAST((max(h) + 1) * 3600000 - 1 AS BIGINT) AS e_b
+                FROM isl GROUP BY grp)
+            SELECT sp.user_id, sp.session_id, sp.s_a, sp.e_a,
+                   i.incident_id, i.s_b, i.e_b,
+                   {J.allen_relation_sql('sp.s_a', 'sp.e_a', 'i.s_b', 'i.e_b')}
+                       AS relation
+            FROM spans sp
+            JOIN inc i ON sp.s_a <= i.e_b AND i.s_b <= sp.e_a
         """,
         "streaming_skyline": """
             -- batch NOT-EXISTS dominance skyline over the same distinct

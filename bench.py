@@ -222,6 +222,7 @@ HEADLINE = [
     # itself plus two bounded aggregations)
     "q_decile_lift",
     "q_allen_spans",
+    "q_allen_incidents",
     "streaming_skyline",
 ]
 

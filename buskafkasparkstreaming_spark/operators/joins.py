@@ -391,3 +391,52 @@ def allen_join(
             F.col(start_a), F.col(end_a), F.col(start_b), F.col(end_b)
         ),
     )
+
+
+def allen_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_ms: int,
+    start_a: str = "s_a",
+    end_a: str = "e_a",
+    start_b: str = "s_b",
+    end_b: str = "e_b",
+) -> DataFrame:
+    """Allen interval-algebra join for UN-keyed interval sets — the
+    bucketized generalization `allen_join`'s docstring promises. Two
+    disjoint intervals are unbounded in number (every session precedes
+    every later incident), so only INTERSECTING-OR-TOUCHING pairs are
+    classifiable output: s_a <= e_b AND s_b <= e_a, i.e. every Allen
+    relation except precedes/preceded_by. Every such pair shares at
+    least one `bucket_ms` time bucket, so the plan is: explode each
+    interval to its bucket range (fan-out = interval length / bucket),
+    ONE hash equi-join on the bucket, dropDuplicates for multi-bucket
+    matches, then the row-local relation CASE and the disjoint-label
+    filter (a same-bucket pair can still be disjoint inside the
+    bucket). Never a cross-join or nested loop.
+
+    Scale: pick bucket_ms near the typical interval length — larger
+    buckets cut explode fan-out but grow per-bucket pair counts (a hot
+    bucket is a skew key; AQE skew-join splits it). Bucket indices use
+    the FLOOR-division pmod identity so negative epochs bucket
+    correctly (the twap_hourly lesson)."""
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        lo = F.expr(f"({s} - pmod({s}, {bucket_ms})) DIV {bucket_ms}")
+        hi = F.expr(f"({e} - pmod({e}, {bucket_ms})) DIV {bucket_ms}")
+        return df.filter(
+            F.col(s).isNotNull() & F.col(e).isNotNull()
+        ).withColumn("__b", F.explode(F.sequence(lo, hi)))
+
+    pairs = (
+        bucketed(left, start_a, end_a)
+        .join(bucketed(right, start_b, end_b), "__b")
+        .drop("__b")
+        .dropDuplicates()
+    )
+    return pairs.withColumn(
+        "relation",
+        allen_relation(
+            F.col(start_a), F.col(end_a), F.col(start_b), F.col(end_b)
+        ),
+    ).filter(~F.col("relation").isin("precedes", "preceded_by"))

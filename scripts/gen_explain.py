@@ -86,6 +86,7 @@ SHOWN = {
     "q_attribution_credit": "multi-touch attribution: join-free — the nearest following conversion rides a last(ignorenulls) window over the DESC (ms,id,is_conv) walk; every later window + the final agg cluster on (u,...), satisfied by the ONE hashpartitioning(u) exchange; exact integer credit inputs, one division per output row",
     "q_decile_lift": "decile lift/gains: distributed exact ntile(10) (range repartition + broadcast offsets — prints post-checkpoint), ONE per-customer hash agg of the orders scan; the only SinglePartition stage is the constant 10-row decile frame (totals/cumsum post-aggregation)",
     "q_allen_spans": "Allen interval join: one (user,type) hash agg to spans, one keyed equi-join (AQE broadcasts the small side), the 13-relation classification a row-local CASE projection — never a time cross-join",
+    "q_allen_incidents": "UN-keyed Allen join: session spans and data-derived incident windows explode to hour buckets and hash-join the bucket (AQE broadcasts the tiny incident side); disjoint relations are excluded by contract; the only SinglePartition stage is the hour-axis incident frame",
     "pack_ffd_bins": "FFD invariant summary: the per-group applyInPandas pack (ONE pack_group shuffle), then two bounded aggregations (per-bin, per-group) joined on pack_group — the invariant booleans are row-local comparisons over the tiny per-group frame",
 }
 

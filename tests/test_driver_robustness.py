@@ -1088,8 +1088,11 @@ def test_ts_collision_drift(spark, tmp_path):
         "streaming_session_windows",
         "streaming_dedup_keys",
         # r11: span mins/maxes and the dedup'd frontier are
-        # tie-insensitive BY CONSTRUCTION — pin that they stay so
+        # tie-insensitive BY CONSTRUCTION — pin that they stay so;
+        # the incidents entry additionally exercises sessionize + the
+        # hour-island merge under massive ts collisions
         "q_allen_spans",
+        "q_allen_incidents",
         "streaming_skyline",
     ):
         try:

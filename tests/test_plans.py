@@ -1010,3 +1010,20 @@ def test_allen_spans_plan_shape(spark, sf_dir):
     # exchanges for the (user, type) aggregates; the join itself rides
     # an AQE broadcast (small side) or those same partitionings
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_allen_incidents_plan_shape(spark, sf_dir):
+    """q_allen_incidents: the UN-keyed interval join must be the
+    bucket-explode + hash equi-join (AQE broadcasts the tiny incident
+    side) — never a nested-loop on the intersect condition. The ONLY
+    SinglePartition exchange carries the hour-axis incident frame
+    (bounded by the corpus time span, not the data volume); the
+    data-scale shuffles are the sessionize user window and the span
+    aggregate, which share one partitioning."""
+    df = entrymod.q_allen_incidents(spark, sf_dir)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p), p
+    assert p.count("Exchange SinglePartition") == 1, p
+    assert p.count("Exchange hashpartitioning") <= 2, p

@@ -899,3 +899,97 @@ def test_streaming_skyline_batch_layout_independent(spark, tmp_path):
 
     assert drain(paced=True) == expected
     assert drain(paced=False) == expected
+
+
+def test_streaming_skyline_kill_restart_equivalence(spark, tmp_path):
+    """skyline_per_key's frontier state is a join-semilattice fold
+    (frontier(state ∪ batch) == frontier(all points)) with NO timeout,
+    so a KILLED and RESTARTED query (same checkpoint, remaining files
+    drained after resume) must land the exact same final frontier as an
+    uninterrupted drain — the kill/restart pin every stateful tracker
+    in streaming/state.py carries (round-10 discipline), unconditional
+    here because nothing expires."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from buskafkasparkstreaming_spark.streaming.state import skyline_per_key
+
+    # key 'a': batch-2 points dominate part of the batch-0/1 frontier
+    # (state must shrink across the kill boundary); 'b' is single-batch
+    files = [
+        [("a", 5, 50), ("a", 7, 40), ("b", 1, 10)],
+        [("a", 5, 45), ("a", 4, 20)],
+        [("a", 3, 60), ("a", 9, 70)],
+        [("b", 0, 5), ("b", 2, 20)],
+    ]
+    schema = "event_type string, x bigint, y bigint"
+
+    def write_file(dirname, i, rows):
+        path = str(tmp_path / dirname / f"f{i}.parquet")
+        staging = path + ".staging"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(part, path)
+        shutil.rmtree(staging)
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    def drain(in_dir, ckpt, out_dir):
+        stream = read_stream(
+            spark,
+            str(tmp_path / in_dir),
+            spark.read.parquet(str(tmp_path / in_dir)).schema,
+            max_files=1,
+        )
+        out = skyline_per_key(stream, key_col="event_type")
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(str(tmp_path / out_dir))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    def final_frontier(out_dir):
+        rows = spark.read.parquet(str(tmp_path / out_dir)).collect()
+        best = {}
+        for r in rows:
+            best[r["event_type"]] = max(
+                best.get(r["event_type"], 0), r["n_seen"]
+            )
+        return {
+            k: sorted(
+                (r["x"], r["y"])
+                for r in rows
+                if r["event_type"] == k and r["n_seen"] == best[k]
+            )
+            for k in best
+        }
+
+    for i, rows in enumerate(files):
+        write_file("sky_a", i, rows)
+    drain("sky_a", "sky_ckpt_a", "sky_out_a")
+
+    for i, rows in enumerate(files[:2]):
+        write_file("sky_b", i, rows)
+    drain("sky_b", "sky_ckpt_b", "sky_out_b")
+    for i, rows in enumerate(files[2:], start=2):
+        write_file("sky_b", i, rows)
+    drain("sky_b", "sky_ckpt_b", "sky_out_b")
+
+    a, b = final_frontier("sky_out_a"), final_frontier("sky_out_b")
+    assert a == b, (a, b)
+    # hand-derived ground truth: 'a' keeps (3,60) and (9,70) — every
+    # other point is dominated by (3,60) (cheaper AND later); 'b' keeps
+    # all three points: sorted by x they ascend in y, so no pair has
+    # one cheaper-or-equal AND later-or-equal with a strict coordinate.
+    assert a["a"] == [(3, 60), (9, 70)], a
+    assert a["b"] == [(0, 5), (1, 10), (2, 20)], a
