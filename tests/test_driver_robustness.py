@@ -1221,6 +1221,9 @@ def test_extreme_magnitude_drift(spark, tmp_path):
         "q_gapfill_hourly",
         "q_ewma_dyadic",
         "streaming_sliding_avg",
+        # r11: frontier points carry value cents up to ~1e14 — BIGINT-
+        # safe, and dominance is pure integer comparison on both sides
+        "streaming_skyline",
         "q_pandas_udf_score",
         "q_running_total",
         "sketch_quantile_histogram",

@@ -909,3 +909,143 @@ def test_fp_from_decimal_matches_duckdb_twin_bitwise(spark, vals):
         else:
             assert got[i] == 0.0, (v, got[i])
     con.close()
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=_intervals,
+    right=_intervals,
+    bucket_ms=st.sampled_from([3, 7, 10]),
+)
+def test_allen_bucketed_matches_brute_force(spark, left, right, bucket_ms):
+    """allen_join_bucketed == the brute-force intersect-or-touch join
+    classified by the shared cascade, for ANY interval sets and bucket
+    size — including NEGATIVE start times (the pmod floor-division
+    bucketing) and degenerate point intervals. Pins the covering lemma
+    (every intersecting-or-touching pair shares >= 1 bucket, so the
+    bucket equi-join misses nothing) and the dedup of multi-bucket
+    matches."""
+    from buskafkasparkstreaming_spark.operators.joins import (
+        ALLEN_RELATIONS,
+        allen_join_bucketed,
+    )
+
+    lrows = [(i, s, s + ln) for i, (s, ln) in enumerate(left)]
+    rrows = [(j, s, s + ln) for j, (s, ln) in enumerate(right)]
+    lf = spark.createDataFrame(lrows, "id_a long, s_a long, e_a long")
+    rf = spark.createDataFrame(rrows, "id_b long, s_b long, e_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["relation"]
+        for r in allen_join_bucketed(lf, rf, bucket_ms).collect()
+    }
+
+    def classify(sa, ea, sb, eb):
+        env = {"sa": sa, "ea": ea, "sb": sb, "eb": eb}
+        for name, expr in ALLEN_RELATIONS:
+            ok = True
+            for clause in expr.split(" AND "):
+                a, op, b = clause.split(" ")
+                x, y = env[a], env[b]
+                ok = ok and {"=": x == y, "<": x < y, ">": x > y}[op]
+            if ok:
+                return name
+        raise AssertionError((sa, ea, sb, eb))
+
+    want = {}
+    for i, sa, ea in lrows:
+        for j, sb, eb in rrows:
+            if sa <= eb and sb <= ea:  # intersect-or-touch
+                want[(i, j)] = classify(sa, ea, sb, eb)
+    assert got == want, (got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    split=st.integers(min_value=0, max_value=29),
+)
+def test_streaming_skyline_matches_brute_force(spark, tmp_path, pts, split):
+    """The drained streaming frontier == the brute-force dominance
+    skyline of ALL points, for ANY point multiset and ANY 2-file batch
+    split (duplicates, all-dominated batches, negative coords). The
+    max-n_seen selection must recover the final state regardless of
+    where the split lands."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from buskafkasparkstreaming_spark.streaming.state import skyline_per_key
+    from buskafkasparkstreaming_spark.streaming.windows import run_to_memory
+
+    split = min(split, len(pts))
+    batches = [b for b in (pts[:split], pts[split:]) if b]
+    # tmp_path is shared across hypothesis examples — fresh dir each
+    d = Path(tempfile.mkdtemp(dir=tmp_path))
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_type": pa.array([k for (k, _, _) in rows]),
+                "x": pa.array([x for (_, x, _) in rows], pa.int64()),
+                "y": pa.array([y for (_, _, y) in rows], pa.int64()),
+            }
+        )
+        path = str(d / f"b{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(d))
+    )
+    res = run_to_memory(
+        skyline_per_key(stream, key_col="event_type"), spark,
+        output_mode="update",
+    ).collect()
+    best = {}
+    for r in res:
+        best[r["event_type"]] = max(best.get(r["event_type"], 0), r["n_seen"])
+    got = {
+        k: {
+            (r["x"], r["y"])
+            for r in res
+            if r["event_type"] == k and r["n_seen"] == best[k]
+        }
+        for k in best
+    }
+
+    want = {}
+    for k in {p[0] for p in pts}:
+        kp = {(x, y) for (kk, x, y) in pts if kk == k}
+        want[k] = {
+            p
+            for p in kp
+            if not any(
+                q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+                for q in kp
+            )
+        }
+    assert got == want, (got, want)
