@@ -7674,6 +7674,78 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT lift table — q_decile_lift generalized to grouped
+    frontiers via operators/windows_fn.py::grouped_ntile (round-11
+    second wave, the SURVEY "top-k lift by segment" candidate):
+    customers ranked by total spend WITHIN their market segment, cut
+    into 5 exact per-segment quintiles, then per-cell response rate
+    against the urgent-order flag, lift vs the SEGMENT's own base rate,
+    and within-segment cumulative gains. grouped_ntile is the scale
+    point: SQL's `ntile OVER (PARTITION BY segment)` puts each
+    segment's full sort in ONE task (five straggler tasks at 100 TB);
+    here the sort is a range repartition on (segment, spend desc,
+    custkey) — parallel regardless of group sizes — and rank-in-group
+    falls out of the global rank minus a broadcast per-group offset,
+    bit-identical to SQL ntile for this unique ordering. All
+    rates/lift/gain derive from exact BIGINT counts by pinned float
+    divisions (each operand one int64→double conversion); segments
+    with zero responders yield NULL lift/gain on both engines (no
+    IEEE-inf seam). The totals/cumsum windows run over the ≤25-row
+    (segment × quintile) frame — post-aggregation, never data scale."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("spend_cents"),
+        F.max(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        ).alias("resp"),
+    )
+    joined = per_cust.join(cust, "custkey")
+    ranked = W.grouped_ntile(
+        joined,
+        ["segment"],
+        [F.col("spend_cents").desc(), F.col("custkey").asc()],
+        5,
+        "quintile",
+    )
+    per_cell = ranked.groupBy(
+        "segment", F.col("quintile").cast("long").alias("quintile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("resp").cast("long").alias("n_resp"),
+    )
+    w_seg = Window.partitionBy("segment")
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy("quintile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg_n = F.sum("n_customers").over(w_seg).cast("long")
+    seg_r = F.sum("n_resp").over(w_seg).cast("long")
+    cum_r = F.sum("n_resp").over(w_cum).cast("long")
+    rate = F.col("n_resp").cast("double") / F.col("n_customers").cast("double")
+    has_resp = seg_r > F.lit(0)
+    return per_cell.select(
+        "segment",
+        "quintile",
+        "n_customers",
+        "n_resp",
+        rate.alias("resp_rate"),
+        F.when(
+            has_resp,
+            rate / (seg_r.cast("double") / seg_n.cast("double")),
+        ).alias("lift"),
+        cum_r.alias("cum_resp"),
+        F.when(has_resp, cum_r.cast("double") / seg_r.cast("double")).alias(
+            "cum_gain"
+        ),
+    )
+
+
 def q_allen_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Allen interval-algebra join (operators/joins.py::allen_join,
     round-11 candidate): each user's engagement span (click/view
@@ -7827,18 +7899,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
     # semantics/plan changed this round, then oldest-artifact-first).
-    # Round-11 rotation: 4 new (q_decile_lift, q_allen_spans,
-    # q_allen_incidents, streaming_skyline -- SURVEY round-11
-    # candidates) + 5 changed
+    # Round-11 rotation: 5 new (q_decile_lift, q_allen_spans,
+    # q_allen_incidents, streaming_skyline, and the second-wave
+    # q_segment_lift -- SURVEY round-11 candidates) + 5 changed
     # (q_attribution_credit: the r10 red row -- oracle conv_idx BIGINT
     # cast + is_conv walk-tie key; pack_ffd_bins: rows-only -> invariant
     # oracle, VERDICT r10 item 5; q_twap_hourly + q_event_gaps: NULL-id
     # ts-collision ordering fixes from the new advisor sweep;
-    # q_decimal_and_date: cents-idiom alignment) + 41 of the 49-entry
-    # r5-stale cohort = exactly 50. The 8 displaced r5 entries sit
+    # q_decimal_and_date: cents-idiom alignment) + 40 of the 49-entry
+    # r5-stale cohort = exactly 50. The 9 displaced r5 entries sit
     # first below the cut (the r9 NOTE precomputed a pure block move;
     # additions/changes displace explicitly, as that NOTE required).
-    # Round-12 arithmetic: 8 r5-stale + 42 of the 47-entry r7 cohort
+    # Round-12 arithmetic: 9 r5-stale + 41 of the 47-entry r7 cohort
     # fill the window; round-12 additions displace r7 slots.
     return {
         # --- new in round 11 (never driver-seen): decile lift/gains,
@@ -7848,6 +7920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_allen_spans": q_allen_spans,
         "q_allen_incidents": q_allen_incidents,
         "streaming_skyline": streaming_skyline,
+        "q_segment_lift": q_segment_lift,
         # --- changed in round 11 (window-head hygiene): the r10 red row
         # (oracle conv_idx BIGINT cast + is_conv walk-tie key), the FFD
         # entry rewritten from rows-only to an invariant oracle, the two
@@ -7900,9 +7973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": text_quality_classifier,
         "text_token_count": text_token_count,
         "text_langid": text_langid,
-        "text_tfidf_top_terms": text_tfidf_top_terms,
         # ===== DRIVER WINDOW CUT: the 50 entries above are the
-        # round-11 sweep (4 new + 5 changed + 41 r5-stale). Below:
+        # round-11 sweep (5 new + 5 changed + 40 r5-stale). Below:
         # locally green via tests/test_oracle_parity.py every round;
         # ordered for the ROUND-12 window (oldest artifact first: the 8
         # displaced r5 entries, then the 47-entry r7 cohort fills it —
@@ -7916,6 +7988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median_price_by_priority": q_median_price_by_priority,
         "q_asof_purchase_before_error": q_asof_purchase_before_error,
         "q_range_join_value_tiers": q_range_join_value_tiers,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
         # --- driver-green round 7 --------------------------------------
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
@@ -12275,6 +12348,59 @@ def oracle_sql() -> dict[str, str]:
                    cum_resp,
                    CAST(cum_resp AS DOUBLE) / CAST(tot_r AS DOUBLE)
                        AS cum_gain
+            FROM t
+        """,
+        "q_segment_lift": """
+            -- per-segment exact quintiles: SQL ntile(5) PARTITION BY
+            -- segment — grouped_ntile's twin, bit-identical for the
+            -- unique (spend DESC, custkey ASC) per-segment order —
+            -- then exact BIGINT counts and the SAME pinned float
+            -- divisions as the engine; zero-responder segments yield
+            -- NULL lift/gain on both sides (no IEEE-inf seam)
+            WITH c AS (
+                SELECT o_custkey AS custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS spend_cents,
+                       max(CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN 1 ELSE 0 END) AS resp
+                FROM orders GROUP BY 1),
+            j AS (
+                SELECT cu.c_mktsegment AS segment, c.custkey,
+                       c.spend_cents, c.resp
+                FROM c JOIN customer cu ON c.custkey = cu.c_custkey),
+            r AS (
+                SELECT segment, resp,
+                       CAST(ntile(5) OVER (
+                           PARTITION BY segment
+                           ORDER BY spend_cents DESC, custkey ASC)
+                           AS BIGINT) AS quintile
+                FROM j),
+            d AS (
+                SELECT segment, quintile, count(*) AS n_customers,
+                       CAST(sum(resp) AS BIGINT) AS n_resp
+                FROM r GROUP BY 1, 2),
+            t AS (
+                SELECT segment, quintile, n_customers, n_resp,
+                       CAST(sum(n_customers) OVER (
+                           PARTITION BY segment) AS BIGINT) AS seg_n,
+                       CAST(sum(n_resp) OVER (
+                           PARTITION BY segment) AS BIGINT) AS seg_r,
+                       CAST(sum(n_resp) OVER (
+                           PARTITION BY segment ORDER BY quintile
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_resp
+                FROM d)
+            SELECT segment, quintile, n_customers, n_resp,
+                   CAST(n_resp AS DOUBLE) / CAST(n_customers AS DOUBLE)
+                       AS resp_rate,
+                   CASE WHEN seg_r > 0 THEN
+                       (CAST(n_resp AS DOUBLE) / CAST(n_customers AS DOUBLE))
+                           / (CAST(seg_r AS DOUBLE) / CAST(seg_n AS DOUBLE))
+                   END AS lift,
+                   cum_resp,
+                   CASE WHEN seg_r > 0 THEN
+                       CAST(cum_resp AS DOUBLE) / CAST(seg_r AS DOUBLE)
+                   END AS cum_gain
             FROM t
         """,
         "q_allen_spans": f"""

@@ -224,6 +224,7 @@ HEADLINE = [
     "q_allen_spans",
     "q_allen_incidents",
     "streaming_skyline",
+    "q_segment_lift",
 ]
 
 

@@ -215,6 +215,80 @@ def global_running_sum(
     return out.drop("__pid", "__lrn", *[f"__off_{c}" for c in sum_cols])
 
 
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    out_col: str,
+    num_partitions: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """EXACT `ntile(k) OVER (PARTITION BY group ORDER BY ...)` without a
+    single-task-per-group sort — the grouped sibling of global_ntile.
+
+    Why not Window.partitionBy(group): with a handful of large groups
+    (market segments, languages, domains) each group's full sort lands
+    in ONE task — at 100 TB that is five straggler tasks doing all the
+    work. Here the sort is a RANGE repartition on the COMPOSITE ordering
+    (group asc, then order_cols), so every partition sorts in parallel
+    regardless of group sizes, and group boundaries fall out of the
+    global rank itself:
+
+    1. global_rank over (group asc ..., order_cols) — groups are
+       contiguous in the composite order, one range exchange.
+    2. per-group (start, count) = (min(global_rn), count) — a hash agg
+       to |groups| rows, broadcast back. Rank within group
+       r = global_rn - start + 1 needs NO second sort.
+    3. the SQL-standard ntile bucket formula applied row-locally with
+       the group's own (q, rem) derived from its count column — all
+       integer arithmetic (ceil_div via (a+b-1) div b), never float.
+
+    Bit-identical to SQL ntile for a UNIQUE composite ordering (caller
+    adds a key tiebreak in order_cols). NULLs in group_cols sort first
+    (Spark asc) and form their own group — offsets come from Spark's own
+    ordering, so there is no Python-vs-JVM collation seam. The broadcast
+    side is |groups| rows: intended for domain-bounded group columns
+    (segments, priorities, languages), not high-cardinality keys — for
+    those, plain Window.partitionBy is already scalable.
+    """
+    composite = [F.col(g).asc() for g in group_cols] + order_cols
+    ranked = global_rank(
+        df, composite, "__grn", num_partitions, checkpoint
+    )
+    gstats = ranked.groupBy(*group_cols).agg(
+        F.min("__grn").alias("__gstart"),
+        F.count(F.lit(1)).cast("long").alias("__gn"),
+    )
+    out = ranked.join(F.broadcast(gstats), group_cols)
+    r = (F.col("__grn") - F.col("__gstart") + F.lit(1)).cast("long")
+    q = F.expr(f"__gn div {k}")
+    rem = F.col("__gn") % F.lit(k)
+    head = (q + F.lit(1)) * rem  # rows covered by the (q+1)-sized buckets
+    ceil_div = lambda a, b: F.expr(  # noqa: E731
+        f"(({a}) + ({b}) - 1) div ({b})"
+    )
+    out = out.withColumn("__r", r)
+    bucket = (
+        F.when(q == F.lit(0), F.col("__r"))
+        .when(
+            F.col("__r") <= head,
+            ceil_div("__r", f"(__gn div {k}) + 1"),
+        )
+        .otherwise(
+            rem
+            + ceil_div(
+                f"__r - (((__gn div {k}) + 1) * (__gn % {k}))",
+                f"__gn div {k}",
+            )
+        )
+    )
+    return (
+        out.withColumn(out_col, bucket.cast("int"))
+        .drop("__grn", "__gstart", "__gn", "__r")
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

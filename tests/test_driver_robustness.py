@@ -1336,6 +1336,10 @@ def test_money_magnitude_drift(spark, tmp_path):
         # r11: spend-ranked deciles — spend_cents per customer stays
         # BIGINT-exact at 1e7-scaled prices; rates/lift are count-based
         "q_decile_lift",
+        # r11 second wave: per-segment quintiles over the same spend
+        # ranking (grouped_ntile must stay exact when the scaled rows
+        # reorder every segment's frontier)
+        "q_segment_lift",
         # the money-based statistics family at ~1e14-cent magnitudes;
         # q_anova_f's c*c square was the one BIGINT wrap caught here
         "q_anova_f",

@@ -1049,3 +1049,43 @@ def test_streaming_skyline_matches_brute_force(spark, tmp_path, pts, split):
             )
         }
     assert got == want, (got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C", "D"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_grouped_ntile_matches_sql_ntile(spark, rows, k):
+    """grouped_ntile is bit-identical to `ntile(k) OVER (PARTITION BY g
+    ORDER BY v DESC, id ASC)` — Spark's own single-task-per-group window
+    is the ground truth; the distributed range-partitioned formulation
+    must agree on EVERY row for any group-size mix (including groups
+    smaller than k, absent groups, and ties on v broken by id)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        grouped_ntile,
+    )
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, v long, id long")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = grouped_ntile(df, ["g"], order, k, "q", num_partitions=8)
+    w = Window.partitionBy("g").orderBy(*order)
+    want = df.withColumn("q_ref", F.ntile(k).over(w))
+    bad = (
+        got.join(want, ["g", "v", "id"])
+        .filter(F.col("q") != F.col("q_ref"))
+        .count()
+    )
+    assert bad == 0
+    assert got.count() == len(data)

@@ -1027,3 +1027,43 @@ def test_allen_incidents_plan_shape(spark, sf_dir):
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p), p
     assert p.count("Exchange SinglePartition") == 1, p
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_segment_lift_plan_shape(spark, sf_dir):
+    """q_segment_lift: the per-segment ranking must ride grouped_ntile
+    (range repartition on the composite (segment, spend, custkey) order
+    + broadcast per-group offsets) — NEVER a single-task-per-segment
+    ntile window, and unlike q_decile_lift there is NO SinglePartition
+    stage at all: the lift/gain windows partition by segment. Shuffles:
+    the group-stats agg, the per-cell agg, and the segment window —
+    three hash exchanges, offsets and group stats ride broadcasts."""
+    df = entrymod.q_segment_lift(spark, sf_dir)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    # the checkpoint inside grouped_ntile truncates lineage in the
+    # final plan; inspect the un-checkpointed ranking for the range
+    # exchange (parallel sort, no single ordered partition)
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        grouped_ntile,
+    )
+
+    per_cust = (
+        entrymod._t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("o_orderpriority").alias("seg"))
+    )
+    ranked = grouped_ntile(
+        per_cust,
+        ["seg"],
+        [F.col("n").desc(), F.col("custkey").asc()],
+        5,
+        "quintile",
+        checkpoint=False,
+    )
+    rplan = explain_str(ranked)
+    assert "rangepartitioning" in rplan, rplan
+    assert "SinglePartition" not in rplan, rplan
