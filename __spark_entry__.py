@@ -7826,6 +7826,39 @@ def streaming_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incident_windows(ev: DataFrame) -> DataFrame:
+    """Data-derived incident windows shared by q_allen_incidents and
+    streaming_allen_monitor: hours whose error count clears 1.5× the
+    per-error-hour average (exact integer test 2·cnt·nh >= 3·tot —
+    scale-invariant across SFs), merged into maximal windows by the
+    gaps-and-islands trick. Hour-axis-bounded, so the global island
+    window is constant-size, not data-scale."""
+    H = 3600000
+    err_ms = ev.filter(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select(bssf.ts_millis(F.col("ts")).alias("ms"))
+    hours = err_ms.select(
+        F.expr(f"(ms - pmod(ms, {H})) DIV {H}").alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = Window.partitionBy(F.lit(1)).orderBy("h")
+    qual = (
+        hours.withColumn("tot", F.sum("cnt").over(w_all))
+        .withColumn("nh", F.count(F.lit(1)).over(w_all))
+        .filter(2 * F.col("cnt") * F.col("nh") >= 3 * F.col("tot"))
+    )
+    return (
+        qual.withColumn("grp", F.col("h") - F.row_number().over(w_ord))
+        .groupBy("grp")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            F.col("h0").cast("long").alias("incident_id"),
+            (F.col("h0") * H).cast("long").alias("s_b"),
+            ((F.col("h1") + 1) * H - 1).cast("long").alias("e_b"),
+        )
+    )
+
+
 def q_allen_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Allen join over UN-keyed interval sets
     (operators/joins.py::allen_join_bucketed — the bucketized
@@ -7857,29 +7890,7 @@ def q_allen_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(bssf.ts_millis(F.col("ts"))).alias("s_a"),
         F.max(bssf.ts_millis(F.col("ts"))).alias("e_a"),
     )
-    err_ms = ev.filter(
-        (F.col("event_type") == "error") & F.col("ts").isNotNull()
-    ).select(bssf.ts_millis(F.col("ts")).alias("ms"))
-    hours = err_ms.select(
-        F.expr(f"(ms - pmod(ms, {H})) DIV {H}").alias("h")
-    ).groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-    w_all = Window.partitionBy(F.lit(1))
-    w_ord = Window.partitionBy(F.lit(1)).orderBy("h")
-    qual = (
-        hours.withColumn("tot", F.sum("cnt").over(w_all))
-        .withColumn("nh", F.count(F.lit(1)).over(w_all))
-        .filter(2 * F.col("cnt") * F.col("nh") >= 3 * F.col("tot"))
-    )
-    inc = (
-        qual.withColumn("grp", F.col("h") - F.row_number().over(w_ord))
-        .groupBy("grp")
-        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-        .select(
-            F.col("h0").cast("long").alias("incident_id"),
-            (F.col("h0") * H).cast("long").alias("s_b"),
-            ((F.col("h1") + 1) * H - 1).cast("long").alias("e_b"),
-        )
-    )
+    inc = _incident_windows(ev)
     return allen_join_bucketed(spans, inc, H).select(
         "user_id",
         "session_id",
@@ -7892,6 +7903,39 @@ def q_allen_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_allen_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen-relation histogram as a STREAMING monitor
+    (streaming/windows.py::allen_point_monitor, round-11 fresh-surface
+    list): every streamed event is a degenerate [ms, ms] interval
+    classified against the static data-derived incident windows
+    (_incident_windows — the q_allen_incidents derivation), and the
+    monitor keeps running counts per (event_type, relation). A point
+    needs no explode and no stream-side dedup (it lives in exactly one
+    hour bucket); the exploded incident frame rides a broadcast into a
+    stream-static equi-join. COUNT is monotone, so the drained memory
+    sink recovers the FINAL histogram as max(n) per key for ANY batch
+    pacing (pin: tests/test_streaming.py). FULL oracle: the same
+    incident CTEs + point-in-window relation CASE + GROUP BY, batch."""
+    from buskafkasparkstreaming_spark.streaming.windows import (
+        allen_point_monitor,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    inc = _incident_windows(ev)
+    stream = SW.read_events_stream(spark, sf_dir)
+    pts = stream.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.col("event_type").alias("label"),
+        bssf.ts_millis(F.col("ts")).alias("ms"),
+    )
+    out = allen_point_monitor(pts, inc, 3600000)
+    res = SW.run_to_memory(out, spark, output_mode="update")
+    return res.groupBy(
+        F.col("label").alias("event_type"), "relation"
+    ).agg(F.max("n").cast("long").alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -7899,18 +7943,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
     # semantics/plan changed this round, then oldest-artifact-first).
-    # Round-11 rotation: 5 new (q_decile_lift, q_allen_spans,
-    # q_allen_incidents, streaming_skyline, and the second-wave
-    # q_segment_lift -- SURVEY round-11 candidates) + 5 changed
+    # Round-11 rotation: 6 new (q_decile_lift, q_allen_spans,
+    # q_allen_incidents, streaming_skyline, and the second wave
+    # q_segment_lift + streaming_allen_monitor -- SURVEY round-11
+    # candidates) + 5 changed
     # (q_attribution_credit: the r10 red row -- oracle conv_idx BIGINT
     # cast + is_conv walk-tie key; pack_ffd_bins: rows-only -> invariant
     # oracle, VERDICT r10 item 5; q_twap_hourly + q_event_gaps: NULL-id
     # ts-collision ordering fixes from the new advisor sweep;
-    # q_decimal_and_date: cents-idiom alignment) + 40 of the 49-entry
-    # r5-stale cohort = exactly 50. The 9 displaced r5 entries sit
+    # q_decimal_and_date: cents-idiom alignment) + 39 of the 49-entry
+    # r5-stale cohort = exactly 50. The 10 displaced r5 entries sit
     # first below the cut (the r9 NOTE precomputed a pure block move;
     # additions/changes displace explicitly, as that NOTE required).
-    # Round-12 arithmetic: 9 r5-stale + 41 of the 47-entry r7 cohort
+    # Round-12 arithmetic: 10 r5-stale + 40 of the 47-entry r7 cohort
     # fill the window; round-12 additions displace r7 slots.
     return {
         # --- new in round 11 (never driver-seen): decile lift/gains,
@@ -7921,6 +7966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_allen_incidents": q_allen_incidents,
         "streaming_skyline": streaming_skyline,
         "q_segment_lift": q_segment_lift,
+        "streaming_allen_monitor": streaming_allen_monitor,
         # --- changed in round 11 (window-head hygiene): the r10 red row
         # (oracle conv_idx BIGINT cast + is_conv walk-tie key), the FFD
         # entry rewritten from rows-only to an invariant oracle, the two
@@ -7972,9 +8018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_bigram_score": text_lm_bigram_score,
         "text_quality_classifier": text_quality_classifier,
         "text_token_count": text_token_count,
-        "text_langid": text_langid,
         # ===== DRIVER WINDOW CUT: the 50 entries above are the
-        # round-11 sweep (5 new + 5 changed + 40 r5-stale). Below:
+        # round-11 sweep (6 new + 5 changed + 39 r5-stale). Below:
         # locally green via tests/test_oracle_parity.py every round;
         # ordered for the ROUND-12 window (oldest artifact first: the 8
         # displaced r5 entries, then the 47-entry r7 cohort fills it —
@@ -7989,6 +8034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_purchase_before_error": q_asof_purchase_before_error,
         "q_range_join_value_tiers": q_range_join_value_tiers,
         "text_tfidf_top_terms": text_tfidf_top_terms,
+        "text_langid": text_langid,
         # --- driver-green round 7 --------------------------------------
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
@@ -12482,6 +12528,42 @@ def oracle_sql() -> dict[str, str]:
                        AS relation
             FROM spans sp
             JOIN inc i ON sp.s_a <= i.e_b AND i.s_b <= sp.e_a
+        """,
+        "streaming_allen_monitor": f"""
+            -- batch replay of the streaming monitor: the SAME incident
+            -- CTEs as q_allen_incidents, each event a degenerate
+            -- [ms, ms] interval, join on intersect-or-touch (exactly
+            -- the non-disjoint relations the monitor keeps), the CASE
+            -- from the SAME ALLEN_RELATIONS cascade, then the
+            -- histogram — counts are monotone so the drained stream's
+            -- max(n) per key must equal this for any batch pacing
+            WITH ev AS (
+                SELECT event_type, epoch_ms(ts) AS ms
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            err AS (
+                SELECT (ms - ((ms % 3600000) + 3600000) % 3600000)
+                           // 3600000 AS h
+                FROM ev WHERE event_type = 'error'),
+            c AS (SELECT h, count(*) AS cnt FROM err GROUP BY h),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+                         count(*) AS nh FROM c),
+            k AS (SELECT h FROM c, t WHERE 2 * cnt * nh >= 3 * tot),
+            isl AS (SELECT h, h - row_number() OVER (ORDER BY h) AS grp
+                    FROM k),
+            inc AS (
+                SELECT CAST(min(h) * 3600000 AS BIGINT) AS s_b,
+                       CAST((max(h) + 1) * 3600000 - 1 AS BIGINT) AS e_b
+                FROM isl GROUP BY grp),
+            r AS (
+                SELECT ev.event_type,
+                       {J.allen_relation_sql('ev.ms', 'ev.ms', 'i.s_b', 'i.e_b')}
+                           AS relation
+                FROM ev JOIN inc i
+                  ON ev.ms <= i.e_b AND i.s_b <= ev.ms)
+            SELECT event_type, relation,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM r GROUP BY 1, 2
         """,
         "streaming_skyline": """
             -- batch NOT-EXISTS dominance skyline over the same distinct

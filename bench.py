@@ -225,6 +225,7 @@ HEADLINE = [
     "q_allen_incidents",
     "streaming_skyline",
     "q_segment_lift",
+    "streaming_allen_monitor",
 ]
 
 

@@ -156,3 +156,58 @@ def run_to_memory(
     finally:
         spark.conf.set(conf_key, prev)
     return spark.table(name)
+
+
+def allen_point_monitor(
+    stream_points: DataFrame,
+    windows: DataFrame,
+    bucket_ms: int,
+    label_col: str = "label",
+    ms_col: str = "ms",
+) -> DataFrame:
+    """Allen-relation HISTOGRAM as a streaming monitor (SURVEY round-11
+    fresh-surface list): classify each streamed POINT event (a
+    degenerate [ms, ms] interval) against a STATIC set of incident
+    windows and maintain running counts per (label, relation) — the
+    live "how is traffic interacting with the incident?" board.
+
+    stream_points: streaming (label_col string, ms_col bigint).
+    windows:       static (window_id long, s_b bigint, e_b bigint).
+
+    Plan: a point lives in exactly ONE `bucket_ms` bucket, so the
+    stream side needs NO explode and no dedup (unlike the batch
+    allen_join_bucketed, whose multi-bucket intervals join a window
+    once per shared bucket); the static windows explode to their bucket
+    range once at plan time and ride a broadcast into a stream-static
+    equi-join on the bucket. The relation CASE is row-local
+    (operators/joins.py::allen_relation — the same cascade the batch
+    entries and the DuckDB oracles share), disjoint-in-bucket pairs are
+    filtered, and the groupBy(label, relation) count runs in update
+    mode. Counts only grow, so a drained memory sink recovers the FINAL
+    histogram as max(n) per key regardless of how the source paced its
+    batches — the monotone-clock discipline of skyline_per_key, here
+    for free because COUNT is itself monotone.
+
+    State is |labels| × 13 rows — constant, no watermark needed (the
+    monitor never expires; a production deploy bounding label
+    cardinality would add one)."""
+    from buskafkasparkstreaming_spark.operators.joins import allen_relation
+
+    lo = F.expr(f"(s_b - pmod(s_b, {bucket_ms})) DIV {bucket_ms}")
+    hi = F.expr(f"(e_b - pmod(e_b, {bucket_ms})) DIV {bucket_ms}")
+    wb = (
+        windows.filter(F.col("s_b").isNotNull() & F.col("e_b").isNotNull())
+        .withColumn("__b", F.explode(F.sequence(lo, hi)))
+    )
+    pts = stream_points.filter(F.col(ms_col).isNotNull()).withColumn(
+        "__b", F.expr(f"({ms_col} - pmod({ms_col}, {bucket_ms})) DIV {bucket_ms}")
+    )
+    joined = pts.join(F.broadcast(wb), "__b").withColumn(
+        "relation",
+        allen_relation(
+            F.col(ms_col), F.col(ms_col), F.col("s_b"), F.col("e_b")
+        ),
+    ).filter(~F.col("relation").isin("precedes", "preceded_by"))
+    return joined.groupBy(F.col(label_col), F.col("relation")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

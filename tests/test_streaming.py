@@ -993,3 +993,90 @@ def test_streaming_skyline_kill_restart_equivalence(spark, tmp_path):
     # one cheaper-or-equal AND later-or-equal with a strict coordinate.
     assert a["a"] == [(3, 60), (9, 70)], a
     assert a["b"] == [(0, 5), (1, 10), (2, 20)], a
+
+
+def test_allen_monitor_pacing_independent(spark, tmp_path):
+    """allen_point_monitor's drained histogram (max(n) per key) equals
+    the batch classification for ANY batch pacing: counts are monotone,
+    so the max-n row per (label, relation) IS the final state. Two
+    files split so the same (label, relation) cell receives points in
+    BOTH batches (the count must accumulate across state, not reset),
+    drained paced (1 file/trigger) and unpaced — both must equal the
+    hand-computed histogram. Windows exercise during / starts /
+    finishes / meets / met_by and the disjoint filter."""
+    import os
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from buskafkasparkstreaming_spark.streaming.windows import (
+        allen_point_monitor,
+        run_to_memory,
+    )
+
+    H = 100  # small bucket so one window spans several buckets
+    # window W1 = [100, 399], W2 = [500, 500] (degenerate)
+    win = spark.createDataFrame(
+        [(1, 100, 399), (2, 500, 500)],
+        "window_id long, s_b long, e_b long",
+    )
+    # batch 1: starts(100), during(250), disjoint-in-bucket(420 vs W1? no
+    # -- 420 is past e_b=399 but bucket 4 isn't in W1's range 1..3; use
+    # 95: same bucket 0 as nothing -- W1 starts at bucket 1. Use 400:
+    # bucket 4, W2 is bucket 5 -> joins nothing. 99 precedes W1 in
+    # bucket 0 -> never joins. So add 450 (bucket 4): joins NO window.
+    b1 = [("a", 100), ("a", 250), ("a", 450), ("b", 399)]
+    # batch 2: the SAME (a, during) cell gets another point (300), plus
+    # equals/met_by on the degenerate W2 and a second label
+    b2 = [("a", 300), ("a", 500), ("b", 100), ("b", 250)]
+    d = tmp_path / "pts"
+    d.mkdir()
+    for i, rows in enumerate((b1, b2)):
+        tbl = pa.table(
+            {
+                "label": pa.array([k for (k, _) in rows]),
+                "ms": pa.array([m for (_, m) in rows], pa.int64()),
+            }
+        )
+        path = str(d / f"b{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # hand-computed ground truth via the same relation semantics:
+    # point p vs [s, e]: starts (p==s<e), during (s<p<e), finishes
+    # (s<p==e), equals (p==s==e); disjoint points never classify
+    def rel(p, s, e):
+        if p < s or p > e:
+            return None
+        if s == e:
+            return "equals"
+        if p == s:
+            return "starts"
+        if p == e:
+            return "finishes"
+        return "during"
+
+    expected = Counter()
+    for label, p in b1 + b2:
+        for s, e in ((100, 399), (500, 500)):
+            r = rel(p, s, e)
+            if r:
+                expected[(label, r)] += 1
+
+    schema = spark.read.parquet(str(d)).schema
+
+    def drain(paced: bool):
+        reader = spark.readStream.schema(schema).format("parquet")
+        if paced:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        out = allen_point_monitor(reader.load(str(d)), win, H)
+        res = run_to_memory(out, spark, output_mode="update").collect()
+        best = {}
+        for r in res:
+            key = (r["label"], r["relation"])
+            best[key] = max(best.get(key, 0), r["n"])
+        return best
+
+    assert drain(paced=True) == dict(expected)
+    assert drain(paced=False) == dict(expected)
