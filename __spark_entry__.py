@@ -7903,6 +7903,37 @@ def q_allen_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline3_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline (operators/windows_fn.py::skyline_nd — the
+    dimensional generalization q_skyline_parts' 2-D staircase cannot
+    express): the cheap-fast-bulk Pareto frontier of line items —
+    minimize price cents, minimize ship day, maximize quantity. The
+    plan has ZERO exchanges: per-partition local frontiers via an
+    Arrow-batched numpy dominance sweep (a globally-undominated point
+    is undominated in its partition), then one frontier-bounded
+    coalesce(1) merge task — the two-phase distributed skyline, where
+    the textbook formulation is the O(n²) NOT-EXISTS anti-join the
+    oracle deliberately runs as a genuinely independent plan. All three
+    dims compared in exact BIGINT (cents / epoch days); the l_partkey
+    stripe keeps the oracle's quadratic check driver-bounded while the
+    engine path stays the full scan shape."""
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        skyline_nd,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 29 == 0)
+    pts = li.select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ship_day"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_cents"),
+    )
+    return skyline_nd(pts, ["price_cents", "ship_day"], ["qty_cents"])
+
+
 def streaming_allen_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Allen-relation histogram as a STREAMING monitor
     (streaming/windows.py::allen_point_monitor, round-11 fresh-surface
@@ -7943,19 +7974,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
     # semantics/plan changed this round, then oldest-artifact-first).
-    # Round-11 rotation: 6 new (q_decile_lift, q_allen_spans,
+    # Round-11 rotation: 7 new (q_decile_lift, q_allen_spans,
     # q_allen_incidents, streaming_skyline, and the second wave
-    # q_segment_lift + streaming_allen_monitor -- SURVEY round-11
-    # candidates) + 5 changed
+    # q_segment_lift + streaming_allen_monitor + q_skyline3_lineitems
+    # -- SURVEY round-11 candidates) + 5 changed
     # (q_attribution_credit: the r10 red row -- oracle conv_idx BIGINT
     # cast + is_conv walk-tie key; pack_ffd_bins: rows-only -> invariant
     # oracle, VERDICT r10 item 5; q_twap_hourly + q_event_gaps: NULL-id
     # ts-collision ordering fixes from the new advisor sweep;
-    # q_decimal_and_date: cents-idiom alignment) + 39 of the 49-entry
-    # r5-stale cohort = exactly 50. The 10 displaced r5 entries sit
+    # q_decimal_and_date: cents-idiom alignment) + 38 of the 49-entry
+    # r5-stale cohort = exactly 50. The 11 displaced r5 entries sit
     # first below the cut (the r9 NOTE precomputed a pure block move;
     # additions/changes displace explicitly, as that NOTE required).
-    # Round-12 arithmetic: 10 r5-stale + 40 of the 47-entry r7 cohort
+    # Round-12 arithmetic: 11 r5-stale + 39 of the 47-entry r7 cohort
     # fill the window; round-12 additions displace r7 slots.
     return {
         # --- new in round 11 (never driver-seen): decile lift/gains,
@@ -7967,6 +7998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_skyline": streaming_skyline,
         "q_segment_lift": q_segment_lift,
         "streaming_allen_monitor": streaming_allen_monitor,
+        "q_skyline3_lineitems": q_skyline3_lineitems,
         # --- changed in round 11 (window-head hygiene): the r10 red row
         # (oracle conv_idx BIGINT cast + is_conv walk-tie key), the FFD
         # entry rewritten from rows-only to an invariant oracle, the two
@@ -8017,9 +8049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_curriculum_stages": sample_curriculum_stages,
         "text_lm_bigram_score": text_lm_bigram_score,
         "text_quality_classifier": text_quality_classifier,
-        "text_token_count": text_token_count,
         # ===== DRIVER WINDOW CUT: the 50 entries above are the
-        # round-11 sweep (6 new + 5 changed + 39 r5-stale). Below:
+        # round-11 sweep (7 new + 5 changed + 38 r5-stale). Below:
         # locally green via tests/test_oracle_parity.py every round;
         # ordered for the ROUND-12 window (oldest artifact first: the 8
         # displaced r5 entries, then the 47-entry r7 cohort fills it —
@@ -8035,6 +8066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join_value_tiers": q_range_join_value_tiers,
         "text_tfidf_top_terms": text_tfidf_top_terms,
         "text_langid": text_langid,
+        "text_token_count": text_token_count,
         # --- driver-green round 7 --------------------------------------
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
@@ -12528,6 +12560,36 @@ def oracle_sql() -> dict[str, str]:
                        AS relation
             FROM spans sp
             JOIN inc i ON sp.s_a <= i.e_b AND i.s_b <= sp.e_a
+        """,
+        "q_skyline3_lineitems": """
+            -- the textbook O(n^2) NOT-EXISTS dominance anti-join over
+            -- the DISTINCT tuples — a genuinely INDEPENDENT plan, so
+            -- any strictness/tie/dedup bug in the two-phase engine
+            -- sweep diverges; bounded by the l_partkey stripe
+            WITH p AS (
+                SELECT DISTINCT
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS price_cents,
+                       CAST(datediff('day', DATE '1970-01-01',
+                                     CAST(l_shipdate AS DATE)) AS BIGINT)
+                           AS ship_day,
+                       CAST(round(l_quantity * 100) AS BIGINT)
+                           AS qty_cents
+                FROM lineitem
+                WHERE l_partkey % 29 = 0
+                  AND l_extendedprice IS NOT NULL
+                  AND l_shipdate IS NOT NULL
+                  AND l_quantity IS NOT NULL)
+            SELECT price_cents, ship_day, qty_cents
+            FROM p a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.price_cents <= a.price_cents
+                  AND b.ship_day <= a.ship_day
+                  AND b.qty_cents >= a.qty_cents
+                  AND (b.price_cents < a.price_cents
+                       OR b.ship_day < a.ship_day
+                       OR b.qty_cents > a.qty_cents))
         """,
         "streaming_allen_monitor": f"""
             -- batch replay of the streaming monitor: the SAME incident

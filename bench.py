@@ -226,6 +226,7 @@ HEADLINE = [
     "streaming_skyline",
     "q_segment_lift",
     "streaming_allen_monitor",
+    "q_skyline3_lineitems",
 ]
 
 

@@ -381,6 +381,85 @@ def skyline_2d(
     )
 
 
+def skyline_nd(
+    df: DataFrame,
+    minimize_cols: list[str],
+    maximize_cols: list[str],
+) -> DataFrame:
+    """Exact N-dimensional skyline (Pareto frontier) of DISTINCT points —
+    the dimensional generalization skyline_2d's staircase cannot
+    express (a 3-D frontier is not a running min over one axis).
+
+    b dominates a iff b <= a on every minimize dim and b >= a on every
+    maximize dim with at least one strict; duplicate points survive
+    together and collapse to ONE output row (the output is the DISTINCT
+    frontier tuple set — the streaming skyline_per_key convention).
+
+    Plan: ZERO exchanges. The classic two-phase distributed skyline:
+
+      1. local frontier per input partition via mapInPandas (Arrow
+         batches, vectorized numpy dominance sweep) — no shuffle; a
+         globally-undominated point is undominated in its own
+         partition, so the global frontier is a subset of the union of
+         local frontiers.
+      2. the union is frontier-bounded (O(P · log^(d-1) n) expected for
+         exchangeable points, P = partitions), so ONE coalesce(1) task
+         runs the same sweep over it for the exact global frontier —
+         the constant-size-final-stage idiom (q_allen_incidents' island
+         window), bounded by frontier geometry, not data volume. A
+         pathological all-frontier dataset (strictly anti-correlated
+         dims) degrades phase 2 to the input size; callers with such
+         domains should pre-dedup or bucket — same discipline as
+         skyline_2d's domain-cardinality note: know your frontier.
+
+    NULL in any dimension is excluded (NULL never dominates, never on
+    the frontier — SQL three-valued semantics). Sweep: sort by the
+    first minimize dim asc (rest of tuple as tiebreak), keep a point
+    iff no kept point dominates it — kept set stays the running
+    frontier, O(n·f) per partition with numpy row-broadcast compares.
+
+    Output: one row per distinct frontier point (minimize_cols +
+    maximize_cols, original names/types preserved as int64).
+    """
+    import pandas as pd
+
+    all_cols = list(minimize_cols) + list(maximize_cols)
+    n_min = len(minimize_cols)
+    base = df.select(*all_cols)
+    for c in all_cols:
+        base = base.filter(F.col(c).isNotNull())
+    base = base.select(*[F.col(c).cast("long").alias(c) for c in all_cols])
+    schema = ", ".join(f"{c} long" for c in all_cols)
+
+    def local_frontier(batches):
+        import numpy as np
+
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).drop_duplicates()
+        # normalize to all-minimize: negate maximize dims
+        m = pdf.to_numpy(dtype="int64", copy=True)
+        m[:, n_min:] = -m[:, n_min:]
+        # sort by tuple: a dominator always sorts before its victim
+        order = np.lexsort(tuple(m[:, i] for i in range(m.shape[1] - 1, -1, -1)))
+        m = m[order]
+        keep_rows = []
+        kept = np.empty((0, m.shape[1]), dtype="int64")
+        for i in range(m.shape[0]):
+            p = m[i]
+            if kept.shape[0]:
+                dom = ((kept <= p).all(axis=1)) & ((kept < p).any(axis=1))
+                if dom.any():
+                    continue
+            kept = np.vstack([kept, p])
+            keep_rows.append(order[i])
+        yield pdf.iloc[sorted(keep_rows)]
+
+    cand = base.mapInPandas(local_frontier, schema)
+    return cand.coalesce(1).mapInPandas(local_frontier, schema)
+
+
 def attribute_touches(
     df: DataFrame,
     user_col: str,

@@ -1089,3 +1089,45 @@ def test_grouped_ntile_matches_sql_ntile(spark, rows, k):
     )
     assert bad == 0
     assert got.count() == len(data)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_skyline_nd_matches_brute_force(spark, pts, parts):
+    """skyline_nd's two-phase (local frontier → coalesce(1) merge)
+    equals the O(n²) dominance brute force for ANY partitioning —
+    including duplicate points (must collapse to one output row),
+    all-duplicates inputs, and single-point frontiers. Dims: minimize
+    a, minimize b, maximize c."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from buskafkasparkstreaming_spark.operators.windows_fn import skyline_nd
+
+    df = spark.createDataFrame(
+        pts + pts[: len(pts) // 3], "a long, b long, c long"
+    ).repartition(parts)
+    got = {tuple(r) for r in skyline_nd(df, ["a", "b"], ["c"]).collect()}
+    S = set(pts)
+    want = {
+        p
+        for p in S
+        if not any(
+            q[0] <= p[0]
+            and q[1] <= p[1]
+            and q[2] >= p[2]
+            and (q[0] < p[0] or q[1] < p[1] or q[2] > p[2])
+            for q in S
+        )
+    }
+    assert got == want, (sorted(got ^ want))

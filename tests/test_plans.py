@@ -1067,3 +1067,19 @@ def test_segment_lift_plan_shape(spark, sf_dir):
     rplan = explain_str(ranked)
     assert "rangepartitioning" in rplan, rplan
     assert "SinglePartition" not in rplan, rplan
+
+
+def test_skyline3_plan_shape(spark, sf_dir):
+    """q_skyline3_lineitems: the two-phase distributed skyline must
+    have ZERO exchanges — local frontiers are computed per input
+    partition (mapInPandas, no shuffle) and the merge is a
+    frontier-bounded coalesce(1), never a repartition, sort, or join
+    (the stripe filter is a modulo — evaluated in the scan stage, not
+    parquet-pushable; nothing else may force an exchange)."""
+    df = entrymod.q_skyline3_lineitems(spark, sf_dir)
+    p = physical_plan(df)
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "Sort" not in p, p
+    assert p.count("MapInPandas") == 2, p
+    assert "Coalesce 1" in p or "Coalesce(1" in p or "Coalesce" in p, p
