@@ -246,9 +246,12 @@ def grouped_ntile(
 
     Bit-identical to SQL ntile for a UNIQUE composite ordering (caller
     adds a key tiebreak in order_cols). NULLs in group_cols sort first
-    (Spark asc) and form their own group — offsets come from Spark's own
-    ordering, so there is no Python-vs-JVM collation seam. The broadcast
-    side is |groups| rows: intended for domain-bounded group columns
+    (Spark asc) and form their OWN group — exactly SQL's NULL window
+    partition — which is why the join back to the group stats is
+    NULL-SAFE (a plain equi-join would silently drop NULL-group rows;
+    offsets come from Spark's own ordering, so there is no
+    Python-vs-JVM collation seam either way). The broadcast side is
+    |groups| rows: intended for domain-bounded group columns
     (segments, priorities, languages), not high-cardinality keys — for
     those, plain Window.partitionBy is already scalable.
     """
@@ -260,7 +263,18 @@ def grouped_ntile(
         F.min("__grn").alias("__gstart"),
         F.count(F.lit(1)).cast("long").alias("__gn"),
     )
-    out = ranked.join(F.broadcast(gstats), group_cols)
+    gs = F.broadcast(
+        gstats.select(
+            *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+            "__gstart",
+            "__gn",
+        )
+    )
+    cond = None
+    for g in group_cols:
+        c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        cond = c if cond is None else (cond & c)
+    out = ranked.join(gs, cond).drop(*[f"__g_{g}" for g in group_cols])
     r = (F.col("__grn") - F.col("__gstart") + F.lit(1)).cast("long")
     q = F.expr(f"__gn div {k}")
     rem = F.col("__gn") % F.lit(k)

@@ -404,6 +404,9 @@ def test_null_events_drift(spark, tmp_path):
         # NULL event_type rows are excluded from the touch stream on
         # BOTH sides (neither touch nor conversion)
         "q_attribution_credit",
+        # r11: NULL event_type rows are not monitor points; error-hour
+        # incident evidence needs a non-NULL type by definition
+        "streaming_allen_monitor",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -581,6 +584,10 @@ def test_null_lineitem_drift(spark, tmp_path):
         "q_market_basket_lift",
         "q9_product_profit",
         "q14_promo_share",
+        # r11: NULL price/shipdate/quantity rows are off the frontier
+        # (NULL never dominates, never survives) on BOTH sides; NULL
+        # l_partkey rows drop from the stripe (NULL % 29 is NULL)
+        "q_skyline3_lineitems",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -690,6 +697,9 @@ def test_null_ts_drift(spark, tmp_path):
         "q_theilsen_hourly",
         "streaming_hll_hourly",
         "streaming_cusum_hourly",
+        # r11: NULL ts rows are neither monitor points nor incident
+        # evidence — the hour axis shifts identically on both sides
+        "streaming_allen_monitor",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -748,6 +758,10 @@ def test_null_customer_drift(spark, tmp_path):
         # NULL name/nationkey/acctbal: NULL block keys must produce NO
         # candidate pairs on BOTH sides (plain equality, not eqNullSafe)
         "q_record_linkage_fs",
+        # r11: NULL c_mktsegment forms its OWN quintile partition (SQL
+        # NULL window-partition semantics) — grouped_ntile's null-safe
+        # stats join must keep those rows, not drop them
+        "q_segment_lift",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()

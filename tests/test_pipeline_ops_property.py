@@ -1055,7 +1055,7 @@ def test_streaming_skyline_matches_brute_force(spark, tmp_path, pts, split):
 @given(
     rows=st.lists(
         st.tuples(
-            st.sampled_from(["A", "B", "C", "D"]),
+            st.sampled_from(["A", "B", "C", None]),
             st.integers(min_value=-1000, max_value=1000),
         ),
         min_size=1,
@@ -1068,7 +1068,9 @@ def test_grouped_ntile_matches_sql_ntile(spark, rows, k):
     ORDER BY v DESC, id ASC)` — Spark's own single-task-per-group window
     is the ground truth; the distributed range-partitioned formulation
     must agree on EVERY row for any group-size mix (including groups
-    smaller than k, absent groups, and ties on v broken by id)."""
+    smaller than k, absent groups, ties on v broken by id, and the
+    NULL group — SQL gives NULL its own window partition, so the
+    null-safe stats join must keep those rows)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -1082,13 +1084,16 @@ def test_grouped_ntile_matches_sql_ntile(spark, rows, k):
     got = grouped_ntile(df, ["g"], order, k, "q", num_partitions=8)
     w = Window.partitionBy("g").orderBy(*order)
     want = df.withColumn("q_ref", F.ntile(k).over(w))
-    bad = (
-        got.join(want, ["g", "v", "id"])
-        .filter(F.col("q") != F.col("q_ref"))
-        .count()
+    j = got.join(
+        want,
+        [
+            got["g"].eqNullSafe(want["g"]),
+            got["v"] == want["v"],
+            got["id"] == want["id"],
+        ],
     )
-    assert bad == 0
-    assert got.count() == len(data)
+    assert j.filter(F.col("q") != F.col("q_ref")).count() == 0
+    assert got.count() == len(data)  # NULL-group rows must not drop
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
