@@ -7967,6 +7967,36 @@ def streaming_allen_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max("n").cast("long").alias("n"))
 
 
+def streaming_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING uniform reservoir per event type
+    (streaming/state.py::reservoir_per_key): the k=8 smallest
+    md5(event_id:salt) priorities per key, maintained as a bottom-k
+    sketch in applyInPandasWithState — the ONLINE form of the batch
+    md5-threshold samplers, same determinism contract (priority is a
+    pure row function, so the sample is stable across reruns,
+    partitionings, batch layouts, and engines). Bottom-k is a
+    join-semilattice fold like the skyline frontier; the drained sink's
+    max-n_seen rows per key are the final sample for ANY pacing.
+    FULL oracle: one batch window — row_number over
+    (key ORDER BY md5, id) <= k on DISTINCT rows."""
+    from buskafkasparkstreaming_spark.streaming.state import (
+        reservoir_per_key,
+    )
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    rows = stream.filter(
+        F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+    ).select("event_type", F.col("event_id").alias("id"))
+    out = reservoir_per_key(rows, k=8, key_col="event_type", id_col="id")
+    res = SW.run_to_memory(out, spark, output_mode="update")
+    w = Window.partitionBy("event_type")
+    return (
+        res.withColumn("__mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select("event_type", F.col("id").alias("event_id"), "prio")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -7974,19 +8004,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
     # semantics/plan changed this round, then oldest-artifact-first).
-    # Round-11 rotation: 7 new (q_decile_lift, q_allen_spans,
+    # Round-11 rotation: 8 new (q_decile_lift, q_allen_spans,
     # q_allen_incidents, streaming_skyline, and the second wave
     # q_segment_lift + streaming_allen_monitor + q_skyline3_lineitems
-    # -- SURVEY round-11 candidates) + 5 changed
+    # + streaming_reservoir_sample -- SURVEY round-11 candidates)
+    # + 5 changed
     # (q_attribution_credit: the r10 red row -- oracle conv_idx BIGINT
     # cast + is_conv walk-tie key; pack_ffd_bins: rows-only -> invariant
     # oracle, VERDICT r10 item 5; q_twap_hourly + q_event_gaps: NULL-id
     # ts-collision ordering fixes from the new advisor sweep;
-    # q_decimal_and_date: cents-idiom alignment) + 38 of the 49-entry
-    # r5-stale cohort = exactly 50. The 11 displaced r5 entries sit
+    # q_decimal_and_date: cents-idiom alignment) + 37 of the 49-entry
+    # r5-stale cohort = exactly 50. The 12 displaced r5 entries sit
     # first below the cut (the r9 NOTE precomputed a pure block move;
     # additions/changes displace explicitly, as that NOTE required).
-    # Round-12 arithmetic: 11 r5-stale + 39 of the 47-entry r7 cohort
+    # Round-12 arithmetic: 12 r5-stale + 38 of the 47-entry r7 cohort
     # fill the window; round-12 additions displace r7 slots.
     return {
         # --- new in round 11 (never driver-seen): decile lift/gains,
@@ -7999,6 +8030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_segment_lift": q_segment_lift,
         "streaming_allen_monitor": streaming_allen_monitor,
         "q_skyline3_lineitems": q_skyline3_lineitems,
+        "streaming_reservoir_sample": streaming_reservoir_sample,
         # --- changed in round 11 (window-head hygiene): the r10 red row
         # (oracle conv_idx BIGINT cast + is_conv walk-tie key), the FFD
         # entry rewritten from rows-only to an invariant oracle, the two
@@ -8048,9 +8080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile_documents": stats_profile_documents,
         "sample_curriculum_stages": sample_curriculum_stages,
         "text_lm_bigram_score": text_lm_bigram_score,
-        "text_quality_classifier": text_quality_classifier,
         # ===== DRIVER WINDOW CUT: the 50 entries above are the
-        # round-11 sweep (7 new + 5 changed + 38 r5-stale). Below:
+        # round-11 sweep (8 new + 5 changed + 37 r5-stale). Below:
         # locally green via tests/test_oracle_parity.py every round;
         # ordered for the ROUND-12 window (oldest artifact first: the 8
         # displaced r5 entries, then the 47-entry r7 cohort fills it —
@@ -8067,6 +8098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": text_tfidf_top_terms,
         "text_langid": text_langid,
         "text_token_count": text_token_count,
+        "text_quality_classifier": text_quality_classifier,
         # --- driver-green round 7 --------------------------------------
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
@@ -12560,6 +12592,26 @@ def oracle_sql() -> dict[str, str]:
                        AS relation
             FROM spans sp
             JOIN inc i ON sp.s_a <= i.e_b AND i.s_b <= sp.e_a
+        """,
+        "streaming_reservoir_sample": """
+            -- ONE batch window replays the whole stream fold: the
+            -- bottom-k-by-md5 reservoir is a pure function of the row
+            -- set (priority = md5 hex, lowercase in both engines,
+            -- (prio, id) tiebreak), so any pacing/merge bug diverges;
+            -- DISTINCT mirrors the tracker's set semantics
+            WITH p AS (
+                SELECT DISTINCT event_type, event_id,
+                       md5(CAST(event_id AS VARCHAR) || ':stream-res')
+                           AS prio
+                FROM events
+                WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+            r AS (
+                SELECT event_type, event_id, prio,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY prio ASC, event_id ASC) AS rn
+                FROM p)
+            SELECT event_type, event_id, prio FROM r WHERE rn <= 8
         """,
         "q_skyline3_lineitems": """
             -- the textbook O(n^2) NOT-EXISTS dominance anti-join over

@@ -227,6 +227,7 @@ HEADLINE = [
     "q_segment_lift",
     "streaming_allen_monitor",
     "q_skyline3_lineitems",
+    "streaming_reservoir_sample",
 ]
 
 

@@ -521,3 +521,75 @@ def skyline_per_key(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RESERVOIR_STATE_SCHEMA = (
+    "prios array<string>, ids array<bigint>, n_seen bigint"
+)
+
+
+def _reservoir_output_schema(key_col: str) -> str:
+    return f"{key_col} string, id bigint, prio string, n_seen bigint"
+
+
+def reservoir_per_key(
+    rows: DataFrame,
+    k: int,
+    key_col: str = "event_type",
+    id_col: str = "id",
+    salt: str = "stream-res",
+) -> DataFrame:
+    """STREAMING uniform reservoir sample per key — the ONLINE form of
+    the batch md5-threshold samplers in operators/sampling.py, actually
+    maintained in state: keep the k rows with the SMALLEST
+    md5(id:salt) priority seen so far (bottom-k sketch). Input:
+    (key_col string, id_col bigint), NULL ids pre-filtered by the
+    caller.
+
+    Determinism is the whole design: the priority is a pure row
+    function (md5 hex, lowercase in Spark AND DuckDB, compared as
+    strings with (prio, id) tiebreak), so bottom-k(state ∪ batch) ==
+    bottom-k(all rows seen) — an associative, commutative, IDEMPOTENT
+    fold (a join-semilattice, like the skyline frontier), making the
+    FINAL emission batch-layout-independent AND kill/restart-safe, and
+    the whole stream result replayable by ONE batch SQL window
+    (row_number over (key ORDER BY md5, id) <= k) — the full oracle.
+
+    Every batch re-emits the key's current reservoir tagged with the
+    monotone n_seen clock; a drained memory sink recovers the FINAL
+    sample as the max-n_seen rows per key. State is exactly k
+    (prio, id) pairs per key — constant, no timeout (a reservoir never
+    expires).
+    """
+    import hashlib
+
+    def tracker(key, pdfs, state):
+        import pandas as pd
+
+        (kv,) = key
+        prios, ids, n_seen = state.get if state.exists else ([], [], 0)
+        pool = set(zip(prios, (int(i) for i in ids)))
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for i in pdf[id_col].tolist():
+                i = int(i)
+                h = hashlib.md5(f"{i}:{salt}".encode()).hexdigest()
+                pool.add((h, i))
+        best = sorted(pool)[:k]
+        state.update(
+            ([p for p, _ in best], [i for _, i in best], n_seen)
+        )
+        yield pd.DataFrame(
+            [
+                {key_col: kv, "id": i, "prio": p, "n_seen": n_seen}
+                for p, i in best
+            ]
+        )
+
+    return rows.groupBy(key_col).applyInPandasWithState(
+        tracker,
+        outputStructType=_reservoir_output_schema(key_col),
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1080,3 +1080,100 @@ def test_allen_monitor_pacing_independent(spark, tmp_path):
 
     assert drain(paced=True) == dict(expected)
     assert drain(paced=False) == dict(expected)
+
+
+def test_streaming_reservoir_kill_restart_and_pacing(spark, tmp_path):
+    """reservoir_per_key's bottom-k state is a join-semilattice fold
+    (bottom-k(state ∪ batch) == bottom-k(all rows)) with NO timeout, so
+    a KILLED and RESTARTED drain (same checkpoint) and any batch pacing
+    must land the exact same final sample — which must equal the pure
+    batch formulation: the k smallest md5(id:salt) per key. Rows are
+    split so keys receive ids in MULTIPLE batches (the reservoir must
+    merge across state, and later batches must be able to EVICT earlier
+    members)."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    from buskafkasparkstreaming_spark.streaming.state import reservoir_per_key
+
+    K, SALT = 3, "stream-res"
+    files = [
+        [("a", i) for i in range(0, 6)] + [("b", 100)],
+        [("a", i) for i in range(6, 12)] + [("b", 101)],
+        [("a", i) for i in range(12, 20)] + [("b", 102), ("b", 103)],
+    ]
+    schema = "event_type string, id bigint"
+
+    def write_file(dirname, i, rows):
+        path = str(tmp_path / dirname / f"f{i}.parquet")
+        staging = path + ".staging"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(part, path)
+        shutil.rmtree(staging)
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    def drain(in_dir, ckpt, out_dir):
+        stream = read_stream(
+            spark,
+            str(tmp_path / in_dir),
+            spark.read.parquet(str(tmp_path / in_dir)).schema,
+            max_files=1,
+        )
+        out = reservoir_per_key(stream, k=K, key_col="event_type", id_col="id")
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(str(tmp_path / out_dir))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    def final_sample(out_dir):
+        rows = spark.read.parquet(str(tmp_path / out_dir)).collect()
+        best = {}
+        for r in rows:
+            best[r["event_type"]] = max(
+                best.get(r["event_type"], 0), r["n_seen"]
+            )
+        return {
+            k: sorted(
+                (r["prio"], r["id"])
+                for r in rows
+                if r["event_type"] == k and r["n_seen"] == best[k]
+            )
+            for k in best
+        }
+
+    for i, rows in enumerate(files):
+        write_file("res_a", i, rows)
+    drain("res_a", "res_ckpt_a", "res_out_a")
+
+    for i, rows in enumerate(files[:1]):
+        write_file("res_b", i, rows)
+    drain("res_b", "res_ckpt_b", "res_out_b")
+    for i, rows in enumerate(files[1:], start=1):
+        write_file("res_b", i, rows)
+    drain("res_b", "res_ckpt_b", "res_out_b")
+
+    a, b = final_sample("res_out_a"), final_sample("res_out_b")
+    assert a == b, (a, b)
+    # pure batch ground truth
+    want = {}
+    for key in ("a", "b"):
+        ids = [i for batch in files for (k, i) in batch if k == key]
+        pool = sorted(
+            (hashlib.md5(f"{i}:{SALT}".encode()).hexdigest(), i) for i in ids
+        )
+        want[key] = pool[:K]
+    assert a == want, (a, want)
