@@ -7997,6 +7997,55 @@ def streaming_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_pagerank_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live PageRank over a STREAMED edge log
+    (streaming/pipeline.py::run_pagerank_monitor, SURVEY round-11
+    fresh-surface list): each event row yields the two directions of a
+    (user ↔ event-type) interaction edge — user nodes keep their ids,
+    type nodes get the negative md5-derived 52-bit id (disjoint by
+    sign) — appended per micro-batch to an accumulated log; every tick
+    recomputes the exact BIGINT fixed-point PageRank over the log's
+    DISTINCT edges (periodic-recompute monitor, honestly not
+    incremental rank maintenance; replay-idempotent via the DISTINCT
+    read). The final snapshot equals the pure batch PageRank of the
+    full edge set — which is exactly what the FULL oracle replays:
+    edge build, degree, and all three unrolled iterations in SQL."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from buskafkasparkstreaming_spark.streaming.pipeline import (
+        run_pagerank_monitor,
+    )
+
+    for old in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "bss_prmon_*")
+    ):
+        _shutil.rmtree(old, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix="bss_prmon_")
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    t_id = -1 - F.conv(
+        F.substring(F.md5(F.col("event_type")), 1, 13), 16, 10
+    ).cast("long")
+    pts = stream.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(F.col("user_id").alias("u"), t_id.alias("t"))
+    edges = pts.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("t").alias("dst")),
+                F.struct(F.col("t").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    out = run_pagerank_monitor(
+        edges, os.path.join(work, "state"), os.path.join(work, "ckpt")
+    )
+    return out.select(F.col("id").alias("node_id"), "rank_fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -8004,20 +8053,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
     # semantics/plan changed this round, then oldest-artifact-first).
-    # Round-11 rotation: 8 new (q_decile_lift, q_allen_spans,
+    # Round-11 rotation: 9 new (q_decile_lift, q_allen_spans,
     # q_allen_incidents, streaming_skyline, and the second wave
     # q_segment_lift + streaming_allen_monitor + q_skyline3_lineitems
-    # + streaming_reservoir_sample -- SURVEY round-11 candidates)
-    # + 5 changed
+    # + streaming_reservoir_sample + streaming_pagerank_monitor --
+    # SURVEY round-11 candidates) + 5 changed
     # (q_attribution_credit: the r10 red row -- oracle conv_idx BIGINT
     # cast + is_conv walk-tie key; pack_ffd_bins: rows-only -> invariant
     # oracle, VERDICT r10 item 5; q_twap_hourly + q_event_gaps: NULL-id
     # ts-collision ordering fixes from the new advisor sweep;
-    # q_decimal_and_date: cents-idiom alignment) + 37 of the 49-entry
-    # r5-stale cohort = exactly 50. The 12 displaced r5 entries sit
+    # q_decimal_and_date: cents-idiom alignment) + 36 of the 49-entry
+    # r5-stale cohort = exactly 50. The 13 displaced r5 entries sit
     # first below the cut (the r9 NOTE precomputed a pure block move;
     # additions/changes displace explicitly, as that NOTE required).
-    # Round-12 arithmetic: 12 r5-stale + 38 of the 47-entry r7 cohort
+    # Round-12 arithmetic: 13 r5-stale + 37 of the 47-entry r7 cohort
     # fill the window; round-12 additions displace r7 slots.
     return {
         # --- new in round 11 (never driver-seen): decile lift/gains,
@@ -8031,6 +8080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_allen_monitor": streaming_allen_monitor,
         "q_skyline3_lineitems": q_skyline3_lineitems,
         "streaming_reservoir_sample": streaming_reservoir_sample,
+        "streaming_pagerank_monitor": streaming_pagerank_monitor,
         # --- changed in round 11 (window-head hygiene): the r10 red row
         # (oracle conv_idx BIGINT cast + is_conv walk-tie key), the FFD
         # entry rewritten from rows-only to an invariant oracle, the two
@@ -8079,13 +8129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_events": layout_zorder_events,
         "stats_profile_documents": stats_profile_documents,
         "sample_curriculum_stages": sample_curriculum_stages,
-        "text_lm_bigram_score": text_lm_bigram_score,
         # ===== DRIVER WINDOW CUT: the 50 entries above are the
-        # round-11 sweep (8 new + 5 changed + 37 r5-stale). Below:
+        # round-11 sweep (9 new + 5 changed + 36 r5-stale). Below:
         # locally green via tests/test_oracle_parity.py every round;
-        # ordered for the ROUND-12 window (oldest artifact first: the 8
+        # ordered for the ROUND-12 window (oldest artifact first: the 13
         # displaced r5 entries, then the 47-entry r7 cohort fills it —
-        # 8 + 42 of 47; round-12 additions displace r7 slots). ===========
+        # 13 + 37 of 47; round-12 additions displace r7 slots). ==========
         # --- r5-stale, displaced by the round-11 additions/changes ------
         "doc_fingerprint": doc_fingerprint,
         "multimodal_bytes_meta": multimodal_bytes_meta,
@@ -8099,6 +8148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_token_count": text_token_count,
         "text_quality_classifier": text_quality_classifier,
+        "text_lm_bigram_score": text_lm_bigram_score,
         # --- driver-green round 7 --------------------------------------
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
@@ -12592,6 +12642,70 @@ def oracle_sql() -> dict[str, str]:
                        AS relation
             FROM spans sp
             JOIN inc i ON sp.s_a <= i.e_b AND i.s_b <= sp.e_a
+        """,
+        "streaming_pagerank_monitor": f"""
+            -- batch replay of the drained monitor: the final snapshot
+            -- is the exact fixed-point PageRank (damping 7/8, scale
+            -- 1e12, // floor division = Spark div on these nonnegative
+            -- values) over the DISTINCT (user <-> type) bipartite edge
+            -- set; type node ids are the negative md5-derived 52-bit
+            -- ints (sign-disjoint from user ids)
+            WITH pairs AS (
+                SELECT DISTINCT user_id AS u,
+                       -1 - {_hex_int_sql("md5(event_type)", 1, 13)} AS t
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+            edges AS (
+                SELECT u AS src, t AS dst FROM pairs
+                UNION ALL
+                SELECT t AS src, u AS dst FROM pairs
+            ),
+            deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY src),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            r0 AS (
+                SELECT id,
+                       CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+                           AS rank_fp
+                FROM nodes
+            ),
+            c1 AS (
+                SELECT e.dst AS id, SUM(r.rank_fp // d.dg) AS i
+                FROM edges e JOIN deg d ON d.src = e.src
+                JOIN r0 r ON r.id = e.src GROUP BY e.dst
+            ),
+            r1 AS (
+                SELECT r0.id,
+                       CAST((1000000000000 // 8) // (SELECT n FROM nn)
+                            + (7 * coalesce(c1.i, 0)) // 8 AS BIGINT)
+                           AS rank_fp
+                FROM r0 LEFT JOIN c1 USING (id)
+            ),
+            c2 AS (
+                SELECT e.dst AS id, SUM(r.rank_fp // d.dg) AS i
+                FROM edges e JOIN deg d ON d.src = e.src
+                JOIN r1 r ON r.id = e.src GROUP BY e.dst
+            ),
+            r2 AS (
+                SELECT r1.id,
+                       CAST((1000000000000 // 8) // (SELECT n FROM nn)
+                            + (7 * coalesce(c2.i, 0)) // 8 AS BIGINT)
+                           AS rank_fp
+                FROM r1 LEFT JOIN c2 USING (id)
+            ),
+            c3 AS (
+                SELECT e.dst AS id, SUM(r.rank_fp // d.dg) AS i
+                FROM edges e JOIN deg d ON d.src = e.src
+                JOIN r2 r ON r.id = e.src GROUP BY e.dst
+            ),
+            r3 AS (
+                SELECT r2.id,
+                       CAST((1000000000000 // 8) // (SELECT n FROM nn)
+                            + (7 * coalesce(c3.i, 0)) // 8 AS BIGINT)
+                           AS rank_fp
+                FROM r2 LEFT JOIN c3 USING (id)
+            )
+            SELECT id AS node_id, rank_fp FROM r3
         """,
         "streaming_reservoir_sample": """
             -- ONE batch window replays the whole stream fold: the

@@ -228,6 +228,7 @@ HEADLINE = [
     "streaming_allen_monitor",
     "q_skyline3_lineitems",
     "streaming_reservoir_sample",
+    "streaming_pagerank_monitor",
 ]
 
 

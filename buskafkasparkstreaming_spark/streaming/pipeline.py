@@ -90,3 +90,71 @@ def run_console_debug(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def run_pagerank_monitor(
+    edge_stream: DataFrame,
+    work_dir: str,
+    checkpoint_dir: str,
+    iters: int = 3,
+) -> DataFrame:
+    """STREAMING graph-metric monitor: a live PageRank over a streamed
+    EDGE LOG (SURVEY round-11 fresh-surface list). Each micro-batch is
+    appended to an accumulated parquet edge log, and the exact
+    fixed-point PageRank (operators/graph.py::pagerank_fixed_point —
+    BIGINT arithmetic, bit-identical across engines/partitionings) is
+    recomputed over the log's DISTINCT edges, snapshot-tagged with the
+    monotone accumulated-row count. The caller reads the max-n_edges
+    snapshot as the live ranks.
+
+    Design honesty: exact PageRank is a GLOBAL fixed point — there is
+    no per-key state decomposition, so the monitor is the
+    periodic-RECOMPUTE pattern (the continuous-aggregate rollup's
+    heavyweight cousin), not an incremental rank maintenance; each tick
+    costs O(iters) shuffles of the accumulated DISTINCT edge set.
+    Replay-safe without the checkpoint's help: a re-delivered batch
+    double-appends rows, but ranks read DISTINCT edges, so the
+    recompute is idempotent (the CDC merge discipline) and the
+    kill/restart pin holds. Edge rows must be (src bigint, dst bigint),
+    directed — pass both directions for an undirected graph.
+
+    Returns the snapshot table (src/dst node ids, rank_fp, n_edges) as
+    a BATCH DataFrame of the final snapshot's rows.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    spark = edge_stream.sparkSession
+    edges_path = os.path.join(work_dir, "edges")
+    snaps_path = os.path.join(work_dir, "snapshots")
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(edges_path)
+        acc = spark.read.parquet(edges_path)
+        n_rows = acc.count()
+        edges = acc.distinct()
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        ranks = pagerank_fixed_point(edges, nodes, iters=iters)
+        ranks.withColumn("n_edges", F.lit(n_rows).cast("long")).write.mode(
+            "append"
+        ).parquet(snaps_path)
+
+    q = (
+        edge_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.read.parquet(snaps_path)
+    mx = snaps.agg(F.max("n_edges").alias("m")).collect()[0]["m"]
+    return snaps.filter(F.col("n_edges") == mx).select("id", "rank_fp")

@@ -1177,3 +1177,96 @@ def test_streaming_reservoir_kill_restart_and_pacing(spark, tmp_path):
         )
         want[key] = pool[:K]
     assert a == want, (a, want)
+
+
+def test_pagerank_monitor_ticks_and_kill_restart(spark, tmp_path):
+    """run_pagerank_monitor: every tick's snapshot equals the pure batch
+    pagerank_fixed_point of the PREFIX edge set (the monitor is the
+    periodic-recompute pattern — each tick is a full exact recompute
+    over accumulated DISTINCT edges), and a killed/restarted drain
+    (same checkpoint; re-delivered rows double-append and must be
+    neutralized by the DISTINCT read) lands the same final ranks as an
+    uninterrupted one."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from buskafkasparkstreaming_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from buskafkasparkstreaming_spark.streaming.pipeline import (
+        run_pagerank_monitor,
+    )
+    from pyspark.sql import functions as F
+
+    files = [
+        [(1, -10), (-10, 1), (2, -10), (-10, 2)],
+        [(2, -20), (-20, 2), (3, -20), (-20, 3), (1, -10), (-10, 1)],
+        [(3, -10), (-10, 3)],
+    ]
+    schema = "src bigint, dst bigint"
+
+    def write_file(dirname, i, rows):
+        path = str(tmp_path / dirname / f"f{i}.parquet")
+        staging = path + ".staging"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(part, path)
+        shutil.rmtree(staging)
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    def batch_pr(rows):
+        edges = spark.createDataFrame(sorted(set(rows)), schema)
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return {
+            r["id"]: r["rank_fp"]
+            for r in pagerank_fixed_point(edges, nodes, iters=3).collect()
+        }
+
+    def drain(in_dir, work, ckpt):
+        stream = read_stream(
+            spark,
+            str(tmp_path / in_dir),
+            spark.read.parquet(str(tmp_path / in_dir)).schema,
+            max_files=1,
+        )
+        return run_pagerank_monitor(
+            stream, str(tmp_path / work), str(tmp_path / ckpt)
+        )
+
+    for i, rows in enumerate(files):
+        write_file("pr_a", i, rows)
+    final_a = {
+        r["id"]: r["rank_fp"] for r in drain("pr_a", "pr_wa", "pr_ca").collect()
+    }
+
+    # every tick snapshot == batch PR of the prefix (ticks keyed by the
+    # monotone accumulated-row count)
+    snaps = spark.read.parquet(str(tmp_path / "pr_wa" / "snapshots"))
+    seen = 0
+    for i in range(len(files)):
+        seen += len(files[i])
+        tick = {
+            r["id"]: r["rank_fp"]
+            for r in snaps.filter(F.col("n_edges") == seen).collect()
+        }
+        want = batch_pr([e for b in files[: i + 1] for e in b])
+        assert tick == want, (i, tick, want)
+
+    # kill/restart: drain one file, then resume with all files present
+    write_file("pr_b", 0, files[0])
+    drain("pr_b", "pr_wb", "pr_cb")
+    for i, rows in enumerate(files[1:], start=1):
+        write_file("pr_b", i, rows)
+    final_b = {
+        r["id"]: r["rank_fp"] for r in drain("pr_b", "pr_wb", "pr_cb").collect()
+    }
+    assert final_a == final_b
+    assert final_a == batch_pr([e for b in files for e in b])
