@@ -88,6 +88,8 @@ SHOWN = {
     "q_allen_spans": "Allen interval join: one (user,type) hash agg to spans, one keyed equi-join (AQE broadcasts the small side), the 13-relation classification a row-local CASE projection — never a time cross-join",
     "q_allen_incidents": "UN-keyed Allen join: session spans and data-derived incident windows explode to hour buckets and hash-join the bucket (AQE broadcasts the tiny incident side); disjoint relations are excluded by contract; the only SinglePartition stage is the hour-axis incident frame",
     "pack_ffd_bins": "FFD invariant summary: the per-group applyInPandas pack (ONE pack_group shuffle), then two bounded aggregations (per-bin, per-group) joined on pack_group — the invariant booleans are row-local comparisons over the tiny per-group frame",
+    "q_segment_lift": "per-segment lift: grouped_ntile = range repartition on the composite (segment, spend, custkey) order (prints post-checkpoint, range exchange gated in test_plans.py) + null-safe broadcast of the per-group (start, count) stats; NO SinglePartition anywhere — the lift/gain windows partition by segment",
+    "q_skyline3_lineitems": "3-D skyline: ZERO exchanges — per-partition local frontiers in MapInPandas (lexicographic-min extraction, vectorized dominance passes), frontier-bounded coalesce(1) merge; the oracle runs the O(n^2) NOT-EXISTS the engine never does",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage
