@@ -8046,6 +8046,42 @@ def streaming_pagerank_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("node_id"), "rank_fp")
 
 
+def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization + cleaning certificate
+    (operators/text.py::unicode_clean, round-11 second wave): NFC
+    composition, C0/C1 control strip, ASCII-whitespace-run collapse —
+    the stage that makes decomposed (e + COMBINING ACUTE) and
+    precomposed (é) text hash identically before any exact dedup or
+    fingerprinting. The driver corpus is ASCII, so the entry FIRST
+    synthesizes deterministic dirt with expressions both engines
+    evaluate identically (combining-mark injection for doc_id%3,
+    whitespace runs for %2, control chars + edge whitespace for %5),
+    then cleans; the md5 certificate proves byte-exact cleaning parity.
+    Plan: the synthesis is a codegen projection, the clean ONE
+    Arrow-batched mapInPandas — zero shuffles. The regex classes are
+    pinned ASCII-explicit on both sides (Python \\s is Unicode-aware,
+    RE2/DuckDB's is ASCII-only — a bare \\s would split the engines on
+    U+00A0)."""
+    from buskafkasparkstreaming_spark.operators.text import unicode_clean
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")),  # e + COMBINING ACUTE
+    ).otherwise(F.col("text"))
+    d2 = F.when(
+        F.col("doc_id") % 2 == 0, F.replace(d1, F.lit(" "), F.lit("  \t"))
+    ).otherwise(d1)
+    d3 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(" \x07"), d2, F.lit("\n")),
+    ).otherwise(d2)
+    dirty = docs.select("doc_id", d3.alias("t"))
+    return unicode_clean(dirty, "doc_id", "t").select(
+        F.col("id").alias("doc_id"), "n_before", "n_after", "clean_md5"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -8053,20 +8089,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
     # semantics/plan changed this round, then oldest-artifact-first).
-    # Round-11 rotation: 9 new (q_decile_lift, q_allen_spans,
+    # Round-11 rotation: 10 new (q_decile_lift, q_allen_spans,
     # q_allen_incidents, streaming_skyline, and the second wave
     # q_segment_lift + streaming_allen_monitor + q_skyline3_lineitems
-    # + streaming_reservoir_sample + streaming_pagerank_monitor --
-    # SURVEY round-11 candidates) + 5 changed
+    # + streaming_reservoir_sample + streaming_pagerank_monitor
+    # + text_unicode_clean -- SURVEY round-11 candidates) + 5 changed
     # (q_attribution_credit: the r10 red row -- oracle conv_idx BIGINT
     # cast + is_conv walk-tie key; pack_ffd_bins: rows-only -> invariant
     # oracle, VERDICT r10 item 5; q_twap_hourly + q_event_gaps: NULL-id
     # ts-collision ordering fixes from the new advisor sweep;
-    # q_decimal_and_date: cents-idiom alignment) + 36 of the 49-entry
-    # r5-stale cohort = exactly 50. The 13 displaced r5 entries sit
+    # q_decimal_and_date: cents-idiom alignment) + 35 of the 49-entry
+    # r5-stale cohort = exactly 50. The 14 displaced r5 entries sit
     # first below the cut (the r9 NOTE precomputed a pure block move;
     # additions/changes displace explicitly, as that NOTE required).
-    # Round-12 arithmetic: 13 r5-stale + 37 of the 47-entry r7 cohort
+    # Round-12 arithmetic: 14 r5-stale + 36 of the 47-entry r7 cohort
     # fill the window; round-12 additions displace r7 slots.
     return {
         # --- new in round 11 (never driver-seen): decile lift/gains,
@@ -8081,6 +8117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline3_lineitems": q_skyline3_lineitems,
         "streaming_reservoir_sample": streaming_reservoir_sample,
         "streaming_pagerank_monitor": streaming_pagerank_monitor,
+        "text_unicode_clean": text_unicode_clean,
         # --- changed in round 11 (window-head hygiene): the r10 red row
         # (oracle conv_idx BIGINT cast + is_conv walk-tie key), the FFD
         # entry rewritten from rows-only to an invariant oracle, the two
@@ -8128,13 +8165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunk_documents": pack_chunk_documents,
         "layout_zorder_events": layout_zorder_events,
         "stats_profile_documents": stats_profile_documents,
-        "sample_curriculum_stages": sample_curriculum_stages,
         # ===== DRIVER WINDOW CUT: the 50 entries above are the
-        # round-11 sweep (9 new + 5 changed + 36 r5-stale). Below:
+        # round-11 sweep (10 new + 5 changed + 35 r5-stale). Below:
         # locally green via tests/test_oracle_parity.py every round;
-        # ordered for the ROUND-12 window (oldest artifact first: the 13
+        # ordered for the ROUND-12 window (oldest artifact first: the 14
         # displaced r5 entries, then the 47-entry r7 cohort fills it —
-        # 13 + 37 of 47; round-12 additions displace r7 slots). ==========
+        # 14 + 36 of 47; round-12 additions displace r7 slots). ==========
         # --- r5-stale, displaced by the round-11 additions/changes ------
         "doc_fingerprint": doc_fingerprint,
         "multimodal_bytes_meta": multimodal_bytes_meta,
@@ -8149,6 +8185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": text_token_count,
         "text_quality_classifier": text_quality_classifier,
         "text_lm_bigram_score": text_lm_bigram_score,
+        "sample_curriculum_stages": sample_curriculum_stages,
         # --- driver-green round 7 --------------------------------------
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
@@ -12706,6 +12743,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM r2 LEFT JOIN c3 USING (id)
             )
             SELECT id AS node_id, rank_fp FROM r3
+        """,
+        "text_unicode_clean": """
+            -- identical dirt synthesis (literal replace + chr codes),
+            -- then the SAME pinned clean order: NFC (utf8proc ==
+            -- Python unicodedata, probed), explicit C0/C1 control
+            -- class, explicit ASCII whitespace class (never \\s — it
+            -- is Unicode-aware in Python, ASCII-only in RE2), trim of
+            -- plain spaces; md5(VARCHAR) hashes UTF-8 bytes ==
+            -- hashlib.md5 of the encoded string
+            WITH d0 AS (
+                SELECT doc_id, text FROM documents
+                WHERE text IS NOT NULL),
+            d1 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN replace(text, 'e', 'e' || chr(769))
+                            ELSE text END AS t
+                FROM d0),
+            d2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN replace(t, ' ', '  ' || chr(9))
+                            ELSE t END AS t
+                FROM d1),
+            d3 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN ' ' || chr(7) || t || chr(10)
+                            ELSE t END AS t
+                FROM d2),
+            c AS (
+                SELECT doc_id, length(t) AS n_before,
+                       trim(regexp_replace(regexp_replace(
+                                nfc_normalize(t),
+                                '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                            '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS ct
+                FROM d3)
+            SELECT doc_id, n_before,
+                   length(ct) AS n_after, md5(ct) AS clean_md5
+            FROM c
         """,
         "streaming_reservoir_sample": """
             -- ONE batch window replays the whole stream fold: the

@@ -229,6 +229,7 @@ HEADLINE = [
     "q_skyline3_lineitems",
     "streaming_reservoir_sample",
     "streaming_pagerank_monitor",
+    "text_unicode_clean",
 ]
 
 

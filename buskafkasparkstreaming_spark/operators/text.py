@@ -837,3 +837,72 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "step int, lft string, rgt string, merged string, pair_count long"
     )
+
+
+def unicode_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode text cleaning — the normalization stage every multilingual
+    corpus pipeline runs before tokenization/dedup (round-11 second
+    wave): NFC canonical composition (decomposed e+COMBINING ACUTE and
+    precomposed é must hash identically or every downstream exact-dedup
+    and fingerprint op silently splits them), C0/C1 control-character
+    strip, and whitespace-run collapse.
+
+    Cross-engine exactness pins, in order:
+    * NFC FIRST (both engines agree codepoint-for-codepoint: DuckDB's
+      utf8proc nfc_normalize == Python unicodedata NFC — probed),
+    * control strip with the EXPLICIT class [\\x00-\\x08\\x0b-\\x1f\\x7f]
+      (newline/tab survive into the collapse step),
+    * collapse with the EXPLICIT ASCII class [ \\t\\n\\r\\f\\v]+ — never
+      regex \\s, which is Unicode-aware in Python but ASCII-only in
+      RE2/DuckDB (U+00A0 would split the engines),
+    * trim of plain spaces only (after the collapse, edge whitespace is
+      exactly one ' ').
+
+    Plan: ZERO shuffles — one Arrow-batched mapInPandas projection over
+    the scan; the md5 of the cleaned text is computed in the same batch
+    (hashlib over UTF-8 bytes == DuckDB md5(VARCHAR)), so the output is
+    a hash-verifiable cleaning certificate: (id, n_chars before/after,
+    clean_md5). NULL text is the caller's filter (SQL semantics).
+    """
+    import pandas as pd
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    )
+
+    def clean_batch(batches):
+        import hashlib
+        import re
+        import unicodedata
+
+        ctrl = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+
+        def clean(s: str) -> str:
+            s = unicodedata.normalize("NFC", s)
+            s = ctrl.sub("", s)
+            s = ws.sub(" ", s)
+            return s.strip(" ")
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cleaned = pdf["t"].map(clean)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_before": pdf["t"].str.len().astype("int64"),
+                    "n_after": cleaned.str.len().astype("int64"),
+                    "clean_md5": cleaned.map(
+                        lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+                    ),
+                }
+            )
+
+    return base.mapInPandas(
+        clean_batch, "id long, n_before long, n_after long, clean_md5 string"
+    )

@@ -249,6 +249,9 @@ def test_null_text_drift(spark, tmp_path):
         # NULL/empty text must contribute no words to the BPE corpus on
         # BOTH sides (w <> '' filter after the split)
         "text_bpe_merges",
+        # r11: NULL text drops before the dirt synthesis; empty text
+        # cleans to the empty string with the same md5 on both sides
+        "text_unicode_clean",
         # contentless docs must be absent from the novelty output on
         # BOTH sides (no shingles -> no rows)
         "text_ngram_novelty",

@@ -1,14 +1,15 @@
 """Guard the round-11 driver-window composition: the correctness sweep
 checks the FIRST 50 queries() entries, so an accidental dict reorder
 (a refactor, a merge) silently swaps which entries get driver-verified.
-This pins the committed rotation: 9 new round-11 entries (never
+This pins the committed rotation: 10 new round-11 entries (never
 driver-seen lead; q_segment_lift, streaming_allen_monitor,
-q_skyline3_lineitems, streaming_reservoir_sample, and
-streaming_pagerank_monitor are the second wave), 5 changed this
+q_skyline3_lineitems, streaming_reservoir_sample,
+streaming_pagerank_monitor, and text_unicode_clean are the second
+wave), 5 changed this
 round (window-head hygiene — the r10 red attribution row, the FFD
 rows-only→invariant-oracle rewrite, the two NULL-id ts-collision
-ordering fixes, the cents-idiom alignment), then 36 of the 49-entry
-r5-stale cohort — exactly 50. The 13 displaced r5 entries sit first
+ordering fixes, the cents-idiom alignment), then 35 of the 49-entry
+r5-stale cohort — exactly 50. The 14 displaced r5 entries sit first
 below the cut and lead round 12 (then the r7 cohort). Update
 DELIBERATELY when the round-12 rotation is computed (staleness-first
 from the CORRECTNESS_r*.json artifacts)."""
@@ -21,13 +22,13 @@ NEW_R11 = [
     "q_decile_lift", "q_allen_spans", "q_allen_incidents",
     "streaming_skyline", "q_segment_lift", "streaming_allen_monitor",
     "q_skyline3_lineitems", "streaming_reservoir_sample",
-    "streaming_pagerank_monitor",
+    "streaming_pagerank_monitor", "text_unicode_clean",
 ]
 CHANGED_5 = [
     "q_attribution_credit", "pack_ffd_bins", "q_twap_hourly",
     "q_event_gaps", "q_decimal_and_date",
 ]
-R5_HEAD_36 = [
+R5_HEAD_35 = [
     "q_argmax_events", "streaming_stateful_running", "streaming_tumbling_counts",
     "streaming_sliding_avg", "streaming_session_windows", "streaming_dedup_keys",
     "streaming_dedup_within_watermark", "streaming_purchase_error_join",
@@ -40,31 +41,31 @@ R5_HEAD_36 = [
     "dedup_substring_spans", "sample_token_budget_mix", "text_duplicate_fraction",
     "dedup_semantic", "text_lm_score", "sample_prototype_prune",
     "pack_chunk_documents", "layout_zorder_events", "stats_profile_documents",
-    "sample_curriculum_stages",
 ]
-R5_DISPLACED_13 = [
+R5_DISPLACED_14 = [
     "doc_fingerprint",
     "multimodal_bytes_meta", "multimodal_features", "multimodal_frames",
     "q_approx_distinct_users", "q_median_price_by_priority",
     "q_asof_purchase_before_error", "q_range_join_value_tiers",
     "text_tfidf_top_terms", "text_langid", "text_token_count",
     "text_quality_classifier", "text_lm_bigram_score",
+    "sample_curriculum_stages",
 ]
 
 
 def test_round11_window_composition():
     qs = list(entrymod.queries().keys())
-    want = NEW_R11 + CHANGED_5 + R5_HEAD_36
+    want = NEW_R11 + CHANGED_5 + R5_HEAD_35
     assert len(want) == 50, len(want)
     assert qs[:50] == want, (qs[:50], want)
 
 
 def test_round12_lead_is_displaced_r5_then_r7():
-    """Below the cut: the 13 displaced r5 entries first (they lead round
+    """Below the cut: the 14 displaced r5 entries first (they lead round
     12), then the r7 cohort — a pure block move next round."""
     qs = list(entrymod.queries().keys())
-    assert qs[50:63] == R5_DISPLACED_13, qs[50:63]
-    assert qs[63] == "q6_forecast_revenue", qs[63]
+    assert qs[50:64] == R5_DISPLACED_14, qs[50:64]
+    assert qs[64] == "q6_forecast_revenue", qs[64]
 
 
 def test_every_query_has_oracle():

@@ -2595,3 +2595,34 @@ def test_allen_relations_exhaustive(spark):
     )
     for r in out.collect():
         assert r["rel"] == py_label[(r["sa"], r["ea"], r["sb"], r["eb"])], r
+
+
+def test_unicode_clean_semantics(spark):
+    """unicode_clean pins: decomposed (e+COMBINING ACUTE) and
+    precomposed é hash IDENTICALLY after NFC; C0/C1 controls strip
+    while tab/newline fold into the whitespace collapse; the collapse
+    class is ASCII-explicit, so U+00A0 (no-break space) survives —
+    the deliberate cross-engine choice (Python \\s would eat it, RE2's
+    would not); edge whitespace trims."""
+    import hashlib
+
+    from buskafkasparkstreaming_spark.operators.text import unicode_clean
+
+    rows = [
+        (1, "café"),            # precomposed
+        (2, "café"),           # decomposed — same NFC form as 1
+        (3, "a\x07b\x1fc"),          # controls strip to 'abc'
+        (4, "  x \t\n y\f "),        # runs collapse, edges trim
+        (5, "a b"),             # NBSP survives (ASCII class only)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    out = {
+        r["id"]: (r["n_before"], r["n_after"], r["clean_md5"])
+        for r in unicode_clean(df, "doc_id", "t").collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1][2] == out[2][2] == md5("café")
+    assert out[2][0] == 5 and out[2][1] == 4  # NFC composed one pair
+    assert out[3] == (5, 3, md5("abc"))
+    assert out[4][2] == md5("x y")
+    assert out[5] == (3, 3, md5("a b"))
