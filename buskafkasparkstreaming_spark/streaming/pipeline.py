@@ -97,6 +97,7 @@ def run_pagerank_monitor(
     work_dir: str,
     checkpoint_dir: str,
     iters: int = 3,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """STREAMING graph-metric monitor: a live PageRank over a streamed
     EDGE LOG (SURVEY round-11 fresh-surface list). Each micro-batch is
@@ -120,6 +121,12 @@ def run_pagerank_monitor(
 
     Returns the snapshot table (src/dst node ids, rank_fp, n_edges) as
     a BATCH DataFrame of the final snapshot's rows.
+
+    `shuffle_partitions` sizes the per-tick recompute's shuffles (the
+    run_to_memory discipline: a deliberate knob tracking the GRAPH
+    size, not the session's batch width — the power-iteration joins on
+    a node-count-sized frame pay per-partition scheduling every tick).
+    None = inherit the session conf.
     """
     import os
 
@@ -130,6 +137,8 @@ def run_pagerank_monitor(
     )
 
     spark = edge_stream.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
     edges_path = os.path.join(work_dir, "edges")
     snaps_path = os.path.join(work_dir, "snapshots")
 
@@ -148,13 +157,18 @@ def run_pagerank_monitor(
             "append"
         ).parquet(snaps_path)
 
-    q = (
-        edge_stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        if shuffle_partitions is not None:
+            spark.conf.set(conf_key, str(shuffle_partitions))
+        q = (
+            edge_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prev)
     snaps = spark.read.parquet(snaps_path)
     mx = snaps.agg(F.max("n_edges").alias("m")).collect()[0]["m"]
     return snaps.filter(F.col("n_edges") == mx).select("id", "rank_fp")

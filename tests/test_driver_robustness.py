@@ -410,6 +410,10 @@ def test_null_events_drift(spark, tmp_path):
         # r11: NULL event_type rows are not monitor points; error-hour
         # incident evidence needs a non-NULL type by definition
         "streaming_allen_monitor",
+        # r11 second wave: NULL event_type rows join no reservoir key
+        # and no bipartite edge on EITHER side
+        "streaming_reservoir_sample",
+        "streaming_pagerank_monitor",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -1023,6 +1027,9 @@ def test_null_user_drift(spark, tmp_path):
         # r11: NULL span keys must pair in NEITHER engine (allen_join
         # filters them; SQL equi-join drops them)
         "q_allen_spans",
+        # r11 second wave: NULL user rows yield NO bipartite edge on
+        # either side of the PageRank monitor
+        "streaming_pagerank_monitor",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
