@@ -1362,8 +1362,10 @@ def test_money_magnitude_drift(spark, tmp_path):
         "q_decile_lift",
         # r11 second wave: per-segment quintiles over the same spend
         # ranking (grouped_ntile must stay exact when the scaled rows
-        # reorder every segment's frontier)
+        # reorder every segment's frontier); the 3-D frontier's price
+        # dimension at ~1e14 cents stays exact BIGINT in the sweep
         "q_segment_lift",
+        "q_skyline3_lineitems",
         # the money-based statistics family at ~1e14-cent magnitudes;
         # q_anova_f's c*c square was the one BIGINT wrap caught here
         "q_anova_f",
