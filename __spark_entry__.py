@@ -8082,6 +8082,38 @@ def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP equi-depth histogram — the round-12 seed grouped_ntile
+    makes one bucket formula away: 8 equal-population bands of order
+    value cents WITHIN each order priority, each band's exact BIGINT
+    (n, min, max). The global q_histogram_equi_depth needed the
+    distributed global ranking; the per-group variant needed the
+    grouped ranking that q_segment_lift introduced — same range
+    repartition on the composite (priority, cents, orderkey) order,
+    never a single-task-per-priority sort. Full oracle: SQL ntile(8)
+    PARTITION BY priority on the identical unique ordering."""
+    orders = _t(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        _cents("o_totalprice").alias("cents"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    ranked = W.grouped_ntile(
+        pts,
+        ["priority"],
+        [F.col("cents").asc(), F.col("okey").asc()],
+        8,
+        "band",
+    )
+    return ranked.groupBy(
+        "priority", F.col("band").cast("long").alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").cast("long").alias("lo_cents"),
+        F.max("cents").cast("long").alias("hi_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -8171,6 +8203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordered for the ROUND-12 window (oldest artifact first: the 14
         # displaced r5 entries, then the 47-entry r7 cohort fills it —
         # 14 + 36 of 47; round-12 additions displace r7 slots). ==========
+        # --- round-12 head candidates: implemented and locally
+        # parity-green in round 11's second wave, never driver-seen —
+        # the round-12 rotation puts them first (never-seen outranks
+        # everything), ahead of the displaced r5 block below ------------
+        "q_group_equidepth": q_group_equidepth,
         # --- r5-stale, displaced by the round-11 additions/changes ------
         "doc_fingerprint": doc_fingerprint,
         "multimodal_bytes_meta": multimodal_bytes_meta,
@@ -12783,6 +12820,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_before,
                    length(ct) AS n_after, md5(ct) AS clean_md5
             FROM c
+        """,
+        "q_group_equidepth": """
+            -- SQL ntile(8) PARTITION BY priority over the identical
+            -- unique (cents, okey) order — grouped_ntile's twin; exact
+            -- BIGINT band stats
+            WITH p AS (
+                SELECT o_orderpriority AS priority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderkey AS okey
+                FROM orders),
+            r AS (
+                SELECT priority, cents,
+                       CAST(ntile(8) OVER (
+                           PARTITION BY priority
+                           ORDER BY cents ASC, okey ASC) AS BIGINT)
+                           AS band
+                FROM p)
+            SELECT priority, band, count(*) AS n,
+                   CAST(min(cents) AS BIGINT) AS lo_cents,
+                   CAST(max(cents) AS BIGINT) AS hi_cents
+            FROM r GROUP BY 1, 2
         """,
         "streaming_reservoir_sample": """
             -- ONE batch window replays the whole stream fold: the

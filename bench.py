@@ -230,6 +230,9 @@ HEADLINE = [
     "streaming_reservoir_sample",
     "streaming_pagerank_monitor",
     "text_unicode_clean",
+    # round-12 head candidates (benched from day one, driver-verified
+    # next round)
+    "q_group_equidepth",
 ]
 
 

@@ -1366,6 +1366,9 @@ def test_money_magnitude_drift(spark, tmp_path):
         # dimension at ~1e14 cents stays exact BIGINT in the sweep
         "q_segment_lift",
         "q_skyline3_lineitems",
+        # grouped equi-depth bands at ~1e14-cent magnitudes: exact
+        # BIGINT all the way (cents never multiplied)
+        "q_group_equidepth",
         # the money-based statistics family at ~1e14-cent magnitudes;
         # q_anova_f's c*c square was the one BIGINT wrap caught here
         "q_anova_f",

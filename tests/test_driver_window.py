@@ -60,12 +60,18 @@ def test_round11_window_composition():
     assert qs[:50] == want, (qs[:50], want)
 
 
-def test_round12_lead_is_displaced_r5_then_r7():
-    """Below the cut: the 14 displaced r5 entries first (they lead round
-    12), then the r7 cohort — a pure block move next round."""
+R12_HEAD_CANDIDATES = ["q_group_equidepth"]
+
+
+def test_round12_lead_is_candidates_then_displaced_r5_then_r7():
+    """Below the cut: the never-driver-seen round-12 head candidates
+    first (the rotation policy puts never-seen ahead of everything),
+    then the 14 displaced r5 entries, then the r7 cohort."""
     qs = list(entrymod.queries().keys())
-    assert qs[50:64] == R5_DISPLACED_14, qs[50:64]
-    assert qs[64] == "q6_forecast_revenue", qs[64]
+    n = len(R12_HEAD_CANDIDATES)
+    assert qs[50:50 + n] == R12_HEAD_CANDIDATES, qs[50:50 + n]
+    assert qs[50 + n:64 + n] == R5_DISPLACED_14, qs[50 + n:64 + n]
+    assert qs[64 + n] == "q6_forecast_revenue", qs[64 + n]
 
 
 def test_every_query_has_oracle():
