@@ -233,6 +233,7 @@ HEADLINE = [
     # round-12 head candidates (benched from day one, driver-verified
     # next round)
     "q_group_equidepth",
+    "streaming_skyline3",
 ]
 
 

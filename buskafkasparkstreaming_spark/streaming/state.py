@@ -593,3 +593,82 @@ def reservoir_per_key(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SKYLINE3_STATE_SCHEMA = (
+    "xs array<bigint>, ys array<bigint>, zs array<bigint>, n_seen bigint"
+)
+
+
+def _skyline3_output_schema(key_col: str) -> str:
+    return f"{key_col} string, x bigint, y bigint, z bigint, n_seen bigint"
+
+
+def skyline3_per_key(
+    points: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """STREAMING 3-D skyline per key (minimize x, maximize y, maximize
+    z) — skyline_per_key's dimensional generalization, using the batch
+    skyline_nd sweep (round-12 seed shipped early): a 3-D frontier is
+    not a staircase walk, so the tracker runs the lexicographic-min
+    extraction + vectorized dominance-removal passes over
+    state ∪ batch. Input: (key_col string, x, y, z bigint), NULLs
+    pre-filtered by the caller.
+
+    Same contract as the 2-D tracker: state is ONLY the frontier
+    (dominated points never rejoin — points accumulate, so a dominator
+    persists), the merge is associative in the input split, every batch
+    re-emits the frontier under the monotone n_seen clock, no timeout.
+    Expected 3-D frontier size for exchangeable points is
+    O(log² n) — still bounded state, one power of log more than 2-D.
+    """
+
+    def tracker(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        (k,) = key
+        xs, ys, zs, n_seen = state.get if state.exists else ([], [], [], 0)
+        pts = {(int(a), int(b), int(c)) for a, b, c in zip(xs, ys, zs)}
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            pts.update(
+                (int(a), int(b), int(c))
+                for a, b, c in zip(
+                    pdf["x"].tolist(), pdf["y"].tolist(), pdf["z"].tolist()
+                )
+            )
+        m = np.array(sorted(pts), dtype="int64")
+        # all-minimize normalization: negate the maximize dims
+        m[:, 1] = -m[:, 1]
+        m[:, 2] = -m[:, 2]
+        order = np.lexsort((m[:, 2], m[:, 1], m[:, 0]))
+        m = m[order]
+        frontier = []
+        while m.shape[0]:
+            p = m[0]  # lexicographic minimum: provably undominated
+            frontier.append((int(p[0]), int(-p[1]), int(-p[2])))
+            m = m[~(m >= p).all(axis=1)]
+        frontier.sort()
+        state.update(
+            (
+                [p[0] for p in frontier],
+                [p[1] for p in frontier],
+                [p[2] for p in frontier],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            [
+                {key_col: k, "x": x, "y": y, "z": z, "n_seen": n_seen}
+                for x, y, z in frontier
+            ]
+        )
+
+    return points.groupBy(key_col).applyInPandasWithState(
+        tracker,
+        outputStructType=_skyline3_output_schema(key_col),
+        stateStructType=SKYLINE3_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

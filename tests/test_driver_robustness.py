@@ -368,6 +368,9 @@ def test_null_events_drift(spark, tmp_path):
         # frontier point set identically on both sides
         "q_allen_spans",
         "streaming_skyline",
+        # r12 head candidate: NULL props rows also leave the 3-D point
+        # set on both sides
+        "streaming_skyline3",
         # NULL event_type rows must drop from the (type, hour) cells /
         # the purge table build identically on both sides; the hour axis
         # and seasonal cells only need ts

@@ -1270,3 +1270,104 @@ def test_pagerank_monitor_ticks_and_kill_restart(spark, tmp_path):
     }
     assert final_a == final_b
     assert final_a == batch_pr([e for b in files for e in b])
+
+
+def test_streaming_skyline3_kill_restart_equivalence(spark, tmp_path):
+    """skyline3_per_key: same join-semilattice contract as the 2-D
+    tracker, now with the skyline_nd sweep — a killed/restarted paced
+    drain equals the uninterrupted one AND the brute-force 3-D frontier
+    of the union; batch 2 dominates part of batch 0/1's frontier (state
+    must SHRINK across the kill boundary)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from buskafkasparkstreaming_spark.streaming.state import skyline3_per_key
+
+    # min x, max y, max z
+    files = [
+        [("a", 5, 50, 5), ("a", 7, 40, 9), ("b", 1, 10, 1)],
+        [("a", 5, 45, 7), ("a", 4, 20, 2)],
+        [("a", 3, 60, 9), ("a", 9, 70, 1)],
+        [("b", 0, 5, 2), ("b", 2, 20, 0)],
+    ]
+    schema = "event_type string, x bigint, y bigint, z bigint"
+
+    def write_file(dirname, i, rows):
+        path = str(tmp_path / dirname / f"f{i}.parquet")
+        staging = path + ".staging"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(part, path)
+        shutil.rmtree(staging)
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    def drain(in_dir, ckpt, out_dir):
+        stream = read_stream(
+            spark,
+            str(tmp_path / in_dir),
+            spark.read.parquet(str(tmp_path / in_dir)).schema,
+            max_files=1,
+        )
+        out = skyline3_per_key(stream, key_col="event_type")
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(str(tmp_path / out_dir))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    def final_frontier(out_dir):
+        rows = spark.read.parquet(str(tmp_path / out_dir)).collect()
+        best = {}
+        for r in rows:
+            best[r["event_type"]] = max(
+                best.get(r["event_type"], 0), r["n_seen"]
+            )
+        return {
+            k: sorted(
+                (r["x"], r["y"], r["z"])
+                for r in rows
+                if r["event_type"] == k and r["n_seen"] == best[k]
+            )
+            for k in best
+        }
+
+    for i, rows in enumerate(files):
+        write_file("sk3_a", i, rows)
+    drain("sk3_a", "sk3_ckpt_a", "sk3_out_a")
+
+    for i, rows in enumerate(files[:2]):
+        write_file("sk3_b", i, rows)
+    drain("sk3_b", "sk3_ckpt_b", "sk3_out_b")
+    for i, rows in enumerate(files[2:], start=2):
+        write_file("sk3_b", i, rows)
+    drain("sk3_b", "sk3_ckpt_b", "sk3_out_b")
+
+    a, b = final_frontier("sk3_out_a"), final_frontier("sk3_out_b")
+    assert a == b, (a, b)
+    # brute-force ground truth per key
+    want = {}
+    for key in ("a", "b"):
+        pts = {(x, y, z) for batch in files for (k, x, y, z) in batch if k == key}
+        want[key] = sorted(
+            p
+            for p in pts
+            if not any(
+                q[0] <= p[0]
+                and q[1] >= p[1]
+                and q[2] >= p[2]
+                and (q[0] < p[0] or q[1] > p[1] or q[2] > p[2])
+                for q in pts
+            )
+        )
+    assert a == want, (a, want)
