@@ -8155,6 +8155,79 @@ def streaming_skyline3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration per segment
+    (operators/stats.py::isotonic_fit_blocks, round-12 seed shipped
+    early): the PAV monotone fit of the urgent-response flag on
+    per-customer spend — the calibration-curve primitive next to the
+    lift table, in EXACT RATIONAL arithmetic (block means carried as
+    integer (sum_y, n) pairs, pooled by cross-multiplication). PAV is
+    sequential like FFD, so the entry returns the per-segment INVARIANT
+    summary (the pack_ffd_bins precedent): oracle-computable facts
+    checked by VALUE — segment totals, spend range, and the two
+    closed-form block identities (the first block is the longest prefix
+    attaining the MINIMAL prefix mean; the last block the longest
+    suffix attaining the MAXIMAL suffix mean — both SQL-computable from
+    windowed prefix sums, both pinned against the quadratic PAV
+    reference in test_pipeline_ops_property) — plus contract booleans
+    the oracle emits as TRUE literals: strictly increasing block means
+    (weak pooling merged any tie) and a sane block count."""
+    from buskafkasparkstreaming_spark.operators.stats import (
+        isotonic_fit_blocks,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("spend_cents"),
+        F.max(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        ).alias("resp"),
+    )
+    joined = per_cust.join(cust, "custkey").filter(
+        F.col("segment").isNotNull()
+    )
+    blocks = isotonic_fit_blocks(
+        joined, "segment", "spend_cents", "resp", "custkey"
+    )
+    w = Window.partitionBy("segment").orderBy("block_id")
+    nxt_n = F.lead("n").over(w)
+    nxt_s = F.lead("sum_y").over(w)
+    # strict increase between adjacent block means, exact cross-mult
+    pair_ok = F.when(
+        nxt_n.isNull(), F.lit(True)
+    ).otherwise(F.col("sum_y") * nxt_n < nxt_s * F.col("n"))
+    wseg = Window.partitionBy("segment")
+    ann = blocks.withColumn("__ok", pair_ok).withColumn(
+        "__nb", F.max("block_id").over(wseg)
+    )
+    return ann.groupBy("segment").agg(
+        F.sum("n").cast("long").alias("n_customers"),
+        F.sum("sum_y").cast("long").alias("n_resp"),
+        F.min("x_lo").cast("long").alias("min_spend_cents"),
+        F.max("x_hi").cast("long").alias("max_spend_cents"),
+        F.max(F.when(F.col("block_id") == 1, F.col("sum_y")))
+        .cast("long")
+        .alias("first_num"),
+        F.max(F.when(F.col("block_id") == 1, F.col("n")))
+        .cast("long")
+        .alias("first_den"),
+        F.max(F.when(F.col("block_id") == F.col("__nb"), F.col("sum_y")))
+        .cast("long")
+        .alias("last_num"),
+        F.max(F.when(F.col("block_id") == F.col("__nb"), F.col("n")))
+        .cast("long")
+        .alias("last_den"),
+        F.min("__ok").alias("monotone_ok"),
+        (
+            (F.max("__nb") >= 1) & (F.max("__nb") <= F.sum("n"))
+        ).alias("blocks_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -8250,6 +8323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # everything), ahead of the displaced r5 block below ------------
         "q_group_equidepth": q_group_equidepth,
         "streaming_skyline3": streaming_skyline3,
+        "q_isotonic_calibration": q_isotonic_calibration,
         # --- r5-stale, displaced by the round-11 additions/changes ------
         "doc_fingerprint": doc_fingerprint,
         "multimodal_bytes_meta": multimodal_bytes_meta,
@@ -12904,6 +12978,73 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.event_type = p.event_type
                   AND b.x <= p.x AND b.y >= p.y AND b.z >= p.z
                   AND (b.x < p.x OR b.y > p.y OR b.z > p.z))
+        """,
+        "q_isotonic_calibration": """
+            -- invariant oracle (the pack_ffd_bins precedent): segment
+            -- totals / spend range by VALUE; the first/last PAV blocks
+            -- by VALUE via their closed forms — longest prefix with
+            -- MINIMAL prefix mean, longest suffix with MAXIMAL suffix
+            -- mean (fraction ordering via float division is exact
+            -- here: unequal fractions with denominators <= n differ by
+            -- >= 1/n^2, far above double ulp; ties break to the
+            -- longest, matching weak pooling) — and the construction
+            -- booleans as TRUE literals
+            WITH c AS (
+                SELECT o_custkey AS custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS spend_cents,
+                       max(CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN 1 ELSE 0 END) AS resp
+                FROM orders GROUP BY 1),
+            j AS (
+                SELECT cu.c_mktsegment AS segment, c.custkey,
+                       c.spend_cents, c.resp
+                FROM c JOIN customer cu ON c.custkey = cu.c_custkey
+                WHERE cu.c_mktsegment IS NOT NULL),
+            o AS (
+                SELECT segment, spend_cents, resp,
+                       row_number() OVER w AS k,
+                       CAST(sum(resp) OVER (PARTITION BY segment
+                            ORDER BY spend_cents ASC, custkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS s
+                FROM j
+                WINDOW w AS (PARTITION BY segment
+                             ORDER BY spend_cents ASC, custkey ASC)),
+            t AS (
+                SELECT segment, CAST(count(*) AS BIGINT) AS n_all,
+                       CAST(sum(resp) AS BIGINT) AS s_all,
+                       CAST(min(spend_cents) AS BIGINT) AS min_spend,
+                       CAST(max(spend_cents) AS BIGINT) AS max_spend
+                FROM j GROUP BY 1),
+            first_b AS (
+                SELECT segment, s AS first_num, k AS first_den
+                FROM o
+                QUALIFY row_number() OVER (PARTITION BY segment
+                    ORDER BY s * 1.0 / k ASC, k DESC) = 1),
+            last_b AS (
+                -- suffix starting AFTER position k-1: mean =
+                -- (s_all - s_{k-1})/(n_all - k + 1); j=k ranges over
+                -- all suffixes incl. the whole segment (k=1 row has
+                -- prefix s - resp at k-1 = s - resp)
+                SELECT o.segment,
+                       CAST(t.s_all - (o.s - o.resp) AS BIGINT)
+                           AS last_num,
+                       CAST(t.n_all - o.k + 1 AS BIGINT) AS last_den
+                FROM o JOIN t USING (segment)
+                QUALIFY row_number() OVER (PARTITION BY o.segment
+                    ORDER BY (t.s_all - (o.s - o.resp)) * 1.0
+                             / (t.n_all - o.k + 1) DESC,
+                             (t.n_all - o.k + 1) DESC) = 1)
+            SELECT t.segment, t.n_all AS n_customers, t.s_all AS n_resp,
+                   t.min_spend AS min_spend_cents,
+                   t.max_spend AS max_spend_cents,
+                   f.first_num, CAST(f.first_den AS BIGINT) AS first_den,
+                   l.last_num, l.last_den,
+                   TRUE AS monotone_ok, TRUE AS blocks_ok
+            FROM t
+            JOIN first_b f ON f.segment = t.segment
+            JOIN last_b l ON l.segment = t.segment
         """,
         "streaming_reservoir_sample": """
             -- ONE batch window replays the whole stream fold: the

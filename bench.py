@@ -234,6 +234,7 @@ HEADLINE = [
     # next round)
     "q_group_equidepth",
     "streaming_skyline3",
+    "q_isotonic_calibration",
 ]
 
 

@@ -821,3 +821,94 @@ def basket_lift_pairs(
             ).alias("lift"),
         )
     )
+
+
+def isotonic_fit_blocks(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Isotonic regression (PAV — pool-adjacent-violators) per group,
+    in EXACT RATIONAL arithmetic (round-12 seed shipped early): the
+    monotone-nondecreasing least-squares fit of y on the (x, tiebreak)
+    order, returned as its maximal constant BLOCKS (block_id, n, sum_y,
+    x_lo, x_hi) — fitted value = sum_y/n, never materialized as a
+    float, so block identity is bit-exact in any engine. The
+    calibration-curve primitive (is my score monotone in outcome?)
+    every model-eval pipeline runs next to the lift table.
+
+    PAV is inherently SEQUENTIAL in the x order (each pool depends on
+    every earlier point), so the per-group fit runs in applyInPandas —
+    one hash shuffle on the group key, stack-based O(n) per group,
+    integer sums only (pool means compared by cross-multiplication
+    s1·n2 ≥ s2·n1). Weak-inequality pooling: adjacent equal-mean blocks
+    MERGE, so the first block is the LONGEST prefix attaining the
+    minimal prefix mean and the last block the longest suffix attaining
+    the maximal suffix mean — the two closed-form facts a SQL oracle
+    can verify exactly (the minimax characterization fitted_i =
+    max_{j<=i} min_{k>=i} mean(y[j..k]) is O(n^3) and stays in the
+    property test).
+
+    Input columns must be integer-valued (y is typically a 0/1
+    response; x an exact cents/count score). Groups are bounded by the
+    caller's domain (segments, priorities) — the q_segment_lift
+    contract, not millions of keys.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(tiebreak_col).cast("long").alias("tb"),
+    ).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["x", "tb"], kind="mergesort")
+        xs = pdf["x"].tolist()
+        ys = pdf["y"].tolist()
+        # stack of blocks [n, sum_y, x_lo, x_hi]
+        stack: list[list[int]] = []
+        for x, y in zip(xs, ys):
+            n, s, lo, hi = 1, int(y), int(x), int(x)
+            # pool while the previous mean >= current mean (weak:
+            # equal means merge), compared exactly by cross-mult
+            while stack and stack[-1][1] * n >= s * stack[-1][0]:
+                pn, ps, plo, _phi = stack.pop()
+                n, s, lo = n + pn, s + ps, plo
+            stack.append([n, s, lo, hi])
+        g = pdf["g"].iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    "g": g,
+                    "block_id": i + 1,
+                    "n": n,
+                    "sum_y": s,
+                    "x_lo": lo,
+                    "x_hi": hi,
+                }
+                for i, (n, s, lo, hi) in enumerate(stack)
+            ]
+        )
+
+    out = base.groupBy("g").applyInPandas(
+        fit,
+        schema=(
+            "g string, block_id long, n long, sum_y long, "
+            "x_lo long, x_hi long"
+        ),
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "block_id",
+        "n",
+        "sum_y",
+        "x_lo",
+        "x_hi",
+    )

@@ -772,6 +772,9 @@ def test_null_customer_drift(spark, tmp_path):
         # NULL window-partition semantics) — grouped_ntile's null-safe
         # stats join must keep those rows, not drop them
         "q_segment_lift",
+        # r12 head candidate: NULL segments are EXPLICITLY filtered on
+        # both sides before the PAV fit
+        "q_isotonic_calibration",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -1372,6 +1375,10 @@ def test_money_magnitude_drift(spark, tmp_path):
         # grouped equi-depth bands at ~1e14-cent magnitudes: exact
         # BIGINT all the way (cents never multiplied)
         "q_group_equidepth",
+        # PAV blocks under a reshuffled spend order: pool means stay
+        # exact integer pairs; the closed-form first/last identities
+        # must track the new order
+        "q_isotonic_calibration",
         # the money-based statistics family at ~1e14-cent magnitudes;
         # q_anova_f's c*c square was the one BIGINT wrap caught here
         "q_anova_f",

@@ -60,7 +60,9 @@ def test_round11_window_composition():
     assert qs[:50] == want, (qs[:50], want)
 
 
-R12_HEAD_CANDIDATES = ["q_group_equidepth", "streaming_skyline3"]
+R12_HEAD_CANDIDATES = [
+    "q_group_equidepth", "streaming_skyline3", "q_isotonic_calibration",
+]
 
 
 def test_round12_lead_is_candidates_then_displaced_r5_then_r7():

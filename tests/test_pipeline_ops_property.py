@@ -1136,3 +1136,82 @@ def test_skyline_nd_matches_brute_force(spark, pts, parts):
         )
     }
     assert got == want, (sorted(got ^ want))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=40),   # x score
+            st.integers(min_value=0, max_value=3),    # y (small ints)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_isotonic_blocks_match_reference(spark, rows):
+    """isotonic_fit_blocks equals a quadratic pool-until-monotone PAV
+    reference in exact Fractions for any data and partitioning, and the
+    two closed-form facts the SQL oracle relies on hold: the FIRST
+    block is the longest prefix attaining the minimal prefix mean and
+    the LAST block the longest suffix attaining the maximal suffix
+    mean (weak pooling merges equal-mean neighbors)."""
+    from fractions import Fraction
+
+    from buskafkasparkstreaming_spark.operators.stats import (
+        isotonic_fit_blocks,
+    )
+
+    data = [(g, x, y, i) for i, (g, x, y) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "g string, x long, y long, tb long"
+    ).repartition(5)
+    got = {
+        (r["g"], r["block_id"]): (r["n"], r["sum_y"], r["x_lo"], r["x_hi"])
+        for r in isotonic_fit_blocks(df, "g", "x", "y", "tb").collect()
+    }
+
+    for key in {g for (g, _, _) in rows}:
+        pts = sorted(
+            ((x, i, y) for (g, x, y), i in zip(rows, range(len(rows))) if g == key),
+        )
+        blocks = [[1, y, x, x] for (x, _i, y) in pts]
+        changed = True
+        while changed:  # quadratic pool-until-monotone reference
+            changed = False
+            i = 0
+            while i + 1 < len(blocks):
+                n1, s1, lo1, _ = blocks[i]
+                n2, s2, _, hi2 = blocks[i + 1]
+                if Fraction(s1, n1) >= Fraction(s2, n2):
+                    blocks[i] = [n1 + n2, s1 + s2, lo1, hi2]
+                    del blocks[i + 1]
+                    changed = True
+                else:
+                    i += 1
+        want = {
+            (key, i + 1): (n, s, lo, hi)
+            for i, (n, s, lo, hi) in enumerate(blocks)
+        }
+        assert {k: v for k, v in got.items() if k[0] == key} == want
+
+        # closed-form facts used by the SQL oracle
+        ys = [y for (_x, _i, y) in pts]
+        N = len(ys)
+        pref = [
+            (Fraction(sum(ys[:k]), k), k) for k in range(1, N + 1)
+        ]
+        best = min(f for f, _ in pref)
+        first_den = max(k for f, k in pref if f == best)
+        assert (blocks[0][0], blocks[0][1]) == (
+            first_den, sum(ys[:first_den])
+        )
+        suf = [
+            (Fraction(sum(ys[j:]), N - j), N - j) for j in range(N)
+        ]
+        best_s = max(f for f, _ in suf)
+        last_len = max(m for f, m in suf if f == best_s)
+        assert (blocks[-1][0], blocks[-1][1]) == (
+            last_len, sum(ys[N - last_len:])
+        )
