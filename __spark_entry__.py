@@ -8010,7 +8010,6 @@ def streaming_pagerank_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     read). The final snapshot equals the pure batch PageRank of the
     full edge set — which is exactly what the FULL oracle replays:
     edge build, degree, and all three unrolled iterations in SQL."""
-    import glob as _glob
     import os
     import shutil as _shutil
     import tempfile
@@ -8019,31 +8018,37 @@ def streaming_pagerank_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_pagerank_monitor,
     )
 
-    for old in _glob.glob(
-        os.path.join(tempfile.gettempdir(), "bss_prmon_*")
-    ):
-        _shutil.rmtree(old, ignore_errors=True)
+    # per-invocation working dir (round-12 ADVICE fix: the old code
+    # glob-reaped every bss_prmon_* dir in the SHARED system temp dir,
+    # pulling a concurrent run's live edge log out from under it, and
+    # left its own dir behind). The final snapshot is pinned into the
+    # block manager with an EAGER localCheckpoint so the dir can be
+    # removed before returning — no leftovers, no cross-run contact.
     work = tempfile.mkdtemp(prefix="bss_prmon_")
-
-    stream = SW.read_events_stream(spark, sf_dir)
-    t_id = -1 - F.conv(
-        F.substring(F.md5(F.col("event_type")), 1, 13), 16, 10
-    ).cast("long")
-    pts = stream.filter(
-        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
-    ).select(F.col("user_id").alias("u"), t_id.alias("t"))
-    edges = pts.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("u").alias("src"), F.col("t").alias("dst")),
-                F.struct(F.col("t").alias("src"), F.col("u").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
-    out = run_pagerank_monitor(
-        edges, os.path.join(work, "state"), os.path.join(work, "ckpt")
-    )
-    return out.select(F.col("id").alias("node_id"), "rank_fp")
+    try:
+        stream = SW.read_events_stream(spark, sf_dir)
+        t_id = -1 - F.conv(
+            F.substring(F.md5(F.col("event_type")), 1, 13), 16, 10
+        ).cast("long")
+        pts = stream.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        ).select(F.col("user_id").alias("u"), t_id.alias("t"))
+        edges = pts.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("src"), F.col("t").alias("dst")),
+                    F.struct(F.col("t").alias("src"), F.col("u").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+        out = run_pagerank_monitor(
+            edges, os.path.join(work, "state"), os.path.join(work, "ckpt")
+        )
+        return out.select(
+            F.col("id").alias("node_id"), "rank_fp"
+        ).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
 
 
 def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8228,6 +8233,262 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact two-sample Kolmogorov–Smirnov (order totalprice,
+    1995 vs 1996, per market segment) — q_ks_two_sample's grouped form,
+    the drift gate a pipeline runs per cohort/domain (SURVEY round-12
+    candidate list: per-group KS over the grouped ranking machinery).
+    The per-group running CDF comes from
+    operators.windows_fn.grouped_running_sum — range repartition on the
+    COMPOSITE (segment, cents) order + broadcast prefix offsets +
+    Spark-derived per-group start offsets, so no segment's value axis
+    ever lands in a single task (Window.partitionBy(segment) would put
+    each segment's whole distinct-value axis in ONE task — five
+    straggler tasks doing all the work at 100 TB). Numerator discipline
+    is q_ks_two_sample's, per group: |c1·n2 − c2·n1| in DECIMAL(38,0),
+    ONE float division at the end, NULL ks when either year is empty in
+    a segment (no IEEE-inf seam — the q_segment_lift guard). The
+    running-sum axis has one row per DISTINCT (segment, value) — the
+    value domain, not the row count."""
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        grouped_running_sum,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    yr = F.year("o_orderdate")
+    o = (
+        orders.filter(yr.isin(1995, 1996))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            _cents("o_totalprice").alias("cents"),
+            F.when(yr == 1995, F.lit(1)).otherwise(F.lit(0)).alias("g1"),
+            F.when(yr == 1996, F.lit(1)).otherwise(F.lit(0)).alias("g2"),
+        )
+        .join(F.broadcast(cust), "custkey")
+        .filter(F.col("segment").isNotNull())
+    )
+    per_value = o.groupBy("segment", "cents").agg(
+        F.sum("g1").cast("long").alias("d1"),
+        F.sum("g2").cast("long").alias("d2"),
+    )
+    running = grouped_running_sum(
+        per_value, ["segment"], [F.col("cents").asc()], ["d1", "d2"]
+    )
+    totals = o.groupBy("segment").agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum("g2").cast("long").alias("n2"),
+    )
+    dec = "decimal(38,0)"
+    s = running.join(F.broadcast(totals), "segment").select(
+        "segment",
+        "cents",
+        F.abs(
+            F.col("d1").cast(dec) * F.col("n2").cast(dec)
+            - F.col("d2").cast(dec) * F.col("n1").cast(dec)
+        ).cast(dec).alias("num"),
+    )
+    mx = s.groupBy("segment").agg(F.max("num").alias("d_num"))
+    at = (
+        s.join(
+            F.broadcast(mx.select(F.col("segment").alias("__s"), "d_num")),
+            (F.col("segment") == F.col("__s")) & (F.col("num") == F.col("d_num")),
+        )
+        .groupBy("segment")
+        .agg(F.min("cents").cast("long").alias("at_value_cents"))
+    )
+    return (
+        totals.join(F.broadcast(mx), "segment")
+        .join(F.broadcast(at), "segment")
+        .select(
+            "segment",
+            "n1",
+            "n2",
+            F.col("d_num").cast("double").alias("d_num"),
+            "at_value_cents",
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WEIGHTED reservoir per event type
+    (streaming/state.py::weighted_reservoir_per_key — A-ES, the SURVEY
+    round-12 candidate): keep k=8 events per type with selection
+    probability proportional to an integer SIZE WEIGHT (here a
+    props-length tier, least(8, 1 + len div 16) — the doc-length
+    weighting a token-budget sampler wants). The exactness resolution
+    the handoff asked for: A-ES's key u^(1/w) has law t^w == the law of
+    max of w iid uniforms, so the key is drawn as
+    max_{j=1..w} md5(id:j:salt) — pure hash strings, no pow/ln, no
+    float ordering. Top-k by (prio DESC, id, w) is a join-semilattice
+    fold (pacing/kill-restart pinned in tests/test_streaming.py); the
+    FULL oracle replays the stream with one batch window over a literal
+    1..8 series join."""
+    from buskafkasparkstreaming_spark.streaming.state import (
+        weighted_reservoir_per_key,
+    )
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    rows = stream.filter(
+        F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        "event_type",
+        F.col("event_id").alias("id"),
+        F.expr("least(8, 1 + coalesce(length(props), 0) div 16)")
+        .cast("long")
+        .alias("w"),
+    )
+    out = weighted_reservoir_per_key(
+        rows, k=8, key_col="event_type", id_col="id", weight_col="w"
+    )
+    res = SW.run_to_memory(out, spark, output_mode="update")
+    w = Window.partitionBy("event_type")
+    return (
+        res.withColumn("__mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select(
+            "event_type", F.col("id").alias("event_id"), "w", "prio"
+        )
+    )
+
+
+def streaming_allen_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen relations over LIVE user activity spans
+    (streaming/state.py::span_per_key + allen_join_bucketed — SURVEY
+    round-12 candidate: "the monitor's static side made live"). The
+    stateful piece maintains each user's [min ms, max ms] activity span
+    — the simplest join-semilattice fold of the fleet, so the drained
+    final spans are batch-layout-independent and kill/restart-safe —
+    and the drained result rides the PROVEN bucketized Allen machinery
+    against the static data-derived incident windows
+    (_incident_windows): bucket-explode + ONE hash equi-join,
+    intersecting-or-touching relations only, never a cross join.
+    FULL oracle: batch min/max GROUP BY spans + the same incident CTEs
+    + the shared ALLEN_RELATIONS cascade CASE on intersect pairs."""
+    from buskafkasparkstreaming_spark.operators.joins import (
+        allen_join_bucketed,
+    )
+    from buskafkasparkstreaming_spark.streaming.state import span_per_key
+
+    H = 3600000
+    ev = _t(spark, sf_dir, "events")
+    inc = _incident_windows(ev)
+    stream = SW.read_events_stream(spark, sf_dir)
+    pts = stream.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", bssf.ts_millis(F.col("ts")).alias("ms"))
+    out = span_per_key(pts, key_col="user_id", ms_col="ms")
+    res = SW.run_to_memory(out, spark, output_mode="update")
+    w = Window.partitionBy("user_id")
+    spans = (
+        res.withColumn("__mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select(
+            "user_id",
+            F.col("s_ms").alias("s_a"),
+            F.col("e_ms").alias("e_a"),
+        )
+    )
+    return allen_join_bucketed(spans, inc, H).select(
+        "user_id", "s_a", "e_a", "incident_id", "s_b", "e_b", "relation"
+    )
+
+
+def manifest_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFD manifest-compaction planner
+    (operators/packing.py::plan_compaction +
+    ManifestUpsertTable.compaction_plan — the SURVEY round-12
+    candidate: packing × lakehouse composition). The driver entry runs
+    the planner over an ORACLE-RECOMPUTABLE object inventory — one
+    object per (event_type, ingest hour) cell, sized by its row count,
+    the 30 s-ingest small-file decay mode the reference's Hudi table
+    lives with — and returns the per-partition INVARIANT summary (the
+    pack_ffd_bins precedent; FFD placement is sequential, not
+    SQL-expressible): facts the oracle recomputes by VALUE (n_objects,
+    n_over, sum_small, lb_small, total_rows) and contract booleans it
+    emits as TRUE literals — every planned write <= budget, full
+    objects left as untouched singletons, the plan partitions the
+    inventory, and the planned bin count inside
+    [ceil(sum_small/budget), floor(2·sum_small/budget)+1] (volume
+    bound / any-fit theorem, Johnson 1973). The REAL lakehouse wiring —
+    footer num_rows walk over a live ManifestUpsertTable — is
+    integration-tested in tests/test_manifest_table.py. Budget 8 rows
+    is SF-proportional: at sf0.01 the hour cells run 1-10 rows, so the
+    plan exercises overflow singletons AND multi-object bins."""
+    H = 3600000
+    budget = 8
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ems = ev.select(
+        F.col("event_type").alias("part"),
+        bssf.ts_millis(F.col("ts")).alias("ms"),
+    )
+    inv = (
+        ems.select("part", F.expr(f"(ms - pmod(ms, {H})) DIV {H}").alias("h"))
+        .groupBy("part", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .withColumn("obj", F.col("h").cast("string"))
+    )
+    out = PK.plan_compaction(inv, "part", "obj", "n_rows", budget)
+    obj_over = F.col("size") >= budget
+    per_objs = out.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_objects"),
+        F.countDistinct("obj").cast("long").alias("__n_distinct"),
+        F.sum(obj_over.cast("int")).cast("long").alias("n_over"),
+        F.sum(F.when(~obj_over, F.col("size")).otherwise(0))
+        .cast("long")
+        .alias("sum_small"),
+        F.sum("size").cast("long").alias("total_rows"),
+    )
+    per_bin = out.groupBy("part", "bin_in_part").agg(
+        F.sum("size").alias("load"),
+        F.count(F.lit(1)).alias("n_in_bin"),
+        F.max("size").alias("bin_max"),
+    )
+    bin_over = F.col("bin_max") >= budget
+    per_bins = per_bin.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_bins"),
+        F.sum(bin_over.cast("int")).cast("long").alias("__n_over_bins"),
+        F.max(F.when(~bin_over, F.col("load")).otherwise(0)).alias(
+            "__max_small_load"
+        ),
+        F.max(F.when(bin_over, F.col("n_in_bin")).otherwise(1)).alias(
+            "__max_over_sz"
+        ),
+    )
+    j = per_objs.join(per_bins, "part")
+    n_small_bins = F.col("__n_bins") - F.col("__n_over_bins")
+    lb_small = F.expr(f"(sum_small + {budget - 1}) DIV {budget}")
+    anyfit_ub = F.expr(f"(2 * sum_small) DIV {budget} + 1")
+    return j.select(
+        "part",
+        "n_objects",
+        "n_over",
+        "sum_small",
+        lb_small.cast("long").alias("lb_small"),
+        "total_rows",
+        (F.col("__max_small_load") <= budget).alias("capacity_ok"),
+        (
+            (F.col("__max_over_sz") == 1)
+            & (F.col("__n_over_bins") == F.col("n_over"))
+        ).alias("overflow_singletons_ok"),
+        (F.col("__n_distinct") == F.col("n_objects")).alias("partition_ok"),
+        (n_small_bins >= lb_small).alias("bins_ge_lb"),
+        (n_small_bins <= anyfit_ub).alias("bins_le_anyfit"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -8324,6 +8585,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_equidepth": q_group_equidepth,
         "streaming_skyline3": streaming_skyline3,
         "q_isotonic_calibration": q_isotonic_calibration,
+        # --- new in round 12 (never driver-seen) -----------------------
+        "q_group_ks": q_group_ks,
+        "streaming_weighted_reservoir": streaming_weighted_reservoir,
+        "streaming_allen_sessions": streaming_allen_sessions,
+        "manifest_compaction_plan": manifest_compaction_plan,
         # --- r5-stale, displaced by the round-11 additions/changes ------
         "doc_fingerprint": doc_fingerprint,
         "multimodal_bytes_meta": multimodal_bytes_meta,
@@ -12930,7 +13196,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, length(t) AS n_before,
                        trim(regexp_replace(regexp_replace(
                                 nfc_normalize(t),
-                                '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                                '[\\x00-\\x08\\x0b-\\x1f\\x7f\\x80-\\x9f]',
+                                '', 'g'),
                             '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS ct
                 FROM d3)
             SELECT doc_id, n_before,
@@ -12957,6 +13224,161 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(cents) AS BIGINT) AS lo_cents,
                    CAST(max(cents) AS BIGINT) AS hi_cents
             FROM r GROUP BY 1, 2
+        """,
+        "q_group_ks": """
+            -- q_ks_two_sample's per-group form: SQL's PARTITION BY
+            -- running CDF is grouped_running_sum's twin (bit-identical
+            -- for the unique (segment, cents) order); exact
+            -- DECIMAL(38,0) numerator, ONE float division, NULL ks
+            -- when either year is empty in a segment
+            WITH o AS (
+                SELECT cu.c_mktsegment AS segment,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END
+                           AS g1,
+                       CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END
+                           AS g2
+                FROM orders
+                JOIN customer cu ON o_custkey = c_custkey
+                WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+                  AND year(o_orderdate) IN (1995, 1996)
+                  AND cu.c_mktsegment IS NOT NULL),
+            v AS (SELECT segment, cents,
+                         CAST(sum(g1) AS BIGINT) AS d1,
+                         CAST(sum(g2) AS BIGINT) AS d2
+                  FROM o GROUP BY 1, 2),
+            r AS (SELECT segment, cents,
+                         CAST(sum(d1) OVER (
+                             PARTITION BY segment ORDER BY cents)
+                             AS BIGINT) AS c1,
+                         CAST(sum(d2) OVER (
+                             PARTITION BY segment ORDER BY cents)
+                             AS BIGINT) AS c2
+                  FROM v),
+            t AS (SELECT segment, CAST(sum(g1) AS BIGINT) AS n1,
+                         CAST(sum(g2) AS BIGINT) AS n2
+                  FROM o GROUP BY 1),
+            s AS (SELECT r.segment, r.cents,
+                         abs(CAST(r.c1 AS DECIMAL(38,0))
+                                 * CAST(t.n2 AS DECIMAL(38,0))
+                             - CAST(r.c2 AS DECIMAL(38,0))
+                                 * CAST(t.n1 AS DECIMAL(38,0))) AS num
+                  FROM r JOIN t ON r.segment = t.segment),
+            m AS (SELECT segment, max(num) AS d_num FROM s GROUP BY 1),
+            a AS (SELECT s.segment,
+                         CAST(min(s.cents) AS BIGINT) AS at_value_cents
+                  FROM s JOIN m ON s.segment = m.segment
+                               AND s.num = m.d_num
+                  GROUP BY 1)
+            SELECT t.segment, t.n1, t.n2,
+                   CAST(m.d_num AS DOUBLE) AS d_num,
+                   a.at_value_cents,
+                   CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+                       CAST(m.d_num AS DOUBLE)
+                           / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+                   END AS ks_stat
+            FROM t
+            JOIN m ON t.segment = m.segment
+            JOIN a ON t.segment = a.segment
+        """,
+        "streaming_weighted_reservoir": """
+            -- ONE batch window replays the stream fold: the A-ES key
+            -- u^(1/w) has law t^w == max of w iid uniforms, so the
+            -- priority is max(md5(id:j:salt)) over a literal 1..8
+            -- series join (j <= w) — pure hash strings, identical in
+            -- both engines; (prio DESC, id, w) total order
+            WITH base AS (
+                SELECT DISTINCT event_type, event_id,
+                       least(8, 1 + coalesce(length(props), 0) // 16)
+                           AS w
+                FROM events
+                WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+            series AS (SELECT unnest(range(1, 9)) AS j),
+            drawn AS (
+                SELECT event_type, event_id, w,
+                       max(md5(CAST(event_id AS VARCHAR) || ':'
+                               || CAST(j AS VARCHAR)
+                               || ':stream-wres')) AS prio
+                FROM base JOIN series ON series.j <= base.w
+                GROUP BY 1, 2, 3),
+            r AS (
+                SELECT event_type, event_id, w, prio,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY prio DESC, event_id ASC, w ASC)
+                           AS rn
+                FROM drawn)
+            SELECT event_type, event_id, CAST(w AS BIGINT) AS w, prio
+            FROM r WHERE rn <= 8
+        """,
+        "streaming_allen_sessions": f"""
+            -- batch replay of the drained span fold (min/max GROUP BY
+            -- == the streaming semilattice state for any pacing) +
+            -- the SAME incident CTEs as q_allen_incidents + the shared
+            -- ALLEN_RELATIONS cascade on intersect-or-touch pairs —
+            -- exactly what the bucketized engine join emits
+            WITH ev AS (
+                SELECT user_id, event_type, epoch_ms(ts) AS ms
+                FROM events WHERE ts IS NOT NULL),
+            sp AS (
+                SELECT user_id,
+                       CAST(min(ms) AS BIGINT) AS s_a,
+                       CAST(max(ms) AS BIGINT) AS e_a
+                FROM ev WHERE user_id IS NOT NULL
+                GROUP BY 1),
+            err AS (
+                SELECT (ms - ((ms % 3600000) + 3600000) % 3600000)
+                           // 3600000 AS h
+                FROM ev WHERE event_type = 'error'),
+            c AS (SELECT h, count(*) AS cnt FROM err GROUP BY h),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+                         count(*) AS nh FROM c),
+            k AS (SELECT h FROM c, t WHERE 2 * cnt * nh >= 3 * tot),
+            isl AS (SELECT h, h - row_number() OVER (ORDER BY h) AS grp
+                    FROM k),
+            inc AS (
+                SELECT CAST(min(h) AS BIGINT) AS incident_id,
+                       CAST(min(h) * 3600000 AS BIGINT) AS s_b,
+                       CAST((max(h) + 1) * 3600000 - 1 AS BIGINT) AS e_b
+                FROM isl GROUP BY grp)
+            SELECT sp.user_id, sp.s_a, sp.e_a,
+                   i.incident_id, i.s_b, i.e_b,
+                   {J.allen_relation_sql('sp.s_a', 'sp.e_a', 'i.s_b', 'i.e_b')}
+                       AS relation
+            FROM sp
+            JOIN inc i ON sp.s_a <= i.e_b AND i.s_b <= sp.e_a
+        """,
+        "manifest_compaction_plan": """
+            -- invariant oracle (the pack_ffd_bins precedent): the
+            -- (event_type, ingest-hour) object inventory and its
+            -- per-partition facts recomputed by value; the FFD
+            -- placement contract booleans are TRUE literals a
+            -- violating plan would flip on the engine side
+            WITH ev AS (
+                SELECT event_type AS part, epoch_ms(ts) AS ms
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            obj AS (
+                SELECT part,
+                       (ms - ((ms % 3600000) + 3600000) % 3600000)
+                           // 3600000 AS h,
+                       count(*) AS n_rows
+                FROM ev GROUP BY 1, 2)
+            SELECT part,
+                   count(*) AS n_objects,
+                   CAST(sum(CASE WHEN n_rows >= 8 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_over,
+                   CAST(sum(CASE WHEN n_rows < 8 THEN n_rows ELSE 0 END)
+                        AS BIGINT) AS sum_small,
+                   CAST((sum(CASE WHEN n_rows < 8 THEN n_rows ELSE 0 END)
+                         + 7) // 8 AS BIGINT) AS lb_small,
+                   CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                   TRUE AS capacity_ok,
+                   TRUE AS overflow_singletons_ok,
+                   TRUE AS partition_ok,
+                   TRUE AS bins_ge_lb,
+                   TRUE AS bins_le_anyfit
+            FROM obj GROUP BY 1
         """,
         "streaming_skyline3": """
             -- batch 3-D NOT-EXISTS dominance skyline over the same

@@ -559,6 +559,47 @@ class ManifestUpsertTable:
             raise
         return sorted(crowded)
 
+    def compaction_plan(self, budget_rows: int) -> DataFrame:
+        """FFD compaction PLAN over the current manifest's live objects
+        (SURVEY round-12 candidate: packing × lakehouse composition) —
+        the quality upgrade over `compact()`'s one-object-per-partition
+        blunt rewrite: given a per-output row budget, plan which small
+        objects merge so every planned write stays <= budget and
+        already-full objects are left untouched (dedicated singleton
+        bins), via operators.packing.plan_compaction (FFD, fewest
+        compacted writes for the merge work, bins never span
+        partitions).
+
+        Sizes are per-object parquet-footer `num_rows` — METADATA-only
+        reads, O(live objects), no data scan (the zone-map discipline
+        of _object_stats; a fleet-scale deployment would persist
+        num_rows into the manifest at commit time exactly like
+        stats_cols and skip even the footer walk).
+
+        Returns (part, obj, size, bin_in_part): `groupBy(part,
+        bin_in_part)` having count(*) > 1 is the executor's merge work
+        list; singleton bins are no-ops.
+        """
+        import pyarrow.parquet as pq
+
+        from buskafkasparkstreaming_spark.operators.packing import (
+            plan_compaction,
+        )
+
+        m = self._current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {self.path}")
+        rows = [
+            (val_str, key,
+             pq.ParquetFile(os.path.join(self.path, key)).metadata.num_rows)
+            for val_str, keys in sorted(m["partitions"].items())
+            for key in keys
+        ]
+        inv = self.spark.createDataFrame(
+            rows or [], "part string, obj string, n_rows long"
+        )
+        return plan_compaction(inv, "part", "obj", "n_rows", budget_rows)
+
     def vacuum(
         self, keep_manifests: int = 1, writer_grace_seconds: float = 0.0
     ) -> list[str]:

@@ -176,3 +176,72 @@ def pack_ffd(
         (F.col(id_col) % num_groups).cast("long").alias("pack_group"),
     )
     return prepped.groupBy("pack_group").applyInPandas(ffd, FFD_SCHEMA)
+
+
+def plan_compaction(
+    objects: DataFrame,
+    part_col: str,
+    obj_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """FFD COMPACTION PLANNER over a lakehouse object inventory — the
+    packing × manifest composition from the SURVEY round-12 candidate
+    list: given (partition, object, size) rows, plan which small
+    objects merge into which compacted output file so every planned
+    write stays <= `budget` (rows or bytes — the caller's unit).
+
+    This is `pack_ffd`'s loop pointed at a DIFFERENT domain: bins never
+    span TABLE PARTITIONS (a compacted file lives in exactly one
+    partition directory — the ManifestUpsertTable/Hudi layout
+    invariant), the group key is the partition VALUE itself (string,
+    domain-bounded: one partition per applyInPandas task — the
+    grouped_ntile broadcast contract), and objects already >= budget
+    get a DEDICATED singleton bin, i.e. the planner leaves them
+    untouched (rewriting an already-full file buys nothing and costs a
+    full read+write).
+
+    Within a partition: sort (size DESC, object ASC) — deterministic —
+    and first-fit each object into the lowest-numbered bin with room
+    (FFD, <= 11/9·OPT + 6/9 bins, Johnson 1973: fewest compacted
+    writes for the merge work). A partition that is already compact
+    (every object in its own bin because nothing fits together) plans
+    zero merges; the executor can skip any bin with a single object.
+
+    Output: (part, obj, size, bin_in_part) — `groupBy(part,
+    bin_in_part)` is the compactor's work list.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    import pandas as pd
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["size", "obj"], ascending=[False, True], kind="mergesort"
+        )
+        caps: list[int] = []
+        bins: list[int] = []
+        for t in pdf["size"]:
+            t = int(t)
+            if t >= budget:
+                bins.append(len(caps))
+                caps.append(0)  # dedicated, never reused: untouched
+                continue
+            for i, cap in enumerate(caps):
+                if cap >= t:
+                    bins.append(i)
+                    caps[i] = cap - t
+                    break
+            else:
+                bins.append(len(caps))
+                caps.append(budget - t)
+        return pdf.assign(bin_in_part=bins)
+
+    prepped = objects.select(
+        F.col(part_col).cast("string").alias("part"),
+        F.col(obj_col).cast("string").alias("obj"),
+        F.coalesce(F.col(size_col), F.lit(0)).cast("long").alias("size"),
+    )
+    schema = "part string, obj string, size long, bin_in_part long"
+    return prepped.groupBy("part").applyInPandas(ffd, schema)

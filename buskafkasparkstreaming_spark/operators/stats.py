@@ -855,17 +855,25 @@ def isotonic_fit_blocks(
     response; x an exact cents/count score). Groups are bounded by the
     caller's domain (segments, priorities) — the q_segment_lift
     contract, not millions of keys.
+
+    The group column keeps its OWN Spark type in the output (round-12
+    ADVICE fix: the schema previously hardcoded `g string`, silently
+    coercing or Arrow-failing a non-string group). NULL tiebreaks are
+    filtered like NULL x/y — pandas sorts NaN last, an ordering no SQL
+    oracle reproduces, so rows without a total (x, tiebreak) order are
+    out of contract.
     """
     import pandas as pd
     from pyspark.sql import functions as F
 
+    gtype = df.select(F.col(group_col).alias("g")).schema["g"].dataType.simpleString()
     base = df.select(
         F.col(group_col).alias("g"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
         F.col(tiebreak_col).cast("long").alias("tb"),
     ).filter(
-        F.col("x").isNotNull() & F.col("y").isNotNull()
+        F.col("x").isNotNull() & F.col("y").isNotNull() & F.col("tb").isNotNull()
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -900,7 +908,7 @@ def isotonic_fit_blocks(
     out = base.groupBy("g").applyInPandas(
         fit,
         schema=(
-            "g string, block_id long, n long, sum_y long, "
+            f"g {gtype}, block_id long, n long, sum_y long, "
             "x_lo long, x_hi long"
         ),
     )

@@ -854,8 +854,12 @@ def unicode_clean(
     Cross-engine exactness pins, in order:
     * NFC FIRST (both engines agree codepoint-for-codepoint: DuckDB's
       utf8proc nfc_normalize == Python unicodedata NFC — probed),
-    * control strip with the EXPLICIT class [\\x00-\\x08\\x0b-\\x1f\\x7f]
-      (newline/tab survive into the collapse step),
+    * control strip with the EXPLICIT class
+      [\\x00-\\x08\\x0b-\\x1f\\x7f\\x80-\\x9f] — C0 (minus tab/newline,
+      which survive into the collapse step), DEL, AND the C1 block
+      U+0080-U+009F (round-12 ADVICE fix: the class previously stripped
+      C0+DEL only while the docs claimed C1 too; both engines' classes
+      widened together, codepoint-parity probed incl. U+0085 NEL),
     * collapse with the EXPLICIT ASCII class [ \\t\\n\\r\\f\\v]+ — never
       regex \\s, which is Unicode-aware in Python but ASCII-only in
       RE2/DuckDB (U+00A0 would split the engines),
@@ -879,7 +883,7 @@ def unicode_clean(
         import re
         import unicodedata
 
-        ctrl = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+        ctrl = re.compile(r"[\x00-\x08\x0b-\x1f\x7f\x80-\x9f]")
         ws = re.compile(r"[ \t\n\r\f\v]+")
 
         def clean(s: str) -> str:

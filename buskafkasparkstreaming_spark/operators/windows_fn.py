@@ -303,6 +303,117 @@ def grouped_ntile(
     )
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    sum_cols: list[str],
+    num_partitions: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """EXACT `sum(x) OVER (PARTITION BY group ORDER BY ...)` running sums
+    without a single-task-per-group sort — the grouped sibling of
+    global_running_sum, completing the grouped-ranking family
+    grouped_ntile opened (SURVEY round-12 candidate list: per-group KS
+    needs a per-group running CDF, and Window.partitionBy(segment) puts
+    each segment's whole value axis in ONE task).
+
+    Plan (the grouped_ntile discipline, applied to running sums):
+
+    1. ONE range repartition on the COMPOSITE ordering (group asc, then
+       order_cols) — groups are contiguous in the composite order, and
+       every partition sorts in parallel regardless of group sizes.
+    2. intra-partition running sums keyed on the physical partition id
+       (one balanced hash exchange on __pid — RangePartitioner split the
+       data, never a single task) + per-partition prefix offsets (at
+       most `num_partitions` rows to the driver, keyed by INTEGER pid —
+       no Python-vs-JVM collation seam) give the GLOBAL running sums
+       and the global rank.
+    3. per-group "cumulative before the group" comes from Spark's OWN
+       ordering: the group's first row (min global rank, a |groups|-row
+       hash agg) carries cum_c − own_c = the preceding groups' total;
+       broadcast back NULL-SAFELY (NULL group cols form their own SQL
+       window partition, grouped_ntile's contract) and subtract.
+
+    Each output column `x` is replaced by its PER-GROUP running sum
+    under `order_cols` (NULL x contributes 0). `group_cols` + the
+    caller's order_cols must define a unique composite ordering. The
+    broadcast side is |groups| rows: domain-bounded group columns only
+    (segments, priorities, languages) — grouped_ntile's stated domain.
+    """
+    composite = [F.col(g).asc() for g in group_cols] + order_cols
+    local, _offsets, _n = _ranked_in_range_partitions(
+        df, composite, num_partitions, checkpoint
+    )
+    # one bounded collect: per-pid row counts (rank offsets) + per-pid
+    # totals for every sum column
+    agg_exprs = [F.count(F.lit(1)).alias("__cnt")] + [
+        F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(f"__t_{c}")
+        for c in sum_cols
+    ]
+    rows = sorted(
+        (r["__pid"], r["__cnt"], tuple(r[f"__t_{c}"] for c in sum_cols))
+        for r in local.groupBy("__pid").agg(*agg_exprs).collect()
+    )
+    offs, acc_n, acc = [], 0, [0] * len(sum_cols)
+    for pid, cnt, tots in rows:
+        offs.append((pid, acc_n, *acc))
+        acc_n += cnt
+        acc = [a + t for a, t in zip(acc, tots)]
+    schema = "__pid int, __off long, " + ", ".join(
+        f"__off_{c} long" for c in sum_cols
+    )
+    offdf = local.sparkSession.createDataFrame(
+        offs or [(0, 0) + (0,) * len(sum_cols)], schema
+    )
+    w = Window.partitionBy("__pid").orderBy(*composite)
+    out = local.join(F.broadcast(offdf), "__pid")
+    out = out.withColumn(
+        "__grn", (F.col("__lrn") + F.col("__off")).cast("long")
+    )
+    for c in sum_cols:
+        out = out.withColumn(f"__orig_{c}", F.coalesce(F.col(c), F.lit(0)))
+        running = F.sum(F.col(f"__orig_{c}")).over(w)
+        out = out.withColumn(c, (running + F.col(f"__off_{c}")).cast("long"))
+    # group starts (min global rank) -> the first row of each group
+    # carries the preceding groups' cumulative total for every sum col
+    gstats = out.groupBy(*group_cols).agg(F.min("__grn").alias("__gstart"))
+    gsel = F.broadcast(
+        gstats.select(
+            *[F.col(g).alias(f"__g_{g}") for g in group_cols], "__gstart"
+        )
+    )
+    cond = None
+    for g in group_cols:
+        c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        cond = c if cond is None else (cond & c)
+    firsts = (
+        out.join(gsel, cond & (F.col("__grn") == F.col("__gstart")))
+        .select(
+            *[F.col(f"__g_{g}") for g in group_cols],
+            *[
+                (F.col(c) - F.col(f"__orig_{c}")).cast("long").alias(
+                    f"__goff_{c}"
+                )
+                for c in sum_cols
+            ],
+        )
+    )
+    out = out.join(F.broadcast(firsts), cond)
+    for c in sum_cols:
+        out = out.withColumn(
+            c, (F.col(c) - F.col(f"__goff_{c}")).cast("long")
+        )
+    drop = (
+        ["__pid", "__lrn", "__off", "__grn"]
+        + [f"__off_{c}" for c in sum_cols]
+        + [f"__orig_{c}" for c in sum_cols]
+        + [f"__goff_{c}" for c in sum_cols]
+        + [f"__g_{g}" for g in group_cols]
+    )
+    return out.drop(*drop)
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,
@@ -428,14 +539,21 @@ def skyline_nd(
 
     NULL in any dimension is excluded (NULL never dominates, never on
     the frontier — SQL three-valued semantics). Sweep: one upfront
-    lexsort (all-minimize normalization — a dominator always sorts
-    before its victim, so the current lexicographic MINIMUM is always
-    on the frontier), then f fully-vectorized passes: extract the
-    minimum, numpy-remove every point it weakly dominates (>= on every
-    dim; the minimum itself included, duplicates pre-collapsed), repeat
-    — O(f·n·d) with no per-row Python loop (f = frontier size; the
-    naive kept-vs-each-row walk measured ~7.5 µs/row, this runs the
-    same 6M-point probe in a few vector ops per frontier point).
+    row-lexicographic sort (all-minimize normalization — a dominator
+    always sorts before its victim, so the current lexicographic
+    MINIMUM is always on the frontier), then f fully-vectorized passes:
+    extract the minimum, numpy-remove every point it weakly dominates
+    (>= on every dim; the minimum itself included, duplicates
+    pre-collapsed), repeat — O(f·n·d) with no per-row Python loop
+    (f = frontier size; the naive kept-vs-each-row walk measured
+    ~7.5 µs/row, this runs the same 6M-point probe in a few vector ops
+    per frontier point).
+
+    Memory contract (round-12 ADVICE fix): Arrow batches are folded
+    INCREMENTALLY — the running frontier merges with one batch at a
+    time (frontier(A ∪ B) == frontier(frontier(A) ∪ B), dominance is
+    transitive), so peak executor memory tracks frontier + one Arrow
+    batch, never the whole partition materialized in pandas.
 
     Output: one row per distinct frontier point (minimize_cols +
     maximize_cols, original names/types preserved as int64).
@@ -453,25 +571,31 @@ def skyline_nd(
     def local_frontier(batches):
         import numpy as np
 
-        chunks = [pdf for pdf in batches if len(pdf)]
-        if not chunks:
+        def sweep(m):
+            # m: all-minimize-normalized, row-lex-sorted, deduped
+            frontier = []
+            while m.shape[0]:
+                p = m[0]  # lexicographic minimum: provably undominated
+                frontier.append(p)
+                # drop p and everything it dominates (distinct q >= p
+                # on every dim is dominated: p <= q with >=1 strict)
+                m = m[~(m >= p).all(axis=1)]
+            return np.array(frontier, dtype="int64")
+
+        front = None  # running frontier, normalized all-minimize
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = pdf.to_numpy(dtype="int64", copy=True)
+            m[:, n_min:] = -m[:, n_min:]
+            if front is not None:
+                m = np.concatenate([front, m])
+            # np.unique(axis=0) dedups AND row-lex-sorts in one step
+            front = sweep(np.unique(m, axis=0))
+        if front is None:
             return
-        pdf = pd.concat(chunks, ignore_index=True).drop_duplicates()
-        # normalize to all-minimize: negate maximize dims
-        m = pdf.to_numpy(dtype="int64", copy=True)
-        m[:, n_min:] = -m[:, n_min:]
-        order = np.lexsort(tuple(m[:, i] for i in range(m.shape[1] - 1, -1, -1)))
-        m = m[order]
-        frontier = []
-        while m.shape[0]:
-            p = m[0]  # lexicographic minimum: provably undominated
-            frontier.append(p)
-            # drop p and everything it dominates (distinct q >= p on
-            # every dim is dominated: p <= q with >=1 strict)
-            m = m[~(m >= p).all(axis=1)]
-        out = np.array(frontier, dtype="int64")
-        out[:, n_min:] = -out[:, n_min:]
-        yield pd.DataFrame({c: out[:, i] for i, c in enumerate(all_cols)})
+        front[:, n_min:] = -front[:, n_min:]
+        yield pd.DataFrame({c: front[:, i] for i, c in enumerate(all_cols)})
 
     cand = base.mapInPandas(local_frontier, schema)
     return cand.coalesce(1).mapInPandas(local_frontier, schema)

@@ -595,6 +595,165 @@ def reservoir_per_key(
     )
 
 
+SPAN_STATE_SCHEMA = "mn bigint, mx bigint, n_seen bigint"
+
+
+def _span_output_schema(key_col: str) -> str:
+    return f"{key_col} bigint, s_ms bigint, e_ms bigint, n_seen bigint"
+
+
+def span_per_key(
+    rows: DataFrame,
+    key_col: str = "user_id",
+    ms_col: str = "ms",
+) -> DataFrame:
+    """STREAMING activity-span maintenance per key: the [min ms, max ms]
+    interval of everything seen so far (SURVEY round-12 candidate list —
+    the live side of the Allen monitor family: these spans feed
+    interval-algebra classification against static incident windows).
+
+    (min, max) is the simplest join-semilattice fold of the fleet —
+    associative, commutative, idempotent in each component — so the
+    drained FINAL span per key is batch-layout-independent and
+    kill/restart-safe (the reservoir/skyline contract), and ONE batch
+    min/max GROUP BY replays the whole stream: the full oracle. Every
+    batch re-emits the key's current span under the monotone n_seen
+    clock; state is two BIGINTs per key, no timeout (a lifetime span
+    never expires).
+
+    Input: (key_col bigint, ms_col bigint), NULLs pre-filtered by the
+    caller.
+    """
+
+    def tracker(key, pdfs, state):
+        import pandas as pd
+
+        (kv,) = key
+        mn, mx, n_seen = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n_seen += len(pdf)
+            vals = pdf[ms_col]
+            bmn, bmx = int(vals.min()), int(vals.max())
+            mn = bmn if mn is None else min(int(mn), bmn)
+            mx = bmx if mx is None else max(int(mx), bmx)
+        if mn is None:
+            return
+        state.update((int(mn), int(mx), n_seen))
+        yield pd.DataFrame(
+            [{key_col: int(kv), "s_ms": int(mn), "e_ms": int(mx),
+              "n_seen": n_seen}]
+        )
+
+    return rows.groupBy(key_col).applyInPandasWithState(
+        tracker,
+        outputStructType=_span_output_schema(key_col),
+        stateStructType=SPAN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+WEIGHTED_RESERVOIR_STATE_SCHEMA = (
+    "prios array<string>, ids array<bigint>, ws array<bigint>, n_seen bigint"
+)
+
+
+def _weighted_reservoir_output_schema(key_col: str) -> str:
+    return (
+        f"{key_col} string, id bigint, w bigint, prio string, n_seen bigint"
+    )
+
+
+def weighted_reservoir_per_key(
+    rows: DataFrame,
+    k: int,
+    key_col: str = "event_type",
+    id_col: str = "id",
+    weight_col: str = "w",
+    max_weight: int = 8,
+    salt: str = "stream-wres",
+) -> DataFrame:
+    """STREAMING WEIGHTED reservoir sample per key (A-ES, Efraimidis &
+    Spirakis 2006) — reservoir_per_key's weighted generalization from
+    the SURVEY round-12 candidate list, WITHOUT the float-ordering
+    seam the handoff flagged.
+
+    The exactness trick: A-ES keeps the k items with the LARGEST key
+    u_i^(1/w_i). For u ~ U(0,1), P(u^(1/w) <= t) = P(u <= t^w) = t^w —
+    which is EXACTLY the law of max(u_1..u_w) of w iid uniforms. So
+    for INTEGER weights the A-ES key can be drawn as
+    max_{j=1..w} md5(f"{id}:{j}:{salt}") — pure hash arithmetic, no
+    pow/ln, no float ordering at all: priorities are lowercase-hex md5
+    strings compared lexicographically, identical in Spark, Python and
+    DuckDB (the ln(u)/w formulation the handoff contemplated would have
+    hung the sample membership on last-ulp libm agreement; this is the
+    "(u_52bit, id) exact integer transform" resolved by replication).
+
+    Everything else is reservoir_per_key's contract: top-k by
+    (prio DESC, id ASC, w ASC) is an associative, commutative,
+    IDEMPOTENT fold over (prio, id, w) triples (a join-semilattice), so
+    the final emission is batch-layout-independent AND
+    kill/restart-safe, and ONE batch SQL window replays the stream —
+    the full oracle joins a literal 1..max_weight series (j <= w),
+    takes max(md5) per item, and row_numbers per key. State is exactly
+    k triples per key; per-row cost is O(w) md5s, w <= `max_weight`
+    by contract (weights are size/importance TIERS — doc-length
+    classes, quality bands — not unbounded counts; the caller clamps).
+
+    Input: (key_col string, id_col bigint, weight_col bigint in
+    [1, max_weight]), NULL ids/weights pre-filtered by the caller.
+    """
+    import hashlib
+
+    def tracker(key, pdfs, state):
+        import pandas as pd
+
+        (kv,) = key
+        prios, ids, ws, n_seen = (
+            state.get if state.exists else ([], [], [], 0)
+        )
+        pool = set(
+            zip(prios, (int(i) for i in ids), (int(w) for w in ws))
+        )
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for i, w in zip(pdf[id_col].tolist(), pdf[weight_col].tolist()):
+                i, w = int(i), min(int(w), max_weight)
+                m = max(
+                    hashlib.md5(f"{i}:{j}:{salt}".encode()).hexdigest()
+                    for j in range(1, w + 1)
+                )
+                pool.add((m, i, w))
+        # (prio DESC, id ASC, w ASC): two stable sorts, asc keys first
+        ordered = sorted(pool, key=lambda t: (t[1], t[2]))
+        ordered.sort(key=lambda t: t[0], reverse=True)
+        best = ordered[:k]
+        state.update(
+            (
+                [p for p, _, _ in best],
+                [i for _, i, _ in best],
+                [w for _, _, w in best],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            [
+                {key_col: kv, "id": i, "w": w, "prio": p, "n_seen": n_seen}
+                for p, i, w in best
+            ]
+        )
+
+    return rows.groupBy(key_col).applyInPandasWithState(
+        tracker,
+        outputStructType=_weighted_reservoir_output_schema(key_col),
+        stateStructType=WEIGHTED_RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 SKYLINE3_STATE_SCHEMA = (
     "xs array<bigint>, ys array<bigint>, zs array<bigint>, n_seen bigint"
 )

@@ -2603,7 +2603,9 @@ def test_unicode_clean_semantics(spark):
     while tab/newline fold into the whitespace collapse; the collapse
     class is ASCII-explicit, so U+00A0 (no-break space) survives —
     the deliberate cross-engine choice (Python \\s would eat it, RE2's
-    would not); edge whitespace trims."""
+    would not); edge whitespace trims. Round-12 ADVICE fix pinned by
+    row 6: C1 controls (U+0080-U+009F, incl. U+0085 NEL) now strip
+    — the class previously covered C0+DEL only."""
     import hashlib
 
     from buskafkasparkstreaming_spark.operators.text import unicode_clean
@@ -2614,6 +2616,7 @@ def test_unicode_clean_semantics(spark):
         (3, "a\x07b\x1fc"),          # controls strip to 'abc'
         (4, "  x \t\n y\f "),        # runs collapse, edges trim
         (5, "a b"),             # NBSP survives (ASCII class only)
+        (6, "a\x85b\x9fc\x80d"),     # C1 block strips (incl. NEL)
     ]
     df = spark.createDataFrame(rows, "doc_id long, t string")
     out = {
@@ -2626,3 +2629,4 @@ def test_unicode_clean_semantics(spark):
     assert out[3] == (5, 3, md5("abc"))
     assert out[4][2] == md5("x y")
     assert out[5] == (3, 3, md5("a b"))
+    assert out[6] == (7, 4, md5("abcd"))

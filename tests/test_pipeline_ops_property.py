@@ -1098,6 +1098,55 @@ def test_grouped_ntile_matches_sql_ntile(spark, rows, k):
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C", None]),
+            st.integers(min_value=-1000, max_value=1000),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+)
+def test_grouped_running_sum_matches_sql_window(spark, rows):
+    """grouped_running_sum is bit-identical to `sum(x) OVER (PARTITION BY
+    g ORDER BY v, id)` — Spark's own single-task-per-group window is the
+    ground truth; the distributed composite-range formulation must agree
+    on EVERY row for any group-size mix (including the NULL group, which
+    SQL gives its own window partition, NULL x contributing 0, and
+    sum columns whose per-group prefix crosses zero)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        grouped_running_sum,
+    )
+
+    data = [(g, v, i, x) for i, (g, v, x) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, v long, id long, x long")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = grouped_running_sum(df, ["g"], order, ["x"], num_partitions=8)
+    w = Window.partitionBy("g").orderBy(*order)
+    want = df.select(
+        "g",
+        "v",
+        "id",
+        F.sum(F.coalesce(F.col("x"), F.lit(0))).over(w).alias("x_ref"),
+    )
+    j = got.join(
+        want,
+        [
+            got["g"].eqNullSafe(want["g"]),
+            got["v"] == want["v"],
+            got["id"] == want["id"],
+        ],
+    )
+    assert j.filter(F.col("x") != F.col("x_ref")).count() == 0
+    assert got.count() == len(data)  # NULL-group rows must not drop
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
     pts=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=25),
