@@ -8512,84 +8512,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-12 arithmetic: 14 r5-stale + 36 of the 47-entry r7 cohort
     # fill the window; round-12 additions displace r7 slots.
     return {
-        # --- new in round 11 (never driver-seen): decile lift/gains,
-        # Allen interval-algebra join, streaming skyline — the SURVEY
-        # round-11 candidates; each explicitly displaces one r5 slot ----
-        "q_decile_lift": q_decile_lift,
-        "q_allen_spans": q_allen_spans,
-        "q_allen_incidents": q_allen_incidents,
-        "streaming_skyline": streaming_skyline,
-        "q_segment_lift": q_segment_lift,
-        "streaming_allen_monitor": streaming_allen_monitor,
-        "q_skyline3_lineitems": q_skyline3_lineitems,
-        "streaming_reservoir_sample": streaming_reservoir_sample,
-        "streaming_pagerank_monitor": streaming_pagerank_monitor,
-        "text_unicode_clean": text_unicode_clean,
-        # --- changed in round 11 (window-head hygiene): the r10 red row
-        # (oracle conv_idx BIGINT cast + is_conv walk-tie key), the FFD
-        # entry rewritten from rows-only to an invariant oracle, the two
-        # NULL-id ts-collision ordering fixes the new sweep exposed, and
-        # the cents-idiom alignment -------------------------------------
-        "q_attribution_credit": q_attribution_credit,
-        "pack_ffd_bins": pack_ffd_bins,
-        "q_twap_hourly": q_twap_hourly,
-        "q_event_gaps": q_event_gaps,
-        "q_decimal_and_date": q_decimal_and_date,
-        # --- r5-stale (41 of the 49-entry r5 cohort; the last 8 sit
-        # just below the cut and lead round 12) --------------------------
-        "q_argmax_events": q_argmax_events,
-        "streaming_stateful_running": streaming_stateful_running,
-        "streaming_tumbling_counts": streaming_tumbling_counts,
-        "streaming_sliding_avg": streaming_sliding_avg,
-        "streaming_session_windows": streaming_session_windows,
-        "streaming_dedup_keys": streaming_dedup_keys,
-        "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
-        "streaming_purchase_error_join": streaming_purchase_error_join,
-        "q_sessionize_events": q_sessionize_events,
-        "q_range_frame_events": q_range_frame_events,
-        "text_repetition": text_repetition,
-        "dedup_contamination_bloom": dedup_contamination_bloom,
-        "rollup_incremental": rollup_incremental,
-        "sample_domain_cap": sample_domain_cap,
-        "streaming_enrich_static": streaming_enrich_static,
-        "dedup_chunk_boilerplate": dedup_chunk_boilerplate,
-        "export_shard_stats": export_shard_stats,
-        "sketch_count_min": sketch_count_min,
-        "text_vocab_coverage": text_vocab_coverage,
-        "text_bm25_search": text_bm25_search,
-        "text_hybrid_search": text_hybrid_search,
-        "q_cume_dist_nth_value": q_cume_dist_nth_value,
-        "q_null_semantics": q_null_semantics,
-        "cdc_scd2_history": cdc_scd2_history,
-        "sample_leakage_safe_split": sample_leakage_safe_split,
-        "graph_pagerank_neardup": graph_pagerank_neardup,
-        "dedup_substring_spans": dedup_substring_spans,
-        "sample_token_budget_mix": sample_token_budget_mix,
-        "text_duplicate_fraction": text_duplicate_fraction,
-        "dedup_semantic": dedup_semantic,
-        "text_lm_score": text_lm_score,
-        "sample_prototype_prune": sample_prototype_prune,
-        "pack_chunk_documents": pack_chunk_documents,
-        "layout_zorder_events": layout_zorder_events,
-        "stats_profile_documents": stats_profile_documents,
-        # ===== DRIVER WINDOW CUT: the 50 entries above are the
-        # round-11 sweep (10 new + 5 changed + 35 r5-stale). Below:
-        # locally green via tests/test_oracle_parity.py every round;
-        # ordered for the ROUND-12 window (oldest artifact first: the 14
-        # displaced r5 entries, then the 47-entry r7 cohort fills it —
-        # 14 + 36 of 47; round-12 additions displace r7 slots). ==========
-        # --- round-12 head candidates: implemented and locally
-        # parity-green in round 11's second wave, never driver-seen —
-        # the round-12 rotation puts them first (never-seen outranks
-        # everything), ahead of the displaced r5 block below ------------
+        # ===== ROUND-12 DRIVER WINDOW (first 50; the driver checks this
+        # exact prefix). Rotation, staleness-first from the on-disk
+        # CORRECTNESS_r*.json artifacts: never-driver-seen outranks
+        # everything (3 below-cut r11 head candidates + 4 new round-12
+        # entries), then the one entry whose SEMANTICS changed this
+        # round, then the 14 r5-stale displaced in r11, then 28 of the
+        # 47-entry r7 cohort. =============================================
+        # --- never driver-seen: the three round-11 below-cut head
+        # candidates (locally parity-green since r11) --------------------
         "q_group_equidepth": q_group_equidepth,
         "streaming_skyline3": streaming_skyline3,
         "q_isotonic_calibration": q_isotonic_calibration,
-        # --- new in round 12 (never driver-seen) -----------------------
+        # --- never driver-seen: new in round 12 (per-group KS over
+        # grouped_running_sum; A-ES weighted streaming reservoir;
+        # live-span Allen classification; FFD manifest-compaction
+        # planner -- the SURVEY round-12 candidate list) -----------------
         "q_group_ks": q_group_ks,
         "streaming_weighted_reservoir": streaming_weighted_reservoir,
         "streaming_allen_sessions": streaming_allen_sessions,
         "manifest_compaction_plan": manifest_compaction_plan,
+        # --- changed in round 12 (window-head hygiene): the control
+        # strip now covers the C1 block U+0080-U+009F in BOTH engines
+        # (ADVICE r11 item 1) -------------------------------------------
+        "text_unicode_clean": text_unicode_clean,
         # --- r5-stale, displaced by the round-11 additions/changes ------
         "doc_fingerprint": doc_fingerprint,
         "multimodal_bytes_meta": multimodal_bytes_meta,
@@ -8605,7 +8551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": text_quality_classifier,
         "text_lm_bigram_score": text_lm_bigram_score,
         "sample_curriculum_stages": sample_curriculum_stages,
-        # --- driver-green round 7 --------------------------------------
+        # --- r7 cohort head (28 of 47; the 19-entry tail leads round 13,
+        # then the r8 cohort) -------------------------------------------
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
         "q_variant_props": q_variant_props,
@@ -8634,6 +8581,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "manifest_time_travel": manifest_time_travel,
         "streaming_topk_per_window": streaming_topk_per_window,
+        # ===== DRIVER WINDOW CUT: the 50 entries above are the round-12
+        # sweep (7 never-seen + 1 changed + 14 r5-stale + 28 r7). Below:
+        # locally green via tests/test_oracle_parity.py every round,
+        # ordered for FUTURE rotations (r7 tail, then the r8/r9/r10
+        # cohorts, then the round-11 window -- freshest last).
+        # Round-13 arithmetic: 19 r7 tail + 31 of the r8 cohort fill the
+        # window; round-13 additions displace r8 slots. ===================
+        # --- r7 cohort tail (leads round 13) ----------------------------
         "q_percentile_disc": q_percentile_disc,
         "q_mode_deterministic": q_mode_deterministic,
         "q_not_in_null_aware": q_not_in_null_aware,
@@ -8653,7 +8608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders_per_customer": q_topk_orders_per_customer,
         "q_exists_correlated": q_exists_correlated,
         "q_customers_without_orders": q_customers_without_orders,
-        # --- driver-green round 8 --------------------------------------
+        # --- driver-green round 8 onward (artifact order) ---------------
         "dedup_prefix_filter": dedup_prefix_filter,
         "lake_bucketed_join": lake_bucketed_join,
         "cdc_purge_keys": cdc_purge_keys,
@@ -8703,7 +8658,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rfm_segments": q_rfm_segments,
         "q_chi2_independence": q_chi2_independence,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        # --- driver-green round 9 (freshest) ---------------------------
         "streaming_psi_drift": streaming_psi_drift,
         "q_ccf_types": q_ccf_types,
         "q_histogram_equi_depth": q_histogram_equi_depth,
@@ -8754,8 +8708,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_status_priority": q_rollup_status_priority,
         "q_cube_status_priority": q_cube_status_priority,
         "q_string_agg_suppliers": q_string_agg_suppliers,
-        # --- driver-green round 10 (freshest — the r10 window minus the
-        # four entries moved to the round-11 changed head) ---------------
         "layout_hilbert_events": layout_hilbert_events,
         "q_ecdf_transform": q_ecdf_transform,
         "q_cramers_v": q_cramers_v,
@@ -8802,6 +8754,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_budget": pack_token_budget,
         "corpus_curation": corpus_curation,
         "ann_quantize_int8": ann_quantize_int8,
+        # --- round-11 window (driver-green r11; freshest, rotates last) -
+        "q_decile_lift": q_decile_lift,
+        "q_allen_spans": q_allen_spans,
+        "q_allen_incidents": q_allen_incidents,
+        "streaming_skyline": streaming_skyline,
+        "q_segment_lift": q_segment_lift,
+        "streaming_allen_monitor": streaming_allen_monitor,
+        "q_skyline3_lineitems": q_skyline3_lineitems,
+        "streaming_reservoir_sample": streaming_reservoir_sample,
+        "streaming_pagerank_monitor": streaming_pagerank_monitor,
+        "q_attribution_credit": q_attribution_credit,
+        "pack_ffd_bins": pack_ffd_bins,
+        "q_twap_hourly": q_twap_hourly,
+        "q_event_gaps": q_event_gaps,
+        "q_decimal_and_date": q_decimal_and_date,
+        "q_argmax_events": q_argmax_events,
+        "streaming_stateful_running": streaming_stateful_running,
+        "streaming_tumbling_counts": streaming_tumbling_counts,
+        "streaming_sliding_avg": streaming_sliding_avg,
+        "streaming_session_windows": streaming_session_windows,
+        "streaming_dedup_keys": streaming_dedup_keys,
+        "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
+        "streaming_purchase_error_join": streaming_purchase_error_join,
+        "q_sessionize_events": q_sessionize_events,
+        "q_range_frame_events": q_range_frame_events,
+        "text_repetition": text_repetition,
+        "dedup_contamination_bloom": dedup_contamination_bloom,
+        "rollup_incremental": rollup_incremental,
+        "sample_domain_cap": sample_domain_cap,
+        "streaming_enrich_static": streaming_enrich_static,
+        "dedup_chunk_boilerplate": dedup_chunk_boilerplate,
+        "export_shard_stats": export_shard_stats,
+        "sketch_count_min": sketch_count_min,
+        "text_vocab_coverage": text_vocab_coverage,
+        "text_bm25_search": text_bm25_search,
+        "text_hybrid_search": text_hybrid_search,
+        "q_cume_dist_nth_value": q_cume_dist_nth_value,
+        "q_null_semantics": q_null_semantics,
+        "cdc_scd2_history": cdc_scd2_history,
+        "sample_leakage_safe_split": sample_leakage_safe_split,
+        "graph_pagerank_neardup": graph_pagerank_neardup,
+        "dedup_substring_spans": dedup_substring_spans,
+        "sample_token_budget_mix": sample_token_budget_mix,
+        "text_duplicate_fraction": text_duplicate_fraction,
+        "dedup_semantic": dedup_semantic,
+        "text_lm_score": text_lm_score,
+        "sample_prototype_prune": sample_prototype_prune,
+        "pack_chunk_documents": pack_chunk_documents,
+        "layout_zorder_events": layout_zorder_events,
+        "stats_profile_documents": stats_profile_documents,
     }
 
 STOP_SQL = "('the','a','of','to','and','in')"

@@ -235,6 +235,11 @@ HEADLINE = [
     "q_group_equidepth",
     "streaming_skyline3",
     "q_isotonic_calibration",
+    # round-12 additions (own BASELINE.md budget family)
+    "q_group_ks",
+    "streaming_weighted_reservoir",
+    "streaming_allen_sessions",
+    "manifest_compaction_plan",
 ]
 
 

@@ -417,6 +417,11 @@ def test_null_events_drift(spark, tmp_path):
         # and no bipartite edge on EITHER side
         "streaming_reservoir_sample",
         "streaming_pagerank_monitor",
+        # r12: NULL event_type rows join no weighted-reservoir key and
+        # no (part, hour) inventory cell; NULL/malformed props fold to
+        # weight tier 1 via the SAME coalesce(length, 0) on both sides
+        "streaming_weighted_reservoir",
+        "manifest_compaction_plan",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -522,6 +527,9 @@ def test_null_orders_drift(spark, tmp_path):
         # NULL o_totalprice rows must be outside every group's exact
         # moments (n, s, q) identically on both sides
         "q_anova_f",
+        # r12: NULL price/date rows are outside BOTH year samples and
+        # the per-segment value axis identically on both sides
+        "q_group_ks",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -710,6 +718,11 @@ def test_null_ts_drift(spark, tmp_path):
         # r11: NULL ts rows are neither monitor points nor incident
         # evidence — the hour axis shifts identically on both sides
         "streaming_allen_monitor",
+        # r12: NULL ts rows are neither span evidence nor inventory
+        # cells — spans, incidents, and the (part, hour) objects all
+        # shift identically in both engines
+        "streaming_allen_sessions",
+        "manifest_compaction_plan",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -775,6 +788,9 @@ def test_null_customer_drift(spark, tmp_path):
         # r12 head candidate: NULL segments are EXPLICITLY filtered on
         # both sides before the PAV fit
         "q_isotonic_calibration",
+        # r12: NULL segments are explicitly filtered before the
+        # per-group CDF on both sides (the same isNotNull guard)
+        "q_group_ks",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -1036,6 +1052,9 @@ def test_null_user_drift(spark, tmp_path):
         # r11 second wave: NULL user rows yield NO bipartite edge on
         # either side of the PageRank monitor
         "streaming_pagerank_monitor",
+        # r12: NULL user rows maintain no activity span and classify
+        # against no incident in either engine
+        "streaming_allen_sessions",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -1124,6 +1143,11 @@ def test_ts_collision_drift(spark, tmp_path):
         "q_allen_spans",
         "q_allen_incidents",
         "streaming_skyline",
+        # r12: collapsed grids shrink every user span to a point and
+        # every (part, hour) inventory to one cell per part — spans,
+        # relations, and packing facts must track identically
+        "streaming_allen_sessions",
+        "manifest_compaction_plan",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)
@@ -1183,6 +1207,83 @@ def test_null_id_ts_collision_drift(spark, tmp_path):
         "q_attribution_credit",
         "q_twap_hourly",
         "q_event_gaps",
+    ):
+        try:
+            run_pair(spark, con, qs[name], oracles[name], drift, name)
+        except AssertionError as e:
+            failures.append(f"{name}: {str(e)[:300]}")
+    con.close()
+    assert not failures, "\n".join(failures)
+
+
+def test_duplicate_row_drift(spark, tmp_path):
+    """DUPLICATE VERBATIM rows (the r12 sweep; VERDICT r11 item 3's
+    suspected next class): every 11th event row appears TWICE,
+    byte-identical. Ordering keys like (ts, event_id) lose total-order
+    uniqueness, so any ROWS-frame window, row_number tie-break, LOCF
+    segment derivation, or funnel ordinal must be MULTISET-correct:
+    identical rows are interchangeable, but an engine-side set shortcut
+    (an implicit dedup the oracle doesn't make, or vice versa — the
+    reservoir/skyline trackers are deliberately set-semantic and their
+    oracles say DISTINCT) diverges immediately. Duplicates also create
+    zero-length LOCF segments and doubled conversion evidence — both
+    must count identically in both engines."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "duprow")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT * FROM '{src}/events.parquet'
+              UNION ALL
+              SELECT * FROM '{src}/events.parquet'
+              WHERE event_id % 11 = 0)
+        TO '{drift}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name in (
+        # window/session/LOCF surface: dup rows are 0-gap rows and
+        # zero-length segments; cumulative frames count them twice
+        "q_sessionize_events",
+        "q_event_gaps",
+        "q_twap_hourly",
+        "q_locf_fill",
+        "q_gapfill_hourly",
+        "q_hourly_events",
+        "q_running_distinct_types",
+        # credit/ordinal surface: doubled touches and conversions
+        "q_attribution_credit",
+        "q_funnel_conversion",
+        "q_funnel_timeout",
+        "q_event_transitions",
+        # set-semantic trackers vs DISTINCT oracles: a dup row must
+        # change NOTHING on either side
+        "streaming_reservoir_sample",
+        "streaming_weighted_reservoir",
+        "streaming_skyline",
+        "streaming_allen_sessions",
+        "q_allen_spans",
+        "q_allen_incidents",
+        # inventory facts simply double where the cell duplicates
+        "manifest_compaction_plan",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)
@@ -1375,6 +1476,9 @@ def test_money_magnitude_drift(spark, tmp_path):
         # grouped equi-depth bands at ~1e14-cent magnitudes: exact
         # BIGINT all the way (cents never multiplied)
         "q_group_equidepth",
+        # r12: per-segment KS at ~1e14-cent magnitudes — the c*n
+        # cross-products stay DECIMAL(38,0) (the chi2 discipline)
+        "q_group_ks",
         # PAV blocks under a reshuffled spend order: pool means stay
         # exact integer pairs; the closed-form first/last identities
         # must track the new order

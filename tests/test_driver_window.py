@@ -1,47 +1,29 @@
-"""Guard the round-11 driver-window composition: the correctness sweep
+"""Guard the round-12 driver-window composition: the correctness sweep
 checks the FIRST 50 queries() entries, so an accidental dict reorder
 (a refactor, a merge) silently swaps which entries get driver-verified.
-This pins the committed rotation: 10 new round-11 entries (never
-driver-seen lead; q_segment_lift, streaming_allen_monitor,
-q_skyline3_lineitems, streaming_reservoir_sample,
-streaming_pagerank_monitor, and text_unicode_clean are the second
-wave), 5 changed this
-round (window-head hygiene — the r10 red attribution row, the FFD
-rows-only→invariant-oracle rewrite, the two NULL-id ts-collision
-ordering fixes, the cents-idiom alignment), then 35 of the 49-entry
-r5-stale cohort — exactly 50. The 14 displaced r5 entries sit first
-below the cut and lead round 12 (then the r7 cohort). Update
-DELIBERATELY when the round-12 rotation is computed (staleness-first
+This pins the committed rotation: 7 never-driver-seen entries lead (the
+3 round-11 below-cut head candidates, then the 4 new round-12
+operators), then the 1 entry whose SEMANTICS changed this round
+(text_unicode_clean — the C1 control strip widened in both engines,
+ADVICE r11 item 1), then the 14 r5-stale entries displaced in round 11,
+then 28 of the 47-entry r7 cohort — exactly 50. The 19-entry r7 tail
+sits first below the cut and leads round 13 (then the r8 cohort: 19 +
+31 fill that window; round-13 additions displace r8 slots). Update
+DELIBERATELY when the round-13 rotation is computed (staleness-first
 from the CORRECTNESS_r*.json artifacts)."""
 
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-NEW_R11 = [
-    "q_decile_lift", "q_allen_spans", "q_allen_incidents",
-    "streaming_skyline", "q_segment_lift", "streaming_allen_monitor",
-    "q_skyline3_lineitems", "streaming_reservoir_sample",
-    "streaming_pagerank_monitor", "text_unicode_clean",
+R11_HEAD_CANDIDATES = [
+    "q_group_equidepth", "streaming_skyline3", "q_isotonic_calibration",
 ]
-CHANGED_5 = [
-    "q_attribution_credit", "pack_ffd_bins", "q_twap_hourly",
-    "q_event_gaps", "q_decimal_and_date",
+NEW_R12 = [
+    "q_group_ks", "streaming_weighted_reservoir",
+    "streaming_allen_sessions", "manifest_compaction_plan",
 ]
-R5_HEAD_35 = [
-    "q_argmax_events", "streaming_stateful_running", "streaming_tumbling_counts",
-    "streaming_sliding_avg", "streaming_session_windows", "streaming_dedup_keys",
-    "streaming_dedup_within_watermark", "streaming_purchase_error_join",
-    "q_sessionize_events", "q_range_frame_events", "text_repetition",
-    "dedup_contamination_bloom", "rollup_incremental", "sample_domain_cap",
-    "streaming_enrich_static", "dedup_chunk_boilerplate", "export_shard_stats",
-    "sketch_count_min", "text_vocab_coverage", "text_bm25_search",
-    "text_hybrid_search", "q_cume_dist_nth_value", "q_null_semantics",
-    "cdc_scd2_history", "sample_leakage_safe_split", "graph_pagerank_neardup",
-    "dedup_substring_spans", "sample_token_budget_mix", "text_duplicate_fraction",
-    "dedup_semantic", "text_lm_score", "sample_prototype_prune",
-    "pack_chunk_documents", "layout_zorder_events", "stats_profile_documents",
-]
+CHANGED_R12 = ["text_unicode_clean"]
 R5_DISPLACED_14 = [
     "doc_fingerprint",
     "multimodal_bytes_meta", "multimodal_features", "multimodal_frames",
@@ -51,35 +33,55 @@ R5_DISPLACED_14 = [
     "text_quality_classifier", "text_lm_bigram_score",
     "sample_curriculum_stages",
 ]
+R7_HEAD_28 = [
+    "q6_forecast_revenue", "q18_large_orders", "q_variant_props",
+    "q_weighted_median", "q_running_distinct_types",
+    "q_top_percent_orders", "q_scalar_subquery_select",
+    "sketch_hll_intersection", "q_spearman_corr", "q_cube_grouping_id",
+    "q_benford_digits", "q_unpivot_metrics", "q_percentile_bands",
+    "ts_sax_blocking_pairs", "q_cusum_changepoint",
+    "q_event_type_affinity", "ann_int8_rerank",
+    "q_interval_contain_join", "cdc_diff_versions",
+    "streaming_purchase_error_full_join", "streaming_hourly_daily_rollup",
+    "graph_bfs_reachability", "graph_triangle_count", "ts_sax_words",
+    "text_bigram_pmi", "dedup_keep_best", "manifest_time_travel",
+    "streaming_topk_per_window",
+]
+R7_TAIL_19 = [
+    "q_percentile_disc", "q_mode_deterministic", "q_not_in_null_aware",
+    "q_window_ignore_nulls", "q_two_phase_skew_agg",
+    "q_histogram_equi_width", "q_mad_outliers", "q_ewma_dyadic",
+    "q_approx_quantile_bound", "q_ntile_percent_rank",
+    "q_offset_pagination", "sample_split_labels", "ann_cosine_topk",
+    "text_quality", "q_full_outer_counts", "q_parts_above_avg_price",
+    "q_topk_orders_per_customer", "q_exists_correlated",
+    "q_customers_without_orders",
+]
 
 
-def test_round11_window_composition():
+def test_round12_window_composition():
     qs = list(entrymod.queries().keys())
-    want = NEW_R11 + CHANGED_5 + R5_HEAD_35
+    want = (
+        R11_HEAD_CANDIDATES + NEW_R12 + CHANGED_R12
+        + R5_DISPLACED_14 + R7_HEAD_28
+    )
     assert len(want) == 50, len(want)
     assert qs[:50] == want, (qs[:50], want)
 
 
-R12_HEAD_CANDIDATES = [
-    "q_group_equidepth", "streaming_skyline3", "q_isotonic_calibration",
-]
-
-
-def test_round12_lead_is_candidates_then_displaced_r5_then_r7():
-    """Below the cut: the never-driver-seen round-12 head candidates
-    first (the rotation policy puts never-seen ahead of everything),
-    then the 14 displaced r5 entries, then the r7 cohort."""
+def test_round13_lead_is_r7_tail_then_r8():
+    """Below the cut: the 19 displaced r7 entries first (they lead the
+    round-13 rotation), then the r8 cohort."""
     qs = list(entrymod.queries().keys())
-    n = len(R12_HEAD_CANDIDATES)
-    assert qs[50:50 + n] == R12_HEAD_CANDIDATES, qs[50:50 + n]
-    assert qs[50 + n:64 + n] == R5_DISPLACED_14, qs[50 + n:64 + n]
-    assert qs[64 + n] == "q6_forecast_revenue", qs[64 + n]
+    assert qs[50:69] == R7_TAIL_19, qs[50:69]
+    assert qs[69] == "dedup_prefix_filter", qs[69]
 
 
 def test_every_query_has_oracle():
-    """Round 11 closed the last gap: pack_ffd_bins now returns an
-    invariant summary with a full DuckDB oracle (VERDICT r10 item 5),
-    so EVERY queries() entry has an oracle_sql() twin."""
+    """Since round 11 EVERY queries() entry has an oracle_sql() twin
+    (pack_ffd_bins, the last rows-only entry, emits an invariant
+    summary its oracle recomputes; the four round-12 entries all
+    shipped full-oracle)."""
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     rows_only = set(qs) - set(oracles)
     assert rows_only == set(), rows_only

@@ -435,3 +435,39 @@ def test_manifest_vacuum_writer_grace_spares_inflight_objects(spark, tmp_path):
     removed = t.vacuum()
     assert not (set(removed) & live)
     assert _state(t) == {(1, 20, 0)}
+
+
+def test_manifest_compaction_plan_footer_sizes(spark, tmp_path):
+    """ManifestUpsertTable.compaction_plan: the FFD planner runs over
+    the LIVE manifest's objects sized by parquet-footer num_rows
+    (metadata-only), bins never span partitions, every planned write
+    respects the row budget, already-full objects stay untouched
+    singletons, and the plan covers exactly the manifest's live
+    objects."""
+    t = _table(spark, tmp_path)
+    # three merges -> up to three small objects per partition
+    for batch, et in ((range(0, 8), 100), (range(8, 12), 200),
+                      (range(12, 14), 300)):
+        df = spark.createDataFrame(
+            [(k, k, k % 2, et) for k in batch], "k int, v int, p int, et int"
+        )
+        t.merge(df)
+    m = t._current_manifest()
+    live = {
+        (val, key) for val, keys in m["partitions"].items() for key in keys
+    }
+    plan = t.compaction_plan(budget_rows=6).collect()
+    assert {(r["part"], r["obj"]) for r in plan} == live
+    # footer sizes must sum to the table's row count
+    assert sum(r["size"] for r in plan) == t.read().count()
+    fill: dict[tuple, int] = {}
+    members: dict[tuple, int] = {}
+    for r in plan:
+        b = (r["part"], r["bin_in_part"])
+        members[b] = members.get(b, 0) + 1
+        if r["size"] < 6:
+            fill[b] = fill.get(b, 0) + r["size"]
+    assert all(v <= 6 for v in fill.values())
+    for r in plan:
+        if r["size"] >= 6:  # full object: untouched singleton
+            assert members[(r["part"], r["bin_in_part"])] == 1

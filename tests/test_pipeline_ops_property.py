@@ -183,6 +183,67 @@ def test_pack_ffd_invariants(spark, tokens, budget):
         assert n_bins <= ff_bins
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=120), min_size=1, max_size=60
+    ),
+    budget=st.integers(min_value=1, max_value=150),
+)
+def test_plan_compaction_invariants(spark, sizes, budget):
+    """plan_compaction (FFD over a lakehouse object inventory) for ANY
+    size distribution: (a) placements equal the sequential FFD
+    reference per STRING partition (determinism, bins never span
+    partitions); (b) no non-overflow bin exceeds the budget; (c)
+    already-full objects are untouched singletons; (d) the plan
+    partitions the inventory."""
+    from buskafkasparkstreaming_spark.operators.packing import (
+        plan_compaction,
+    )
+
+    parts = ["p_a", "p_b", "p_c"]
+    rows = [(parts[i % 3], f"obj{i:03d}", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "part string, obj string, n long")
+    out = plan_compaction(df, "part", "obj", "n", budget=budget)
+    got = {(r["part"], r["obj"]): (r["size"], r["bin_in_part"]) for r in out.collect()}
+    assert len(got) == len(rows)  # (d): nothing dropped or duplicated
+
+    def ffd_ref(group_rows):
+        order = sorted(group_rows, key=lambda x: (-x[1], x[0]))
+        caps, assign = [], {}
+        for o, t in order:
+            if t >= budget:
+                assign[o] = len(caps)
+                caps.append(0)
+                continue
+            for b, c in enumerate(caps):
+                if c >= t:
+                    assign[o] = b
+                    caps[b] = c - t
+                    break
+            else:
+                assign[o] = len(caps)
+                caps.append(budget - t)
+        return assign
+
+    for p in parts:
+        grp = [(o, s) for (pp, o, s) in rows if pp == p]
+        if not grp:
+            continue
+        ref = ffd_ref(grp)
+        fill: dict[int, int] = {}
+        members: dict[int, int] = {}
+        for o, s in grp:
+            assert got[(p, o)] == (s, ref[o]), (p, o, s, budget)
+            members[ref[o]] = members.get(ref[o], 0) + 1
+            if s < budget:
+                fill[ref[o]] = fill.get(ref[o], 0) + s
+        assert all(v <= budget for v in fill.values())  # (b)
+        for o, s in grp:  # (c): full objects are singleton bins
+            if s >= budget:
+                assert members[ref[o]] == 1, (p, o, s)
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(

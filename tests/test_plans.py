@@ -1083,3 +1083,54 @@ def test_skyline3_plan_shape(spark, sf_dir):
     assert "Sort" not in p, p
     assert p.count("MapInPandas") == 2, p
     assert "Coalesce 1" in p or "Coalesce(1" in p or "Coalesce" in p, p
+
+
+def test_group_ks_plan_shape(spark, sf_dir):
+    """q_group_ks: the per-segment running CDF must ride
+    grouped_running_sum (range repartition on the composite
+    (segment, cents) order + broadcast offsets + Spark-derived
+    per-group starts) — NEVER a single-task-per-segment window over
+    the value axis, and no SinglePartition stage anywhere in the final
+    plan: the numerator max and the at-value argmin aggregate by
+    segment, totals/maxima ride broadcasts."""
+    df = entrymod.q_group_ks(spark, sf_dir)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # the checkpoint inside grouped_running_sum truncates lineage in
+    # the final plan; inspect the un-checkpointed running sum for the
+    # range exchange (parallel sort, no single ordered partition)
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        grouped_running_sum,
+    )
+
+    per_value = (
+        entrymod._t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("seg"),
+            F.col("o_orderkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    running = grouped_running_sum(
+        per_value, ["seg"], [F.col("v").asc()], ["d"], checkpoint=False
+    )
+    rplan = explain_str(running)
+    assert "rangepartitioning" in rplan, rplan
+    assert "SinglePartition" not in rplan, rplan
+
+
+def test_manifest_compaction_plan_shape(spark, sf_dir):
+    """manifest_compaction_plan: the FFD planner is ONE applyInPandas
+    keyed on the partition value over the metadata-sized inventory —
+    the inventory aggregation and the invariant summary are hash
+    aggs/joins, never a cartesian or a single-partition funnel (bins
+    never span partitions, so no global stage exists at all)."""
+    df = entrymod.manifest_compaction_plan(spark, sf_dir)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "FlatMapGroupsInPandas" in p, p

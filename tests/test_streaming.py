@@ -1179,6 +1179,196 @@ def test_streaming_reservoir_kill_restart_and_pacing(spark, tmp_path):
     assert a == want, (a, want)
 
 
+def test_streaming_weighted_reservoir_kill_restart_and_pacing(spark, tmp_path):
+    """weighted_reservoir_per_key (A-ES): top-k by max-of-w-md5 priority
+    is a join-semilattice fold like the uniform reservoir, so a KILLED
+    and RESTARTED drain (same checkpoint) and any pacing land the same
+    final sample, which must equal the pure batch formulation: the k
+    largest max_{j=1..w} md5(id:j:salt) per key under the
+    (prio DESC, id, w) total order. Weights vary per id so heavy items
+    genuinely carry more draws, and ids arrive in MULTIPLE batches so
+    later heavy arrivals must EVICT earlier members."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    from buskafkasparkstreaming_spark.streaming.state import (
+        weighted_reservoir_per_key,
+    )
+
+    K, SALT = 3, "stream-wres"
+    wt = lambda i: 1 + (i % 5)  # noqa: E731  weights 1..5
+    files = [
+        [("a", i, wt(i)) for i in range(0, 6)] + [("b", 100, 4)],
+        [("a", i, wt(i)) for i in range(6, 12)] + [("b", 101, 1)],
+        [("a", i, wt(i)) for i in range(12, 20)]
+        + [("b", 102, 2), ("b", 103, 5)],
+    ]
+    schema = "event_type string, id bigint, w bigint"
+
+    def write_file(dirname, i, rows):
+        path = str(tmp_path / dirname / f"f{i}.parquet")
+        staging = path + ".staging"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(part, path)
+        shutil.rmtree(staging)
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    def drain(in_dir, ckpt, out_dir):
+        stream = read_stream(
+            spark,
+            str(tmp_path / in_dir),
+            spark.read.parquet(str(tmp_path / in_dir)).schema,
+            max_files=1,
+        )
+        out = weighted_reservoir_per_key(
+            stream, k=K, key_col="event_type", id_col="id", weight_col="w"
+        )
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(str(tmp_path / out_dir))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    def final_sample(out_dir):
+        rows = spark.read.parquet(str(tmp_path / out_dir)).collect()
+        best = {}
+        for r in rows:
+            best[r["event_type"]] = max(
+                best.get(r["event_type"], 0), r["n_seen"]
+            )
+        return {
+            k: sorted(
+                (r["prio"], r["id"], r["w"])
+                for r in rows
+                if r["event_type"] == k and r["n_seen"] == best[k]
+            )
+            for k in best
+        }
+
+    for i, rows in enumerate(files):
+        write_file("wres_a", i, rows)
+    drain("wres_a", "wres_ckpt_a", "wres_out_a")
+
+    for i, rows in enumerate(files[:1]):
+        write_file("wres_b", i, rows)
+    drain("wres_b", "wres_ckpt_b", "wres_out_b")
+    for i, rows in enumerate(files[1:], start=1):
+        write_file("wres_b", i, rows)
+    drain("wres_b", "wres_ckpt_b", "wres_out_b")
+
+    a, b = final_sample("wres_out_a"), final_sample("wres_out_b")
+    assert a == b, (a, b)
+    # pure batch ground truth: (prio DESC, id, w) top-k per key
+    want = {}
+    for key in ("a", "b"):
+        triples = [
+            (k, i, w) for batch in files for (k, i, w) in batch if k == key
+        ]
+        pool = []
+        for _, i, w in triples:
+            m = max(
+                hashlib.md5(f"{i}:{j}:{SALT}".encode()).hexdigest()
+                for j in range(1, w + 1)
+            )
+            pool.append((m, i, w))
+        pool = sorted(set(pool), key=lambda t: (t[1], t[2]))
+        pool.sort(key=lambda t: t[0], reverse=True)
+        want[key] = sorted(pool[:K])
+    assert a == want, (a, want)
+
+
+def test_streaming_span_kill_restart_and_pacing(spark, tmp_path):
+    """span_per_key: (min, max) is the simplest join-semilattice fold,
+    so kill/restart (same checkpoint) and any pacing land the same
+    final spans, equal to the pure batch min/max GROUP BY — including
+    a later batch WIDENING both ends of an existing span."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from buskafkasparkstreaming_spark.streaming.state import span_per_key
+
+    files = [
+        [(1, 5000), (1, 7000), (2, 100)],
+        [(1, 2000), (2, 9000)],          # widens user 1 left, user 2 right
+        [(1, 11000), (3, 4000)],         # widens user 1 right; new key
+    ]
+    schema = "user_id bigint, ms bigint"
+
+    def write_file(dirname, i, rows):
+        path = str(tmp_path / dirname / f"f{i}.parquet")
+        staging = path + ".staging"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(part, path)
+        shutil.rmtree(staging)
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    def drain(in_dir, ckpt, out_dir):
+        stream = read_stream(
+            spark,
+            str(tmp_path / in_dir),
+            spark.read.parquet(str(tmp_path / in_dir)).schema,
+            max_files=1,
+        )
+        out = span_per_key(stream, key_col="user_id", ms_col="ms")
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(str(tmp_path / out_dir))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    def final_spans(out_dir):
+        rows = spark.read.parquet(str(tmp_path / out_dir)).collect()
+        best = {}
+        for r in rows:
+            best[r["user_id"]] = max(best.get(r["user_id"], 0), r["n_seen"])
+        return {
+            r["user_id"]: (r["s_ms"], r["e_ms"])
+            for r in rows
+            if r["n_seen"] == best[r["user_id"]]
+        }
+
+    for i, rows in enumerate(files):
+        write_file("span_a", i, rows)
+    drain("span_a", "span_ckpt_a", "span_out_a")
+
+    for i, rows in enumerate(files[:2]):
+        write_file("span_b", i, rows)
+    drain("span_b", "span_ckpt_b", "span_out_b")
+    for i, rows in enumerate(files[2:], start=2):
+        write_file("span_b", i, rows)
+    drain("span_b", "span_ckpt_b", "span_out_b")
+
+    a, b = final_spans("span_out_a"), final_spans("span_out_b")
+    assert a == b, (a, b)
+    want = {1: (2000, 11000), 2: (100, 9000), 3: (4000, 4000)}
+    assert a == want, (a, want)
+
+
 def test_pagerank_monitor_ticks_and_kill_restart(spark, tmp_path):
     """run_pagerank_monitor: every tick's snapshot equals the pure batch
     pagerank_fixed_point of the PREFIX edge set (the monitor is the
