@@ -8489,6 +8489,197 @@ def manifest_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan → EXECUTION on a LIVE manifest table
+    (ManifestUpsertTable.compact_with_plan — SURVEY round-13 candidate,
+    shipped early): the entry builds a real manifest table from the
+    DISTINCT (event_type, event_id) pairs (partitioned by type; AQE off
+    during the merge so the staged write leaves genuinely small
+    multi-object partitions — the 30 s-ingest decay mode), plans FFD
+    compaction, EXECUTES it (multi-object bins rewritten as one object
+    each through the create-exclusive manifest PUT; singleton bins
+    physically untouched), and emits the per-partition INVARIANT
+    summary: the row count the oracle recomputes by VALUE, plus
+    contract booleans the oracle emits as TRUE literals — table state
+    row-identical after the rewrite (exceptAll both ways empty),
+    objects-after == planned bins, untouched singletons keep their
+    ORIGINAL keys, manifest advanced exactly one version. Any executor
+    bug (lost rows, merged-beyond-plan, clobbered untouched object,
+    version skew) flips a boolean and fails the driver hash."""
+    import os
+    import shutil as _shutil
+    import tempfile
+    from collections import Counter
+
+    from buskafkasparkstreaming_spark.cdc.manifest_table import (
+        ManifestUpsertTable,
+    )
+
+    budget = 384
+    work = tempfile.mkdtemp(prefix="bss_mce_")
+    try:
+        ev = _t(spark, sf_dir, "events").filter(
+            F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+        )
+        pairs = ev.select("event_type", "event_id").distinct()
+        t = ManifestUpsertTable(
+            spark,
+            os.path.join(work, "tbl"),
+            key_cols=["event_type", "event_id"],
+            precombine_col="event_id",
+            partition_col="event_type",
+        )
+        conf_key = "spark.sql.adaptive.enabled"
+        prev = spark.conf.get(conf_key)
+        spark.conf.set(conf_key, "false")
+        try:
+            t.merge(pairs)
+        finally:
+            spark.conf.set(conf_key, prev)
+        v0 = t.version()
+        plan = t.compaction_plan(budget).collect()
+        binsz = Counter((r["part"], r["bin_in_part"]) for r in plan)
+        multi = {pb for pb, c in binsz.items() if c > 1}
+        untouched: dict[str, set] = {}
+        for r in plan:
+            if (r["part"], r["bin_in_part"]) not in multi:
+                untouched.setdefault(r["part"], set()).add(r["obj"])
+        t.compact_with_plan(budget)
+        m2 = t._current_manifest()
+        version_ok = t.version() == v0 + 1
+        readback = t.read().select("event_type", "event_id")
+        state_ok = (
+            readback.exceptAll(pairs).count() == 0
+            and pairs.exceptAll(readback).count() == 0
+        )
+        flags = []
+        for val, keys in m2["partitions"].items():
+            planned = len({b for (p, b) in binsz if p == val})
+            flags.append(
+                (
+                    val,
+                    len(keys) == planned,
+                    untouched.get(val, set()) <= set(keys),
+                )
+            )
+        fdf = spark.createDataFrame(
+            flags, "part string, objects_eq boolean, untouched_ok boolean"
+        )
+        counts = readback.groupBy(
+            F.col("event_type").alias("part")
+        ).agg(F.countDistinct("event_id").cast("long").alias("n_rows"))
+        out = (
+            counts.join(F.broadcast(fdf), "part")
+            .select(
+                "part",
+                "n_rows",
+                F.lit(bool(state_ok)).alias("state_preserved"),
+                F.col("objects_eq").alias("objects_eq_planned_bins"),
+                F.col("untouched_ok").alias("untouched_kept"),
+                F.lit(bool(version_ok)).alias("version_advanced"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_group_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-GROUP rolling KS drift monitor (SURVEY round-13
+    candidate, shipped early) — the composition the grouped machinery
+    was built for: per (event_type, hour) value histograms flow through
+    an append-mode checkpointed availableNow drain (watermark 0 s ⇒ an
+    hour emits once the max event time passes its end — the
+    streaming_psi_drift emission rule), then each emitted (type, hour)
+    is exact-KS'd against the SAME type's previous hour via the
+    q_ks_rolling_hourly union trick extended with the group key: both
+    distributions land in ONE (type, hour, value) aggregation, running
+    CDFs are keyed windows partitioned by (type, hour) — parallel
+    across pairs, never a global sort, per-pair distinct values bound
+    each sort. Streaming state is (window, type, value)-bounded — the
+    value DOMAIN, not the row count. Numerators in DECIMAL(38,0), one
+    float division per pair. FULL oracle: emission rule + union trick +
+    windows replayed in SQL."""
+    stream = SW.read_events_stream(spark, sf_dir).filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    hourly = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+            _cents("value").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    drained = SW.run_to_memory(hourly, spark, output_mode="append").select(
+        F.col("w.start").alias("hr"), "event_type", "cents", "n"
+    )
+    # no explicit valid-pair semi-join: an hour with no previous (or no
+    # current) sample carries n_prev = 0 (n_cur = 0) through the
+    # windows and is dropped by the final filter — same rows, one join
+    # fewer (the oracle mirrors this)
+    cur = drained.select(
+        "event_type",
+        "hr",
+        "cents",
+        F.col("n").alias("d_cur"),
+        F.lit(0).cast("long").alias("d_prev"),
+    )
+    prev = drained.select(
+        "event_type",
+        (F.col("hr") + F.expr("INTERVAL 1 HOUR")).alias("hr"),
+        "cents",
+        F.lit(0).cast("long").alias("d_cur"),
+        F.col("n").alias("d_prev"),
+    )
+    both = (
+        cur.unionByName(prev)
+        .groupBy("event_type", "hr", "cents")
+        .agg(
+            F.sum("d_cur").cast("long").alias("d_cur"),
+            F.sum("d_prev").cast("long").alias("d_prev"),
+        )
+    )
+    w = Window.partitionBy("event_type", "hr").orderBy(F.col("cents").asc())
+    wt = Window.partitionBy("event_type", "hr")
+    dec = "decimal(38,0)"
+    r = both.select(
+        "event_type",
+        "hr",
+        "cents",
+        F.sum("d_cur").over(w).alias("c_cur"),
+        F.sum("d_prev").over(w).alias("c_prev"),
+        F.sum("d_cur").over(wt).cast("long").alias("n_cur"),
+        F.sum("d_prev").over(wt).cast("long").alias("n_prev"),
+    ).withColumn(
+        "num",
+        F.abs(
+            F.col("c_cur").cast(dec) * F.col("n_prev").cast(dec)
+            - F.col("c_prev").cast(dec) * F.col("n_cur").cast(dec)
+        ).cast(dec),
+    )
+    agg = r.groupBy("event_type", "hr").agg(
+        F.max("num").alias("d_num"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.max("n_prev").cast("long").alias("n_prev"),
+    )
+    return agg.filter((F.col("n_prev") > 0) & (F.col("n_cur") > 0)).select(
+        "event_type",
+        "hr",
+        "n_prev",
+        "n_cur",
+        F.col("d_num").cast("double").alias("d_num"),
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n_prev").cast("double") * F.col("n_cur").cast("double"))
+        ).alias("ks_stat"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -8588,7 +8779,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cohorts, then the round-11 window -- freshest last).
         # Round-13 arithmetic: 19 r7 tail + 31 of the r8 cohort fill the
         # window; round-13 additions displace r8 slots. ===================
-        # --- r7 cohort tail (leads round 13) ----------------------------
+        # --- round-13 head candidates: implemented and locally
+        # parity-green in round 12, never driver-seen — the round-13
+        # rotation puts them first (never-seen outranks everything),
+        # ahead of the r7 tail below ------------------------------------
+        "manifest_compact_execute": manifest_compact_execute,
+        "streaming_group_ks": streaming_group_ks,
+        # --- r7 cohort tail (follows the candidates in round 13) --------
         "q_percentile_disc": q_percentile_disc,
         "q_mode_deterministic": q_mode_deterministic,
         "q_not_in_null_aware": q_not_in_null_aware,
@@ -13349,6 +13546,86 @@ def oracle_sql() -> dict[str, str]:
                        AS relation
             FROM sp
             JOIN inc i ON sp.s_a <= i.e_b AND i.s_b <= sp.e_a
+        """,
+        "streaming_group_ks": """
+            -- append emission rule (an hour emits iff its END <= the
+            -- final watermark = max ts over the filtered stream), then
+            -- the q_ks_rolling_hourly union trick with the group key:
+            -- PARTITION BY (type, hr) running CDFs, DECIMAL(38,0)
+            -- numerator, one float division per pair
+            WITH ev AS (
+                SELECT event_type AS g, ts, date_trunc('hour', ts) AS hr,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL),
+            mxts AS (SELECT max(ts) AS m FROM ev),
+            counts AS (
+                SELECT g, hr, cents, CAST(count(*) AS BIGINT) AS n
+                FROM ev, mxts WHERE hr + INTERVAL 1 HOUR <= mxts.m
+                GROUP BY 1, 2, 3),
+            u AS (
+                SELECT g, hr, cents, n AS d_cur,
+                       CAST(0 AS BIGINT) AS d_prev
+                FROM counts
+                UNION ALL
+                SELECT g, hr + INTERVAL 1 HOUR AS hr, cents,
+                       CAST(0 AS BIGINT) AS d_cur, n AS d_prev
+                FROM counts),
+            pairs AS (
+                SELECT g, hr, cents,
+                       CAST(sum(d_cur) AS BIGINT) AS d_cur,
+                       CAST(sum(d_prev) AS BIGINT) AS d_prev
+                FROM u
+                GROUP BY 1, 2, 3),
+            r AS (
+                SELECT g, hr, cents,
+                       CAST(sum(d_cur) OVER (
+                           PARTITION BY g, hr ORDER BY cents)
+                           AS BIGINT) AS c_cur,
+                       CAST(sum(d_prev) OVER (
+                           PARTITION BY g, hr ORDER BY cents)
+                           AS BIGINT) AS c_prev,
+                       CAST(sum(d_cur) OVER (PARTITION BY g, hr)
+                           AS BIGINT) AS n_cur,
+                       CAST(sum(d_prev) OVER (PARTITION BY g, hr)
+                           AS BIGINT) AS n_prev
+                FROM pairs),
+            s AS (
+                SELECT g, hr,
+                       abs(CAST(c_cur AS DECIMAL(38,0)) * n_prev
+                           - CAST(c_prev AS DECIMAL(38,0)) * n_cur)
+                           AS num,
+                       n_cur, n_prev
+                FROM r),
+            agg AS (
+                SELECT g, hr, max(num) AS d_num,
+                       max(n_cur) AS n_cur, max(n_prev) AS n_prev
+                FROM s GROUP BY 1, 2)
+            SELECT g AS event_type, CAST(hr AS TIMESTAMP) AS hr,
+                   n_prev, n_cur,
+                   CAST(d_num AS DOUBLE) AS d_num,
+                   CAST(d_num AS DOUBLE)
+                       / (CAST(n_prev AS DOUBLE) * CAST(n_cur AS DOUBLE))
+                       AS ks_stat
+            FROM agg WHERE n_prev > 0 AND n_cur > 0
+        """,
+        "manifest_compact_execute": """
+            -- invariant oracle: the only VALUE fact a SQL engine can
+            -- see of a live manifest rewrite is the row set it must
+            -- preserve — count(DISTINCT event_id) per type; the
+            -- executor contract booleans (state identity, bins
+            -- honored, untouched objects kept, one version step) are
+            -- TRUE literals a violating execution flips engine-side
+            SELECT event_type AS part,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_rows,
+                   TRUE AS state_preserved,
+                   TRUE AS objects_eq_planned_bins,
+                   TRUE AS untouched_kept,
+                   TRUE AS version_advanced
+            FROM events
+            WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+            GROUP BY 1
         """,
         "manifest_compaction_plan": """
             -- invariant oracle (the pack_ffd_bins precedent): the

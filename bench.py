@@ -240,6 +240,10 @@ HEADLINE = [
     "streaming_weighted_reservoir",
     "streaming_allen_sessions",
     "manifest_compaction_plan",
+    # round-13 head candidates (benched from day one, driver-verified
+    # next round)
+    "manifest_compact_execute",
+    "streaming_group_ks",
 ]
 
 

@@ -600,6 +600,160 @@ class ManifestUpsertTable:
         )
         return plan_compaction(inv, "part", "obj", "n_rows", budget_rows)
 
+    def compact_with_plan(self, budget_rows: int) -> dict[str, dict]:
+        """EXECUTE the FFD compaction plan (SURVEY round-13 candidate:
+        plan → execution): every multi-object bin from
+        `compaction_plan(budget_rows)` is rewritten as ONE object;
+        singleton bins — already-full objects and loners nothing fits
+        with — are left physically untouched (their keys carry over,
+        zero read/write amplification, the planner's whole point over
+        `compact()`'s blunt one-object-per-partition rewrite).
+
+        Pure layout: rows are untouched; `latest_state` semantics never
+        enter. Plan shape: ONE Spark job reads exactly the merged bins'
+        objects, tags each row with its (partition, bin) via an
+        input_file_name → key broadcast join, clusters with
+        repartition(part, bin) (co-location: every bin's rows in one
+        task) and writes partitionBy(partition, bin-dir) so each bin
+        lands as exactly one staged file. Publish + manifest PUT follow
+        the merge()/compact() crash protocol: new objects are invisible
+        until the create-exclusive manifest PUT; losing a version race
+        raises ManifestConflictError and deletes this txn's staging
+        (retry next maintenance tick).
+
+        Returns {partition_value_str: {"before": n_objects,
+        "after": n_objects}} for every partition in the manifest.
+        An all-empty bin (tombstoned partitions can hold 0-row objects)
+        writes no file and its keys simply retire — dropping dead
+        objects is correct compaction.
+        """
+        from collections import defaultdict
+
+        from pyspark.sql.types import StructType
+
+        m = self._current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {self.path}")
+        plan_rows = self.compaction_plan(budget_rows).collect()
+        bins: dict[tuple, list[str]] = defaultdict(list)
+        for r in plan_rows:
+            bins[(r["part"], int(r["bin_in_part"]))].append(r["obj"])
+        work = {pb: objs for pb, objs in bins.items() if len(objs) > 1}
+        report = {
+            val_str: {"before": len(keys), "after": len(keys)}
+            for val_str, keys in m["partitions"].items()
+        }
+        if not work:
+            return report
+        merged_keys = {k for objs in work.values() for k in objs}
+        keymap = self.spark.createDataFrame(
+            [(k, p, b) for (p, b), objs in work.items() for k in objs],
+            "__key string, __part string, __bin long",
+        )
+        schema = StructType.fromJson(m["schema"])
+        if self.partition_col is not None:
+            ptype = schema[self.partition_col].dataType
+            data_schema = StructType(
+                [f for f in schema.fields if f.name != self.partition_col]
+            )
+        else:
+            data_schema = schema
+        paths = [os.path.join(self.path, k) for k in sorted(merged_keys)]
+        df = (
+            self.spark.read.schema(data_schema)
+            .parquet(*paths)
+            .withColumn(
+                "__key",
+                F.regexp_extract(
+                    F.input_file_name(),
+                    r"(data/[^/]+/[^/]+\.parquet)$",
+                    1,
+                ),
+            )
+            .join(F.broadcast(keymap), "__key")
+        )
+        part_cols = ["__bindir"]
+        if self.partition_col is not None:
+            val = F.when(F.col("__part") == "\0null", F.lit(None)).otherwise(
+                F.col("__part")
+            )
+            df = df.withColumn(self.partition_col, val.cast(ptype))
+            part_cols = [self.partition_col, "__bindir"]
+        out = (
+            df.withColumn("__bindir", F.col("__bin"))
+            .repartition(F.col("__part"), F.col("__bin"))
+            .drop("__key", "__part", "__bin")
+        )
+        txn = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, f".stage_{txn}")
+        out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+
+        # publish: one nested level deeper than _publish_objects (the
+        # __bindir split), same atomic-per-key rename + stats lift
+        def _bin_files(dirpath: str):
+            for bname in sorted(os.listdir(dirpath)):
+                if not bname.startswith("__bindir="):
+                    continue
+                bdir = os.path.join(dirpath, bname)
+                for fname in sorted(os.listdir(bdir)):
+                    if fname.endswith(".parquet"):
+                        yield os.path.join(bdir, fname)
+
+        if self.partition_col is None:
+            entries = [("", staging)]
+        else:
+            entries = [
+                (
+                    self._pval(partition_dirvalue(name)),
+                    os.path.join(staging, name),
+                )
+                for name in sorted(os.listdir(staging))
+                if name.startswith(f"{self.partition_col}=")
+            ]
+        dst_dir = os.path.join(self.path, self.DATA_DIR, txn)
+        os.makedirs(dst_dir, exist_ok=True)
+        self._last_stats = {}
+        new_objs: dict[str, list[str]] = {}
+        for val_str, pdir in entries:
+            keys = []
+            for fpath in _bin_files(pdir):
+                key = f"{self.DATA_DIR}/{txn}/{uuid.uuid4().hex[:16]}.parquet"
+                dst = os.path.join(self.path, key)
+                os.rename(fpath, dst)
+                keys.append(key)
+                if self.stats_cols:
+                    self._last_stats[key] = self._object_stats(
+                        dst, self.stats_cols
+                    )
+            new_objs[val_str] = keys
+        shutil.rmtree(staging, ignore_errors=True)
+
+        partitions = {}
+        for val_str, keys in m["partitions"].items():
+            kept = [k for k in keys if k not in merged_keys]
+            partitions[val_str] = kept + new_objs.get(val_str, [])
+            report[val_str] = {
+                "before": len(keys),
+                "after": len(partitions[val_str]),
+            }
+        live_keys = {k for keys in partitions.values() for k in keys}
+        stats = {
+            k: v
+            for k, v in {
+                **m.get("stats", {}),
+                **getattr(self, "_last_stats", {}),
+            }.items()
+            if k in live_keys
+        }
+        try:
+            self._put_manifest(m["version"] + 1, partitions, m["schema"], stats)
+        except ManifestConflictError:
+            shutil.rmtree(
+                os.path.join(self.path, self.DATA_DIR, txn), ignore_errors=True
+            )
+            raise
+        return report
+
     def vacuum(
         self, keep_manifests: int = 1, writer_grace_seconds: float = 0.0
     ) -> list[str]:

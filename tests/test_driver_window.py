@@ -69,12 +69,18 @@ def test_round12_window_composition():
     assert qs[:50] == want, (qs[:50], want)
 
 
-def test_round13_lead_is_r7_tail_then_r8():
-    """Below the cut: the 19 displaced r7 entries first (they lead the
-    round-13 rotation), then the r8 cohort."""
+R13_HEAD_CANDIDATES = ["manifest_compact_execute", "streaming_group_ks"]
+
+
+def test_round13_lead_is_candidates_then_r7_tail_then_r8():
+    """Below the cut: the never-driver-seen round-13 head candidates
+    first (the rotation policy puts never-seen ahead of everything),
+    then the 19 displaced r7 entries, then the r8 cohort."""
     qs = list(entrymod.queries().keys())
-    assert qs[50:69] == R7_TAIL_19, qs[50:69]
-    assert qs[69] == "dedup_prefix_filter", qs[69]
+    n = len(R13_HEAD_CANDIDATES)
+    assert qs[50:50 + n] == R13_HEAD_CANDIDATES, qs[50:50 + n]
+    assert qs[50 + n:69 + n] == R7_TAIL_19, qs[50 + n:69 + n]
+    assert qs[69 + n] == "dedup_prefix_filter", qs[69 + n]
 
 
 def test_every_query_has_oracle():

@@ -471,3 +471,54 @@ def test_manifest_compaction_plan_footer_sizes(spark, tmp_path):
     for r in plan:
         if r["size"] >= 6:  # full object: untouched singleton
             assert members[(r["part"], r["bin_in_part"])] == 1
+
+
+def test_manifest_compact_with_plan_executes_bins(spark, tmp_path):
+    """compact_with_plan: multi-object bins from the FFD plan are
+    rewritten as ONE object each, singleton bins keep their ORIGINAL
+    keys (untouched — zero read/write amplification), table state is
+    row-identical, and the manifest advances one version through the
+    normal PUT."""
+    import collections
+
+    t = _table(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 2, 100) for k in range(40)],
+        "k int, v int, p int, et int",
+    )
+    # AQE would coalesce the tiny staged write to one task/file per
+    # partition; disable it so each partition really holds many small
+    # objects (the compact() test's idiom)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t.merge(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    before = _state(t)
+    v0 = t.version()
+    plan = t.compaction_plan(budget_rows=10).collect()
+    binsz = collections.Counter(
+        (r["part"], r["bin_in_part"]) for r in plan
+    )
+    multi = {pb for pb, c in binsz.items() if c > 1}
+    assert multi, "layout produced no multi-object bins; test is vacuous"
+    untouched = {
+        r["obj"] for r in plan
+        if (r["part"], r["bin_in_part"]) not in multi
+    }
+
+    report = t.compact_with_plan(budget_rows=10)
+    assert _state(t) == before                      # rows untouched
+    assert t.version() == v0 + 1
+    m2 = t._current_manifest()
+    live = {k for keys in m2["partitions"].values() for k in keys}
+    assert untouched <= live                        # singletons kept
+    # per partition: objects_after == planned bin count
+    want = {
+        p: len({b for (pp, b) in binsz if pp == p})
+        for p in {pb[0] for pb in binsz}
+    }
+    got = {val: len(keys) for val, keys in m2["partitions"].items()}
+    assert got == want, (got, want)
+    for val, keys in m2["partitions"].items():
+        assert report[val]["after"] == len(keys)

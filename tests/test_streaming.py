@@ -1461,6 +1461,50 @@ def test_pagerank_monitor_ticks_and_kill_restart(spark, tmp_path):
     assert final_a == final_b
     assert final_a == batch_pr([e for b in files for e in b])
 
+    # tick decimation (r12: the VERDICT watch-item knob): with
+    # recompute_every=3 only batch 0 ranks during the stream, the
+    # final post-drain pass ranks the full set — the RETURNED snapshot
+    # must be identical to the undecimated monitor's, and intermediate
+    # snapshots must be FEWER (that is the knob's whole point) while
+    # each still equals the batch PR of its prefix
+    stream_c = read_stream(
+        spark,
+        str(tmp_path / "pr_a"),
+        spark.read.parquet(str(tmp_path / "pr_a")).schema,
+        max_files=1,
+    )
+    final_c = {
+        r["id"]: r["rank_fp"]
+        for r in run_pagerank_monitor(
+            stream_c,
+            str(tmp_path / "pr_wc"),
+            str(tmp_path / "pr_cc"),
+            recompute_every=3,
+        ).collect()
+    }
+    assert final_c == final_a
+    snaps_c = spark.read.parquet(str(tmp_path / "pr_wc" / "snapshots"))
+    ticks_c = sorted(
+        r["n_edges"]
+        for r in snaps_c.select("n_edges").distinct().collect()
+    )
+    ticks_a = sorted(
+        r["n_edges"] for r in snaps.select("n_edges").distinct().collect()
+    )
+    assert len(ticks_c) < len(ticks_a), (ticks_c, ticks_a)
+    for n in ticks_c:
+        tick = {
+            r["id"]: r["rank_fp"]
+            for r in snaps_c.filter(F.col("n_edges") == n).collect()
+        }
+        prefix, seen = [], 0
+        for b in files:
+            if seen >= n:
+                break
+            prefix.extend(b)
+            seen += len(b)
+        assert tick == batch_pr(prefix), (n, tick)
+
 
 def test_streaming_skyline3_kill_restart_equivalence(spark, tmp_path):
     """skyline3_per_key: same join-semilattice contract as the 2-D
