@@ -8680,6 +8680,78 @@ def streaming_group_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_allen_live_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen relations BETWEEN two LIVE span folds
+    (streaming/state.py::span_per_keys — the SURVEY round-13 candidate
+    "the monitor's static side made live, on BOTH sides"): per-(user,
+    type) activity spans maintained statefully under the composite key,
+    then the drained final spans pair engagement (click/view) against
+    outcome (purchase/error) through the PROVEN keyed allen_join —
+    q_allen_spans with both interval sets produced by streaming state
+    instead of a batch aggregate. (min, max) per composite key is the
+    same semilattice fold as span_per_key, so the drained max-n_seen
+    spans equal the batch (user, type) min/max GROUP BY for ANY pacing
+    — which is why the FULL oracle is q_allen_spans' SQL verbatim: the
+    live formulation must be indistinguishable from the batch one."""
+    from buskafkasparkstreaming_spark.operators.joins import allen_join
+    from buskafkasparkstreaming_spark.streaming.state import span_per_keys
+
+    stream = SW.read_events_stream(spark, sf_dir)
+    pts = stream.filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        "user_id", "event_type", bssf.ts_millis(F.col("ts")).alias("ms")
+    )
+    out = span_per_keys(
+        pts,
+        "user_id bigint, event_type string",
+        ["user_id", "event_type"],
+        "ms",
+    )
+    res = SW.run_to_memory(out, spark, output_mode="update")
+    w = Window.partitionBy("user_id", "event_type")
+    spans = (
+        res.withColumn("__mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("s_ms").alias("s"),
+            F.col("e_ms").alias("e"),
+        )
+        # memory-sink plans hit Spark's self-join reference-resolution
+        # limitation (INTERNAL_ERROR conflicting references); a lazy
+        # localCheckpoint turns the common subplan into a
+        # deduplicable leaf — |users × types| rows, bounded
+        .localCheckpoint(eager=False)
+    )
+    left = (
+        spans.alias("la")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("type_a"),
+            F.col("s").alias("s_a"),
+            F.col("e").alias("e_a"),
+        )
+    )
+    right = (
+        spans.alias("ra")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("type_b"),
+            F.col("s").alias("s_b"),
+            F.col("e").alias("e_b"),
+        )
+    )
+    return allen_join(left, right, "user_id").select(
+        "user_id", "type_a", "type_b", "s_a", "e_a", "s_b", "e_b", "relation"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -8785,6 +8857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ahead of the r7 tail below ------------------------------------
         "manifest_compact_execute": manifest_compact_execute,
         "streaming_group_ks": streaming_group_ks,
+        "streaming_allen_live_spans": streaming_allen_live_spans,
         # --- r7 cohort tail (follows the candidates in round 13) --------
         "q_percentile_disc": q_percentile_disc,
         "q_mode_deterministic": q_mode_deterministic,
@@ -13546,6 +13619,27 @@ def oracle_sql() -> dict[str, str]:
                        AS relation
             FROM sp
             JOIN inc i ON sp.s_a <= i.e_b AND i.s_b <= sp.e_a
+        """,
+        "streaming_allen_live_spans": f"""
+            -- the live span folds must be INDISTINGUISHABLE from the
+            -- batch aggregate (semilattice drain == GROUP BY min/max
+            -- for any pacing), so the oracle is q_allen_spans' SQL:
+            -- same span CTE, same shared ALLEN_RELATIONS cascade
+            WITH sp AS (
+                SELECT user_id, event_type,
+                       min(epoch_ms(ts)) AS s, max(epoch_ms(ts)) AS e
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                  AND user_id IS NOT NULL
+                GROUP BY 1, 2)
+            SELECT a.user_id, a.event_type AS type_a,
+                   b.event_type AS type_b,
+                   a.s AS s_a, a.e AS e_a, b.s AS s_b, b.e AS e_b,
+                   {J.allen_relation_sql('a.s', 'a.e', 'b.s', 'b.e')}
+                       AS relation
+            FROM sp a JOIN sp b ON a.user_id = b.user_id
+            WHERE a.event_type IN ('click', 'view')
+              AND b.event_type IN ('purchase', 'error')
         """,
         "streaming_group_ks": """
             -- append emission rule (an hour emits iff its END <= the

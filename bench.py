@@ -244,6 +244,7 @@ HEADLINE = [
     # next round)
     "manifest_compact_execute",
     "streaming_group_ks",
+    "streaming_allen_live_spans",
 ]
 
 

@@ -655,6 +655,54 @@ def span_per_key(
     )
 
 
+def span_per_keys(
+    rows: DataFrame,
+    key_schema: str,
+    key_cols: list[str],
+    ms_col: str = "ms",
+) -> DataFrame:
+    """span_per_key's COMPOSITE-key generalization (SURVEY round-13
+    candidate "Allen relations BETWEEN live spans"): maintain the
+    [min ms, max ms] activity span per key TUPLE — e.g. (user_id,
+    event_type), so BOTH sides of a keyed Allen join can be live
+    stateful folds. `key_schema` is the DDL for the key columns in
+    `key_cols` order (applyInPandasWithState needs explicit types for
+    a composite key). Same semilattice contract as span_per_key:
+    associative/commutative/idempotent, drained max-n_seen state is
+    batch-layout- and restart-independent, ONE batch min/max GROUP BY
+    replays the stream. NULLs pre-filtered by the caller.
+    """
+
+    def tracker(key, pdfs, state):
+        import pandas as pd
+
+        mn, mx, n_seen = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n_seen += len(pdf)
+            vals = pdf[ms_col]
+            bmn, bmx = int(vals.min()), int(vals.max())
+            mn = bmn if mn is None else min(int(mn), bmn)
+            mx = bmx if mx is None else max(int(mx), bmx)
+        if mn is None:
+            return
+        state.update((int(mn), int(mx), n_seen))
+        row = dict(zip(key_cols, key))
+        row.update({"s_ms": int(mn), "e_ms": int(mx), "n_seen": n_seen})
+        yield pd.DataFrame([row])
+
+    return rows.groupBy(*key_cols).applyInPandasWithState(
+        tracker,
+        outputStructType=(
+            f"{key_schema}, s_ms bigint, e_ms bigint, n_seen bigint"
+        ),
+        stateStructType=SPAN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 WEIGHTED_RESERVOIR_STATE_SCHEMA = (
     "prios array<string>, ids array<bigint>, ws array<bigint>, n_seen bigint"
 )

@@ -730,6 +730,9 @@ def test_null_ts_drift(spark, tmp_path):
         # r13 candidate: NULL ts rows are outside every hourly pair
         # axis AND the final watermark on both sides
         "streaming_group_ks",
+        # r13 candidate: NULL ts rows are not span evidence for either
+        # live side
+        "streaming_allen_live_spans",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -1062,6 +1065,9 @@ def test_null_user_drift(spark, tmp_path):
         # r12: NULL user rows maintain no activity span and classify
         # against no incident in either engine
         "streaming_allen_sessions",
+        # r13 candidate: NULL user keys pair in NEITHER engine (the
+        # q_allen_spans lesson, live on both sides)
+        "streaming_allen_live_spans",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -1158,6 +1164,10 @@ def test_ts_collision_drift(spark, tmp_path):
         # r13 candidate: a collapsed grid merges every pair axis into
         # one (type, day) cell — emission + pairing must track
         "streaming_group_ks",
+        # r13 candidate: collapsed grids shrink both live span sides
+        # to points — degenerate-interval relations must classify
+        # identically (the shared-cascade tie-break)
+        "streaming_allen_live_spans",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)
@@ -1295,9 +1305,11 @@ def test_duplicate_row_drift(spark, tmp_path):
         # inventory facts simply double where the cell duplicates
         "manifest_compaction_plan",
         # r13 candidates: the executor's DISTINCT pairs absorb the dup
-        # rows; the per-type histograms count the multiset identically
+        # rows; the per-type histograms count the multiset identically;
+        # min/max span folds are dup-insensitive by construction
         "manifest_compact_execute",
         "streaming_group_ks",
+        "streaming_allen_live_spans",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)

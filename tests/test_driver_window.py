@@ -69,7 +69,10 @@ def test_round12_window_composition():
     assert qs[:50] == want, (qs[:50], want)
 
 
-R13_HEAD_CANDIDATES = ["manifest_compact_execute", "streaming_group_ks"]
+R13_HEAD_CANDIDATES = [
+    "manifest_compact_execute", "streaming_group_ks",
+    "streaming_allen_live_spans",
+]
 
 
 def test_round13_lead_is_candidates_then_r7_tail_then_r8():
