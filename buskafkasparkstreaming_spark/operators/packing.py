@@ -156,9 +156,11 @@ def pack_ffd(
         for t in pdf["tokens"]:
             t = int(t)
             if t >= budget:
-                # dedicated overflow bin, never reused
+                # dedicated overflow bin, never reused: capacity -1 so
+                # not even a ZERO-size item first-fits into it (cap >= t
+                # held for t == 0 at cap 0 — the r12 property-test catch)
                 bins.append(len(caps))
-                caps.append(0)
+                caps.append(-1)
                 continue
             for i, cap in enumerate(caps):
                 if cap >= t:
@@ -226,7 +228,9 @@ def plan_compaction(
             t = int(t)
             if t >= budget:
                 bins.append(len(caps))
-                caps.append(0)  # dedicated, never reused: untouched
+                # capacity -1: not even a zero-size object may first-fit
+                # into an untouched full object's bin
+                caps.append(-1)
                 continue
             for i, cap in enumerate(caps):
                 if cap >= t:

@@ -252,6 +252,11 @@ def test_null_text_drift(spark, tmp_path):
         # r11: NULL text drops before the dirt synthesis; empty text
         # cleans to the empty string with the same md5 on both sides
         "text_unicode_clean",
+        # r12: empty text -> ZERO-token docs; a zero-size item must
+        # never first-fit into an overflow singleton's bin (capacity -1
+        # fix — pre-fix the engine's overflow_singletons_ok boolean
+        # flips false against the oracle's TRUE literal right here)
+        "pack_ffd_bins",
         # contentless docs must be absent from the novelty output on
         # BOTH sides (no shingles -> no rows)
         "text_ngram_novelty",

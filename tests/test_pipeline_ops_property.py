@@ -156,7 +156,7 @@ def test_pack_ffd_invariants(spark, tokens, budget):
         for i, t in order:
             if t >= budget:
                 assign[i] = len(caps)
-                caps.append(0)
+                caps.append(-1)  # overflow: nothing fits, not even 0
                 continue
             for b, c in enumerate(caps):
                 if c >= t:
@@ -214,7 +214,7 @@ def test_plan_compaction_invariants(spark, sizes, budget):
         for o, t in order:
             if t >= budget:
                 assign[o] = len(caps)
-                caps.append(0)
+                caps.append(-1)  # overflow: nothing fits, not even 0
                 continue
             for b, c in enumerate(caps):
                 if c >= t:
