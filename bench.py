@@ -245,6 +245,7 @@ HEADLINE = [
     "manifest_compact_execute",
     "streaming_group_ks",
     "streaming_allen_live_spans",
+    "q_group_ecdf",
 ]
 
 

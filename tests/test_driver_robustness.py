@@ -539,6 +539,7 @@ def test_null_orders_drift(spark, tmp_path):
         # r12: NULL price/date rows are outside BOTH year samples and
         # the per-segment value axis identically on both sides
         "q_group_ks",
+        "q_group_ecdf",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -806,6 +807,7 @@ def test_null_customer_drift(spark, tmp_path):
         # r12: NULL segments are explicitly filtered before the
         # per-group CDF on both sides (the same isNotNull guard)
         "q_group_ks",
+        "q_group_ecdf",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -1510,6 +1512,9 @@ def test_money_magnitude_drift(spark, tmp_path):
         # r12: per-segment KS at ~1e14-cent magnitudes — the c*n
         # cross-products stay DECIMAL(38,0) (the chi2 discipline)
         "q_group_ks",
+        # r13 candidate: the per-segment reference CDF counts stay
+        # BIGINT-exact when the value axis scales 1e7
+        "q_group_ecdf",
         # PAV blocks under a reshuffled spend order: pool means stay
         # exact integer pairs; the closed-form first/last identities
         # must track the new order

@@ -71,7 +71,7 @@ def test_round12_window_composition():
 
 R13_HEAD_CANDIDATES = [
     "manifest_compact_execute", "streaming_group_ks",
-    "streaming_allen_live_spans",
+    "streaming_allen_live_spans", "q_group_ecdf",
 ]
 
 
