@@ -90,6 +90,9 @@ SHOWN = {
     "pack_ffd_bins": "FFD invariant summary: the per-group applyInPandas pack (ONE pack_group shuffle), then two bounded aggregations (per-bin, per-group) joined on pack_group — the invariant booleans are row-local comparisons over the tiny per-group frame",
     "q_segment_lift": "per-segment lift: grouped_ntile = range repartition on the composite (segment, spend, custkey) order (prints post-checkpoint, range exchange gated in test_plans.py) + null-safe broadcast of the per-group (start, count) stats; NO SinglePartition anywhere — the lift/gain windows partition by segment",
     "q_skyline3_lineitems": "3-D skyline: ZERO exchanges — per-partition local frontiers in MapInPandas (lexicographic-min extraction, vectorized dominance passes), frontier-bounded coalesce(1) merge; the oracle runs the O(n^2) NOT-EXISTS the engine never does",
+    "q_group_ks": "per-group exact KS: grouped_running_sum = range repartition on the composite (segment, cents) order (prints post-checkpoint, range exchange gated in test_plans.py) + Spark-derived per-group start offsets broadcast null-safely; numerator max and at-value argmin aggregate BY SEGMENT — zero SinglePartition stages",
+    "manifest_compaction_plan": "FFD compaction planner: the (type, hour) inventory is one hash agg; the plan is ONE applyInPandas keyed on the partition value (metadata-sized input); invariant summary = two bounded aggregations joined on part",
+    "q_group_ecdf": "per-group ECDF: the reference running count rides grouped_running_sum's composite-order range exchange; current-year filter + one broadcast totals join; one division per row",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage
