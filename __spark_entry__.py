@@ -1505,8 +1505,6 @@ def manifest_read_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrongly-skipped object would drop rows and hash-fail. A runtime
     guard asserts skipping actually engaged (several band objects
     pruned), so the green row certifies the skip path, not a full scan."""
-    import glob as _glob
-    import os
     import shutil as _shutil
     import tempfile
 
@@ -1514,35 +1512,41 @@ def manifest_read_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         ManifestUpsertTable,
     )
 
-    # bound disk use across repeated invocations (bench min-of-3 x drift
-    # sweeps): clear previous runs' table dirs — their DataFrames have
-    # long been collected — before staging a fresh one
-    for old in _glob.glob(os.path.join(tempfile.gettempdir(), "bss_manifest_rw_*")):
-        _shutil.rmtree(old, ignore_errors=True)
-
-    events = _t(spark, sf_dir, "events")
-    batch = events.filter(F.col("value").isNotNull()).select(
-        "event_id",
-        "event_type",
-        "value",
-        "ts",
-        F.floor(F.col("value") / 50).cast("int").alias("band"),
-    )
-    t = ManifestUpsertTable(
-        spark,
-        tempfile.mkdtemp(prefix="bss_manifest_rw_"),
-        key_cols="event_id",
-        precombine_col="ts",
-        partition_col="band",
-        stats_cols=["value"],
-    )
-    t.merge(batch)
-    kept, skipped = t.select_objects("value", 120.0, 180.0)
-    # pruning must engage whenever there is more than one band object
-    # (an empty/degenerate table legitimately has nothing to skip)
-    assert skipped or len(kept) <= 1, "zone maps failed to prune any band object"
-    out = t.read_where("value", 120.0, 180.0)
-    return out.select("event_id", "event_type", "value")
+    # per-invocation working dir removed in a finally (the prmon
+    # pattern, round-13 fleet conversion): the result is pinned into
+    # the block manager with an EAGER localCheckpoint before the dir
+    # goes away — no cross-run contact, no leftover dirs
+    work = tempfile.mkdtemp(prefix="bss_manifest_rw_")
+    try:
+        events = _t(spark, sf_dir, "events")
+        batch = events.filter(F.col("value").isNotNull()).select(
+            "event_id",
+            "event_type",
+            "value",
+            "ts",
+            F.floor(F.col("value") / 50).cast("int").alias("band"),
+        )
+        t = ManifestUpsertTable(
+            spark,
+            work,
+            key_cols="event_id",
+            precombine_col="ts",
+            partition_col="band",
+            stats_cols=["value"],
+        )
+        t.merge(batch)
+        kept, skipped = t.select_objects("value", 120.0, 180.0)
+        # pruning must engage whenever there is more than one band object
+        # (an empty/degenerate table legitimately has nothing to skip)
+        assert skipped or len(kept) <= 1, (
+            "zone maps failed to prune any band object"
+        )
+        out = t.read_where("value", 120.0, 180.0)
+        return out.select(
+            "event_id", "event_type", "value"
+        ).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
 
 
 def q_cume_dist_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2993,8 +2997,6 @@ def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce exactly the first batch — the audit/rollback read a lake
     table owes its consumers. Oracle: the v0 batch predicate over the
     raw events table; a runtime guard asserts v1 is current."""
-    import glob as _glob
-    import os
     import shutil as _shutil
     import tempfile
 
@@ -3002,33 +3004,35 @@ def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ManifestUpsertTable,
     )
 
-    # clean only THIS process's previous runs: a bare bss_manifest_tt_*
-    # glob would rmtree live table dirs of a concurrent bench/driver
-    # sweep or pytest-xdist worker mid-merge
-    prefix = f"bss_manifest_tt_{os.getpid()}_"
-    for old in _glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
-        _shutil.rmtree(old, ignore_errors=True)
-
-    events = _t(spark, sf_dir, "events")
-    base = events.filter(F.col("value").isNotNull()).select(
-        "event_id",
-        "event_type",
-        "value",
-        "ts",
-        F.floor(F.col("value") / 50).cast("int").alias("band"),
-    )
-    t = ManifestUpsertTable(
-        spark,
-        tempfile.mkdtemp(prefix=prefix),
-        key_cols="event_id",
-        precombine_col="ts",
-        partition_col="band",
-        stats_cols=["value"],
-    )
-    t.merge(base.filter(F.col("event_id") % 3 != 0))
-    t.merge(base.filter(F.col("event_id") % 3 == 0))
-    assert t.version() == 1, f"expected 2 snapshots, at v{t.version()}"
-    return t.read_version(0).select("event_id", "event_type", "value")
+    # per-invocation working dir removed in a finally (the prmon
+    # pattern, round-13 fleet conversion); result eager-checkpointed
+    # before the dir goes away
+    work = tempfile.mkdtemp(prefix="bss_manifest_tt_")
+    try:
+        events = _t(spark, sf_dir, "events")
+        base = events.filter(F.col("value").isNotNull()).select(
+            "event_id",
+            "event_type",
+            "value",
+            "ts",
+            F.floor(F.col("value") / 50).cast("int").alias("band"),
+        )
+        t = ManifestUpsertTable(
+            spark,
+            work,
+            key_cols="event_id",
+            precombine_col="ts",
+            partition_col="band",
+            stats_cols=["value"],
+        )
+        t.merge(base.filter(F.col("event_id") % 3 != 0))
+        t.merge(base.filter(F.col("event_id") % 3 == 0))
+        assert t.version() == 1, f"expected 2 snapshots, at v{t.version()}"
+        return t.read_version(0).select(
+            "event_id", "event_type", "value"
+        ).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
 
 
 def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3741,35 +3745,36 @@ def cdc_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-state row changed, labeled insert/update. Pure relational
     (full-outer key join of two time-travel reads + null-safe struct
     compare); the oracle replays both precombine argmaxes and the diff."""
-    import glob as _glob
-    import os
     import shutil as _shutil
     import tempfile
 
     from buskafkasparkstreaming_spark.cdc.upsert import UpsertTable
 
-    # PID-namespaced cleanup — same rationale as manifest_time_travel:
-    # never delete a concurrent process's live table dirs
-    prefix = f"bss_diffver_{os.getpid()}_"
-    for old in _glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
-        _shutil.rmtree(old, ignore_errors=True)
-
-    ev = _t(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    )
-    t = UpsertTable(
-        spark,
-        tempfile.mkdtemp(prefix=prefix),
-        key_cols="user_id",
-        precombine_col="ts",
-        tiebreak_cols=["event_id"],
-        retain_versions=True,
-    )
-    t.merge(ev.filter(F.col("event_id") % 2 == 0))
-    t.merge(ev.filter(F.col("event_id") % 2 == 1))
-    log = t.history()
-    out = t.diff_versions(log[0]["seq"], log[-1]["seq"])
-    return out.select(F.col("user_id").cast("long").alias("user_id"), "change_type")
+    # per-invocation working dir removed in a finally (the prmon
+    # pattern, round-13 fleet conversion); result eager-checkpointed
+    # before the dir goes away
+    work = tempfile.mkdtemp(prefix="bss_diffver_")
+    try:
+        ev = _t(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        t = UpsertTable(
+            spark,
+            work,
+            key_cols="user_id",
+            precombine_col="ts",
+            tiebreak_cols=["event_id"],
+            retain_versions=True,
+        )
+        t.merge(ev.filter(F.col("event_id") % 2 == 0))
+        t.merge(ev.filter(F.col("event_id") % 2 == 1))
+        log = t.history()
+        out = t.diff_versions(log[0]["seq"], log[-1]["seq"])
+        return out.select(
+            F.col("user_id").cast("long").alias("user_id"), "change_type"
+        ).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
 
 
 def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3781,39 +3786,38 @@ def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmatched error rows vanish (CDC delete-of-unknown-key), everything
     else upserts. The oracle replays clause routing + both argmaxes
     relationally."""
-    import glob as _glob
-    import os
     import shutil as _shutil
     import tempfile
 
     from buskafkasparkstreaming_spark.cdc.upsert import UpsertTable
 
-    # PID-namespaced cleanup (the manifest_time_travel pattern): never
-    # touch a concurrent process's live table dirs
-    prefix = f"bss_mergeinto_{os.getpid()}_"
-    for old in _glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
-        _shutil.rmtree(old, ignore_errors=True)
-
-    ev = _t(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    ).select("user_id", "event_id", "ts", "value", "event_type")
-    t = UpsertTable(
-        spark,
-        tempfile.mkdtemp(prefix=prefix),
-        key_cols="user_id",
-        precombine_col="ts",
-        tiebreak_cols=["event_id"],
-    )
-    t.merge(ev.filter(F.col("event_id") % 2 == 0))
-    t.merge_into(
-        ev.filter(F.col("event_id") % 2 == 1),
-        matched_delete_condition="event_type = 'error'",
-    )
-    return t.read().select(
-        F.col("user_id").cast("long").alias("user_id"),
-        F.col("event_id").cast("long").alias("event_id"),
-        "event_type",
-    )
+    # per-invocation working dir removed in a finally (the prmon
+    # pattern, round-13 fleet conversion); result eager-checkpointed
+    # before the dir goes away
+    work = tempfile.mkdtemp(prefix="bss_mergeinto_")
+    try:
+        ev = _t(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        ).select("user_id", "event_id", "ts", "value", "event_type")
+        t = UpsertTable(
+            spark,
+            work,
+            key_cols="user_id",
+            precombine_col="ts",
+            tiebreak_cols=["event_id"],
+        )
+        t.merge(ev.filter(F.col("event_id") % 2 == 0))
+        t.merge_into(
+            ev.filter(F.col("event_id") % 2 == 1),
+            matched_delete_condition="event_type = 'error'",
+        )
+        return t.read().select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+        ).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
 
 
 def streaming_purchase_error_full_join(
@@ -5271,52 +5275,61 @@ def lake_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table joined on the same key by every downstream run, this is
     the single most effective layout lever Spark offers. The timed path
     includes both bucketed writes, honestly measuring the layout cost.
-    Table names and paths are PID-namespaced (the manifest_time_travel
-    pattern) so concurrent runs never collide."""
-    import glob as _glob
+    Table names and the data dir are scoped PER INVOCATION (the prmon
+    pattern, round-13 fleet conversion) and torn down in a finally —
+    the small aggregate is eager-checkpointed first, so the returned
+    frame never touches the removed dir or the dropped tables."""
     import os
     import shutil as _shutil
     import tempfile
+    import uuid as _uuid
 
     from buskafkasparkstreaming_spark.tables import write_bucketed
 
-    pid = os.getpid()
-    prefix = f"bss_bkt_{pid}_"
-    for old in _glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
-        _shutil.rmtree(old, ignore_errors=True)
-    base = tempfile.mkdtemp(prefix=prefix)
-    t_orders = f"bss_bkt_orders_{pid}"
-    t_cust = f"bss_bkt_customer_{pid}"
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
-    cust = _t(spark, sf_dir, "customer")
-    write_bucketed(
-        orders,
-        t_orders,
-        ["o_custkey"],
-        8,
-        ["o_custkey"],
-        path=os.path.join(base, "orders"),
-    )
-    write_bucketed(
-        cust,
-        t_cust,
-        ["c_custkey"],
-        8,
-        ["c_custkey"],
-        path=os.path.join(base, "customer"),
-    )
-    j = spark.table(t_orders).join(
-        spark.table(t_cust),
-        F.col("o_custkey") == F.col("c_custkey"),
-    )
-    return (
-        j.groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum(_cents("o_totalprice")).cast("long").alias("revenue_cents"),
+    base = tempfile.mkdtemp(prefix="bss_bkt_")
+    tag = _uuid.uuid4().hex[:12]
+    t_orders = f"bss_bkt_orders_{tag}"
+    t_cust = f"bss_bkt_customer_{tag}"
+    try:
+        orders = _t(spark, sf_dir, "orders").filter(
+            F.col("o_custkey").isNotNull()
         )
-        .select("c_mktsegment", "n_orders", "revenue_cents")
-    )
+        cust = _t(spark, sf_dir, "customer")
+        write_bucketed(
+            orders,
+            t_orders,
+            ["o_custkey"],
+            8,
+            ["o_custkey"],
+            path=os.path.join(base, "orders"),
+        )
+        write_bucketed(
+            cust,
+            t_cust,
+            ["c_custkey"],
+            8,
+            ["c_custkey"],
+            path=os.path.join(base, "customer"),
+        )
+        j = spark.table(t_orders).join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        return (
+            j.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(_cents("o_totalprice")).cast("long").alias(
+                    "revenue_cents"
+                ),
+            )
+            .select("c_mktsegment", "n_orders", "revenue_cents")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 def cdc_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5329,40 +5342,41 @@ def cdc_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge would only mask them). The oracle replays latest-state
     precombine over events minus the purge set — a hash match proves the
     rewrite dropped exactly the purged keys and nothing else."""
-    import glob as _glob
-    import os
     import shutil as _shutil
     import tempfile
 
     from buskafkasparkstreaming_spark.cdc.upsert import UpsertTable
 
-    prefix = f"bss_purge_{os.getpid()}_"
-    for old in _glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
-        _shutil.rmtree(old, ignore_errors=True)
-
-    ev = _t(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-        & F.col("ts").isNotNull()
-        & F.col("event_type").isNotNull()
-    ).select("user_id", "event_id", "ts", "value", "event_type")
-    t = UpsertTable(
-        spark,
-        tempfile.mkdtemp(prefix=prefix),
-        key_cols="user_id",
-        precombine_col="ts",
-        partition_col="event_type",
-        tiebreak_cols=["event_id"],
-    )
-    t.merge(ev)
-    purge_set = ev.select("user_id").filter(
-        F.col("user_id") % 7 == 0
-    ).dropDuplicates(["user_id"])
-    t.purge_keys(purge_set)
-    return t.read().select(
-        F.col("user_id").cast("long").alias("user_id"),
-        F.col("event_id").cast("long").alias("event_id"),
-        "event_type",
-    )
+    # per-invocation working dir removed in a finally (the prmon
+    # pattern, round-13 fleet conversion); result eager-checkpointed
+    # before the dir goes away
+    work = tempfile.mkdtemp(prefix="bss_purge_")
+    try:
+        ev = _t(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        ).select("user_id", "event_id", "ts", "value", "event_type")
+        t = UpsertTable(
+            spark,
+            work,
+            key_cols="user_id",
+            precombine_col="ts",
+            partition_col="event_type",
+            tiebreak_cols=["event_id"],
+        )
+        t.merge(ev)
+        purge_set = ev.select("user_id").filter(
+            F.col("user_id") % 7 == 0
+        ).dropDuplicates(["user_id"])
+        t.purge_keys(purge_set)
+        return t.read().select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+        ).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
 
 
 def q_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8818,6 +8832,48 @@ def q_group_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH weighted reservoir per language
+    (operators/sampling.py::weighted_reservoir_tiers — SURVEY round-13
+    candidate, the streaming A-ES entry's batch dual): k=8 documents
+    per lang with inclusion probability proportional to an integer
+    SIZE TIER, least(8, 1 + n_chars div 256) — the doc-length weighting
+    a token-budget corpus sampler wants. The priority is the streaming
+    tracker's key VERBATIM: max_{j=1..w} md5(id:j:salt), pure
+    lowercase-hex ordering, no pow/ln/float seam, so a batch backfill
+    and the live monitor agree row-for-row. Set semantics (verbatim
+    duplicates occupy one slot — duplicate-row-drift-proof by
+    construction). Plan: row-local codegen priority
+    (sequence→transform→array_max), two-phase top-k — (lang,
+    hash-bucket) local rank then exact rank on the k-bounded survivor
+    set; never one-task-per-lang over the full table. FULL oracle:
+    the literal 1..8 series join + max(md5) + one keyed window."""
+    from buskafkasparkstreaming_spark.operators.sampling import (
+        weighted_reservoir_tiers,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("lang").isNotNull()
+    )
+    rows = docs.select(
+        "lang",
+        "doc_id",
+        F.expr("least(8, 1 + coalesce(n_chars, 0) div 256)")
+        .cast("long")
+        .alias("w"),
+    )
+    out = weighted_reservoir_tiers(
+        rows,
+        id_col="doc_id",
+        weight_col="w",
+        stratum_col="lang",
+        k=8,
+        salt="batch-wres",
+        max_weight=8,
+    )
+    return out.select("lang", "doc_id", "w", "prio")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -8825,107 +8881,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
     # semantics/plan changed this round, then oldest-artifact-first).
-    # Round-11 rotation: 10 new (q_decile_lift, q_allen_spans,
-    # q_allen_incidents, streaming_skyline, and the second wave
-    # q_segment_lift + streaming_allen_monitor + q_skyline3_lineitems
-    # + streaming_reservoir_sample + streaming_pagerank_monitor
-    # + text_unicode_clean -- SURVEY round-11 candidates) + 5 changed
-    # (q_attribution_credit: the r10 red row -- oracle conv_idx BIGINT
-    # cast + is_conv walk-tie key; pack_ffd_bins: rows-only -> invariant
-    # oracle, VERDICT r10 item 5; q_twap_hourly + q_event_gaps: NULL-id
-    # ts-collision ordering fixes from the new advisor sweep;
-    # q_decimal_and_date: cents-idiom alignment) + 35 of the 49-entry
-    # r5-stale cohort = exactly 50. The 14 displaced r5 entries sit
-    # first below the cut (the r9 NOTE precomputed a pure block move;
-    # additions/changes displace explicitly, as that NOTE required).
-    # Round-12 arithmetic: 14 r5-stale + 36 of the 47-entry r7 cohort
-    # fill the window; round-12 additions displace r7 slots.
+    # Round-13 rotation (VERDICT r12 item 1, run exactly as the r12 NOTE
+    # precomputed): the 4 never-driver-seen r12 below-cut head candidates
+    # lead, then 1 new round-13 entry (sample_weighted_reservoir — also
+    # never-seen; additions displace r8 slots explicitly), then the
+    # 19-entry r7 tail displaced in round 12, then 26 of the 49-entry r8
+    # cohort = exactly 50. No `changed` block this round: every round-13
+    # code change (the four ADVICE fixes, the temp-dir fleet conversion,
+    # manifest num_rows persistence) is implementation-only — outputs
+    # bit-identical, re-proven by the local parity suite. A green
+    # CORRECTNESS_r13 closes cumulative driver verification to every
+    # pre-round-13 entry (263 previously checked + the 4 head
+    # candidates); only the one new entry then awaits its first row.
     return {
-        # ===== ROUND-12 DRIVER WINDOW (first 50; the driver checks this
+        # ===== ROUND-13 DRIVER WINDOW (first 50; the driver checks this
         # exact prefix). Rotation, staleness-first from the on-disk
         # CORRECTNESS_r*.json artifacts: never-driver-seen outranks
-        # everything (3 below-cut r11 head candidates + 4 new round-12
-        # entries), then the one entry whose SEMANTICS changed this
-        # round, then the 14 r5-stale displaced in r11, then 28 of the
-        # 47-entry r7 cohort. =============================================
-        # --- never driver-seen: the three round-11 below-cut head
-        # candidates (locally parity-green since r11) --------------------
-        "q_group_equidepth": q_group_equidepth,
-        "streaming_skyline3": streaming_skyline3,
-        "q_isotonic_calibration": q_isotonic_calibration,
-        # --- never driver-seen: new in round 12 (per-group KS over
-        # grouped_running_sum; A-ES weighted streaming reservoir;
-        # live-span Allen classification; FFD manifest-compaction
-        # planner -- the SURVEY round-12 candidate list) -----------------
-        "q_group_ks": q_group_ks,
-        "streaming_weighted_reservoir": streaming_weighted_reservoir,
-        "streaming_allen_sessions": streaming_allen_sessions,
-        "manifest_compaction_plan": manifest_compaction_plan,
-        # --- changed in round 12 (window-head hygiene): the control
-        # strip now covers the C1 block U+0080-U+009F in BOTH engines
-        # (ADVICE r11 item 1) -------------------------------------------
-        "text_unicode_clean": text_unicode_clean,
-        # --- r5-stale, displaced by the round-11 additions/changes ------
-        "doc_fingerprint": doc_fingerprint,
-        "multimodal_bytes_meta": multimodal_bytes_meta,
-        "multimodal_features": multimodal_features,
-        "multimodal_frames": multimodal_frames,
-        "q_approx_distinct_users": q_approx_distinct_users,
-        "q_median_price_by_priority": q_median_price_by_priority,
-        "q_asof_purchase_before_error": q_asof_purchase_before_error,
-        "q_range_join_value_tiers": q_range_join_value_tiers,
-        "text_tfidf_top_terms": text_tfidf_top_terms,
-        "text_langid": text_langid,
-        "text_token_count": text_token_count,
-        "text_quality_classifier": text_quality_classifier,
-        "text_lm_bigram_score": text_lm_bigram_score,
-        "sample_curriculum_stages": sample_curriculum_stages,
-        # --- r7 cohort head (28 of 47; the 19-entry tail leads round 13,
-        # then the r8 cohort) -------------------------------------------
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q_variant_props": q_variant_props,
-        "q_weighted_median": q_weighted_median,
-        "q_running_distinct_types": q_running_distinct_types,
-        "q_top_percent_orders": q_top_percent_orders,
-        "q_scalar_subquery_select": q_scalar_subquery_select,
-        "sketch_hll_intersection": sketch_hll_intersection,
-        "q_spearman_corr": q_spearman_corr,
-        "q_cube_grouping_id": q_cube_grouping_id,
-        "q_benford_digits": q_benford_digits,
-        "q_unpivot_metrics": q_unpivot_metrics,
-        "q_percentile_bands": q_percentile_bands,
-        "ts_sax_blocking_pairs": ts_sax_blocking_pairs,
-        "q_cusum_changepoint": q_cusum_changepoint,
-        "q_event_type_affinity": q_event_type_affinity,
-        "ann_int8_rerank": ann_int8_rerank,
-        "q_interval_contain_join": q_interval_contain_join,
-        "cdc_diff_versions": cdc_diff_versions,
-        "streaming_purchase_error_full_join": streaming_purchase_error_full_join,
-        "streaming_hourly_daily_rollup": streaming_hourly_daily_rollup,
-        "graph_bfs_reachability": graph_bfs_reachability,
-        "graph_triangle_count": graph_triangle_count,
-        "ts_sax_words": ts_sax_words,
-        "text_bigram_pmi": text_bigram_pmi,
-        "dedup_keep_best": dedup_keep_best,
-        "manifest_time_travel": manifest_time_travel,
-        "streaming_topk_per_window": streaming_topk_per_window,
-        # ===== DRIVER WINDOW CUT: the 50 entries above are the round-12
-        # sweep (7 never-seen + 1 changed + 14 r5-stale + 28 r7). Below:
-        # locally green via tests/test_oracle_parity.py every round,
-        # ordered for FUTURE rotations (r7 tail, then the r8/r9/r10
-        # cohorts, then the round-11 window -- freshest last).
-        # Round-13 arithmetic: 19 r7 tail + 31 of the r8 cohort fill the
-        # window; round-13 additions displace r8 slots. ===================
-        # --- round-13 head candidates: implemented and locally
-        # parity-green in round 12, never driver-seen — the round-13
-        # rotation puts them first (never-seen outranks everything),
-        # ahead of the r7 tail below ------------------------------------
+        # everything (4 below-cut r12 head candidates + 1 new round-13
+        # entry), then the 19-entry r7 tail, then 26 of the 49-entry r8
+        # cohort. This closes cumulative driver verification to 267/268
+        # (every pre-round-13 entry checked; the one new entry rides the
+        # same window). ==================================================
+        # --- never driver-seen: the four round-12 below-cut head
+        # candidates (locally parity-green since r12) --------------------
         "manifest_compact_execute": manifest_compact_execute,
         "streaming_group_ks": streaming_group_ks,
         "streaming_allen_live_spans": streaming_allen_live_spans,
         "q_group_ecdf": q_group_ecdf,
-        # --- r7 cohort tail (follows the candidates in round 13) --------
+        # --- never driver-seen: new in round 13 (batch A-ES weighted
+        # reservoir — the streaming entry's batch dual, max-of-w-md5
+        # key verbatim; SURVEY round-13 candidate list) ------------------
+        "sample_weighted_reservoir": sample_weighted_reservoir,
+        # --- r7-stale tail (displaced in round 12) ----------------------
         "q_percentile_disc": q_percentile_disc,
         "q_mode_deterministic": q_mode_deterministic,
         "q_not_in_null_aware": q_not_in_null_aware,
@@ -8945,7 +8932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders_per_customer": q_topk_orders_per_customer,
         "q_exists_correlated": q_exists_correlated,
         "q_customers_without_orders": q_customers_without_orders,
-        # --- driver-green round 8 onward (artifact order) ---------------
+        # --- r8 cohort head (26 of 49; the 23-entry tail leads round 14,
+        # then the r9 cohort) --------------------------------------------
         "dedup_prefix_filter": dedup_prefix_filter,
         "lake_bucketed_join": lake_bucketed_join,
         "cdc_purge_keys": cdc_purge_keys,
@@ -8972,6 +8960,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc_rerank": ann_pq_adc_rerank,
         "streaming_funnel_timeout": streaming_funnel_timeout,
         "ann_ivfadc_topk": ann_ivfadc_topk,
+        # ===== DRIVER WINDOW CUT: the 50 entries above are the round-13
+        # sweep (5 never-seen + 19 r7 + 26 r8). Below: locally green via
+        # tests/test_oracle_parity.py every round, ordered for FUTURE
+        # rotations (r8 tail, then the r9/r10/r11 cohorts, then the
+        # round-12 window — freshest last). Round-14 arithmetic: 23 r8
+        # tail + 27 of the r9 cohort fill the window; round-14 additions
+        # displace r9 slots. =============================================
+        # --- r8 cohort tail (leads round 14) ----------------------------
         "q13_customer_distribution": q13_customer_distribution,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_idle_rich_customers": q22_idle_rich_customers,
@@ -8995,6 +8991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rfm_segments": q_rfm_segments,
         "q_chi2_independence": q_chi2_independence,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        # --- driver-green round 9 (artifact order) ---------------------
         "streaming_psi_drift": streaming_psi_drift,
         "q_ccf_types": q_ccf_types,
         "q_histogram_equi_depth": q_histogram_equi_depth,
@@ -9045,6 +9042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_status_priority": q_rollup_status_priority,
         "q_cube_status_priority": q_cube_status_priority,
         "q_string_agg_suppliers": q_string_agg_suppliers,
+        # --- driver-green round 10 (artifact order) ---------------------
         "layout_hilbert_events": layout_hilbert_events,
         "q_ecdf_transform": q_ecdf_transform,
         "q_cramers_v": q_cramers_v,
@@ -9091,7 +9089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_budget": pack_token_budget,
         "corpus_curation": corpus_curation,
         "ann_quantize_int8": ann_quantize_int8,
-        # --- round-11 window (driver-green r11; freshest, rotates last) -
+        # --- driver-green round 11 (artifact order) ---------------------
         "q_decile_lift": q_decile_lift,
         "q_allen_spans": q_allen_spans,
         "q_allen_incidents": q_allen_incidents,
@@ -9141,6 +9139,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunk_documents": pack_chunk_documents,
         "layout_zorder_events": layout_zorder_events,
         "stats_profile_documents": stats_profile_documents,
+        # --- the round-12 window (checked in CORRECTNESS_r12 — freshest
+        # last) -----------------------------------------------------------
+        "q_group_equidepth": q_group_equidepth,
+        "streaming_skyline3": streaming_skyline3,
+        "q_isotonic_calibration": q_isotonic_calibration,
+        "q_group_ks": q_group_ks,
+        "streaming_weighted_reservoir": streaming_weighted_reservoir,
+        "streaming_allen_sessions": streaming_allen_sessions,
+        "manifest_compaction_plan": manifest_compaction_plan,
+        "text_unicode_clean": text_unicode_clean,
+        "doc_fingerprint": doc_fingerprint,
+        "multimodal_bytes_meta": multimodal_bytes_meta,
+        "multimodal_features": multimodal_features,
+        "multimodal_frames": multimodal_frames,
+        "q_approx_distinct_users": q_approx_distinct_users,
+        "q_median_price_by_priority": q_median_price_by_priority,
+        "q_asof_purchase_before_error": q_asof_purchase_before_error,
+        "q_range_join_value_tiers": q_range_join_value_tiers,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
+        "text_langid": text_langid,
+        "text_token_count": text_token_count,
+        "text_quality_classifier": text_quality_classifier,
+        "text_lm_bigram_score": text_lm_bigram_score,
+        "sample_curriculum_stages": sample_curriculum_stages,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q_variant_props": q_variant_props,
+        "q_weighted_median": q_weighted_median,
+        "q_running_distinct_types": q_running_distinct_types,
+        "q_top_percent_orders": q_top_percent_orders,
+        "q_scalar_subquery_select": q_scalar_subquery_select,
+        "sketch_hll_intersection": sketch_hll_intersection,
+        "q_spearman_corr": q_spearman_corr,
+        "q_cube_grouping_id": q_cube_grouping_id,
+        "q_benford_digits": q_benford_digits,
+        "q_unpivot_metrics": q_unpivot_metrics,
+        "q_percentile_bands": q_percentile_bands,
+        "ts_sax_blocking_pairs": ts_sax_blocking_pairs,
+        "q_cusum_changepoint": q_cusum_changepoint,
+        "q_event_type_affinity": q_event_type_affinity,
+        "ann_int8_rerank": ann_int8_rerank,
+        "q_interval_contain_join": q_interval_contain_join,
+        "cdc_diff_versions": cdc_diff_versions,
+        "streaming_purchase_error_full_join": streaming_purchase_error_full_join,
+        "streaming_hourly_daily_rollup": streaming_hourly_daily_rollup,
+        "graph_bfs_reachability": graph_bfs_reachability,
+        "graph_triangle_count": graph_triangle_count,
+        "ts_sax_words": ts_sax_words,
+        "text_bigram_pmi": text_bigram_pmi,
+        "dedup_keep_best": dedup_keep_best,
+        "manifest_time_travel": manifest_time_travel,
+        "streaming_topk_per_window": streaming_topk_per_window,
     }
 
 STOP_SQL = "('the','a','of','to','and','in')"
@@ -13722,6 +13772,33 @@ def oracle_sql() -> dict[str, str]:
                    END AS ecdf_ref
             FROM r JOIN t ON r.segment = t.segment
             WHERE r.d_cur > 0
+        """,
+        "sample_weighted_reservoir": """
+            -- the streaming A-ES oracle's batch dual, verbatim
+            -- machinery: DISTINCT triples (set semantics), literal
+            -- 1..8 series join (j <= w), max(md5) priority, one keyed
+            -- window; (prio DESC, doc_id, w) total order
+            WITH base AS (
+                SELECT DISTINCT lang, doc_id,
+                       least(8, 1 + coalesce(n_chars, 0) // 256) AS w
+                FROM documents
+                WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+            series AS (SELECT unnest(range(1, 9)) AS j),
+            drawn AS (
+                SELECT lang, doc_id, w,
+                       max(md5(CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(j AS VARCHAR)
+                               || ':batch-wres')) AS prio
+                FROM base JOIN series ON series.j <= base.w
+                GROUP BY 1, 2, 3),
+            r AS (
+                SELECT lang, doc_id, w, prio,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY prio DESC, doc_id ASC, w ASC) AS rn
+                FROM drawn)
+            SELECT lang, doc_id, CAST(w AS BIGINT) AS w, prio
+            FROM r WHERE rn <= 8
         """,
         "streaming_allen_live_spans": f"""
             -- the live span folds must be INDISTINGUISHABLE from the

@@ -246,6 +246,8 @@ HEADLINE = [
     "streaming_group_ks",
     "streaming_allen_live_spans",
     "q_group_ecdf",
+    # round-13 additions (own BASELINE.md budget family)
+    "sample_weighted_reservoir",
 ]
 
 

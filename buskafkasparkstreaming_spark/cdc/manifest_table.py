@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -298,6 +299,8 @@ class ManifestUpsertTable:
         return {partition_value_str: [relative keys]}. The os.rename here
         emulates S3's atomic per-key upload (finalize-on-close), not a
         commit: objects are INVISIBLE until the manifest references them."""
+        import pyarrow.parquet as pq
+
         out: dict[str, list[str]] = {}
         dst_dir = os.path.join(self.path, self.DATA_DIR, txn)
         os.makedirs(dst_dir, exist_ok=True)
@@ -310,6 +313,7 @@ class ManifestUpsertTable:
                     val = partition_dirvalue(name)
                     entries.append((self._pval(val), os.path.join(staging, name)))
         self._last_stats: dict[str, dict] = {}
+        self._last_num_rows: dict[str, int] = {}
         for val_str, src_dir in entries:
             keys = []
             for fname in os.listdir(src_dir):
@@ -319,6 +323,15 @@ class ManifestUpsertTable:
                 dst = os.path.join(self.path, key)
                 os.rename(os.path.join(src_dir, fname), dst)
                 keys.append(key)
+                # footer num_rows lifted into the manifest at commit
+                # (SURVEY round-13 candidate: the stats_cols discipline)
+                # so compaction_plan never walks footers on a
+                # current-format manifest — metadata-only, one local
+                # footer read per NEW object, amortized over every
+                # later plan
+                self._last_num_rows[key] = pq.ParquetFile(
+                    dst
+                ).metadata.num_rows
                 if self.stats_cols:
                     self._last_stats[key] = self._object_stats(
                         dst, self.stats_cols
@@ -326,20 +339,40 @@ class ManifestUpsertTable:
             out[val_str] = keys
         return out
 
+    def _carry_num_rows(self, m: dict | None, live_keys: set) -> dict:
+        """num_rows map for the next manifest: previous manifest's
+        entries + this txn's freshly published objects, restricted to
+        live keys. Partial by design when `m` is format-1."""
+        return {
+            k: int(v)
+            for k, v in {
+                **(m.get("num_rows", {}) if m is not None else {}),
+                **getattr(self, "_last_num_rows", {}),
+            }.items()
+            if k in live_keys
+        }
+
     def _put_manifest(
         self,
         version: int,
         partitions: dict,
         schema_json: dict,
         stats: dict | None = None,
+        num_rows: dict | None = None,
     ) -> None:
         d = self._manifest_dir()
         os.makedirs(d, exist_ok=True)
+        # format 2 adds the per-object num_rows map (may be PARTIAL:
+        # keys carried forward from a format-1 manifest have no entry —
+        # readers fall back to the parquet footer per missing key, so
+        # old- and mixed-format manifests stay fully readable)
         body = {
+            "format": 2,
             "version": version,
             "partitions": partitions,
             "schema": schema_json,
             "stats": stats or {},
+            "num_rows": num_rows or {},
         }
         tmp = os.path.join(d, f".{version:010d}.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -470,7 +503,11 @@ class ManifestUpsertTable:
         version = (m["version"] + 1) if m is not None else 0
         try:
             self._put_manifest(
-                version, partitions, merged.schema.jsonValue(), stats
+                version,
+                partitions,
+                merged.schema.jsonValue(),
+                stats,
+                num_rows=self._carry_num_rows(m, live_keys),
             )
         except ManifestConflictError:
             # Lost the race: this txn's staged objects were computed
@@ -551,7 +588,13 @@ class ManifestUpsertTable:
             if k in live_keys
         }
         try:
-            self._put_manifest(m["version"] + 1, partitions, m["schema"], stats)
+            self._put_manifest(
+                m["version"] + 1,
+                partitions,
+                m["schema"],
+                stats,
+                num_rows=self._carry_num_rows(m, live_keys),
+            )
         except ManifestConflictError:
             shutil.rmtree(
                 os.path.join(self.path, self.DATA_DIR, txn), ignore_errors=True
@@ -570,18 +613,19 @@ class ManifestUpsertTable:
         compacted writes for the merge work, bins never span
         partitions).
 
-        Sizes are per-object parquet-footer `num_rows` — METADATA-only
-        reads, O(live objects), no data scan (the zone-map discipline
-        of _object_stats; a fleet-scale deployment would persist
-        num_rows into the manifest at commit time exactly like
-        stats_cols and skip even the footer walk).
+        Sizes are per-object `num_rows` read from the MANIFEST (format
+        2 persists them at commit beside the zone maps — the stats_cols
+        discipline, SURVEY round-13 candidate), so planning on a
+        current-format manifest touches no parquet footer at all: one
+        JSON read, zero object GETs. Keys a format-1 manifest carried
+        without the field fall back to a per-key footer read
+        (metadata-only) — old and mixed manifests plan identically,
+        just slower.
 
         Returns (part, obj, size, bin_in_part): `groupBy(part,
         bin_in_part)` having count(*) > 1 is the executor's merge work
         list; singleton bins are no-ops.
         """
-        import pyarrow.parquet as pq
-
         from buskafkasparkstreaming_spark.operators.packing import (
             plan_compaction,
         )
@@ -589,9 +633,20 @@ class ManifestUpsertTable:
         m = self._current_manifest()
         if m is None:
             raise FileNotFoundError(f"no manifest at {self.path}")
+        nr = m.get("num_rows", {})
+
+        def _rows(key: str) -> int:
+            n = nr.get(key)
+            if n is not None:
+                return int(n)
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(
+                os.path.join(self.path, key)
+            ).metadata.num_rows
+
         rows = [
-            (val_str, key,
-             pq.ParquetFile(os.path.join(self.path, key)).metadata.num_rows)
+            (val_str, key, _rows(key))
             for val_str, keys in sorted(m["partitions"].items())
             for key in keys
         ]
@@ -646,6 +701,9 @@ class ManifestUpsertTable:
         if not work:
             return report
         merged_keys = {k for objs in work.values() for k in objs}
+        expected_rows = sum(
+            int(r["size"]) for r in plan_rows if r["obj"] in merged_keys
+        )
         keymap = self.spark.createDataFrame(
             [(k, p, b) for (p, b), objs in work.items() for k in objs],
             "__key string, __part string, __bin long",
@@ -664,9 +722,14 @@ class ManifestUpsertTable:
             .parquet(*paths)
             .withColumn(
                 "__key",
+                # pattern derived from DATA_DIR, not hardcoded — a
+                # layout rename must not silently empty the extract
+                # (ADVICE r12); the staged-footer row-count assert
+                # below makes any residual drift fail loudly.
                 F.regexp_extract(
                     F.input_file_name(),
-                    r"(data/[^/]+/[^/]+\.parquet)$",
+                    "(" + re.escape(self.DATA_DIR)
+                    + r"/[^/]+/[^/]+\.parquet)$",
                     1,
                 ),
             )
@@ -687,6 +750,30 @@ class ManifestUpsertTable:
         txn = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f".stage_{txn}")
         out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+
+        # Loss guard (ADVICE r12): any key the regexp/join failed to tag
+        # (layout drift, URI-encoding) silently drops its rows from the
+        # inner join while still retiring the source objects below.
+        # Metadata-only check: staged parquet footers must account for
+        # EXACTLY the merged objects' planned row total, else abort
+        # before the manifest PUT (staging is cleaned, sources intact).
+        import pyarrow.parquet as pq
+
+        staged_rows = 0
+        for root, _dirs, files in os.walk(staging):
+            for fname in files:
+                if fname.endswith(".parquet"):
+                    staged_rows += pq.ParquetFile(
+                        os.path.join(root, fname)
+                    ).metadata.num_rows
+        if staged_rows != expected_rows:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(
+                "compact_with_plan staged "
+                f"{staged_rows} rows but the plan's merged objects hold "
+                f"{expected_rows}: key tagging failed for some objects "
+                "(layout drift?) — aborting before publish"
+            )
 
         # publish: one nested level deeper than _publish_objects (the
         # __bindir split), same atomic-per-key rename + stats lift
@@ -713,6 +800,7 @@ class ManifestUpsertTable:
         dst_dir = os.path.join(self.path, self.DATA_DIR, txn)
         os.makedirs(dst_dir, exist_ok=True)
         self._last_stats = {}
+        self._last_num_rows = {}
         new_objs: dict[str, list[str]] = {}
         for val_str, pdir in entries:
             keys = []
@@ -721,6 +809,9 @@ class ManifestUpsertTable:
                 dst = os.path.join(self.path, key)
                 os.rename(fpath, dst)
                 keys.append(key)
+                self._last_num_rows[key] = pq.ParquetFile(
+                    dst
+                ).metadata.num_rows
                 if self.stats_cols:
                     self._last_stats[key] = self._object_stats(
                         dst, self.stats_cols
@@ -746,7 +837,13 @@ class ManifestUpsertTable:
             if k in live_keys
         }
         try:
-            self._put_manifest(m["version"] + 1, partitions, m["schema"], stats)
+            self._put_manifest(
+                m["version"] + 1,
+                partitions,
+                m["schema"],
+                stats,
+                num_rows=self._carry_num_rows(m, live_keys),
+            )
         except ManifestConflictError:
             shutil.rmtree(
                 os.path.join(self.path, self.DATA_DIR, txn), ignore_errors=True

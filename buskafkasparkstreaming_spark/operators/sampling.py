@@ -603,3 +603,92 @@ def temperature_mix(
         _bucket_hex(id_col, salt) < F.col("__thr_hex")
     )
     return joined.filter(keep).drop("__thr")
+
+
+def weighted_reservoir_tiers(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    stratum_col: str,
+    k: int,
+    salt: str = "wres",
+    max_weight: int = 8,
+    prio_col: str = "prio",
+    prune_buckets: int = 32,
+) -> DataFrame:
+    """BATCH twin of streaming/state.py::weighted_reservoir_per_key
+    (SURVEY round-13 candidate): an A-ES weighted reservoir of size k
+    per stratum with integer SIZE-TIER weights, using the exact
+    max-of-w-md5 priority the streaming tracker folds — so a batch
+    backfill and the live monitor draw the SAME sample from the same
+    rows, and the ordering is pure lowercase-hex string compare (no
+    pow/ln/float seam; contrast `weighted_sample_per_stratum`, the
+    real-weight ln(u)/w variant).
+
+    A-ES exactness: u^(1/w) has the law of max of w iid uniforms, so
+    priority = max_{j=1..w} md5(id:j:salt); top-k by (prio DESC, id
+    ASC, w ASC) is a weighted sample without replacement. Weights
+    clamp to [1, max_weight] exactly like the streaming tracker (a
+    malformed weight degrades to tier 1, never crashes or diverges).
+
+    SET semantics like the tracker's state pool: verbatim duplicate
+    rows occupy ONE slot. Implemented without a pre-dedup shuffle:
+    duplicates tie on the full (prio, id, w) order key, so dense_rank
+    keeps them in one slot through both phases and the final
+    dropDuplicates runs on the k-bounded survivor set only.
+
+    Plan (the two-phase trick topk_per_group's docstring promises):
+    phase 1 ranks inside (stratum, hash-bucket-of-id) — parallelism =
+    strata x prune_buckets, never one-task-per-stratum on a huge
+    stratum — keeping each bucket's top-k (every true stratum-top-k
+    row is top-k in its own bucket, so the prune is lossless); phase 2
+    ranks the <= strata*prune_buckets*k survivors exactly. The priority
+    itself is row-local codegen (sequence -> transform -> array_max),
+    no shuffle.
+    """
+    wcl = F.least(
+        F.greatest(F.col(weight_col).cast("long"), F.lit(1)),
+        F.lit(max_weight),
+    )
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).withColumn(weight_col, wcl)
+    prio = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), F.col(weight_col)),
+            lambda j: F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                    F.lit(":" + salt),
+                )
+            ),
+        )
+    )
+
+    def order():
+        return [
+            F.col(prio_col).desc(),
+            F.col(id_col).asc(),
+            F.col(weight_col).asc(),
+        ]
+
+    from pyspark.sql import Window
+
+    base = base.withColumn(prio_col, prio).withColumn(
+        "__b", F.pmod(F.hash(F.col(id_col)), F.lit(prune_buckets))
+    )
+    w1 = Window.partitionBy(stratum_col, "__b").orderBy(*order())
+    pruned = (
+        base.withColumn("__dr", F.dense_rank().over(w1))
+        .filter(F.col("__dr") <= k)
+        .drop("__b", "__dr")
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy(*order())
+    return (
+        pruned.withColumn("__dr", F.dense_rank().over(w2))
+        .filter(F.col("__dr") <= k)
+        .drop("__dr")
+        .dropDuplicates([stratum_col, id_col, weight_col, prio_col])
+    )

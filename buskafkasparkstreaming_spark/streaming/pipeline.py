@@ -169,14 +169,28 @@ def run_pagerank_monitor(
         ).parquet(snaps_path)
         return n_rows
 
-    ranked_rows = [0]
-    appended_rows = [0]
-
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(edges_path)
-        appended_rows[0] = spark.read.parquet(edges_path).count()
         if batch_id % max(recompute_every, 1) == 0:
-            ranked_rows[0] = recompute()
+            recompute()
+
+    def _count_or_zero(path: str, agg_col: str | None = None) -> int:
+        """Row count of a parquet path (or max(agg_col) when given),
+        0 when the path doesn't exist yet — the DURABLE state the
+        final-pass decision reads (ADVICE r12: process-local counters
+        don't survive a driver kill+restart; a resumed drain that
+        processes zero new batches must still detect that the log is
+        ahead of the newest snapshot and recompute)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            return 0
+        if agg_col is None:
+            return df.count()
+        val = df.agg(F.max(agg_col).alias("m")).collect()[0]["m"]
+        return int(val) if val is not None else 0
 
     try:
         if shuffle_partitions is not None:
@@ -188,8 +202,13 @@ def run_pagerank_monitor(
             .start()
         )
         q.awaitTermination()
-        if appended_rows[0] > ranked_rows[0]:
-            # decimation skipped the tail ticks: one exact final pass
+        # Decimation may skip the tail ticks; derive the final-pass
+        # condition from durable state only: edge-log rows vs the max
+        # n_edges among committed snapshots (no per-batch O(total
+        # edges) re-count — the log is scanned once, here).
+        if _count_or_zero(edges_path) > _count_or_zero(
+            snaps_path, agg_col="n_edges"
+        ):
             recompute()
     finally:
         spark.conf.set(conf_key, prev)

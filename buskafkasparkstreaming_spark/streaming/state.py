@@ -768,7 +768,12 @@ def weighted_reservoir_per_key(
         for pdf in pdfs:
             n_seen += len(pdf)
             for i, w in zip(pdf[id_col].tolist(), pdf[weight_col].tolist()):
-                i, w = int(i), min(int(w), max_weight)
+                # clamp to [1, max_weight]: a w < 1 (contract violation
+                # upstream) must degrade to tier 1 — matching a
+                # defensive oracle whose 1..w series join just emits
+                # nothing — instead of max() over an empty range
+                # killing the streaming query (ADVICE r12)
+                i, w = int(i), min(max(int(w), 1), max_weight)
                 m = max(
                     hashlib.md5(f"{i}:{j}:{salt}".encode()).hexdigest()
                     for j in range(1, w + 1)

@@ -132,28 +132,35 @@ def main() -> None:
     ev = read_table(spark, SF_DIR, "events").filter(
         F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
     ).select("event_type", F.col("event_id").alias("id"))
+    import shutil
+
     for tag, df in (("1x", ev), (f"{COPIES}x", replicate(ev, COPIES, "id", 10**12))):
+        # per-invocation dir removed in a finally (the prmon pattern,
+        # round-13 fleet conversion); both reads collect before cleanup
         d = tempfile.mkdtemp(prefix="bss_res_probe_")
-        df.write.mode("overwrite").parquet(d)
-        schema = spark.read.parquet(d).schema
-        stream = spark.readStream.schema(schema).format("parquet").load(d)
-        out = reservoir_per_key(stream, k=8, key_col="event_type", id_col="id")
-        res = run_to_memory(out, spark, output_mode="update")
-        agg = res.groupBy("event_type").agg(
-            F.max("n_seen").alias("n"),
-        ).collect()
-        rows_per_key = {r["event_type"]: r["n"] for r in agg}
-        state_rows = (
-            res.withColumn(
-                "mx", F.max("n_seen").over(Window.partitionBy("event_type"))
+        try:
+            df.write.mode("overwrite").parquet(d)
+            schema = spark.read.parquet(d).schema
+            stream = spark.readStream.schema(schema).format("parquet").load(d)
+            out = reservoir_per_key(stream, k=8, key_col="event_type", id_col="id")
+            res = run_to_memory(out, spark, output_mode="update")
+            agg = res.groupBy("event_type").agg(
+                F.max("n_seen").alias("n"),
+            ).collect()
+            rows_per_key = {r["event_type"]: r["n"] for r in agg}
+            state_rows = (
+                res.withColumn(
+                    "mx", F.max("n_seen").over(Window.partitionBy("event_type"))
+                )
+                .filter(F.col("n_seen") == F.col("mx"))
+                .groupBy("event_type")
+                .count()
+                .collect()
             )
-            .filter(F.col("n_seen") == F.col("mx"))
-            .groupBy("event_type")
-            .count()
-            .collect()
-        )
-        sizes = {r["event_type"]: r["count"] for r in state_rows}
-        print(f"reservoir {tag}: rows/key={rows_per_key} state/key={sizes}")
+            sizes = {r["event_type"]: r["count"] for r in state_rows}
+            print(f"reservoir {tag}: rows/key={rows_per_key} state/key={sizes}")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
 
     spark.stop()
 

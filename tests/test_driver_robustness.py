@@ -1276,10 +1276,25 @@ def test_duplicate_row_drift(spark, tmp_path):
         TO '{drift}/events.parquet' (FORMAT PARQUET)
         """
     )
+    # r13: documents get the same treatment (every 11th row verbatim
+    # twice) PLUS NULLed n_chars on doc_id%13 — the batch weighted
+    # reservoir is set-semantic over (lang, doc_id, w) and must clamp a
+    # NULL-derived weight to tier 1 identically in both engines
+    con0.execute(
+        f"""
+        COPY (WITH d AS (SELECT doc_id, text, lang, source,
+                                CASE WHEN doc_id % 13 = 0 THEN NULL
+                                     ELSE n_chars END AS n_chars
+                         FROM '{src}/documents.parquet')
+              SELECT * FROM d
+              UNION ALL
+              SELECT * FROM d WHERE doc_id % 11 = 0)
+        TO '{drift}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
     con0.close()
     for t in (
-        "region nation customer supplier part orders lineitem documents "
-        "embeddings"
+        "region nation customer supplier part orders lineitem embeddings"
     ).split():
         shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
 
@@ -1317,6 +1332,10 @@ def test_duplicate_row_drift(spark, tmp_path):
         "manifest_compact_execute",
         "streaming_group_ks",
         "streaming_allen_live_spans",
+        # r13: batch A-ES reservoir — duplicate docs occupy ONE slot
+        # (dense_rank set semantics vs the oracle's DISTINCT), NULL
+        # n_chars degrades to tier 1 on both sides
+        "sample_weighted_reservoir",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)

@@ -522,3 +522,87 @@ def test_manifest_compact_with_plan_executes_bins(spark, tmp_path):
     assert got == want, (got, want)
     for val, keys in m2["partitions"].items():
         assert report[val]["after"] == len(keys)
+
+
+def test_manifest_num_rows_persisted_at_commit(spark, tmp_path, monkeypatch):
+    """Format-2 manifests persist per-object num_rows at commit (the
+    stats_cols discipline, SURVEY round-13 candidate): every live key
+    has an entry equal to its footer count, and compaction_plan on a
+    current-format manifest performs ZERO parquet footer reads — the
+    plan is one JSON read, no object GETs (the fleet-scale metadata
+    path)."""
+    import pyarrow.parquet as pq
+
+    t = _table(spark, tmp_path)
+    for batch, et in ((range(0, 8), 100), (range(8, 12), 200)):
+        df = spark.createDataFrame(
+            [(k, k, k % 2, et) for k in batch], "k int, v int, p int, et int"
+        )
+        t.merge(df)
+    m = t._current_manifest()
+    assert m.get("format") == 2
+    live = [k for keys in m["partitions"].values() for k in keys]
+    assert set(m["num_rows"]) == set(live)
+    for key in live:
+        real = pq.ParquetFile(os.path.join(t.path, key)).metadata.num_rows
+        assert m["num_rows"][key] == real
+    assert sum(m["num_rows"].values()) == t.read().count()
+
+    # zero footer reads: poison ParquetFile for the planning call
+    def _boom(*a, **kw):  # pragma: no cover - must never run
+        raise AssertionError("compaction_plan opened a parquet footer")
+
+    monkeypatch.setattr(pq, "ParquetFile", _boom)
+    plan = t.compaction_plan(budget_rows=6).collect()
+    assert sum(r["size"] for r in plan) == sum(m["num_rows"].values())
+
+
+def test_manifest_format1_compat_plans_identically(spark, tmp_path):
+    """Version tolerance: a format-1 manifest (no num_rows field — what
+    every pre-round-13 commit wrote) must plan IDENTICALLY via the
+    per-key footer fallback, and the next commit must carry forward
+    what it can (fresh objects get entries; the manifest stays
+    readable end-to-end)."""
+    import json as _json
+
+    t = _table(spark, tmp_path)
+    for batch, et in ((range(0, 8), 100), (range(8, 12), 200)):
+        df = spark.createDataFrame(
+            [(k, k, k % 2, et) for k in batch], "k int, v int, p int, et int"
+        )
+        t.merge(df)
+    plan_v2 = sorted(
+        map(tuple, t.compaction_plan(budget_rows=6).collect())
+    )
+
+    # rewrite the CURRENT manifest as format 1 (strip the new fields),
+    # simulating a table last written by an older engine
+    d = t._manifest_dir()
+    name = sorted(n for n in os.listdir(d) if n.endswith(".json"))[-1]
+    p = os.path.join(d, name)
+    with open(p, encoding="utf-8") as fh:
+        body = _json.load(fh)
+    body.pop("format", None)
+    body.pop("num_rows", None)
+    with open(p, "w", encoding="utf-8") as fh:
+        _json.dump(body, fh)
+
+    plan_v1 = sorted(
+        map(tuple, t.compaction_plan(budget_rows=6).collect())
+    )
+    assert plan_v1 == plan_v2
+
+    # a merge on top of the format-1 manifest commits format 2 again;
+    # only the fresh txn's keys are guaranteed entries (partial map)
+    df = spark.createDataFrame(
+        [(100, 1, 0, 300)], "k int, v int, p int, et int"
+    )
+    t.merge(df)
+    m2 = t._current_manifest()
+    assert m2.get("format") == 2
+    live2 = {k for keys in m2["partitions"].values() for k in keys}
+    assert set(m2["num_rows"]) <= live2
+    assert m2["num_rows"], "fresh commit recorded no num_rows"
+    # mixed-format manifest still plans (footer fallback per old key)
+    plan_mixed = t.compaction_plan(budget_rows=6).collect()
+    assert sum(r["size"] for r in plan_mixed) == t.read().count()

@@ -2630,3 +2630,49 @@ def test_unicode_clean_semantics(spark):
     assert out[4][2] == md5("x y")
     assert out[5] == (3, 3, md5("a b"))
     assert out[6] == (7, 4, md5("abcd"))
+
+
+def test_weighted_reservoir_tiers_matches_bruteforce(spark):
+    """Batch A-ES reservoir (sampling.py::weighted_reservoir_tiers) ==
+    a driver-side brute force of the same max-of-w-md5 priority and
+    (prio DESC, id ASC, w ASC) top-k — including verbatim DUPLICATE
+    rows (set semantics: one slot) and out-of-range weights (clamp to
+    [1, max_weight], the streaming tracker's rule — a 0/negative/huge
+    weight must degrade, never crash or shift others' slots)."""
+    import hashlib
+
+    from buskafkasparkstreaming_spark.operators.sampling import (
+        weighted_reservoir_tiers,
+    )
+
+    data = []
+    for i in range(40):
+        s = "a" if i % 2 == 0 else "b"
+        w = [0, 1, 3, 8, 12, -3][i % 6]
+        data.append((s, i, w))
+    data += data[::7]  # verbatim duplicates
+    df = spark.createDataFrame(data, "s string, id long, w long")
+    out = weighted_reservoir_tiers(
+        df, id_col="id", weight_col="w", stratum_col="s", k=5,
+        salt="t", max_weight=8, prune_buckets=4,
+    )
+    got = {(r.s, r.id, r.w, r.prio) for r in out.collect()}
+    assert len(got) == len(out.collect()), "duplicate output rows"
+
+    pool: dict[tuple, str] = {}
+    for s, i, w in data:
+        w2 = min(max(w, 1), 8)
+        prio = max(
+            hashlib.md5(f"{i}:{j}:t".encode()).hexdigest()
+            for j in range(1, w2 + 1)
+        )
+        pool[(s, i, w2)] = prio
+    want = set()
+    for s in ("a", "b"):
+        items = sorted(
+            ((p, i, w) for (ss, i, w), p in pool.items() if ss == s),
+            key=lambda t: (t[1], t[2]),
+        )
+        items.sort(key=lambda t: t[0], reverse=True)
+        want |= {(s, i, w, p) for p, i, w in items[:5]}
+    assert got == want

@@ -746,6 +746,7 @@ def test_external_bucketed_join_has_no_exchange(spark, sf_dir):
     zero Exchange operators; the only Exchange allowed in the whole plan
     is the final per-mktsegment aggregation."""
     import os
+    import shutil
     import tempfile
 
     from buskafkasparkstreaming_spark.tables import write_bucketed
@@ -754,25 +755,27 @@ def test_external_bucketed_join_has_no_exchange(spark, sf_dir):
         F.col("o_custkey").isNotNull()
     )
     cust = entrymod._t(spark, sf_dir, "customer")
-    base = tempfile.mkdtemp(prefix=f"bss_bktgate_{os.getpid()}_")
-    write_bucketed(
-        orders,
-        "bss_gate_orders",
-        ["o_custkey"],
-        8,
-        ["o_custkey"],
-        path=os.path.join(base, "o"),
-    )
-    write_bucketed(
-        cust,
-        "bss_gate_customer",
-        ["c_custkey"],
-        8,
-        ["c_custkey"],
-        path=os.path.join(base, "c"),
-    )
+    # per-invocation dir removed in the finally (the prmon pattern,
+    # round-13 fleet conversion — no leftover bktgate dirs per process)
+    base = tempfile.mkdtemp(prefix="bss_bktgate_")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
+        write_bucketed(
+            orders,
+            "bss_gate_orders",
+            ["o_custkey"],
+            8,
+            ["o_custkey"],
+            path=os.path.join(base, "o"),
+        )
+        write_bucketed(
+            cust,
+            "bss_gate_customer",
+            ["c_custkey"],
+            8,
+            ["c_custkey"],
+            path=os.path.join(base, "c"),
+        )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         j = spark.table("bss_gate_orders").join(
             spark.table("bss_gate_customer"),
@@ -789,6 +792,7 @@ def test_external_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bss_gate_orders")
         spark.sql("DROP TABLE IF EXISTS bss_gate_customer")
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def test_rouge_pair_stream_is_rank_join_not_window(spark, sf_dir):
@@ -1134,3 +1138,18 @@ def test_manifest_compaction_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "SinglePartition" not in p, p
     assert "FlatMapGroupsInPandas" in p, p
+
+
+def test_weighted_reservoir_is_two_phase_not_per_stratum(spark, sf_dir):
+    """sample_weighted_reservoir's plan promise: the first (pruning)
+    Window partitions by (lang, __b hash bucket) — parallelism strata ×
+    buckets, never one task per stratum over the full table — and a
+    second exact Window runs on the k-bounded survivors. The priority
+    must be row-local codegen (no shuffle to compute it), and nothing
+    in the plan is SinglePartition."""
+    df = entrymod.queries()["sample_weighted_reservoir"](spark, sf_dir)
+    p = physical_plan(df)
+    assert p.count("Window") >= 2, p
+    assert "__b" in p, p                      # phase-1 bucket key
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
