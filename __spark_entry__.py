@@ -8874,6 +8874,61 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id", "w", "prio")
 
 
+def q_cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY cohort retention matrix — the product-analytics staple
+    (D1/D7 retention): users cohorted by FIRST-activity day, per
+    (cohort-day, day-offset) active distinct-user counts, retention as
+    ONE float division against the cohort size. Exact integers end to
+    end: days compare as epoch-day BIGINTs (datediff from 1970-01-01 —
+    never a fractional interval), counts are BIGINT, one division per
+    cell. Daily (not monthly) granularity because it is what a live
+    product dashboard tracks — and the events corpus spans ~a month.
+
+    Plan (scale-first): ONE wide shuffle on user_id computes BOTH the
+    cohort day and the user's distinct active-day set in a single hash
+    aggregate (collect_set is bounded by the CALENDAR — days per user,
+    not events per user); explode is narrow; the (cohort, offset) cell
+    aggregation and the cohort sizes are tiny follow-up shuffles on
+    calendar-bounded frames, sizes broadcast back. Never two passes
+    over events, never a users×days join."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("m"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("m").alias("cohort_m"),
+        F.collect_set("m").alias("months"),
+    )
+    active = per_user.select(
+        "user_id", "cohort_m", F.explode("months").alias("m")
+    )
+    cells = active.groupBy("cohort_m", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    sizes = per_user.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_m")
+        .select(
+            F.col("cohort_m").alias("cohort_day_idx"),
+            (F.col("m") - F.col("cohort_m")).cast("long").alias(
+                "offset_days"
+            ),
+            "n_active",
+            "n_cohort",
+            (
+                F.col("n_active").cast("double")
+                / F.col("n_cohort").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -8883,25 +8938,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semantics/plan changed this round, then oldest-artifact-first).
     # Round-13 rotation (VERDICT r12 item 1, run exactly as the r12 NOTE
     # precomputed): the 4 never-driver-seen r12 below-cut head candidates
-    # lead, then 1 new round-13 entry (sample_weighted_reservoir — also
-    # never-seen; additions displace r8 slots explicitly), then the
-    # 19-entry r7 tail displaced in round 12, then 26 of the 49-entry r8
-    # cohort = exactly 50. No `changed` block this round: every round-13
+    # lead, then 2 new round-13 entries (sample_weighted_reservoir +
+    # q_cohort_retention — also never-seen; additions displace r8 slots
+    # explicitly), then the 19-entry r7 tail displaced in round 12, then
+    # 25 of the 49-entry r8 cohort = exactly 50. No `changed` block this round: every round-13
     # code change (the four ADVICE fixes, the temp-dir fleet conversion,
     # manifest num_rows persistence) is implementation-only — outputs
     # bit-identical, re-proven by the local parity suite. A green
     # CORRECTNESS_r13 closes cumulative driver verification to every
     # pre-round-13 entry (263 previously checked + the 4 head
-    # candidates); only the one new entry then awaits its first row.
+    # candidates); only round-13's own additions then await a first row
+    # — and they are IN this window, so a green r13 checks them too.
     return {
         # ===== ROUND-13 DRIVER WINDOW (first 50; the driver checks this
         # exact prefix). Rotation, staleness-first from the on-disk
         # CORRECTNESS_r*.json artifacts: never-driver-seen outranks
-        # everything (4 below-cut r12 head candidates + 1 new round-13
-        # entry), then the 19-entry r7 tail, then 26 of the 49-entry r8
-        # cohort. This closes cumulative driver verification to 267/268
-        # (every pre-round-13 entry checked; the one new entry rides the
-        # same window). ==================================================
+        # everything (4 below-cut r12 head candidates + 2 new round-13
+        # entries), then the 19-entry r7 tail, then 25 of the 49-entry
+        # r8 cohort. A green sweep driver-checks every entry that exists
+        # at the cut, old and new alike. =================================
         # --- never driver-seen: the four round-12 below-cut head
         # candidates (locally parity-green since r12) --------------------
         "manifest_compact_execute": manifest_compact_execute,
@@ -8910,8 +8965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_ecdf": q_group_ecdf,
         # --- never driver-seen: new in round 13 (batch A-ES weighted
         # reservoir — the streaming entry's batch dual, max-of-w-md5
-        # key verbatim; SURVEY round-13 candidate list) ------------------
+        # key verbatim, SURVEY round-13 candidate list; cohort-retention
+        # matrix — one wide user shuffle, calendar-bounded cells) --------
         "sample_weighted_reservoir": sample_weighted_reservoir,
+        "q_cohort_retention_daily": q_cohort_retention_daily,
         # --- r7-stale tail (displaced in round 12) ----------------------
         "q_percentile_disc": q_percentile_disc,
         "q_mode_deterministic": q_mode_deterministic,
@@ -8932,7 +8989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders_per_customer": q_topk_orders_per_customer,
         "q_exists_correlated": q_exists_correlated,
         "q_customers_without_orders": q_customers_without_orders,
-        # --- r8 cohort head (26 of 49; the 23-entry tail leads round 14,
+        # --- r8 cohort head (25 of 49; the 24-entry tail leads round 14,
         # then the r9 cohort) --------------------------------------------
         "dedup_prefix_filter": dedup_prefix_filter,
         "lake_bucketed_join": lake_bucketed_join,
@@ -8959,15 +9016,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_sparse": sketch_hll_sparse,
         "ann_pq_adc_rerank": ann_pq_adc_rerank,
         "streaming_funnel_timeout": streaming_funnel_timeout,
-        "ann_ivfadc_topk": ann_ivfadc_topk,
         # ===== DRIVER WINDOW CUT: the 50 entries above are the round-13
-        # sweep (5 never-seen + 19 r7 + 26 r8). Below: locally green via
+        # sweep (6 never-seen + 19 r7 + 25 r8). Below: locally green via
         # tests/test_oracle_parity.py every round, ordered for FUTURE
         # rotations (r8 tail, then the r9/r10/r11 cohorts, then the
-        # round-12 window — freshest last). Round-14 arithmetic: 23 r8
-        # tail + 27 of the r9 cohort fill the window; round-14 additions
+        # round-12 window — freshest last). Round-14 arithmetic: 24 r8
+        # tail + 26 of the r9 cohort fill the window; round-14 additions
         # displace r9 slots. =============================================
         # --- r8 cohort tail (leads round 14) ----------------------------
+        "ann_ivfadc_topk": ann_ivfadc_topk,
         "q13_customer_distribution": q13_customer_distribution,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_idle_rich_customers": q22_idle_rich_customers,
@@ -13772,6 +13829,35 @@ def oracle_sql() -> dict[str, str]:
                    END AS ecdf_ref
             FROM r JOIN t ON r.segment = t.segment
             WHERE r.d_cur > 0
+        """,
+        "q_cohort_retention_daily": """
+            -- same one-pass decomposition relationally: per-user first
+            -- day + DISTINCT active days, epoch-day BIGINT index
+            -- (datediff from 1970-01-01), BIGINT counts, one division
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(date_diff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) AS BIGINT) AS m
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            pu AS (
+                SELECT user_id, min(m) AS cohort_m
+                FROM ev GROUP BY 1),
+            act AS (SELECT DISTINCT user_id, m FROM ev),
+            cells AS (
+                SELECT pu.cohort_m, act.m,
+                       CAST(count(*) AS BIGINT) AS n_active
+                FROM act JOIN pu ON act.user_id = pu.user_id
+                GROUP BY 1, 2),
+            sizes AS (
+                SELECT cohort_m, CAST(count(*) AS BIGINT) AS n_cohort
+                FROM pu GROUP BY 1)
+            SELECT c.cohort_m AS cohort_day_idx,
+                   c.m - c.cohort_m AS offset_days,
+                   c.n_active, s.n_cohort,
+                   CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
+                       AS retention
+            FROM cells c JOIN sizes s ON c.cohort_m = s.cohort_m
         """,
         "sample_weighted_reservoir": """
             -- the streaming A-ES oracle's batch dual, verbatim

@@ -248,6 +248,7 @@ HEADLINE = [
     "q_group_ecdf",
     # round-13 additions (own BASELINE.md budget family)
     "sample_weighted_reservoir",
+    "q_cohort_retention_daily",
 ]
 
 

@@ -136,8 +136,64 @@ def real_commit_growth() -> list[dict]:
     return out
 
 
+def reservoir_scale() -> list[dict]:
+    """weighted_reservoir_tiers at 1x vs 10x documents: output stays
+    exactly k rows per stratum (the reservoir's whole claim), the
+    phase-2 exact rank always runs on a k-bounded survivor set, and
+    wall tracks the SCAN (phase-1 local ranks), not a per-stratum
+    funnel."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark import get_spark
+    from buskafkasparkstreaming_spark.operators.sampling import (
+        weighted_reservoir_tiers,
+    )
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    spark = get_spark(shuffle_partitions=32)
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = read_table(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("lang").isNotNull()
+    ).select(
+        "lang",
+        "doc_id",
+        F.expr("least(8, 1 + coalesce(n_chars, 0) div 256)")
+        .cast("long")
+        .alias("w"),
+    )
+    big = docs.crossJoin(
+        spark.range(10).select(F.col("id").alias("__c"))
+    ).select(
+        "lang",
+        (F.col("doc_id") + F.col("__c") * F.lit(10**12)).alias("doc_id"),
+        "w",
+    )
+    out = []
+    for tag, df in (("1x", docs), ("10x", big)):
+        t0 = _t.perf_counter()
+        res = weighted_reservoir_tiers(
+            df, id_col="doc_id", weight_col="w", stratum_col="lang",
+            k=8, salt="probe", max_weight=8,
+        )
+        per = {
+            r["lang"]: r["n"]
+            for r in res.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out.append(
+            {"tag": tag, "wall_s": round(_t.perf_counter() - t0, 2),
+             "rows_per_stratum": per}
+        )
+    return out
+
+
 if __name__ == "__main__":
     for n in (1_000, 10_000, 100_000):
         print(json.dumps(time_metadata(n)))
     for row in real_commit_growth():
+        print(json.dumps(row))
+    for row in reservoir_scale():
         print(json.dumps(row))

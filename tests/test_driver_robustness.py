@@ -344,6 +344,7 @@ def test_null_events_drift(spark, tmp_path):
         "q_locf_fill",
         "q_funnel_conversion",
         "q_cohort_retention",
+        "q_cohort_retention_daily",
         "sketch_quantile_histogram",
         "q_mode_deterministic",
         "q_window_ignore_nulls",
@@ -1029,6 +1030,7 @@ def test_null_user_drift(spark, tmp_path):
         "q_asof_nearest_purchase",
         "sketch_hll_distinct",
         "q_cohort_retention",
+        "q_cohort_retention_daily",
         "q_funnel_conversion",
         "q_locf_fill",
         "q_approx_distinct_users",
@@ -1243,6 +1245,75 @@ def test_null_id_ts_collision_drift(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def test_ts_id_exact_collision_drift(spark, tmp_path):
+    """EXACT (ts, event_id) collisions with DIFFERENT payloads (the r13
+    sweep; the r12 session's suspected next class): every 9th/10th row
+    pair shares one event_id AND one day-truncated ts but keeps its own
+    value/type/user. Unlike duplicate-row drift (verbatim copies,
+    interchangeable) the peers here are DISTINGUISHABLE, so any window
+    ordered by (ts, event_id) that emits a peer-order-dependent value —
+    lag(value), a ROWS running sum read AT a row, LOCF segment values,
+    a row_number pick — has no total order between the two engines
+    unless the entry's ordering extends to a payload key or its output
+    is peer-permutation-invariant. RANGE frames see the pair as ONE
+    peer group on both sides; ROWS frames must not leak engine order."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.compare import duckdb_conn, run_pair
+
+    src = "/root/testdata/sf0.001"
+    drift = str(tmp_path / "tsidcol")
+    os.makedirs(drift)
+    con0 = duckdb.connect()
+    con0.execute(
+        f"""
+        COPY (SELECT CASE WHEN event_id % 9 IN (4, 5)
+                          THEN event_id - (event_id % 9) + 4
+                          ELSE event_id END AS event_id,
+                     CASE WHEN event_id % 9 IN (4, 5)
+                          THEN time_bucket(INTERVAL '1 day', ts)
+                          ELSE ts END AS ts,
+                     user_id, event_type, value, props
+              FROM '{src}/events.parquet')
+        TO '{drift}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con0.close()
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{drift}/{t}.parquet")
+
+    con = duckdb_conn(drift)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name in (
+        "q_sessionize_events",
+        "q_event_gaps",
+        "q_twap_hourly",
+        "q_locf_fill",
+        "q_gapfill_hourly",
+        "q_running_distinct_types",
+        "q_attribution_credit",
+        "q_funnel_conversion",
+        "q_funnel_timeout",
+        "q_event_transitions",
+        "q_group_ecdf",
+        "q_group_ks",
+    ):
+        try:
+            run_pair(spark, con, qs[name], oracles[name], drift, name)
+        except AssertionError as e:
+            failures.append(f"{name}: {str(e)[:300]}")
+    con.close()
+    assert not failures, "\n".join(failures)
+
+
 def test_duplicate_row_drift(spark, tmp_path):
     """DUPLICATE VERBATIM rows (the r12 sweep; VERDICT r11 item 3's
     suspected next class): every 11th event row appears TWICE,
@@ -1336,6 +1407,9 @@ def test_duplicate_row_drift(spark, tmp_path):
         # (dense_rank set semantics vs the oracle's DISTINCT), NULL
         # n_chars degrades to tier 1 on both sides
         "sample_weighted_reservoir",
+        # r13: daily cohort retention — collect_set days vs DISTINCT
+        # activity: a duplicated event row must change no cell count
+        "q_cohort_retention_daily",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)

@@ -1325,3 +1325,54 @@ def test_isotonic_blocks_match_reference(spark, rows):
         assert (blocks[-1][0], blocks[-1][1]) == (
             last_len, sum(ys[N - last_len:])
         )
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=-2, max_value=12),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_weighted_reservoir_tiers_property(spark, rows, k):
+    """weighted_reservoir_tiers == the sequential A-ES reference for
+    ANY stratum/id/weight multiset (hypothesis drives duplicates and
+    out-of-range weights naturally): same clamp, same max-of-w-md5
+    priority, same (prio DESC, id, w) top-k, set semantics."""
+    import hashlib
+
+    from buskafkasparkstreaming_spark.operators.sampling import (
+        weighted_reservoir_tiers,
+    )
+
+    df = spark.createDataFrame(rows, "s string, id long, w long")
+    out = weighted_reservoir_tiers(
+        df, id_col="id", weight_col="w", stratum_col="s", k=k,
+        salt="hp", max_weight=8, prune_buckets=3,
+    )
+    got = {(r.s, r.id, r.w, r.prio) for r in out.collect()}
+
+    pool: dict[tuple, str] = {}
+    for s, i, w in rows:
+        w2 = min(max(w, 1), 8)
+        pool[(s, i, w2)] = max(
+            hashlib.md5(f"{i}:{j}:hp".encode()).hexdigest()
+            for j in range(1, w2 + 1)
+        )
+    want = set()
+    for s in {s for s, _, _ in rows}:
+        items = sorted(
+            ((p, i, w) for (ss, i, w), p in pool.items() if ss == s),
+            key=lambda t: (t[1], t[2]),
+        )
+        items.sort(key=lambda t: t[0], reverse=True)
+        want |= {(s, i, w, p) for p, i, w in items[:k]}
+    assert got == want

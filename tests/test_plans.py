@@ -1153,3 +1153,18 @@ def test_weighted_reservoir_is_two_phase_not_per_stratum(spark, sf_dir):
     assert "__b" in p, p                      # phase-1 bucket key
     assert "SinglePartition" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_cohort_retention_single_user_pass(spark, sf_dir):
+    """q_cohort_retention_daily's plan promise: cohort day and the
+    distinct active-day set come from ONE hash aggregate over user_id
+    (never two passes over events or a users x days join — contrast
+    the older weekly q_cohort_retention, which keeps its r6 two-agg
+    shape), the cell/size frames are calendar-bounded, sizes broadcast
+    back, and nothing is a cartesian or SinglePartition stage."""
+    df = entrymod.queries()["q_cohort_retention_daily"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+    p = physical_plan(df)
+    assert "SinglePartition" not in p, p
+    assert "collect_set" in p, p
