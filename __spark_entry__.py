@@ -8929,6 +8929,70 @@ def q_cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TYPE exact Mann-Whitney U (q_mannwhitney_u's grouped form —
+    the grouped machinery's FOURTH composition after grouped_ntile,
+    grouped_running_sum/KS, and the grouped ECDF): within every event
+    type, U between the even-user and odd-user value samples — the
+    per-segment A/B drift test a feature pipeline runs where the split
+    should be exchangeable (any per-type z far from 0 flags a biased
+    split or a value leak). Same exact algebra as the global entry,
+    partitioned: 2*U1 = sum_v d1*(2*C2(v-) + d2) over the per-(type,
+    value) count frame with the running C2 via grouped_running_sum
+    (range repartition on the composite (type, cents) order — never a
+    single-task-per-type window over the value axis); tie term in
+    DECIMAL(38,0); ONE pinned float expression for z per type."""
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    o = ev.select(
+        F.col("event_type").alias("g"),
+        _cents("value").alias("cents"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("g1"),
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("g2"),
+    )
+    per_value = o.groupBy("g", "cents").agg(
+        F.sum("g1").cast("long").alias("d1"),
+        F.sum("g2").cast("long").alias("d2"),
+    ).withColumn("r2", F.col("d2"))
+    running = W.grouped_running_sum(
+        per_value, ["g"], [F.col("cents").asc()], ["r2"]
+    )
+    t = (F.col("d1") + F.col("d2")).cast(dec)
+    sums = running.groupBy("g").agg(
+        F.sum(
+            F.col("d1").cast(dec)
+            * (2 * F.col("r2") - F.col("d2")).cast(dec)
+        ).cast(dec).alias("u1_x2"),
+        F.sum((t * t * t - t).cast(dec)).cast(dec).alias("tie_sum"),
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    n = (F.col("n1") + F.col("n2")).cast(dec)
+    a = (F.col("n1").cast(dec) * F.col("n2").cast(dec)).cast(dec)
+    b = ((n * n * n - n).cast(dec) - F.col("tie_sum")).cast(dec)
+    var_u = (
+        a.cast("double")
+        * b.cast("double")
+        / (12.0 * (n * (n - 1)).cast(dec).cast("double"))
+    )
+    return sums.select(
+        F.col("g").alias("event_type"),
+        "n1",
+        "n2",
+        F.col("u1_x2").cast("double").alias("u1_x2"),
+        F.col("tie_sum").cast("double").alias("tie_sum"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & (var_u > 0),
+            (F.col("u1_x2").cast("double") - a.cast("double"))
+            / (2.0 * F.sqrt(var_u)),
+        ).alias("z_stat"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -8938,10 +9002,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semantics/plan changed this round, then oldest-artifact-first).
     # Round-13 rotation (VERDICT r12 item 1, run exactly as the r12 NOTE
     # precomputed): the 4 never-driver-seen r12 below-cut head candidates
-    # lead, then 2 new round-13 entries (sample_weighted_reservoir +
-    # q_cohort_retention — also never-seen; additions displace r8 slots
-    # explicitly), then the 19-entry r7 tail displaced in round 12, then
-    # 25 of the 49-entry r8 cohort = exactly 50. No `changed` block this round: every round-13
+    # lead, then 3 new round-13 entries (sample_weighted_reservoir,
+    # q_cohort_retention_daily, q_group_mannwhitney — also never-seen;
+    # additions displace r8 slots explicitly), then the 19-entry r7
+    # tail displaced in round 12, then 24 of the 49-entry r8 cohort =
+    # exactly 50. No `changed` block this round: every round-13
     # code change (the four ADVICE fixes, the temp-dir fleet conversion,
     # manifest num_rows persistence) is implementation-only — outputs
     # bit-identical, re-proven by the local parity suite. A green
@@ -8953,8 +9018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== ROUND-13 DRIVER WINDOW (first 50; the driver checks this
         # exact prefix). Rotation, staleness-first from the on-disk
         # CORRECTNESS_r*.json artifacts: never-driver-seen outranks
-        # everything (4 below-cut r12 head candidates + 2 new round-13
-        # entries), then the 19-entry r7 tail, then 25 of the 49-entry
+        # everything (4 below-cut r12 head candidates + 3 new round-13
+        # entries), then the 19-entry r7 tail, then 24 of the 49-entry
         # r8 cohort. A green sweep driver-checks every entry that exists
         # at the cut, old and new alike. =================================
         # --- never driver-seen: the four round-12 below-cut head
@@ -8965,10 +9030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_ecdf": q_group_ecdf,
         # --- never driver-seen: new in round 13 (batch A-ES weighted
         # reservoir — the streaming entry's batch dual, max-of-w-md5
-        # key verbatim, SURVEY round-13 candidate list; cohort-retention
-        # matrix — one wide user shuffle, calendar-bounded cells) --------
+        # key verbatim, SURVEY round-13 candidate list; daily cohort
+        # retention — one wide user shuffle, calendar-bounded cells;
+        # per-type Mann-Whitney U over grouped_running_sum) -------------
         "sample_weighted_reservoir": sample_weighted_reservoir,
         "q_cohort_retention_daily": q_cohort_retention_daily,
+        "q_group_mannwhitney": q_group_mannwhitney,
         # --- r7-stale tail (displaced in round 12) ----------------------
         "q_percentile_disc": q_percentile_disc,
         "q_mode_deterministic": q_mode_deterministic,
@@ -8989,7 +9056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders_per_customer": q_topk_orders_per_customer,
         "q_exists_correlated": q_exists_correlated,
         "q_customers_without_orders": q_customers_without_orders,
-        # --- r8 cohort head (25 of 49; the 24-entry tail leads round 14,
+        # --- r8 cohort head (24 of 49; the 25-entry tail leads round 14,
         # then the r9 cohort) --------------------------------------------
         "dedup_prefix_filter": dedup_prefix_filter,
         "lake_bucketed_join": lake_bucketed_join,
@@ -9015,15 +9082,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist_rerank": dedup_editdist_rerank,
         "sketch_hll_sparse": sketch_hll_sparse,
         "ann_pq_adc_rerank": ann_pq_adc_rerank,
-        "streaming_funnel_timeout": streaming_funnel_timeout,
         # ===== DRIVER WINDOW CUT: the 50 entries above are the round-13
-        # sweep (6 never-seen + 19 r7 + 25 r8). Below: locally green via
+        # sweep (7 never-seen + 19 r7 + 24 r8). Below: locally green via
         # tests/test_oracle_parity.py every round, ordered for FUTURE
         # rotations (r8 tail, then the r9/r10/r11 cohorts, then the
-        # round-12 window — freshest last). Round-14 arithmetic: 24 r8
-        # tail + 26 of the r9 cohort fill the window; round-14 additions
+        # round-12 window — freshest last). Round-14 arithmetic: 25 r8
+        # tail + 25 of the r9 cohort fill the window; round-14 additions
         # displace r9 slots. =============================================
         # --- r8 cohort tail (leads round 14) ----------------------------
+        "streaming_funnel_timeout": streaming_funnel_timeout,
         "ann_ivfadc_topk": ann_ivfadc_topk,
         "q13_customer_distribution": q13_customer_distribution,
         "q21_sole_late_supplier": q21_sole_late_supplier,
@@ -13858,6 +13925,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
                        AS retention
             FROM cells c JOIN sizes s ON c.cohort_m = s.cohort_m
+        """,
+        "q_group_mannwhitney": """
+            -- the global U oracle with the type key threaded through:
+            -- PARTITION BY g running C2, GROUP BY g sums, same pinned
+            -- float z expression per type
+            WITH ev AS (
+                SELECT event_type AS g,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+                       CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g2
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL
+                  AND event_type IS NOT NULL),
+            v AS (SELECT g, cents, CAST(sum(g1) AS BIGINT) AS d1,
+                         CAST(sum(g2) AS BIGINT) AS d2
+                  FROM ev GROUP BY 1, 2),
+            r AS (SELECT g, cents, d1, d2,
+                         CAST(sum(d2) OVER (
+                             PARTITION BY g ORDER BY cents) AS BIGINT)
+                             AS r2
+                  FROM v),
+            s AS (SELECT g,
+                      CAST(sum(CAST(d1 AS DECIMAL(38,0))
+                               * CAST(2 * r2 - d2 AS DECIMAL(38,0)))
+                           AS DECIMAL(38,0)) AS u1_x2,
+                      CAST(sum(CAST(d1 + d2 AS DECIMAL(38,0))
+                               * CAST(d1 + d2 AS DECIMAL(38,0))
+                               * CAST(d1 + d2 AS DECIMAL(38,0))
+                               - CAST(d1 + d2 AS DECIMAL(38,0)))
+                           AS DECIMAL(38,0)) AS tie_sum,
+                      CAST(sum(d1) AS BIGINT) AS n1,
+                      CAST(sum(d2) AS BIGINT) AS n2
+                  FROM r GROUP BY g)
+            SELECT g AS event_type, n1, n2,
+                   CAST(u1_x2 AS DOUBLE) AS u1_x2,
+                   CAST(tie_sum AS DOUBLE) AS tie_sum,
+                   CASE WHEN n1 > 0 AND n2 > 0 AND
+                        (CAST(CAST(n1 AS DECIMAL(38,0))
+                              * CAST(n2 AS DECIMAL(38,0)) AS DOUBLE)
+                         * CAST(CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                 * CAST(n1 + n2 AS DECIMAL(38,0))
+                                 * CAST(n1 + n2 AS DECIMAL(38,0))
+                                 - CAST(n1 + n2 AS DECIMAL(38,0))
+                                 AS DECIMAL(38,0)) - tie_sum AS DOUBLE)
+                         / (12.0 * CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                * CAST(n1 + n2 - 1 AS DECIMAL(38,0))
+                                AS DOUBLE))) > 0
+                   THEN (CAST(u1_x2 AS DOUBLE)
+                         - CAST(CAST(n1 AS DECIMAL(38,0))
+                                * CAST(n2 AS DECIMAL(38,0)) AS DOUBLE))
+                        / (2.0 * sqrt(
+                            CAST(CAST(n1 AS DECIMAL(38,0))
+                                 * CAST(n2 AS DECIMAL(38,0)) AS DOUBLE)
+                            * CAST(CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                    * CAST(n1 + n2 AS DECIMAL(38,0))
+                                    * CAST(n1 + n2 AS DECIMAL(38,0))
+                                    - CAST(n1 + n2 AS DECIMAL(38,0))
+                                    AS DECIMAL(38,0)) - tie_sum AS DOUBLE)
+                            / (12.0
+                               * CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                      * CAST(n1 + n2 - 1 AS DECIMAL(38,0))
+                                      AS DOUBLE))))
+                   END AS z_stat
+            FROM s
         """,
         "sample_weighted_reservoir": """
             -- the streaming A-ES oracle's batch dual, verbatim

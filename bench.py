@@ -249,6 +249,7 @@ HEADLINE = [
     # round-13 additions (own BASELINE.md budget family)
     "sample_weighted_reservoir",
     "q_cohort_retention_daily",
+    "q_group_mannwhitney",
 ]
 
 

@@ -400,6 +400,7 @@ def test_null_events_drift(spark, tmp_path):
         # event_type outside both samples on BOTH sides (U test,
         # Hellinger bins, Holt's per-type hourly series)
         "q_mannwhitney_u",
+        "q_group_mannwhitney",
         "q_hellinger_types",
         "q_holt_dyadic",
         # round-9 registrations: NULL value rows propagate NULL cents
@@ -1488,6 +1489,7 @@ def test_extreme_magnitude_drift(spark, tmp_path):
         # the value-based statistics family: every fixed-point/DECIMAL
         # exactness claim re-proved at ~1e14-cent magnitudes
         "q_mannwhitney_u",
+        "q_group_mannwhitney",
         "q_hellinger_types",
         "q_bootstrap_ci_mean",
         "sketch_tdigest_pinned",

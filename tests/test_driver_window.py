@@ -20,7 +20,10 @@ R12_HEAD_CANDIDATES = [
     "manifest_compact_execute", "streaming_group_ks",
     "streaming_allen_live_spans", "q_group_ecdf",
 ]
-NEW_R13 = ["sample_weighted_reservoir", "q_cohort_retention_daily"]
+NEW_R13 = [
+    "sample_weighted_reservoir", "q_cohort_retention_daily",
+    "q_group_mannwhitney",
+]
 R7_TAIL_19 = [
     "q_percentile_disc", "q_mode_deterministic", "q_not_in_null_aware",
     "q_window_ignore_nulls", "q_two_phase_skew_agg",
@@ -31,7 +34,7 @@ R7_TAIL_19 = [
     "q_topk_orders_per_customer", "q_exists_correlated",
     "q_customers_without_orders",
 ]
-R8_HEAD_25 = [
+R8_HEAD_24 = [
     "dedup_prefix_filter", "lake_bucketed_join", "cdc_purge_keys",
     "q_entropy_mi", "q_acf_hourly", "q_seasonal_anomaly",
     "text_rouge_overlap", "sketch_theta_intersection",
@@ -41,24 +44,24 @@ R8_HEAD_25 = [
     "q_cheapest_supplier_per_part", "q4_late_ship_priority",
     "q_mom_growth", "q_event_transitions", "q_percentile_cont",
     "dedup_editdist_rerank", "sketch_hll_sparse", "ann_pq_adc_rerank",
-    "streaming_funnel_timeout",
 ]
 
 
 def test_round13_window_composition():
     qs = list(entrymod.queries().keys())
-    want = R12_HEAD_CANDIDATES + NEW_R13 + R7_TAIL_19 + R8_HEAD_25
+    want = R12_HEAD_CANDIDATES + NEW_R13 + R7_TAIL_19 + R8_HEAD_24
     assert len(want) == 50, len(want)
     assert qs[:50] == want, (qs[:50], want)
 
 
 def test_round14_lead_is_r8_tail():
-    """Below the cut: the 24-entry r8 tail leads round 14 (nothing is
+    """Below the cut: the 25-entry r8 tail leads round 14 (nothing is
     never-driver-seen after a green round 13 except entries round 14
     itself adds), then the r9 cohort."""
     qs = list(entrymod.queries().keys())
-    assert qs[50] == "ann_ivfadc_topk", qs[50]
-    assert qs[51] == "q13_customer_distribution", qs[51]
+    assert qs[50] == "streaming_funnel_timeout", qs[50]
+    assert qs[51] == "ann_ivfadc_topk", qs[51]
+    assert qs[52] == "q13_customer_distribution", qs[52]
     # the round-12 window sits at the very bottom (freshest last)
     assert qs[-1] == "streaming_topk_per_window", qs[-1]
     assert qs[-50] == "q_group_equidepth", qs[-50]

@@ -1168,3 +1168,15 @@ def test_cohort_retention_single_user_pass(spark, sf_dir):
     p = physical_plan(df)
     assert "SinglePartition" not in p, p
     assert "collect_set" in p, p
+
+
+def test_group_mannwhitney_is_range_partitioned(spark, sf_dir):
+    """q_group_mannwhitney's plan promise: the per-type running C2 goes
+    through grouped_running_sum's composite-order range repartition —
+    never a single-task-per-type window over the value axis — and the
+    final per-type reduction is an ordinary hash aggregate. No
+    SinglePartition stage, no cartesian."""
+    df = entrymod.queries()["q_group_mannwhitney"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
