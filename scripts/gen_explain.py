@@ -93,6 +93,9 @@ SHOWN = {
     "q_group_ks": "per-group exact KS: grouped_running_sum = range repartition on the composite (segment, cents) order (prints post-checkpoint, range exchange gated in test_plans.py) + Spark-derived per-group start offsets broadcast null-safely; numerator max and at-value argmin aggregate BY SEGMENT — zero SinglePartition stages",
     "manifest_compaction_plan": "FFD compaction planner: the (type, hour) inventory is one hash agg; the plan is ONE applyInPandas keyed on the partition value (metadata-sized input); invariant summary = two bounded aggregations joined on part",
     "q_group_ecdf": "per-group ECDF: the reference running count rides grouped_running_sum's composite-order range exchange; current-year filter + one broadcast totals join; one division per row",
+    "sample_weighted_reservoir": "batch A-ES reservoir: row-local codegen priority (sequence->transform->array_max of md5s), two-phase top-k — (lang, hash-bucket) local dense_rank then exact rank on the k-bounded survivors; dedup only on the tiny final frame",
+    "q_cohort_retention_daily": "daily cohort retention: ONE wide user_id hash agg (min day + collect_set days together), narrow explode, calendar-bounded cell/size aggs, sizes broadcast back — never two passes over events",
+    "q_group_mannwhitney": "per-type Mann-Whitney U: per-(type, cents) counts, running C2 via grouped_running_sum's composite-order range exchange, per-type DECIMAL(38,0) reduction — no type ever funnels through one task",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage
