@@ -8993,6 +8993,72 @@ def q_group_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING daily cohort retention — q_cohort_retention_daily's
+    live twin (the streaming_allen_live_spans precedent: the live
+    formulation must be INDISTINGUISHABLE from the batch one, so the
+    oracle is the batch entry's SQL verbatim). The stateful piece is
+    per-(user, day) PRESENCE — Spark's NATIVE streaming dedup
+    (dropDuplicates on the key pair): presence is the simplest
+    idempotent set-union semilattice, and the built-in dedup operator
+    IS that fold with JVM-side state — the UDF-is-the-slow-path rule
+    applied to state (a first cut used a Python span fold per (user,
+    day) key and cost 8 s in the suite; the native operator is ~6x
+    cheaper for identical semantics). Kill/restart-safe by the dedup
+    operator's own contract (state = the key set; replay re-emits are
+    absorbed by the batch-side DISTINCT). The cohort matrix — first
+    day per user, per-(cohort, offset) distinct-active counts,
+    retention ratios — derives batch-side from the drained presence
+    set (Spark forbids the second stateful agg in-stream; the rollup
+    is the documented drain + batch-side pattern)."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    pts = stream.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("day"),
+    )
+    dedup = pts.dropDuplicates(["user_id", "day"])
+    res = SW.run_to_memory(dedup, spark, output_mode="append")
+    # presence: every emission for a (user, day) key certifies the same
+    # fact, so DISTINCT on the key pair IS the final state. The lazy
+    # localCheckpoint is the streaming_allen_live_spans lesson: the
+    # memory-sink subplan is branched into per_user AND cells, and
+    # Spark's self-join analysis hits a conflicting-references
+    # INTERNAL_ERROR unless the shared subplan is a deduplicable leaf
+    active = (
+        res.select("user_id", F.col("day").alias("m"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    per_user = active.groupBy("user_id").agg(F.min("m").alias("cohort_m"))
+    cells = (
+        active.join(per_user, "user_id")
+        .groupBy("cohort_m", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    sizes = per_user.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_m")
+        .select(
+            F.col("cohort_m").alias("cohort_day_idx"),
+            (F.col("m") - F.col("cohort_m")).cast("long").alias(
+                "offset_days"
+            ),
+            "n_active",
+            "n_cohort",
+            (
+                F.col("n_active").cast("double")
+                / F.col("n_cohort").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -9002,11 +9068,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semantics/plan changed this round, then oldest-artifact-first).
     # Round-13 rotation (VERDICT r12 item 1, run exactly as the r12 NOTE
     # precomputed): the 4 never-driver-seen r12 below-cut head candidates
-    # lead, then 3 new round-13 entries (sample_weighted_reservoir,
-    # q_cohort_retention_daily, q_group_mannwhitney — also never-seen;
-    # additions displace r8 slots explicitly), then the 19-entry r7
-    # tail displaced in round 12, then 24 of the 49-entry r8 cohort =
-    # exactly 50. No `changed` block this round: every round-13
+    # lead, then 4 new round-13 entries (sample_weighted_reservoir,
+    # q_cohort_retention_daily, q_group_mannwhitney,
+    # streaming_cohort_retention — also never-seen; additions displace
+    # r8 slots explicitly), then the 19-entry r7 tail displaced in
+    # round 12, then 23 of the 49-entry r8 cohort = exactly 50. No `changed` block this round: every round-13
     # code change (the four ADVICE fixes, the temp-dir fleet conversion,
     # manifest num_rows persistence) is implementation-only — outputs
     # bit-identical, re-proven by the local parity suite. A green
@@ -9018,8 +9084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== ROUND-13 DRIVER WINDOW (first 50; the driver checks this
         # exact prefix). Rotation, staleness-first from the on-disk
         # CORRECTNESS_r*.json artifacts: never-driver-seen outranks
-        # everything (4 below-cut r12 head candidates + 3 new round-13
-        # entries), then the 19-entry r7 tail, then 24 of the 49-entry
+        # everything (4 below-cut r12 head candidates + 4 new round-13
+        # entries), then the 19-entry r7 tail, then 23 of the 49-entry
         # r8 cohort. A green sweep driver-checks every entry that exists
         # at the cut, old and new alike. =================================
         # --- never driver-seen: the four round-12 below-cut head
@@ -9032,10 +9098,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reservoir — the streaming entry's batch dual, max-of-w-md5
         # key verbatim, SURVEY round-13 candidate list; daily cohort
         # retention — one wide user shuffle, calendar-bounded cells;
-        # per-type Mann-Whitney U over grouped_running_sum) -------------
+        # per-type Mann-Whitney U over grouped_running_sum; the cohort
+        # matrix's STREAMING twin via the (user, day) presence fold) ----
         "sample_weighted_reservoir": sample_weighted_reservoir,
         "q_cohort_retention_daily": q_cohort_retention_daily,
         "q_group_mannwhitney": q_group_mannwhitney,
+        "streaming_cohort_retention": streaming_cohort_retention,
         # --- r7-stale tail (displaced in round 12) ----------------------
         "q_percentile_disc": q_percentile_disc,
         "q_mode_deterministic": q_mode_deterministic,
@@ -9056,7 +9124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders_per_customer": q_topk_orders_per_customer,
         "q_exists_correlated": q_exists_correlated,
         "q_customers_without_orders": q_customers_without_orders,
-        # --- r8 cohort head (24 of 49; the 25-entry tail leads round 14,
+        # --- r8 cohort head (23 of 49; the 26-entry tail leads round 14,
         # then the r9 cohort) --------------------------------------------
         "dedup_prefix_filter": dedup_prefix_filter,
         "lake_bucketed_join": lake_bucketed_join,
@@ -9081,15 +9149,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentile_cont": q_percentile_cont,
         "dedup_editdist_rerank": dedup_editdist_rerank,
         "sketch_hll_sparse": sketch_hll_sparse,
-        "ann_pq_adc_rerank": ann_pq_adc_rerank,
         # ===== DRIVER WINDOW CUT: the 50 entries above are the round-13
-        # sweep (7 never-seen + 19 r7 + 24 r8). Below: locally green via
+        # sweep (8 never-seen + 19 r7 + 23 r8). Below: locally green via
         # tests/test_oracle_parity.py every round, ordered for FUTURE
         # rotations (r8 tail, then the r9/r10/r11 cohorts, then the
-        # round-12 window — freshest last). Round-14 arithmetic: 25 r8
-        # tail + 25 of the r9 cohort fill the window; round-14 additions
+        # round-12 window — freshest last). Round-14 arithmetic: 26 r8
+        # tail + 24 of the r9 cohort fill the window; round-14 additions
         # displace r9 slots. =============================================
         # --- r8 cohort tail (leads round 14) ----------------------------
+        "ann_pq_adc_rerank": ann_pq_adc_rerank,
         "streaming_funnel_timeout": streaming_funnel_timeout,
         "ann_ivfadc_topk": ann_ivfadc_topk,
         "q13_customer_distribution": q13_customer_distribution,
@@ -13901,6 +13969,36 @@ def oracle_sql() -> dict[str, str]:
             -- same one-pass decomposition relationally: per-user first
             -- day + DISTINCT active days, epoch-day BIGINT index
             -- (datediff from 1970-01-01), BIGINT counts, one division
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(date_diff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) AS BIGINT) AS m
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            pu AS (
+                SELECT user_id, min(m) AS cohort_m
+                FROM ev GROUP BY 1),
+            act AS (SELECT DISTINCT user_id, m FROM ev),
+            cells AS (
+                SELECT pu.cohort_m, act.m,
+                       CAST(count(*) AS BIGINT) AS n_active
+                FROM act JOIN pu ON act.user_id = pu.user_id
+                GROUP BY 1, 2),
+            sizes AS (
+                SELECT cohort_m, CAST(count(*) AS BIGINT) AS n_cohort
+                FROM pu GROUP BY 1)
+            SELECT c.cohort_m AS cohort_day_idx,
+                   c.m - c.cohort_m AS offset_days,
+                   c.n_active, s.n_cohort,
+                   CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
+                       AS retention
+            FROM cells c JOIN sizes s ON c.cohort_m = s.cohort_m
+        """,
+        "streaming_cohort_retention": """
+            -- the live presence fold must be indistinguishable from
+            -- the batch matrix (set-union semilattice drain == plain
+            -- DISTINCT for any pacing), so the oracle is
+            -- q_cohort_retention_daily's SQL verbatim
             WITH ev AS (
                 SELECT user_id,
                        CAST(date_diff('day', DATE '1970-01-01',

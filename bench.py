@@ -250,6 +250,7 @@ HEADLINE = [
     "sample_weighted_reservoir",
     "q_cohort_retention_daily",
     "q_group_mannwhitney",
+    "streaming_cohort_retention",
 ]
 
 

@@ -1409,8 +1409,10 @@ def test_duplicate_row_drift(spark, tmp_path):
         # n_chars degrades to tier 1 on both sides
         "sample_weighted_reservoir",
         # r13: daily cohort retention — collect_set days vs DISTINCT
-        # activity: a duplicated event row must change no cell count
+        # activity: a duplicated event row must change no cell count;
+        # the streaming twin's presence fold is idempotent by contract
         "q_cohort_retention_daily",
+        "streaming_cohort_retention",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)

@@ -22,7 +22,7 @@ R12_HEAD_CANDIDATES = [
 ]
 NEW_R13 = [
     "sample_weighted_reservoir", "q_cohort_retention_daily",
-    "q_group_mannwhitney",
+    "q_group_mannwhitney", "streaming_cohort_retention",
 ]
 R7_TAIL_19 = [
     "q_percentile_disc", "q_mode_deterministic", "q_not_in_null_aware",
@@ -34,7 +34,7 @@ R7_TAIL_19 = [
     "q_topk_orders_per_customer", "q_exists_correlated",
     "q_customers_without_orders",
 ]
-R8_HEAD_24 = [
+R8_HEAD_23 = [
     "dedup_prefix_filter", "lake_bucketed_join", "cdc_purge_keys",
     "q_entropy_mi", "q_acf_hourly", "q_seasonal_anomaly",
     "text_rouge_overlap", "sketch_theta_intersection",
@@ -43,25 +43,25 @@ R8_HEAD_24 = [
     "cdc_merge_into", "streaming_enrich_asof_static",
     "q_cheapest_supplier_per_part", "q4_late_ship_priority",
     "q_mom_growth", "q_event_transitions", "q_percentile_cont",
-    "dedup_editdist_rerank", "sketch_hll_sparse", "ann_pq_adc_rerank",
+    "dedup_editdist_rerank", "sketch_hll_sparse",
 ]
 
 
 def test_round13_window_composition():
     qs = list(entrymod.queries().keys())
-    want = R12_HEAD_CANDIDATES + NEW_R13 + R7_TAIL_19 + R8_HEAD_24
+    want = R12_HEAD_CANDIDATES + NEW_R13 + R7_TAIL_19 + R8_HEAD_23
     assert len(want) == 50, len(want)
     assert qs[:50] == want, (qs[:50], want)
 
 
 def test_round14_lead_is_r8_tail():
-    """Below the cut: the 25-entry r8 tail leads round 14 (nothing is
+    """Below the cut: the 26-entry r8 tail leads round 14 (nothing is
     never-driver-seen after a green round 13 except entries round 14
     itself adds), then the r9 cohort."""
     qs = list(entrymod.queries().keys())
-    assert qs[50] == "streaming_funnel_timeout", qs[50]
-    assert qs[51] == "ann_ivfadc_topk", qs[51]
-    assert qs[52] == "q13_customer_distribution", qs[52]
+    assert qs[50] == "ann_pq_adc_rerank", qs[50]
+    assert qs[51] == "streaming_funnel_timeout", qs[51]
+    assert qs[52] == "ann_ivfadc_topk", qs[52]
     # the round-12 window sits at the very bottom (freshest last)
     assert qs[-1] == "streaming_topk_per_window", qs[-1]
     assert qs[-50] == "q_group_equidepth", qs[-50]
