@@ -190,10 +190,76 @@ def reservoir_scale() -> list[dict]:
     return out
 
 
+def grouped_entries_scale() -> list[dict]:
+    """q_group_mannwhitney and q_cohort_retention_daily at 1x vs 10x
+    events (id-offset replication): wall must track the scan + the
+    range/hash exchanges, never a per-group funnel. The Mann-Whitney
+    per-(type, cents) frame grows ~10x in rows but the per-type
+    reduction stays type-cardinality-sized; the cohort matrix's
+    user-keyed aggregate grows 10x map-side while cells stay
+    calendar-bounded."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark import get_spark
+    from buskafkasparkstreaming_spark.sources.files import read_table
+
+    import __spark_entry__ as mod
+
+    spark = get_spark(shuffle_partitions=32)
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ev = read_table(spark, sf, "events")
+    big = ev.crossJoin(
+        spark.range(10).select(F.col("id").alias("__c"))
+    ).select(
+        (F.col("event_id") + F.col("__c") * F.lit(10**12)).alias(
+            "event_id"
+        ),
+        "ts",
+        (F.col("user_id") + F.col("__c") * F.lit(10**12)).alias(
+            "user_id"
+        ),
+        "event_type",
+        "value",
+        "props",
+    )
+    big_dir = tempfile.mkdtemp(prefix="bss_r13_grp_")
+    out = []
+    try:
+        big.write.mode("overwrite").parquet(
+            os.path.join(big_dir, "events.parquet")
+        )
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "documents embeddings"
+        ).split():
+            os.symlink(
+                os.path.join(sf, f"{t}.parquet"),
+                os.path.join(big_dir, f"{t}.parquet"),
+            )
+        for name in ("q_group_mannwhitney", "q_cohort_retention_daily"):
+            fn = mod.queries()[name]
+            for tag, d in (("1x", sf), ("10x", big_dir)):
+                fn(spark, d).count()  # warm
+                t0 = _t.perf_counter()
+                n = fn(spark, d).count()
+                out.append(
+                    {"entry": name, "tag": tag,
+                     "wall_s": round(_t.perf_counter() - t0, 2),
+                     "rows": n}
+                )
+    finally:
+        shutil.rmtree(big_dir, ignore_errors=True)
+    return out
+
+
 if __name__ == "__main__":
     for n in (1_000, 10_000, 100_000):
         print(json.dumps(time_metadata(n)))
     for row in real_commit_growth():
         print(json.dumps(row))
     for row in reservoir_scale():
+        print(json.dumps(row))
+    for row in grouped_entries_scale():
         print(json.dumps(row))
