@@ -1605,3 +1605,89 @@ def test_streaming_skyline3_kill_restart_equivalence(spark, tmp_path):
             )
         )
     assert a == want, (a, want)
+
+
+def test_streaming_presence_dedup_kill_restart_and_pacing(spark, tmp_path):
+    """The cohort twin's stateful piece: per-(user, day) PRESENCE via
+    Spark's native streaming dropDuplicates. Presence is the idempotent
+    set-union semilattice, and the BUILT-IN dedup operator carries the
+    same contract the Python folds pin: kill/restart on one checkpoint
+    and any pacing land the same emitted key set, equal to the pure
+    batch DISTINCT — duplicates within a batch, across batches, and
+    re-delivered after a restart all collapse to one emission (replay
+    re-emits, if any, are absorbed by the batch-side DISTINCT exactly
+    as the entry does)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [
+        [(1, 100), (1, 100), (2, 100)],   # in-batch duplicate
+        [(1, 100), (2, 101)],             # cross-batch duplicate
+        [(3, 100), (1, 101)],             # new key; new day for user 1
+    ]
+    schema = "user_id bigint, day bigint"
+
+    def write_file(dirname, i, rows):
+        path = str(tmp_path / dirname / f"f{i}.parquet")
+        staging = path + ".staging"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(part, path)
+        shutil.rmtree(staging)
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    def drain(in_dir, ckpt, out_dir, max_files):
+        stream = read_stream(
+            spark,
+            str(tmp_path / in_dir),
+            spark.read.parquet(str(tmp_path / in_dir)).schema,
+            max_files=max_files,
+        )
+        out = stream.dropDuplicates(["user_id", "day"])
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(str(tmp_path / out_dir))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+
+    def presence(out_dir):
+        return {
+            (r["user_id"], r["day"])
+            for r in spark.read.parquet(str(tmp_path / out_dir)).collect()
+        }
+
+    want = {(1, 100), (1, 101), (2, 100), (2, 101), (3, 100)}
+
+    # one drain, file-at-a-time pacing
+    for i, rows in enumerate(files):
+        write_file("pres_a", i, rows)
+    drain("pres_a", "pres_ckpt_a", "pres_out_a", max_files=1)
+    assert presence("pres_out_a") == want
+
+    # kill/restart: drain 2 files, stop, add the third, resume on the
+    # SAME checkpoint — state survives, the cross-batch duplicate in
+    # the resumed portion must not re-emit
+    for i, rows in enumerate(files[:2]):
+        write_file("pres_b", i, rows)
+    drain("pres_b", "pres_ckpt_b", "pres_out_b", max_files=1)
+    for i, rows in enumerate(files[2:], start=2):
+        write_file("pres_b", i, rows)
+    drain("pres_b", "pres_ckpt_b", "pres_out_b", max_files=1)
+    assert presence("pres_out_b") == want
+
+    # coarse pacing (all files in one batch) — same set
+    for i, rows in enumerate(files):
+        write_file("pres_c", i, rows)
+    drain("pres_c", "pres_ckpt_c", "pres_out_c", max_files=3)
+    assert presence("pres_out_c") == want
