@@ -9059,6 +9059,90 @@ def streaming_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TYPE Spearman trend (rho between value and event time) — the
+    grouped machinery's FIFTH composition, and a REWRITE-CLASS one:
+    q_spearman_corr computes its per-group average ranks with
+    Window.partitionBy(group) ORDER BY value, which funnels every
+    group's whole value axis through ONE task (the exact skew the
+    grouped family exists to kill). Here the doubled average rank is
+    DERIVED from grouped_running_sum over the per-(group, value) count
+    frame: for a distinct value with cnt ties and inclusive running
+    count run, rank2 = 2*run - cnt + 1 (== 2*min_rank + ties - 1, the
+    global entry's identity) — so both rank axes ride composite-order
+    range exchanges, the (x, y) cell frame joins the two rank maps by
+    hash, and the per-group moments are ordinary DECIMAL(38,0) hash
+    aggregates weighted by the cell count. ONE pinned float expression
+    per group; identical guard (variance > 0) in both engines. Trend
+    semantics: rho > 0 = values drifting UP over time inside the type
+    — the per-segment monotonic-drift detector next to per-group KS
+    (distribution change) and per-group U (split exchangeability)."""
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    o = ev.select(
+        F.col("event_type").alias("g"),
+        _cents("value").alias("xv"),
+        bssf.ts_millis(F.col("ts")).alias("yv"),
+    )
+    cell = o.groupBy("g", "xv", "yv").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+    def rank_axis(col: str, out: str) -> DataFrame:
+        ax = cell.groupBy("g", col).agg(
+            F.sum("c").cast("long").alias("cnt")
+        ).withColumn("run", F.col("cnt"))
+        ranked = W.grouped_running_sum(
+            ax, ["g"], [F.col(col).asc()], ["run"]
+        )
+        return ranked.select(
+            "g",
+            col,
+            (2 * F.col("run") - F.col("cnt") + 1).cast("long").alias(out),
+        )
+
+    j = cell.join(rank_axis("xv", "rx"), ["g", "xv"]).join(
+        rank_axis("yv", "ry"), ["g", "yv"]
+    )
+    c = F.col("c").cast(dec)
+    mom = j.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum((c * F.col("rx")).cast(dec)).cast(dec).alias("sx"),
+        F.sum((c * F.col("ry")).cast(dec)).cast(dec).alias("sy"),
+        F.sum((c * F.col("rx") * F.col("ry")).cast(dec)).cast(dec).alias(
+            "sxy"
+        ),
+        F.sum((c * F.col("rx") * F.col("rx")).cast(dec)).cast(dec).alias(
+            "sxx"
+        ),
+        F.sum((c * F.col("ry") * F.col("ry")).cast(dec)).cast(dec).alias(
+            "syy"
+        ),
+    )
+    n, sx, sy = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    rho = (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    return mom.select(
+        F.col("g").alias("event_type"),
+        "n",
+        F.when((vx > 0) & (vy > 0), rho).alias("spearman_rho"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -9157,6 +9241,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail + 24 of the r9 cohort fill the window; round-14 additions
         # displace r9 slots. =============================================
         # --- r8 cohort tail (leads round 14) ----------------------------
+        # --- round-14 head candidate: implemented and locally
+        # parity-green in round 13, never driver-seen — the round-14
+        # rotation puts it first (never-seen outranks everything),
+        # ahead of the r8 tail below ------------------------------------
+        "q_group_spearman_trend": q_group_spearman_trend,
+        # --- r8 cohort tail (leads round 14 after the candidate) --------
         "ann_pq_adc_rerank": ann_pq_adc_rerank,
         "streaming_funnel_timeout": streaming_funnel_timeout,
         "ann_ivfadc_topk": ann_ivfadc_topk,
@@ -14023,6 +14113,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
                        AS retention
             FROM cells c JOIN sizes s ON c.cohort_m = s.cohort_m
+        """,
+        "q_group_spearman_trend": """
+            -- the engine's rank identity replayed relationally:
+            -- rank2 = 2*run - cnt + 1 per (g, value) via PARTITION BY
+            -- windows on BOTH axes, cell-weighted DECIMAL moments,
+            -- the same pinned float rho + variance guard
+            WITH ev AS (
+                SELECT event_type AS g,
+                       CAST(round(value * 100) AS BIGINT) AS xv,
+                       epoch_ms(ts) AS yv
+                FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL),
+            cell AS (SELECT g, xv, yv, CAST(count(*) AS BIGINT) AS c
+                     FROM ev GROUP BY 1, 2, 3),
+            xax AS (SELECT g, xv, CAST(sum(c) AS BIGINT) AS cnt
+                    FROM cell GROUP BY 1, 2),
+            xr AS (SELECT g, xv,
+                          CAST(2 * sum(cnt) OVER (
+                              PARTITION BY g ORDER BY xv)
+                              - cnt + 1 AS BIGINT) AS rx
+                   FROM xax),
+            yax AS (SELECT g, yv, CAST(sum(c) AS BIGINT) AS cnt
+                    FROM cell GROUP BY 1, 2),
+            yr AS (SELECT g, yv,
+                          CAST(2 * sum(cnt) OVER (
+                              PARTITION BY g ORDER BY yv)
+                              - cnt + 1 AS BIGINT) AS ry
+                   FROM yax),
+            j AS (SELECT cell.g, cell.c, xr.rx, yr.ry
+                  FROM cell
+                  JOIN xr ON cell.g = xr.g AND cell.xv = xr.xv
+                  JOIN yr ON cell.g = yr.g AND cell.yv = yr.yv),
+            mom AS (SELECT g,
+                        CAST(sum(c) AS BIGINT) AS n,
+                        CAST(sum(CAST(c AS DECIMAL(38,0)) * rx)
+                             AS DECIMAL(38,0)) AS sx,
+                        CAST(sum(CAST(c AS DECIMAL(38,0)) * ry)
+                             AS DECIMAL(38,0)) AS sy,
+                        CAST(sum(CAST(c AS DECIMAL(38,0)) * rx * ry)
+                             AS DECIMAL(38,0)) AS sxy,
+                        CAST(sum(CAST(c AS DECIMAL(38,0)) * rx * rx)
+                             AS DECIMAL(38,0)) AS sxx,
+                        CAST(sum(CAST(c AS DECIMAL(38,0)) * ry * ry)
+                             AS DECIMAL(38,0)) AS syy
+                    FROM j GROUP BY g)
+            SELECT g AS event_type, n,
+                   CASE WHEN
+                        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                        AND
+                        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                   THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE)
+                                    * CAST(sy AS DOUBLE)))
+                   END AS spearman_rho
+            FROM mom
         """,
         "q_group_mannwhitney": """
             -- the global U oracle with the type key threaded through:

@@ -251,6 +251,9 @@ HEADLINE = [
     "q_cohort_retention_daily",
     "q_group_mannwhitney",
     "streaming_cohort_retention",
+    # round-14 head candidates (benched from day one, driver-verified
+    # next round)
+    "q_group_spearman_trend",
 ]
 
 

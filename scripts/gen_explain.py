@@ -96,6 +96,7 @@ SHOWN = {
     "sample_weighted_reservoir": "batch A-ES reservoir: row-local codegen priority (sequence->transform->array_max of md5s), two-phase top-k — (lang, hash-bucket) local dense_rank then exact rank on the k-bounded survivors; dedup only on the tiny final frame",
     "q_cohort_retention_daily": "daily cohort retention: ONE wide user_id hash agg (min day + collect_set days together), narrow explode, calendar-bounded cell/size aggs, sizes broadcast back — never two passes over events",
     "q_group_mannwhitney": "per-type Mann-Whitney U: per-(type, cents) counts, running C2 via grouped_running_sum's composite-order range exchange, per-type DECIMAL(38,0) reduction — no type ever funnels through one task",
+    "q_group_spearman_trend": "per-type Spearman trend: BOTH rank axes from grouped_running_sum (range exchanges, prints post-checkpoint), cell-frame hash joins onto the rank maps, per-type cell-weighted DECIMAL moments — no per-group rank window anywhere",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage

@@ -401,6 +401,7 @@ def test_null_events_drift(spark, tmp_path):
         # Hellinger bins, Holt's per-type hourly series)
         "q_mannwhitney_u",
         "q_group_mannwhitney",
+        "q_group_spearman_trend",
         "q_hellinger_types",
         "q_holt_dyadic",
         # round-9 registrations: NULL value rows propagate NULL cents
@@ -1492,6 +1493,7 @@ def test_extreme_magnitude_drift(spark, tmp_path):
         # exactness claim re-proved at ~1e14-cent magnitudes
         "q_mannwhitney_u",
         "q_group_mannwhitney",
+        "q_group_spearman_trend",
         "q_hellinger_types",
         "q_bootstrap_ci_mean",
         "sketch_tdigest_pinned",

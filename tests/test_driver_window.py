@@ -59,9 +59,12 @@ def test_round14_lead_is_r8_tail():
     never-driver-seen after a green round 13 except entries round 14
     itself adds), then the r9 cohort."""
     qs = list(entrymod.queries().keys())
-    assert qs[50] == "ann_pq_adc_rerank", qs[50]
-    assert qs[51] == "streaming_funnel_timeout", qs[51]
-    assert qs[52] == "ann_ivfadc_topk", qs[52]
+    # the round-14 head candidate sits FIRST below the cut (never-seen
+    # outranks everything), then the r8 tail in artifact order
+    assert qs[50] == "q_group_spearman_trend", qs[50]
+    assert qs[51] == "ann_pq_adc_rerank", qs[51]
+    assert qs[52] == "streaming_funnel_timeout", qs[52]
+    assert qs[53] == "ann_ivfadc_topk", qs[53]
     # the round-12 window sits at the very bottom (freshest last)
     assert qs[-1] == "streaming_topk_per_window", qs[-1]
     assert qs[-50] == "q_group_equidepth", qs[-50]

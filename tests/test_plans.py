@@ -1180,3 +1180,14 @@ def test_group_mannwhitney_is_range_partitioned(spark, sf_dir):
     p = physical_plan(df)
     assert "SinglePartition" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_group_spearman_has_no_per_group_rank_window(spark, sf_dir):
+    """q_group_spearman_trend's whole point vs q_spearman_corr: BOTH
+    rank axes come from grouped_running_sum's composite-order range
+    repartition — no Window.partitionBy(group) rank over an unbounded
+    value axis, no SinglePartition stage, no cartesian."""
+    df = entrymod.queries()["q_group_spearman_trend"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
