@@ -268,7 +268,9 @@ class ManifestUpsertTable:
         readers must treat as 'cannot skip'."""
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
+        # read_metadata, not ParquetFile: the footer read must not hold
+        # an open fd until GC (a large commit touches many objects)
+        md = pq.read_metadata(path)
         out: dict[str, list] = {}
         for rg in range(md.num_row_groups):
             row = md.row_group(rg)
@@ -329,9 +331,7 @@ class ManifestUpsertTable:
                 # current-format manifest — metadata-only, one local
                 # footer read per NEW object, amortized over every
                 # later plan
-                self._last_num_rows[key] = pq.ParquetFile(
-                    dst
-                ).metadata.num_rows
+                self._last_num_rows[key] = pq.read_metadata(dst).num_rows
                 if self.stats_cols:
                     self._last_stats[key] = self._object_stats(
                         dst, self.stats_cols
@@ -641,9 +641,7 @@ class ManifestUpsertTable:
                 return int(n)
             import pyarrow.parquet as pq
 
-            return pq.ParquetFile(
-                os.path.join(self.path, key)
-            ).metadata.num_rows
+            return pq.read_metadata(os.path.join(self.path, key)).num_rows
 
         rows = [
             (val_str, key, _rows(key))
@@ -763,9 +761,9 @@ class ManifestUpsertTable:
         for root, _dirs, files in os.walk(staging):
             for fname in files:
                 if fname.endswith(".parquet"):
-                    staged_rows += pq.ParquetFile(
+                    staged_rows += pq.read_metadata(
                         os.path.join(root, fname)
-                    ).metadata.num_rows
+                    ).num_rows
         if staged_rows != expected_rows:
             shutil.rmtree(staging, ignore_errors=True)
             raise ValueError(
@@ -809,9 +807,7 @@ class ManifestUpsertTable:
                 dst = os.path.join(self.path, key)
                 os.rename(fpath, dst)
                 keys.append(key)
-                self._last_num_rows[key] = pq.ParquetFile(
-                    dst
-                ).metadata.num_rows
+                self._last_num_rows[key] = pq.read_metadata(dst).num_rows
                 if self.stats_cols:
                     self._last_stats[key] = self._object_stats(
                         dst, self.stats_cols

@@ -635,7 +635,12 @@ def weighted_reservoir_tiers(
     rows occupy ONE slot. Implemented without a pre-dedup shuffle:
     duplicates tie on the full (prio, id, w) order key, so dense_rank
     keeps them in one slot through both phases and the final
-    dropDuplicates runs on the k-bounded survivor set only.
+    dropDuplicates runs on the k-bounded survivor set only. Output is
+    the KEY columns only — (stratum, id, weight, prio) in the input's
+    column order — because rows tying on the key but differing in
+    extra payload columns collapse to one slot, and which payload
+    survived would be partitioning-dependent. Callers wanting payload
+    join it back on (stratum, id) deterministically.
 
     Plan (the two-phase trick topk_per_group's docstring promises):
     phase 1 ranks inside (stratum, hash-bucket-of-id) — parallelism =
@@ -686,9 +691,11 @@ def weighted_reservoir_tiers(
         .drop("__b", "__dr")
     )
     w2 = Window.partitionBy(stratum_col).orderBy(*order())
+    keys = {stratum_col, id_col, weight_col}
+    cols = [c for c in df.columns if c in keys] + [prio_col]
     return (
         pruned.withColumn("__dr", F.dense_rank().over(w2))
         .filter(F.col("__dr") <= k)
-        .drop("__dr")
+        .select(*cols)
         .dropDuplicates([stratum_col, id_col, weight_col, prio_col])
     )
