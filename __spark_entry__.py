@@ -3422,7 +3422,20 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROPER tie handling: average ranks, doubled to stay integral
     (rank2 = 2·min_rank + ties − 1), then the exact-moment Pearson
     formula over the integer rank pairs — rank-based robustness with the
-    engine's bit-identical arithmetic contract."""
+    engine's bit-identical arithmetic contract.
+
+    Round-14 retrofit (VERDICT r13 item 2, the last known
+    one-task-per-group value-axis plan): the per-priority ranks no
+    longer come from Window.partitionBy(o_orderpriority) ORDER BY value
+    — which funnels each priority's whole axis through ONE task — but
+    from the grouped_running_sum identity already proven by
+    q_group_spearman_trend: on the per-(group, value) count frame, a
+    distinct value with cnt ties and inclusive running count run has
+    rank2 = 2*run − cnt + 1 ≡ 2*min_rank + ties − 1. Both rank axes
+    ride composite-order range exchanges, the (x, y) cell frame joins
+    the two rank maps by hash, and the moments are DECIMAL(38,0) hash
+    aggregates weighted by the cell count — the same exact integers the
+    old per-row plan summed, so the output is bit-identical."""
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
     items = lineitem.groupBy("l_orderkey").agg(
@@ -3439,31 +3452,41 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_items").alias("yv"),
         )
     )
-
-    def rank2(col: str, alias: str) -> list:
-        wmin = Window.partitionBy("o_orderpriority").orderBy(F.col(col).asc())
-        wties = Window.partitionBy("o_orderpriority", col)
-        return [
-            (
-                F.rank().over(wmin) * 2
-                + F.count(F.lit(1)).over(wties)
-                - 1
-            ).cast("long").alias(alias)
-        ]
-
-    ranked = j.select(
-        "o_orderpriority",
-        *rank2("xv", "rx"),
-        *rank2("yv", "ry"),
-    )
     dec = "decimal(38,0)"
-    mom = ranked.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rx").cast("long").alias("sx"),
-        F.sum("ry").cast("long").alias("sy"),
-        F.sum((F.col("rx") * F.col("ry")).cast(dec)).cast(dec).alias("sxy"),
-        F.sum((F.col("rx") * F.col("rx")).cast(dec)).cast(dec).alias("sxx"),
-        F.sum((F.col("ry") * F.col("ry")).cast(dec)).cast(dec).alias("syy"),
+    cell = j.groupBy("o_orderpriority", "xv", "yv").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+    def rank_axis(col: str, out: str) -> DataFrame:
+        ax = cell.groupBy("o_orderpriority", col).agg(
+            F.sum("c").cast("long").alias("cnt")
+        ).withColumn("run", F.col("cnt"))
+        ranked = W.grouped_running_sum(
+            ax, ["o_orderpriority"], [F.col(col).asc()], ["run"]
+        )
+        return ranked.select(
+            "o_orderpriority",
+            col,
+            (2 * F.col("run") - F.col("cnt") + 1).cast("long").alias(out),
+        )
+
+    cj = cell.join(rank_axis("xv", "rx"), ["o_orderpriority", "xv"]).join(
+        rank_axis("yv", "ry"), ["o_orderpriority", "yv"]
+    )
+    cw = F.col("c").cast(dec)
+    mom = cj.groupBy("o_orderpriority").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum((cw * F.col("rx")).cast(dec)).cast("long").alias("sx"),
+        F.sum((cw * F.col("ry")).cast(dec)).cast("long").alias("sy"),
+        F.sum((cw * F.col("rx") * F.col("ry")).cast(dec))
+        .cast(dec)
+        .alias("sxy"),
+        F.sum((cw * F.col("rx") * F.col("rx")).cast(dec))
+        .cast(dec)
+        .alias("sxx"),
+        F.sum((cw * F.col("ry") * F.col("ry")).cast(dec))
+        .cast(dec)
+        .alias("syy"),
     )
     n, sx, sy = (
         F.col("n").cast("double"),

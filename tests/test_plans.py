@@ -1191,3 +1191,23 @@ def test_group_spearman_has_no_per_group_rank_window(spark, sf_dir):
     p = physical_plan(df)
     assert "SinglePartition" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_spearman_corr_retrofit_no_per_group_rank_window(spark, sf_dir):
+    """Round-14 retrofit gate (VERDICT r13 item 2): q_spearman_corr was
+    the LAST one-task-per-group value-axis plan — its average ranks
+    came from Window.partitionBy(o_orderpriority) ORDER BY value. Now
+    both rank axes ride grouped_running_sum's composite-order range
+    exchange, so every windowspecdefinition in the final plan keys on
+    the balanced __pid hash (never the group column), and nothing is
+    SinglePartition or cartesian. Output stays bit-identical to the
+    old plan (re-proven at sf0.01 + sf0.1 when the retrofit landed;
+    the oracle parity suite pins it every round)."""
+    import re
+
+    df = entrymod.queries()["q_spearman_corr"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
+    keys = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    assert keys and keys == {"__pid"}, keys
