@@ -9100,7 +9100,6 @@ def q_group_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics: rho > 0 = values drifting UP over time inside the type
     — the per-segment monotonic-drift detector next to per-group KS
     (distribution change) and per-group U (split exchangeability)."""
-    dec = "decimal(38,0)"
     ev = _t(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
         & F.col("ts").isNotNull()
@@ -9114,6 +9113,20 @@ def q_group_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = o.groupBy("g", "xv", "yv").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    return _group_spearman_from_cells(cell)
+
+
+def _group_spearman_from_cells(cell: DataFrame) -> DataFrame:
+    """The grouped-Spearman core both trend entries share: from a
+    (g, xv, yv, c) cell frame, derive both doubled-average-rank axes
+    via grouped_running_sum (rank2 = 2*run − cnt + 1 over the
+    per-(g, value) count frame — composite-order range exchanges, no
+    per-group value-axis Window), hash-join the rank maps back onto
+    the cells, and reduce to per-group DECIMAL(38,0) moments weighted
+    by the cell count. ONE pinned float rho per group, variance > 0
+    guard identical in both engines. Output: (event_type, n,
+    spearman_rho)."""
+    dec = "decimal(38,0)"
 
     def rank_axis(col: str, out: str) -> DataFrame:
         ax = cell.groupBy("g", col).agg(
@@ -9166,6 +9179,53 @@ def q_group_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_group_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Spearman trend as a LIVE monitor (VERDICT r13 item 3 —
+    the grouped machinery's sixth composition, the batch trend's
+    streaming twin): per-(hour, type, value) count cells flow through
+    an append-mode checkpointed availableNow drain (watermark 0 s ⇒ an
+    hour emits once the max event time passes its end — the
+    streaming_group_ks emission rule, state bounded by hours × types ×
+    value DOMAIN, never the row count), then the drained cells feed the
+    EXACT _group_spearman_from_cells core q_group_spearman_trend runs —
+    rank2 identity over grouped_running_sum on both axes, cell-weighted
+    DECIMAL(38,0) moments, one pinned float rho per type. The time axis
+    is the emitted hour's epoch millis (the finest axis a
+    domain-bounded live state can carry), so rho > 0 = values drifting
+    UP hour-over-hour inside the type — the monotonic-drift companion
+    to streaming_group_ks (hour-over-hour distribution change). FULL
+    oracle: emission rule + hour-axis cells + the trend rank SQL."""
+    stream = SW.read_events_stream(spark, sf_dir).filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    hourly = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+            _cents("value").alias("xv"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # localCheckpoint: the cell frame branches three ways (two rank
+    # axes + the moment join) — a raw memory-sink frame self-joined
+    # hits Spark's conflicting-references INTERNAL_ERROR (the
+    # streaming_allen_live_spans lesson)
+    cell = (
+        SW.run_to_memory(hourly, spark, output_mode="append")
+        .select(
+            F.col("event_type").alias("g"),
+            "xv",
+            bssf.ts_millis(F.col("w.start")).alias("yv"),
+            "c",
+        )
+        .localCheckpoint(eager=False)
+    )
+    return _group_spearman_from_cells(cell)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries (an exact prefix of this dict). The ordering ROTATES each
@@ -9173,103 +9233,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
     # semantics/plan changed this round, then oldest-artifact-first).
-    # Round-13 rotation (VERDICT r12 item 1, run exactly as the r12 NOTE
-    # precomputed): the 4 never-driver-seen r12 below-cut head candidates
-    # lead, then 4 new round-13 entries (sample_weighted_reservoir,
-    # q_cohort_retention_daily, q_group_mannwhitney,
-    # streaming_cohort_retention — also never-seen; additions displace
-    # r8 slots explicitly), then the 19-entry r7 tail displaced in
-    # round 12, then 23 of the 49-entry r8 cohort = exactly 50. No `changed` block this round: every round-13
-    # code change (the four ADVICE fixes, the temp-dir fleet conversion,
-    # manifest num_rows persistence) is implementation-only — outputs
-    # bit-identical, re-proven by the local parity suite. A green
-    # CORRECTNESS_r13 closes cumulative driver verification to every
-    # pre-round-13 entry (263 previously checked + the 4 head
-    # candidates); only round-13's own additions then await a first row
-    # — and they are IN this window, so a green r13 checks them too.
+    # Round-14 rotation (VERDICT r13 item 1, run exactly as the r13 NOTE
+    # precomputed): q_group_spearman_trend leads (the one never-driver-seen
+    # entry after a green round 13), then ONE `changed` entry —
+    # q_spearman_corr, retrofitted this round onto grouped_running_sum
+    # (output bit-identical, but the PLAN changed class, so it re-earns its
+    # driver row) — then the 26-entry r8 cohort tail, then 22 of the r9
+    # cohort = exactly 50. Round-14's own addition (streaming_group_spearman,
+    # the grouped machinery's sixth composition) sits FIRST below the cut as
+    # the round-15 head candidate. A green CORRECTNESS_r14 closes cumulative
+    # driver verification to 272/272 of the pre-round-14 entries.
     return {
-        # ===== ROUND-13 DRIVER WINDOW (first 50; the driver checks this
+        # ===== ROUND-14 DRIVER WINDOW (first 50; the driver checks this
         # exact prefix). Rotation, staleness-first from the on-disk
-        # CORRECTNESS_r*.json artifacts: never-driver-seen outranks
-        # everything (4 below-cut r12 head candidates + 4 new round-13
-        # entries), then the 19-entry r7 tail, then 23 of the 49-entry
-        # r8 cohort. A green sweep driver-checks every entry that exists
-        # at the cut, old and new alike. =================================
-        # --- never driver-seen: the four round-12 below-cut head
-        # candidates (locally parity-green since r12) --------------------
-        "manifest_compact_execute": manifest_compact_execute,
-        "streaming_group_ks": streaming_group_ks,
-        "streaming_allen_live_spans": streaming_allen_live_spans,
-        "q_group_ecdf": q_group_ecdf,
-        # --- never driver-seen: new in round 13 (batch A-ES weighted
-        # reservoir — the streaming entry's batch dual, max-of-w-md5
-        # key verbatim, SURVEY round-13 candidate list; daily cohort
-        # retention — one wide user shuffle, calendar-bounded cells;
-        # per-type Mann-Whitney U over grouped_running_sum; the cohort
-        # matrix's STREAMING twin via the (user, day) presence fold) ----
-        "sample_weighted_reservoir": sample_weighted_reservoir,
-        "q_cohort_retention_daily": q_cohort_retention_daily,
-        "q_group_mannwhitney": q_group_mannwhitney,
-        "streaming_cohort_retention": streaming_cohort_retention,
-        # --- r7-stale tail (displaced in round 12) ----------------------
-        "q_percentile_disc": q_percentile_disc,
-        "q_mode_deterministic": q_mode_deterministic,
-        "q_not_in_null_aware": q_not_in_null_aware,
-        "q_window_ignore_nulls": q_window_ignore_nulls,
-        "q_two_phase_skew_agg": q_two_phase_skew_agg,
-        "q_histogram_equi_width": q_histogram_equi_width,
-        "q_mad_outliers": q_mad_outliers,
-        "q_ewma_dyadic": q_ewma_dyadic,
-        "q_approx_quantile_bound": q_approx_quantile_bound,
-        "q_ntile_percent_rank": q_ntile_percent_rank,
-        "q_offset_pagination": q_offset_pagination,
-        "sample_split_labels": sample_split_labels,
-        "ann_cosine_topk": ann_cosine_topk,
-        "text_quality": text_quality,
-        "q_full_outer_counts": q_full_outer_counts,
-        "q_parts_above_avg_price": q_parts_above_avg_price,
-        "q_topk_orders_per_customer": q_topk_orders_per_customer,
-        "q_exists_correlated": q_exists_correlated,
-        "q_customers_without_orders": q_customers_without_orders,
-        # --- r8 cohort head (23 of 49; the 26-entry tail leads round 14,
-        # then the r9 cohort) --------------------------------------------
-        "dedup_prefix_filter": dedup_prefix_filter,
-        "lake_bucketed_join": lake_bucketed_join,
-        "cdc_purge_keys": cdc_purge_keys,
-        "q_entropy_mi": q_entropy_mi,
-        "q_acf_hourly": q_acf_hourly,
-        "q_seasonal_anomaly": q_seasonal_anomaly,
-        "text_rouge_overlap": text_rouge_overlap,
-        "sketch_theta_intersection": sketch_theta_intersection,
-        "streaming_session_topk": streaming_session_topk,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q14_promo_share": q14_promo_share,
-        "graph_pagerank_weighted": graph_pagerank_weighted,
-        "q_longest_streak": q_longest_streak,
-        "q7_nation_trade": q7_nation_trade,
-        "cdc_merge_into": cdc_merge_into,
-        "streaming_enrich_asof_static": streaming_enrich_asof_static,
-        "q_cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "q4_late_ship_priority": q4_late_ship_priority,
-        "q_mom_growth": q_mom_growth,
-        "q_event_transitions": q_event_transitions,
-        "q_percentile_cont": q_percentile_cont,
-        "dedup_editdist_rerank": dedup_editdist_rerank,
-        "sketch_hll_sparse": sketch_hll_sparse,
-        # ===== DRIVER WINDOW CUT: the 50 entries above are the round-13
-        # sweep (8 never-seen + 19 r7 + 23 r8). Below: locally green via
-        # tests/test_oracle_parity.py every round, ordered for FUTURE
-        # rotations (r8 tail, then the r9/r10/r11 cohorts, then the
-        # round-12 window — freshest last). Round-14 arithmetic: 26 r8
-        # tail + 24 of the r9 cohort fill the window; round-14 additions
-        # displace r9 slots. =============================================
-        # --- r8 cohort tail (leads round 14) ----------------------------
-        # --- round-14 head candidate: implemented and locally
-        # parity-green in round 13, never driver-seen — the round-14
-        # rotation puts it first (never-seen outranks everything),
-        # ahead of the r8 tail below ------------------------------------
+        # CORRECTNESS_r*.json artifacts: the one never-driver-seen entry
+        # leads, then the one `changed` entry, then the 26-entry r8
+        # cohort tail, then 22 of the r9 cohort. =========================
+        # --- never driver-seen: the round-13 below-cut head candidate
+        # (locally parity-green since r13) -------------------------------
         "q_group_spearman_trend": q_group_spearman_trend,
-        # --- r8 cohort tail (leads round 14 after the candidate) --------
+        # --- changed this round: retrofitted onto grouped_running_sum
+        # (VERDICT r13 item 2) — bit-identical output, new plan class ----
+        "q_spearman_corr": q_spearman_corr,
+        # --- r8 cohort tail (displaced in rounds 12-13) -----------------
         "ann_pq_adc_rerank": ann_pq_adc_rerank,
         "streaming_funnel_timeout": streaming_funnel_timeout,
         "ann_ivfadc_topk": ann_ivfadc_topk,
@@ -9319,6 +9305,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantile_hourly": streaming_quantile_hourly,
         "q_fd_violations": q_fd_violations,
         "q_ref_integrity": q_ref_integrity,
+        # ===== DRIVER WINDOW CUT: the 50 entries above are the round-14
+        # sweep (1 never-seen + 1 changed + 26 r8 tail + 22 r9). Below:
+        # locally green via tests/test_oracle_parity.py every round,
+        # ordered for FUTURE rotations (the round-14 addition first —
+        # the round-15 head candidate — then the r9 remainder, the
+        # r10/r11 cohorts, the round-12 window, the round-13 window —
+        # freshest last). Round-15 arithmetic: the candidate + the
+        # 27-entry r9 remainder + 22 of the r10 cohort fill the window;
+        # round-15 additions displace r10 slots. =========================
+        # --- round-15 head candidate: new in round 14 (per-type Spearman
+        # trend as a LIVE monitor — the grouped machinery's sixth
+        # composition; emission rule + hour-axis cells, never driver-seen
+        # until the round-15 rotation) -----------------------------------
+        "streaming_group_spearman": streaming_group_spearman,
+        # --- r9 cohort remainder (artifact order) -----------------------
         "q_anova_f": q_anova_f,
         "q_mannwhitney_u": q_mannwhitney_u,
         "q_hellinger_types": q_hellinger_types,
@@ -9476,7 +9477,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_percent_orders": q_top_percent_orders,
         "q_scalar_subquery_select": q_scalar_subquery_select,
         "sketch_hll_intersection": sketch_hll_intersection,
-        "q_spearman_corr": q_spearman_corr,
         "q_cube_grouping_id": q_cube_grouping_id,
         "q_benford_digits": q_benford_digits,
         "q_unpivot_metrics": q_unpivot_metrics,
@@ -9496,6 +9496,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "manifest_time_travel": manifest_time_travel,
         "streaming_topk_per_window": streaming_topk_per_window,
+        # --- driver-green round 13 (artifact order) ---------------------
+        "manifest_compact_execute": manifest_compact_execute,
+        "streaming_group_ks": streaming_group_ks,
+        "streaming_allen_live_spans": streaming_allen_live_spans,
+        "q_group_ecdf": q_group_ecdf,
+        "sample_weighted_reservoir": sample_weighted_reservoir,
+        "q_cohort_retention_daily": q_cohort_retention_daily,
+        "q_group_mannwhitney": q_group_mannwhitney,
+        "streaming_cohort_retention": streaming_cohort_retention,
+        "q_percentile_disc": q_percentile_disc,
+        "q_mode_deterministic": q_mode_deterministic,
+        "q_not_in_null_aware": q_not_in_null_aware,
+        "q_window_ignore_nulls": q_window_ignore_nulls,
+        "q_two_phase_skew_agg": q_two_phase_skew_agg,
+        "q_histogram_equi_width": q_histogram_equi_width,
+        "q_mad_outliers": q_mad_outliers,
+        "q_ewma_dyadic": q_ewma_dyadic,
+        "q_approx_quantile_bound": q_approx_quantile_bound,
+        "q_ntile_percent_rank": q_ntile_percent_rank,
+        "q_offset_pagination": q_offset_pagination,
+        "sample_split_labels": sample_split_labels,
+        "ann_cosine_topk": ann_cosine_topk,
+        "text_quality": text_quality,
+        "q_full_outer_counts": q_full_outer_counts,
+        "q_parts_above_avg_price": q_parts_above_avg_price,
+        "q_topk_orders_per_customer": q_topk_orders_per_customer,
+        "q_exists_correlated": q_exists_correlated,
+        "q_customers_without_orders": q_customers_without_orders,
+        "dedup_prefix_filter": dedup_prefix_filter,
+        "lake_bucketed_join": lake_bucketed_join,
+        "cdc_purge_keys": cdc_purge_keys,
+        "q_entropy_mi": q_entropy_mi,
+        "q_acf_hourly": q_acf_hourly,
+        "q_seasonal_anomaly": q_seasonal_anomaly,
+        "text_rouge_overlap": text_rouge_overlap,
+        "sketch_theta_intersection": sketch_theta_intersection,
+        "streaming_session_topk": streaming_session_topk,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q14_promo_share": q14_promo_share,
+        "graph_pagerank_weighted": graph_pagerank_weighted,
+        "q_longest_streak": q_longest_streak,
+        "q7_nation_trade": q7_nation_trade,
+        "cdc_merge_into": cdc_merge_into,
+        "streaming_enrich_asof_static": streaming_enrich_asof_static,
+        "q_cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "q4_late_ship_priority": q4_late_ship_priority,
+        "q_mom_growth": q_mom_growth,
+        "q_event_transitions": q_event_transitions,
+        "q_percentile_cont": q_percentile_cont,
+        "dedup_editdist_rerank": dedup_editdist_rerank,
+        "sketch_hll_sparse": sketch_hll_sparse,
     }
 
 STOP_SQL = "('the','a','of','to','and','in')"
@@ -14136,6 +14187,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
                        AS retention
             FROM cells c JOIN sizes s ON c.cohort_m = s.cohort_m
+        """,
+        "streaming_group_spearman": """
+            -- the live twin replayed relationally: the append emission
+            -- rule (an hour emits iff its END <= the final watermark =
+            -- max ts over the filtered stream) builds the (g, value,
+            -- hour) cells, then the batch trend's rank SQL verbatim —
+            -- rank2 = 2*run - cnt + 1 on both axes, cell-weighted
+            -- DECIMAL moments, the same pinned float rho + guard
+            WITH ev AS (
+                SELECT event_type AS g, ts, date_trunc('hour', ts) AS hr,
+                       CAST(round(value * 100) AS BIGINT) AS xv
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL),
+            mxts AS (SELECT max(ts) AS m FROM ev),
+            cell AS (
+                SELECT g, xv, epoch_ms(hr) AS yv,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM ev, mxts WHERE hr + INTERVAL 1 HOUR <= mxts.m
+                GROUP BY 1, 2, 3),
+            xax AS (SELECT g, xv, CAST(sum(c) AS BIGINT) AS cnt
+                    FROM cell GROUP BY 1, 2),
+            xr AS (SELECT g, xv,
+                          CAST(2 * sum(cnt) OVER (
+                              PARTITION BY g ORDER BY xv)
+                              - cnt + 1 AS BIGINT) AS rx
+                   FROM xax),
+            yax AS (SELECT g, yv, CAST(sum(c) AS BIGINT) AS cnt
+                    FROM cell GROUP BY 1, 2),
+            yr AS (SELECT g, yv,
+                          CAST(2 * sum(cnt) OVER (
+                              PARTITION BY g ORDER BY yv)
+                              - cnt + 1 AS BIGINT) AS ry
+                   FROM yax),
+            j AS (SELECT cell.g, cell.c, xr.rx, yr.ry
+                  FROM cell
+                  JOIN xr ON cell.g = xr.g AND cell.xv = xr.xv
+                  JOIN yr ON cell.g = yr.g AND cell.yv = yr.yv),
+            mom AS (SELECT g,
+                        CAST(sum(c) AS BIGINT) AS n,
+                        CAST(sum(CAST(c AS DECIMAL(38,0)) * rx)
+                             AS DECIMAL(38,0)) AS sx,
+                        CAST(sum(CAST(c AS DECIMAL(38,0)) * ry)
+                             AS DECIMAL(38,0)) AS sy,
+                        CAST(sum(CAST(c AS DECIMAL(38,0)) * rx * ry)
+                             AS DECIMAL(38,0)) AS sxy,
+                        CAST(sum(CAST(c AS DECIMAL(38,0)) * rx * rx)
+                             AS DECIMAL(38,0)) AS sxx,
+                        CAST(sum(CAST(c AS DECIMAL(38,0)) * ry * ry)
+                             AS DECIMAL(38,0)) AS syy
+                    FROM j GROUP BY g)
+            SELECT g AS event_type, n,
+                   CASE WHEN
+                        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                        AND
+                        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                   THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE)
+                                    * CAST(sy AS DOUBLE)))
+                   ELSE NULL END AS spearman_rho
+            FROM mom
         """,
         "q_group_spearman_trend": """
             -- the engine's rank identity replayed relationally:

@@ -254,6 +254,8 @@ HEADLINE = [
     # round-14 head candidates (benched from day one, driver-verified
     # next round)
     "q_group_spearman_trend",
+    # round-14 addition (the round-15 head candidate)
+    "streaming_group_spearman",
 ]
 
 
@@ -475,17 +477,27 @@ def main() -> None:
     total = round(
         sum(t for n, t in timings.items() if n != "calibration_fixed"), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(payload)
+    # ALSO persist the full per-query map next to bench.py (VERDICT r13
+    # item 5): the driver's stdout capture truncates the tail (68 of 211
+    # rows survived into BENCH_r13.json), which loses cross-round
+    # per-query history — the on-disk copy keeps every row. Override the
+    # filename with SPARK_GRAFT_BENCH_OUT (e.g. BENCH_LOCAL_r14.json).
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".", out), "w") as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
 
 

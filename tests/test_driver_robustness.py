@@ -434,6 +434,9 @@ def test_null_events_drift(spark, tmp_path):
         # build and the per-type hourly histograms identically
         "manifest_compact_execute",
         "streaming_group_ks",
+        # r14: NULL type/value/ts rows are outside the emitted (g, value,
+        # hour) cells on BOTH sides of the live Spearman trend
+        "streaming_group_spearman",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -739,6 +742,9 @@ def test_null_ts_drift(spark, tmp_path):
         # r13 candidate: NULL ts rows are outside every hourly pair
         # axis AND the final watermark on both sides
         "streaming_group_ks",
+        # r14: NULL ts rows are outside the emitted cells and the
+        # watermark of the live trend identically
+        "streaming_group_spearman",
         # r13 candidate: NULL ts rows are not span evidence for either
         # live side
         "streaming_allen_live_spans",
@@ -1508,6 +1514,10 @@ def test_extreme_magnitude_drift(spark, tmp_path):
         "q_holt_dyadic",
         "streaming_psi_drift",
         "q_psi_drift",
+        # r14: ±1e9-scaled values land as ~1e14-cent rank-axis points —
+        # the cell-weighted DECIMAL moment discipline of the live trend
+        # re-proved at fleet magnitudes
+        "streaming_group_spearman",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)

@@ -1,80 +1,76 @@
-"""Guard the round-13 driver-window composition: the correctness sweep
+"""Guard the round-14 driver-window composition: the correctness sweep
 checks the FIRST 50 queries() entries, so an accidental dict reorder
 (a refactor, a merge) silently swaps which entries get driver-verified.
-This pins the committed rotation (VERDICT r12 item 1, exactly as the
-r12 NOTE precomputed): 5 never-driver-seen entries lead (the 4 round-12
-below-cut head candidates, then the 1 new round-13 operator), then the
-19-entry r7 tail displaced in round 12, then 26 of the 49-entry r8
-cohort — exactly 50. No `changed` block: every round-13 code change is
-implementation-only (outputs bit-identical, re-proven locally). The
-23-entry r8 tail sits first below the cut and leads round 14 (then the
-r9 cohort; round-14 additions displace r9 slots). Update DELIBERATELY
-when the round-14 rotation is computed (staleness-first from the
-CORRECTNESS_r*.json artifacts)."""
+This pins the committed rotation (VERDICT r13 item 1, exactly as the
+r13 NOTE precomputed): q_group_spearman_trend leads (the one
+never-driver-seen entry after a green round 13), then q_spearman_corr
+as the one `changed` entry (retrofitted onto grouped_running_sum this
+round — output bit-identical, plan class changed, so it re-earns its
+driver row), then the 26-entry r8 cohort tail, then 22 of the r9
+cohort = exactly 50. The round-14 addition (streaming_group_spearman)
+sits FIRST below the cut as the round-15 head candidate, then the
+27-entry r9 remainder; the r13 window sits at the very bottom
+(freshest last). Update DELIBERATELY when the round-15 rotation is
+computed (staleness-first from the CORRECTNESS_r*.json artifacts)."""
 
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-R12_HEAD_CANDIDATES = [
-    "manifest_compact_execute", "streaming_group_ks",
-    "streaming_allen_live_spans", "q_group_ecdf",
+NEVER_SEEN = ["q_group_spearman_trend"]
+CHANGED_R14 = ["q_spearman_corr"]
+R8_TAIL_26 = [
+    "ann_pq_adc_rerank", "streaming_funnel_timeout", "ann_ivfadc_topk",
+    "q13_customer_distribution", "q21_sole_late_supplier",
+    "q22_idle_rich_customers", "q_funnel_timeout", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q12_late_ship_classes",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_qty_revenue", "q19_or_predicate_revenue",
+    "q20_promo_heavy_suppliers", "q_funnel_sliding_windows",
+    "q_ks_two_sample", "q_psi_drift", "sample_temperature_mix",
+    "q_ks_rolling_hourly", "sketch_tdigest_pinned", "q_regr_slope_exact",
+    "q_rfm_segments", "q_chi2_independence", "dedup_ngram_jaccard",
 ]
-NEW_R13 = [
-    "sample_weighted_reservoir", "q_cohort_retention_daily",
-    "q_group_mannwhitney", "streaming_cohort_retention",
-]
-R7_TAIL_19 = [
-    "q_percentile_disc", "q_mode_deterministic", "q_not_in_null_aware",
-    "q_window_ignore_nulls", "q_two_phase_skew_agg",
-    "q_histogram_equi_width", "q_mad_outliers", "q_ewma_dyadic",
-    "q_approx_quantile_bound", "q_ntile_percent_rank",
-    "q_offset_pagination", "sample_split_labels", "ann_cosine_topk",
-    "text_quality", "q_full_outer_counts", "q_parts_above_avg_price",
-    "q_topk_orders_per_customer", "q_exists_correlated",
-    "q_customers_without_orders",
-]
-R8_HEAD_23 = [
-    "dedup_prefix_filter", "lake_bucketed_join", "cdc_purge_keys",
-    "q_entropy_mi", "q_acf_hourly", "q_seasonal_anomaly",
-    "text_rouge_overlap", "sketch_theta_intersection",
-    "streaming_session_topk", "q10_returned_revenue", "q14_promo_share",
-    "graph_pagerank_weighted", "q_longest_streak", "q7_nation_trade",
-    "cdc_merge_into", "streaming_enrich_asof_static",
-    "q_cheapest_supplier_per_part", "q4_late_ship_priority",
-    "q_mom_growth", "q_event_transitions", "q_percentile_cont",
-    "dedup_editdist_rerank", "sketch_hll_sparse",
+R9_HEAD_22 = [
+    "streaming_psi_drift", "q_ccf_types", "q_histogram_equi_depth",
+    "sample_reservoir_stratum", "sketch_kll_quantiles",
+    "q_record_linkage_fs", "text_bpe_merges", "q_winsorized_stats",
+    "text_ngram_novelty", "q_theilsen_hourly", "streaming_hll_hourly",
+    "streaming_cusum_hourly", "q_gini_revenue", "q_herfindahl_segments",
+    "text_zipf_slope", "q_bootstrap_ci_mean", "graph_kcore",
+    "dedup_containment", "sketch_hll_rolling",
+    "streaming_quantile_hourly", "q_fd_violations", "q_ref_integrity",
 ]
 
 
-def test_round13_window_composition():
+def test_round14_window_composition():
     qs = list(entrymod.queries().keys())
-    want = R12_HEAD_CANDIDATES + NEW_R13 + R7_TAIL_19 + R8_HEAD_23
+    want = NEVER_SEEN + CHANGED_R14 + R8_TAIL_26 + R9_HEAD_22
     assert len(want) == 50, len(want)
     assert qs[:50] == want, (qs[:50], want)
 
 
-def test_round14_lead_is_r8_tail():
-    """Below the cut: the 26-entry r8 tail leads round 14 (nothing is
-    never-driver-seen after a green round 13 except entries round 14
-    itself adds), then the r9 cohort."""
+def test_round15_lead_is_new_entry_then_r9_remainder():
+    """Below the cut: the round-14 addition (never-driver-seen until the
+    round-15 rotation) leads, then the 27-entry r9 remainder in
+    artifact order, then the r10/r11 cohorts, the round-12 window, and
+    the round-13 window at the very bottom (freshest last)."""
     qs = list(entrymod.queries().keys())
-    # the round-14 head candidate sits FIRST below the cut (never-seen
-    # outranks everything), then the r8 tail in artifact order
-    assert qs[50] == "q_group_spearman_trend", qs[50]
-    assert qs[51] == "ann_pq_adc_rerank", qs[51]
-    assert qs[52] == "streaming_funnel_timeout", qs[52]
-    assert qs[53] == "ann_ivfadc_topk", qs[53]
-    # the round-12 window sits at the very bottom (freshest last)
-    assert qs[-1] == "streaming_topk_per_window", qs[-1]
-    assert qs[-50] == "q_group_equidepth", qs[-50]
+    assert qs[50] == "streaming_group_spearman", qs[50]
+    assert qs[51] == "q_anova_f", qs[51]
+    assert qs[52] == "q_mannwhitney_u", qs[52]
+    # the round-13 window sits at the very bottom (freshest last)
+    assert qs[-1] == "sketch_hll_sparse", qs[-1]
+    assert qs[-50] == "manifest_compact_execute", qs[-50]
+    # the round-12 window directly above it
+    assert qs[-51] == "streaming_topk_per_window", qs[-51]
 
 
 def test_every_query_has_oracle():
     """Since round 11 EVERY queries() entry has an oracle_sql() twin
     (pack_ffd_bins, the last rows-only entry, emits an invariant
-    summary its oracle recomputes; all round-12 and round-13 entries
-    shipped full-oracle)."""
+    summary its oracle recomputes; every round-12/13/14 entry shipped
+    full-oracle)."""
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     rows_only = set(qs) - set(oracles)
     assert rows_only == set(), rows_only

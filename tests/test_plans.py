@@ -1211,3 +1211,19 @@ def test_spearman_corr_retrofit_no_per_group_rank_window(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     keys = set(re.findall(r"windowspecdefinition\((\w+)#", p))
     assert keys and keys == {"__pid"}, keys
+
+
+def test_streaming_group_spearman_plan_shape(spark, sf_dir):
+    """streaming_group_spearman: the drained (g, xv, yv, c) cells must
+    ride the SAME _group_spearman_from_cells core as the batch trend —
+    every windowspecdefinition keys on the balanced __pid hash (never
+    event_type), no SinglePartition stage, no cartesian; the moments
+    are hash aggregates."""
+    import re
+
+    df = entrymod.queries()["streaming_group_spearman"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
+    keys = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    assert keys and keys == {"__pid"}, keys
