@@ -8965,7 +8965,6 @@ def q_group_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range repartition on the composite (type, cents) order — never a
     single-task-per-type window over the value axis); tie term in
     DECIMAL(38,0); ONE pinned float expression for z per type."""
-    dec = "decimal(38,0)"
     ev = _t(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
         & F.col("user_id").isNotNull()
@@ -8980,7 +8979,20 @@ def q_group_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_value = o.groupBy("g", "cents").agg(
         F.sum("g1").cast("long").alias("d1"),
         F.sum("g2").cast("long").alias("d2"),
-    ).withColumn("r2", F.col("d2"))
+    )
+    return _group_mannwhitney_from_cells(per_value)
+
+
+def _group_mannwhitney_from_cells(per_value: DataFrame) -> DataFrame:
+    """The grouped-U core both Mann-Whitney entries share: from a
+    (g, cents, d1, d2) per-(group, value) count frame, the running C2
+    rides grouped_running_sum (composite-order range repartition —
+    never a single-task-per-group window over the value axis), then
+    2*U1 = sum_v d1*(2*C2(v-) + d2), the DECIMAL(38,0) tie term, and
+    ONE pinned float z per group. Output: (event_type, n1, n2, u1_x2,
+    tie_sum, z_stat)."""
+    dec = "decimal(38,0)"
+    per_value = per_value.withColumn("r2", F.col("d2"))
     running = W.grouped_running_sum(
         per_value, ["g"], [F.col("cents").asc()], ["r2"]
     )
@@ -9014,6 +9026,50 @@ def q_group_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.sqrt(var_u)),
         ).alias("z_stat"),
     )
+
+
+def streaming_group_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Mann-Whitney U as a LIVE monitor — q_group_mannwhitney's
+    streaming twin and the grouped machinery's SEVENTH composition
+    (the streaming_cohort_retention precedent: the live formulation
+    must be INDISTINGUISHABLE from the batch one, so the oracle is the
+    batch entry's SQL verbatim). The stateful piece is the
+    per-(type, value) split-count cell — an UPDATE-mode streaming
+    groupBy summing the even/odd-user indicators: state is bounded by
+    types × value DOMAIN (never row count), and both components are
+    MONOTONE NONDECREASING, so the drained update log's componentwise
+    max per cell IS the final cell for any pacing (contrast the
+    spearman twin, whose append-mode hour cells need the watermark
+    emission rule — this is the other canonical drain contract). The
+    drained final cells feed the EXACT _group_mannwhitney_from_cells
+    core the batch entry runs: running C2 via grouped_running_sum,
+    2*U1 integer algebra, DECIMAL(38,0) tie term, one pinned float z
+    per type — the per-segment A/B exchangeability probe, live."""
+    stream = SW.read_events_stream(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    o = stream.select(
+        F.col("event_type").alias("g"),
+        _cents("value").alias("cents"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("g1"),
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("g2"),
+    )
+    cells = o.groupBy("g", "cents").agg(
+        F.sum("g1").cast("long").alias("d1"),
+        F.sum("g2").cast("long").alias("d2"),
+    )
+    drained = SW.run_to_memory(cells, spark, output_mode="update")
+    per_value = (
+        drained.groupBy("g", "cents")
+        .agg(
+            F.max("d1").cast("long").alias("d1"),
+            F.max("d2").cast("long").alias("d2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return _group_mannwhitney_from_cells(per_value)
 
 
 def streaming_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9314,11 +9370,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # freshest last). Round-15 arithmetic: the candidate + the
         # 27-entry r9 remainder + 22 of the r10 cohort fill the window;
         # round-15 additions displace r10 slots. =========================
-        # --- round-15 head candidate: new in round 14 (per-type Spearman
+        # --- round-15 head candidates: new in round 14 (per-type Spearman
         # trend as a LIVE monitor — the grouped machinery's sixth
-        # composition; emission rule + hour-axis cells, never driver-seen
-        # until the round-15 rotation) -----------------------------------
+        # composition, emission rule + hour-axis cells; per-type
+        # Mann-Whitney U live — the seventh, update-mode monotone cell
+        # fold, oracle = the batch SQL verbatim; never driver-seen until
+        # the round-15 rotation) -----------------------------------------
         "streaming_group_spearman": streaming_group_spearman,
+        "streaming_group_mannwhitney": streaming_group_mannwhitney,
         # --- r9 cohort remainder (artifact order) -----------------------
         "q_anova_f": q_anova_f,
         "q_mannwhitney_u": q_mannwhitney_u,
@@ -14316,6 +14375,73 @@ def oracle_sql() -> dict[str, str]:
                                     * CAST(sy AS DOUBLE)))
                    END AS spearman_rho
             FROM mom
+        """,
+        "streaming_group_mannwhitney": """
+            -- the batch q_group_mannwhitney SQL VERBATIM: the live
+            -- update-mode cell fold is a monotone semilattice (both
+            -- split counts only grow), so its drained componentwise
+            -- max per cell equals the batch GROUP BY for ANY pacing —
+            -- the live formulation must be indistinguishable from the
+            -- batch one
+            WITH ev AS (
+                SELECT event_type AS g,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+                       CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g2
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL
+                  AND event_type IS NOT NULL),
+            v AS (SELECT g, cents, CAST(sum(g1) AS BIGINT) AS d1,
+                         CAST(sum(g2) AS BIGINT) AS d2
+                  FROM ev GROUP BY 1, 2),
+            r AS (SELECT g, cents, d1, d2,
+                         CAST(sum(d2) OVER (
+                             PARTITION BY g ORDER BY cents) AS BIGINT)
+                             AS r2
+                  FROM v),
+            s AS (SELECT g,
+                      CAST(sum(CAST(d1 AS DECIMAL(38,0))
+                               * CAST(2 * r2 - d2 AS DECIMAL(38,0)))
+                           AS DECIMAL(38,0)) AS u1_x2,
+                      CAST(sum(CAST(d1 + d2 AS DECIMAL(38,0))
+                               * CAST(d1 + d2 AS DECIMAL(38,0))
+                               * CAST(d1 + d2 AS DECIMAL(38,0))
+                               - CAST(d1 + d2 AS DECIMAL(38,0)))
+                           AS DECIMAL(38,0)) AS tie_sum,
+                      CAST(sum(d1) AS BIGINT) AS n1,
+                      CAST(sum(d2) AS BIGINT) AS n2
+                  FROM r GROUP BY g)
+            SELECT g AS event_type, n1, n2,
+                   CAST(u1_x2 AS DOUBLE) AS u1_x2,
+                   CAST(tie_sum AS DOUBLE) AS tie_sum,
+                   CASE WHEN n1 > 0 AND n2 > 0 AND
+                        (CAST(CAST(n1 AS DECIMAL(38,0))
+                              * CAST(n2 AS DECIMAL(38,0)) AS DOUBLE)
+                         * CAST(CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                 * CAST(n1 + n2 AS DECIMAL(38,0))
+                                 * CAST(n1 + n2 AS DECIMAL(38,0))
+                                 - CAST(n1 + n2 AS DECIMAL(38,0))
+                                 AS DECIMAL(38,0)) - tie_sum AS DOUBLE)
+                         / (12.0 * CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                * CAST(n1 + n2 - 1 AS DECIMAL(38,0))
+                                AS DOUBLE))) > 0
+                   THEN (CAST(u1_x2 AS DOUBLE)
+                         - CAST(CAST(n1 AS DECIMAL(38,0))
+                                * CAST(n2 AS DECIMAL(38,0)) AS DOUBLE))
+                        / (2.0 * sqrt(
+                            CAST(CAST(n1 AS DECIMAL(38,0))
+                                 * CAST(n2 AS DECIMAL(38,0)) AS DOUBLE)
+                            * CAST(CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                    * CAST(n1 + n2 AS DECIMAL(38,0))
+                                    * CAST(n1 + n2 AS DECIMAL(38,0))
+                                    - CAST(n1 + n2 AS DECIMAL(38,0))
+                                    AS DECIMAL(38,0)) - tie_sum AS DOUBLE)
+                            / (12.0
+                               * CAST(CAST(n1 + n2 AS DECIMAL(38,0))
+                                      * CAST(n1 + n2 - 1 AS DECIMAL(38,0))
+                                      AS DOUBLE))))
+                   END AS z_stat
+            FROM s
         """,
         "q_group_mannwhitney": """
             -- the global U oracle with the type key threaded through:

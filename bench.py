@@ -254,8 +254,9 @@ HEADLINE = [
     # round-14 head candidates (benched from day one, driver-verified
     # next round)
     "q_group_spearman_trend",
-    # round-14 addition (the round-15 head candidate)
+    # round-14 additions (the round-15 head candidates)
     "streaming_group_spearman",
+    "streaming_group_mannwhitney",
 ]
 
 

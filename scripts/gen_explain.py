@@ -97,6 +97,8 @@ SHOWN = {
     "q_cohort_retention_daily": "daily cohort retention: ONE wide user_id hash agg (min day + collect_set days together), narrow explode, calendar-bounded cell/size aggs, sizes broadcast back — never two passes over events",
     "q_group_mannwhitney": "per-type Mann-Whitney U: per-(type, cents) counts, running C2 via grouped_running_sum's composite-order range exchange, per-type DECIMAL(38,0) reduction — no type ever funnels through one task",
     "q_group_spearman_trend": "per-type Spearman trend: BOTH rank axes from grouped_running_sum (range exchanges, prints post-checkpoint), cell-frame hash joins onto the rank maps, per-type cell-weighted DECIMAL moments — no per-group rank window anywhere",
+    "q_spearman_corr": "round-14 retrofit: the per-priority ranks ride the SAME grouped_running_sum machinery (windows keyed on __pid only) — the last one-task-per-group value-axis Window is gone",
+    "streaming_group_spearman": "the trend's LIVE twin: domain-bounded (hour, type, value) cells drained append-mode, then the identical cell core — state tracks the value DOMAIN, the post-drain plan is the batch trend's",
 }
 
 # Everything below this marker in EXPLAIN.md is hand-written (sub-stage

@@ -435,8 +435,11 @@ def test_null_events_drift(spark, tmp_path):
         "manifest_compact_execute",
         "streaming_group_ks",
         # r14: NULL type/value/ts rows are outside the emitted (g, value,
-        # hour) cells on BOTH sides of the live Spearman trend
+        # hour) cells on BOTH sides of the live Spearman trend; NULL
+        # type/value/user rows are outside the live U's split-count
+        # cells identically
         "streaming_group_spearman",
+        "streaming_group_mannwhitney",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -1516,8 +1519,9 @@ def test_extreme_magnitude_drift(spark, tmp_path):
         "q_psi_drift",
         # r14: ±1e9-scaled values land as ~1e14-cent rank-axis points —
         # the cell-weighted DECIMAL moment discipline of the live trend
-        # re-proved at fleet magnitudes
+        # and the live U's integer algebra re-proved at fleet magnitudes
         "streaming_group_spearman",
+        "streaming_group_mannwhitney",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)

@@ -50,15 +50,16 @@ def test_round14_window_composition():
     assert qs[:50] == want, (qs[:50], want)
 
 
-def test_round15_lead_is_new_entry_then_r9_remainder():
-    """Below the cut: the round-14 addition (never-driver-seen until the
-    round-15 rotation) leads, then the 27-entry r9 remainder in
-    artifact order, then the r10/r11 cohorts, the round-12 window, and
-    the round-13 window at the very bottom (freshest last)."""
+def test_round15_lead_is_new_entries_then_r9_remainder():
+    """Below the cut: the round-14 additions (never-driver-seen until
+    the round-15 rotation) lead — the live Spearman trend, then the
+    live Mann-Whitney — then the 27-entry r9 remainder in artifact
+    order, then the r10/r11 cohorts, the round-12 window, and the
+    round-13 window at the very bottom (freshest last)."""
     qs = list(entrymod.queries().keys())
     assert qs[50] == "streaming_group_spearman", qs[50]
-    assert qs[51] == "q_anova_f", qs[51]
-    assert qs[52] == "q_mannwhitney_u", qs[52]
+    assert qs[51] == "streaming_group_mannwhitney", qs[51]
+    assert qs[52] == "q_anova_f", qs[52]
     # the round-13 window sits at the very bottom (freshest last)
     assert qs[-1] == "sketch_hll_sparse", qs[-1]
     assert qs[-50] == "manifest_compact_execute", qs[-50]

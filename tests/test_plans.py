@@ -1227,3 +1227,18 @@ def test_streaming_group_spearman_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     keys = set(re.findall(r"windowspecdefinition\((\w+)#", p))
     assert keys and keys == {"__pid"}, keys
+
+
+def test_streaming_group_mannwhitney_plan_shape(spark, sf_dir):
+    """streaming_group_mannwhitney: the drained update-log max-fold
+    cells must ride the SAME _group_mannwhitney_from_cells core as the
+    batch entry — every windowspecdefinition keys on the balanced
+    __pid hash, no SinglePartition stage, no cartesian."""
+    import re
+
+    df = entrymod.queries()["streaming_group_mannwhitney"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
+    keys = set(re.findall(r"windowspecdefinition\((\w+)#", p))
+    assert keys and keys == {"__pid"}, keys

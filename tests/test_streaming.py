@@ -1691,3 +1691,100 @@ def test_streaming_presence_dedup_kill_restart_and_pacing(spark, tmp_path):
         write_file("pres_c", i, rows)
     drain("pres_c", "pres_ckpt_c", "pres_out_c", max_files=3)
     assert presence("pres_out_c") == want
+
+
+def test_streaming_ucell_fold_kill_restart_and_pacing(spark, tmp_path):
+    """streaming_group_mannwhitney's stateful piece: an UPDATE-mode
+    streaming groupBy summing the per-(type, value) split indicators.
+    Both components are monotone nondecreasing, so the drained update
+    log's componentwise max per cell must equal the pure batch GROUP BY
+    under ANY pacing AND across a kill/restart on one checkpoint —
+    re-emitted updates after a restart are absorbed by the max fold
+    exactly as the entry absorbs them."""
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [
+        [("a", 100, 1, 0), ("a", 100, 0, 1), ("a", 200, 1, 0)],
+        [("a", 100, 1, 0), ("b", 100, 0, 1)],
+        [("a", 200, 0, 1), ("b", 100, 0, 1), ("a", 100, 1, 0)],
+    ]
+    schema = "g string, cents bigint, g1 int, g2 int"
+    all_rows = [r for f in files for r in f]
+
+    def write_file(dirname, i, rows):
+        path = str(tmp_path / dirname / f"f{i}.parquet")
+        staging = path + ".staging"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(part, path)
+        shutil.rmtree(staging, ignore_errors=True)
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    def drain(in_dir, ckpt, out_dir, max_files):
+        stream = read_stream(
+            spark,
+            str(tmp_path / in_dir),
+            spark.read.parquet(str(tmp_path / in_dir)).schema,
+            max_files=max_files,
+        )
+        cells = stream.groupBy("g", "cents").agg(
+            F.sum("g1").cast("long").alias("d1"),
+            F.sum("g2").cast("long").alias("d2"),
+        )
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(str(tmp_path / out_dir))
+
+        q = (
+            cells.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    def folded(out_dir):
+        return {
+            (r["g"], r["cents"]): (r["d1"], r["d2"])
+            for r in spark.read.parquet(str(tmp_path / out_dir))
+            .groupBy("g", "cents")
+            .agg(
+                F.max("d1").cast("long").alias("d1"),
+                F.max("d2").cast("long").alias("d2"),
+            )
+            .collect()
+        }
+
+    want = {}
+    for g, cents, g1, g2 in all_rows:
+        d1, d2 = want.get((g, cents), (0, 0))
+        want[(g, cents)] = (d1 + g1, d2 + g2)
+
+    # one drain, file-at-a-time pacing
+    for i, rows in enumerate(files):
+        write_file("ucell_a", i, rows)
+    drain("ucell_a", "ucell_ckpt_a", "ucell_out_a", max_files=1)
+    assert folded("ucell_out_a") == want
+
+    # kill/restart: drain 2 files, stop, add the third, resume on the
+    # SAME checkpoint — the resumed update must carry the full cell
+    # value (state survives), and the max fold absorbs the re-emission
+    for i, rows in enumerate(files[:2]):
+        write_file("ucell_b", i, rows)
+    drain("ucell_b", "ucell_ckpt_b", "ucell_out_b", max_files=1)
+    for i, rows in enumerate(files[2:], start=2):
+        write_file("ucell_b", i, rows)
+    drain("ucell_b", "ucell_ckpt_b", "ucell_out_b", max_files=1)
+    assert folded("ucell_out_b") == want
+
+    # coarse pacing (all files in one batch) — same cells
+    for i, rows in enumerate(files):
+        write_file("ucell_c", i, rows)
+    drain("ucell_c", "ucell_ckpt_c", "ucell_out_c", max_files=3)
+    assert folded("ucell_out_c") == want
