@@ -8622,6 +8622,111 @@ def manifest_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(work, ignore_errors=True)
 
 
+def manifest_compact_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERED compaction on a LIVE manifest table
+    (ManifestUpsertTable.compact_clustered — round 14, the OPTIMIZE
+    ZORDER analog): the entry builds a real manifest table from the
+    per-(event_type, event_id) max-cents rows (partitioned by type,
+    zone maps on cents; AQE off during the merge so every unclustered
+    object spans nearly the full value range — the worst case for file
+    skipping), runs the clustered full rewrite, and emits per-partition
+    facts the oracle recomputes ENTIRELY BY VALUE — possible because
+    the bin boundaries are exact distributed ranks (value's running
+    count div budget via grouped_running_sum), not RangePartitioner
+    sampling: n_rows, n_objects (= the SQL bin count), and n_scanned
+    (the objects read_where's zone-map skipping keeps for the FIXED
+    probe cents ∈ [2000, 3000] — the skipping machinery checked
+    against pure SQL bin/min/max math). Contract booleans the oracle
+    emits as TRUE literals: row multiset preserved, per-partition zone
+    maps range-DISJOINT, manifest advanced exactly one version. Any
+    clustering bug (lost rows, overlapping bins, wrong bin count,
+    skipping too much or too little) flips a count or a boolean and
+    fails the driver hash."""
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from buskafkasparkstreaming_spark.cdc.manifest_table import (
+        ManifestUpsertTable,
+    )
+
+    budget, lo, hi = 1000, 2000, 3000
+    work = tempfile.mkdtemp(prefix="bss_mcc_")
+    try:
+        ev = _t(spark, sf_dir, "events").filter(
+            F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        rows = ev.groupBy("event_type", "event_id").agg(
+            F.max(_cents("value")).alias("cents")
+        )
+        t = ManifestUpsertTable(
+            spark,
+            os.path.join(work, "tbl"),
+            key_cols=["event_type", "event_id"],
+            precombine_col="event_id",
+            partition_col="event_type",
+            stats_cols=["cents"],
+        )
+        conf_key = "spark.sql.adaptive.enabled"
+        prev = spark.conf.get(conf_key)
+        spark.conf.set(conf_key, "false")
+        try:
+            t.merge(rows)
+        finally:
+            spark.conf.set(conf_key, prev)
+        v0 = t.version()
+        t.compact_clustered("cents", budget_rows=budget)
+        m2 = t._current_manifest()
+        version_ok = t.version() == v0 + 1
+        readback = t.read().select("event_type", "event_id", "cents")
+        state_ok = (
+            readback.exceptAll(rows).count() == 0
+            and rows.exceptAll(readback).count() == 0
+        )
+        kept, _skipped = t.select_objects("cents", lo, hi, m=m2)
+        kept_set = set(kept)
+        flags = []
+        for val, keys in m2["partitions"].items():
+            spans = sorted(m2["stats"][k]["cents"] for k in keys)
+            disjoint = all(
+                a[1] < b[0] for a, b in zip(spans, spans[1:])
+            )
+            flags.append(
+                (
+                    val,
+                    len(keys),
+                    len(kept_set & set(keys)),
+                    bool(disjoint),
+                )
+            )
+        fdf = spark.createDataFrame(
+            flags,
+            "part string, n_objects long, n_scanned long, "
+            "disjoint_ok boolean",
+        )
+        counts = readback.groupBy(
+            F.col("event_type").alias("part")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        out = (
+            counts.join(F.broadcast(fdf), "part")
+            .select(
+                "part",
+                "n_rows",
+                "n_objects",
+                "n_scanned",
+                F.lit(bool(state_ok)).alias("state_preserved"),
+                "disjoint_ok",
+                F.lit(bool(version_ok)).alias("version_advanced"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
 def streaming_group_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING per-GROUP rolling KS drift monitor (SURVEY round-13
     candidate, shipped early) — the composition the grouped machinery
@@ -9378,6 +9483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-15 rotation) -----------------------------------------
         "streaming_group_spearman": streaming_group_spearman,
         "streaming_group_mannwhitney": streaming_group_mannwhitney,
+        # --- round-15 head candidate: clustered compaction (OPTIMIZE
+        # ZORDER analog) with exact-rank bin boundaries — the grouped
+        # machinery composed with the lakehouse layout ------------------
+        "manifest_compact_cluster": manifest_compact_cluster,
         # --- r9 cohort remainder (artifact order) -----------------------
         "q_anova_f": q_anova_f,
         "q_mannwhitney_u": q_mannwhitney_u,
@@ -14617,6 +14726,48 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n_prev AS DOUBLE) * CAST(n_cur AS DOUBLE))
                        AS ks_stat
             FROM agg WHERE n_prev > 0 AND n_cur > 0
+        """,
+        "manifest_compact_cluster": """
+            -- the clustering layout recomputed ENTIRELY BY VALUE: bins
+            -- are exact ranks (running count over distinct cents div
+            -- budget 1000 — grouped_running_sum's identity in SQL), so
+            -- object count AND the zone-map skip count for the fixed
+            -- probe [2000, 3000] are pure SQL facts; the executor
+            -- contract booleans (row multiset preserved, spans
+            -- disjoint, one version step) are engine-side asserts the
+            -- oracle emits as TRUE literals
+            WITH ev AS (
+                SELECT event_type, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+                  AND value IS NOT NULL),
+            rows_ AS (
+                SELECT event_type AS part, event_id,
+                       max(cents) AS cents
+                FROM ev GROUP BY 1, 2),
+            cells AS (
+                SELECT part, cents, CAST(count(*) AS BIGINT) AS c
+                FROM rows_ GROUP BY 1, 2),
+            binned AS (
+                SELECT part, cents, c,
+                       (CAST(sum(c) OVER (
+                            PARTITION BY part ORDER BY cents)
+                            AS BIGINT) - c) // 1000 AS bin
+                FROM cells),
+            objs AS (
+                SELECT part, bin, min(cents) AS lo, max(cents) AS hi,
+                       CAST(sum(c) AS BIGINT) AS n
+                FROM binned GROUP BY 1, 2)
+            SELECT part,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_objects,
+                   CAST(sum(CASE WHEN lo <= 3000 AND hi >= 2000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+                   TRUE AS state_preserved,
+                   TRUE AS disjoint_ok,
+                   TRUE AS version_advanced
+            FROM objs GROUP BY part
         """,
         "manifest_compact_execute": """
             -- invariant oracle: the only VALUE fact a SQL engine can

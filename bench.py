@@ -257,6 +257,7 @@ HEADLINE = [
     # round-14 additions (the round-15 head candidates)
     "streaming_group_spearman",
     "streaming_group_mannwhitney",
+    "manifest_compact_cluster",
 ]
 
 

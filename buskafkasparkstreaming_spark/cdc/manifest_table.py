@@ -745,16 +745,34 @@ class ManifestUpsertTable:
             .repartition(F.col("__part"), F.col("__bin"))
             .drop("__key", "__part", "__bin")
         )
+        return self._stage_publish_binned(
+            out, part_cols, m, merged_keys, expected_rows, "compact_with_plan"
+        )
+
+    def _stage_publish_binned(
+        self,
+        out: DataFrame,
+        part_cols: list[str],
+        m: dict,
+        retire_keys: set,
+        expected_rows: int,
+        caller: str,
+    ) -> dict[str, dict]:
+        """Shared executor tail for the binned rewrites
+        (`compact_with_plan` / `compact_clustered`): stage the
+        partitionBy(part, __bindir) write, assert the staged parquet
+        footers account for EXACTLY `expected_rows` (the ADVICE-r12
+        loss guard — any key the tagging join dropped aborts BEFORE the
+        manifest PUT with staging cleaned and sources intact), publish
+        each bin file as a write-once object (atomic rename + stats +
+        num_rows lift), retire `retire_keys`, and PUT the next manifest
+        version under the create-exclusive crash protocol (losing a
+        version race deletes this txn's objects and raises).
+        Returns {partition_value_str: {"before": .., "after": ..}}."""
         txn = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f".stage_{txn}")
         out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
 
-        # Loss guard (ADVICE r12): any key the regexp/join failed to tag
-        # (layout drift, URI-encoding) silently drops its rows from the
-        # inner join while still retiring the source objects below.
-        # Metadata-only check: staged parquet footers must account for
-        # EXACTLY the merged objects' planned row total, else abort
-        # before the manifest PUT (staging is cleaned, sources intact).
         import pyarrow.parquet as pq
 
         staged_rows = 0
@@ -767,8 +785,8 @@ class ManifestUpsertTable:
         if staged_rows != expected_rows:
             shutil.rmtree(staging, ignore_errors=True)
             raise ValueError(
-                "compact_with_plan staged "
-                f"{staged_rows} rows but the plan's merged objects hold "
+                f"{caller} staged "
+                f"{staged_rows} rows but the rewritten objects hold "
                 f"{expected_rows}: key tagging failed for some objects "
                 "(layout drift?) — aborting before publish"
             )
@@ -816,8 +834,9 @@ class ManifestUpsertTable:
         shutil.rmtree(staging, ignore_errors=True)
 
         partitions = {}
+        report: dict[str, dict] = {}
         for val_str, keys in m["partitions"].items():
-            kept = [k for k in keys if k not in merged_keys]
+            kept = [k for k in keys if k not in retire_keys]
             partitions[val_str] = kept + new_objs.get(val_str, [])
             report[val_str] = {
                 "before": len(keys),
@@ -846,6 +865,130 @@ class ManifestUpsertTable:
             )
             raise
         return report
+
+    def compact_clustered(
+        self, cluster_col: str, budget_rows: int
+    ) -> dict[str, dict]:
+        """CLUSTERED full rewrite — the OPTIMIZE ... ZORDER analog
+        (1-D): re-bin EVERY live row so a partition's objects are
+        RANGE-DISJOINT on `cluster_col`, with DETERMINISTIC bin
+        boundaries from exact distributed ranks instead of
+        RangePartitioner sampling: the per-(partition, value) cell
+        frame's inclusive running count rides
+        operators.windows_fn.grouped_running_sum (the same
+        composite-order range-exchange machinery the grouped
+        statistics entries use), and bin = (run − cnt) div budget_rows
+        — the bin of the value's FIRST row, so a distinct value never
+        splits across bins (heavy ties inflate ONE bin rather than
+        break determinism or disjointness, and the whole layout is
+        recomputable in ANSI SQL — which is exactly what the
+        manifest_compact_cluster entry's oracle does).
+
+        Effects: each object's parquet footer min/max on `cluster_col`
+        (lifted into the manifest when `cluster_col` is in stats_cols)
+        covers a range no other object of the partition overlaps, so
+        `read_where(cluster_col, lo, hi)` scans EXACTLY the bins whose
+        range intersects [lo, hi] — provable file skipping, vs every
+        object of an unclustered table. Rows with NULL cluster values
+        sort first (Spark ASC NULLS FIRST) into the lowest bin; they
+        don't enter footer min/max and fail any range predicate, so
+        disjointness and skipping are unaffected.
+
+        Pure layout: the row multiset is untouched (`latest_state`
+        semantics never enter). Loss guard, publish, and the
+        create-exclusive manifest PUT crash protocol are shared with
+        compact_with_plan (`_stage_publish_binned`); ALL previous
+        objects retire — this is the full-table clustering pass; run
+        the FFD `compact_with_plan` for incremental small-file
+        maintenance between clustering passes."""
+        from buskafkasparkstreaming_spark.operators.windows_fn import (
+            grouped_running_sum,
+        )
+        from pyspark.sql.types import StructType
+
+        m = self._current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {self.path}")
+        all_keys = {
+            k for keys in m["partitions"].values() for k in keys
+        }
+        if not all_keys:
+            return {
+                val_str: {"before": 0, "after": 0}
+                for val_str in m["partitions"]
+            }
+        nr = m.get("num_rows", {})
+
+        def _rows(key: str) -> int:
+            n = nr.get(key)
+            if n is not None:
+                return int(n)
+            import pyarrow.parquet as pq
+
+            return pq.read_metadata(os.path.join(self.path, key)).num_rows
+
+        expected_rows = sum(_rows(k) for k in all_keys)
+        keymap = self.spark.createDataFrame(
+            [
+                (k, val_str)
+                for val_str, keys in m["partitions"].items()
+                for k in keys
+            ],
+            "__key string, __part string",
+        )
+        schema = StructType.fromJson(m["schema"])
+        if self.partition_col is not None:
+            ptype = schema[self.partition_col].dataType
+            data_schema = StructType(
+                [f for f in schema.fields if f.name != self.partition_col]
+            )
+        else:
+            data_schema = schema
+        paths = [os.path.join(self.path, k) for k in sorted(all_keys)]
+        df = (
+            self.spark.read.schema(data_schema)
+            .parquet(*paths)
+            .withColumn(
+                "__key",
+                F.regexp_extract(
+                    F.input_file_name(),
+                    "(" + re.escape(self.DATA_DIR)
+                    + r"/[^/]+/[^/]+\.parquet)$",
+                    1,
+                ),
+            )
+            .join(F.broadcast(keymap), "__key")
+        )
+        cells = df.groupBy("__part", cluster_col).agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt")
+        ).withColumn("__run", F.col("__cnt"))
+        binned = grouped_running_sum(
+            cells, ["__part"], [F.col(cluster_col).asc()], ["__run"]
+        ).select(
+            "__part",
+            cluster_col,
+            (
+                (F.col("__run") - F.col("__cnt"))
+                / F.lit(int(budget_rows))
+            ).cast("long").alias("__bin"),
+        )
+        out = df.join(binned, ["__part", cluster_col])
+        part_cols = ["__bindir"]
+        if self.partition_col is not None:
+            val = F.when(F.col("__part") == "\0null", F.lit(None)).otherwise(
+                F.col("__part")
+            )
+            out = out.withColumn(self.partition_col, val.cast(ptype))
+            part_cols = [self.partition_col, "__bindir"]
+        out = (
+            out.withColumn("__bindir", F.col("__bin"))
+            .repartition(F.col("__part"), F.col("__bin"))
+            .sortWithinPartitions(F.col(cluster_col).asc())
+            .drop("__key", "__part", "__bin")
+        )
+        return self._stage_publish_binned(
+            out, part_cols, m, all_keys, expected_rows, "compact_clustered"
+        )
 
     def vacuum(
         self, keep_manifests: int = 1, writer_grace_seconds: float = 0.0

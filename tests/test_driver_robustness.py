@@ -437,9 +437,11 @@ def test_null_events_drift(spark, tmp_path):
         # r14: NULL type/value/ts rows are outside the emitted (g, value,
         # hour) cells on BOTH sides of the live Spearman trend; NULL
         # type/value/user rows are outside the live U's split-count
-        # cells identically
+        # cells identically; NULL type/id/value rows never enter the
+        # clustered table build on either side
         "streaming_group_spearman",
         "streaming_group_mannwhitney",
+        "manifest_compact_cluster",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -1423,6 +1425,10 @@ def test_duplicate_row_drift(spark, tmp_path):
         # the streaming twin's presence fold is idempotent by contract
         "q_cohort_retention_daily",
         "streaming_cohort_retention",
+        # r14: duplicated events collapse in the max-cents per-(type,
+        # id) build on BOTH sides — bins, spans, and scan counts move
+        # identically
+        "manifest_compact_cluster",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)
@@ -1519,9 +1525,12 @@ def test_extreme_magnitude_drift(spark, tmp_path):
         "q_psi_drift",
         # r14: ±1e9-scaled values land as ~1e14-cent rank-axis points —
         # the cell-weighted DECIMAL moment discipline of the live trend
-        # and the live U's integer algebra re-proved at fleet magnitudes
+        # and the live U's integer algebra re-proved at fleet magnitudes;
+        # the clustering bins stay exact integer rank arithmetic and the
+        # zone-map spans stay BIGINT at ~1e14 cents
         "streaming_group_spearman",
         "streaming_group_mannwhitney",
+        "manifest_compact_cluster",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)

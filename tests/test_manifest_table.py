@@ -606,3 +606,82 @@ def test_manifest_format1_compat_plans_identically(spark, tmp_path):
     # mixed-format manifest still plans (footer fallback per old key)
     plan_mixed = t.compaction_plan(budget_rows=6).collect()
     assert sum(r["size"] for r in plan_mixed) == t.read().count()
+
+
+def test_manifest_compact_clustered_disjoint_and_skipping(spark, tmp_path):
+    """compact_clustered (round 14, the OPTIMIZE-ZORDER analog, 1-D):
+    a full clustered rewrite must (a) keep the row multiset identical,
+    (b) leave every partition's objects RANGE-DISJOINT on the cluster
+    column (zone maps never overlap), (c) make read_where scan exactly
+    the overlapping bins — skipping at least one object for a probe
+    strictly inside the value range — and (d) be DETERMINISTIC: the
+    bin layout comes from exact distributed ranks (value's running
+    count div budget), not RangePartitioner sampling, so two identical
+    tables cluster to identical per-object row counts."""
+    import itertools
+
+    def build(name):
+        t = ManifestUpsertTable(
+            spark,
+            str(tmp_path / name),
+            key_cols="k",
+            precombine_col="et",
+            partition_col="p",
+            stats_cols=["v"],
+        )
+        # 3 interleaved merges -> every object spans nearly the full v
+        # range (the unclustered worst case for zone maps)
+        for off in range(3):
+            rows = [
+                (off * 100 + i, (i * 7 + off) % 50, i % 2, 100)
+                for i in range(60)
+            ]
+            t.merge(
+                spark.createDataFrame(rows, "k int, v int, p int, et int")
+            )
+        return t
+
+    t = build("ct_a")
+    before = _state(t)
+    m0 = t._current_manifest()
+    n_before = {ps: len(ks) for ps, ks in m0["partitions"].items()}
+    # unclustered: the mid-range probe keeps EVERY object (each merge
+    # object spans nearly the whole v range)
+    kept0, skipped0 = t.select_objects("v", 20, 30, m=m0)
+    assert len(skipped0) == 0
+
+    report = t.compact_clustered("v", budget_rows=40)
+    assert _state(t) == before                      # (a) rows untouched
+    m1 = t._current_manifest()
+    assert m1["version"] == m0["version"] + 1
+    for ps, keys in m1["partitions"].items():
+        assert report[ps]["before"] == n_before[ps]
+        assert report[ps]["after"] == len(keys)
+        # (b) disjoint zone maps within the partition
+        spans = sorted(m1["stats"][k]["v"] for k in keys)
+        for (lo1, hi1), (lo2, hi2) in itertools.pairwise(spans):
+            assert hi1 < lo2, spans
+    # (c) skipping now real: the same probe drops at least one object
+    kept1, skipped1 = t.select_objects("v", 20, 30, m=m1)
+    assert skipped1, (kept1, skipped1)
+    probe = {
+        (r.k, r.v, r.p) for r in t.read_where("v", 20, 30).collect()
+    }
+    assert probe == {(k, v, p) for (k, v, p) in before if 20 <= v <= 30}
+
+    # (d) determinism: an identically-built table clusters identically
+    t2 = build("ct_b")
+    t2.compact_clustered("v", budget_rows=40)
+    m2 = t2._current_manifest()
+
+    def layout(m):
+        return {
+            ps: sorted(
+                (m["stats"][k]["v"][0], m["stats"][k]["v"][1],
+                 m["num_rows"][k])
+                for k in ks
+            )
+            for ps, ks in m["partitions"].items()
+        }
+
+    assert layout(m1) == layout(m2)
