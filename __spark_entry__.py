@@ -8727,6 +8727,114 @@ def manifest_compact_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(work, ignore_errors=True)
 
 
+def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object BLOOM-INDEX point lookup on a LIVE manifest table
+    (ManifestUpsertTable.bloom_col — round 14, the Hudi bloom-index
+    analog: the reference deployment is Hudi, whose default record
+    index is exactly this, 01-setup-ec-vm.md:273). The entry builds
+    the clustered table the manifest_compact_cluster entry proves
+    deterministic (exact-rank bins ⇒ object CONTENTS are pure SQL
+    facts), so the md5-derived per-object blooms are themselves
+    recomputable by value — and the oracle simulates the bloom math in
+    ANSI SQL, FALSE POSITIVES INCLUDED: per-object distinct bit
+    positions from each key's md5 (4 slices of 8 hex digits mod 8192),
+    probe keys = event_ids divisible by 997, an object is scanned iff
+    some probe's whole position set lands in the object's set. Facts
+    per partition: n_objects, n_scanned (the bloom-pruned object count
+    for the probe set — the skipping machinery value-checked end to
+    end), n_rows_hit. Contract booleans the oracle emits as TRUE
+    literals: the bloom read equals the full-scan IN filter (no false
+    negatives), and absent probes (negative ids) return zero rows."""
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from buskafkasparkstreaming_spark.cdc.manifest_table import (
+        ManifestUpsertTable,
+    )
+
+    budget = 1000
+    work = tempfile.mkdtemp(prefix="bss_mbl_")
+    try:
+        ev = _t(spark, sf_dir, "events").filter(
+            F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        rows = ev.groupBy("event_type", "event_id").agg(
+            F.max(_cents("value")).alias("cents")
+        )
+        t = ManifestUpsertTable(
+            spark,
+            os.path.join(work, "tbl"),
+            key_cols=["event_type", "event_id"],
+            precombine_col="event_id",
+            partition_col="event_type",
+            stats_cols=["cents"],
+            bloom_col="event_id",
+        )
+        conf_key = "spark.sql.adaptive.enabled"
+        prev = spark.conf.get(conf_key)
+        spark.conf.set(conf_key, "false")
+        try:
+            t.merge(rows)
+        finally:
+            spark.conf.set(conf_key, prev)
+        t.compact_clustered("cents", budget_rows=budget)
+        m2 = t._current_manifest()
+        probes = sorted(
+            r["event_id"]
+            for r in rows.filter(F.col("event_id") % 997 == 0)
+            .select("event_id")
+            .distinct()
+            .collect()
+        )
+        if probes:
+            kept, _sk = t.select_objects_bloom(probes, m=m2)
+            kept_set = set(kept)
+            hit = t.read_keys(probes).select(
+                "event_type", "event_id", "cents"
+            )
+            full = rows.filter(F.col("event_id").isin(probes))
+        else:  # a drift copy could empty the probe set — 0 facts, not
+            kept_set = set()  # an isin([]) seam
+            hit = full = rows.filter(F.lit(False))
+        hits_ok = (
+            hit.exceptAll(full).count() == 0
+            and full.exceptAll(hit).count() == 0
+        )
+        absent_ok = t.read_keys([-1, -2, -3]).count() == 0
+        flags = [
+            (val, len(keys), len(kept_set & set(keys)))
+            for val, keys in m2["partitions"].items()
+        ]
+        fdf = spark.createDataFrame(
+            flags, "part string, n_objects long, n_scanned long"
+        )
+        is_hit = (
+            F.col("event_id").isin(probes) if probes else F.lit(False)
+        )
+        counts = (
+            rows.groupBy(F.col("event_type").alias("part"))
+            .agg(F.sum(is_hit.cast("long")).alias("n_rows_hit"))
+        )
+        out = (
+            counts.join(F.broadcast(fdf), "part")
+            .select(
+                "part",
+                F.col("n_rows_hit").cast("long").alias("n_rows_hit"),
+                "n_objects",
+                "n_scanned",
+                F.lit(bool(hits_ok)).alias("hits_match_full_scan"),
+                F.lit(bool(absent_ok)).alias("absent_probes_empty"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
 def streaming_group_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING per-GROUP rolling KS drift monitor (SURVEY round-13
     candidate, shipped early) — the composition the grouped machinery
@@ -9487,6 +9595,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ZORDER analog) with exact-rank bin boundaries — the grouped
         # machinery composed with the lakehouse layout ------------------
         "manifest_compact_cluster": manifest_compact_cluster,
+        # --- round-15 head candidate: per-object bloom index (the Hudi
+        # bloom-index analog) — point-lookup skipping value-checked via
+        # the SQL bloom simulation over the deterministic clustered
+        # layout ---------------------------------------------------------
+        "manifest_bloom_lookup": manifest_bloom_lookup,
         # --- r9 cohort remainder (artifact order) -----------------------
         "q_anova_f": q_anova_f,
         "q_mannwhitney_u": q_mannwhitney_u,
@@ -9720,6 +9833,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 STOP_SQL = "('the','a','of','to','and','in')"
 WORDS = "string_split(text, ' ')"
 _HEX_SQL = "'0123456789abcdef'"
+
+
+def _hex8_int_sql(expr: str, start: int) -> str:
+    """DuckDB expression for int(substr(expr, start, 8), 16) — eight
+    hex digits folded by strpos digit math (the _sha_byte_sql pattern
+    widened to 32 bits; max 16^8−1 fits BIGINT). Mirrors Spark's
+    conv(substring(expr, start, 8), 16, 10) used by the bloom index's
+    position math (cdc/manifest_table.py::_bloom_positions)."""
+
+    def digit(i: int) -> str:
+        return (
+            f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1))"
+            " - 1)"
+        )
+
+    out = digit(0)
+    for i in range(1, 8):
+        out = f"({out} * 16 + {digit(i)})"
+    return out
 
 
 def _sha_byte_sql(i: int, expr: str = "sha256(text)") -> str:
@@ -14768,6 +14900,110 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS disjoint_ok,
                    TRUE AS version_advanced
             FROM objs GROUP BY part
+        """,
+        "manifest_bloom_lookup": f"""
+            -- the bloom index simulated ENTIRELY BY VALUE, false
+            -- positives included: objects are the clustered entry's
+            -- exact-rank bins, an object's bit-position set is the
+            -- distinct md5-slice positions of its keys (4 slices of 8
+            -- hex digits mod 8192 — the engine's _bloom_positions
+            -- math), and an object is scanned iff some probe key's
+            -- whole position set lands inside it; correctness booleans
+            -- (no false negatives, absent probes empty) are
+            -- engine-side asserts emitted as TRUE literals
+            WITH ev AS (
+                SELECT event_type, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+                  AND value IS NOT NULL),
+            rows_ AS (
+                SELECT event_type AS part, event_id,
+                       max(cents) AS cents
+                FROM ev GROUP BY 1, 2),
+            cells AS (
+                SELECT part, cents, CAST(count(*) AS BIGINT) AS c
+                FROM rows_ GROUP BY 1, 2),
+            binned AS (
+                SELECT part, cents,
+                       (CAST(sum(c) OVER (
+                            PARTITION BY part ORDER BY cents)
+                            AS BIGINT) - c) // 1000 AS bin
+                FROM cells),
+            keybin AS (
+                SELECT r.part, r.event_id, b.bin
+                FROM rows_ r
+                JOIN binned b ON r.part = b.part AND r.cents = b.cents),
+            series AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(j)),
+            keypos AS (
+                SELECT part, bin,
+                       ({_hex8_int_sql(
+                           "md5(CAST(event_id AS VARCHAR))", 1
+                       )} * CAST(j = 0 AS BIGINT)
+                        + {_hex8_int_sql(
+                            "md5(CAST(event_id AS VARCHAR))", 9
+                        )} * CAST(j = 1 AS BIGINT)
+                        + {_hex8_int_sql(
+                            "md5(CAST(event_id AS VARCHAR))", 17
+                        )} * CAST(j = 2 AS BIGINT)
+                        + {_hex8_int_sql(
+                            "md5(CAST(event_id AS VARCHAR))", 25
+                        )} * CAST(j = 3 AS BIGINT)) % 8192 AS pos
+                FROM keybin, series),
+            binpos AS (SELECT DISTINCT part, bin, pos FROM keypos),
+            probes AS (
+                SELECT DISTINCT event_id FROM rows_
+                WHERE event_id % 997 = 0),
+            probepos AS (
+                SELECT event_id,
+                       ({_hex8_int_sql(
+                           "md5(CAST(event_id AS VARCHAR))", 1
+                       )} * CAST(j = 0 AS BIGINT)
+                        + {_hex8_int_sql(
+                            "md5(CAST(event_id AS VARCHAR))", 9
+                        )} * CAST(j = 1 AS BIGINT)
+                        + {_hex8_int_sql(
+                            "md5(CAST(event_id AS VARCHAR))", 17
+                        )} * CAST(j = 2 AS BIGINT)
+                        + {_hex8_int_sql(
+                            "md5(CAST(event_id AS VARCHAR))", 25
+                        )} * CAST(j = 3 AS BIGINT)) % 8192 AS pos
+                FROM probes, series),
+            pdist AS (SELECT DISTINCT event_id, pos FROM probepos),
+            pneed AS (
+                SELECT event_id, CAST(count(*) AS BIGINT) AS need
+                FROM pdist GROUP BY 1),
+            pmatch AS (
+                SELECT bp.part, bp.bin, pd.event_id,
+                       CAST(count(*) AS BIGINT) AS got
+                FROM pdist pd
+                JOIN binpos bp ON bp.pos = pd.pos
+                GROUP BY 1, 2, 3),
+            scanned AS (
+                SELECT DISTINCT pm.part, pm.bin
+                FROM pmatch pm JOIN pneed pn USING (event_id)
+                WHERE pm.got = pn.need),
+            objs AS (
+                SELECT part, CAST(count(DISTINCT bin) AS BIGINT)
+                       AS n_objects
+                FROM binned GROUP BY 1),
+            scn AS (
+                SELECT part, CAST(count(*) AS BIGINT) AS n_scanned
+                FROM scanned GROUP BY 1),
+            hits AS (
+                SELECT part, CAST(count(*) AS BIGINT) AS n_rows_hit
+                FROM keybin
+                WHERE event_id IN (SELECT event_id FROM probes)
+                GROUP BY 1)
+            SELECT o.part,
+                   COALESCE(h.n_rows_hit, 0) AS n_rows_hit,
+                   o.n_objects,
+                   COALESCE(s.n_scanned, 0) AS n_scanned,
+                   TRUE AS hits_match_full_scan,
+                   TRUE AS absent_probes_empty
+            FROM objs o
+            LEFT JOIN scn s ON o.part = s.part
+            LEFT JOIN hits h ON o.part = h.part
         """,
         "manifest_compact_execute": """
             -- invariant oracle: the only VALUE fact a SQL engine can

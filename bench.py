@@ -258,6 +258,7 @@ HEADLINE = [
     "streaming_group_spearman",
     "streaming_group_mannwhitney",
     "manifest_compact_cluster",
+    "manifest_bloom_lookup",
 ]
 
 

@@ -69,6 +69,9 @@ class ManifestUpsertTable:
         partition_col: str | None = None,
         tiebreak_cols: list[str] | None = None,
         stats_cols: list[str] | None = None,
+        bloom_col: str | None = None,
+        bloom_m: int = 8192,
+        bloom_k: int = 4,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -80,6 +83,24 @@ class ManifestUpsertTable:
         #: parquet footers into the manifest at commit time (file-skipping
         #: stats, the Delta/Iceberg pattern)
         self.stats_cols = stats_cols or []
+        #: when set, a per-object BLOOM FILTER over this column is built
+        #: at publish and persisted in the manifest beside the zone maps
+        #: — the Hudi bloom-index analog (the reference deployment is
+        #: Hudi, whose default record index is exactly this:
+        #: 01-setup-ec-vm.md:273): point lookups skip every object whose
+        #: bloom excludes all probe values (zone maps skip RANGES; the
+        #: bloom skips POINT sets a range cannot bound). Bit positions
+        #: are md5-derived from the value's STRING form — deterministic
+        #: and replayable in both engines (Spark conv(substr(md5(..)))
+        #: and DuckDB digit math produce the same integers), which is
+        #: what lets the manifest_bloom_lookup entry's oracle recompute
+        #: bloom membership — false positives included — entirely in
+        #: SQL. m is bits per object (8192 = 1 KiB), k the hash count;
+        #: at ~budget_rows=1000 keys/object the fill is ~0.4 and the FP
+        #: rate ~(0.4)^4 ≈ 2.4% — tune m upward for bigger objects.
+        self.bloom_col = bloom_col
+        self.bloom_m = int(bloom_m)
+        self.bloom_k = int(bloom_k)
 
     # -- manifest resolution -------------------------------------------------
     def _manifest_dir(self) -> str:
@@ -332,12 +353,117 @@ class ManifestUpsertTable:
                 # footer read per NEW object, amortized over every
                 # later plan
                 self._last_num_rows[key] = pq.read_metadata(dst).num_rows
+                entry = {}
                 if self.stats_cols:
-                    self._last_stats[key] = self._object_stats(
-                        dst, self.stats_cols
-                    )
+                    entry.update(self._object_stats(dst, self.stats_cols))
+                if self.bloom_col is not None:
+                    entry["__bloom"] = self._object_bloom(dst)
+                if entry:
+                    self._last_stats[key] = entry
             out[val_str] = keys
         return out
+
+    @staticmethod
+    def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
+        """The k bit positions of one value: md5 of the value's STRING
+        form, position j = int(hexdigest[8j:8j+8], 16) mod m. Integer
+        values render identically in Python str(), Spark CAST(.. AS
+        STRING), and DuckDB CAST(.. AS VARCHAR) — the cross-engine
+        contract the oracle replay depends on."""
+        import hashlib
+
+        hx = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+        return [
+            int(hx[8 * j: 8 * j + 8], 16) % m_bits for j in range(k)
+        ]
+
+    def _object_bloom(self, path: str) -> dict:
+        """Bloom filter over `bloom_col` for one published object —
+        built driver-side from the object's single column (the local
+        stand-in for the Spark-side narrow scan a distributed publish
+        would run), stored base64 in the manifest beside the zone
+        maps."""
+        import base64
+
+        import pyarrow.parquet as pq
+
+        vals = pq.read_table(path, columns=[self.bloom_col])[
+            self.bloom_col
+        ].to_pylist()
+        bits = bytearray(self.bloom_m // 8)
+        for v in vals:
+            if v is None:
+                continue
+            for p in self._bloom_positions(v, self.bloom_m, self.bloom_k):
+                bits[p >> 3] |= 1 << (p & 7)
+        return {
+            "m": self.bloom_m,
+            "k": self.bloom_k,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+
+    @staticmethod
+    def _bloom_may_contain(bloom: dict, positions: list[int]) -> bool:
+        import base64
+
+        bits = base64.b64decode(bloom["b64"])
+        return all(
+            bits[p >> 3] & (1 << (p & 7)) for p in positions
+        )
+
+    def select_objects_bloom(
+        self, values, m: dict | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Point-lookup file skipping: split the manifest's live objects
+        into (kept, skipped) for the predicate `bloom_col IN values`
+        using the per-object bloom filters. An object without a bloom
+        (pre-bloom manifest versions, or a bloom built with different
+        m/k) is always kept — like zone maps, the index is an
+        optimization, never a correctness gate; blooms have NO false
+        negatives, so a skipped object provably holds none of the
+        probe values."""
+        if self.bloom_col is None:
+            raise ValueError("table has no bloom_col configured")
+        if m is None:
+            m = self._current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {self.path}")
+        probes = [
+            self._bloom_positions(v, self.bloom_m, self.bloom_k)
+            for v in values
+            if v is not None
+        ]
+        stats = m.get("stats", {})
+        kept, skipped = [], []
+        for keys in m["partitions"].values():
+            for k in keys:
+                bloom = stats.get(k, {}).get("__bloom")
+                if (
+                    bloom is None
+                    or bloom.get("m") != self.bloom_m
+                    or bloom.get("k") != self.bloom_k
+                ):
+                    kept.append(k)
+                elif any(
+                    self._bloom_may_contain(bloom, pos) for pos in probes
+                ):
+                    kept.append(k)
+                else:
+                    skipped.append(k)
+        return kept, skipped
+
+    def read_keys(self, values) -> DataFrame:
+        """Point read through the bloom index: objects whose bloom
+        excludes every probe value are never opened; survivors get the
+        exact IN filter (blooms are file-granular and can false-
+        positive, never false-negative)."""
+        m = self._current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {self.path}")
+        kept, _ = self.select_objects_bloom(values, m=m)
+        out = self._read_objects(m, keep_keys=set(kept))
+        pred = F.col(self.bloom_col).isin(list(values))
+        return self._empty(m) if out is None else out.filter(pred)
 
     def _carry_num_rows(self, m: dict | None, live_keys: set) -> dict:
         """num_rows map for the next manifest: previous manifest's
@@ -826,10 +952,13 @@ class ManifestUpsertTable:
                 os.rename(fpath, dst)
                 keys.append(key)
                 self._last_num_rows[key] = pq.read_metadata(dst).num_rows
+                entry = {}
                 if self.stats_cols:
-                    self._last_stats[key] = self._object_stats(
-                        dst, self.stats_cols
-                    )
+                    entry.update(self._object_stats(dst, self.stats_cols))
+                if self.bloom_col is not None:
+                    entry["__bloom"] = self._object_bloom(dst)
+                if entry:
+                    self._last_stats[key] = entry
             new_objs[val_str] = keys
         shutil.rmtree(staging, ignore_errors=True)
 

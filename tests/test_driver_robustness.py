@@ -442,6 +442,9 @@ def test_null_events_drift(spark, tmp_path):
         "streaming_group_spearman",
         "streaming_group_mannwhitney",
         "manifest_compact_cluster",
+        # r14: the bloom probe set derives from the SURVIVING rows on
+        # both sides (ids that lose type/value drop out of probes too)
+        "manifest_bloom_lookup",
     ):
         run_pair(spark, con, qs[name], oracles[name], drift, name)
     con.close()
@@ -1426,9 +1429,10 @@ def test_duplicate_row_drift(spark, tmp_path):
         "q_cohort_retention_daily",
         "streaming_cohort_retention",
         # r14: duplicated events collapse in the max-cents per-(type,
-        # id) build on BOTH sides — bins, spans, and scan counts move
-        # identically
+        # id) build on BOTH sides — bins, spans, scan counts, and the
+        # bloom position sets move identically
         "manifest_compact_cluster",
+        "manifest_bloom_lookup",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)
@@ -1531,6 +1535,9 @@ def test_extreme_magnitude_drift(spark, tmp_path):
         "streaming_group_spearman",
         "streaming_group_mannwhitney",
         "manifest_compact_cluster",
+        # the bloom positions hash the UNSCALED ids — the index must be
+        # magnitude-blind while the clustered spans absorb ~1e14 cents
+        "manifest_bloom_lookup",
     ):
         try:
             run_pair(spark, con, qs[name], oracles[name], drift, name)

@@ -60,7 +60,8 @@ def test_round15_lead_is_new_entries_then_r9_remainder():
     assert qs[50] == "streaming_group_spearman", qs[50]
     assert qs[51] == "streaming_group_mannwhitney", qs[51]
     assert qs[52] == "manifest_compact_cluster", qs[52]
-    assert qs[53] == "q_anova_f", qs[53]
+    assert qs[53] == "manifest_bloom_lookup", qs[53]
+    assert qs[54] == "q_anova_f", qs[54]
     # the round-13 window sits at the very bottom (freshest last)
     assert qs[-1] == "sketch_hll_sparse", qs[-1]
     assert qs[-50] == "manifest_compact_execute", qs[-50]

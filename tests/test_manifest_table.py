@@ -685,3 +685,69 @@ def test_manifest_compact_clustered_disjoint_and_skipping(spark, tmp_path):
         }
 
     assert layout(m1) == layout(m2)
+
+
+def test_manifest_bloom_index_point_lookup(spark, tmp_path):
+    """Per-object bloom index (round 14, the Hudi bloom-index analog):
+    point lookups must (a) return exactly the full-scan IN-filter rows
+    (no false negatives ever), (b) skip objects for absent probe
+    values (the point-skipping zone maps cannot do — every object's
+    [min, max] straddles a mid-range absent value), (c) carry blooms
+    across merges AND a clustered rewrite, and (d) always keep objects
+    without a bloom (older manifest versions stay readable)."""
+    t = ManifestUpsertTable(
+        spark,
+        str(tmp_path / "bloom_tbl"),
+        key_cols="k",
+        precombine_col="et",
+        partition_col="p",
+        stats_cols=["v"],
+        bloom_col="k",
+    )
+    # keys 0..59 stride 2 — odd keys are definitively absent, yet every
+    # object's key range straddles them (zone maps can never skip)
+    for off in range(3):
+        rows = [
+            (off * 200 + 2 * i, (i * 7 + off) % 50, i % 2, 100)
+            for i in range(30)
+        ]
+        t.merge(spark.createDataFrame(rows, "k int, v int, p int, et int"))
+    before = _state(t)
+    m = t._current_manifest()
+    n_objects = sum(len(ks) for ks in m["partitions"].values())
+    assert all(
+        "__bloom" in m["stats"][k]
+        for ks in m["partitions"].values()
+        for k in ks
+    )
+
+    # (a) present probes: bloom read == full-scan filter
+    probe = [0, 202, 404, 58]
+    got = {(r.k, r.v, r.p) for r in t.read_keys(probe).collect()}
+    assert got == {(k, v, p) for (k, v, p) in before if k in set(probe)}
+    assert got  # the probe really hits rows
+
+    # (b) absent probes skip objects; correctness unaffected
+    kept, skipped = t.select_objects_bloom([1, 3, 777])
+    assert skipped, (kept, skipped)
+    assert t.read_keys([1, 3, 777]).count() == 0
+
+    # (c) blooms survive the clustered rewrite and still skip
+    t.compact_clustered("v", budget_rows=40)
+    m2 = t._current_manifest()
+    assert all(
+        "__bloom" in m2["stats"][k]
+        for ks in m2["partitions"].values()
+        for k in ks
+    )
+    got2 = {(r.k, r.v, r.p) for r in t.read_keys(probe).collect()}
+    assert got2 == got
+    kept2, skipped2 = t.select_objects_bloom([1, 3, 777])
+    assert skipped2 and t.read_keys([1, 3, 777]).count() == 0
+
+    # (d) an object without a bloom is always kept: strip one bloom
+    key0 = next(iter(m2["partitions"].values()))[0]
+    del m2["stats"][key0]["__bloom"]
+    kept3, _ = t.select_objects_bloom([1], m=m2)
+    assert key0 in kept3
+    del n_objects  # silences linters; count asserted via skips above
