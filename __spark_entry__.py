@@ -75,6 +75,28 @@ def _cents(col: Column | str) -> Column:
 # finite decimal that isn't binary-representable, e.g. 39253/800).
 
 
+def _multisets_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Row-multiset equality in ONE Spark job (round-14 optimization):
+    a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0 needs two
+    jobs, each re-evaluating both inputs; multiset equality is exactly
+    'every row's +1/−1 weighted count over the union nets to zero', which
+    is one union + one hash aggregate. NULL columns group as equal keys —
+    the same null semantics exceptAll uses. Used by the manifest entries'
+    state_preserved / hits_match contract booleans (values unchanged)."""
+    cols = a.columns
+    tagged = a.select(*cols, F.lit(1).alias("__w")).unionByName(
+        b.select(*cols, F.lit(-1).alias("__w"))
+    )
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum("__w").alias("__d"))
+        .filter(F.col("__d") != 0)
+        .limit(1)
+        .count()
+        == 0
+    )
+
+
 def _sum_money(col: Column | str, alias: str, scale: float = 100.0) -> Column:
     return (F.sum(_cents(col)).cast("double") / scale).alias(alias)
 
@@ -3453,9 +3475,14 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dec = "decimal(38,0)"
+    # localCheckpoint (round-14 optimization): the cell frame branches
+    # into BOTH rank axes and the moment join, and each
+    # grouped_running_sum additionally evaluates its input for the
+    # RangePartitioner sample — without the pin the orders⋈lineitem
+    # join + cell aggregation recompute five times per run
     cell = j.groupBy("o_orderpriority", "xv", "yv").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
 
     def rank_axis(col: str, out: str) -> DataFrame:
         ax = cell.groupBy("o_orderpriority", col).agg(
@@ -7408,16 +7435,26 @@ def sketch_ks_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("o_orderdate").isNotNull()
         & F.year("o_orderdate").isin(1995, 1996)
     )
+    # ONE count job for both groups (round-14 optimization): the two
+    # per-branch v.count() actions fold into a single bounded aggregation
+    # (identical n_g values; the scan itself is cheap column-pruned
+    # parquet, so it is NOT checkpointed — materializing it costs more
+    # than re-scanning)
     base = o.select(
         _cents("o_totalprice").alias("cents"),
         F.col("o_orderkey").alias("oid"),
         F.when(F.year("o_orderdate") == 1995, 1).otherwise(2).alias("grp"),
     )
+    n_by_grp = {
+        r["grp"]: r["n"]
+        for r in base.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
 
     def group_sketch(g: int):
         v = base.filter(F.col("grp") == g).select("cents", "oid")
-        n_g = v.count()  # bounded driver read: folds the level plan into
-        # the plan as literals (the sketch_kll_quantiles precedent)
+        n_g = int(n_by_grp.get(g, 0))  # bounded driver read: folds the
+        # level plan into the plan as literals (sketch_kll_quantiles
+        # precedent)
         ranked = W.global_rank(
             v, [F.col("cents").asc(), F.col("oid").asc()], "rn"
         )
@@ -8310,16 +8347,22 @@ def q_group_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), "custkey")
         .filter(F.col("segment").isNotNull())
     )
+    # localCheckpoint (round-14 optimization): per_value feeds the range
+    # repartition's sample pass, its materialization, AND the totals —
+    # pin the orders⋈customer join + aggregation to one computation;
+    # totals are derived from the SAME cell frame (sum of per-value
+    # counts == per-segment count, exactly), dropping the second pass
+    # over the join
     per_value = o.groupBy("segment", "cents").agg(
         F.sum("g1").cast("long").alias("d1"),
         F.sum("g2").cast("long").alias("d2"),
-    )
+    ).localCheckpoint(eager=False)
     running = grouped_running_sum(
         per_value, ["segment"], [F.col("cents").asc()], ["d1", "d2"]
     )
-    totals = o.groupBy("segment").agg(
-        F.sum("g1").cast("long").alias("n1"),
-        F.sum("g2").cast("long").alias("n2"),
+    totals = per_value.groupBy("segment").agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
     )
     dec = "decimal(38,0)"
     s = running.join(F.broadcast(totals), "segment").select(
@@ -8330,18 +8373,21 @@ def q_group_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("d2").cast(dec) * F.col("n1").cast(dec)
         ).cast(dec).alias("num"),
     )
-    mx = s.groupBy("segment").agg(F.max("num").alias("d_num"))
-    at = (
-        s.join(
-            F.broadcast(mx.select(F.col("segment").alias("__s"), "d_num")),
-            (F.col("segment") == F.col("__s")) & (F.col("num") == F.col("d_num")),
-        )
-        .groupBy("segment")
-        .agg(F.min("cents").cast("long").alias("at_value_cents"))
+    # ONE hash aggregate replaces the old max-join + argmin-join pair
+    # (round-14 optimization): lexicographic max of (num, -cents) is
+    # exactly (max num, min cents among its ties) — the same d_num and
+    # at_value_cents, two broadcast-producing jobs fewer
+    mxat = s.groupBy("segment").agg(
+        F.max(
+            F.struct(F.col("num"), (-F.col("cents")).alias("__negc"))
+        ).alias("__m")
+    ).select(
+        "segment",
+        F.col("__m.num").alias("d_num"),
+        (-F.col("__m.__negc")).cast("long").alias("at_value_cents"),
     )
     return (
-        totals.join(F.broadcast(mx), "segment")
-        .join(F.broadcast(at), "segment")
+        totals.join(F.broadcast(mxat), "segment")
         .select(
             "segment",
             "n1",
@@ -8585,10 +8631,7 @@ def manifest_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         m2 = t._current_manifest()
         version_ok = t.version() == v0 + 1
         readback = t.read().select("event_type", "event_id")
-        state_ok = (
-            readback.exceptAll(pairs).count() == 0
-            and pairs.exceptAll(readback).count() == 0
-        )
+        state_ok = _multisets_equal(readback, pairs)
         flags = []
         for val, keys in m2["partitions"].items():
             planned = len({b for (p, b) in binsz if p == val})
@@ -8681,10 +8724,7 @@ def manifest_compact_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         m2 = t._current_manifest()
         version_ok = t.version() == v0 + 1
         readback = t.read().select("event_type", "event_id", "cents")
-        state_ok = (
-            readback.exceptAll(rows).count() == 0
-            and rows.exceptAll(readback).count() == 0
-        )
+        state_ok = _multisets_equal(readback, rows)
         kept, _skipped = t.select_objects("cents", lo, hi, m=m2)
         kept_set = set(kept)
         flags = []
@@ -8799,10 +8839,7 @@ def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:  # a drift copy could empty the probe set — 0 facts, not
             kept_set = set()  # an isin([]) seam
             hit = full = rows.filter(F.lit(False))
-        hits_ok = (
-            hit.exceptAll(full).count() == 0
-            and full.exceptAll(hit).count() == 0
-        )
+        hits_ok = _multisets_equal(hit, full)
         absent_ok = t.read_keys([-1, -2, -3]).count() == 0
         flags = [
             (val, len(keys), len(kept_set & set(keys)))
@@ -9038,6 +9075,10 @@ def q_group_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), "custkey")
         .filter(F.col("segment").isNotNull())
     )
+    # localCheckpoint + totals-from-cells (round-14 optimization, the
+    # q_group_ks pattern): one computation of the orders⋈customer join
+    # feeds the sample pass, the running sum, and the totals — sum of
+    # per-value d_ref == per-segment g1 count, exactly
     per_value = (
         o.groupBy("segment", "cents")
         .agg(
@@ -9045,12 +9086,13 @@ def q_group_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("g2").cast("long").alias("d_cur"),
         )
         .withColumn("r_ref", F.col("d_ref"))
+        .localCheckpoint(eager=False)
     )
     running = grouped_running_sum(
         per_value, ["segment"], [F.col("cents").asc()], ["r_ref"]
     )
-    totals = o.groupBy("segment").agg(
-        F.sum("g1").cast("long").alias("n_ref")
+    totals = per_value.groupBy("segment").agg(
+        F.sum("d_ref").cast("long").alias("n_ref")
     )
     return (
         running.filter(F.col("d_cur") > 0)
@@ -9189,10 +9231,14 @@ def q_group_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("g1"),
         F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("g2"),
     )
+    # localCheckpoint (round-14 optimization): the cell frame feeds the
+    # range repartition's sample pass and its materialization — pin the
+    # events scan + aggregation to one computation (the streaming twin
+    # already checkpoints its drained cells)
     per_value = o.groupBy("g", "cents").agg(
         F.sum("g1").cast("long").alias("d1"),
         F.sum("g2").cast("long").alias("d2"),
-    )
+    ).localCheckpoint(eager=False)
     return _group_mannwhitney_from_cells(per_value)
 
 
@@ -9379,9 +9425,14 @@ def q_group_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("value").alias("xv"),
         bssf.ts_millis(F.col("ts")).alias("yv"),
     )
+    # localCheckpoint (round-14 optimization): the shared core branches
+    # the cell frame into both rank axes and the moment join, and each
+    # grouped_running_sum evaluates its input once more for the
+    # RangePartitioner sample — pin the events scan + aggregation to a
+    # single computation (the streaming twin already does this)
     cell = o.groupBy("g", "xv", "yv").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     return _group_spearman_from_cells(cell)
 
 

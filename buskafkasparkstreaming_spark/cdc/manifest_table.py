@@ -292,6 +292,21 @@ class ManifestUpsertTable:
         # read_metadata, not ParquetFile: the footer read must not hold
         # an open fd until GC (a large commit touches many objects)
         md = pq.read_metadata(path)
+        return ManifestUpsertTable._stats_from_md(md, cols)
+
+    @staticmethod
+    def _footer_info(path: str, cols: list[str]) -> tuple[int, dict]:
+        """(num_rows, zone-map stats) from ONE footer read — the publish
+        paths need both per object, and a commit touches many objects, so
+        the round-14 optimization folds the two reads (plus the separate
+        loss-guard walk's read in the binned path) into one."""
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(path)
+        return md.num_rows, ManifestUpsertTable._stats_from_md(md, cols)
+
+    @staticmethod
+    def _stats_from_md(md, cols: list[str]) -> dict:
         out: dict[str, list] = {}
         for rg in range(md.num_row_groups):
             row = md.row_group(rg)
@@ -322,8 +337,6 @@ class ManifestUpsertTable:
         return {partition_value_str: [relative keys]}. The os.rename here
         emulates S3's atomic per-key upload (finalize-on-close), not a
         commit: objects are INVISIBLE until the manifest references them."""
-        import pyarrow.parquet as pq
-
         out: dict[str, list[str]] = {}
         dst_dir = os.path.join(self.path, self.DATA_DIR, txn)
         os.makedirs(dst_dir, exist_ok=True)
@@ -350,12 +363,13 @@ class ManifestUpsertTable:
                 # (SURVEY round-13 candidate: the stats_cols discipline)
                 # so compaction_plan never walks footers on a
                 # current-format manifest — metadata-only, one local
-                # footer read per NEW object, amortized over every
-                # later plan
-                self._last_num_rows[key] = pq.read_metadata(dst).num_rows
+                # footer read per NEW object (num_rows AND zone maps
+                # from the same read), amortized over every later plan
+                n_rows, st = self._footer_info(dst, self.stats_cols)
+                self._last_num_rows[key] = n_rows
                 entry = {}
                 if self.stats_cols:
-                    entry.update(self._object_stats(dst, self.stats_cols))
+                    entry.update(st)
                 if self.bloom_col is not None:
                     entry["__bloom"] = self._object_bloom(dst)
                 if entry:
@@ -899,15 +913,17 @@ class ManifestUpsertTable:
         staging = os.path.join(self.path, f".stage_{txn}")
         out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
 
-        import pyarrow.parquet as pq
-
-        staged_rows = 0
+        # ONE footer read per staged file (round-14 optimization): the
+        # loss-guard row count, the manifest num_rows lift, and the zone
+        # maps all come from the same read_metadata call, keyed by the
+        # pre-rename path (rename does not touch the footer)
+        finfo: dict[str, tuple[int, dict]] = {}
         for root, _dirs, files in os.walk(staging):
             for fname in files:
                 if fname.endswith(".parquet"):
-                    staged_rows += pq.read_metadata(
-                        os.path.join(root, fname)
-                    ).num_rows
+                    p = os.path.join(root, fname)
+                    finfo[p] = self._footer_info(p, self.stats_cols)
+        staged_rows = sum(n for n, _st in finfo.values())
         if staged_rows != expected_rows:
             shutil.rmtree(staging, ignore_errors=True)
             raise ValueError(
@@ -949,12 +965,13 @@ class ManifestUpsertTable:
             for fpath in _bin_files(pdir):
                 key = f"{self.DATA_DIR}/{txn}/{uuid.uuid4().hex[:16]}.parquet"
                 dst = os.path.join(self.path, key)
+                n_rows, st = finfo[fpath]  # footer read paid in the walk
                 os.rename(fpath, dst)
                 keys.append(key)
-                self._last_num_rows[key] = pq.read_metadata(dst).num_rows
+                self._last_num_rows[key] = n_rows
                 entry = {}
                 if self.stats_cols:
-                    entry.update(self._object_stats(dst, self.stats_cols))
+                    entry.update(st)
                 if self.bloom_col is not None:
                     entry["__bloom"] = self._object_bloom(dst)
                 if entry:
@@ -1074,6 +1091,11 @@ class ManifestUpsertTable:
         else:
             data_schema = schema
         paths = [os.path.join(self.path, k) for k in sorted(all_keys)]
+        # localCheckpoint (round-14 optimization): the tagged scan feeds
+        # the cell aggregation (which grouped_running_sum evaluates twice
+        # more: RangePartitioner sample + checkpoint materialization) AND
+        # the final bin-tagging join — without the pin the many-small-
+        # object read runs four times per clustering pass
         df = (
             self.spark.read.schema(data_schema)
             .parquet(*paths)
@@ -1087,6 +1109,7 @@ class ManifestUpsertTable:
                 ),
             )
             .join(F.broadcast(keymap), "__key")
+            .localCheckpoint(eager=False)
         )
         cells = df.groupBy("__part", cluster_col).agg(
             F.count(F.lit(1)).cast("long").alias("__cnt")

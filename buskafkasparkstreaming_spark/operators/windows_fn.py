@@ -342,73 +342,79 @@ def grouped_running_sum(
     (segments, priorities, languages) — grouped_ntile's stated domain.
     """
     composite = [F.col(g).asc() for g in group_cols] + order_cols
-    local, _offsets, _n = _ranked_in_range_partitions(
-        df, composite, num_partitions, checkpoint
+    local = (
+        df.repartitionByRange(num_partitions, *composite)
+        .sortWithinPartitions(*composite)
+        .withColumn("__pid", F.spark_partition_id())
     )
-    # one bounded collect: per-pid row counts (rank offsets) + per-pid
-    # totals for every sum column
-    agg_exprs = [F.count(F.lit(1)).alias("__cnt")] + [
+    if checkpoint:
+        # pin partition ids across the offset job and the caller's read
+        # (the _ranked_in_range_partitions contract); checkpoint=False is
+        # for plan-gate tests that need the pre-checkpoint lineage visible
+        local = local.localCheckpoint(eager=False)
+    # ONE bounded collect (round-14 optimization): per-(pid, GROUP) totals
+    # — at most num_partitions x |groups| rows, config x domain bounded —
+    # replace the old three-step derivation (global running sum + per-group
+    # start scan + two broadcast joins back). The per-group offset of a
+    # partition is the sum of the SAME group's totals in all earlier
+    # range partitions; groups are contiguous in the composite order, so
+    # at most two partitions per group carry a split — the frame stays
+    # |groups| + num_partitions rows in practice. Values are bit-identical
+    # to the old plan: exact long sums over the same rows in the same
+    # composite order, grouped the same way.
+    agg_exprs = [
         F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(f"__t_{c}")
         for c in sum_cols
     ]
     rows = sorted(
-        (r["__pid"], r["__cnt"], tuple(r[f"__t_{c}"] for c in sum_cols))
-        for r in local.groupBy("__pid").agg(*agg_exprs).collect()
+        (
+            (
+                r["__pid"],
+                tuple(r[g] for g in group_cols),
+                tuple(r[f"__t_{c}"] for c in sum_cols),
+            )
+            for r in local.groupBy("__pid", *group_cols)
+            .agg(*agg_exprs)
+            .collect()
+        ),
+        # pid order alone drives the per-group accumulation (each group
+        # accumulates independently); group tuples may hold NULLs, which
+        # do not compare, so they must not participate in the sort
+        key=lambda t: t[0],
     )
-    offs, acc_n, acc = [], 0, [0] * len(sum_cols)
-    for pid, cnt, tots in rows:
-        offs.append((pid, acc_n, *acc))
-        acc_n += cnt
-        acc = [a + t for a, t in zip(acc, tots)]
-    schema = "__pid int, __off long, " + ", ".join(
-        f"__off_{c} long" for c in sum_cols
+    acc: dict[tuple, list[int]] = {}
+    offs = []
+    for pid, gvals, tots in rows:
+        prev = acc.setdefault(gvals, [0] * len(sum_cols))
+        offs.append((pid, *gvals, *prev))
+        acc[gvals] = [a + t for a, t in zip(prev, tots)]
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("__pid", IntegerType(), False)]
+        + [
+            StructField(f"__g_{g}", local.schema[g].dataType, True)
+            for g in group_cols
+        ]
+        + [StructField(f"__off_{c}", LongType(), False) for c in sum_cols]
     )
-    offdf = local.sparkSession.createDataFrame(
-        offs or [(0, 0) + (0,) * len(sum_cols)], schema
-    )
-    w = Window.partitionBy("__pid").orderBy(*composite)
-    out = local.join(F.broadcast(offdf), "__pid")
-    out = out.withColumn(
-        "__grn", (F.col("__lrn") + F.col("__off")).cast("long")
-    )
-    for c in sum_cols:
-        out = out.withColumn(f"__orig_{c}", F.coalesce(F.col(c), F.lit(0)))
-        running = F.sum(F.col(f"__orig_{c}")).over(w)
-        out = out.withColumn(c, (running + F.col(f"__off_{c}")).cast("long"))
-    # group starts (min global rank) -> the first row of each group
-    # carries the preceding groups' cumulative total for every sum col
-    gstats = out.groupBy(*group_cols).agg(F.min("__grn").alias("__gstart"))
-    gsel = F.broadcast(
-        gstats.select(
-            *[F.col(g).alias(f"__g_{g}") for g in group_cols], "__gstart"
-        )
-    )
-    cond = None
+    offdf = local.sparkSession.createDataFrame(offs, schema)
+    cond = F.col("__pid").eqNullSafe(F.col("__opid"))
     for g in group_cols:
-        c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
-        cond = c if cond is None else (cond & c)
-    firsts = (
-        out.join(gsel, cond & (F.col("__grn") == F.col("__gstart")))
-        .select(
-            *[F.col(f"__g_{g}") for g in group_cols],
-            *[
-                (F.col(c) - F.col(f"__orig_{c}")).cast("long").alias(
-                    f"__goff_{c}"
-                )
-                for c in sum_cols
-            ],
-        )
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+    out = local.join(
+        F.broadcast(offdf.withColumnRenamed("__pid", "__opid")), cond
     )
-    out = out.join(F.broadcast(firsts), cond)
+    # intra-partition PER-GROUP running sums: the window keys on the
+    # balanced __pid hash first (RangePartitioner split the data — never
+    # a single task), group columns only subdivide within a partition
+    w = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
     for c in sum_cols:
-        out = out.withColumn(
-            c, (F.col(c) - F.col(f"__goff_{c}")).cast("long")
-        )
+        running = F.sum(F.coalesce(F.col(c), F.lit(0))).over(w)
+        out = out.withColumn(c, (running + F.col(f"__off_{c}")).cast("long"))
     drop = (
-        ["__pid", "__lrn", "__off", "__grn"]
+        ["__pid", "__opid"]
         + [f"__off_{c}" for c in sum_cols]
-        + [f"__orig_{c}" for c in sum_cols]
-        + [f"__goff_{c}" for c in sum_cols]
         + [f"__g_{g}" for g in group_cols]
     )
     return out.drop(*drop)
