@@ -8612,13 +8612,23 @@ def manifest_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             precombine_col="event_id",
             partition_col="event_type",
         )
-        conf_key = "spark.sql.adaptive.enabled"
-        prev = spark.conf.get(conf_key)
-        spark.conf.set(conf_key, "false")
+        # AQE off AND a PINNED shuffle width during the merge: the
+        # decay-mode object layout must be a property of the ENTRY, not
+        # of whatever spark.sql.shuffle.partitions the host session
+        # happens to run (round-14 hardening: under a narrow session the
+        # merge wrote objects too large for the budget to ever bin
+        # together, silently turning the compaction into a no-op and
+        # flipping version_advanced)
+        conf_aqe = "spark.sql.adaptive.enabled"
+        conf_sp = "spark.sql.shuffle.partitions"
+        prev_aqe, prev_sp = spark.conf.get(conf_aqe), spark.conf.get(conf_sp)
+        spark.conf.set(conf_aqe, "false")
+        spark.conf.set(conf_sp, "32")
         try:
             t.merge(pairs)
         finally:
-            spark.conf.set(conf_key, prev)
+            spark.conf.set(conf_aqe, prev_aqe)
+            spark.conf.set(conf_sp, prev_sp)
         v0 = t.version()
         plan = t.compaction_plan(budget).collect()
         binsz = Counter((r["part"], r["bin_in_part"]) for r in plan)
@@ -8712,13 +8722,23 @@ def manifest_compact_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_col="event_type",
             stats_cols=["cents"],
         )
-        conf_key = "spark.sql.adaptive.enabled"
-        prev = spark.conf.get(conf_key)
-        spark.conf.set(conf_key, "false")
+        # AQE off AND a PINNED shuffle width during the merge: the
+        # decay-mode object layout must be a property of the ENTRY, not
+        # of whatever spark.sql.shuffle.partitions the host session
+        # happens to run (round-14 hardening: under a narrow session the
+        # merge wrote objects too large for the budget to ever bin
+        # together, silently turning the compaction into a no-op and
+        # flipping version_advanced)
+        conf_aqe = "spark.sql.adaptive.enabled"
+        conf_sp = "spark.sql.shuffle.partitions"
+        prev_aqe, prev_sp = spark.conf.get(conf_aqe), spark.conf.get(conf_sp)
+        spark.conf.set(conf_aqe, "false")
+        spark.conf.set(conf_sp, "32")
         try:
             t.merge(rows)
         finally:
-            spark.conf.set(conf_key, prev)
+            spark.conf.set(conf_aqe, prev_aqe)
+            spark.conf.set(conf_sp, prev_sp)
         v0 = t.version()
         t.compact_clustered("cents", budget_rows=budget)
         m2 = t._current_manifest()
@@ -8813,13 +8833,23 @@ def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats_cols=["cents"],
             bloom_col="event_id",
         )
-        conf_key = "spark.sql.adaptive.enabled"
-        prev = spark.conf.get(conf_key)
-        spark.conf.set(conf_key, "false")
+        # AQE off AND a PINNED shuffle width during the merge: the
+        # decay-mode object layout must be a property of the ENTRY, not
+        # of whatever spark.sql.shuffle.partitions the host session
+        # happens to run (round-14 hardening: under a narrow session the
+        # merge wrote objects too large for the budget to ever bin
+        # together, silently turning the compaction into a no-op and
+        # flipping version_advanced)
+        conf_aqe = "spark.sql.adaptive.enabled"
+        conf_sp = "spark.sql.shuffle.partitions"
+        prev_aqe, prev_sp = spark.conf.get(conf_aqe), spark.conf.get(conf_sp)
+        spark.conf.set(conf_aqe, "false")
+        spark.conf.set(conf_sp, "32")
         try:
             t.merge(rows)
         finally:
-            spark.conf.set(conf_key, prev)
+            spark.conf.set(conf_aqe, prev_aqe)
+            spark.conf.set(conf_sp, prev_sp)
         t.compact_clustered("cents", budget_rows=budget)
         m2 = t._current_manifest()
         probes = sorted(

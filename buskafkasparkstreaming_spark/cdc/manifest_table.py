@@ -190,26 +190,47 @@ class ManifestUpsertTable:
         data_schema = StructType(
             [f for f in schema.fields if f.name != self.partition_col]
         )
-        out: DataFrame | None = None
-        for val_str, keys in sorted(m["partitions"].items()):
-            if vals is not None and val_str not in vals:
-                continue
-            files = [
-                os.path.join(self.path, k)
-                for k in keys
-                if keep_keys is None or k in keep_keys
-            ]
-            if not files:
-                continue
-            part = self.spark.read.schema(data_schema).parquet(*files)
-            val = (
-                F.lit(None).cast(ptype)
-                if val_str == "\0null"
-                else F.lit(val_str).cast(ptype)
+        entries = [
+            (k, val_str)
+            for val_str, keys in sorted(m["partitions"].items())
+            if vals is None or val_str in vals
+            for k in keys
+            if keep_keys is None or k in keep_keys
+        ]
+        if not entries:
+            return None
+        # ONE scan over every selected object + a broadcast key→partition
+        # map (round-14 optimization): the previous form built a separate
+        # file index and scan PER partition value and unioned them — ten
+        # driver-side file listings and a ten-way union plan per read.
+        # The partition value is re-attached by joining on the object key
+        # recovered from input_file_name (the compact_clustered tagging
+        # idiom); the final cast from the manifest's string form is the
+        # same cast the per-branch literals performed.
+        files = [os.path.join(self.path, k) for k, _v in entries]
+        keymap = self.spark.createDataFrame(
+            entries, "__key string, __pv string"
+        )
+        tagged = (
+            self.spark.read.schema(data_schema)
+            .parquet(*files)
+            .withColumn(
+                "__key",
+                F.regexp_extract(
+                    F.input_file_name(),
+                    "(" + re.escape(self.DATA_DIR)
+                    + r"/[^/]+/[^/]+\.parquet)$",
+                    1,
+                ),
             )
-            part = part.withColumn(self.partition_col, val)
-            out = part if out is None else out.unionByName(part)
-        return out
+            .join(F.broadcast(keymap), "__key")
+        )
+        val = F.when(F.col("__pv") == "\0null", F.lit(None)).otherwise(
+            F.col("__pv")
+        )
+        return tagged.withColumn(
+            self.partition_col, val.cast(ptype)
+        ).drop("__key", "__pv")
 
     def _empty(self, m: dict) -> DataFrame:
         from pyspark.sql.types import StructType
@@ -305,6 +326,44 @@ class ManifestUpsertTable:
         md = pq.read_metadata(path)
         return md.num_rows, ManifestUpsertTable._stats_from_md(md, cols)
 
+    def _object_info(self, path: str) -> tuple[int, dict]:
+        """Everything the manifest needs for one object — num_rows,
+        zone-map stats, and (when bloom_col is set) the per-object bloom
+        — from ONE file open (round-14 optimization: the publish paths
+        previously parsed the footer for num_rows, again for stats, and
+        a third time inside the bloom's column read; a commit touches
+        many small objects, so the opens dominate). The ParquetFile is a
+        context manager, so no fd outlives the call (the ADVICE-r13
+        discipline, kept under the single-open form)."""
+        import pyarrow.parquet as pq
+
+        with pq.ParquetFile(path) as pf:
+            md = pf.metadata
+            n_rows = md.num_rows
+            entry: dict = {}
+            if self.stats_cols:
+                entry.update(self._stats_from_md(md, self.stats_cols))
+            if self.bloom_col is not None:
+                vals = pf.read(columns=[self.bloom_col])[
+                    self.bloom_col
+                ].to_pylist()
+                entry["__bloom"] = self._bloom_from_values(vals)
+        return n_rows, entry
+
+    def _object_info_many(self, paths: list[str]) -> dict[str, tuple[int, dict]]:
+        """_object_info over many objects with a small I/O thread pool
+        (round-14 optimization): a commit of N small objects paid N
+        sequential open+parse round-trips on the driver; pyarrow releases
+        the GIL for the parse, so eight threads cut the wall time ~5x for
+        the multi-hundred-object decay-mode commits. Results are keyed by
+        path — ordering plays no role."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not paths:
+            return {}
+        with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
+            return dict(zip(paths, pool.map(self._object_info, paths)))
+
     @staticmethod
     def _stats_from_md(md, cols: list[str]) -> dict:
         out: dict[str, list] = {}
@@ -350,6 +409,7 @@ class ManifestUpsertTable:
                     entries.append((self._pval(val), os.path.join(staging, name)))
         self._last_stats: dict[str, dict] = {}
         self._last_num_rows: dict[str, int] = {}
+        renamed: dict[str, str] = {}  # key -> dst path
         for val_str, src_dir in entries:
             keys = []
             for fname in os.listdir(src_dir):
@@ -359,22 +419,20 @@ class ManifestUpsertTable:
                 dst = os.path.join(self.path, key)
                 os.rename(os.path.join(src_dir, fname), dst)
                 keys.append(key)
-                # footer num_rows lifted into the manifest at commit
-                # (SURVEY round-13 candidate: the stats_cols discipline)
-                # so compaction_plan never walks footers on a
-                # current-format manifest — metadata-only, one local
-                # footer read per NEW object (num_rows AND zone maps
-                # from the same read), amortized over every later plan
-                n_rows, st = self._footer_info(dst, self.stats_cols)
-                self._last_num_rows[key] = n_rows
-                entry = {}
-                if self.stats_cols:
-                    entry.update(st)
-                if self.bloom_col is not None:
-                    entry["__bloom"] = self._object_bloom(dst)
-                if entry:
-                    self._last_stats[key] = entry
+                renamed[key] = dst
             out[val_str] = keys
+        # footer num_rows lifted into the manifest at commit (SURVEY
+        # round-13 candidate: the stats_cols discipline) so
+        # compaction_plan never walks footers on a current-format
+        # manifest — metadata-only, ONE file open per NEW object serving
+        # num_rows, zone maps, and the bloom column (thread-pooled),
+        # amortized over every later plan
+        info = self._object_info_many(list(renamed.values()))
+        for key, dst in renamed.items():
+            n_rows, entry = info[dst]
+            self._last_num_rows[key] = n_rows
+            if entry:
+                self._last_stats[key] = entry
         return out
 
     @staticmethod
@@ -397,13 +455,16 @@ class ManifestUpsertTable:
         stand-in for the Spark-side narrow scan a distributed publish
         would run), stored base64 in the manifest beside the zone
         maps."""
-        import base64
-
         import pyarrow.parquet as pq
 
         vals = pq.read_table(path, columns=[self.bloom_col])[
             self.bloom_col
         ].to_pylist()
+        return self._bloom_from_values(vals)
+
+    def _bloom_from_values(self, vals) -> dict:
+        import base64
+
         bits = bytearray(self.bloom_m // 8)
         for v in vals:
             if v is None:
@@ -913,16 +974,17 @@ class ManifestUpsertTable:
         staging = os.path.join(self.path, f".stage_{txn}")
         out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
 
-        # ONE footer read per staged file (round-14 optimization): the
-        # loss-guard row count, the manifest num_rows lift, and the zone
-        # maps all come from the same read_metadata call, keyed by the
-        # pre-rename path (rename does not touch the footer)
-        finfo: dict[str, tuple[int, dict]] = {}
-        for root, _dirs, files in os.walk(staging):
-            for fname in files:
-                if fname.endswith(".parquet"):
-                    p = os.path.join(root, fname)
-                    finfo[p] = self._footer_info(p, self.stats_cols)
+        # ONE file open per staged file (round-14 optimization): the
+        # loss-guard row count, the manifest num_rows lift, the zone
+        # maps, and the bloom column all come from the same open, keyed
+        # by the pre-rename path (rename does not touch the contents)
+        staged_paths = [
+            os.path.join(root, fname)
+            for root, _dirs, files in os.walk(staging)
+            for fname in files
+            if fname.endswith(".parquet")
+        ]
+        finfo = self._object_info_many(staged_paths)
         staged_rows = sum(n for n, _st in finfo.values())
         if staged_rows != expected_rows:
             shutil.rmtree(staging, ignore_errors=True)
@@ -965,15 +1027,10 @@ class ManifestUpsertTable:
             for fpath in _bin_files(pdir):
                 key = f"{self.DATA_DIR}/{txn}/{uuid.uuid4().hex[:16]}.parquet"
                 dst = os.path.join(self.path, key)
-                n_rows, st = finfo[fpath]  # footer read paid in the walk
+                n_rows, entry = finfo[fpath]  # file open paid in the walk
                 os.rename(fpath, dst)
                 keys.append(key)
                 self._last_num_rows[key] = n_rows
-                entry = {}
-                if self.stats_cols:
-                    entry.update(st)
-                if self.bloom_col is not None:
-                    entry["__bloom"] = self._object_bloom(dst)
                 if entry:
                     self._last_stats[key] = entry
             new_objs[val_str] = keys
@@ -1124,7 +1181,13 @@ class ManifestUpsertTable:
                 / F.lit(int(budget_rows))
             ).cast("long").alias("__bin"),
         )
-        out = df.join(binned, ["__part", cluster_col])
+        # broadcast the bin map (round-14 optimization): it is the
+        # per-(partition, distinct value) cell frame — domain-sized, far
+        # smaller than the data — and a hash join here would add a full
+        # exchange of every row on (part, value) right before the
+        # (part, bin) repartition the write needs anyway; broadcasting
+        # leaves exactly ONE data exchange in the rewrite job
+        out = df.join(F.broadcast(binned), ["__part", cluster_col])
         part_cols = ["__bindir"]
         if self.partition_col is not None:
             val = F.when(F.col("__part") == "\0null", F.lit(None)).otherwise(

@@ -751,3 +751,30 @@ def test_manifest_bloom_index_point_lookup(spark, tmp_path):
     kept3, _ = t.select_objects_bloom([1], m=m2)
     assert key0 in kept3
     del n_objects  # silences linters; count asserted via skips above
+
+
+def test_manifest_entries_layout_independent_of_session_shuffle_width(spark):
+    """Round-14 hardening pin: the three compaction entries own their
+    decay-mode merge layout (AQE off + a PINNED shuffle width), so their
+    contract booleans cannot flip under a host session with few shuffle
+    partitions. Before the pin, an 8-partition session at sf0.01 wrote
+    per-partition objects too large for the FFD budget to ever bin
+    together — compact_with_plan became a no-op and version_advanced
+    went false while the oracle emits TRUE."""
+    import __spark_entry__ as entrymod
+
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "3")  # hostile narrow session
+    try:
+        row = (
+            entrymod.manifest_compact_execute(spark, "/root/testdata/sf0.001")
+            .select("state_preserved", "objects_eq_planned_bins", "version_advanced")
+            .collect()
+        )
+        assert row and all(
+            r["state_preserved"] and r["objects_eq_planned_bins"] and r["version_advanced"]
+            for r in row
+        ), row
+    finally:
+        spark.conf.set(conf_key, prev)
