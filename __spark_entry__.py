@@ -5630,14 +5630,23 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (contentless docs carry no signal; the word_shingles NULL guard
     rationale)."""
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
+    # round-14 optimization: the intersection used to EXPLODE the bigram
+    # stream and run it through two token-keyed joins + a pair groupBy —
+    # three shuffles of every bigram for an (n−1)-pair stream. The
+    # shingle sets are per-doc DISTINCT arrays already, so |A∩B| is the
+    # row-local size(array_intersect(...)) over the tiny pair frame —
+    # the only shuffled frames left are the rank map and the pair joins
+    # on doc_id. Same rows: n_g = size(shingles) equals the old exploded
+    # count (word_shingles is distinct), and the explicit n_g > 0
+    # filters reproduce the old inner join against the explode-derived
+    # sizes (contentless docs have no bigrams on either side).
+    shing = docs.select(
         "doc_id",
-        "source",
-        F.explode(D.word_shingles("text", 2)).alias("g"),
+        D.word_shingles("text", 2).alias("gs"),
     )
-    sizes = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g")
-    )
+    # the rank machinery stays THIN (doc_id, source): the shingle arrays
+    # must not ride the range exchange or the rank+1 self-join — they
+    # attach to the (n−1)-pair stream afterwards, one doc-id join per side
     ranked = W.global_rank(
         docs.select("doc_id", "source"),
         [F.col("source").asc_nulls_first(), F.col("doc_id").asc()],
@@ -5655,40 +5664,36 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rb.doc_id").alias("id_b"),
         )
     )
-    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
-    gb = grams.select(F.col("doc_id").alias("id_b2"), F.col("g").alias("gb"))
-    inter = (
+    ga = shing.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("gsa"))
+    gb = shing.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gsb"))
+    pairs = (
         pairs.join(ga, "id_a")
-        .join(
-            gb,
-            (F.col("id_b") == F.col("id_b2")) & (F.col("ga") == F.col("gb")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_g").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_g").alias("n_b"))
-    return (
-        pairs.join(na, "id_a")
-        .join(nb, "id_b")
-        .join(inter, ["id_a", "id_b"], "left")
+        .join(gb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
-            (
-                F.coalesce("n_common", F.lit(0)).cast("double")
-                / F.col("n_a").cast("double")
-            ).alias("rouge_p"),
-            (
-                F.coalesce("n_common", F.lit(0)).cast("double")
-                / F.col("n_b").cast("double")
-            ).alias("rouge_r"),
-            (
-                F.lit(2.0) * F.coalesce("n_common", F.lit(0)).cast("double")
-                / (F.col("n_a") + F.col("n_b")).cast("double")
-            ).alias("rouge_f1"),
+            F.size("gsa").cast("long").alias("n_a"),
+            F.size("gsb").cast("long").alias("n_b"),
+            F.size(F.array_intersect("gsa", "gsb")).cast("long").alias(
+                "n_common"
+            ),
         )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+            "rouge_p"
+        ),
+        (F.col("n_common").cast("double") / F.col("n_b").cast("double")).alias(
+            "rouge_r"
+        ),
+        (
+            F.lit(2.0) * F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double")
+        ).alias("rouge_f1"),
     )
 
 
