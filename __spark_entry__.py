@@ -8609,7 +8609,13 @@ def manifest_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _t(spark, sf_dir, "events").filter(
             F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
         )
-        pairs = ev.select("event_type", "event_id").distinct()
+        # localCheckpoint (round-14): pairs feeds the merge, the multiset
+        # state check, and nothing else recomputable cheaply — one pass
+        pairs = (
+            ev.select("event_type", "event_id")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         t = ManifestUpsertTable(
             spark,
             os.path.join(work, "tbl"),
@@ -8645,7 +8651,13 @@ def manifest_compact_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.compact_with_plan(budget)
         m2 = t._current_manifest()
         version_ok = t.version() == v0 + 1
-        readback = t.read().select("event_type", "event_id")
+        # localCheckpoint (round-14): readback (a many-small-object scan)
+        # feeds the multiset check AND the per-partition counts
+        readback = (
+            t.read()
+            .select("event_type", "event_id")
+            .localCheckpoint(eager=False)
+        )
         state_ok = _multisets_equal(readback, pairs)
         flags = []
         for val, keys in m2["partitions"].items():
@@ -8716,9 +8728,12 @@ def manifest_compact_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("event_id").isNotNull()
             & F.col("value").isNotNull()
         )
+        # localCheckpoint (round-14): the max-cents cell frame feeds the
+        # merge and the verification passes — compute the events scan +
+        # aggregation once
         rows = ev.groupBy("event_type", "event_id").agg(
             F.max(_cents("value")).alias("cents")
-        )
+        ).localCheckpoint(eager=False)
         t = ManifestUpsertTable(
             spark,
             os.path.join(work, "tbl"),
@@ -8748,7 +8763,13 @@ def manifest_compact_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.compact_clustered("cents", budget_rows=budget)
         m2 = t._current_manifest()
         version_ok = t.version() == v0 + 1
-        readback = t.read().select("event_type", "event_id", "cents")
+        # localCheckpoint (round-14): readback feeds the multiset check
+        # AND the per-partition counts — scan the rewritten objects once
+        readback = (
+            t.read()
+            .select("event_type", "event_id", "cents")
+            .localCheckpoint(eager=False)
+        )
         state_ok = _multisets_equal(readback, rows)
         kept, _skipped = t.select_objects("cents", lo, hi, m=m2)
         kept_set = set(kept)
@@ -8826,9 +8847,12 @@ def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("event_id").isNotNull()
             & F.col("value").isNotNull()
         )
+        # localCheckpoint (round-14): the max-cents cell frame feeds the
+        # merge and the verification passes — compute the events scan +
+        # aggregation once
         rows = ev.groupBy("event_type", "event_id").agg(
             F.max(_cents("value")).alias("cents")
-        )
+        ).localCheckpoint(eager=False)
         t = ManifestUpsertTable(
             spark,
             os.path.join(work, "tbl"),

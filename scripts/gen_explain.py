@@ -73,7 +73,7 @@ SHOWN = {
     "q_entropy_mi": "entropy/MI: one data-sized groupBy(type,hour); marginals/total derive from the tiny cell frame; fixed-point ln terms summed as integers",
     "q_acf_hourly": "ACF: one data-sized groupBy(hour); dense spine + lag joins run over the bounded hour axis; DECIMAL moments, one division per lag",
     "q_seasonal_anomaly": "seasonal 2-sigma: one groupBy(day,hour); 24-row hour baseline broadcast back; pure-integer variance test, zero floats",
-    "text_rouge_overlap": "ROUGE-2: range-partitioned global rank (no per-source window skew) -> rank+1 self-join pair stream -> bigram intersection equi-joins; prints post-checkpoint, range exchange gated in test_plans.py",
+    "text_rouge_overlap": "ROUGE-2: range-partitioned global rank (no per-source window skew) -> rank+1 self-join pair stream -> ROW-LOCAL size(array_intersect) on the (n-1)-pair frame (round-14: the exploded token join and its three bigram shuffles are gone); prints post-checkpoint, range exchange gated in test_plans.py",
     "q_ccf_types": "CCF: one data-sized (hour, type) groupBy; both series on ONE shared dense spine; per-lag joins over the bounded hour axis, DECIMAL moments, one float expression per lag",
     "sketch_ks_approx": "approximate KS: per-group KLL sketch over global_rank (range exchange + row-local level CASE — no single-task sort); the CDF-gap stage runs over sketch rows only (config-bounded), DECIMAL numerator",
     "q_ecdf_transform": "ECDF transform: per-distinct-value counts, distributed running count via global_running_sum (range repartition + broadcast prefix offsets), one float division per surviving row",
