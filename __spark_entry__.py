@@ -2948,11 +2948,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     `weak` mark). Plan-gated in test_plans.py: no SinglePartition
     exchange, no empty-partition-spec Window."""
     orders = _t(spark, sf_dir, "orders")
+    # localCheckpoint (round-15, guide §5): global_ntile's
+    # RangePartitioner sample pass evaluates its input ONCE MORE before
+    # the range exchange — without the pin the orders scan + per-customer
+    # aggregate ran twice for the first quartile call (the r14 rule: pin
+    # frames SMALL relative to their recompute cost; this is one row per
+    # customer)
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(_cents("o_totalprice")).cast("long").alias("spend_cents"),
-    )
+    ).localCheckpoint(eager=False)
     out = rfm
     for col, alias in (
         ("last_order", "r_seg"),
@@ -4678,16 +4684,22 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(yr == 1995, F.lit(1)).otherwise(F.lit(0)).alias("g1"),
         F.when(yr == 1996, F.lit(1)).otherwise(F.lit(0)).alias("g2"),
     )
+    # localCheckpoint + totals-from-cells (round-15, guide §5): the
+    # running-sum machinery's sample pass re-evaluated the orders scan +
+    # per-value aggregate, and the totals aggregated the scan a third
+    # time — the group totals are exactly the sums of the per-value
+    # counts (the r14 q_group_ks identity), so both now read the pinned
+    # cell frame
     per_value = o.groupBy("cents").agg(
         F.sum("g1").cast("long").alias("d1"),
         F.sum("g2").cast("long").alias("d2"),
-    )
+    ).localCheckpoint(eager=False)
     running = W.global_running_sum(
         per_value, [F.col("cents").asc()], ["d1", "d2"]
     )
-    totals = o.agg(
-        F.sum("g1").cast("long").alias("n1"),
-        F.sum("g2").cast("long").alias("n2"),
+    totals = per_value.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
     )
     dec = "decimal(38,0)"
     s = running.crossJoin(F.broadcast(totals)).select(
@@ -6156,19 +6168,29 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival order = doc_id), the fraction of its distinct word-trigram
     shingles whose FIRST corpus occurrence is this document — the
     dataset-ordering / memorization diagnostic of a training pipeline
-    (a low-novelty tail is what near-dedup should have removed). Plan:
-    one explode, one shingle-keyed min aggregation, one co-partitioned
-    equi-join back on the shingle, one per-doc rollup — no pair
-    expansion anywhere, linear in corpus shingles at any scale.
-    Contentless docs have no shingles on either side (the word_shingles
-    NULL guard) and are absent from the output."""
+    (a low-novelty tail is what near-dedup should have removed). Plan
+    (round-15 single-exchange form, guide §2.4): ONE explode feeding ONE
+    shingle-keyed exchange; the first-occurrence doc is a
+    `min(doc_id) OVER (PARTITION BY shingle)` window ON that exchange —
+    the previous min-aggregate + equi-join-back computed the scan +
+    explode twice and shuffled the shingle stream twice (the aggregate
+    branch's partial-agg exchange and the join side's exchange carry
+    different payloads, so Catalyst cannot reuse them; plans showed two
+    identical Generate branches). Values are identical: every shingle
+    row joins its own group's min, which is exactly what the window
+    attaches. One per-doc rollup follows — no pair expansion anywhere,
+    linear in corpus shingles at any scale. Contentless docs have no
+    shingles (the word_shingles NULL guard) and are absent from the
+    output."""
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
         F.col("doc_id"), F.explode(D.word_shingles("text", 3)).alias("sh")
     )
-    firsts = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    marked = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("sh"))
+    )
     return (
-        sh.join(firsts, "sh")
+        marked
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
@@ -6198,9 +6220,16 @@ def q_theilsen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNIQUE (slope_fp, t_a, t_b) ordering via global_rank — never a
     single-task sort, and no engine median() with unspecified ties."""
     ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # localCheckpoint × 2 (round-15, guide §5): the hour spine feeds both
+    # self-join sides AND the n_hours total (three events-scan
+    # aggregations without the pin), and the pair stream feeds the rank
+    # machinery's sample pass, the exchange, and the m total — pin both
+    # (720 spine rows; ~n²/2 pair rows of three longs)
     h = ev.groupBy(
         (bssf.ts_millis(F.col("ts")) / F.lit(3600000)).cast("long").alias("t")
-    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("y")).localCheckpoint(
+        eager=False
+    )
     pairs = (
         h.alias("a")
         .join(h.alias("b"), F.col("b.t") > F.col("a.t"))
@@ -6216,6 +6245,7 @@ def q_theilsen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("slope_fp"),
         )
+        .localCheckpoint(eager=False)
     )
     mdf = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
     nh = h.agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
@@ -6908,10 +6938,13 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("g2"),
     )
+    # localCheckpoint (round-15, guide §5): the running-sum machinery's
+    # sample pass re-evaluated the events scan + per-value aggregate;
+    # pin the cell frame so it computes once
     per_value = o.groupBy("cents").agg(
         F.sum("g1").cast("long").alias("d1"),
         F.sum("g2").cast("long").alias("d2"),
-    ).withColumn("r2", F.col("d2"))
+    ).withColumn("r2", F.col("d2")).localCheckpoint(eager=False)
     running = W.global_running_sum(per_value, [F.col("cents").asc()], ["r2"])
     t = (F.col("d1") + F.col("d2")).cast(dec)
     sums = running.agg(
@@ -7289,12 +7322,17 @@ def q_ecdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("g2"),
     )
+    # localCheckpoint + totals-from-cells (round-15, guide §5): the
+    # machinery's sample pass re-evaluated the events scan + aggregate,
+    # and the n2 total aggregated the scan a third time — n2 is exactly
+    # the sum of the per-value error counts, so both read the pinned
+    # cell frame
     per_value = o.groupBy("cents").agg(
         F.sum("g1").cast("long").alias("d1"),
         F.sum("g2").cast("long").alias("d2"),
-    ).withColumn("r2", F.col("d2"))
+    ).withColumn("r2", F.col("d2")).localCheckpoint(eager=False)
     running = W.global_running_sum(per_value, [F.col("cents").asc()], ["r2"])
-    totals = o.agg(F.sum("g2").cast("long").alias("n2"))
+    totals = per_value.agg(F.sum("d2").cast("long").alias("n2"))
     return (
         running.filter(F.col("d1") > 0)
         .crossJoin(F.broadcast(totals))
@@ -7716,12 +7754,15 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     run over the 10-row decile frame — post-aggregation, never data
     scale."""
     orders = _t(spark, sf_dir, "orders")
+    # localCheckpoint (round-15, guide §5): the ntile machinery's sample
+    # pass re-evaluated the orders scan + aggregate; pin the per-customer
+    # frame (one row per customer) so it computes once
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(_cents("o_totalprice")).cast("long").alias("spend_cents"),
         F.max(
             (F.col("o_orderpriority") == "1-URGENT").cast("int")
         ).alias("resp"),
-    )
+    ).localCheckpoint(eager=False)
     ranked = W.global_ntile(
         per_cust,
         [F.col("spend_cents").desc(), F.col("custkey").asc()],
@@ -7783,7 +7824,10 @@ def q_segment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderpriority") == "1-URGENT").cast("int")
         ).alias("resp"),
     )
-    joined = per_cust.join(cust, "custkey")
+    # localCheckpoint (round-15, guide §5): grouped_ntile's sample pass
+    # re-evaluated the aggregate + segment join; pin the per-customer
+    # frame so the upstream computes once
+    joined = per_cust.join(cust, "custkey").localCheckpoint(eager=False)
     ranked = W.grouped_ntile(
         joined,
         ["segment"],

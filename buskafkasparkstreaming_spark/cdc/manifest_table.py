@@ -206,7 +206,12 @@ class ManifestUpsertTable:
         # The partition value is re-attached by joining on the object key
         # recovered from input_file_name (the compact_clustered tagging
         # idiom); the final cast from the manifest's string form is the
-        # same cast the per-branch literals performed.
+        # same cast the per-branch literals performed. The join is LEFT +
+        # raise_error on a NULL partition value (ADVICE r14): an inner
+        # join would silently DROP every row whose key extraction missed
+        # (exotic base path, future layout rename), where the old
+        # per-partition union could not lose rows — now any extraction
+        # drift fails the read loudly instead.
         files = [os.path.join(self.path, k) for k, _v in entries]
         keymap = self.spark.createDataFrame(
             entries, "__key string, __pv string"
@@ -223,11 +228,21 @@ class ManifestUpsertTable:
                     1,
                 ),
             )
-            .join(F.broadcast(keymap), "__key")
+            .join(F.broadcast(keymap), "__key", "left")
         )
-        val = F.when(F.col("__pv") == "\0null", F.lit(None)).otherwise(
-            F.col("__pv")
-        )
+        guarded = F.when(
+            F.col("__pv").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "manifest read lost a row: input_file_name did "
+                        "not resolve to a manifest key (layout drift?) — "
+                    ),
+                    F.input_file_name(),
+                )
+            ),
+        ).otherwise(F.col("__pv"))
+        val = F.when(guarded == "\0null", F.lit(None)).otherwise(guarded)
         return tagged.withColumn(
             self.partition_col, val.cast(ptype)
         ).drop("__key", "__pv")
@@ -301,31 +316,6 @@ class ManifestUpsertTable:
         existing partition on merge (ADVICE r5, low)."""
         return "\0null" if v is None else v
 
-    @staticmethod
-    def _object_stats(path: str, cols: list[str]) -> dict:
-        """Zone map for one object: {col: [min, max]} lifted from the
-        parquet FOOTER statistics (no data scan — the same stats Delta/
-        Iceberg persist for file skipping). Only int/float/string stats
-        are kept; a column without footer stats is simply absent, which
-        readers must treat as 'cannot skip'."""
-        import pyarrow.parquet as pq
-
-        # read_metadata, not ParquetFile: the footer read must not hold
-        # an open fd until GC (a large commit touches many objects)
-        md = pq.read_metadata(path)
-        return ManifestUpsertTable._stats_from_md(md, cols)
-
-    @staticmethod
-    def _footer_info(path: str, cols: list[str]) -> tuple[int, dict]:
-        """(num_rows, zone-map stats) from ONE footer read — the publish
-        paths need both per object, and a commit touches many objects, so
-        the round-14 optimization folds the two reads (plus the separate
-        loss-guard walk's read in the binned path) into one."""
-        import pyarrow.parquet as pq
-
-        md = pq.read_metadata(path)
-        return md.num_rows, ManifestUpsertTable._stats_from_md(md, cols)
-
     def _object_info(self, path: str) -> tuple[int, dict]:
         """Everything the manifest needs for one object — num_rows,
         zone-map stats, and (when bloom_col is set) the per-object bloom
@@ -350,19 +340,124 @@ class ManifestUpsertTable:
                 entry["__bloom"] = self._bloom_from_values(vals)
         return n_rows, entry
 
+    def _object_meta(self, path: str) -> tuple[int, dict]:
+        """(num_rows, zone-map stats) for one object from a METADATA-ONLY
+        footer read (read_metadata never touches data pages; no fd
+        outlives the call). The bloom — the only piece that needs data
+        pages — is computed separately (`_bloom_spark_positions`)."""
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(path)
+        entry: dict = {}
+        if self.stats_cols:
+            entry.update(self._stats_from_md(md, self.stats_cols))
+        return md.num_rows, entry
+
+    #: Spark-side bloom extraction is only valid for column types whose
+    #: Python str() equals Spark's CAST(.. AS STRING) rendering — the
+    #: md5 contract `_bloom_positions` documents. Integers and strings
+    #: qualify; bool ('True' vs 'true'), floats ('1e+20' vs '1.0E20'),
+    #: dates/timestamps do not and fall back to the driver-side read.
+    _BLOOM_RENDER_STABLE = (
+        "tinyint", "smallint", "int", "bigint", "string",
+    )
+
+    def _bloom_spark_positions(
+        self, paths: list[str]
+    ) -> dict[str, list[int]] | None:
+        """Per-object DISTINCT bloom bit positions computed in ONE
+        distributed Spark pass over the staged/published objects
+        (round-15 optimization, guide §5/§6: the driver previously read
+        the FULL bloom column of every object and md5-hashed each value
+        in Python — thread-pooled, but still the publish bottleneck and
+        a real scale-killer for a 100 TB commit). The job scans only the
+        bloom column, computes the k md5-slice positions row-locally in
+        the JVM (`conv(substr(md5(cast(v as string)), 8j+1, 8), 16, 10)
+        % m` — the exact arithmetic the oracle replays in SQL, so
+        bit-identical to `_bloom_positions`), and aggregates
+        `collect_set(position)` per input file — bounded by m distinct
+        positions per object. Returns None when the column's type does
+        not render identically in Python str() and Spark CAST AS STRING
+        (caller falls back to the driver-side path)."""
+        from urllib.parse import unquote, urlparse
+
+        sdf = self.spark.read.parquet(*paths)
+        if self.bloom_col not in sdf.columns:
+            return None
+        if (
+            sdf.schema[self.bloom_col].dataType.simpleString()
+            not in self._BLOOM_RENDER_STABLE
+        ):
+            return None
+        hx = F.md5(F.col(self.bloom_col).cast("string"))
+        pos = F.array(
+            *[
+                F.conv(F.substring(hx, 8 * j + 1, 8), 16, 10).cast("long")
+                % F.lit(self.bloom_m)
+                for j in range(self.bloom_k)
+            ]
+        )
+        rows = (
+            sdf.filter(F.col(self.bloom_col).isNotNull())
+            .select(
+                F.input_file_name().alias("__f"),
+                F.explode(pos).alias("__p"),
+            )
+            .groupBy("__f")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .collect()
+        )
+        by_path = {
+            unquote(urlparse(r["__f"]).path): [int(p) for p in r["__ps"]]
+            for r in rows
+        }
+        # an object absent from the aggregate held no non-NULL bloom
+        # values — its bloom is the all-zero bitmap, same as the driver
+        # path's empty-values fold
+        return {p: by_path.get(os.path.abspath(p), []) for p in paths}
+
+    def _bloom_from_positions(self, positions) -> dict:
+        import base64
+
+        bits = bytearray(self.bloom_m // 8)
+        for p in positions:
+            bits[p >> 3] |= 1 << (p & 7)
+        return {
+            "m": self.bloom_m,
+            "k": self.bloom_k,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+
     def _object_info_many(self, paths: list[str]) -> dict[str, tuple[int, dict]]:
-        """_object_info over many objects with a small I/O thread pool
-        (round-14 optimization): a commit of N small objects paid N
-        sequential open+parse round-trips on the driver; pyarrow releases
-        the GIL for the parse, so eight threads cut the wall time ~5x for
-        the multi-hundred-object decay-mode commits. Results are keyed by
-        path — ordering plays no role."""
+        """Everything the manifest needs for many objects: metadata-only
+        footer reads (num_rows + zone maps) through a small thread pool
+        (round-14: pyarrow releases the GIL; eight threads cut the
+        multi-hundred-object decay-mode commits ~5x), plus — when a bloom
+        column is configured — the per-object blooms from ONE distributed
+        Spark pass (round-15, `_bloom_spark_positions`) instead of a
+        full driver-side column read per object. Types whose string
+        rendering is not Spark/Python-stable keep the driver path.
+        Results are keyed by path — ordering plays no role."""
         from concurrent.futures import ThreadPoolExecutor
 
         if not paths:
             return {}
+        positions = (
+            self._bloom_spark_positions(paths)
+            if self.bloom_col is not None
+            else None
+        )
+        if self.bloom_col is not None and positions is None:
+            # render-unstable bloom type: one open per object serving
+            # num_rows, stats AND the bloom column (the round-14 path)
+            with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
+                return dict(zip(paths, pool.map(self._object_info, paths)))
         with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
-            return dict(zip(paths, pool.map(self._object_info, paths)))
+            out = dict(zip(paths, pool.map(self._object_meta, paths)))
+        if positions is not None:
+            for p, (_n, entry) in out.items():
+                entry["__bloom"] = self._bloom_from_positions(positions[p])
+        return out
 
     @staticmethod
     def _stats_from_md(md, cols: list[str]) -> dict:
@@ -449,33 +544,13 @@ class ManifestUpsertTable:
             int(hx[8 * j: 8 * j + 8], 16) % m_bits for j in range(k)
         ]
 
-    def _object_bloom(self, path: str) -> dict:
-        """Bloom filter over `bloom_col` for one published object —
-        built driver-side from the object's single column (the local
-        stand-in for the Spark-side narrow scan a distributed publish
-        would run), stored base64 in the manifest beside the zone
-        maps."""
-        import pyarrow.parquet as pq
-
-        vals = pq.read_table(path, columns=[self.bloom_col])[
-            self.bloom_col
-        ].to_pylist()
-        return self._bloom_from_values(vals)
-
     def _bloom_from_values(self, vals) -> dict:
-        import base64
-
-        bits = bytearray(self.bloom_m // 8)
-        for v in vals:
-            if v is None:
-                continue
-            for p in self._bloom_positions(v, self.bloom_m, self.bloom_k):
-                bits[p >> 3] |= 1 << (p & 7)
-        return {
-            "m": self.bloom_m,
-            "k": self.bloom_k,
-            "b64": base64.b64encode(bytes(bits)).decode("ascii"),
-        }
+        return self._bloom_from_positions(
+            p
+            for v in vals
+            if v is not None
+            for p in self._bloom_positions(v, self.bloom_m, self.bloom_k)
+        )
 
     @staticmethod
     def _bloom_may_contain(bloom: dict, positions: list[int]) -> bool:

@@ -1078,15 +1078,25 @@ def prefix_filter_jaccard_pairs(
     by the prefix lemma, false positives removed by the exact check).
 
     Scale shape: one explode + df-count (two shuffles over the token
-    stream), a per-doc window to rank tokens (partitioned BY DOC — each
-    partition is one doc's token list, never a global sort), a
-    prefix-only self-join whose fan-out is Sum_{rare tokens} df^2 (small
-    by Zipf: rare-first ordering caps df at the low end), and a
-    candidates x doc-size verification join. No all-pairs path exists.
+    stream — an `over (PARTITION BY token)` window was tried in round
+    15 and measured 1.7x SLOWER: it forces a full sort of the token
+    stream where the aggregate is hash-based and its join side rides
+    AQE); a per-doc window to rank tokens (partitioned BY DOC — each
+    partition is one doc's token list, never a global sort); a
+    prefix-only self-join whose fan-out is Sum_{rare tokens} df^2
+    (small by Zipf: rare-first ordering caps df at the low end); and a
+    row-local verification (round-15, guide §2.3) — the per-doc shingle
+    sets are already DISTINCT arrays, so the intersection count is
+    `size(array_intersect(...))` after one doc-id join per side (the
+    text_rouge_overlap precedent), never a token-keyed shuffle of the
+    full stream. Every candidate pair shares its prefix token, so
+    n_common >= 1 exactly as under the old inner-join aggregation.
+    No all-pairs path exists.
 
     Output: (id_a, id_b, jaccard).
     """
-    sh = _spread(df, id_col).select(
+    spread = _spread(df, id_col)
+    sh = spread.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, k)).alias("__s"),
     )
@@ -1124,16 +1134,35 @@ def prefix_filter_jaccard_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    toks = sh  # full (doc, token) stream for exact verification
+    # exact verification, row-locally: the per-doc shingle arrays are
+    # DISTINCT by construction (word_shingles), so |A ∩ B| is a single
+    # array_intersect over the pair row — one doc-id join per side of
+    # the (small) candidate frame instead of two token-keyed shuffles of
+    # the full stream. A candidate pair shares >= 1 prefix token, so
+    # n_common >= 1 — the old inner-join aggregation emitted exactly the
+    # same pair set.
+    arrs = spread.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("__arr")
+    )
     common = (
-        cand.join(toks.alias("ta"), cand["id_a"] == F.col("ta.doc"))
-        .join(
-            toks.alias("tb"),
-            (cand["id_b"] == F.col("tb.doc"))
-            & (F.col("ta.__s") == F.col("tb.__s")),
+        cand.join(
+            arrs.select(
+                F.col("doc").alias("id_a"), F.col("__arr").alias("__aa")
+            ),
+            "id_a",
         )
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            arrs.select(
+                F.col("doc").alias("id_b"), F.col("__arr").alias("__ab")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect(F.col("__aa"), F.col("__ab"))).cast(
+                "long"
+            ),
+        )
     )
     return (
         common.withColumn(

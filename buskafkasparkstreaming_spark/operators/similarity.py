@@ -760,6 +760,18 @@ def ivfadc_build(
             "__nv", "__cv", lambda x, y: x - y.cast("double")
         ).alias("__res"),
     )
+    # localCheckpoint (round-15, guide §5 recompute elimination): the
+    # residual frame feeds THREE consumers — the codebook training
+    # sample (TakeOrdered), the encode pass, and the final bucket
+    # re-attach join — and its lineage holds the full corpus × centroid
+    # assignment (crossJoin + per-id top-1 window), the dominant cost of
+    # the build. Without the pin that assignment ran three times per
+    # build (measured: ann_ivfadc_build steady ~4.4 s of which ~3 s was
+    # re-assignment; the r14 checkpoint rule says pin frames SMALL
+    # relative to their recompute cost — res is one row per corpus
+    # vector). Values are untouched: the plan is deterministic
+    # (seeded sample hash, lowest-id tie-breaks).
+    res = res.localCheckpoint(eager=False)
     books = train_pq_codebooks(
         res,
         "__res",

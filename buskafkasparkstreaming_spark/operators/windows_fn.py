@@ -310,6 +310,7 @@ def grouped_running_sum(
     sum_cols: list[str],
     num_partitions: int = 32,
     checkpoint: bool = True,
+    max_offset_rows: int = 1_000_000,
 ) -> DataFrame:
     """EXACT `sum(x) OVER (PARTITION BY group ORDER BY ...)` running sums
     without a single-task-per-group sort — the grouped sibling of
@@ -318,29 +319,49 @@ def grouped_running_sum(
     needs a per-group running CDF, and Window.partitionBy(segment) puts
     each segment's whole value axis in ONE task).
 
-    Plan (the grouped_ntile discipline, applied to running sums):
+    Plan (round-14 single-collect form):
 
     1. ONE range repartition on the COMPOSITE ordering (group asc, then
        order_cols) — groups are contiguous in the composite order, and
        every partition sorts in parallel regardless of group sizes.
-    2. intra-partition running sums keyed on the physical partition id
-       (one balanced hash exchange on __pid — RangePartitioner split the
-       data, never a single task) + per-partition prefix offsets (at
-       most `num_partitions` rows to the driver, keyed by INTEGER pid —
-       no Python-vs-JVM collation seam) give the GLOBAL running sums
-       and the global rank.
-    3. per-group "cumulative before the group" comes from Spark's OWN
-       ordering: the group's first row (min global rank, a |groups|-row
-       hash agg) carries cum_c − own_c = the preceding groups' total;
-       broadcast back NULL-SAFELY (NULL group cols form their own SQL
-       window partition, grouped_ntile's contract) and subtract.
+    2. ONE bounded driver collect of per-(pid, GROUP) sums — at most
+       `num_partitions` × |groups| rows (groups are contiguous in the
+       composite order, so in practice |groups| + num_partitions rows:
+       at most two partitions per group hold a split). The per-group
+       prefix offset of a partition is the sum of the SAME group's
+       totals in all earlier range partitions, accumulated pid-ascending
+       on the driver.
+    3. the offset frame broadcasts back NULL-SAFELY on (pid, group) —
+       NULL group cols form their own SQL window partition,
+       grouped_ntile's contract — and the running sum is a window keyed
+       (__pid, group): the balanced __pid hash leads, so a giant group
+       never lands in one task.
 
     Each output column `x` is replaced by its PER-GROUP running sum
     under `order_cols` (NULL x contributes 0). `group_cols` + the
-    caller's order_cols must define a unique composite ordering. The
-    broadcast side is |groups| rows: domain-bounded group columns only
-    (segments, priorities, languages) — grouped_ntile's stated domain.
+    caller's order_cols must define a unique composite ordering.
+
+    CONTRACT: the broadcast offset frame is num_partitions × |groups|
+    rows — intended for DOMAIN-BOUNDED group columns (segments,
+    priorities, languages), not high-cardinality keys (for those, plain
+    Window.partitionBy is already scalable). The bound is ENFORCED:
+    the collect raises once it exceeds `max_offset_rows` rather than
+    silently materializing an unbounded frame on the driver. Group
+    values round-trip driver-side as dict keys / createDataFrame
+    literals, so group columns must be ATOMIC types (no array/map/
+    struct) — checked at entry.
     """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for g in group_cols:
+        dt = df.schema[g].dataType
+        if isinstance(dt, (ArrayType, MapType, StructType)):
+            raise TypeError(
+                f"grouped_running_sum group column {g!r} has non-atomic "
+                f"type {dt.simpleString()}: group values are driver-side "
+                "dict keys and createDataFrame literals, which requires "
+                "hashable, round-trippable atomics"
+            )
     composite = [F.col(g).asc() for g in group_cols] + order_cols
     local = (
         df.repartitionByRange(num_partitions, *composite)
@@ -382,6 +403,14 @@ def grouped_running_sum(
         # do not compare, so they must not participate in the sort
         key=lambda t: t[0],
     )
+    if len(rows) > max_offset_rows:
+        raise ValueError(
+            f"grouped_running_sum offset frame has {len(rows)} "
+            f"(pid, group) rows > max_offset_rows={max_offset_rows}: the "
+            "group columns are not domain-bounded (the machinery's "
+            "contract). Use Window.partitionBy for high-cardinality "
+            "groups, or raise max_offset_rows deliberately."
+        )
     acc: dict[tuple, list[int]] = {}
     offs = []
     for pid, gvals, tots in rows:

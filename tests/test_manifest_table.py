@@ -753,6 +753,73 @@ def test_manifest_bloom_index_point_lookup(spark, tmp_path):
     del n_objects  # silences linters; count asserted via skips above
 
 
+def test_bloom_spark_positions_bit_identical_to_driver_path(
+    spark, tmp_path
+):
+    """Round-15 distributed publish: the Spark-side bloom extraction
+    (md5-slice positions computed in the JVM, collect_set per file) must
+    produce BIT-IDENTICAL bitmaps to the driver-side column read + Python
+    md5 fold, for int AND string bloom columns, NULLs skipped, empty
+    files all-zero — and must decline (None) for a render-unstable type
+    (bool: Python 'True' vs Spark 'true') so the caller falls back."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = ManifestUpsertTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key_cols="k",
+        precombine_col="et",
+        bloom_col="k",
+    )
+    p_int = str(tmp_path / "ints.parquet")
+    p_int2 = str(tmp_path / "ints2.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, None, 40, -7], type=pa.int64())}),
+        p_int,
+    )
+    pq.write_table(pa.table({"k": pa.array([], type=pa.int64())}), p_int2)
+    pos = t._bloom_spark_positions([p_int, p_int2])
+    assert pos is not None and set(pos) == {p_int, p_int2}
+    want = t._bloom_from_values([1, 2, None, 40, -7])
+    assert t._bloom_from_positions(pos[p_int]) == want
+    assert t._bloom_from_positions(pos[p_int2]) == t._bloom_from_values([])
+
+    ts = ManifestUpsertTable(
+        spark,
+        str(tmp_path / "tbl_s"),
+        key_cols="k",
+        precombine_col="et",
+        bloom_col="k",
+    )
+    p_str = str(tmp_path / "strs.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(["a", "bb 7", None, ""], type=pa.string())}),
+        p_str,
+    )
+    pos_s = ts._bloom_spark_positions([p_str])
+    assert ts._bloom_from_positions(pos_s[p_str]) == ts._bloom_from_values(
+        ["a", "bb 7", None, ""]
+    )
+
+    tb = ManifestUpsertTable(
+        spark,
+        str(tmp_path / "tbl_b"),
+        key_cols="k",
+        precombine_col="et",
+        bloom_col="k",
+    )
+    p_bool = str(tmp_path / "bools.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([True, False], type=pa.bool_())}), p_bool
+    )
+    assert tb._bloom_spark_positions([p_bool]) is None
+    # and the full publish path still builds the correct bloom for it
+    n_rows, entry = tb._object_info_many([p_bool])[p_bool]
+    assert n_rows == 2
+    assert entry["__bloom"] == tb._bloom_from_values([True, False])
+
+
 def test_manifest_entries_layout_independent_of_session_shuffle_width(spark):
     """Round-14 hardening pin: the three compaction entries own their
     decay-mode merge layout (AQE off + a PINNED shuffle width), so their

