@@ -6181,8 +6181,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     attaches. One per-doc rollup follows — no pair expansion anywhere,
     linear in corpus shingles at any scale. Contentless docs have no
     shingles (the word_shingles NULL guard) and are absent from the
-    output."""
-    docs = _t(spark, sf_dir, "documents")
+    output. The doc-id spread before the explode is the dedup-module
+    `_spread` idiom (round-15, measured 3.4x at sf0.1 / 9.5x at 10x):
+    a single-split input would otherwise shingle the whole corpus in
+    ONE scan task before the exchange."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     sh = docs.select(
         F.col("doc_id"), F.explode(D.word_shingles("text", 3)).alias("sh")
     )

@@ -989,6 +989,14 @@ def semantic_dedup(
         centroid_vec=centroid_vec,
         nprobe=1,
     )
+    # localCheckpoint (round-15, guide §5): the assignment frame feeds
+    # BOTH sides of the within-cluster pair join AND the final
+    # representative join — without the pin the corpus × centroid
+    # assignment (crossJoin + per-id top-1 window, the expensive pass)
+    # ran up to three times per call. One row per corpus vector; values
+    # untouched (deterministic ties). The ivfadc_build residual-pin
+    # precedent.
+    assigned = assigned.localCheckpoint(eager=False)
     pairs = embedding_neardup_pairs(
         assigned, id_col, vec_col, "bucket", threshold=threshold,
         unique_blocks=True,  # nprobe=1: each doc sits in exactly one cluster

@@ -68,7 +68,7 @@ SHOWN = {
     "q_ks_two_sample": "exact two-sample KS: per-value counts -> distributed running CDF (range repartition + broadcast prefix offsets) -> DECIMAL(38,0) numerator; prints post-checkpoint, range exchange gated in test_plans.py",
     "q_psi_drift": "PSI: 1-row bin-bounds broadcast, row-local integer binning, 10-bin literal frame join, fixed-point ln terms summed as integers",
     "sample_temperature_mix": "temperature mixing: domain-cardinality rate table broadcast back into a row-local md5-threshold filter; one domain agg + one audit agg",
-    "dedup_prefix_filter": "PPJoin: df-ranked per-doc prefix window (partitioned BY DOC), prefix x prefix equi-join over the RAREST tokens + length filter, exact-Jaccard verify join — no all-pairs path",
+    "dedup_prefix_filter": "PPJoin: df-ranked per-doc prefix window (partitioned BY DOC), prefix x prefix equi-join over the RAREST tokens + length filter, then ROW-LOCAL size(array_intersect) verification over per-doc distinct shingle arrays (round-15: the two token-keyed verify shuffles of the full stream are gone) — no all-pairs path",
     "lake_bucketed_join": "bucketed co-located join: both scans read pre-bucketed files; at smoke scale AQE picks broadcast (shown), at cluster scale the same tables feed SMJ with NO Exchange on either side (plan-gated with broadcast disabled); the only shuffle is the final non-bucket-key aggregate",
     "q_entropy_mi": "entropy/MI: one data-sized groupBy(type,hour); marginals/total derive from the tiny cell frame; fixed-point ln terms summed as integers",
     "q_acf_hourly": "ACF: one data-sized groupBy(hour); dense spine + lag joins run over the bounded hour axis; DECIMAL moments, one division per lag",

@@ -2,16 +2,26 @@
 oracle_sql() twin must match DuckDB on the smoke-scale tables — exactly what
 the driver does at sf0.01.
 
-Two-tier invocation (the full sweep is ~15 min and grows with the entry
-count — VERDICT r8 item 6):
+Three-tier invocation (the full sweep is ~15 min and grows with the
+entry count — VERDICT r8 item 6; the default pass was overrunning the
+grading driver's pytest window — VERDICT r14 item 7):
 
-- inner loop:   BSS_PARITY_TIER=head python -m pytest tests/test_oracle_parity.py
-                runs only the driver-window prefix (the 50 entries the
-                rotation policy puts first: this round's new, changed, and
-                stalest entries) plus any names in BSS_PARITY_NAMES
-                (comma-separated) — the entries a working session touches.
-- pre-commit:   the default (env unset) runs EVERY oracle entry; this is
-                the gate a commit must pass.
+- inner loop:   BSS_PARITY_TIER=head runs only the driver-window prefix
+                (the 50 entries the rotation policy puts first: this
+                round's new, changed, and stalest entries) plus any
+                names in BSS_PARITY_NAMES (comma-separated) — the
+                entries a working session touches.
+- default (env unset): the first 100 registry entries (a superset of
+                the driver's own 50-entry oracle window, which the
+                driver ALSO re-checks against DuckDB itself every
+                round) plus BSS_PARITY_NAMES — bounded so
+                `pytest tests/` fits the driver's wall budget. The
+                registry rotation puts new/changed/stalest entries
+                first, so this tier always covers the round's work.
+- pre-commit:   BSS_PARITY_TIER=full runs EVERY oracle entry; this is
+                the gate a commit must pass (run it before committing
+                entry changes — the driver's own verify covers the
+                rotating window, this covers everything else).
 """
 
 from __future__ import annotations
@@ -26,13 +36,15 @@ from tests.compare import duckdb_conn, run_pair
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
-if os.environ.get("BSS_PARITY_TIER") == "head":
+_TIER = os.environ.get("BSS_PARITY_TIER", "")
+if _TIER != "full":
     _extra = {
         n for n in os.environ.get("BSS_PARITY_NAMES", "").split(",") if n
     }
     _unknown = _extra - set(QUERIES)
     assert not _unknown, f"BSS_PARITY_NAMES not in queries(): {_unknown}"
-    _head = set(list(QUERIES)[:50]) | _extra
+    _cut = 50 if _TIER == "head" else 100
+    _head = set(list(QUERIES)[:_cut]) | _extra
     ORACLES = {n: s for n, s in ORACLES.items() if n in _head}
     QUERIES = {n: f for n, f in QUERIES.items() if n in _head}
 
