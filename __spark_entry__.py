@@ -4711,21 +4711,26 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("d2").cast(dec) * F.col("n1").cast(dec)
         ).cast(dec).alias("num"),
     )
-    mx = s.agg(F.max("num").alias("d_num"))
-    at = (
-        s.join(F.broadcast(mx), s["num"] == F.col("d_num"))
-        .agg(F.min("cents").cast("long").alias("at_value_cents"))
+    # ONE aggregate for max + argmin (round-15, guide §2.4 — the r14
+    # q_group_ks identity): max(struct(num, -cents)) is lexicographic, so
+    # its num is max(num) and its -cents is the LARGEST -cents among the
+    # max-num ties, i.e. the SMALLEST cents — exactly the old
+    # max-join+argmin-join pair, which evaluated the running-sum frame
+    # twice (once for d_num, once for the tie-broken at_value join)
+    top = s.agg(
+        F.max(F.struct(F.col("num"), (-F.col("cents")).alias("negc"))).alias(
+            "__m"
+        )
     )
     return (
-        totals.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(at))
+        totals.crossJoin(F.broadcast(top))
         .select(
             "n1",
             "n2",
-            F.col("d_num").cast("double").alias("d_num"),
-            "at_value_cents",
+            F.col("__m.num").cast("double").alias("d_num"),
+            (-F.col("__m.negc")).cast("long").alias("at_value_cents"),
             (
-                F.col("d_num").cast("double")
+                F.col("__m.num").cast("double")
                 / (F.col("n1").cast("double") * F.col("n2").cast("double"))
             ).alias("ks_stat"),
         )
@@ -7539,23 +7544,24 @@ def sketch_ks_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("c2").cast(dec) * F.lit(n1).cast(dec)
         ).alias("num"),
     )
-    m = s.agg(F.max("num").alias("d_num"))
-    at = (
-        s.join(F.broadcast(m), F.col("num") == F.col("d_num"))
-        .agg(F.min("cents").cast("long").alias("at_value_cents"))
-    )
-    return (
-        m.crossJoin(F.broadcast(at))
-        .select(
-            F.lit(n1).cast("long").alias("n1"),
-            F.lit(n2).cast("long").alias("n2"),
-            F.col("d_num").cast("double").alias("d_num"),
-            "at_value_cents",
-            (
-                F.col("d_num").cast("double")
-                / (F.lit(n1).cast("double") * F.lit(n2).cast("double"))
-            ).alias("ks_approx"),
+    # ONE aggregate for max + argmin (round-15, guide §2.4 — the r14
+    # q_group_ks identity, same fold as q_ks_two_sample): the old
+    # max-agg + broadcast-join-argmin pair evaluated s — and with it BOTH
+    # full sketch builds upstream — twice per action
+    top = s.agg(
+        F.max(F.struct(F.col("num"), (-F.col("cents")).alias("negc"))).alias(
+            "__m"
         )
+    )
+    return top.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        F.col("__m.num").cast("double").alias("d_num"),
+        (-F.col("__m.negc")).cast("long").alias("at_value_cents"),
+        (
+            F.col("__m.num").cast("double")
+            / (F.lit(n1).cast("double") * F.lit(n2).cast("double"))
+        ).alias("ks_approx"),
     )
 
 
