@@ -293,6 +293,14 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     alive = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(
         eager=False
     )
+    # NOTE (round-15, measured and REJECTED): an early exit at the fixed
+    # point (alive counts are monotone, so equal consecutive counts prove
+    # convergence and make remaining rounds provable no-ops) is value-
+    # safe but benched 4-5x WORSE at sf0.1 (4.1 -> 16-21 s, jobs 37 ->
+    # 45): the per-round count() turns this single lazily-checkpointed
+    # cascade — which the final action runs as ONE pipelined job tree —
+    # into `rounds` synchronous barrier jobs, each paying its own AQE
+    # replan + broadcast build. The lazy cascade stands.
     for _ in range(rounds):
         live_edges = (
             edges.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")

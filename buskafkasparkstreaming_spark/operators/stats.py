@@ -520,10 +520,24 @@ def theta_sketch(df: DataFrame, item_col: str, k: int = 64) -> ThetaSketch:
     """Build a theta sketch of the distinct non-NULL values of `item_col`."""
     from pyspark.sql import functions as F
 
+    # localCheckpoint (round-15, guide §5): a sketch's entries/theta
+    # frames are consumed by several downstream ops (own estimate, union,
+    # intersect, diff), and each consumer re-evaluated the full scan +
+    # hash + distinct lineage — ~4 base-table scans per side in the
+    # intersection entry. Pinning the distinct hash frame caps that at
+    # ONE scan per sketch at any data scale; the k-row TakeOrdered that
+    # re-runs per consumer reads the cached hash RDD, never storage.
+    # (Two rejected alternatives, both MEASURED worse at sf0.1: pinning
+    # the k-row topk frame — limit()-checkpoint materialization runs an
+    # executeTake job ladder per trim, 23→41 jobs; and folding the ≤k
+    # rows into createDataFrame literals — parallelize()-backed frames
+    # carry defaultParallelism partitions, turning every tiny set op and
+    # broadcast build into a 32-task job, 2.7→7.1 s.)
     hashes = (
         df.filter(F.col(item_col).isNotNull())
         .select(theta_item_hash(F.col(item_col)).alias("h"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     return _theta_trim(hashes, k)
 
