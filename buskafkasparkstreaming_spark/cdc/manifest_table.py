@@ -361,6 +361,17 @@ class ManifestUpsertTable:
     _BLOOM_RENDER_STABLE = (
         "tinyint", "smallint", "int", "bigint", "string",
     )
+    #: the same acceptance set keyed by pyarrow type name (the footer
+    #: probe `_bloom_spark_positions` reads), mapped to the Spark read
+    #: schema string; anything else falls back to the driver path
+    _ARROW_BLOOM_TYPES = {
+        "int8": "tinyint",
+        "int16": "smallint",
+        "int32": "int",
+        "int64": "bigint",
+        "string": "string",
+        "large_string": "string",
+    }
 
     def _bloom_spark_positions(
         self, paths: list[str]
@@ -381,14 +392,30 @@ class ManifestUpsertTable:
         (caller falls back to the driver-side path)."""
         from urllib.parse import unquote, urlparse
 
-        sdf = self.spark.read.parquet(*paths)
-        if self.bloom_col not in sdf.columns:
+        import pyarrow.parquet as pq
+
+        # ONE metadata-only footer read supplies the bloom column's type
+        # (round-15, guide §6: `spark.read.parquet` without a schema ran
+        # a schema-INFERENCE job over every staged file before the real
+        # pass — a whole extra Spark job per publish); the explicit
+        # 1-column schema also guarantees the scan reads nothing but the
+        # bloom column. Staged objects share one writer schema; a column
+        # absent from the probed footer falls back to the driver path,
+        # which is always correct.
+        try:
+            fschema = pq.read_schema(paths[0])
+        except Exception:
             return None
-        if (
-            sdf.schema[self.bloom_col].dataType.simpleString()
-            not in self._BLOOM_RENDER_STABLE
-        ):
+        if self.bloom_col not in fschema.names:
             return None
+        stype = self._ARROW_BLOOM_TYPES.get(
+            str(fschema.field(self.bloom_col).type)
+        )
+        if stype is None:
+            return None
+        sdf = self.spark.read.schema(
+            f"`{self.bloom_col}` {stype}"
+        ).parquet(*paths)
         hx = F.md5(F.col(self.bloom_col).cast("string"))
         pos = F.array(
             *[
