@@ -97,6 +97,21 @@ def _multisets_equal(a: DataFrame, b: DataFrame) -> bool:
     )
 
 
+def _parallel_builds(*thunks):
+    """Build INDEPENDENT frames concurrently (round-15, guide §2.6:
+    Spark happily runs several jobs at once; chained rank-machinery
+    calls were sequential only because each build blocks the driver on
+    its RangePartitioner sample + bounded offset collect). Inputs the
+    thunks share must be EAGERLY materialized first (a lazy checkpoint
+    raced from two threads computes twice). Returns results in thunk
+    order; any thunk's exception propagates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _sum_money(col: Column | str, alias: str, scale: float = 100.0) -> Column:
     return (F.sum(_cents(col)).cast("double") / scale).alias(alias)
 
@@ -2948,28 +2963,43 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     `weak` mark). Plan-gated in test_plans.py: no SinglePartition
     exchange, no empty-partition-spec Window."""
     orders = _t(spark, sf_dir, "orders")
-    # localCheckpoint (round-15, guide §5): global_ntile's
-    # RangePartitioner sample pass evaluates its input ONCE MORE before
-    # the range exchange — without the pin the orders scan + per-customer
-    # aggregate ran twice for the first quartile call (the r14 rule: pin
-    # frames SMALL relative to their recompute cost; this is one row per
-    # customer)
+    # EAGER localCheckpoint (round-15, guide §5/§2.6): the pin keeps
+    # global_ntile's RangePartitioner sample pass from re-evaluating the
+    # orders scan + per-customer aggregate, and eager materialization
+    # lets the three quartile builds below share the stored blocks from
+    # concurrent threads (a lazy checkpoint raced from three builds
+    # would compute thrice)
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(_cents("o_totalprice")).cast("long").alias("spend_cents"),
-    ).localCheckpoint(eager=False)
-    out = rfm
-    for col, alias in (
-        ("last_order", "r_seg"),
-        ("n_orders", "f_seg"),
-        ("spend_cents", "m_seg"),
-    ):
-        out = W.global_ntile(
-            out, [F.col(col).desc(), F.col("o_custkey").asc()], 4, alias
-        )
-    return out.select(
-        "o_custkey", "n_orders", "r_seg", "f_seg", "m_seg"
+    ).localCheckpoint(eager=True)
+
+    # Three INDEPENDENT quartile axes built CONCURRENTLY over narrow
+    # (key, axis) projections, joined back on the unique customer key
+    # (round-15, guide §2.6 + §2.3: the old chained form ran the three
+    # machinery builds — each a driver-blocking sample + offset collect —
+    # strictly sequentially, and each range exchange carried every
+    # previously attached column; same ntile over the same unique
+    # ordering ⇒ identical seg values, inner join on the key every frame
+    # retains ⇒ identical rows. Measured 3.5-3.9 → 2.6-2.9 s at sf0.1).
+    def seg(col: str, alias: str) -> DataFrame:
+        nar = rfm.select("o_custkey", col)
+        return W.global_ntile(
+            nar, [F.col(col).desc(), F.col("o_custkey").asc()], 4, alias
+        ).select("o_custkey", alias)
+
+    r_seg, f_seg, m_seg = _parallel_builds(
+        lambda: seg("last_order", "r_seg"),
+        lambda: seg("n_orders", "f_seg"),
+        lambda: seg("spend_cents", "m_seg"),
+    )
+    return (
+        rfm.select("o_custkey", "n_orders")
+        .join(r_seg, "o_custkey")
+        .join(f_seg, "o_custkey")
+        .join(m_seg, "o_custkey")
+        .select("o_custkey", "n_orders", "r_seg", "f_seg", "m_seg")
     )
 
 
@@ -3481,14 +3511,18 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dec = "decimal(38,0)"
-    # localCheckpoint (round-14 optimization): the cell frame branches
-    # into BOTH rank axes and the moment join, and each
+    # EAGER localCheckpoint (round-14 pin, round-15 eager): the cell
+    # frame branches into BOTH rank axes and the moment join, and each
     # grouped_running_sum additionally evaluates its input for the
     # RangePartitioner sample — without the pin the orders⋈lineitem
-    # join + cell aggregation recompute five times per run
+    # join + cell aggregation recompute five times per run; eager
+    # materialization lets the two axis builds below run CONCURRENTLY
+    # against the stored blocks (guide §2.6 — each build blocks the
+    # driver on its sample + offset collect, so sequential chaining
+    # left the cluster idle half the build)
     cell = j.groupBy("o_orderpriority", "xv", "yv").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     def rank_axis(col: str, out: str) -> DataFrame:
         ax = cell.groupBy("o_orderpriority", col).agg(
@@ -3503,8 +3537,11 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("run") - F.col("cnt") + 1).cast("long").alias(out),
         )
 
-    cj = cell.join(rank_axis("xv", "rx"), ["o_orderpriority", "xv"]).join(
-        rank_axis("yv", "ry"), ["o_orderpriority", "yv"]
+    rx_map, ry_map = _parallel_builds(
+        lambda: rank_axis("xv", "rx"), lambda: rank_axis("yv", "ry")
+    )
+    cj = cell.join(rx_map, ["o_orderpriority", "xv"]).join(
+        ry_map, ["o_orderpriority", "yv"]
     )
     cw = F.col("c").cast(dec)
     mom = cj.groupBy("o_orderpriority").agg(
@@ -7514,8 +7551,14 @@ def sketch_ks_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk = kll_sketch(ranked, "rn", n_g, kcap=_KLL_KCAP)
         return sk.select("cents", "weight", F.lit(g).alias("grp")), n_g
 
-    sk1, n1 = group_sketch(1)
-    sk2, n2 = group_sketch(2)
+    # the two sketch builds are independent (disjoint year groups) and
+    # each blocks the driver on its rank-machinery sample + offset
+    # collect — build them concurrently (round-15, guide §2.6); the
+    # shared scan is deliberately unpinned (cheap column-pruned parquet),
+    # so the threads just run two scans in parallel
+    (sk1, n1), (sk2, n2) = _parallel_builds(
+        lambda: group_sketch(1), lambda: group_sketch(2)
+    )
     per_value = (
         sk1.unionByName(sk2)
         .groupBy("cents")
@@ -9539,14 +9582,15 @@ def q_group_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("value").alias("xv"),
         bssf.ts_millis(F.col("ts")).alias("yv"),
     )
-    # localCheckpoint (round-14 optimization): the shared core branches
-    # the cell frame into both rank axes and the moment join, and each
-    # grouped_running_sum evaluates its input once more for the
-    # RangePartitioner sample — pin the events scan + aggregation to a
-    # single computation (the streaming twin already does this)
+    # EAGER localCheckpoint (round-14 pin, round-15 eager): the shared
+    # core branches the cell frame into both rank axes and the moment
+    # join, and each grouped_running_sum evaluates its input once more
+    # for the RangePartitioner sample — pin the events scan +
+    # aggregation to a single computation, materialized up front so the
+    # core's concurrent axis builds share the stored blocks
     cell = o.groupBy("g", "xv", "yv").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     return _group_spearman_from_cells(cell)
 
 
@@ -9575,9 +9619,14 @@ def _group_spearman_from_cells(cell: DataFrame) -> DataFrame:
             (2 * F.col("run") - F.col("cnt") + 1).cast("long").alias(out),
         )
 
-    j = cell.join(rank_axis("xv", "rx"), ["g", "xv"]).join(
-        rank_axis("yv", "ry"), ["g", "yv"]
+    # the two axis builds are independent and each blocks the driver on
+    # its machinery collects — run them concurrently (round-15, guide
+    # §2.6; callers pass an EAGERLY checkpointed cell frame so the
+    # threads share the stored blocks)
+    rx_map, ry_map = _parallel_builds(
+        lambda: rank_axis("xv", "rx"), lambda: rank_axis("yv", "ry")
     )
+    j = cell.join(rx_map, ["g", "xv"]).join(ry_map, ["g", "yv"])
     c = F.col("c").cast(dec)
     mom = j.groupBy("g").agg(
         F.sum("c").cast("long").alias("n"),
@@ -9643,10 +9692,11 @@ def streaming_group_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    # localCheckpoint: the cell frame branches three ways (two rank
-    # axes + the moment join) — a raw memory-sink frame self-joined
+    # EAGER localCheckpoint: the cell frame branches three ways (two
+    # rank axes + the moment join) — a raw memory-sink frame self-joined
     # hits Spark's conflicting-references INTERNAL_ERROR (the
-    # streaming_allen_live_spans lesson)
+    # streaming_allen_live_spans lesson); eager so the core's concurrent
+    # axis builds share the stored blocks (round-15, guide §2.6)
     cell = (
         SW.run_to_memory(hourly, spark, output_mode="append")
         .select(
@@ -9655,7 +9705,7 @@ def streaming_group_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             bssf.ts_millis(F.col("w.start")).alias("yv"),
             "c",
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     return _group_spearman_from_cells(cell)
 
