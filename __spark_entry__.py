@@ -8996,8 +8996,12 @@ def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:  # a drift copy could empty the probe set — 0 facts, not
             kept_set = set()  # an isin([]) seam
             hit = full = rows.filter(F.lit(False))
-        hits_ok = _multisets_equal(hit, full)
-        absent_ok = t.read_keys([-1, -2, -3]).count() == 0
+        # the two verification reads are independent point lookups —
+        # overlap their jobs (round-15, guide §2.6)
+        hits_ok, absent_ok = _parallel_builds(
+            lambda: _multisets_equal(hit, full),
+            lambda: t.read_keys([-1, -2, -3]).count() == 0,
+        )
         flags = [
             (val, len(keys), len(kept_set & set(keys)))
             for val, keys in m2["partitions"].items()
