@@ -9721,110 +9721,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALENESS-FIRST from the on-disk CORRECTNESS_r0*.json artifacts
     # (never-driver-seen outranks everything, then entries whose
     # semantics/plan changed this round, then oldest-artifact-first).
-    # Round-14 rotation (VERDICT r13 item 1, run exactly as the r13 NOTE
-    # precomputed): q_group_spearman_trend leads (the one never-driver-seen
-    # entry after a green round 13), then ONE `changed` entry —
-    # q_spearman_corr, retrofitted this round onto grouped_running_sum
-    # (output bit-identical, but the PLAN changed class, so it re-earns its
-    # driver row) — then the 26-entry r8 cohort tail, then 22 of the r9
-    # cohort = exactly 50. Round-14's own addition (streaming_group_spearman,
-    # the grouped machinery's sixth composition) sits FIRST below the cut as
-    # the round-15 head candidate. A green CORRECTNESS_r14 closes cumulative
-    # driver verification to 272/272 of the pre-round-14 entries.
+    # Round-15 rotation: the FOUR never-driver-seen entries lead (the r14
+    # additions streaming_group_spearman — the precomputed r15 head
+    # candidate — streaming_group_mannwhitney, manifest_compact_cluster,
+    # manifest_bloom_lookup), then the 19 entries whose PLAN changed in
+    # the round-15 optimization sessions (each proven bit-identical by
+    # output snapshot at two SFs + local oracle parity; they re-earn
+    # their driver rows), then the 5 entries the round-14 OPTIMIZATION
+    # session changed after the r14 window was sampled (locally
+    # parity-green since, never driver-verified post-change), then 22 of
+    # the remaining round-9-stale cohort = exactly 50. Below the cut:
+    # the 4 r9-stale leftovers lead round 16, then the prior order.
     return {
-        # ===== ROUND-14 DRIVER WINDOW (first 50; the driver checks this
-        # exact prefix). Rotation, staleness-first from the on-disk
-        # CORRECTNESS_r*.json artifacts: the one never-driver-seen entry
-        # leads, then the one `changed` entry, then the 26-entry r8
-        # cohort tail, then 22 of the r9 cohort. =========================
-        # --- never driver-seen: the round-13 below-cut head candidate
-        # (locally parity-green since r13) -------------------------------
-        "q_group_spearman_trend": q_group_spearman_trend,
-        # --- changed this round: retrofitted onto grouped_running_sum
-        # (VERDICT r13 item 2) — bit-identical output, new plan class ----
-        "q_spearman_corr": q_spearman_corr,
-        # --- r8 cohort tail (displaced in rounds 12-13) -----------------
-        "ann_pq_adc_rerank": ann_pq_adc_rerank,
-        "streaming_funnel_timeout": streaming_funnel_timeout,
-        "ann_ivfadc_topk": ann_ivfadc_topk,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q21_sole_late_supplier": q21_sole_late_supplier,
-        "q22_idle_rich_customers": q22_idle_rich_customers,
-        "q_funnel_timeout": q_funnel_timeout,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_ship_classes": q12_late_ship_classes,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_qty_revenue": q17_small_qty_revenue,
-        "q19_or_predicate_revenue": q19_or_predicate_revenue,
-        "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
-        "q_funnel_sliding_windows": q_funnel_sliding_windows,
-        "q_ks_two_sample": q_ks_two_sample,
-        "q_psi_drift": q_psi_drift,
-        "sample_temperature_mix": sample_temperature_mix,
-        "q_ks_rolling_hourly": q_ks_rolling_hourly,
-        "sketch_tdigest_pinned": sketch_tdigest_pinned,
-        "q_regr_slope_exact": q_regr_slope_exact,
-        "q_rfm_segments": q_rfm_segments,
-        "q_chi2_independence": q_chi2_independence,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        # --- driver-green round 9 (artifact order) ---------------------
-        "streaming_psi_drift": streaming_psi_drift,
-        "q_ccf_types": q_ccf_types,
-        "q_histogram_equi_depth": q_histogram_equi_depth,
-        "sample_reservoir_stratum": sample_reservoir_stratum,
-        "sketch_kll_quantiles": sketch_kll_quantiles,
-        "q_record_linkage_fs": q_record_linkage_fs,
-        "text_bpe_merges": text_bpe_merges,
-        "q_winsorized_stats": q_winsorized_stats,
-        "text_ngram_novelty": text_ngram_novelty,
-        "q_theilsen_hourly": q_theilsen_hourly,
-        "streaming_hll_hourly": streaming_hll_hourly,
-        "streaming_cusum_hourly": streaming_cusum_hourly,
-        "q_gini_revenue": q_gini_revenue,
-        "q_herfindahl_segments": q_herfindahl_segments,
-        "text_zipf_slope": text_zipf_slope,
-        "q_bootstrap_ci_mean": q_bootstrap_ci_mean,
-        "graph_kcore": graph_kcore,
-        "dedup_containment": dedup_containment,
-        "sketch_hll_rolling": sketch_hll_rolling,
-        "streaming_quantile_hourly": streaming_quantile_hourly,
-        "q_fd_violations": q_fd_violations,
-        "q_ref_integrity": q_ref_integrity,
-        # ===== DRIVER WINDOW CUT: the 50 entries above are the round-14
-        # sweep (1 never-seen + 1 changed + 26 r8 tail + 22 r9). Below:
-        # locally green via tests/test_oracle_parity.py every round,
-        # ordered for FUTURE rotations (the round-14 addition first —
-        # the round-15 head candidate — then the r9 remainder, the
-        # r10/r11 cohorts, the round-12 window, the round-13 window —
-        # freshest last). Round-15 arithmetic: the candidate + the
-        # 27-entry r9 remainder + 22 of the r10 cohort fill the window;
-        # round-15 additions displace r10 slots. =========================
-        # --- round-15 head candidates: new in round 14 (per-type Spearman
-        # trend as a LIVE monitor — the grouped machinery's sixth
-        # composition, emission rule + hour-axis cells; per-type
-        # Mann-Whitney U live — the seventh, update-mode monotone cell
-        # fold, oracle = the batch SQL verbatim; never driver-seen until
-        # the round-15 rotation) -----------------------------------------
+        # ===== ROUND-15 DRIVER WINDOW (first 50; the driver checks this
+        # exact prefix) ==================================================
+        # --- never driver-seen (r14-build additions) --------------------
         "streaming_group_spearman": streaming_group_spearman,
         "streaming_group_mannwhitney": streaming_group_mannwhitney,
-        # --- round-15 head candidate: clustered compaction (OPTIMIZE
-        # ZORDER analog) with exact-rank bin boundaries — the grouped
-        # machinery composed with the lakehouse layout ------------------
         "manifest_compact_cluster": manifest_compact_cluster,
-        # --- round-15 head candidate: per-object bloom index (the Hudi
-        # bloom-index analog) — point-lookup skipping value-checked via
-        # the SQL bloom simulation over the deterministic clustered
-        # layout ---------------------------------------------------------
         "manifest_bloom_lookup": manifest_bloom_lookup,
-        # --- r9 cohort remainder (artifact order) -----------------------
-        "q_anova_f": q_anova_f,
+        # --- plan changed in round 15 (snapshot + parity proven) ------
+        "text_ngram_novelty": text_ngram_novelty,
+        "dedup_prefix_filter": dedup_prefix_filter,
+        "dedup_semantic": dedup_semantic,
+        "q_ks_two_sample": q_ks_two_sample,
+        "sketch_ks_approx": sketch_ks_approx,
+        "sketch_theta_intersection": sketch_theta_intersection,
+        "q_spearman_corr": q_spearman_corr,
+        "q_group_spearman_trend": q_group_spearman_trend,
+        "q_rfm_segments": q_rfm_segments,
+        "q_decile_lift": q_decile_lift,
+        "q_segment_lift": q_segment_lift,
+        "q_ecdf_transform": q_ecdf_transform,
         "q_mannwhitney_u": q_mannwhitney_u,
+        "q_theilsen_hourly": q_theilsen_hourly,
+        "ann_ivfadc_topk": ann_ivfadc_topk,
+        "manifest_read_where": manifest_read_where,
+        "manifest_time_travel": manifest_time_travel,
+        "manifest_compact_execute": manifest_compact_execute,
+        "manifest_compaction_plan": manifest_compaction_plan,
+        # --- changed by the round-14 optimization session AFTER the
+        # r14 window was sampled (never driver-verified post-change) ---
+        "q_group_ks": q_group_ks,
+        "q_group_ecdf": q_group_ecdf,
+        "q_group_mannwhitney": q_group_mannwhitney,
+        "text_rouge_overlap": text_rouge_overlap,
+        "sample_prototype_prune": sample_prototype_prune,
+        # --- stalest: round-9 cohort (artifact order) -------------------
+        "q_anova_f": q_anova_f,
         "q_hellinger_types": q_hellinger_types,
         "q_holt_dyadic": q_holt_dyadic,
-        "manifest_read_where": manifest_read_where,
         "q_asof_next_purchase": q_asof_next_purchase,
         "q_asof_nearest_purchase": q_asof_nearest_purchase,
         "text_gopher_rules": text_gopher_rules,
@@ -9844,15 +9790,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sliding_window_avg": q_sliding_window_avg,
         "q_pivot_event_types": q_pivot_event_types,
         "q_pivot_native": q_pivot_native,
+        # ===== BELOW THE CUT (round-16 head: the r9-stale leftovers) ====
+        "ann_pq_adc_rerank": ann_pq_adc_rerank,
+        "streaming_funnel_timeout": streaming_funnel_timeout,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
+        "q_funnel_timeout": q_funnel_timeout,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_ship_classes": q12_late_ship_classes,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q19_or_predicate_revenue": q19_or_predicate_revenue,
+        "q20_promo_heavy_suppliers": q20_promo_heavy_suppliers,
+        "q_funnel_sliding_windows": q_funnel_sliding_windows,
+        "q_psi_drift": q_psi_drift,
+        "sample_temperature_mix": sample_temperature_mix,
+        "q_ks_rolling_hourly": q_ks_rolling_hourly,
+        "sketch_tdigest_pinned": sketch_tdigest_pinned,
+        "q_regr_slope_exact": q_regr_slope_exact,
+        "q_chi2_independence": q_chi2_independence,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "streaming_psi_drift": streaming_psi_drift,
+        "q_ccf_types": q_ccf_types,
+        "q_histogram_equi_depth": q_histogram_equi_depth,
+        "sample_reservoir_stratum": sample_reservoir_stratum,
+        "sketch_kll_quantiles": sketch_kll_quantiles,
+        "q_record_linkage_fs": q_record_linkage_fs,
+        "text_bpe_merges": text_bpe_merges,
+        "q_winsorized_stats": q_winsorized_stats,
+        "streaming_hll_hourly": streaming_hll_hourly,
+        "streaming_cusum_hourly": streaming_cusum_hourly,
+        "q_gini_revenue": q_gini_revenue,
+        "q_herfindahl_segments": q_herfindahl_segments,
+        "text_zipf_slope": text_zipf_slope,
+        "q_bootstrap_ci_mean": q_bootstrap_ci_mean,
+        "graph_kcore": graph_kcore,
+        "dedup_containment": dedup_containment,
+        "sketch_hll_rolling": sketch_hll_rolling,
+        "streaming_quantile_hourly": streaming_quantile_hourly,
+        "q_fd_violations": q_fd_violations,
+        "q_ref_integrity": q_ref_integrity,
         "q_grouping_sets": q_grouping_sets,
         "q_rollup_status_priority": q_rollup_status_priority,
         "q_cube_status_priority": q_cube_status_priority,
         "q_string_agg_suppliers": q_string_agg_suppliers,
-        # --- driver-green round 10 (artifact order) ---------------------
         "layout_hilbert_events": layout_hilbert_events,
-        "q_ecdf_transform": q_ecdf_transform,
         "q_cramers_v": q_cramers_v,
-        "sketch_ks_approx": sketch_ks_approx,
         "dedup_weighted_minhash": dedup_weighted_minhash,
         "dedup_tfidf_cosine": dedup_tfidf_cosine,
         "q_market_basket_lift": q_market_basket_lift,
@@ -9895,12 +9882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_budget": pack_token_budget,
         "corpus_curation": corpus_curation,
         "ann_quantize_int8": ann_quantize_int8,
-        # --- driver-green round 11 (artifact order) ---------------------
-        "q_decile_lift": q_decile_lift,
         "q_allen_spans": q_allen_spans,
         "q_allen_incidents": q_allen_incidents,
         "streaming_skyline": streaming_skyline,
-        "q_segment_lift": q_segment_lift,
         "streaming_allen_monitor": streaming_allen_monitor,
         "q_skyline3_lineitems": q_skyline3_lineitems,
         "streaming_reservoir_sample": streaming_reservoir_sample,
@@ -9939,21 +9923,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": dedup_substring_spans,
         "sample_token_budget_mix": sample_token_budget_mix,
         "text_duplicate_fraction": text_duplicate_fraction,
-        "dedup_semantic": dedup_semantic,
         "text_lm_score": text_lm_score,
-        "sample_prototype_prune": sample_prototype_prune,
         "pack_chunk_documents": pack_chunk_documents,
         "layout_zorder_events": layout_zorder_events,
         "stats_profile_documents": stats_profile_documents,
-        # --- the round-12 window (checked in CORRECTNESS_r12 — freshest
-        # last) -----------------------------------------------------------
         "q_group_equidepth": q_group_equidepth,
         "streaming_skyline3": streaming_skyline3,
         "q_isotonic_calibration": q_isotonic_calibration,
-        "q_group_ks": q_group_ks,
         "streaming_weighted_reservoir": streaming_weighted_reservoir,
         "streaming_allen_sessions": streaming_allen_sessions,
-        "manifest_compaction_plan": manifest_compaction_plan,
         "text_unicode_clean": text_unicode_clean,
         "doc_fingerprint": doc_fingerprint,
         "multimodal_bytes_meta": multimodal_bytes_meta,
@@ -9994,16 +9972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sax_words": ts_sax_words,
         "text_bigram_pmi": text_bigram_pmi,
         "dedup_keep_best": dedup_keep_best,
-        "manifest_time_travel": manifest_time_travel,
         "streaming_topk_per_window": streaming_topk_per_window,
-        # --- driver-green round 13 (artifact order) ---------------------
-        "manifest_compact_execute": manifest_compact_execute,
         "streaming_group_ks": streaming_group_ks,
         "streaming_allen_live_spans": streaming_allen_live_spans,
-        "q_group_ecdf": q_group_ecdf,
         "sample_weighted_reservoir": sample_weighted_reservoir,
         "q_cohort_retention_daily": q_cohort_retention_daily,
-        "q_group_mannwhitney": q_group_mannwhitney,
         "streaming_cohort_retention": streaming_cohort_retention,
         "q_percentile_disc": q_percentile_disc,
         "q_mode_deterministic": q_mode_deterministic,
@@ -10024,14 +9997,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders_per_customer": q_topk_orders_per_customer,
         "q_exists_correlated": q_exists_correlated,
         "q_customers_without_orders": q_customers_without_orders,
-        "dedup_prefix_filter": dedup_prefix_filter,
         "lake_bucketed_join": lake_bucketed_join,
         "cdc_purge_keys": cdc_purge_keys,
         "q_entropy_mi": q_entropy_mi,
         "q_acf_hourly": q_acf_hourly,
         "q_seasonal_anomaly": q_seasonal_anomaly,
-        "text_rouge_overlap": text_rouge_overlap,
-        "sketch_theta_intersection": sketch_theta_intersection,
         "streaming_session_topk": streaming_session_topk,
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_share": q14_promo_share,
