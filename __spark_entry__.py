@@ -9791,6 +9791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_event_types": q_pivot_event_types,
         "q_pivot_native": q_pivot_native,
         # ===== BELOW THE CUT (round-16 head: the r9-stale leftovers) ====
+        "q_grouping_sets": q_grouping_sets,
+        "q_rollup_status_priority": q_rollup_status_priority,
+        "q_cube_status_priority": q_cube_status_priority,
+        "q_string_agg_suppliers": q_string_agg_suppliers,
         "ann_pq_adc_rerank": ann_pq_adc_rerank,
         "streaming_funnel_timeout": streaming_funnel_timeout,
         "q13_customer_distribution": q13_customer_distribution,
@@ -9834,10 +9838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantile_hourly": streaming_quantile_hourly,
         "q_fd_violations": q_fd_violations,
         "q_ref_integrity": q_ref_integrity,
-        "q_grouping_sets": q_grouping_sets,
-        "q_rollup_status_priority": q_rollup_status_priority,
-        "q_cube_status_priority": q_cube_status_priority,
-        "q_string_agg_suppliers": q_string_agg_suppliers,
         "layout_hilbert_events": layout_hilbert_events,
         "q_cramers_v": q_cramers_v,
         "dedup_weighted_minhash": dedup_weighted_minhash,

@@ -1,72 +1,69 @@
-"""Guard the round-14 driver-window composition: the correctness sweep
+"""Guard the round-15 driver-window composition: the correctness sweep
 checks the FIRST 50 queries() entries, so an accidental dict reorder
 (a refactor, a merge) silently swaps which entries get driver-verified.
-This pins the committed rotation (VERDICT r13 item 1, exactly as the
-r13 NOTE precomputed): q_group_spearman_trend leads (the one
-never-driver-seen entry after a green round 13), then q_spearman_corr
-as the one `changed` entry (retrofitted onto grouped_running_sum this
-round — output bit-identical, plan class changed, so it re-earns its
-driver row), then the 26-entry r8 cohort tail, then 22 of the r9
-cohort = exactly 50. The round-14 addition (streaming_group_spearman)
-sits FIRST below the cut as the round-15 head candidate, then the
-27-entry r9 remainder; the r13 window sits at the very bottom
-(freshest last). Update DELIBERATELY when the round-15 rotation is
-computed (staleness-first from the CORRECTNESS_r*.json artifacts)."""
+This pins the committed round-15 rotation (staleness-first from the
+CORRECTNESS_r*.json artifacts): the FOUR never-driver-seen r14
+additions lead (streaming_group_spearman — the r14 NOTE's precomputed
+r15 head candidate — then the live Mann-Whitney and the two r14
+manifest entries), then the 19 entries whose PLAN changed in the
+round-15 optimization sessions (each proven bit-identical by two-SF
+output snapshots + local oracle parity, so they re-earn their driver
+rows), then the 5 entries the round-14 OPTIMIZATION session changed
+after the r14 window was sampled, then 22 of the round-9-stale cohort
+= exactly 50. Below the cut the 4 r9-stale leftovers lead round 16.
+Update DELIBERATELY when a future rotation is computed."""
 
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-NEVER_SEEN = ["q_group_spearman_trend"]
-CHANGED_R14 = ["q_spearman_corr"]
-R8_TAIL_26 = [
-    "ann_pq_adc_rerank", "streaming_funnel_timeout", "ann_ivfadc_topk",
-    "q13_customer_distribution", "q21_sole_late_supplier",
-    "q22_idle_rich_customers", "q_funnel_timeout", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q12_late_ship_classes",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_qty_revenue", "q19_or_predicate_revenue",
-    "q20_promo_heavy_suppliers", "q_funnel_sliding_windows",
-    "q_ks_two_sample", "q_psi_drift", "sample_temperature_mix",
-    "q_ks_rolling_hourly", "sketch_tdigest_pinned", "q_regr_slope_exact",
-    "q_rfm_segments", "q_chi2_independence", "dedup_ngram_jaccard",
+NEVER_SEEN_4 = [
+    "streaming_group_spearman", "streaming_group_mannwhitney",
+    "manifest_compact_cluster", "manifest_bloom_lookup",
 ]
-R9_HEAD_22 = [
-    "streaming_psi_drift", "q_ccf_types", "q_histogram_equi_depth",
-    "sample_reservoir_stratum", "sketch_kll_quantiles",
-    "q_record_linkage_fs", "text_bpe_merges", "q_winsorized_stats",
-    "text_ngram_novelty", "q_theilsen_hourly", "streaming_hll_hourly",
-    "streaming_cusum_hourly", "q_gini_revenue", "q_herfindahl_segments",
-    "text_zipf_slope", "q_bootstrap_ci_mean", "graph_kcore",
-    "dedup_containment", "sketch_hll_rolling",
-    "streaming_quantile_hourly", "q_fd_violations", "q_ref_integrity",
+CHANGED_R15_19 = [
+    "text_ngram_novelty", "dedup_prefix_filter", "dedup_semantic",
+    "q_ks_two_sample", "sketch_ks_approx", "sketch_theta_intersection",
+    "q_spearman_corr", "q_group_spearman_trend", "q_rfm_segments",
+    "q_decile_lift", "q_segment_lift", "q_ecdf_transform",
+    "q_mannwhitney_u", "q_theilsen_hourly", "ann_ivfadc_topk",
+    "manifest_read_where", "manifest_time_travel",
+    "manifest_compact_execute", "manifest_compaction_plan",
+]
+CHANGED_R14_UNVERIFIED_5 = [
+    "q_group_ks", "q_group_ecdf", "q_group_mannwhitney",
+    "text_rouge_overlap", "sample_prototype_prune",
+]
+R9_FILL_22 = [
+    "q_anova_f", "q_hellinger_types", "q_holt_dyadic",
+    "q_asof_next_purchase", "q_asof_nearest_purchase",
+    "text_gopher_rules", "text_c4_rules", "sketch_hll_distinct",
+    "sample_weighted_priority", "streaming_purchase_error_left_join",
+    "sample_dsir_importance", "sketch_hll_incremental",
+    "sketch_quantile_histogram", "q_corr_price_items",
+    "q_gapfill_hourly", "q_locf_fill", "q_funnel_conversion",
+    "q_cohort_retention", "q_hourly_events", "q_sliding_window_avg",
+    "q_pivot_event_types", "q_pivot_native",
 ]
 
 
-def test_round14_window_composition():
+def test_round15_window_composition():
     qs = list(entrymod.queries().keys())
-    want = NEVER_SEEN + CHANGED_R14 + R8_TAIL_26 + R9_HEAD_22
+    want = NEVER_SEEN_4 + CHANGED_R15_19 + CHANGED_R14_UNVERIFIED_5 + R9_FILL_22
     assert len(want) == 50, len(want)
     assert qs[:50] == want, (qs[:50], want)
 
 
-def test_round15_lead_is_new_entries_then_r9_remainder():
-    """Below the cut: the round-14 additions (never-driver-seen until
-    the round-15 rotation) lead — the live Spearman trend, then the
-    live Mann-Whitney — then the 27-entry r9 remainder in artifact
-    order, then the r10/r11 cohorts, the round-12 window, and the
-    round-13 window at the very bottom (freshest last)."""
+def test_round16_lead_is_r9_remainder():
+    """Below the cut: the four r9-stale leftovers lead round 16, then
+    the prior order (the former r14 window, cohorts, the r13 window at
+    the very bottom — freshest last)."""
     qs = list(entrymod.queries().keys())
-    assert qs[50] == "streaming_group_spearman", qs[50]
-    assert qs[51] == "streaming_group_mannwhitney", qs[51]
-    assert qs[52] == "manifest_compact_cluster", qs[52]
-    assert qs[53] == "manifest_bloom_lookup", qs[53]
-    assert qs[54] == "q_anova_f", qs[54]
-    # the round-13 window sits at the very bottom (freshest last)
+    assert qs[50:54] == [
+        "q_grouping_sets", "q_rollup_status_priority",
+        "q_cube_status_priority", "q_string_agg_suppliers",
+    ], qs[50:54]
     assert qs[-1] == "sketch_hll_sparse", qs[-1]
-    assert qs[-50] == "manifest_compact_execute", qs[-50]
-    # the round-12 window directly above it
-    assert qs[-51] == "streaming_topk_per_window", qs[-51]
 
 
 def test_every_query_has_oracle():
